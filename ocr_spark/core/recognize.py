@@ -1,0 +1,98 @@
+"""CTC-style batched text recognition, pure numpy.
+
+Contract mirrored from the reference CRNN stage (crnn/network_torch.py):
+
+* ``recognize_batch`` pads all line bitmaps of a batch to the max width and
+  runs ONE vectorized forward pass — the padded-tensor batching of the
+  reference ``CRNN.predict_batch`` (crnn/network_torch.py:157-200).
+* Per-timestep class scores over a sliding window (the "sequence model"),
+  argmax over timesteps, then CTC greedy collapse: drop blanks and repeats
+  (reference ``strLabelConverter``, crnn/util.py:16-22).
+* Lines narrower than one glyph return '' (reference width<8 guard,
+  network_torch.py:141-142).
+
+Timestep geometry: glyph advance is 6 unit columns, windows are 5 wide at
+stride 3 — every even timestep is glyph-aligned, every odd timestep straddles
+a glyph boundary and decodes to blank, which is what keeps repeated
+characters ("11") from collapsing, exactly the role of the CTC blank.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from numpy.lib.stride_tricks import sliding_window_view
+
+from ..fixtures.glyphs import ADVANCE, BLANK, CLASS_TO_CHAR, GLYPH_H, GLYPH_W, TEMPLATES
+
+_STRIDE = ADVANCE // 2  # 3: two timesteps per glyph cell
+# (n_classes, 35) template matrix for one-matmul hamming distance.
+_TMPL_FLAT = TEMPLATES.reshape(TEMPLATES.shape[0], -1).astype(np.int16)
+_TMPL_POP = _TMPL_FLAT.sum(axis=1)  # ink bits per template
+
+
+def ctc_greedy_decode(pred: np.ndarray) -> str:
+    """Drop blanks and collapse repeats (reference crnn/util.py:16-22)."""
+    out: list[str] = []
+    prev = BLANK
+    for cls in pred.tolist():
+        if cls != BLANK and cls != prev:
+            out.append(CLASS_TO_CHAR[cls])
+        prev = cls
+    return "".join(out)
+
+
+def recognize_batch(bitmaps: list[np.ndarray]) -> tuple[list[str], list[float]]:
+    """Recognize a batch of unit-scale line bitmaps (each (7, W) bool).
+
+    Returns (texts, confidences); confidence is the fraction of glyph cells
+    decoded with an exact template match (1.0 on in-distribution fixtures) —
+    it drives the angle-classification vote in core/extract.py and maps to
+    the reference's drop_score gate (predict_system.py:106).
+    """
+    if not bitmaps:
+        return [], []
+    texts: list[str] = ["" for _ in bitmaps]
+    confs: list[float] = [0.0 for _ in bitmaps]
+    keep = [
+        i
+        for i, b in enumerate(bitmaps)
+        if b.shape[0] == GLYPH_H and b.shape[1] >= GLYPH_W
+    ]
+    if not keep:
+        return texts, confs
+
+    widths = [bitmaps[i].shape[1] for i in keep]
+    w_max = max(widths)
+    # pad to (N, 7, Wmax) — the reference's max-width zero-padded batch
+    # tensor (crnn/network_torch.py:170-177).
+    batch = np.zeros((len(keep), GLYPH_H, w_max), dtype=bool)
+    for row, i in enumerate(keep):
+        batch[row, :, : widths[row]] = bitmaps[i]
+
+    if w_max < GLYPH_W:
+        return texts, confs
+    # all windows: (N, T, 7, 5) -> flatten -> hamming vs all templates in
+    # one einsum (XOR popcount = a.pop + t.pop - 2*a@t).
+    wins = sliding_window_view(batch, (GLYPH_H, GLYPH_W), axis=(1, 2))[
+        :, 0, ::_STRIDE, :, :
+    ]
+    n, t = wins.shape[0], wins.shape[1]
+    flat = wins.reshape(n * t, GLYPH_H * GLYPH_W).astype(np.int16)
+    inter = flat @ _TMPL_FLAT.T  # (N*T, C)
+    dist = flat.sum(axis=1, keepdims=True) + _TMPL_POP[None, :] - 2 * inter
+    dist[:, BLANK] = 1  # blank never wins an exact match
+    best = dist.argmin(axis=1)
+    best[dist.min(axis=1) > 0] = BLANK  # no exact template match -> blank
+    preds = best.reshape(n, t)
+
+    for row, i in enumerate(keep):
+        # timesteps that exist for this line's true width
+        t_i = max((widths[row] - GLYPH_W) // _STRIDE + 1, 0)
+        pred = preds[row, :t_i]
+        text = ctc_greedy_decode(pred)
+        n_cells = (widths[row] + 1) // ADVANCE
+        texts[i] = text
+        confs[i] = (
+            min(len(text), n_cells) / n_cells if n_cells > 0 else 0.0
+        )
+    return texts, confs

@@ -1,0 +1,196 @@
+"""Deterministic fixture-media synthesis: image = pure_function(media_ref).
+
+No binary corpus is checked in (per FIXTURES.md §2): every media reference is
+rendered at read time from sha256(media_ref), so the driver, every Spark
+executor python worker, and pytest all derive bit-identical pixels.  Because
+the layout (texts + boxes) is known at render time, the expected OCR output
+is computable *without running the extraction pipeline* — that layout-side
+text is the pytest span-equality oracle.
+
+media_ref grammar
+-----------------
+    img://{doc}/{i}#crop          small field crop (1-2 short lines, like the
+                                  reference's images/invoice/*.png fixtures)
+    img://{doc}/{i}#page          full page (6-14 lines, 1-2 columns, like
+                                  rasterized PDF pages, reference
+                                  obj_det/objd_util.py:99-107)
+    img://{doc}/{i}#big           rare large page (scale stressor)
+    pdf://{doc}/{i}#{n}           n-page document; page p salts the RNG with
+                                  p; extracted text = pages joined by \\n
+    anything containing '#err'    render raises (per-row failure-isolation
+                                  stressor, reference fapi.py:255-263)
+
+Stressors baked in (north-star requirements):
+* whole-image rotation 0/90/180/270 (angle-classification pass),
+* red seal overlay (seal-removal preprocessing, reference remove_red.py),
+* same-row y-jitter below / above the 10px reading-order threshold
+  (reference tools/infer/predict_system.py:131).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import glyphs
+from .glyphs import ADVANCE, GLYPH_H
+
+# Canonical token vocabulary: the value shapes the reference's normalizer
+# library consumes (amounts util/tool.py:109-169, dates :271-301, pages
+# :255-268, chinese amounts :172-252, invoice keywords vat_detect.py:81-107).
+_LATIN_WORDS = [
+    "spark", "query", "table", "scan", "merge", "join", "filter", "window",
+    "batch", "group", "order", "total", "invoice", "amount", "tax", "bank",
+]
+_CJK_WORDS = ["发票", "专用发票", "普通发票", "电子发票", "入库单", "总务", "结算", "药品"]
+_SEAL_RGB = (220, 70, 70)  # bright in the red channel -> removable
+
+
+@dataclass
+class Line:
+    """One rendered text box in canonical (un-rotated) page coordinates."""
+
+    text: str
+    x: int
+    y: int
+    w: int
+    h: int
+
+
+@dataclass
+class RenderedPage:
+    image: np.ndarray  # (H, W, 3) uint8
+    lines: list[Line] = field(default_factory=list)
+    rot_k: int = 0  # image was rotated by rot_k * 90deg CCW from canonical
+    scale: int = 1
+
+
+def _rng(key: str) -> np.random.Generator:
+    seed = int.from_bytes(hashlib.sha256(key.encode("utf-8")).digest()[:8], "little")
+    return np.random.Generator(np.random.PCG64(seed))
+
+
+def _token(rng: np.random.Generator) -> str:
+    """One space-free token drawn from the normalizer-relevant shapes."""
+    kind = rng.integers(0, 8)
+    if kind == 0:  # plain number with separators
+        return f"{rng.integers(1, 99_999_999):,}"
+    if kind == 1:  # currency amount
+        return f"¥{rng.integers(1, 999_999)}.{rng.integers(0, 100):02d}"
+    if kind == 2:  # date
+        return (
+            f"{rng.integers(2019, 2027)}年{rng.integers(1, 13):02d}月"
+            f"{rng.integers(1, 29):02d}日"
+        )
+    if kind == 3:  # page marker
+        a = int(rng.integers(1, 9))
+        return f"第{a}页/共{int(rng.integers(a, 10))}页"
+    if kind == 4:  # chinese upper-case amount
+        digits = "壹贰叁肆伍陆柒捌玖"
+        units = ["万", "仟", "佰", "拾", ""]
+        n = int(rng.integers(2, 5))
+        body = "".join(
+            digits[rng.integers(0, 9)] + units[i + 5 - n] for i in range(n)
+        )
+        return body + "元" + digits[rng.integers(0, 9)] + "角"
+    if kind == 5:
+        return str(_LATIN_WORDS[rng.integers(0, len(_LATIN_WORDS))])
+    if kind == 6:
+        return str(_CJK_WORDS[rng.integers(0, len(_CJK_WORDS))])
+    return f"{rng.integers(0, 999999):06d}"
+
+
+def _profile(media_ref: str) -> str:
+    frag = media_ref.rsplit("#", 1)[-1] if "#" in media_ref else "crop"
+    return frag
+
+
+def _render_canonical(key: str, profile: str) -> RenderedPage:
+    """Render one page in canonical orientation. Pure function of (key, profile)."""
+    rng = _rng(key)
+    if profile == "crop":
+        n_rows, max_cols, scale = int(rng.integers(1, 3)), 1, int(rng.integers(1, 3))
+    elif profile == "big":
+        n_rows, max_cols, scale = int(rng.integers(10, 16)), 2, 4
+    else:  # page
+        n_rows, max_cols, scale = int(rng.integers(6, 15)), 2, 2
+
+    margin = 4 * scale
+    row_pitch = (GLYPH_H + 4) * scale  # >= 10px apart for scale >= 1
+    lines: list[Line] = []
+    for r in range(n_rows):
+        n_cols = int(rng.integers(1, max_cols + 1))
+        x = margin
+        base_y = margin + r * row_pitch
+        for _c in range(n_cols):
+            text = _token(rng)
+            # y-jitter below both (a) the 10px same-row threshold of the
+            # reading-order sort (predict_system.py:131) and (b) the ink
+            # separation bound: jitter <= 4*scale-1 keeps adjacent visual
+            # rows' ink vertically disjoint (row pitch 11*scale, glyph
+            # height 7*scale), so detection bands recover layout boxes
+            # exactly. The sort's bubble pass must still do real work.
+            jitter = int(rng.integers(0, min(10, 4 * scale)))
+            w = (ADVANCE * len(text) - 1) * scale
+            lines.append(Line(text, x, base_y + jitter, w, GLYPH_H * scale))
+            x += w + int(rng.integers(2, 6)) * scale
+
+    width = max(ln.x + ln.w for ln in lines) + margin
+    height = margin + (n_rows - 1) * row_pitch + GLYPH_H * scale + 9 + margin
+    ink = np.zeros((height, width), dtype=bool)
+    for ln in lines:
+        mask = glyphs.render_text_line(ln.text)
+        mask = np.kron(mask, np.ones((scale, scale), dtype=bool))
+        ink[ln.y : ln.y + mask.shape[0], ln.x : ln.x + mask.shape[1]] |= mask
+
+    img = np.full((height, width, 3), 255, dtype=np.uint8)
+    img[ink] = 0
+
+    # Red seal overlay: drawn only where there is no ink, so the
+    # red-channel threshold removal is exact (reference remove_red.py:16-35
+    # keeps dark ink because ink is dark in *every* channel).
+    if rng.random() < 0.3:
+        sh = int(rng.integers(height // 4, max(height // 2, height // 4 + 1)))
+        sw = int(rng.integers(width // 4, max(width // 2, width // 4 + 1)))
+        sy = int(rng.integers(0, max(height - sh, 1)))
+        sx = int(rng.integers(0, max(width - sw, 1)))
+        seal = np.zeros((height, width), dtype=bool)
+        seal[sy : sy + sh, sx : sx + sw] = True
+        seal &= ~ink
+        img[seal] = _SEAL_RGB
+
+    rot_k = int(rng.choice([0, 1, 2, 3], p=[0.7, 0.1, 0.1, 0.1]))
+    if rot_k:
+        img = np.ascontiguousarray(np.rot90(img, rot_k))
+    return RenderedPage(image=img, lines=lines, rot_k=rot_k, scale=scale)
+
+
+def render(media_ref: str) -> list[RenderedPage]:
+    """All pages for ``media_ref`` (1 for img://, n for pdf://)."""
+    if "#err" in media_ref:
+        raise ValueError(f"synthetic decode failure: {media_ref}")
+    if media_ref.startswith("pdf://"):
+        n_pages = int(media_ref.rsplit("#", 1)[-1])
+        return [
+            _render_canonical(f"{media_ref}/p{p}", "page") for p in range(n_pages)
+        ]
+    return [_render_canonical(media_ref, _profile(media_ref))]
+
+
+def expected_media_text(media_ref: str) -> str:
+    """Ground-truth OCR output for ``media_ref`` — computed from the layout,
+    not by running the pipeline (FIXTURES.md §2). Rows joined by \\n, boxes
+    within a row by a single space, rows ordered by the reading-order sort,
+    pages by \\n."""
+    from ..core.reading_order import reading_order_text
+
+    pages = render(media_ref)
+    return "\n".join(
+        reading_order_text(
+            [(ln.x, ln.y, ln.w, ln.h) for ln in page.lines],
+            [ln.text for ln in page.lines],
+        )
+        for page in pages
+    )
