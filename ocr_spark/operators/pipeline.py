@@ -1,0 +1,174 @@
+"""The distributed extraction pipeline (the engine's flagship operator).
+
+Translates the reference's request path (fapi.py:233-263 ->
+obj_det/objd_util.py:152-204: decode -> detect -> recognize -> normalize ->
+envelope) into Spark dataflow over the interleaved-corpus schema
+(doc_id, spans:array<struct<kind,text,media_ref,offset>>).
+
+Two physical strategies, selectable per workload:
+
+``mode='exploded'`` (default, the 100 TB path)
+    explode media spans -> round-robin repartition -> mapInPandas OCR over
+    uniform per-image rows -> groupBy(doc_id) reassembly.  One shuffle for
+    the regroup, but work per task is proportional to *media count*, not
+    document count, so the 500-image heavy-tail documents (FIXTURES.md §1)
+    are spread across the cluster instead of serializing one task.  This is
+    the salting strategy the north rule demands — the skew key (doc_id) is
+    replaced by the naturally fine-grained media-span key.
+
+``mode='fused'``
+    a single mapInPandas running the whole per-document chain with zero
+    shuffles — optimal when documents are uniform (the reference's
+    request/response shape), pathological under heavy tails.
+
+Models/kernels initialize once per executor python worker via module import
+(the Spark analog of the reference's module-level model singletons,
+obj_det/ocr_context.py:551) and are reused across Arrow batches because
+spark.python.worker.reuse is on.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SPAN_FIELDS = "kind string, text string, media_ref string, offset int"
+OUT_SCHEMA = (
+    "doc_id string, "
+    f"spans array<struct<{SPAN_FIELDS}>>, "
+    "success boolean, message string, n_media int"
+)
+_MEDIA_OCR_SCHEMA = "doc_id string, offset int, media_ref string, text string, error string"
+
+
+def _ocr_media_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for exploded mode: one row per media span in,
+    recognized text out.  Per-row failure isolation via the error column
+    (reference fapi.py:255-263)."""
+    # kernels import once per python worker (executor-global singleton)
+    from ocr_spark.core.extract import ocr_media_ref
+
+    for pdf in batches:
+        texts: list[str] = []
+        errors: list[str] = []
+        for ref in pdf["media_ref"]:
+            try:
+                texts.append(ocr_media_ref(ref))
+                errors.append("")
+            except Exception as exc:
+                texts.append("")
+                errors.append(f"{type(exc).__name__}: {exc}")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "offset": pdf["offset"],
+                "media_ref": pdf["media_ref"],
+                "text": texts,
+                "error": errors,
+            }
+        )
+
+
+def _extract_fused_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for fused mode: whole documents in, filled spans out."""
+    from ocr_spark.core.extract import extract_spans
+
+    for pdf in batches:
+        rows = []
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            out, success, message, n_media = extract_spans(list(spans))
+            rows.append((doc_id, out, success, message, n_media))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "spans", "success", "message", "n_media"]
+        )
+
+
+def extract_documents(
+    df: DataFrame, mode: str = "exploded", partitions: int | None = None
+) -> DataFrame:
+    """Run OCR-span extraction over an interleaved-document DataFrame.
+
+    Output: doc_id, spans (media texts filled, ordered by offset), success,
+    message, n_media.  On a failed document the media texts stay empty and
+    success=false — per-document isolation, matching the reference envelope
+    (fapi.py:246-268 success/message per attachment).
+    """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+
+    if mode == "fused":
+        return df.repartition(partitions).mapInPandas(
+            _extract_fused_batches, schema=OUT_SCHEMA
+        )
+    if mode != "exploded":
+        raise ValueError(f"unknown mode: {mode}")
+
+    ex = df.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    media = ex.filter(F.col("kind") == "media")
+    text = ex.filter(F.col("kind") != "media").withColumn("error", F.lit(""))
+
+    # Round-robin repartition: per-media-row work is near-uniform, so plain
+    # round-robin is the optimal salt (no key -> no skew by construction).
+    ocred = (
+        media.select("doc_id", "offset", "media_ref")
+        .repartition(partitions)
+        .mapInPandas(_ocr_media_batches, schema=_MEDIA_OCR_SCHEMA)
+        .withColumn("kind", F.lit("media"))
+        .select("doc_id", "kind", "text", "media_ref", "offset", "error")
+    )
+
+    all_spans = text.select(
+        "doc_id", "kind", "text", "media_ref", "offset", "error"
+    ).unionByName(ocred)
+
+    # Reassembly: offset-first struct so array_sort restores span order,
+    # then project back to the reference field order.
+    assembled = all_spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("offset", "kind", "text", "media_ref")
+            )
+        ).alias("ordered"),
+        F.max(F.col("error")).alias("first_error"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
+        .cast("int")
+        .alias("n_media"),
+    )
+    success = F.col("first_error") == ""
+    spans_ok = F.transform(
+        "ordered",
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    # failed docs keep their original (empty) media texts, like fused mode
+    spans_failed = F.transform(
+        "ordered",
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.when(s["kind"] == "media", F.lit("")).otherwise(s["text"]).alias(
+                "text"
+            ),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    return assembled.select(
+        "doc_id",
+        F.when(success, spans_ok).otherwise(spans_failed).alias("spans"),
+        success.alias("success"),
+        F.col("first_error").alias("message"),
+        "n_media",
+    )

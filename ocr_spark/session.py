@@ -1,0 +1,53 @@
+"""SparkSession factory with the scale-tuned defaults for this engine.
+
+Testing runs on local[N] in a single JVM; the configuration is written for a
+multi-executor cluster (AQE, skew-join handling, Arrow batch sizing) so the
+same job submits unchanged via spark-submit --py-files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch sizing: media OCR cost is dominated by per-image work inside
+# the UDF, so batches of ~256 exploded media rows keep python-worker memory
+# flat while amortizing Arrow transfer (the reference's OCR_BATCH_SIZE=16 is
+# the *model* micro-batch, applied inside the kernel, not the Arrow batch).
+ARROW_BATCH_ROWS = 256
+
+
+def get_spark(
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "ocr_spark",
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores: int N -> local[N]; '*' -> local[*]; None -> $SPARK_GRAFT_CPUS or 32.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cores) if str(cores).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
+        )
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

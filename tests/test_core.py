@@ -1,0 +1,148 @@
+"""Unit + property tests for the numpy stage kernels."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.core import detect
+from ocr_spark.core.extract import extract_spans, ocr_media_ref, ocr_page
+from ocr_spark.core.reading_order import group_rows, reading_order_text, sorted_boxes
+from ocr_spark.fixtures.render import expected_media_text, render
+
+
+def _reference_sorted_boxes(boxes):
+    """Literal transcription of the reference loop
+    (tools/infer/predict_system.py:122-138) over (x, y) top-left corners,
+    used as the spec for the production port."""
+    order = sorted(range(len(boxes)), key=lambda i: (boxes[i][1], boxes[i][0]))
+    _boxes = list(order)
+    for i in range(len(_boxes) - 1):
+        for j in range(i, 0, -1):
+            if (
+                abs(boxes[_boxes[j + 1]][1] - boxes[_boxes[j]][1]) < 10
+                and boxes[_boxes[j + 1]][0] < boxes[_boxes[j]][0]
+            ):
+                tmp = _boxes[j]
+                _boxes[j] = _boxes[j + 1]
+                _boxes[j + 1] = tmp
+            else:
+                break
+    return _boxes
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 500),
+            st.integers(0, 500),
+            st.integers(4, 60),
+            st.integers(4, 20),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_sorted_boxes_matches_reference_spec(boxes):
+    assert sorted_boxes(boxes) == _reference_sorted_boxes(boxes)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 300), st.integers(0, 300), st.just(30), st.just(10)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_group_rows_partitions_order(boxes):
+    order = sorted_boxes(boxes)
+    rows = group_rows(boxes, order)
+    flat = [i for row in rows for i in row]
+    assert flat == order  # rows partition the order without reordering
+    for row in rows[1:]:
+        pass  # row anchors differ by >= 10 from the previous anchor
+    anchors = [boxes[row[0]][1] for row in rows]
+    assert all(abs(b - a) >= 10 for a, b in zip(anchors, anchors[1:]))
+
+
+def test_otsu_bimodal():
+    channel = np.array([0] * 50 + [255] * 50, dtype=np.uint8)
+    t = detect.otsu_threshold(channel)
+    assert 0 <= t < 255
+
+
+def test_seal_removal_recovers_clean_page():
+    page = render("img://seal-hunt/0#page")[0]
+    # find a fixture that actually has a seal
+    i = 0
+    while not (page.image[..., 0] != page.image[..., 1]).any():
+        i += 1
+        page = render(f"img://seal-hunt/{i}#page")[0]
+    gray = detect.remove_seal_to_gray(np.rot90(page.image, -page.rot_k))
+    ink = detect.binarize(gray)
+    # seal pixels are gone: ink count equals the glyph ink of the layout
+    from ocr_spark.fixtures import glyphs as g
+
+    expected_ink = sum(
+        int(g.render_text_line(ln.text).sum()) * page.scale**2
+        for ln in page.lines
+    )
+    assert int(ink.sum()) == expected_ink
+
+
+def test_scale_recovery():
+    for i in range(10):
+        page = render(f"img://scale-{i}/0#page")[0]
+        img = np.rot90(page.image, -page.rot_k)
+        ink = detect.binarize(detect.remove_seal_to_gray(img))
+        assert detect.estimate_unit_scale(ink) == page.scale
+
+
+def test_detected_boxes_equal_layout_boxes():
+    for i in range(10):
+        page = render(f"img://boxes-{i}/0#page")[0]
+        img = np.rot90(page.image, -page.rot_k)
+        ink = detect.binarize(detect.remove_seal_to_gray(img))
+        boxes = detect.detect_lines(ink, page.scale)
+        got = sorted((b.x, b.y, b.w, b.h) for b in boxes)
+        want = sorted((ln.x, ln.y, ln.w, ln.h) for ln in page.lines)
+        assert got == want
+
+
+def test_ocr_page_angle_invariance():
+    """The angle pass must recover the same text for all 4 rotations."""
+    page = render("img://angle/0#crop")[0]
+    canonical = np.rot90(page.image, -page.rot_k)
+    texts = {ocr_page(np.rot90(canonical, k))[0] for k in range(4)}
+    assert len(texts) == 1
+
+
+def test_media_text_equals_layout_oracle():
+    refs = [f"img://core-{i}/0#page" for i in range(20)]
+    refs += [f"img://core-{i}/1#crop" for i in range(20)]
+    refs += ["pdf://core-pdf/0#3", "img://core-big/0#big"]
+    for ref in refs:
+        assert ocr_media_ref(ref) == expected_media_text(ref), ref
+
+
+def test_extract_spans_isolation_and_order():
+    spans = [
+        {"kind": "media", "text": "", "media_ref": "img://iso/1#crop", "offset": 1},
+        {"kind": "text", "text": "hello", "media_ref": "", "offset": 0},
+    ]
+    out, success, message, n_media = extract_spans(spans)
+    assert success and n_media == 1
+    assert [s["offset"] for s in out] == [0, 1]
+    assert out[1]["text"] == expected_media_text("img://iso/1#crop")
+
+    bad = spans + [
+        {"kind": "media", "text": "", "media_ref": "img://iso/2#err", "offset": 2}
+    ]
+    out, success, message, _ = extract_spans(bad)
+    assert not success and "ValueError" in message
+    assert [s["text"] for s in out if s["kind"] == "media"] == ["", ""]
