@@ -1,38 +1,794 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   flagship end-to-end OCR-span extraction over a
+                   deterministic interleaved corpus (BASELINE.json
+                   input_hint schema).
+``queries()``      one entry per implemented operator (SURVEY.md §2 +
+                   the training-data-pipeline operators).
+``oracle_sql()``   DuckDB equivalents for every SQL-expressible operator;
+                   the model-ish OCR stages get rows-only checks here plus
+                   the pytest span-equality gate (tests/test_pipeline.py).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import dedup, relational, similarity, spans, text_analysis
+from ocr_spark.operators.pipeline import extract_documents
+
+# ---------------------------------------------------------------------------
+# corpus helper: the interleaved-document table (doc_id, spans) is not part
+# of the driver's star schema, so it is synthesized deterministically
+# (seed-fixed, no external data) and cached on local disk per size.
+# ---------------------------------------------------------------------------
+
+_CORPUS_SEED = 42
+
+
+def _corpus_path(n_docs: int) -> str:
+    path = f"/tmp/ocr_spark_corpus_{_CORPUS_SEED}_{n_docs}.parquet"
+    if not os.path.exists(path):
+        from ocr_spark.fixtures.corpus import write_corpus
+
+        write_corpus(path, n_docs, seed=_CORPUS_SEED)
+    return path
+
+
+def _corpus_docs_for(sf_dir: str) -> int:
+    # scale the synthetic corpus with the driver's sf tier
+    if "0.001" in sf_dir:
+        return 40
+    if "0.01" in sf_dir:
+        return 80
+    return 2000
+
+
+def _ocr_summary(out: DataFrame) -> DataFrame:
+    """Stable, deterministic projection of the pipeline output for the
+    driver's rows-only check: per-doc digest of the full span sequence."""
+    return out.select(
+        "doc_id",
+        "success",
+        "n_media",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    "spans",
+                    lambda s: F.concat_ws(
+                        "\x01", s["kind"], s["text"], s["media_ref"],
+                        s["offset"].cast("string"),
+                    ),
+                ),
+                "\x02",
+            )
+        ).alias("span_digest"),
+    ).orderBy("doc_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end OCR-span extraction (exploded/skew-proof mode)
+    over the interleaved corpus at smoke scale."""
+    df = spark.read.parquet(_corpus_path(40)).select("doc_id", "spans")
+    return extract_documents(df, mode="exploded")
+
+
+def _q_ocr(mode: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        n = _corpus_docs_for(sf_dir)
+        df = spark.read.parquet(_corpus_path(n)).select("doc_id", "spans")
+        return _ocr_summary(extract_documents(df, mode=mode))
+
+    return q
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # -- the extraction pipeline itself (rows-only + pytest gate) --
+        "ocr_extract_exploded": _q_ocr("exploded"),
+        "ocr_extract_fused": _q_ocr("fused"),
+        # -- span algebra (SQL twins of the pipeline's span handling) --
+        "span_explode": spans.span_explode,
+        "span_splice": spans.span_splice,
+        "row_cluster": spans.row_cluster,
+        "reading_order_rank": spans.reading_order_rank,
+        "line_merge": spans.line_merge,
+        # -- scalar normalizer library --
+        "norm_get_num": _norm_get_num,
+        "norm_get_title": _norm_get_title,
+        "norm_get_page": _norm_get_page,
+        "norm_get_float": _norm_get_float,
+        "norm_get_amount": _norm_get_amount,
+        "norm_invoice_type": _norm_invoice_type,
+        "norm_check_code": _norm_check_code,
+        "norm_get_date": _norm_get_date,
+        "norm_chinese_amount": _norm_chinese_amount,
+        # -- reference QR field parse (pure SQL) --
+        "qr_payload_parse": relational.qr_payload_parse,
+        # -- dedup family --
+        "dedup_exact": dedup.exact_dedup,
+        "minhash_signatures": dedup.minhash_signatures,
+        "lsh_near_dup": dedup.lsh_candidates,
+        "simhash64": dedup.simhash64,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # -- similarity search --
+        "ann_brute_topk": similarity.brute_topk,
+        "ann_lsh_topk": similarity.lsh_topk,
+        # -- text analysis --
+        "token_stats": text_analysis.token_stats,
+        "quality_score": text_analysis.quality_score,
+        "lang_id": text_analysis.lang_id,
+        "fingerprint": text_analysis.fingerprint,
+        # -- relational breadth --
+        "pricing_summary": relational.pricing_summary,
+        "top_orders_per_segment": relational.top_orders_per_segment,
+        "sessionize_events": relational.sessionize_events,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# normalizer queries over engine-portable synthesized inputs
+# ---------------------------------------------------------------------------
+
+
+def _norm_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial-ish normalizer inputs derived from customer rows (pure
+    SQL, identical derivation in the oracle)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.concat(F.lit("no "), F.col("c_name"), F.lit(" id:"), k.cast("string")).alias(
+            "s_num"
+        ),
+        F.concat(F.lit("标题："), F.col("c_mktsegment"), F.lit(":x")).alias("s_title"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("第"), (k % 9 + 1).cast("string"), F.lit("页/共"),
+                     (k % 9 + 2).cast("string"), F.lit("页")),
+        )
+        .when(k % 3 == 1, F.concat((k % 7).cast("string"), F.lit(" of "),
+                                   (k % 11).cast("string")))
+        .otherwise(F.lit("none"))
+        .alias("s_page"),
+        F.concat(F.lit("¥"), F.format_string("%.2f", F.col("c_acctbal"))).alias(
+            "s_float"
+        ),
+        F.when(
+            k % 4 == 0,
+            F.concat(F.lit("小计"), F.format_string("%.2f", F.col("c_acctbal")),
+                     F.lit("总计¥"), F.format_string("%.2f", F.col("c_acctbal") * 2)),
+        )
+        .when(k % 4 == 1, F.concat(F.lit("("), F.format_string("%.2f", F.col("c_acctbal")), F.lit(")")))
+        .when(k % 4 == 2, F.concat(F.format_string("%.2f", F.col("c_acctbal")), F.lit("-")))
+        .otherwise(F.concat(F.lit("¥ "), F.format_string("%.2f", F.col("c_acctbal"))))
+        .alias("s_amount"),
+    )
+
+
+_NORM_INPUT_SQL = """
+select c_custkey,
+       'no ' || c_name || ' id:' || c_custkey::varchar as s_num,
+       '标题：' || c_mktsegment || ':x' as s_title,
+       case when c_custkey % 3 = 0
+              then '第' || (c_custkey % 9 + 1)::varchar || '页/共' || (c_custkey % 9 + 2)::varchar || '页'
+            when c_custkey % 3 = 1
+              then (c_custkey % 7)::varchar || ' of ' || (c_custkey % 11)::varchar
+            else 'none' end as s_page,
+       '¥' || printf('%.2f', c_acctbal) as s_float,
+       case when c_custkey % 4 = 0
+              then '小计' || printf('%.2f', c_acctbal) || '总计¥' || printf('%.2f', c_acctbal * 2)
+            when c_custkey % 4 = 1 then '(' || printf('%.2f', c_acctbal) || ')'
+            when c_custkey % 4 = 2 then printf('%.2f', c_acctbal) || '-'
+            else '¥ ' || printf('%.2f', c_acctbal) end as s_amount
+from customer
+"""
+
+_DUCK_GET_NUM = (
+    "coalesce(list_aggregate(regexp_extract_all(translate({col}, 'lIi', '111'),"
+    " '-?[0-9][0-9]*'), 'string_agg', ''), '')"
+)
+
+
+def _norm_get_num(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions import normalizers as N
+
+    return _norm_input(spark, sf_dir).select(
+        "c_custkey", N.get_num(F.col("s_num")).alias("num")
+    ).orderBy("c_custkey")
+
+
+def _norm_get_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions import normalizers as N
+
+    return _norm_input(spark, sf_dir).select(
+        "c_custkey", N.get_title(F.col("s_title")).alias("title")
+    ).orderBy("c_custkey")
+
+
+def _norm_get_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions import normalizers as N
+
+    return _norm_input(spark, sf_dir).select(
+        "c_custkey", N.get_page(F.col("s_page")).alias("page")
+    ).orderBy("c_custkey")
+
+
+def _norm_get_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions import normalizers as N
+
+    return _norm_input(spark, sf_dir).select(
+        "c_custkey", N.get_float(F.col("s_float")).alias("amount")
+    ).orderBy("c_custkey")
+
+
+def _norm_get_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions import normalizers as N
+
+    return _norm_input(spark, sf_dir).select(
+        "c_custkey", N.get_amount(F.col("s_amount")).alias("amount")
+    ).orderBy("c_custkey")
+
+
+def _norm_invoice_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions import normalizers as N
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    title = (
+        F.when(k % 6 == 0, F.lit("电子发票（增值税普通发票）"))
+        .when(k % 6 == 1, F.lit("电子发票（增值税专用发票）"))
+        .when(k % 6 == 2, F.lit("增值税专用发票"))
+        .when(k % 6 == 3, F.lit("增值税电子普通发票"))
+        .when(k % 6 == 4, F.lit("收据"))
+        .otherwise(F.lit(""))
+    )
+    check = F.when(k % 2 == 0, F.lit("123")).otherwise(F.lit(""))
+    return cust.select(
+        "c_custkey", N.judge_invoice_type(title, check).alias("invoice_type")
+    ).orderBy("c_custkey")
+
+
+def _norm_check_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions import normalizers as N
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    c1 = F.when(k % 5 == 0, F.concat(F.lit("验码"), (k % 100).cast("string"))).otherwise(
+        (k * 7 % 1000).cast("string")
+    )
+    c2 = F.when(k % 4 == 0, F.lit("")).otherwise((k * 3 % 1000).cast("string"))
+    return cust.select(
+        "c_custkey", N.get_check_code(c1, c2).alias("check_code")
+    ).orderBy("c_custkey")
+
+
+def _norm_get_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-UDF normalizer (rows-only oracle would be weak; the date
+    format is fully SQL-expressible on clean inputs, so it gets one)."""
+    from ocr_spark.functions import normalizers as N
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = F.date_format("o_orderdate", "yyyy/MM/dd")
+    return orders.select(
+        "o_orderkey", N.make_get_date()(s).alias("billing_date")
+    ).orderBy("o_orderkey")
+
+
+def _norm_chinese_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_chinese_amount pandas UDF over synthesized 大写 amounts."""
+    from ocr_spark.functions import normalizers as N
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    digits = "壹贰叁肆伍陆柒捌玖"
+    d = lambda e: F.element_at(F.lit(list(digits)), (e % 9 + 1).cast("int"))  # noqa: E731
+    s = F.concat(
+        d(k), F.lit("万"), d(k + 1), F.lit("仟"), d(k + 2), F.lit("佰"),
+        d(k + 3), F.lit("拾"), d(k + 4), F.lit("元"), d(k + 5), F.lit("角"),
+        d(k + 6), F.lit("分"),
+    )
+    return cust.select(
+        "c_custkey", N.get_chinese_amount(s).alias("amount")
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_H32 = "(('0x' || substr(md5({expr}), 1, 8))::bigint)"
+
+_SHINGLES = (
+    "list_sort(list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),"
+    " i -> array_to_string((string_split(text,' '))[i:i+2], ' '))))"
+)
+
+
+def _simhash_oracle() -> str:
+    sums = []
+    for half, pre in (("lo", ""), ("hi", "hi:")):
+        h = _H32.format(expr=f"'{pre}' || tok")
+        for b in range(32):
+            bit = b if half == "lo" else b + 32
+            sums.append(
+                f"sum(case when (({h} >> {b}) & 1) = 1 then 1 else -1 end) as s{bit}"
+            )
+    bit_sql = ",\n       ".join(sums)
+    add = " + ".join(
+        f"(case when s{b} > 0 then (1::hugeint << {b}) else 0::hugeint end)"
+        for b in range(64)
+    )
+    return f"""
+with toks as (
+  select doc_id, unnest(string_split(text, ' ')) as tok from documents
+), sums as (
+  select doc_id, {bit_sql}
+  from toks group by doc_id
+)
+select doc_id, ({add})::varchar as simhash from sums order by doc_id
+"""
+
+
+def _minhash_cols() -> str:
+    h = _H32.format(expr="(j.j::varchar || ':' || s.s)")
+    return h
+
+
+_MINHASH_ORACLE = """
+with sh as (
+  select doc_id, {sh} as shingles from documents
+)
+select doc_id,
+{cols}
+from sh order by doc_id
+""".format(
+    sh=_SHINGLES,
+    cols=",\n".join(
+        "  list_min(list_transform(shingles, s -> "
+        + _H32.format(expr=f"'{j}:' || s")
+        + f")) as mh{j}"
+        for j in range(dedup.N_MINHASH)
+    ),
+)
+
+
+_LSH_ORACLE = """
+with sh as (
+  select doc_id, {sh} as shingles from documents
+), sigs as (
+  select doc_id, shingles,
+{cols}
+  from sh
+), bands as (
+  select doc_id, b.band,
+         case b.band
+{band_cases}
+         end as bucket
+  from sigs, (select unnest(range(0, {nbands})) as band) b
+), pairs as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b on a.band = b.band and a.bucket = b.bucket
+   and a.doc_id < b.doc_id
+)
+select p.doc_a, p.doc_b,
+       round(len(list_intersect(sa.shingles, sb.shingles))::double
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 6) as jaccard
+from pairs p
+join sh sa on sa.doc_id = p.doc_a
+join sh sb on sb.doc_id = p.doc_b
+where round(len(list_intersect(sa.shingles, sb.shingles))::double
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.5
+order by doc_a, doc_b
+""".format(
+    sh=_SHINGLES,
+    cols=",\n".join(
+        "    list_min(list_transform(shingles, s -> "
+        + _H32.format(expr=f"'{j}:' || s")
+        + f")) as mh{j}"
+        for j in range(dedup.N_MINHASH)
+    ),
+    nbands=dedup.LSH_BANDS,
+    band_cases="\n".join(
+        f"           when {b} then md5(mh{b * (dedup.N_MINHASH // dedup.LSH_BANDS)}::varchar"
+        + "".join(
+            f" || ',' || mh{b * (dedup.N_MINHASH // dedup.LSH_BANDS) + r}::varchar"
+            for r in range(1, dedup.N_MINHASH // dedup.LSH_BANDS)
+        )
+        + ")"
+        for b in range(dedup.LSH_BANDS)
+    ),
+)
+
+
+def _lsh_plane(p: int) -> str:
+    return (
+        f"list_transform(range(0, 64), i -> "
+        f"((('0x' || substr(md5('plane{p}:' || i::varchar), 1, 4))::bigint % 16) - 8)::double)"
+    )
+
+
+_ANN_BUCKET = " + ".join(
+    f"(case when list_dot_product(embedding::double[], {_lsh_plane(p)}) > 0 "
+    f"then {2**p} else 0 end)"
+    for p in range(similarity.N_PLANES)
+)
+
+_DUCK_COS = (
+    "round(list_dot_product(e.embedding::double[], q.q::double[]) / "
+    "(sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) * "
+    "sqrt(list_dot_product(q.q::double[], q.q::double[]))), 4)"
+)
+
+_STOP_ALL = sorted({w for ws in text_analysis.STOPWORDS.values() for w in ws})
+
+
+def _duck_get_amount(col: str) -> str:
+    """Full get_amount oracle for inputs without full-width/OCR chars and
+    without suffix-currency forms (the synthesized s_amount satisfies both;
+    RE2 has no lookahead, so the suffix branch cannot be expressed — the
+    Spark expression still computes it, it is just never the winner here).
     """
-    return {}
+    raw = f"regexp_replace(regexp_replace({col}, '[(){{}}\\[\\]|｜~`^_=+<>]', '', 'g'), '\\s+', '', 'g')"
+    cands = (
+        f"list_filter(list_transform(regexp_extract_all({raw},"
+        f" '(?i)(?:¥|RMB|CNY)\\s*([-+]?[0-9][0-9,]*(\\.[0-9]+)?)', 1),"
+        f" x -> try_cast(replace(x, ',', '') as double)), v -> v is not null)"
+    )
+    gen = (
+        f"list_filter(list_transform(regexp_extract_all({raw},"
+        f" '([-+]?[0-9][0-9,]*(\\.[0-9]+)?)', 1),"
+        f" x -> try_cast(replace(x, ',', '') as double)), v -> v is not null)"
+    )
+    return f"""
+    (with c as (select case when len({cands}) > 0 then {cands} else {gen} end as ch)
+     select case
+       when {col} is null or {col} = '' or len(ch) = 0 then '¥ 0.00'
+       else printf('¥ %.2f',
+         (case when abs(ch[-1]) = list_max(list_transform(ch, v -> abs(v)))
+               then ch[-1]
+               else list_filter(ch, v -> abs(v) = list_max(list_transform(ch, x -> abs(x))))[1] end)
+         * (case when ((position('(' in {col}) > 0 and position(')' in {col}) > 0)
+                       or regexp_matches({raw}, '-\\s*$'))
+                 and (case when abs(ch[-1]) = list_max(list_transform(ch, v -> abs(v)))
+                           then ch[-1]
+                           else list_filter(ch, v -> abs(v) = list_max(list_transform(ch, x -> abs(x))))[1] end) > 0
+            then -1 else 1 end))
+       end
+     from c)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    get_num = _DUCK_GET_NUM
+    return {
+        # -- span algebra --
+        "span_explode": """
+with s as (
+  select doc_id,
+         unnest(string_split(text, ' ')) as tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 as pos
+  from documents
+)
+select doc_id,
+       count(*) as n_spans,
+       sum(case when length(tok) % 3 = 0 then 1 else 0 end) as n_media,
+       min(case when length(tok) % 3 = 0 then pos end) as first_media_pos
+from s group by doc_id order by doc_id
+""",
+        "span_splice": """
+with s as (
+  select doc_id,
+         unnest(string_split(text, ' ')) as tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 as pos
+  from documents
+)
+select doc_id,
+       string_agg(case when length(tok) % 3 = 0 then reverse(upper(tok)) else tok end,
+                  '|' order by pos) as spliced
+from s group by doc_id order by doc_id
+""",
+        "row_cluster": """
+with boxes as (
+  select event_id % 97 as page_id, event_id as box_id,
+         (event_id * 37) % 499 as x, (event_id * 17) % 311 as y
+  from events
+), g as (
+  select page_id, box_id, y,
+         case when y - lag(y) over (partition by page_id order by y, box_id) >= 10
+              then 1 else 0 end as new_row
+  from boxes
+)
+select page_id, box_id, y,
+       sum(new_row) over (partition by page_id order by y, box_id
+                          rows between unbounded preceding and current row) as row_id
+from g order by page_id, box_id
+""",
+        "reading_order_rank": """
+with boxes as (
+  select event_id % 97 as page_id, event_id as box_id,
+         (event_id * 37) % 499 as x, (event_id * 17) % 311 as y
+  from events
+), g as (
+  select page_id, box_id, x, y,
+         case when y - lag(y) over (partition by page_id order by y, box_id) >= 10
+              then 1 else 0 end as new_row
+  from boxes
+), c as (
+  select page_id, box_id, x,
+         sum(new_row) over (partition by page_id order by y, box_id
+                            rows between unbounded preceding and current row) as row_id
+  from g
+)
+select page_id, box_id,
+       row_number() over (partition by page_id order by row_id, x, box_id) as reading_rank
+from c order by page_id, box_id
+""",
+        "line_merge": """
+with boxes as (
+  select event_id % 97 as page_id, event_id as box_id,
+         (event_id * 37) % 499 as x, (event_id * 17) % 311 as y
+  from events
+), g as (
+  select page_id, box_id, x, y,
+         case when y - lag(y) over (partition by page_id order by y, box_id) >= 10
+              then 1 else 0 end as new_row
+  from boxes
+), c as (
+  select page_id, box_id, x,
+         sum(new_row) over (partition by page_id order by y, box_id
+                            rows between unbounded preceding and current row) as row_id
+  from g
+)
+select page_id, row_id,
+       string_agg(box_id::varchar, ' ' order by x, box_id) as merged_ids,
+       count(*) as n_boxes
+from c group by page_id, row_id order by page_id, row_id
+""",
+        # -- normalizers --
+        "norm_get_num": f"""
+with inp as ({_NORM_INPUT_SQL})
+select c_custkey, {get_num.format(col='s_num')} as num from inp order by c_custkey
+""",
+        "norm_get_title": f"""
+with inp as ({_NORM_INPUT_SQL})
+select c_custkey, replace(replace(s_title, ':', ''), '：', '') as title
+from inp order by c_custkey
+""",
+        "norm_get_page": f"""
+with inp as ({_NORM_INPUT_SQL}),
+t as (select c_custkey, translate(s_page, '|Il', '111') as tr from inp)
+select c_custkey,
+  case when regexp_matches(tr, '第(.*)页/共(.*)页') then
+    coalesce(nullif(regexp_extract(tr, '第(.*)页/共(.*)页', 1), ''), '1')
+    || '/' ||
+    coalesce(nullif(regexp_extract(tr, '第(.*)页/共(.*)页', 2), ''), '1')
+  when len(regexp_extract_all(tr, '-?[0-9][0-9]*')) >= 2 then
+    regexp_extract_all(tr, '-?[0-9][0-9]*')[1] || '/' ||
+    regexp_extract_all(tr, '-?[0-9][0-9]*')[2]
+  else '-1/-1' end as page
+from t order by c_custkey
+""",
+        "norm_get_float": f"""
+with inp as ({_NORM_INPUT_SQL}),
+j as (select c_custkey, s_float,
+        coalesce(list_aggregate(regexp_extract_all(s_float, '-?[0-9][0-9]*\\.*'),
+                                'string_agg', ''), '') as joined
+      from inp),
+fx as (select c_custkey, s_float,
+         case when joined like '-0%' and length(joined) > 2
+                then '-8' || substr(joined, 3)
+              when joined like '0%' and length(joined) > 1
+                then '8' || substr(joined, 2)
+              else joined end as fixed
+       from j)
+select c_custkey,
+       case when s_float is null or s_float = '' or try_cast(fixed as double) is null
+            then '¥ 0.00'
+            else printf('¥ %.2f', try_cast(fixed as double)) end as amount
+from fx order by c_custkey
+""",
+        "norm_get_amount": f"""
+with inp as ({_NORM_INPUT_SQL})
+select c_custkey, ({_duck_get_amount('s_amount')}) as amount
+from inp order by c_custkey
+""",
+        "norm_invoice_type": """
+select c_custkey,
+  case c_custkey % 6
+    when 0 then '32'
+    when 1 then '31'
+    when 2 then '01'
+    when 3 then '10'
+    when 4 then (case when c_custkey % 2 = 0 then '04' else '01' end)
+    else ''
+  end as invoice_type
+from customer order by c_custkey
+""",
+        "norm_check_code": f"""
+with inp as (
+  select c_custkey,
+         case when c_custkey % 5 = 0 then '验码' || (c_custkey % 100)::varchar
+              else (c_custkey * 7 % 1000)::varchar end as c1,
+         case when c_custkey % 4 = 0 then ''
+              else (c_custkey * 3 % 1000)::varchar end as c2
+  from customer
+)
+select c_custkey,
+  case when c2 is null or c2 = '' then {get_num.format(col='c1')}
+       when c1 is not null and position('验码' in c1) > 0 then {get_num.format(col='c1')}
+       when position('验码' in c2) > 0 then {get_num.format(col='c2')}
+       else greatest({get_num.format(col='c1')}, {get_num.format(col='c2')}) end as check_code
+from inp order by c_custkey
+""",
+        "norm_get_date": """
+select o_orderkey,
+       strftime(o_orderdate, '%Y年%m月%d日') as billing_date
+from orders order by o_orderkey
+""",
+        # -- QR parse --
+        "qr_payload_parse": """
+with qr as (
+  select o_orderkey,
+         '01,' ||
+         (case when o_orderkey % 3 = 0 then '31'
+               when o_orderkey % 3 = 1 then '32' else '04' end) || ',' ||
+         lpad((o_orderkey % 1000000000000)::varchar, 12, '0') || ',' ||
+         lpad((o_custkey % 100000000)::varchar, 8, '0') || ',' ||
+         printf('%.2f', round(o_totalprice, 2)) || ',' ||
+         strftime(o_orderdate, '%Y%m%d') || ',' ||
+         (o_orderkey % 100000)::varchar as payload
+  from orders
+), p as (
+  select o_orderkey, string_split(payload, ',') as parts from qr
+)
+select o_orderkey,
+       parts[2] as invoice_type,
+       parts[3] as invoice_code,
+       parts[4] as invoice_number,
+       case when parts[2] in ('31','32')
+            then printf('¥ %.2f', try_cast(parts[5] as double)) else '¥ 0.00' end as amount_with_tax,
+       case when parts[2] not in ('31','32')
+            then printf('¥ %.2f', try_cast(parts[5] as double)) else '¥ 0.00' end as total_amount,
+       strftime(strptime(parts[6], '%Y%m%d'), '%Y年%m月%d日') as billing_date,
+       case when parts[2] in ('04','10') then parts[7] else '' end as check_code
+from p order by o_orderkey
+""",
+        # -- dedup --
+        "dedup_exact": """
+select doc_id, md5(text) as digest,
+       row_number() over (partition by md5(text) order by doc_id) as dup_rank,
+       count(*) over (partition by md5(text)) as group_size
+from documents order by doc_id
+""",
+        "minhash_signatures": _MINHASH_ORACLE,
+        "lsh_near_dup": _LSH_ORACLE,
+        "simhash64": _simhash_oracle(),
+        "ngram_jaccard_pairs": f"""
+with d as (
+  select doc_id, lang, (n_chars / 100)::int as bucket, {_SHINGLES} as sh
+  from documents
+)
+select a.doc_id as doc_a, b.doc_id as doc_b,
+       round(len(list_intersect(a.sh, b.sh))::double
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) as jaccard
+from d a join d b
+  on a.lang = b.lang and a.bucket = b.bucket and a.doc_id < b.doc_id
+where round(len(list_intersect(a.sh, b.sh))::double
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.2
+order by doc_a, doc_b
+""",
+        # -- similarity --
+        "ann_brute_topk": f"""
+select e.vec_id, e.label, {_DUCK_COS} as cos
+from embeddings e, (select embedding as q from embeddings where vec_id = 0) q
+where e.vec_id <> 0
+order by cos desc, e.vec_id limit {similarity.TOP_K}
+""",
+        "ann_lsh_topk": f"""
+with b as (
+  select vec_id, label, embedding, ({_ANN_BUCKET}) as bucket from embeddings
+), q as (
+  select embedding as q, bucket as qb from b where vec_id = 0
+)
+select e.vec_id, e.label, {_DUCK_COS} as cos
+from b e join q on e.bucket = q.qb
+where e.vec_id <> 0
+order by cos desc, e.vec_id limit {similarity.TOP_K}
+""",
+        # -- text analysis --
+        "token_stats": r"""
+select doc_id,
+       len(string_split(text, ' ')) as ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) as bpe_ish_tokens,
+       length(text) as chars,
+       round(length(text)::double / greatest(len(string_split(text, ' ')), 1), 4) as avg_token_len
+from documents order by doc_id
+""",
+        "quality_score": f"""
+with t as (
+  select doc_id, string_split(text, ' ') as toks from documents
+), m as (
+  select doc_id,
+         len(list_filter(toks, t -> list_contains({_STOP_ALL!r}, lower(t)))) as stop_hits,
+         len(list_distinct(toks))::double / len(toks) as distinct_ratio,
+         len(toks) as n
+  from t
+)
+select doc_id,
+       round(stop_hits::double / n, 4) as stopword_ratio,
+       round(distinct_ratio, 4) as distinct_token_ratio,
+       n >= 10 as len_ok,
+       round((stop_hits::double / n) * 0.5 + distinct_ratio * 0.5, 4) as quality
+from m order by doc_id
+""",
+        "lang_id": f"""
+with t as (
+  select doc_id, string_split(lower(text), ' ') as toks from documents
+), h as (
+  select doc_id,
+         len(list_filter(toks, t -> list_contains({text_analysis.STOPWORDS['en']!r}, t))) as hits_en,
+         len(list_filter(toks, t -> list_contains({text_analysis.STOPWORDS['de']!r}, t))) as hits_de,
+         len(list_filter(toks, t -> list_contains({text_analysis.STOPWORDS['es']!r}, t))) as hits_es
+  from t
+)
+select doc_id, hits_en, hits_de, hits_es,
+       case when greatest(hits_en, hits_de, hits_es) = 0 then 'unk'
+            when hits_en = greatest(hits_en, hits_de, hits_es) then 'en'
+            when hits_de = greatest(hits_en, hits_de, hits_es) then 'de'
+            else 'es' end as pred_lang
+from h order by doc_id
+""",
+        "fingerprint": """
+select doc_id, md5(text) as digest,
+       list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                               i -> md5(text[i:i+7]))) as min_shingle_md5
+from documents order by doc_id
+""",
+        # -- relational --
+        "pricing_summary": """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice), 2) as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '2024-09-02'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+""",
+        "top_orders_per_segment": """
+with j as (
+  select c_mktsegment, o_orderkey, o_totalprice,
+         row_number() over (partition by c_mktsegment
+                            order by o_totalprice desc, o_orderkey asc) as rn
+  from orders join customer on o_custkey = c_custkey
+)
+select c_mktsegment, rn, o_orderkey, round(o_totalprice, 2) as total
+from j where rn <= 5 order by c_mktsegment, rn
+""",
+        "sessionize_events": """
+with g as (
+  select user_id, event_id, ts, value,
+         case when epoch(ts) - epoch(lag(ts) over
+                (partition by user_id order by ts, event_id)) >= 1800
+              then 1 else 0 end as new_sess
+  from events
+), s as (
+  select user_id, event_id, value,
+         sum(new_sess) over (partition by user_id order by ts, event_id
+                             rows between unbounded preceding and current row) as session_id
+  from g
+)
+select user_id, session_id, count(*) as n_events,
+       round(sum(value), 2) as session_value
+from s group by user_id, session_id order by user_id, session_id
+""",
+    }

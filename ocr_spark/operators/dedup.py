@@ -1,0 +1,225 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hash functions are md5-based so the DuckDB oracle can reproduce them
+bit-for-bit (Spark's xxhash64 / DuckDB's hash() are engine-specific).
+
+Scale notes (100 TB design):
+* exact dedup — one shuffle on the digest; Catalyst's hash aggregate with
+  map-side partial aggregation, no skew (digests are uniform).
+* minhash LSH — signatures are computed scan-side (no shuffle), the only
+  shuffle is the band-bucket groupBy; candidate verification joins on
+  bucket, which AQE skew-splits if a bucket is hot (near-identical
+  boilerplate floods one bucket — the classic failure mode).
+* simhash — pure map-side; downstream grouping on the 16-bit prefix bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_MINHASH = 8
+LSH_BANDS = 4  # 4 bands x 2 rows per band
+SHINGLE_K = 3  # word shingles
+
+
+def _h32(c: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5 as a bigint."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection via content digest (hash-groupBy)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    return (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn(
+            "group_size", F.count("*").over(Window.partitionBy("digest"))
+        )
+        .select("doc_id", "digest", "dup_rank", "group_size")
+        .orderBy("doc_id")
+    )
+
+
+def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct sorted k-word shingles of a text column (pure SQL)."""
+    toks = F.split(text, " ")
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            )
+        )
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N_MINHASH minhash values per document over word shingles.
+
+    minhash_j(doc) = min over shingles s of h32(j || ':' || s) — computed
+    entirely scan-side with higher-order functions (no shuffle, no UDF).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = word_shingles(F.col("text"))
+
+    def mh(j: int) -> Column:
+        # NB: single-arg lambda — a second (defaulted) parameter would make
+        # Spark bind the array index to it (higher-order lambdas are called
+        # by arity).
+        return F.array_min(
+            F.transform(sh, lambda s: _h32(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"mh{j}")
+
+    sigs = [mh(j) for j in range(N_MINHASH)]
+    return docs.select("doc_id", *sigs).orderBy("doc_id")
+
+
+def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any (band, bucket) are candidate pairs;
+    verified with exact shingle-set Jaccard >= 0.5. Output: verified pairs.
+
+    At scale the self-join is bucket-local (equi-join on band+bucket), so
+    Catalyst shuffles both sides once on the bucket key; AQE handles hot
+    buckets via skew-join splitting.
+    """
+    rows_per_band = N_MINHASH // LSH_BANDS
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    )
+    verified = (
+        pairs.join(docs.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sh", "sh_a")
+        .join(docs.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sh", "sh_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return verified
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over word tokens: bit b = sign of sum over tokens of
+    (+1 if bit b of h(token) else -1). Pure map-side SQL; the oracle
+    reproduces it bit-for-bit via the same md5-based token hash.
+
+    Uses two 32-bit md5 halves to form 64 bits.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    h_lo = _h32(F.col("tok"))
+    h_hi = _h32(F.concat(F.lit("hi:"), F.col("tok")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h_lo, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(32)
+        ],
+        *[
+            F.sum(
+                F.when(F.shiftright(h_hi, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b + 32}")
+            for b in range(32)
+        ],
+    )
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"s{b}") > 0,
+                    F.expr(f"CAST({2**b} AS DECIMAL(38,0))"),
+                ).otherwise(F.expr("CAST(0 AS DECIMAL(38,0))"))
+                for b in range(64)
+            ],
+            F.expr("CAST(0 AS DECIMAL(38,0))"),
+        ).alias("simhash"),
+    )
+    return sim.select(
+        "doc_id", F.col("simhash").cast("string").alias("simhash")
+    ).orderBy("doc_id")
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over bucketed candidate pairs (same lang and
+    same n_chars decile) — the quadratic verifier restricted to buckets, as
+    a small-scale oracle-checkable twin of lsh_candidates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("int").alias("bucket"),
+        word_shingles(F.col("text")).alias("sh"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "jaccard",
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,130 @@
+"""Relational operator breadth (SURVEY.md §2.7 checklist): aggregation,
+broadcast join, window top-n, gap sessionization — each with a DuckDB
+oracle.  These prove the engine's general query surface beyond the
+extraction pipeline and document the intended physical plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: map-side partial agg -> single shuffle on a
+    low-cardinality key; every aggregate aliased for the oracle compare."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join (customer is the small dim) + per-group top-n via
+    row_number window — the broadcast is explicit so the plan holds at
+    scale where orders is 1000x customer."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "c_mktsegment",
+            "rn",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity) — the same lag+sum
+    window pattern as the row clustering in operators/spans.py, on time."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lag("ts", 1).over(w))
+    ) >= 1800
+    sessions = (
+        ev.withColumn(
+            "new_sess", F.coalesce(F.when(gap, F.lit(1)), F.lit(0))
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def qr_payload_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAT QR payload parse (reference util/tool.py:321-336) as pure SQL
+    over payload strings synthesized from orders: CSV split + slot routing
+    by invoice type (slot 4 -> total vs amount_with_tax for types 31/32)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    typ = F.when(F.col("o_orderkey") % 3 == 0, F.lit("31")).when(
+        F.col("o_orderkey") % 3 == 1, F.lit("32")
+    ).otherwise(F.lit("04"))
+    payload = F.concat_ws(
+        ",",
+        F.lit("01"),
+        typ,
+        F.lpad((F.col("o_orderkey") % 10**12).cast("string"), 12, "0"),
+        F.lpad((F.col("o_custkey") % 10**8).cast("string"), 8, "0"),
+        F.format_string("%.2f", F.round("o_totalprice", 2)),
+        F.date_format("o_orderdate", "yyyyMMdd"),
+        (F.col("o_orderkey") % 10**5).cast("string"),
+    )
+    df = orders.select("o_orderkey", payload.alias("qr"))
+    parts = F.split(F.col("qr"), ",")
+    slot = lambda i: F.element_at(parts, i)  # noqa: E731
+    amount = F.format_string(
+        "¥ %.2f", slot(5).try_cast("double")
+    )
+    is_elec = slot(2).isin("31", "32")
+    return df.select(
+        "o_orderkey",
+        slot(2).alias("invoice_type"),
+        slot(3).alias("invoice_code"),
+        slot(4).alias("invoice_number"),
+        F.when(is_elec, amount).otherwise(F.lit("¥ 0.00")).alias(
+            "amount_with_tax"
+        ),
+        F.when(~is_elec, amount).otherwise(F.lit("¥ 0.00")).alias(
+            "total_amount"
+        ),
+        F.date_format(
+            F.to_date(slot(6), "yyyyMMdd"), "yyyy年MM月dd日"
+        ).alias("billing_date"),
+        F.when(slot(2).isin("04", "10"), slot(7)).otherwise(F.lit("")).alias(
+            "check_code"
+        ),
+    ).orderBy("o_orderkey")

@@ -1,0 +1,170 @@
+"""Span algebra in native Spark SQL (no UDFs).
+
+The pipeline's span handling decomposed into oracle-checkable pieces:
+explode, transform/splice, ordered reassembly, plus the SQL twins of the
+geometry operators (y-gap row clustering as a lag/sum window, reading-order
+rank) — SURVEY.md §2.5's window-function surface.
+
+The interleaved corpus is not among the driver's DuckDB views, so these
+operators run over spans *derived deterministically from the documents
+table in pure SQL* — the same derivation is expressed in DuckDB by
+__spark_entry__.oracle_sql(), giving value-level cross-checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def derived_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, pos, kind, tok): word tokens become spans;
+    every token whose length is divisible by 3 plays a media span."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(F.length("tok") % 3 == 0, F.lit("media"))
+        .otherwise(F.lit("text"))
+        .alias("kind"),
+        "tok",
+    )
+
+
+def span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span explode + per-kind counts per document."""
+    return (
+        derived_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).alias(
+                "n_media"
+            ),
+            F.min(F.when(F.col("kind") == "media", F.col("pos"))).alias(
+                "first_media_pos"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def span_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The splice contract: media spans get new text (here: a pure-SQL
+    stand-in transform, reverse(upper(tok))), text spans pass through,
+    reassembled in offset order — the same collect_list/array_sort shape as
+    operators/pipeline.extract_documents reassembly."""
+    spans = derived_spans(spark, sf_dir).withColumn(
+        "new_text",
+        F.when(
+            F.col("kind") == "media", F.reverse(F.upper("tok"))
+        ).otherwise(F.col("tok")),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "new_text"))
+                    ),
+                    lambda s: s["new_text"],
+                ),
+                "|",
+            ).alias("spliced")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def synth_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic box layouts derived from events (FIXTURES.md §4 shape):
+    pseudo-random but engine-portable x/y from arithmetic on event_id."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        (F.col("event_id") % 97).alias("page_id"),
+        F.col("event_id").alias("box_id"),
+        ((F.col("event_id") * 37) % 499).alias("x"),
+        ((F.col("event_id") * 17) % 311).alias("y"),
+    )
+
+
+def row_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """y-gap row clustering as a window: sort by y within a page, start a
+    new row when the gap to the previous box is >= 10px (lag + cumulative
+    sum sessionization) — the SQL twin of core.reading_order.group_rows /
+    the reference's table-row clustering (obj_det/ocr_context.py:427-449).
+    """
+    boxes = synth_boxes(spark, sf_dir)
+    w = Window.partitionBy("page_id").orderBy("y", "box_id")
+    gap = F.when(
+        F.col("y") - F.lag("y", 1).over(w) >= 10, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        boxes.withColumn("new_row", F.coalesce(gap, F.lit(0)))
+        .withColumn(
+            "row_id",
+            F.sum("new_row").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select("page_id", "box_id", "y", "row_id")
+        .orderBy("page_id", "box_id")
+    )
+
+
+def reading_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reading-order rank = row_number over (row_id, x) after y-gap
+    clustering — the window-function form of sorted_boxes (the exact bubble
+    variant lives in core.reading_order; agreement on non-adversarial
+    layouts is tested in tests/test_spans.py)."""
+    boxes = synth_boxes(spark, sf_dir)
+    w = Window.partitionBy("page_id").orderBy("y", "box_id")
+    clustered = (
+        boxes.withColumn(
+            "new_row",
+            F.coalesce(
+                F.when(F.col("y") - F.lag("y", 1).over(w) >= 10, F.lit(1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "row_id",
+            F.sum("new_row").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    rank_w = Window.partitionBy("page_id").orderBy("row_id", "x", "box_id")
+    return clustered.select(
+        "page_id",
+        "box_id",
+        F.row_number().over(rank_w).alias("reading_rank"),
+    ).orderBy("page_id", "box_id")
+
+
+def line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union_rbox contract (apphelper/image.py:317-375): same-row boxes
+    joined by ' ' in x order; rows emitted per (page, row)."""
+    clustered = row_cluster(spark, sf_dir)
+    boxes = synth_boxes(spark, sf_dir).select("box_id", "x")
+    joined = clustered.join(boxes, "box_id")
+    return (
+        joined.groupBy("page_id", "row_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("x", "box_id"))
+                    ),
+                    lambda s: s["box_id"].cast("string"),
+                ),
+                " ",
+            ).alias("merged_ids"),
+            F.count("*").alias("n_boxes"),
+        )
+        .orderBy("page_id", "row_id")
+    )
