@@ -61,22 +61,27 @@ def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N_MINHASH minhash values per document over word shingles.
 
-    minhash_j(doc) = min over shingles s of h32(j || ':' || s) — computed
-    entirely scan-side with higher-order functions (no shuffle, no UDF).
+    Physical shape: explode shingles -> hash each shingle once per hash
+    family -> groupBy(doc_id).agg(min...). Map-side partial aggregation
+    collapses each doc's shingles to N_MINHASH bigints *before* the
+    shuffle, so shuffle volume is O(docs), not O(shingles).
+
+    (A pure scan-side formulation with nested higher-order functions is
+    possible but pathological: Catalyst collapses projections and cannot
+    eliminate common subexpressions across lambda bodies, so every
+    downstream reference re-evaluates the whole shingle tree — measured
+    >100x slower on the LSH path. The aggregation is also the natural
+    materialization barrier that hands the LSH banding concrete values.)
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = word_shingles(F.col("text"))
-
-    def mh(j: int) -> Column:
-        # NB: single-arg lambda — a second (defaulted) parameter would make
-        # Spark bind the array index to it (higher-order lambdas are called
-        # by arity).
-        return F.array_min(
-            F.transform(sh, lambda s: _h32(F.concat(F.lit(f"{j}:"), s)))
-        ).alias(f"mh{j}")
-
-    sigs = [mh(j) for j in range(N_MINHASH)]
-    return docs.select("doc_id", *sigs).orderBy("doc_id")
+    exploded = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+    )
+    aggs = [
+        F.min(_h32(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
 def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
