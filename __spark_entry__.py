@@ -18,7 +18,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_spark.operators import dedup, relational, similarity, spans, text_analysis
+from ocr_spark.operators import dedup, relational, similarity, spans, table, text_analysis
+from ocr_spark.operators.fields import invoice_field_extract
 from ocr_spark.operators.pipeline import extract_documents
 
 # ---------------------------------------------------------------------------
@@ -40,7 +41,11 @@ def _corpus_path(n_docs: int) -> str:
 
 
 def _corpus_docs_for(sf_dir: str) -> int:
-    # scale the synthetic corpus with the driver's sf tier
+    # scale the synthetic corpus with the driver's sf tier; the scaling
+    # harness overrides via env to reach the compute-bound regime
+    env = os.environ.get("SPARK_GRAFT_CORPUS_DOCS")
+    if env:
+        return int(env)
     if "0.001" in sf_dir:
         return 40
     if "0.01" in sf_dir:
@@ -50,24 +55,32 @@ def _corpus_docs_for(sf_dir: str) -> int:
 
 def _ocr_summary(out: DataFrame) -> DataFrame:
     """Stable, deterministic projection of the pipeline output for the
-    driver's rows-only check: per-doc digest of the full span sequence."""
-    return out.select(
-        "doc_id",
-        "success",
-        "n_media",
-        F.md5(
-            F.array_join(
-                F.transform(
-                    "spans",
-                    lambda s: F.concat_ws(
-                        "\x01", s["kind"], s["text"], s["media_ref"],
-                        s["offset"].cast("string"),
+    driver's rows-only check: per-doc digest of the full span sequence.
+
+    Ordering via repartition(1)+sortWithinPartitions — a global orderBy
+    would make the RangePartitioner sampling pass execute the whole OCR
+    pipeline a second time."""
+    return (
+        out.select(
+            "doc_id",
+            "success",
+            "n_media",
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        "spans",
+                        lambda s: F.concat_ws(
+                            "\x01", s["kind"], s["text"], s["media_ref"],
+                            s["offset"].cast("string"),
+                        ),
                     ),
-                ),
-                "\x02",
-            )
-        ).alias("span_digest"),
-    ).orderBy("doc_id")
+                    "\x02",
+                )
+            ).alias("span_digest"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -91,6 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- the extraction pipeline itself (rows-only + pytest gate) --
         "ocr_extract_exploded": _q_ocr("exploded"),
         "ocr_extract_fused": _q_ocr("fused"),
+        # -- detector-chain field extraction (rows-only + pytest gate) --
+        "invoice_field_extract": invoice_field_extract,
         # -- span algebra (SQL twins of the pipeline's span handling) --
         "span_explode": spans.span_explode,
         "span_splice": spans.span_splice,
@@ -123,6 +138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": text_analysis.quality_score,
         "lang_id": text_analysis.lang_id,
         "fingerprint": text_analysis.fingerprint,
+        # -- table structure (row x col interval geometry) --
+        "table_cells": table.table_cells,
+        "table_det_assign": table.table_det_assign,
         # -- relational breadth --
         "pricing_summary": relational.pricing_summary,
         "top_orders_per_segment": relational.top_orders_per_segment,
@@ -751,6 +769,53 @@ select doc_id, md5(text) as digest,
        list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
                                i -> md5(text[i:i+7]))) as min_shingle_md5
 from documents order by doc_id
+""",
+        # -- table structure --
+        "table_cells": """
+with tables as (
+  select distinct event_id % 40 as table_id from events
+), rs as (
+  select table_id, unnest(range(0, table_id % 4 + 3)) as row from tables
+), rows_ as (
+  select table_id, row, row * 20 + table_id % 7 as y0,
+         row * 20 + table_id % 7 + 18 as y1
+  from rs
+), cs as (
+  select table_id, unnest(range(0, table_id % 5 + 3)) as col from tables
+), cols_ as (
+  select table_id, col, col * 30 + table_id % 5 as x0,
+         col * 30 + table_id % 5 + 27 as x1
+  from cs
+)
+select r.table_id, r.row, c.col, c.x0, r.y0, c.x1, r.y1
+from rows_ r join cols_ c on r.table_id = c.table_id
+order by r.table_id, r.row, c.col
+""",
+        "table_det_assign": """
+with tables as (
+  select distinct event_id % 40 as table_id from events
+), rs as (
+  select table_id, unnest(range(0, table_id % 4 + 3)) as row from tables
+), rows_ as (
+  select table_id, row, row * 20 + table_id % 7 as y0,
+         row * 20 + table_id % 7 + 18 as y1
+  from rs
+), cs as (
+  select table_id, unnest(range(0, table_id % 5 + 3)) as col from tables
+), cols_ as (
+  select table_id, col, col * 30 + table_id % 5 as x0,
+         col * 30 + table_id % 5 + 27 as x1
+  from cs
+), dets as (
+  select event_id % 40 as table_id, event_id as det_id,
+         (event_id * 13) % 120 as x, (event_id * 11) % 100 as y
+  from events
+)
+select d.table_id, d.det_id, r.row, c.col
+from dets d
+join rows_ r on d.table_id = r.table_id and d.y between r.y0 and r.y1
+join cols_ c on d.table_id = c.table_id and d.x between c.x0 and c.x1
+order by d.table_id, d.det_id
 """,
         # -- relational --
         "pricing_summary": """

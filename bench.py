@@ -38,6 +38,9 @@ def main() -> int:
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    repeat = 1
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -50,12 +53,13 @@ def main() -> int:
     spark = get_spark(cpus, app_name=f"bench-local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM + python workers so the first timed query doesn't pay
-    # executor/Arrow startup (the reference warms its engines the same way,
-    # obj_det/ocr_context.py:77-81).
+    # Warm up the JVM + ALL python workers so the first timed query doesn't
+    # pay executor/Arrow/worker-fork startup (the reference warms its
+    # engines the same way, obj_det/ocr_context.py:77-81).  64 docs spread
+    # round-robin over every partition touch every worker process.
     n_docs = entrymod._corpus_docs_for(sf_dir)
     corpus = entrymod._corpus_path(n_docs)
-    warm = spark.read.parquet(corpus).limit(8)
+    warm = spark.read.parquet(corpus).limit(64)
     from ocr_spark.operators.pipeline import extract_documents
 
     _force(extract_documents(warm, mode="exploded"))
@@ -64,6 +68,7 @@ def main() -> int:
     headline = [
         "ocr_extract_exploded",
         "ocr_extract_fused",
+        "invoice_field_extract",
         "minhash_signatures",
         "lsh_near_dup",
         "simhash64",
@@ -81,10 +86,10 @@ def main() -> int:
     timings: dict[str, float] = {}
     n_media_total = 0
     for name in headline:
-        # OCR queries are compute-bound (timed once, after the global
-        # warm-up); the cheap operator queries are dominated by first-run
-        # codegen + VM timing noise, so report min of two runs.
-        runs = 1 if name.startswith("ocr_") else 2
+        # OCR queries are compute-bound (timed `repeat` times, after the
+        # global warm-up); the cheap operator queries are dominated by
+        # first-run codegen + VM timing noise, so report min of two runs.
+        runs = repeat if name.startswith("ocr_") else max(2, repeat)
         best = float("inf")
         for _ in range(runs):
             t0 = time.time()

@@ -18,9 +18,11 @@ Sub-packages
 ------------
 fixtures   deterministic corpus + image synthesis (pure function of media_ref)
 core       single-node numpy stage contracts (also the pytest oracle)
-operators  Spark operators: pipeline, span algebra, dedup, similarity, text
+operators  Spark operators: pipeline, detector-chain fields, span algebra,
+           table geometry, dedup, similarity, text analysis, and
+           checkpoint-resume with per-partition lineage
 functions  scalar normalizer library (native Spark SQL expressions)
-plans      partitioning / lineage / checkpoint-resume
+streaming  Structured Streaming ingest (foreachBatch extraction, watermarks)
 """
 
 __version__ = "0.1.0"

@@ -21,8 +21,8 @@ from .reading_order import group_rows, sorted_boxes
 from .recognize import recognize_batch
 
 
-def ocr_page(img: np.ndarray) -> tuple[str, float]:
-    """One page image -> (reading-ordered text, confidence).
+def ocr_page_rows(img: np.ndarray) -> tuple[list[str], float]:
+    """One page image -> (reading-ordered row texts, confidence).
 
     Angle classification: try the 4 cardinal orientations and keep the one
     with the best recognition confidence (the classical stand-in for the
@@ -31,14 +31,15 @@ def ocr_page(img: np.ndarray) -> tuple[str, float]:
     perfect score, which is the common case, like the reference's
     first-gate-wins detector chain (objd_util.py:160-186).
     """
-    best_text, best_conf = "", -1.0
+    best_rows: list[str] = []
+    best_conf = -1.0
     for k in (0, 1, 2, 3):
         page = np.rot90(img, -k) if k else img
         gray = detect.remove_seal_to_gray(page)
         ink = detect.binarize(gray)
         if not ink.any():
             if best_conf < 0.0:
-                best_text, best_conf = "", 0.0
+                best_rows, best_conf = [], 0.0
             continue
         scale = detect.estimate_unit_scale(ink)
         boxes = detect.detect_lines(ink, scale)
@@ -48,13 +49,18 @@ def ocr_page(img: np.ndarray) -> tuple[str, float]:
             xywh = [(b.x, b.y, b.w, b.h) for b in boxes]
             order = sorted_boxes(xywh)
             rows = group_rows(xywh, order)
-            best_text = "\n".join(
-                " ".join(texts[i] for i in row) for row in rows
-            )
+            best_rows = [" ".join(texts[i] for i in row) for row in rows]
             best_conf = conf
         if conf >= 1.0:
             break
-    return best_text, max(best_conf, 0.0)
+    return best_rows, max(best_conf, 0.0)
+
+
+def ocr_page(img: np.ndarray) -> tuple[str, float]:
+    """One page image -> (reading-ordered text, confidence); rows joined
+    by newline."""
+    rows, conf = ocr_page_rows(img)
+    return "\n".join(rows), conf
 
 
 def ocr_media_ref(media_ref: str) -> str:

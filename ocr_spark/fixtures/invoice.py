@@ -1,0 +1,143 @@
+"""Deterministic labeled-document fixtures for the detector-chain stage.
+
+The reference's four live detectors (obj_det/vat_detect.py:237-434,
+stock_detect.py:61-211, stock_detect_v2.py:54-219, bill_detect.py:57-170)
+share one contract: locate labeled field regions on a document image, OCR
+each region, then normalize per label.  The YOLO weights are absent
+(.MISSING_LARGE_BLOBS), so the fixture side renders documents whose field
+regions are *rows in a fixed reading order* — detection still has to find
+the boxes and the recognizer still has to read them; only the box->label
+assignment is positional instead of learned, preserving the stage shape.
+
+Grammar: ``inv://{key}#{family}`` with family in FAMILIES.  Layout and
+field values are pure functions of sha256 via the same RNG discipline as
+fixtures/render.py; ``expected_fields`` exposes the ground truth for the
+pytest equality gate without running the pipeline.
+
+Row 0 is always the title and carries the family's gate keyword, so the
+detector-chain dispatch (objd_util.py:152-204: try stock_v1 -> stock_v2
+-> bill -> vat, first gate wins; gates at stock_detect.py:206-210
+['总务'/'结算'], stock_detect_v2.py:214-218 ['药'], bill_detect.py:163-167
+['据']) reproduces the family from pixels alone.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .render import Line, RenderedPage, _rng, _render_lines
+
+FAMILIES = ("vat", "stock_v1", "stock_v2", "bill")
+
+# Field rows per family, in render/reading order after the title.
+# Key sets follow the reference converters (vat_detect.py:22-47,
+# stock_detect.py:12-32, bill_detect.py:10-23), trimmed to the fields the
+# fixture glyph alphabet can render.
+FAMILY_FIELDS: dict[str, list[str]] = {
+    "vat": [
+        "invoice_code", "invoice_number", "billing_date", "check_code",
+        "total_amount", "tax", "amount_with_tax", "buy_title", "sale_title",
+    ],
+    "stock_v1": [
+        "doc_number", "idate", "total", "total2", "total3", "cnt", "page",
+    ],
+    "stock_v2": [
+        "doc_number", "idate", "total", "total2", "total3", "cnt", "page",
+    ],
+    "bill": [
+        "invoice_code", "invoice_number", "billing_date", "total_amount",
+        "check_code", "amount_with_tax", "buy_title", "sale_title",
+    ],
+}
+
+_VAT_TITLES = [
+    "电子发票(普通发票)",
+    "电子发票(专用发票)",
+    "专用发票",
+    "电子普通发票",
+    "普通发票",
+]
+_TITLES = {
+    "stock_v1": ["总务入库单", "结算入库单"],
+    "stock_v2": ["药品入库单"],
+    "bill": ["票据", "单据"],
+}
+_ORG_WORDS = ["spark", "query", "batch", "data", "merge", "total"]
+
+
+def _amount(rng: np.random.Generator) -> str:
+    return f"¥{int(rng.integers(1, 999_999))}.{int(rng.integers(0, 100)):02d}"
+
+
+def _date(rng: np.random.Generator) -> str:
+    return (
+        f"{int(rng.integers(2019, 2027))}年{int(rng.integers(1, 13)):02d}月"
+        f"{int(rng.integers(1, 29)):02d}日"
+    )
+
+
+def _chinese_amount(rng: np.random.Generator) -> str:
+    digits = "壹贰叁肆伍陆柒捌玖"
+    return (
+        digits[rng.integers(0, 9)] + "万" + digits[rng.integers(0, 9)] + "仟"
+        + digits[rng.integers(0, 9)] + "佰" + digits[rng.integers(0, 9)] + "拾"
+        + digits[rng.integers(0, 9)] + "元"
+        + digits[rng.integers(0, 9)] + "角" + digits[rng.integers(0, 9)] + "分"
+    )
+
+
+def _field_value(field: str, rng: np.random.Generator) -> str:
+    if field == "invoice_code":
+        return "".join(str(rng.integers(0, 10)) for _ in range(12))
+    if field in ("invoice_number", "doc_number"):
+        return "".join(str(rng.integers(0, 10)) for _ in range(8))
+    if field in ("billing_date", "idate"):
+        return _date(rng)
+    if field in ("check_code", "cnt"):
+        return "".join(str(rng.integers(0, 10)) for _ in range(6))
+    if field in ("total_amount", "tax", "amount_with_tax", "total", "total2"):
+        return _amount(rng)
+    if field == "total3":
+        return _chinese_amount(rng)
+    if field == "page":
+        a = int(rng.integers(1, 9))
+        return f"第{a}页/共{int(rng.integers(a, 10))}页"
+    if field in ("buy_title", "sale_title"):
+        w = _ORG_WORDS[rng.integers(0, len(_ORG_WORDS))]
+        w2 = _ORG_WORDS[rng.integers(0, len(_ORG_WORDS))]
+        return f"{w}:{w2}"  # colon exercises the get_title normalizer
+    raise KeyError(field)
+
+
+def family_of(media_ref: str) -> str:
+    fam = media_ref.rsplit("#", 1)[-1]
+    if fam not in FAMILIES:
+        raise ValueError(f"not an invoice ref: {media_ref}")
+    return fam
+
+
+def ground_truth(media_ref: str) -> dict[str, str]:
+    """Raw (pre-normalization) field texts, keyed by field name + 'title',
+    exactly as the recognizer will read them. Pure function of media_ref."""
+    fam = family_of(media_ref)
+    rng = _rng("inv:" + media_ref)
+    if fam == "vat":
+        title = _VAT_TITLES[rng.integers(0, len(_VAT_TITLES))]
+    else:
+        opts = _TITLES[fam]
+        title = opts[rng.integers(0, len(opts))]
+    fields = {"title": title}
+    for f in FAMILY_FIELDS[fam]:
+        fields[f] = _field_value(f, rng)
+    return fields
+
+
+def render_invoice(media_ref: str) -> RenderedPage:
+    """Render the labeled document: one field per row, reading order =
+    title, then FAMILY_FIELDS[family] order. Same rotation/seal stressors
+    as the generic fixture pages."""
+    fields = ground_truth(media_ref)
+    fam = family_of(media_ref)
+    texts = [fields["title"]] + [fields[f] for f in FAMILY_FIELDS[fam]]
+    rng = _rng("invlayout:" + media_ref)
+    return _render_lines(texts, rng, scale=2)

@@ -137,6 +137,34 @@ def _render_canonical(key: str, profile: str) -> RenderedPage:
             lines.append(Line(text, x, base_y + jitter, w, GLYPH_H * scale))
             x += w + int(rng.integers(2, 6)) * scale
 
+    return _rasterize(lines, n_rows, scale, rng)
+
+
+def _render_lines(
+    texts: list[str], rng: np.random.Generator, scale: int = 2
+) -> RenderedPage:
+    """Render one space-free text per row (labeled-document layout used by
+    fixtures/invoice.py). Same jitter/seal/rotation stressors as the
+    generic pages."""
+    margin = 4 * scale
+    row_pitch = (GLYPH_H + 4) * scale
+    lines: list[Line] = []
+    for r, text in enumerate(texts):
+        jitter = int(rng.integers(0, min(10, 4 * scale)))
+        w = (ADVANCE * len(text) - 1) * scale
+        lines.append(
+            Line(text, margin, margin + r * row_pitch + jitter, w, GLYPH_H * scale)
+        )
+    return _rasterize(lines, len(texts), scale, rng)
+
+
+def _rasterize(
+    lines: list[Line], n_rows: int, scale: int, rng: np.random.Generator
+) -> RenderedPage:
+    """Shared raster tail: ink mask -> image (+ optional red seal, whole
+    image rotation). Consumes RNG draws in a fixed order."""
+    margin = 4 * scale
+    row_pitch = (GLYPH_H + 4) * scale
     width = max(ln.x + ln.w for ln in lines) + margin
     height = margin + (n_rows - 1) * row_pitch + GLYPH_H * scale + 9 + margin
     ink = np.zeros((height, width), dtype=bool)

@@ -1,0 +1,191 @@
+"""The detector-chain stage as a Spark operator: labeled-document OCR ->
+typed invoice/stock record.
+
+Physical design (SURVEY.md §4): the model-ish work (render/decode, angle
+pass, detection, recognition, gate dispatch) runs in ONE ``mapInPandas``
+stage emitting *raw* field strings; every normalizer then runs as native
+Spark SQL expressions (functions/normalizers.py) so Catalyst codegen's
+the whole normalization pass JVM-side — the UDF boundary carries only
+small strings, never images.
+
+Output schema is flat (media_ref, family, type, then the normalized
+fields of both record shapes with reference default fill:
+vat_detect.py:423-429 ['' / '¥ 0.00'], stock_detect.py:196-204
+[page '-1/-1', total_amount = coalesce(total, total2, total3)]).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import normalizers as N
+from .pipeline import _default_partitions
+
+RAW_FIELDS = [
+    "title", "invoice_code", "invoice_number", "billing_date", "check_code",
+    "total_amount", "tax", "amount_with_tax", "buy_title", "sale_title",
+    "doc_number", "idate", "total", "total2", "total3", "cnt", "page",
+]
+_RAW_SCHEMA = "media_ref string, family string, type string, " + ", ".join(
+    f"{f}_raw string" for f in RAW_FIELDS
+)
+
+
+def _extract_raw_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: media_ref -> family/type + raw field texts.
+    Kernels import once per executor python worker (module singleton)."""
+    from ocr_spark.core.fields import extract_fields
+    from ocr_spark.fixtures.invoice import render_invoice
+
+    for pdf in batches:
+        rows = []
+        for ref in pdf["media_ref"]:
+            d = extract_fields(render_invoice(ref).image)
+            rows.append(
+                [ref, d["family"], d["type"]]
+                + [d.get(f, "") for f in RAW_FIELDS]
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["media_ref", "family", "type"]
+            + [f"{f}_raw" for f in RAW_FIELDS],
+        )
+
+
+def _identity_barrier(df: DataFrame) -> DataFrame:
+    """Arrow pass-through that stops CollapseProject.
+
+    Composite normalizers (tax arithmetic, invoice_type, stock total
+    coalesce) reference base-normalized columns; if both layers live in
+    one Project, Catalyst collapses them and every reference re-inlines
+    the full base expression tree (get_amount alone is ~50 nodes of
+    regex/HOF work, and HOF lambdas defeat common-subexpression
+    elimination) — measured 6x slower and ~30 s of codegen on the fused
+    plan.  A mapInPandas identity is not a Project, so the two layers
+    stay separate; it streams Arrow batches with no materialization, so
+    unlike localCheckpoint it is safe at 10^12-row scale.
+    """
+    schema = df.schema
+    return df.mapInPandas(lambda it: it, schema=schema)
+
+
+def extract_invoice_fields(refs: DataFrame) -> DataFrame:
+    """media_ref DataFrame -> normalized record DataFrame.
+
+    Per-label normalization routers, verbatim from the reference:
+    * invoice fields (vat_detect.py:372-421): code/number/check -> get_num,
+      dates -> get_date, amounts -> get_amount (+ tax arithmetic), titles
+      -> get_title, invoice_type -> judge_invoice_type.
+    * stock fields (_process_label_text, stock_detect.py:45-58):
+      total3 -> get_chinese_amount, total/total2 -> get_amount,
+      idate -> get_date, doc_number/cnt -> get_num, page -> get_page.
+
+    Two normalization layers: base per-label normalizers directly over the
+    raw OCR strings, then composite fields over the base columns, with an
+    Arrow identity barrier between them (see _identity_barrier).
+    """
+    spark = refs.sparkSession
+    raw = refs.repartition(_default_partitions(spark)).mapInPandas(
+        _extract_raw_batches, schema=_RAW_SCHEMA
+    )
+    c = F.col
+    get_date = N.make_get_date()
+    base = raw.select(
+        "media_ref",
+        "family",
+        "type",
+        N.get_title(c("title_raw")).alias("title"),
+        N.get_num(c("invoice_code_raw")).alias("invoice_code"),
+        N.get_num(c("invoice_number_raw")).alias("invoice_number"),
+        get_date(c("billing_date_raw")).alias("billing_date"),
+        N.get_num(c("check_code_raw")).alias("check_code"),
+        N.get_amount(c("total_amount_raw")).alias("total_amount"),
+        N.get_amount(c("tax_raw")).alias("tax0"),
+        N.get_amount(c("amount_with_tax_raw")).alias("amount_with_tax"),
+        N.get_title(c("buy_title_raw")).alias("buy_title"),
+        N.get_title(c("sale_title_raw")).alias("sale_title"),
+        N.get_num(c("doc_number_raw")).alias("doc_number"),
+        get_date(c("idate_raw")).alias("idate"),
+        N.get_amount(c("total_raw")).alias("total"),
+        N.get_amount(c("total2_raw")).alias("total2"),
+        N.get_chinese_amount(c("total3_raw")).alias("total3"),
+        N.get_num(c("cnt_raw")).alias("cnt"),
+        N.get_page(c("page_raw")).alias("page"),
+    )
+    barrier = _identity_barrier(base)
+    zero = F.lit("¥ 0.00")
+    tot, tot2, tot3 = c("total"), c("total2"), c("total3")
+    return barrier.select(
+        "media_ref",
+        "family",
+        "type",
+        "title",
+        "invoice_code",
+        "invoice_number",
+        "billing_date",
+        "check_code",
+        "total_amount",
+        N.tax_arithmetic(c("tax0"), c("total_amount"), c("amount_with_tax")).alias(
+            "tax"
+        ),
+        "amount_with_tax",
+        "buy_title",
+        "sale_title",
+        N.judge_invoice_type(c("title"), c("check_code")).alias("invoice_type"),
+        "doc_number",
+        "idate",
+        "total",
+        "total2",
+        "total3",
+        F.when(tot != zero, tot)
+        .when(tot2 != zero, tot2)
+        .when(tot3 != zero, tot3)
+        .otherwise(zero)
+        .alias("stock_total_amount"),
+        "cnt",
+        "page",
+    )
+
+
+def synth_invoice_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic invoice media refs derived from customer keys (one
+    per 10 customers; family round-robins over the four detectors)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    fam = (
+        F.when(k % 4 == 0, F.lit("vat"))
+        .when(k % 4 == 1, F.lit("stock_v1"))
+        .when(k % 4 == 2, F.lit("stock_v2"))
+        .otherwise(F.lit("bill"))
+    )
+    return (
+        cust.filter(k % 10 == 0)
+        .select(
+            F.concat(F.lit("inv://c"), k.cast("string"), F.lit("#"), fam).alias(
+                "media_ref"
+            )
+        )
+    )
+
+
+def invoice_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: the full detector-chain stage over synthesized
+    refs (rows-only driver check; value equality is the pytest gate in
+    tests/test_fields.py).
+
+    Deterministic output order via repartition(1) + sortWithinPartitions:
+    a global orderBy would sample-run the RangePartitioner, executing the
+    whole OCR pipeline twice (only the check gate needs the order — at
+    scale the output is written unsorted).
+    """
+    return (
+        extract_invoice_fields(synth_invoice_refs(spark, sf_dir))
+        .repartition(1)
+        .sortWithinPartitions("media_ref")
+    )

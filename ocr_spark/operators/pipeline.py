@@ -90,6 +90,12 @@ def _extract_fused_batches(
         )
 
 
+def _default_partitions(spark) -> int:
+    """2x parallelism for the heavy UDF stage: fine enough granularity for
+    stragglers, coarse enough that Arrow batches stay full."""
+    return spark.sparkContext.defaultParallelism * 2
+
+
 def extract_documents(
     df: DataFrame, mode: str = "exploded", partitions: int | None = None
 ) -> DataFrame:
@@ -101,7 +107,7 @@ def extract_documents(
     (fapi.py:246-268 success/message per attachment).
     """
     if partitions is None:
-        partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+        partitions = _default_partitions(df.sparkSession)
 
     if mode == "fused":
         return df.repartition(partitions).mapInPandas(

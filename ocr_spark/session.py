@@ -27,6 +27,14 @@ def get_spark(
 
     cores: int N -> local[N]; '*' -> local[*]; None -> $SPARK_GRAFT_CPUS or 32.
     """
+    # One BLAS thread per python worker: the recognition kernel's matmul
+    # otherwise spawns ncpu OpenBLAS threads in EVERY worker (ncpu^2 threads
+    # at local[ncpu] — measured 4x slowdown at local[32]).  Set before the
+    # JVM launches so daemons/workers inherit it.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = f"local[{cores}]"

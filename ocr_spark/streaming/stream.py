@@ -1,0 +1,137 @@
+"""Structured Streaming surface.
+
+The reference is a synchronous HTTP service (no streams; SURVEY.md §2.7),
+so streaming here is the Spark-native replacement for its request loop:
+documents arriving as files in a landing directory are extracted
+incrementally with exactly-once sink semantics, which is how the 10^12
+corpus would be ingested continuously in production.
+
+Two operators:
+
+* ``stream_extract`` — file-source stream of interleaved-document
+  parquet -> foreachBatch(extract_documents) -> append parquet.
+  foreachBatch is the idiomatic shape when the batch transformation
+  involves multi-stage plans (explode -> mapInPandas -> groupBy): each
+  micro-batch runs the full batch pipeline and lands atomically; the
+  streaming checkpoint gives resume-on-restart, complementing the
+  chunk-manifest resume of operators/checkpoint.py.
+* ``stream_event_counts`` — watermarked sliding-window aggregation over
+  an event stream (late data dropped past the watermark), the canonical
+  stateful-streaming pattern, included for the engine's streaming
+  breadth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.pipeline import extract_documents
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("media_ref", T.StringType()),
+                        T.StructField("offset", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    mode: str = "exploded",
+    available_now: bool = True,
+):
+    """Incremental extraction over a parquet landing directory.
+
+    Returns the StreamingQuery (caller awaits termination).  With
+    ``available_now`` the query drains everything present and stops —
+    the batch-parity mode the tests assert against; without it the query
+    keeps tailing the directory.
+    """
+    src = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        extract_documents(batch_df, mode=mode).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(output_dir)
+
+    writer = (
+        src.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+):
+    """Watermarked windowed counts over an event-file stream.
+
+    Late rows beyond ``watermark`` are dropped; append mode emits a
+    window only once it is closed by the watermark — both behaviors the
+    tests exercise.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide or window).alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

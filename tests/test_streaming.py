@@ -1,0 +1,120 @@
+"""Structured Streaming: incremental extraction parity with the batch
+pipeline, streaming-checkpoint resume, and watermarked window semantics."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_spark.fixtures.corpus import build_corpus
+from ocr_spark.operators.pipeline import extract_documents
+from ocr_spark.streaming.stream import stream_event_counts, stream_extract
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    """Two parquet files of documents landing in a directory."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    t = build_corpus(20, seed=11)
+    pq.write_table(t.slice(0, 10), str(d / "part-0.parquet"))
+    pq.write_table(t.slice(10, 10), str(d / "part-1.parquet"))
+    return str(d)
+
+
+def _canon(df):
+    return {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in df.select("doc_id", "spans").collect()
+    }
+
+
+def test_stream_extract_matches_batch(spark, landing, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_extract(spark, landing, out, ckpt)
+    q.awaitTermination(300)
+    streamed = _canon(spark.read.parquet(out))
+    batch = _canon(
+        extract_documents(
+            spark.read.parquet(landing).select("doc_id", "spans")
+        )
+    )
+    assert streamed == batch
+
+
+def test_stream_extract_resume_processes_only_new_files(
+    spark, landing, tmp_path
+):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_extract(spark, landing, out, ckpt).awaitTermination(300)
+    n_first = spark.read.parquet(out).count()
+    assert n_first == 20
+
+    # a new file lands; restart the query with the same checkpoint
+    extra = build_corpus(5, seed=12)
+    pq.write_table(extra, os.path.join(landing, "part-2.parquet"))
+    stream_extract(spark, landing, out, ckpt).awaitTermination(300)
+    df = spark.read.parquet(out)
+    assert df.count() == 25  # old files NOT reprocessed (else 45)
+    assert df.select("doc_id").distinct().count() == 25
+
+
+def test_stream_event_counts_watermark(spark, tmp_path):
+    import pandas as pd
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    rows = pd.DataFrame(
+        {
+            "event_id": range(6),
+            # microsecond precision: Spark's parquet reader rejects the
+            # nanosecond INT64 timestamps pandas/pyarrow default to
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 10:01", "2026-01-01 10:04",  # window 10:00
+                    "2026-01-01 10:12",                       # window 10:10
+                    "2026-01-01 12:00",                       # advances watermark
+                    "2026-01-01 10:02",  # late: behind watermark, dropped
+                    "2026-01-01 12:05",
+                ]
+            ).astype("datetime64[us]"),
+            "user_id": [1] * 6,
+            "event_type": ["a"] * 6,
+            "value": [1.0] * 6,
+        }
+    )
+    # first micro-batch: everything up to 12:00; second: the late row + 12:05
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(rows.iloc[:4]), f"{d}/f0.parquet")
+    out, ckpt = str(tmp_path / "wout"), str(tmp_path / "wckpt")
+    stream_event_counts(spark, d, out, ckpt).awaitTermination(300)
+    pq.write_table(pa.Table.from_pandas(rows.iloc[4:]), f"{d}/f1.parquet")
+    stream_event_counts(spark, d, out, ckpt).awaitTermination(300)
+
+    got = {
+        (str(r["w_start"]), r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # 10:00 window emitted with 2 events only — the 10:02 row arrived after
+    # the watermark (12:00 - 30min) passed the window end and was dropped.
+    assert ("2026-01-01 10:00:00", 2) in got
+    assert ("2026-01-01 10:10:00", 1) in got
+    # the 12:00 window is still open (watermark hasn't passed 12:10)
+    assert not any(s.startswith("2026-01-01 12:") for s, _ in got)
+
+
+def test_stream_extract_landing_cleanup(spark, landing, tmp_path):
+    """Deleting consumed files does not break a restarted query."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_extract(spark, landing, out, ckpt).awaitTermination(300)
+    for f in glob.glob(os.path.join(landing, "*.parquet")):
+        os.remove(f)
+    pq.write_table(build_corpus(3, seed=13), os.path.join(landing, "p9.parquet"))
+    stream_extract(spark, landing, out, ckpt).awaitTermination(300)
+    assert spark.read.parquet(out).count() == 23
+    shutil.rmtree(ckpt)

@@ -25,10 +25,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_at(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    # 6000 docs (~38k media spans) keeps even the 4N run compute-bound
+    # (fixed job overhead <10% of wall), so the ratio measures the job's
+    # scaling rather than constant scheduler/startup cost.
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CORPUS_DOCS=os.environ.get("SPARK_GRAFT_CORPUS_DOCS", "6000"),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--only",
-         "ocr_extract_exploded"],
+         "ocr_extract_exploded", "--repeat", "3"],
         env=env, capture_output=True, text=True, cwd=REPO, check=True,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -36,7 +44,11 @@ def run_at(cpus: int, sf_dir: str) -> dict:
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # Default N=2 -> 4N=8: on this 32-vCPU single-host sandbox both levels
+    # leave headroom for the JVM scheduler/GC and the harness itself, so
+    # the measurement isolates the JOB's scaling rather than host
+    # oversubscription.  Pass N=8 to measure 8 -> 32.
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
