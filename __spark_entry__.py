@@ -18,7 +18,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_spark.operators import dedup, relational, similarity, spans, table, text_analysis
+from ocr_spark.operators import (
+    dedup,
+    media,
+    relational,
+    similarity,
+    spans,
+    table,
+    text_analysis,
+)
 from ocr_spark.operators.fields import invoice_field_extract
 from ocr_spark.operators.pipeline import extract_documents
 
@@ -122,6 +130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_check_code": _norm_check_code,
         "norm_get_date": _norm_get_date,
         "norm_chinese_amount": _norm_chinese_amount,
+        "norm_get_tax": _norm_get_tax,
+        "norm_extract_addr": _norm_extract_addr,
+        "norm_extract_bank": _norm_extract_bank,
         # -- reference QR field parse (pure SQL) --
         "qr_payload_parse": relational.qr_payload_parse,
         # -- dedup family --
@@ -130,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_near_dup": dedup.lsh_candidates,
         "simhash64": dedup.simhash64,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "embedding_near_dup": dedup.embedding_near_dup,
         # -- similarity search --
         "ann_brute_topk": similarity.brute_topk,
         "ann_lsh_topk": similarity.lsh_topk,
@@ -138,6 +150,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": text_analysis.quality_score,
         "lang_id": text_analysis.lang_id,
         "fingerprint": text_analysis.fingerprint,
+        # -- multimodal media plumbing (rows-only: pixel metadata is not
+        # SQL-derivable; contracts pinned by tests/test_media.py) --
+        "media_metadata": media.media_metadata,
+        "media_thumbnails": media.media_thumbnails,
+        "frame_sample": media.frame_sample,
         # -- table structure (row x col interval geometry) --
         "table_cells": table.table_cells,
         "table_det_assign": table.table_det_assign,
@@ -315,9 +332,70 @@ def _norm_chinese_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def _norm_addr_bank_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """addr/bank/tax normalizer inputs from customer rows (ASCII digits
+    only — the (?U) full-width digit semantics are covered by unit tests;
+    here both engines must agree on the same clean derivation)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.concat(
+            F.lit("地址："), F.col("c_mktsegment"), F.lit("市"),
+            F.col("c_name"), F.lit("路 电话"), k.cast("string"),
+        ).alias("s_addr"),
+        F.concat(
+            F.lit("开户行：银行"), F.col("c_mktsegment"), F.lit("支行"),
+            (k * 13 % 10**9).cast("string"),
+        ).alias("s_bank"),
+        F.concat(
+            F.lit("tax "), (k % 17).cast("string"), F.lit("%x"),
+            (k % 7).cast("string"), F.lit("abc"),
+        ).alias("s_tax"),
+    )
+
+
+_NORM_AB_INPUT_SQL = """
+select c_custkey,
+       '地址：' || c_mktsegment || '市' || c_name || '路 电话' || c_custkey::varchar as s_addr,
+       '开户行：银行' || c_mktsegment || '支行' || (c_custkey * 13 % 1000000000)::varchar as s_bank,
+       'tax ' || (c_custkey % 17)::varchar || '%x' || (c_custkey % 7)::varchar || 'abc' as s_tax
+from customer
+"""
+
+
+def _norm_get_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions import normalizers as N
+
+    return _norm_addr_bank_input(spark, sf_dir).select(
+        "c_custkey", N.get_tax(F.col("s_tax")).alias("tax")
+    ).orderBy("c_custkey")
+
+
+def _norm_extract_addr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions import normalizers as N
+
+    return _norm_addr_bank_input(spark, sf_dir).select(
+        "c_custkey", N.extract_addr(F.col("s_addr")).alias("addr")
+    ).orderBy("c_custkey")
+
+
+def _norm_extract_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions import normalizers as N
+
+    return _norm_addr_bank_input(spark, sf_dir).select(
+        "c_custkey", N.extract_bank(F.col("s_bank")).alias("bank")
+    ).orderBy("c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# RE2-compatible rendering of the symbol-salad class (normalizers._SALAD)
+_SALAD_RE2 = (
+    "[★☆※*•·●⊙◎¤■◆◇▪▎▏▍▌▋▊▉|｜~`^_=+<>《》〈〉【】\\[\\]{}（）()]"
+)
 
 _H32 = "(('0x' || substr(md5({expr}), 1, 8))::bigint)"
 
@@ -650,6 +728,61 @@ from inp order by c_custkey
 select o_orderkey,
        strftime(o_orderdate, '%Y年%m月%d日') as billing_date
 from orders order by o_orderkey
+""",
+        "norm_get_tax": f"""
+with inp as ({_NORM_AB_INPUT_SQL})
+select c_custkey,
+       coalesce(list_aggregate(regexp_extract_all(s_tax, '-?[0-9][0-9]*[a-zA-Z]*'),
+                               'string_agg', ''), '') as tax
+from inp order by c_custkey
+""",
+        "norm_extract_addr": f"""
+with inp as ({_NORM_AB_INPUT_SQL}),
+s1 as (select c_custkey,
+         regexp_replace(s_addr, '^\\s*(地址、电话|单位地址|购方地址|销方地址|地址)[:：]?\\s*', '') as s
+       from inp),
+s2 as (select c_custkey, regexp_replace(s, '(电话|开户行|账号|银行|Bank).*', '') as s from s1),
+s3 as (select c_custkey, regexp_replace(s, '{_SALAD_RE2}', '', 'g') as s from s2),
+s4 as (select c_custkey, regexp_replace(s, '[，,;；]+', '，', 'g') as s from s3),
+s5 as (select c_custkey, regexp_replace(s, '\\s+', ' ', 'g') as s from s4)
+select c_custkey,
+       regexp_replace(s, '^[ ，;；]+|[ ，;；]+$', '', 'g') as addr
+from s5 order by c_custkey
+""",
+        "norm_extract_bank": f"""
+with inp as ({_NORM_AB_INPUT_SQL}),
+s1 as (select c_custkey,
+         regexp_replace(s_bank, '^\\s*(开户行及账号|开户行|账号|银行)[:：]?\\s*', '') as s
+       from inp),
+s2 as (select c_custkey, regexp_replace(s, '{_SALAD_RE2}', '', 'g') as s from s1),
+s3 as (select c_custkey, regexp_replace(s, '[，,;；]+', '，', 'g') as s from s2),
+s4 as (select c_custkey,
+         regexp_replace(regexp_replace(s, '\\s+', ' ', 'g'),
+                        '^[ ，;；]+|[ ，;；]+$', '', 'g') as s
+       from s3),
+p as (select c_custkey, s,
+        coalesce(list_aggregate(regexp_extract_all(s, '[0-9]'), 'string_agg', ''), '') as account,
+        regexp_replace(regexp_replace(s, '[0-9].*', ''), '^[ ,;]+|[ ,;]+$', '', 'g') as name_part
+      from s4)
+select c_custkey,
+       case when account <> '' and name_part <> '' then name_part || ' ' || account
+            when account <> '' then account
+            else trim(s) end as bank
+from p order by c_custkey
+""",
+        "embedding_near_dup": f"""
+with b as (
+  select vec_id, embedding, ({_ANN_BUCKET}) as bucket from embeddings
+)
+select a.vec_id as vec_a, e.vec_id as vec_b,
+       round(list_dot_product(a.embedding::double[], e.embedding::double[]) /
+             (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+              sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))), 4) as cos
+from b a join b e on a.bucket = e.bucket and a.vec_id < e.vec_id
+where round(list_dot_product(a.embedding::double[], e.embedding::double[]) /
+            (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+             sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))), 4) >= 0.4
+order by vec_a, vec_b
 """,
         # -- QR parse --
         "qr_payload_parse": """

@@ -194,6 +194,35 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates = same
+    random-hyperplane LSH bucket (one shuffle on the bucket key), verified
+    by exact cosine >= 0.4.  The embedding-space sibling of lsh_candidates;
+    at corpus scale the bucket join touches ~1/2^N_PLANES of the pairs."""
+    from .similarity import _bucket_of, cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", _bucket_of(F.col("embedding"))
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over bucketed candidate pairs (same lang and
     same n_chars decile) — the quadratic verifier restricted to buckets, as

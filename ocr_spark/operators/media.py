@@ -1,0 +1,225 @@
+"""Multimodal media columns: opaque binary payloads + typed metadata.
+
+Large-scale training pipelines carry image/audio/video as opaque
+``binary`` columns with typed metadata alongside.  This module implements
+the Spark-side plumbing — schemas, Arrow batch shapes, vectorized decode
+UDFs, partitioning — with the codec layer split in two:
+
+* **real**: images.  The fixture corpus's media is rendered
+  deterministically, serialized with the npy wire format (numpy's own
+  codec — no image libraries exist in this container), and decoded back
+  inside ``mapInPandas``.  Resize is real nearest-neighbor numpy
+  (contract: the reference's >960px downscale, obj_det/ocr_context.py:
+  169-175, and letterbox_image, apphelper/image.py:141-157).
+* **stubbed**: audio/video codecs are absent, so frame sampling and
+  audio features run against a clearly-marked deterministic fake
+  (`_fake_*`); the Spark plumbing (schema, batch iteration, per-row
+  isolation) is identical to what a real pyav/librosa decode would use
+  and is what the tests pin down.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import _default_partitions
+
+THUMB_MAX_SIDE = 64
+
+META_SCHEMA = (
+    "media_ref string, n_pages int, width int, height int, "
+    "n_bytes long, sha256 string"
+)
+THUMB_SCHEMA = (
+    "media_ref string, width int, height int, thumb_w int, thumb_h int, "
+    "thumb_mean double"
+)
+FRAME_SCHEMA = "media_ref string, frame_idx int, ts_ms long, frame_sha256 string"
+
+
+def encode_image(img: np.ndarray) -> bytes:
+    """ndarray -> npy bytes (the opaque binary payload)."""
+    buf = io.BytesIO()
+    np.save(buf, img, allow_pickle=False)
+    return buf.getvalue()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """npy bytes -> ndarray; raises on corrupt payloads (caller isolates)."""
+    return np.load(io.BytesIO(payload), allow_pickle=False)
+
+
+def resize_max_side(img: np.ndarray, max_side: int) -> np.ndarray:
+    """Nearest-neighbor resize so max(h, w) == max_side (aspect kept) —
+    the reference's downscale contract; no-op when already smaller."""
+    h, w = img.shape[:2]
+    m = max(h, w)
+    if m <= max_side:
+        return img
+    nh, nw = max(h * max_side // m, 1), max(w * max_side // m, 1)
+    yi = (np.arange(nh) * h // nh).clip(0, h - 1)
+    xi = (np.arange(nw) * w // nw).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+def media_binary(spark: SparkSession, sf_dir: str, mod: int = 20) -> DataFrame:
+    """A (media_ref, payload binary) table: first page of a deterministic
+    media_ref per sampled customer, payload = npy bytes."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    refs = cust.filter(k % mod == 0).select(
+        F.concat(
+            F.lit("img://m"), k.cast("string"), F.lit("/0#"),
+            F.when(k % 2 == 0, F.lit("crop")).otherwise(F.lit("page")),
+        ).alias("media_ref")
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.fixtures.render import render
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "payload": [
+                        encode_image(render(r)[0].image) for r in pdf["media_ref"]
+                    ],
+                }
+            )
+
+    return refs.repartition(_default_partitions(spark)).mapInPandas(
+        _encode, schema="media_ref string, payload binary"
+    )
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the binary payloads and emit typed metadata — the canonical
+    'image column' scan stage."""
+    binary = media_binary(spark, sf_dir)
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                rows.append(
+                    (
+                        ref,
+                        1,
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        len(payload),
+                        hashlib.sha256(bytes(payload)).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "n_pages", "width", "height", "n_bytes", "sha256",
+                ],
+            )
+
+    return (
+        binary.mapInPandas(_meta, schema=META_SCHEMA)
+        .repartition(1)
+        .sortWithinPartitions("media_ref")
+    )
+
+
+def media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> resize (real numpy) -> emit thumbnail stats."""
+    binary = media_binary(spark, sf_dir)
+
+    def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                th = resize_max_side(img, THUMB_MAX_SIDE)
+                rows.append(
+                    (
+                        ref,
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(th.shape[1]),
+                        int(th.shape[0]),
+                        round(float(th.mean()), 4),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "width", "height", "thumb_w", "thumb_h",
+                    "thumb_mean",
+                ],
+            )
+
+    return (
+        binary.mapInPandas(_thumb, schema=THUMB_SCHEMA)
+        .repartition(1)
+        .sortWithinPartitions("media_ref")
+    )
+
+
+# --------------------------------------------------------------------------
+# stubbed codecs (no audio/video libraries in this container)
+# --------------------------------------------------------------------------
+
+
+def _fake_frame(media_ref: str, idx: int) -> bytes:
+    """Deterministic stand-in for a decoded video frame."""
+    return hashlib.sha256(f"frame:{media_ref}:{idx}".encode()).digest()
+
+
+def decode_video_frames(payload: bytes, every_ms: int):  # pragma: no cover
+    """Real video decode would go here (pyav); absent in this container."""
+    raise NotImplementedError(
+        "video codecs unavailable in this environment; frame_sample uses a "
+        "deterministic fake keyed by media_ref"
+    )
+
+
+def frame_sample(
+    spark: SparkSession, sf_dir: str, every_ms: int = 1000, n_frames: int = 4
+) -> DataFrame:
+    """Video frame sampling: one input row -> n frame rows (flatMap shape,
+    like the PDF page explode, reference obj_det/objd_util.py:95-111).
+    Frame *content* is the deterministic fake; the plumbing (schema,
+    1->N emission, batch iteration) is the real contract."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    refs = cust.filter(k % 50 == 0).select(
+        F.concat(F.lit("vid://"), k.cast("string")).alias("media_ref")
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                for i in range(n_frames):
+                    rows.append(
+                        (
+                            ref,
+                            i,
+                            i * every_ms,
+                            _fake_frame(ref, i).hex(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "frame_idx", "ts_ms", "frame_sha256"],
+            )
+
+    return (
+        refs.repartition(_default_partitions(spark))
+        .mapInPandas(_sample, schema=FRAME_SCHEMA)
+        .repartition(1)
+        .sortWithinPartitions("media_ref", "frame_idx")
+    )

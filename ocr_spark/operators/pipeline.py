@@ -41,22 +41,31 @@ OUT_SCHEMA = (
     f"spans array<struct<{SPAN_FIELDS}>>, "
     "success boolean, message string, n_media int"
 )
-_MEDIA_OCR_SCHEMA = "doc_id string, offset int, media_ref string, text string, error string"
+_SPAN_OCR_SCHEMA = (
+    "doc_id string, kind string, text string, media_ref string, "
+    "offset int, error string"
+)
 
 
-def _ocr_media_batches(
+def _ocr_span_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel for exploded mode: one row per media span in,
-    recognized text out.  Per-row failure isolation via the error column
-    (reference fapi.py:255-263)."""
+    """mapInPandas kernel for exploded mode: one row per span in; media
+    spans get recognized text, text spans pass through untouched.  Per-row
+    failure isolation via the error column (reference fapi.py:255-263)."""
     # kernels import once per python worker (executor-global singleton)
     from ocr_spark.core.extract import ocr_media_ref
 
     for pdf in batches:
         texts: list[str] = []
         errors: list[str] = []
-        for ref in pdf["media_ref"]:
+        for kind, text, ref in zip(
+            pdf["kind"], pdf["text"], pdf["media_ref"]
+        ):
+            if kind != "media":
+                texts.append(text)
+                errors.append("")
+                continue
             try:
                 texts.append(ocr_media_ref(ref))
                 errors.append("")
@@ -66,9 +75,10 @@ def _ocr_media_batches(
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "offset": pdf["offset"],
-                "media_ref": pdf["media_ref"],
+                "kind": pdf["kind"],
                 "text": texts,
+                "media_ref": pdf["media_ref"],
+                "offset": pdf["offset"],
                 "error": errors,
             }
         )
@@ -116,25 +126,20 @@ def extract_documents(
     if mode != "exploded":
         raise ValueError(f"unknown mode: {mode}")
 
+    # ONE scan: explode every span, round-robin repartition, and run a
+    # single kernel that OCRs media rows and passes text rows through.
+    # (Splitting media/text into two branches would scan the source table
+    # twice — a full extra 100 TB read at target scale — for the marginal
+    # saving of not moving text spans through Arrow once.)  Round-robin is
+    # the optimal salt for the per-media-row work: no key -> no skew by
+    # construction; a heavy 500-media document spreads over the cluster
+    # instead of serializing one task.
     ex = df.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
     )
-    media = ex.filter(F.col("kind") == "media")
-    text = ex.filter(F.col("kind") != "media").withColumn("error", F.lit(""))
-
-    # Round-robin repartition: per-media-row work is near-uniform, so plain
-    # round-robin is the optimal salt (no key -> no skew by construction).
-    ocred = (
-        media.select("doc_id", "offset", "media_ref")
-        .repartition(partitions)
-        .mapInPandas(_ocr_media_batches, schema=_MEDIA_OCR_SCHEMA)
-        .withColumn("kind", F.lit("media"))
-        .select("doc_id", "kind", "text", "media_ref", "offset", "error")
+    all_spans = ex.repartition(partitions).mapInPandas(
+        _ocr_span_batches, schema=_SPAN_OCR_SCHEMA
     )
-
-    all_spans = text.select(
-        "doc_id", "kind", "text", "media_ref", "offset", "error"
-    ).unionByName(ocred)
 
     # Reassembly: offset-first struct so array_sort restores span order,
     # then project back to the reference field order.

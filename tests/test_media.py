@@ -1,0 +1,70 @@
+"""Multimodal media plumbing: binary roundtrip, resize contract, 1->N
+frame sampling, and decode failure isolation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.fixtures.render import render
+from ocr_spark.operators.media import (
+    THUMB_MAX_SIDE,
+    decode_image,
+    decode_video_frames,
+    encode_image,
+    resize_max_side,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_binary_roundtrip():
+    img = render("img://t/0#page")[0].image
+    assert np.array_equal(decode_image(encode_image(img)), img)
+
+
+def test_resize_contract():
+    img = np.arange(200 * 120 * 3, dtype=np.uint8).reshape(200, 120, 3)
+    th = resize_max_side(img, 64)
+    assert max(th.shape[:2]) == 64
+    assert th.shape[0] == 64 and th.shape[1] == 38  # aspect kept
+    small = np.zeros((10, 20, 3), np.uint8)
+    assert resize_max_side(small, 64) is small  # no upscale
+
+
+def test_video_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_video_frames(b"x", 1000)
+
+
+def test_media_metadata_spark(spark):
+    from ocr_spark.operators.media import media_metadata
+
+    rows = media_metadata(spark, SF).collect()
+    assert rows, "sampled refs empty"
+    for r in rows:
+        page = render(r["media_ref"])[0].image
+        assert (r["height"], r["width"]) == page.shape[:2]
+        assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+
+
+def test_media_thumbnails_spark(spark):
+    from ocr_spark.operators.media import media_thumbnails
+
+    for r in media_thumbnails(spark, SF).collect():
+        assert max(r["thumb_w"], r["thumb_h"]) <= THUMB_MAX_SIDE
+        assert 0.0 <= r["thumb_mean"] <= 255.0
+
+
+def test_frame_sample_spark(spark):
+    from ocr_spark.operators.media import frame_sample
+
+    rows = frame_sample(spark, SF).collect()
+    refs = {r["media_ref"] for r in rows}
+    assert rows and len(rows) == 4 * len(refs)
+    by_ref = [r for r in rows if r["media_ref"] == sorted(refs)[0]]
+    assert [r["frame_idx"] for r in by_ref] == [0, 1, 2, 3]
+    assert [r["ts_ms"] for r in by_ref] == [0, 1000, 2000, 3000]
+    # deterministic fake: same ref+idx -> same digest across runs
+    rows2 = frame_sample(spark, SF).collect()
+    assert rows == rows2
