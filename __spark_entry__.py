@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- span algebra (SQL twins of the pipeline's span handling) --
         "span_explode": spans.span_explode,
         "span_splice": spans.span_splice,
+        "pdf_page_explode": spans.pdf_page_explode,
         "row_cluster": spans.row_cluster,
         "reading_order_rank": spans.reading_order_rank,
         "line_merge": spans.line_merge,
@@ -150,6 +151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": text_analysis.quality_score,
         "lang_id": text_analysis.lang_id,
         "fingerprint": text_analysis.fingerprint,
+        # -- container sources --
+        "ofd_extract": _q_ofd,
         # -- multimodal media plumbing (rows-only: pixel metadata is not
         # SQL-derivable; contracts pinned by tests/test_media.py) --
         "media_metadata": media.media_metadata,
@@ -330,6 +333,12 @@ def _norm_chinese_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_custkey", N.get_chinese_amount(s).alias("amount")
     ).orderBy("c_custkey")
+
+
+def _q_ofd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.sources.ofd import ofd_extract
+
+    return ofd_extract(spark, sf_dir)
 
 
 def _norm_addr_bank_input(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,6 +911,26 @@ select doc_id, md5(text) as digest,
        list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
                                i -> md5(text[i:i+7]))) as min_shingle_md5
 from documents order by doc_id
+""",
+        # -- container sources / pdf lineage --
+        "ofd_extract": """
+select o_orderkey,
+       lpad((o_orderkey % 1000000000000)::varchar, 12, '0') as InvoiceCode,
+       lpad((o_custkey % 100000000)::varchar, 8, '0') as InvoiceNo,
+       printf('%.2f', round(o_totalprice, 2)) as TotalAmount,
+       strftime(o_orderdate, '%Y-%m-%d') as IssueDate,
+       'buyer-' || o_custkey::varchar as Buyer,
+       'seller-' || (o_orderkey % 97)::varchar as Seller
+from orders where o_orderkey % 100 = 0 order by o_orderkey
+""",
+        "pdf_page_explode": """
+with refs as (
+  select 'pdf://o' || o_orderkey::varchar || '/0#' || (o_orderkey % 3 + 2)::varchar as media_ref,
+         (o_orderkey % 3 + 2) as n_pages
+  from orders where o_orderkey % 20 = 0
+)
+select media_ref, unnest(range(0, n_pages))::int as page_idx, n_pages::int as n_pages
+from refs order by media_ref, page_idx
 """,
         # -- table structure --
         "table_cells": """

@@ -80,6 +80,33 @@ def span_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pdf_page_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF multi-page lineage (reference obj_det/objd_util.py:95-111: one
+    PDF -> N rasterized page rows): parse the page count from the
+    ``pdf://...#{n}`` ref grammar and emit one row per page via
+    posexplode — the flatMap shape the pipeline kernel applies when it
+    renders pdf:// media (fixtures/render.py)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") % 20 == 0
+    )
+    k = F.col("o_orderkey")
+    ref = F.concat(
+        F.lit("pdf://o"), k.cast("string"), F.lit("/0#"),
+        (k % 3 + 2).cast("string"),
+    )
+    refs = orders.select(ref.alias("media_ref"))
+    n = F.regexp_extract("media_ref", r"#(\d+)$", 1).cast("int")
+    return (
+        refs.select(
+            "media_ref",
+            n.alias("n_pages"),
+            F.posexplode(F.sequence(F.lit(0), n - 1)).alias("page_idx", "_p"),
+        )
+        .select("media_ref", "page_idx", "n_pages")
+        .orderBy("media_ref", "page_idx")
+    )
+
+
 def synth_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic box layouts derived from events (FIXTURES.md §4 shape):
     pseudo-random but engine-portable x/y from arithmetic on event_id."""
