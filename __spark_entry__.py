@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_extract_bank": _norm_extract_bank,
         # -- reference QR field parse (pure SQL) --
         "qr_payload_parse": relational.qr_payload_parse,
+        "qr_stock_parse": relational.qr_stock_parse,
         # -- dedup family --
         "dedup_exact": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
@@ -161,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- table structure (row x col interval geometry) --
         "table_cells": table.table_cells,
         "table_det_assign": table.table_det_assign,
+        "table_html": table.table_html,
         # -- relational breadth --
         "pricing_summary": relational.pricing_summary,
         "top_orders_per_segment": relational.top_orders_per_segment,
@@ -911,6 +913,50 @@ select doc_id, md5(text) as digest,
        list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
                                i -> md5(text[i:i+7]))) as min_shingle_md5
 from documents order by doc_id
+""",
+        "qr_stock_parse": """
+with qr as (
+  select s_suppkey,
+         'dh:D' || (s_suppkey * 7 % 1000000)::varchar || ' ' ||
+         lpad((s_suppkey * 11 % 100000000000)::varchar,
+              case when s_suppkey % 2 = 0 then 11 else 12 end, '0') || ' ' ||
+         'way:a/b' || (s_suppkey % 9)::varchar as payload
+  from supplier
+), t as (
+  select s_suppkey, string_split(payload, ' ') as toks from qr
+), p as (
+  select s_suppkey,
+         list_filter(toks, x -> position(':' in x) > 0) as kv,
+         list_filter(toks, x -> position(':' in x) = 0
+                           and regexp_matches(x, '^[0-9]+$')) as digits
+  from t
+)
+select s_suppkey,
+       coalesce(replace(substr(list_filter(kv, x -> x like 'dh:%')[1], 4), '/', '、'), '') as doc_number,
+       coalesce(list_filter(digits, x -> length(x) = 11)[1], '') as invoice_number,
+       coalesce(list_filter(digits, x -> length(x) = 12)[1], '') as invoice_code,
+       coalesce(replace(substr(list_filter(kv, x -> x like 'way:%')[1], 5), '/', '、'), '') as rk_way
+from p order by s_suppkey
+""",
+        "table_html": """
+with tables as (
+  select distinct event_id % 40 as table_id from events
+), rs as (
+  select table_id, unnest(range(0, table_id % 4 + 3)) as row from tables
+), cs as (
+  select table_id, unnest(range(0, table_id % 5 + 3)) as col from tables
+), cells as (
+  select r.table_id, r.row, c.col,
+         r.row::varchar || '-' || c.col::varchar as cell_text
+  from rs r join cs c on r.table_id = c.table_id
+), rows_html as (
+  select table_id, row,
+         '<tr>' || string_agg('<td>' || cell_text || '</td>', '' order by col) || '</tr>' as row_html
+  from cells group by table_id, row
+)
+select table_id,
+       '<table>' || string_agg(row_html, '' order by row) || '</table>' as html
+from rows_html group by table_id order by table_id
 """,
         # -- container sources / pdf lineage --
         "ofd_extract": """

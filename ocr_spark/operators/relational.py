@@ -85,6 +85,46 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qr_stock_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock QR payload parse (reference util/tool.py:339-350): space-split
+    k:v pairs; bare 11/12-digit tokens route to invoice_number vs code by
+    length; '/' in values becomes '、'."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("s_suppkey")
+    payload = F.concat_ws(
+        " ",
+        F.concat(F.lit("dh:D"), (k * 7 % 10**6).cast("string")),
+        F.lpad((k * 11 % 10**11).cast("string"),
+               F.when(k % 2 == 0, 11).otherwise(12), "0"),
+        F.concat(F.lit("way:a/b"), (k % 9).cast("string")),
+    )
+    df = sup.select("s_suppkey", payload.alias("qr"))
+    toks = F.split(F.col("qr"), " ")
+    kv = F.filter(toks, lambda t: F.instr(t, ":") > 0)
+    bare = F.filter(toks, lambda t: F.instr(t, ":") == 0)
+    digits = F.filter(bare, lambda t: t.rlike("^[0-9]+$"))
+    eleven = F.try_element_at(
+        F.filter(digits, lambda t: F.length(t) == 11), F.lit(1)
+    )
+    twelve = F.try_element_at(
+        F.filter(digits, lambda t: F.length(t) == 12), F.lit(1)
+    )
+    def val_of(key: str):
+        m = F.try_element_at(
+            F.filter(kv, lambda t: t.startswith(key + ":")), F.lit(1)
+        )
+        return F.replace(
+            F.substring(m, len(key) + 2, 2147483640), F.lit("/"), F.lit("、")
+        )
+    return df.select(
+        "s_suppkey",
+        F.coalesce(val_of("dh"), F.lit("")).alias("doc_number"),
+        F.coalesce(eleven, F.lit("")).alias("invoice_number"),
+        F.coalesce(twelve, F.lit("")).alias("invoice_code"),
+        F.coalesce(val_of("way"), F.lit("")).alias("rk_way"),
+    ).orderBy("s_suppkey")
+
+
 def qr_payload_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VAT QR payload parse (reference util/tool.py:321-336) as pure SQL
     over payload strings synthesized from orders: CSV split + slot routing

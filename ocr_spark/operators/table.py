@@ -69,6 +69,44 @@ def table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_id", "row", "col")
 
 
+def table_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows -> HTML render (reference _convert_rows_to_html,
+    obj_det/ocr_context.py:330-357): cell texts joined into
+    <table><tr><td> markup, entirely with collect_list/array_join."""
+    cells = table_cells(spark, sf_dir).select(
+        "table_id", "row", "col",
+        F.concat_ws("-", "row", "col").alias("cell_text"),
+    )
+    rows = cells.groupBy("table_id", "row").agg(
+        F.concat(
+            F.lit("<tr>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("col", "cell_text"))),
+                    lambda s: F.concat(
+                        F.lit("<td>"), s["cell_text"], F.lit("</td>")
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</tr>"),
+        ).alias("row_html")
+    )
+    return rows.groupBy("table_id").agg(
+        F.concat(
+            F.lit("<table>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("row", "row_html"))),
+                    lambda s: s["row_html"],
+                ),
+                "",
+            ),
+            F.lit("</table>"),
+        ).alias("html")
+    ).orderBy("table_id")
+
+
 def table_det_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign point detections to their containing (row, col) strip — the
     _classify_detections interval-intersection as a co-partitioned range
