@@ -740,6 +740,19 @@ select o_orderkey,
        strftime(o_orderdate, '%Y年%m月%d日') as billing_date
 from orders order by o_orderkey
 """,
+        # the synthesized 大写 inputs are fully regular (万仟佰拾元角分 with
+        # digit d(e) = e%9+1), so the expected parse is directly computable:
+        # a true oracle for the stateful pandas-UDF scan.
+        "norm_chinese_amount": """
+select c_custkey,
+       printf('¥ %.2f',
+         (c_custkey % 9 + 1) * 10000 + ((c_custkey + 1) % 9 + 1) * 1000
+         + ((c_custkey + 2) % 9 + 1) * 100 + ((c_custkey + 3) % 9 + 1) * 10
+         + ((c_custkey + 4) % 9 + 1)
+         + ((c_custkey + 5) % 9 + 1) * 0.1 + ((c_custkey + 6) % 9 + 1) * 0.01
+       ) as amount
+from customer order by c_custkey
+""",
         "norm_get_tax": f"""
 with inp as ({_NORM_AB_INPUT_SQL})
 select c_custkey,
