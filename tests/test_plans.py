@@ -1,0 +1,129 @@
+"""Physical-plan regression guards.
+
+The 100 TB properties of this engine live in plan SHAPE, not in local
+timings: one scan (not two), exactly the intended shuffles, filters
+pushed into the parquet scan, small dims broadcast, no nested-loop
+joins.  These tests pin those shapes via explain output so a refactor
+cannot silently regress them.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_spark.fixtures.corpus import build_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "c.parquet")
+    pq.write_table(build_corpus(30, seed=3), path)
+    return spark.read.parquet(path).select("doc_id", "spans")
+
+
+def test_flagship_single_scan_two_shuffles(corpus):
+    from ocr_spark.operators.pipeline import extract_documents
+
+    df = extract_documents(corpus, mode="exploded")
+    tree = plan_of(df, "simple")  # each node printed once
+    assert tree.count("Scan parquet") == 1, "exploded mode must scan once"
+    assert tree.count("Exchange") == 2, (
+        "exactly two shuffles: round-robin salt + doc_id regroup"
+    )
+    assert "MapInPandas" in tree
+    assert "PushedFilters" in plan_of(df, "formatted")
+
+
+def test_fused_zero_extra_shuffles(corpus):
+    from ocr_spark.operators.pipeline import extract_documents
+
+    tree = plan_of(extract_documents(corpus, mode="fused"), "simple")
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 1  # only the skew repartition
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    from ocr_spark.operators.relational import pricing_summary
+
+    plan = plan_of(pricing_summary(spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed"
+    assert "partial_sum" in plan, "map-side partial aggregation missing"
+    # column pruning: only the 5 needed lineitem columns reach the scan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_top_orders_broadcasts_customer(spark):
+    from ocr_spark.operators.relational import top_orders_per_segment
+
+    plan = plan_of(top_orders_per_segment(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_table_det_assign_no_nested_loop(spark):
+    from ocr_spark.operators.table import table_det_assign
+
+    plan = plan_of(table_det_assign(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_partial_min_before_shuffle(spark):
+    from ocr_spark.operators.dedup import minhash_signatures
+
+    plan = plan_of(minhash_signatures(spark, SF))
+    assert "partial_min" in plan, (
+        "minhash must combine map-side: shuffle O(docs), not O(shingles)"
+    )
+
+
+def test_fields_barrier_prevents_collapse(spark):
+    from ocr_spark.operators.fields import extract_invoice_fields
+
+    refs = spark.createDataFrame([("inv://p0#vat",)], "media_ref string")
+    tree = plan_of(extract_invoice_fields(refs), "simple")
+    # two python map stages: the OCR kernel and the identity barrier
+    assert tree.count("MapInPandas") == 2
+    # composite layer stays thin: tax arithmetic must appear once, not be
+    # re-inlined into every reference of the base amount expressions
+    assert tree.count("ArrowEvalPython") >= 1
+
+
+def test_round_robin_spreads_heavy_doc(spark):
+    """Skew evidence: a 200-media document's rows land on many partitions
+    after the round-robin salt (the fused alternative would serialize it
+    on one task)."""
+    from pyspark.sql import functions as F
+
+    spans = [
+        {"kind": "media", "text": "", "media_ref": f"img://h/{i}#crop",
+         "offset": i}
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        [("heavy", spans)],
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>",
+    )
+    ex = df.select("doc_id", F.explode("spans").alias("s")).repartition(16)
+    spread = (
+        ex.withColumn("pid", F.spark_partition_id())
+        .groupBy("doc_id")
+        .agg(F.countDistinct("pid").alias("n_parts"))
+        .collect()[0]["n_parts"]
+    )
+    assert spread == 16
