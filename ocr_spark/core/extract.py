@@ -31,18 +31,33 @@ def ocr_page_rows(img: np.ndarray) -> tuple[list[str], float]:
     perfect score, which is the common case, like the reference's
     first-gate-wins detector chain (objd_util.py:160-186).
     """
+    # Seal removal + binarization commute with 90-degree rotation, so the
+    # ink mask is computed ONCE and rotated per orientation (the reference
+    # re-runs preprocessing per rotate() call; this is the columnar-friendly
+    # equivalent at 1/4 the preprocessing cost for rotated pages).
+    gray = detect.remove_seal_to_gray(img)
+    ink0 = detect.binarize(gray)
+    if not ink0.any():
+        return [], 0.0
+
     best_rows: list[str] = []
     best_conf = -1.0
     for k in (0, 1, 2, 3):
-        page = np.rot90(img, -k) if k else img
-        gray = detect.remove_seal_to_gray(page)
-        ink = detect.binarize(gray)
-        if not ink.any():
-            if best_conf < 0.0:
-                best_rows, best_conf = [], 0.0
-            continue
+        ink = np.rot90(ink0, -k) if k else ink0
         scale = detect.estimate_unit_scale(ink)
         boxes = detect.detect_lines(ink, scale)
+        if not boxes:
+            continue
+        # Cheap orientation probe: recognize up to 3 boxes; a wrong
+        # orientation scores ~0 without paying full-page recognition
+        # (the classical stand-in for the reference's angle classifier
+        # keeping its batched shape, obj_det/v1/opencv_dnn_detect.py:64-122).
+        probe_texts, probe_confs = recognize_batch(
+            [b.bitmap for b in boxes[:3]]
+        )
+        probe = float(np.mean(probe_confs)) if probe_confs else 0.0
+        if probe <= best_conf and probe < 1.0:
+            continue
         texts, confs = recognize_batch([b.bitmap for b in boxes])
         conf = float(np.mean(confs)) if confs else 0.0
         if conf > best_conf:

@@ -61,6 +61,30 @@ def recognize_batch(bitmaps: list[np.ndarray]) -> tuple[list[str], list[float]]:
     if not keep:
         return texts, confs
 
+    # Sort by width and process in width-homogeneous sub-batches: each
+    # sub-batch pads only to ITS max width, so short lines don't pay for
+    # the longest line's padding — the reference's aspect-ratio-sort
+    # batching trick (tools/infer/predict_cls.py:80-86). Positional
+    # results map back through the original indices (the index-map
+    # isolation of ocr_context.py:239-266).
+    keep.sort(key=lambda i: bitmaps[i].shape[1])
+    for start in range(0, len(keep), _SUB_BATCH):
+        sub = keep[start : start + _SUB_BATCH]
+        _recognize_padded(bitmaps, sub, texts, confs)
+    return texts, confs
+
+
+_SUB_BATCH = 64  # sub-batch size (reference OCR_BATCH_SIZE family of knobs)
+
+
+def _recognize_padded(
+    bitmaps: list[np.ndarray],
+    keep: list[int],
+    texts: list[str],
+    confs: list[float],
+) -> None:
+    """Recognize one width-sorted sub-batch in a single padded tensor,
+    writing results into texts/confs at the original positions."""
     widths = [bitmaps[i].shape[1] for i in keep]
     w_max = max(widths)
     # pad to (N, 7, Wmax) — the reference's max-width zero-padded batch
@@ -70,7 +94,7 @@ def recognize_batch(bitmaps: list[np.ndarray]) -> tuple[list[str], list[float]]:
         batch[row, :, : widths[row]] = bitmaps[i]
 
     if w_max < GLYPH_W:
-        return texts, confs
+        return
     # all windows: (N, T, 7, 5) -> flatten -> hamming vs all templates in
     # one einsum (XOR popcount = a.pop + t.pop - 2*a@t).
     wins = sliding_window_view(batch, (GLYPH_H, GLYPH_W), axis=(1, 2))[
@@ -95,4 +119,3 @@ def recognize_batch(bitmaps: list[np.ndarray]) -> tuple[list[str], list[float]]:
         confs[i] = (
             min(len(text), n_cells) / n_cells if n_cells > 0 else 0.0
         )
-    return texts, confs
