@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_get_date": _norm_get_date,
         "norm_chinese_amount": _norm_chinese_amount,
         "norm_get_tax": _norm_get_tax,
+        "norm_reconcile": _norm_reconcile,
         "norm_extract_addr": _norm_extract_addr,
         "norm_extract_bank": _norm_extract_bank,
         # -- reference QR field parse (pure SQL) --
@@ -373,6 +374,27 @@ select c_custkey,
        'tax ' || (c_custkey % 17)::varchar || '%x' || (c_custkey % 7)::varchar || 'abc' as s_tax
 from customer
 """
+
+
+def _norm_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-field reconciliation (vat_detect.py:110-130) over
+    candidates of varying lengths derived from customer keys."""
+    from ocr_spark.functions import normalizers as N
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    digits = F.repeat(F.lit("1234567890"), 3)
+
+    def cand(length):
+        return F.substring(digits, 1, length)
+
+    c1, c2 = cand((k % 4 + 10).cast("int")), cand((k % 3 + 11).cast("int"))
+    n1, n2 = cand((k % 3 + 7).cast("int")), cand((k % 4 + 6).cast("int"))
+    return cust.select(
+        "c_custkey",
+        N.reconcile_invoice_code(c1, c2).alias("invoice_code"),
+        N.reconcile_invoice_number(n1, n2).alias("invoice_number"),
+    ).orderBy("c_custkey")
 
 
 def _norm_get_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,6 +774,24 @@ select c_custkey,
          + ((c_custkey + 5) % 9 + 1) * 0.1 + ((c_custkey + 6) % 9 + 1) * 0.01
        ) as amount
 from customer order by c_custkey
+""",
+        "norm_reconcile": """
+with c as (
+  select c_custkey,
+         substr(repeat('1234567890', 3), 1, (c_custkey % 4 + 10)::int) as c1,
+         substr(repeat('1234567890', 3), 1, (c_custkey % 3 + 11)::int) as c2,
+         substr(repeat('1234567890', 3), 1, (c_custkey % 3 + 7)::int) as n1,
+         substr(repeat('1234567890', 3), 1, (c_custkey % 4 + 6)::int) as n2
+  from customer
+)
+select c_custkey,
+       case when c1 <> c2 and ((length(c1) <> 12 and length(c2) = 12)
+                               or length(c1) < length(c2))
+            then c2 else c1 end as invoice_code,
+       case when n1 <> n2 and length(n1) <> 8
+                 and (length(n2) = 8 or length(n2) > length(n1))
+            then n2 else n1 end as invoice_number
+from c order by c_custkey
 """,
         "norm_get_tax": f"""
 with inp as ({_NORM_AB_INPUT_SQL})

@@ -25,6 +25,12 @@ from numpy.lib.stride_tricks import sliding_window_view
 from ..fixtures.glyphs import ADVANCE, BLANK, CLASS_TO_CHAR, GLYPH_H, GLYPH_W, TEMPLATES
 
 _STRIDE = ADVANCE // 2  # 3: two timesteps per glyph cell
+# Noise tolerance: a window decodes to its nearest template when within
+# NOISE_TAU flipped bits, else blank.  Safe because the font's margins
+# (pinned by tests/test_glyphs.py) satisfy BOTH
+#   min pairwise template hamming (6) >= 2*NOISE_TAU + 2  (unique nearest)
+#   min straddle-window distance  (4) >  NOISE_TAU        (CTC blanks hold)
+NOISE_TAU = 2
 # (n_classes, 35) template matrix for one-matmul hamming distance.
 _TMPL_FLAT = TEMPLATES.reshape(TEMPLATES.shape[0], -1).astype(np.int16)
 _TMPL_POP = _TMPL_FLAT.sum(axis=1)  # ink bits per template
@@ -104,9 +110,9 @@ def _recognize_padded(
     flat = wins.reshape(n * t, GLYPH_H * GLYPH_W).astype(np.int16)
     inter = flat @ _TMPL_FLAT.T  # (N*T, C)
     dist = flat.sum(axis=1, keepdims=True) + _TMPL_POP[None, :] - 2 * inter
-    dist[:, BLANK] = 1  # blank never wins an exact match
+    dist[:, BLANK] = NOISE_TAU + 1  # blank never wins within tolerance
     best = dist.argmin(axis=1)
-    best[dist.min(axis=1) > 0] = BLANK  # no exact template match -> blank
+    best[dist.min(axis=1) > NOISE_TAU] = BLANK  # too far from any glyph
     preds = best.reshape(n, t)
 
     for row, i in enumerate(keep):

@@ -170,7 +170,8 @@ def _rasterize(
     ink = np.zeros((height, width), dtype=bool)
     for ln in lines:
         mask = glyphs.render_text_line(ln.text)
-        mask = np.kron(mask, np.ones((scale, scale), dtype=bool))
+        if scale > 1:  # exact kron-with-ones upsampling, ~10x faster
+            mask = mask.repeat(scale, axis=0).repeat(scale, axis=1)
         ink[ln.y : ln.y + mask.shape[0], ln.x : ln.x + mask.shape[1]] |= mask
 
     img = np.full((height, width, 3), 255, dtype=np.uint8)

@@ -232,6 +232,27 @@ def judge_invoice_type(title: Column, check_code: Column) -> Column:
     )
 
 
+def reconcile_invoice_code(c1: Column, c2: Column) -> Column:
+    """obj_det/vat_detect.py:110-130 (invoice_code half): prefer the
+    12-length candidate, else the longer."""
+    use2 = (c1 != c2) & (
+        ((F.length(c1) != 12) & (F.length(c2) == 12))
+        | (F.length(c1) < F.length(c2))
+    )
+    return F.when(use2, c2).otherwise(c1)
+
+
+def reconcile_invoice_number(n1: Column, n2: Column) -> Column:
+    """obj_det/vat_detect.py:110-130 (invoice_number half): prefer the
+    8-length candidate, else the longer."""
+    use2 = (
+        (n1 != n2)
+        & (F.length(n1) != 8)
+        & ((F.length(n2) == 8) | (F.length(n2) > F.length(n1)))
+    )
+    return F.when(use2, n2).otherwise(n1)
+
+
 def tax_arithmetic(tax: Column, total: Column, with_tax: Column) -> Column:
     """obj_det/vat_detect.py:412-421: when OCR found no tax, derive it as
     total_amount - amount_with_tax from the '¥ x.xx' strings."""

@@ -65,3 +65,51 @@ def test_repeated_chars_survive_ctc():
 
     texts, _ = recognize_batch([glyphs.render_text_line("1122334455")])
     assert texts == ["1122334455"]
+
+
+def test_noise_tolerance_margins():
+    """The margins that make NOISE_TAU-tolerant decoding safe: unique
+    nearest template and straddle windows staying blank."""
+    import numpy as np
+
+    from ocr_spark.core.recognize import NOISE_TAU
+    from ocr_spark.fixtures.glyphs import (
+        ADVANCE, ALPHABET, GLYPH_H, GLYPH_W, GLYPHS,
+    )
+
+    T = np.stack([GLYPHS[c] for c in ALPHABET]).reshape(
+        len(ALPHABET), -1
+    ).astype(np.int16)
+    pair_d = (T[:, None, :] != T[None, :, :]).sum(axis=2)
+    iu = np.triu_indices(len(ALPHABET), 1)
+    assert pair_d[iu].min() >= 2 * NOISE_TAU + 2
+
+    worst = 99
+    for a in ALPHABET:
+        for b in ALPHABET:
+            pair = np.zeros((GLYPH_H, 2 * ADVANCE - 1), bool)
+            pair[:, :GLYPH_W] = GLYPHS[a]
+            pair[:, ADVANCE : ADVANCE + GLYPH_W] = GLYPHS[b]
+            w = pair[:, 3 : 3 + GLYPH_W].reshape(-1).astype(np.int16)
+            worst = min(worst, int(np.abs(w[None, :] - T).sum(axis=1).min()))
+    assert worst > NOISE_TAU
+
+
+def test_recognize_tolerates_bit_noise():
+    """Flipping up to NOISE_TAU bits inside one glyph window must not
+    change the decode (CRNN-robustness stand-in)."""
+    import numpy as np
+
+    from ocr_spark.core.recognize import NOISE_TAU, recognize_batch
+    from ocr_spark.fixtures.glyphs import render_text_line
+
+    rng = np.random.default_rng(0)
+    for text in ["¥123.45", "2024年01月", "spark", "壹万贰仟"]:
+        clean = render_text_line(text)
+        noisy = clean.copy()
+        # flip NOISE_TAU bits inside the first glyph's 7x5 window
+        for _ in range(NOISE_TAU):
+            y, x = int(rng.integers(0, 7)), int(rng.integers(0, 5))
+            noisy[y, x] = ~noisy[y, x]
+        texts, confs = recognize_batch([noisy])
+        assert texts == [text]

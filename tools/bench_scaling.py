@@ -24,7 +24,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_at(cpus: int, sf_dir: str) -> dict:
+def run_at(cpus: int, sf_dir: str, repeat: int = 2) -> dict:
     # 6000 docs (~38k media spans) keeps even the 4N run compute-bound
     # (fixed job overhead <10% of wall), so the ratio measures the job's
     # scaling rather than constant scheduler/startup cost.
@@ -36,7 +36,7 @@ def run_at(cpus: int, sf_dir: str) -> dict:
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--only",
-         "ocr_extract_exploded", "--repeat", "3"],
+         "ocr_extract_exploded", "--repeat", str(repeat)],
         env=env, capture_output=True, text=True, cwd=REPO, check=True,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -52,8 +52,15 @@ def main() -> int:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    lo = run_at(n, sf_dir)
-    hi = run_at(4 * n, sf_dir)
+    # Interleave the two legs (N, 4N, N, 4N) and take per-leg minima: the
+    # sandbox VM has multi-minute slow phases, and a sequential harness
+    # lets one phase bias a single leg and corrupt the ratio.
+    lo_runs, hi_runs = [], []
+    for _ in range(2):
+        lo_runs.append(run_at(n, sf_dir))
+        hi_runs.append(run_at(4 * n, sf_dir))
+    lo = min(lo_runs, key=lambda r: r["queries"]["ocr_extract_exploded"])
+    hi = min(hi_runs, key=lambda r: r["queries"]["ocr_extract_exploded"])
     t_lo = lo["queries"]["ocr_extract_exploded"]
     t_hi = hi["queries"]["ocr_extract_exploded"]
     thr_lo = lo["docs_per_sec"]
