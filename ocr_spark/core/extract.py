@@ -21,7 +21,9 @@ from .reading_order import group_rows, sorted_boxes
 from .recognize import recognize_batch
 
 
-def ocr_page_rows(img: np.ndarray) -> tuple[list[str], float]:
+def ocr_page_rows(
+    img: np.ndarray, drop_score: float = 0.0
+) -> tuple[list[str], float]:
     """One page image -> (reading-ordered row texts, confidence).
 
     Angle classification: try the 4 cardinal orientations and keep the one
@@ -59,6 +61,14 @@ def ocr_page_rows(img: np.ndarray) -> tuple[list[str], float]:
         if probe <= best_conf and probe < 1.0:
             continue
         texts, confs = recognize_batch([b.bitmap for b in boxes])
+        # drop_score gate: discard low-confidence lines before the
+        # reading-order merge (reference predict_system.py:103-107,
+        # default 0.5 there; 0.0 here keeps every line).
+        if drop_score > 0.0:
+            kept = [j for j, s in enumerate(confs) if s >= drop_score]
+            boxes = [boxes[j] for j in kept]
+            texts = [texts[j] for j in kept]
+            confs = [confs[j] for j in kept]
         conf = float(np.mean(confs)) if confs else 0.0
         if conf > best_conf:
             xywh = [(b.x, b.y, b.w, b.h) for b in boxes]
