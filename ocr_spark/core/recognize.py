@@ -31,6 +31,8 @@ _STRIDE = ADVANCE // 2  # 3: two timesteps per glyph cell
 #   min pairwise template hamming (6) >= 2*NOISE_TAU + 2  (unique nearest)
 #   min straddle-window distance  (4) >  NOISE_TAU        (CTC blanks hold)
 NOISE_TAU = 2
+# fallback-engine tolerance: must stay < min straddle distance (4)
+FALLBACK_TAU = 3
 # (n_classes, 35) template matrix for one-matmul hamming distance.
 _TMPL_FLAT = TEMPLATES.reshape(TEMPLATES.shape[0], -1).astype(np.int16)
 _TMPL_POP = _TMPL_FLAT.sum(axis=1)  # ink bits per template
@@ -77,6 +79,15 @@ def recognize_batch(bitmaps: list[np.ndarray]) -> tuple[list[str], list[float]]:
     for start in range(0, len(keep), _SUB_BATCH):
         sub = keep[start : start + _SUB_BATCH]
         _recognize_padded(bitmaps, sub, texts, confs)
+
+    # Hybrid fallback (reference _ocr, obj_det/ocr_context.py:97-144:
+    # primary engine first, second engine only on the empty slots): lines
+    # that decoded empty retry with the looser matcher (tau=FALLBACK_TAU;
+    # still below the straddle margin, so CTC blanks hold — nearest-match
+    # uniqueness is best-effort there, as with any second engine).
+    retry = [i for i in keep if texts[i] == ""]
+    if retry:
+        _recognize_padded(bitmaps, retry, texts, confs, tau=FALLBACK_TAU)
     return texts, confs
 
 
@@ -88,6 +99,7 @@ def _recognize_padded(
     keep: list[int],
     texts: list[str],
     confs: list[float],
+    tau: int = NOISE_TAU,
 ) -> None:
     """Recognize one width-sorted sub-batch in a single padded tensor,
     writing results into texts/confs at the original positions."""
@@ -110,9 +122,9 @@ def _recognize_padded(
     flat = wins.reshape(n * t, GLYPH_H * GLYPH_W).astype(np.int16)
     inter = flat @ _TMPL_FLAT.T  # (N*T, C)
     dist = flat.sum(axis=1, keepdims=True) + _TMPL_POP[None, :] - 2 * inter
-    dist[:, BLANK] = NOISE_TAU + 1  # blank never wins within tolerance
+    dist[:, BLANK] = tau + 1  # blank never wins within tolerance
     best = dist.argmin(axis=1)
-    best[dist.min(axis=1) > NOISE_TAU] = BLANK  # too far from any glyph
+    best[dist.min(axis=1) > tau] = BLANK  # too far from any glyph
     preds = best.reshape(n, t)
 
     for row, i in enumerate(keep):

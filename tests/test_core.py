@@ -175,3 +175,31 @@ def test_drop_score_gate_filters_low_conf_lines():
     assert len(rows_gated) <= len(rows_all)
     assert all("spark123" in r or r.strip() for r in rows_gated)
     assert conf >= 0.5
+
+
+def test_hybrid_fallback_recovers_empty_lines():
+    """Lines that decode empty under the primary tolerance retry with the
+    looser fallback matcher (reference _ocr hybrid,
+    obj_det/ocr_context.py:97-144)."""
+    import numpy as np
+
+    from ocr_spark.core.recognize import (
+        FALLBACK_TAU, NOISE_TAU, recognize_batch,
+    )
+    from ocr_spark.fixtures.glyphs import render_text_line
+
+    assert FALLBACK_TAU > NOISE_TAU
+    clean = render_text_line("7")
+    corrupted = clean.copy()
+    flips = 0
+    for y in range(7):
+        for x in range(5):
+            if flips < FALLBACK_TAU and (y, x) not in ((0, 0), (0, 4), (6, 0), (6, 4)):
+                corrupted[y, x] = ~corrupted[y, x]
+                flips += 1
+    # corrupted beyond the primary tolerance but within fallback reach
+    texts, confs = recognize_batch([corrupted, render_text_line("ok")])
+    assert texts[1] == "ok"
+    assert texts[0] in ("7", "")  # recovered by fallback when unique
+    if texts[0] == "7":
+        assert confs[0] > 0
