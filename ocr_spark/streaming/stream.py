@@ -85,6 +85,78 @@ def stream_extract(
     return writer.start()
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Cross-micro-batch exact deduplication as a custom stateful operator
+    (``applyInPandasWithState``): the first document per content digest is
+    emitted, later arrivals — in the same batch or any future one — are
+    dropped.  State is one marker row per digest, persisted in the
+    streaming checkpoint, so dedup survives query restarts.
+
+    This is the streaming complement of operators/dedup.exact_dedup for
+    continuous corpus ingest (the reference has no streams; SURVEY.md
+    §2.7)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    keyed = src.withColumn("digest", F.md5("text"))
+
+    out_type = T.StructType(
+        [
+            T.StructField("digest", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    state_type = T.StructType([T.StructField("seen", T.IntegerType())])
+
+    def first_only(key, pdfs, state: GroupState):
+        if state.exists:
+            return  # digest already emitted in an earlier batch
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[:1]
+        if first is not None:
+            state.update((1,))
+            yield pd.DataFrame(
+                {
+                    "digest": [key[0]],
+                    "doc_id": first["doc_id"].tolist(),
+                    "text": first["text"].tolist(),
+                }
+            )
+
+    deduped = keyed.groupBy("digest").applyInPandasWithState(
+        first_only,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_event_counts(
     spark: SparkSession,
     input_dir: str,

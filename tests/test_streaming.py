@@ -118,3 +118,33 @@ def test_stream_extract_landing_cleanup(spark, landing, tmp_path):
     stream_extract(spark, landing, out, ckpt).awaitTermination(300)
     assert spark.read.parquet(out).count() == 23
     shutil.rmtree(ckpt)
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: later duplicates (same or later
+    micro-batch, across restarts) are dropped; state survives via the
+    checkpoint."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_spark.streaming.stream import stream_exact_dedup
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    out, ckpt = str(tmp_path / "dout"), str(tmp_path / "dckpt")
+
+    b1 = pd.DataFrame(
+        {"doc_id": ["a", "b", "b2"], "text": ["alpha", "beta", "beta"]}
+    )
+    pq.write_table(pa.Table.from_pandas(b1), f"{d}/b1.parquet")
+    stream_exact_dedup(spark, d, out, ckpt).awaitTermination(300)
+    got1 = {r["text"]: r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert set(got1) == {"alpha", "beta"}  # in-batch dup collapsed
+
+    # restart with a new file: one dup of 'beta', one new text
+    b2 = pd.DataFrame({"doc_id": ["b3", "c"], "text": ["beta", "gamma"]})
+    pq.write_table(pa.Table.from_pandas(b2), f"{d}/b2.parquet")
+    stream_exact_dedup(spark, d, out, ckpt).awaitTermination(300)
+    rows = spark.read.parquet(out).collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha", "beta", "gamma"]  # cross-restart dedup held
