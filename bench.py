@@ -73,8 +73,12 @@ def main() -> int:
         "lsh_near_dup",
         "simhash64",
         "ann_brute_topk",
+        "embedding_near_dup",
         "token_stats",
         "quality_score",
+        "table_det_assign",
+        "ofd_extract",
+        "media_thumbnails",
         "pricing_summary",
         "top_orders_per_segment",
         "sessionize_events",

@@ -58,6 +58,9 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
         )
         .config("spark.python.worker.reuse", "true")
+        # per-task worker forks pay full import cost otherwise — see
+        # ocr_spark/daemon.py (preloads numpy/pandas/pyarrow + kernels)
+        .config("spark.python.daemon.module", "ocr_spark.daemon")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
