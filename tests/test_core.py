@@ -203,3 +203,35 @@ def test_hybrid_fallback_recovers_empty_lines():
     assert texts[0] in ("7", "")  # recovered by fallback when unique
     if texts[0] == "7":
         assert confs[0] > 0
+
+
+def test_window_sql_clustering_agrees_with_numpy_on_fixture_layouts():
+    """The lag/sum window formulation (operators/spans.py row_cluster,
+    checked against DuckDB) and the numpy anchor-based group_rows used in
+    the OCR kernel are different algorithms; on fixture-distribution
+    layouts (row pitch > threshold + jitter, intra-row jitter < threshold)
+    they must produce identical row partitions."""
+    from ocr_spark.fixtures.render import _render_canonical
+
+    def lag_cluster(ys):
+        rows, row = [], [0]
+        for i in range(1, len(ys)):
+            if ys[i] - ys[i - 1] >= 10:
+                rows.append(row)
+                row = [i]
+            else:
+                row.append(i)
+        rows.append(row)
+        return rows
+
+    checked = 0
+    for i in range(120):
+        page = _render_canonical(f"agree-{i}", "page")
+        boxes = [(ln.x, ln.y, ln.w, ln.h) for ln in page.lines]
+        order = sorted_boxes(boxes)
+        numpy_rows = group_rows(boxes, order)
+        ys = sorted(boxes[j][1] for j in order)
+        sql_rows = lag_cluster(ys)
+        assert [len(r) for r in numpy_rows] == [len(r) for r in sql_rows], i
+        checked += 1
+    assert checked == 120
