@@ -29,8 +29,12 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", required=False)
     ap.add_argument("--output", required=True)
+    ap.add_argument(
+        "--status", action="store_true",
+        help="report chunk/lineage status of an existing run and exit",
+    )
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     ap.add_argument("--mode", default="exploded", choices=["exploded", "fused"])
     ap.add_argument("--n-chunks", type=int, default=64)
@@ -43,6 +47,27 @@ def main(argv: list[str] | None = None) -> int:
     from ocr_spark.operators.checkpoint import run_checkpointed
 
     spark = SparkSession.builder.appName("ocr-extract").getOrCreate()
+
+    if args.status:
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators.checkpoint import read_lineage
+
+        lineage = read_lineage(spark, args.output)
+        agg = lineage.agg(
+            F.count("*").alias("chunks_done"),
+            F.sum("doc_count").alias("docs"),
+            F.sum("media_count").alias("media"),
+            F.round(F.avg("throughput_docs_per_s"), 2).alias(
+                "avg_chunk_docs_per_s"
+            ),
+        ).collect()[0]
+        print(json.dumps({**agg.asDict(), "out_dir": args.output}))
+        spark.stop()
+        return 0
+
+    if not args.input:
+        ap.error("--input is required unless --status is given")
     if args.format == "iceberg":
         df = spark.read.format("iceberg").load(args.input)
     else:
