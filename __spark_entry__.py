@@ -608,7 +608,7 @@ with s as (
 )
 select doc_id,
        count(*) as n_spans,
-       sum(case when length(tok) % 3 = 0 then 1 else 0 end) as n_media,
+       sum(case when length(tok) % 3 = 0 then 1 else 0 end)::bigint as n_media,
        min(case when length(tok) % 3 = 0 then pos end) as first_media_pos
 from s group by doc_id order by doc_id
 """,
@@ -637,7 +637,7 @@ with boxes as (
 )
 select page_id, box_id, y,
        sum(new_row) over (partition by page_id order by y, box_id
-                          rows between unbounded preceding and current row) as row_id
+                          rows between unbounded preceding and current row)::bigint as row_id
 from g order by page_id, box_id
 """,
         "reading_order_rank": """
@@ -673,7 +673,7 @@ with boxes as (
 ), c as (
   select page_id, box_id, x,
          sum(new_row) over (partition by page_id order by y, box_id
-                            rows between unbounded preceding and current row) as row_id
+                            rows between unbounded preceding and current row)::bigint as row_id
   from g
 )
 select page_id, row_id,
@@ -1110,7 +1110,7 @@ with g as (
 ), s as (
   select user_id, event_id, value,
          sum(new_sess) over (partition by user_id order by ts, event_id
-                             rows between unbounded preceding and current row) as session_id
+                             rows between unbounded preceding and current row)::bigint as session_id
   from g
 )
 select user_id, session_id, count(*) as n_events,

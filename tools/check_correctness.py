@@ -26,6 +26,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        # Integral floats keep their ".0" so a DuckDB HUGEINT materialized
+        # as float64 can NOT silently equal a Spark bigint (the round-1
+        # dev-gate/driver-gate divergence: 3.0 vs 3 hashed differently in
+        # the driver but printed identically here under %.6g).
+        if v == int(v) and abs(v) < 1e15:
+            return repr(v)
         return f"{v:.6g}"
     return str(v)
 
