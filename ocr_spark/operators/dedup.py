@@ -199,10 +199,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     random-hyperplane LSH bucket (one shuffle on the bucket key), verified
     by exact cosine >= 0.4.  The embedding-space sibling of lsh_candidates;
     at corpus scale the bucket join touches ~1/2^N_PLANES of the pairs."""
-    from .similarity import _bucket_of, cosine
+    from .similarity import _bucket_of, _dot, _norm
 
+    # Norm is a per-row fact: compute it once BEFORE the self-join so each
+    # pair pays only the dot product (round-2 hoist; same float result).
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding", _bucket_of(F.col("embedding"))
+        "vec_id",
+        "embedding",
+        _bucket_of(F.col("embedding")),
+        _norm(F.col("embedding")).alias("nrm"),
     )
     a, b = emb.alias("a"), emb.alias("b")
     return (
@@ -214,12 +219,19 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias(
-                "cos"
-            ),
+            F.round(
+                _dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                4,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= 0.4)
-        .orderBy("vec_a", "vec_b")
+        # repartition(1)+sortWithinPartitions, not orderBy: a global sort's
+        # RangePartitioner sampling pass would execute the bucket join
+        # twice.  The surviving pair set is tiny (near-dups only), so one
+        # partition is the right shape even at corpus scale.
+        .repartition(1)
+        .sortWithinPartitions("vec_a", "vec_b")
     )
 
 

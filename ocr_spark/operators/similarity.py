@@ -11,9 +11,21 @@
 All arithmetic is native Spark SQL over arrays (zip_with/aggregate) —
 JVM-side, no Python.  Values are rounded before comparison because the
 oracle computes in a different engine.
+
+Scale notes (round-2 hoists):
+- Hyperplane components are md5-derived CONSTANTS; they are computed once
+  in Python at plan-build time and embedded as array literals.  The prior
+  form evaluated ~N_PLANES*dim md5+conv calls through interpreted HOF
+  lambdas PER ROW — pure waste that grows linearly with corpus size.
+- Norms are per-row facts; every consumer computes ``nrm`` once per row
+  before any join and pairs pay only the dot product.  (Same float result:
+  cosine = dot / (nrm_a * nrm_b) with identical evaluation order.)
 """
 
 from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,54 +53,31 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Generic cosine for one-off use.  Hot paths precompute norms per row
+    instead of calling this per pair (see brute_topk/lsh_topk)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k by cosine similarity to the vec_id=0 query vector."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    query = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q")
-    )
-    scored = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(query))
-        .select(
-            "vec_id",
-            "label",
-            F.round(cosine(F.col("embedding"), F.col("q")), 4).alias("cos"),
+@lru_cache(maxsize=None)
+def _plane_values(p: int, dim: int) -> tuple[float, ...]:
+    """Hyperplane p's components, bit-identical to the SQL derivation the
+    DuckDB oracle uses: int(md5(f"plane{p}:{i}")[:4], 16) % 16 - 8."""
+    return tuple(
+        float(
+            int(hashlib.md5(f"plane{p}:{i}".encode()).hexdigest()[:4], 16)
+            % 16
+            - 8
         )
+        for i in range(dim)
     )
-    return scored.orderBy(F.desc("cos"), "vec_id").limit(TOP_K)
 
 
 def _bucket_of(emb: Column, dim: int = 64) -> Column:
-    """Random-hyperplane LSH bucket: bit p = sign(dot(v, H_p)) where
-    H_p[i] = (md5-derived int in [-8, 8)) — deterministic and portable."""
-    def plane_of(p: int) -> Column:
-        # single-arg lambda on purpose: Spark binds higher-order lambda
-        # params by arity, so a defaulted second param would receive the
-        # element index instead of the closure value.
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"plane{p}:"), i.cast("string"))),
-                        1,
-                        4,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 16
-                - 8
-            ).cast("double"),
-        )
-
+    """Random-hyperplane LSH bucket: bit p = sign(dot(v, H_p)).  H_p is a
+    plan-time constant array literal (no per-row md5 work)."""
     bits = []
     for p in range(N_PLANES):
-        plane = plane_of(p)
+        plane = F.array(*[F.lit(v) for v in _plane_values(p, dim)])
         d = F.aggregate(
             F.zip_with(emb, plane, lambda x, h: x.cast("double") * h),
             F.lit(0.0),
@@ -98,14 +87,42 @@ def _bucket_of(emb: Column, dim: int = 64) -> Column:
     return sum(bits[1:], bits[0]).alias("bucket")
 
 
+def brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k by cosine similarity to the vec_id=0 query vector."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("embedding"), F.col("q"))
+                / (F.col("nrm") * F.col("qn")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    return scored.orderBy(F.desc("cos"), "vec_id").limit(TOP_K)
+
+
 def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: top-k within the query's LSH bucket only (the IVF-style scale
     path — probes 1/2^N_PLANES of the corpus per query on average)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "bucket", _bucket_of(F.col("embedding"))
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("bucket", _bucket_of(F.col("embedding")))
+        .withColumn("nrm", _norm(F.col("embedding")))
     )
     query = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q"), F.col("bucket").alias("qb")
+        F.col("embedding").alias("q"),
+        F.col("bucket").alias("qb"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         emb.filter(F.col("vec_id") != 0)
@@ -113,7 +130,11 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("q")), 4).alias("cos"),
+            F.round(
+                _dot(F.col("embedding"), F.col("q"))
+                / (F.col("nrm") * F.col("qn")),
+                4,
+            ).alias("cos"),
         )
     )
     return scored.orderBy(F.desc("cos"), "vec_id").limit(TOP_K)

@@ -127,3 +127,30 @@ def test_round_robin_spreads_heavy_doc(spark):
         .collect()[0]["n_parts"]
     )
     assert spread == 16
+
+
+def test_lsh_planes_are_literals_not_per_row_md5(spark):
+    """The hyperplane components are plan-time constants; no md5 (nor hex
+    conv) may appear in the embedding plans — the round-1 form evaluated
+    ~N_PLANES*dim md5 calls per row through interpreted HOF lambdas."""
+    from ocr_spark.operators.dedup import embedding_near_dup
+    from ocr_spark.operators.similarity import lsh_topk
+
+    for fn in (embedding_near_dup, lsh_topk):
+        tree = plan_of(fn(spark, SF), "formatted").lower()
+        assert "md5" not in tree
+        assert "conv(" not in tree
+
+
+def test_embedding_near_dup_norms_precomputed(spark):
+    """Per-row norms are computed before the self-join: the pair-level
+    projection must not contain sqrt (norm) work, only the dot product."""
+    from ocr_spark.operators.dedup import embedding_near_dup
+
+    tree = plan_of(embedding_near_dup(spark, SF), "simple").lower()
+    # one sqrt per join side (the per-row nrm columns), none per pair:
+    # the final projection computes dot/(a.nrm*b.nrm) with no sqrt call.
+    proj_lines = [l for l in tree.splitlines() if "project" in l]
+    pair_lines = [l for l in proj_lines if "vec_a" in l or ("nrm#" in l and "* nrm" in l)]
+    for l in pair_lines:
+        assert "sqrt" not in l
