@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_get_date": _norm_get_date,
         "norm_chinese_amount": _norm_chinese_amount,
         "norm_get_tax": _norm_get_tax,
+        "norm_addr_bank": _norm_addr_bank,
         "norm_reconcile": _norm_reconcile,
         "norm_extract_addr": _norm_extract_addr,
         "norm_extract_bank": _norm_extract_bank,
@@ -353,7 +354,12 @@ def _norm_addr_bank_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_custkey",
         F.concat(
-            F.lit("地址："), F.col("c_mktsegment"), F.lit("市"),
+            # Every 5th row uses the "地址、电话" prefix: the reference's
+            # alternation tries 地址 FIRST (leftmost-first), so only 地址 is
+            # stripped and the residual 、电话 survives into the split step —
+            # a bug-compatible quirk both engines must reproduce.
+            F.when(k % 5 == 0, F.lit("地址、电话：")).otherwise(F.lit("地址：")),
+            F.col("c_mktsegment"), F.lit("市"),
             F.col("c_name"), F.lit("路 电话"), k.cast("string"),
         ).alias("s_addr"),
         F.concat(
@@ -369,7 +375,8 @@ def _norm_addr_bank_input(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NORM_AB_INPUT_SQL = """
 select c_custkey,
-       '地址：' || c_mktsegment || '市' || c_name || '路 电话' || c_custkey::varchar as s_addr,
+       (case when c_custkey % 5 = 0 then '地址、电话：' else '地址：' end)
+         || c_mktsegment || '市' || c_name || '路 电话' || c_custkey::varchar as s_addr,
        '开户行：银行' || c_mktsegment || '支行' || (c_custkey * 13 % 1000000000)::varchar as s_bank,
        'tax ' || (c_custkey % 17)::varchar || '%x' || (c_custkey % 7)::varchar || 'abc' as s_tax
 from customer
@@ -402,6 +409,19 @@ def _norm_get_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _norm_addr_bank_input(spark, sf_dir).select(
         "c_custkey", N.get_tax(F.col("s_tax")).alias("tax")
+    ).orderBy("c_custkey")
+
+
+def _norm_addr_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_addr_bank over both addr-shaped and bank-shaped inputs; the
+    bank input ends in an account-digit run so the split (and the
+    colon-offset slice quirk) is exercised for real."""
+    from ocr_spark.functions import normalizers as N
+
+    return _norm_addr_bank_input(spark, sf_dir).select(
+        "c_custkey",
+        N.get_addr_bank(F.col("s_addr")).alias("addr_split"),
+        N.get_addr_bank(F.col("s_bank")).alias("bank_split"),
     ).orderBy("c_custkey")
 
 
@@ -800,10 +820,25 @@ select c_custkey,
                                'string_agg', ''), '') as tax
 from inp order by c_custkey
 """,
+        "norm_addr_bank": f"""
+with inp as ({_NORM_AB_INPUT_SQL}),
+p as (select c_custkey, s_addr, s_bank,
+        regexp_replace(translate(s_addr, ':：', ''), '[0-9-]+$', '') as pre_a,
+        regexp_replace(translate(s_bank, ':：', ''), '[0-9-]+$', '') as pre_b
+      from inp)
+select c_custkey,
+       case when length(pre_a) > 0
+            then pre_a || ' ' || substr(s_addr, length(pre_a) + 1)
+            else s_addr end as addr_split,
+       case when length(pre_b) > 0
+            then pre_b || ' ' || substr(s_bank, length(pre_b) + 1)
+            else s_bank end as bank_split
+from p order by c_custkey
+""",
         "norm_extract_addr": f"""
 with inp as ({_NORM_AB_INPUT_SQL}),
 s1 as (select c_custkey,
-         regexp_replace(s_addr, '^\\s*(地址、电话|单位地址|购方地址|销方地址|地址)[:：]?\\s*', '') as s
+         regexp_replace(s_addr, '^\\s*(地址|单位地址|购方地址|销方地址|地址、电话)[:：]?\\s*', '') as s
        from inp),
 s2 as (select c_custkey, regexp_replace(s, '(电话|开户行|账号|银行|Bank).*', '') as s from s1),
 s3 as (select c_custkey, regexp_replace(s, '{_SALAD_RE2}', '', 'g') as s from s2),

@@ -60,6 +60,19 @@ def get_title(c: Column) -> Column:
     return F.translate(c, ":：", "")
 
 
+def get_addr_bank(c: Column) -> Column:
+    """util/tool.py:81-85: split the trailing account-digit run off the
+    colon-stripped string.  Bug-compatible: the suffix is sliced from the
+    ORIGINAL string at the character length of the stripped prefix, so any
+    colons re-enter through the suffix."""
+    normalized = F.translate(c, ":：", "")
+    pre = F.regexp_replace(normalized, r"[0-9\-]+$", "")
+    return F.when(
+        F.length(pre) > 0,
+        F.concat(pre, F.lit(" "), c.substr(F.length(pre) + 1, F.length(c))),
+    ).otherwise(c)
+
+
 def get_page(c: Column) -> Column:
     """util/tool.py:255-268."""
     tr = F.translate(c, "|Il", "111")

@@ -116,6 +116,11 @@ ADVERSARIAL = [
     "12CNY", "-0123", "１２３４５元", "开户行：工商银行１２３４", "1２3", "0456", "壹万贰仟叁佰肆拾伍元陆角柒分", "   spaces   ",
     "★★¥99★★", "税号91110108MA01ABCD", "1,2,3", "12..34", "-",
     "第页/共页", "l1I2i3", "【100】", "¥-5.5", "+42", "99.999",
+    # get_addr_bank stressors: trailing digit/hyphen runs, colon-offset
+    # slice quirk, all-digits (no prefix -> passthrough), and the
+    # 地址、电话 leftmost-first alternation quirk of extract_addr.
+    "尾号：1234-5678", "1234567890", "招商银行账号62220212345",
+    "地址、电话：北京市朝阳区 电话010-1234", "开户行：- ", "x-1-2-3",
 ]
 
 
@@ -130,6 +135,7 @@ def adv_df(spark):
         ("get_num", N.get_num, P.get_num),
         ("get_tax", N.get_tax, P.get_tax),
         ("get_title", N.get_title, P.get_title),
+        ("get_addr_bank", N.get_addr_bank, P.get_addr_bank),
         ("get_page", N.get_page, P.get_page),
         ("get_float", N.get_float, P.get_float),
         ("get_amount", N.get_amount, P.get_amount),
