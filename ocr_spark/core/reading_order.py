@@ -51,20 +51,64 @@ def group_rows(
 ) -> list[list[int]]:
     """Group an already reading-ordered index sequence into rows.
 
-    A new row starts when the y distance to the current row's anchor (its
-    first box) reaches the 10px threshold — the same gap rule as the
-    reference's table-row clustering (ocr_context.py:427-449).
+    CHAINED gap rule, ported verbatim from the reference's table-row
+    clustering (ocr_context.py:436-440): boxes are walked in ascending y
+    (ties broken by reading-order position) and each box is compared to
+    its immediate y-PREDECESSOR — not to the row's first box — so a
+    gradually drifting column (y = 0, 6, 12, ...) stays one row exactly as
+    in the reference and in the lag-window SQL twin
+    (operators/spans.py:row_cluster).  Within a row, boxes keep their
+    reading-order sequence (the reference re-sorts by x-center,
+    ocr_context.py:439; the bubble-sorted reading order is already
+    left-to-right within a row).
     """
+    pos = {idx: p for p, idx in enumerate(order)}
+    ysorted = sorted(order, key=lambda i: (boxes[i][1], pos[i]))
     rows: list[list[int]] = []
-    anchor_y: int | None = None
-    for idx in order:
+    prev_y: int | None = None
+    for idx in ysorted:
         y = boxes[idx][1]
-        if anchor_y is None or abs(y - anchor_y) >= Y_SAME_ROW_PX:
+        if prev_y is None or abs(y - prev_y) >= Y_SAME_ROW_PX:
             rows.append([idx])
-            anchor_y = y
         else:
             rows[-1].append(idx)
-    return rows
+        prev_y = y
+    return [sorted(r, key=pos.__getitem__) for r in rows]
+
+
+def union_rows(
+    boxes: Sequence[tuple[int, int, int, int]],
+    alpha: float = 0.1,
+) -> list[list[int]]:
+    """union_rbox's RELATIVE row-merge criterion, ported from the
+    reference (apphelper/image.py:317-375): walking the boxes in their
+    given order, a box joins the latest group iff for EVERY member
+    |cy_box - cy_member| / max(0.01, min(h_box, h_member) / 2) <= alpha;
+    otherwise it starts a new group.  Groups are then x-center sorted.
+
+    This is the mixed-text-size-aware sibling of group_rows: the
+    threshold scales with the smaller glyph height (alpha=0.1 ⇒ 5% of
+    the smaller height), so a 40px headline and an adjacent 12px footnote
+    do not merge the way the fixed 10px rule would merge them.
+    """
+    groups: list[list[int]] = []
+    for i, (x, y, w, h) in enumerate(boxes):
+        cy = y + h / 2.0
+        if groups:
+            check = False
+            for j in groups[-1]:
+                xj, yj, wj, hj = boxes[j]
+                cyj = yj + hj / 2.0
+                if abs(cy - cyj) / max(0.01, min(h, hj) / 2.0) > alpha:
+                    check = True
+            if not check:
+                groups[-1].append(i)
+                continue
+        groups.append([i])
+    return [
+        sorted(g, key=lambda i: boxes[i][0] + boxes[i][2] / 2.0)
+        for g in groups
+    ]
 
 
 def reading_order_text(

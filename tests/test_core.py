@@ -62,12 +62,54 @@ def test_sorted_boxes_matches_reference_spec(boxes):
 def test_group_rows_partitions_order(boxes):
     order = sorted_boxes(boxes)
     rows = group_rows(boxes, order)
-    flat = [i for row in rows for i in row]
-    assert flat == order  # rows partition the order without reordering
-    for row in rows[1:]:
-        pass  # row anchors differ by >= 10 from the previous anchor
-    anchors = [boxes[row[0]][1] for row in rows]
-    assert all(abs(b - a) >= 10 for a, b in zip(anchors, anchors[1:]))
+    flat = sorted(i for row in rows for i in row)
+    assert flat == sorted(order)  # rows partition the index set
+    # chained rule invariants over the y-sorted walk: gaps inside a row
+    # are < 10, gaps across a row boundary are >= 10
+    ys = [sorted(boxes[i][1] for i in row) for row in rows]
+    for row_ys in ys:
+        assert all(b - a < 10 for a, b in zip(row_ys, row_ys[1:]))
+    for a, b in zip(ys, ys[1:]):
+        assert b[0] - a[-1] >= 10
+    # within a row, boxes keep their reading-order sequence
+    pos = {idx: p for p, idx in enumerate(order)}
+    for row in rows:
+        assert [pos[i] for i in row] == sorted(pos[i] for i in row)
+
+
+def test_chained_rule_keeps_drifting_column_one_row():
+    """Adversarial drift layout where the chained (reference) rule and the
+    round-1 anchored rule disagree: y = 0, 6, 12, ... steps of 6 < 10px
+    stay ONE row under the reference's previous-cell comparison
+    (ocr_context.py:436-440); anchoring to the row's first box would split
+    at y=12."""
+    boxes = [(0, 6 * i, 30, 10) for i in range(10)]
+    rows = group_rows(boxes, sorted_boxes(boxes))
+    assert len(rows) == 1
+
+
+def test_union_rows_relative_threshold_mixed_sizes():
+    """union_rbox merges on a RELATIVE criterion (alpha * min(h)/2,
+    apphelper/image.py:328-331): an 8px centre offset merges tall glyphs
+    but splits small ones, where the fixed 10px rule merges both."""
+    from ocr_spark.core.reading_order import union_rows
+
+    tall = [(0, 0, 30, 200), (40, 8, 30, 200)]
+    assert len(union_rows(tall)) == 1
+    small = [(0, 0, 30, 20), (40, 8, 30, 20)]
+    assert len(union_rows(small)) == 2
+    assert len(group_rows(small, sorted_boxes(small))) == 1  # fixed rule
+
+
+def test_union_rows_compares_all_group_members():
+    """A box joins the latest group only if it is within tolerance of
+    EVERY member (the reference's any-member-exceeds -> new group loop,
+    apphelper/image.py:362-370)."""
+    from ocr_spark.core.reading_order import union_rows
+
+    h = 100  # tolerance = alpha * h/2 = 5px on centres
+    boxes = [(0, 0, 10, h), (20, 4, 10, h), (40, 8, 10, h)]
+    assert [len(g) for g in union_rows(boxes)] == [2, 1]
 
 
 def test_otsu_bimodal():
@@ -205,33 +247,40 @@ def test_hybrid_fallback_recovers_empty_lines():
         assert confs[0] > 0
 
 
-def test_window_sql_clustering_agrees_with_numpy_on_fixture_layouts():
-    """The lag/sum window formulation (operators/spans.py row_cluster,
-    checked against DuckDB) and the numpy anchor-based group_rows used in
-    the OCR kernel are different algorithms; on fixture-distribution
-    layouts (row pitch > threshold + jitter, intra-row jitter < threshold)
-    they must produce identical row partitions."""
+def test_window_sql_clustering_agrees_with_numpy():
+    """group_rows is now the SAME chained algorithm as the lag/sum window
+    formulation (operators/spans.py row_cluster, checked against DuckDB):
+    row MEMBERSHIP must agree on fixture layouts AND on adversarial
+    drifting layouts where the round-1 anchored rule diverged."""
     from ocr_spark.fixtures.render import _render_canonical
 
-    def lag_cluster(ys):
-        rows, row = [], [0]
-        for i in range(1, len(ys)):
-            if ys[i] - ys[i - 1] >= 10:
+    def lag_cluster(idx_y):
+        """idx_y: list of (idx, y) sorted by y — returns sets of idx."""
+        rows, row = [], [idx_y[0][0]]
+        for (pi, py), (ci, cy) in zip(idx_y, idx_y[1:]):
+            if cy - py >= 10:
                 rows.append(row)
-                row = [i]
+                row = [ci]
             else:
-                row.append(i)
+                row.append(ci)
         rows.append(row)
-        return rows
+        return [sorted(r) for r in rows]
 
-    checked = 0
+    layouts = []
     for i in range(120):
         page = _render_canonical(f"agree-{i}", "page")
-        boxes = [(ln.x, ln.y, ln.w, ln.h) for ln in page.lines]
+        layouts.append([(ln.x, ln.y, ln.w, ln.h) for ln in page.lines])
+    # adversarial drift columns (steps just under / at the threshold)
+    layouts.append([(7 * i % 50, 6 * i, 30, 10) for i in range(40)])
+    layouts.append([(5 * i % 50, 9 * i, 30, 10) for i in range(40)])
+    layouts.append([(0, (i * 13) % 200, 30, 10) for i in range(40)])
+
+    for li, boxes in enumerate(layouts):
         order = sorted_boxes(boxes)
-        numpy_rows = group_rows(boxes, order)
-        ys = sorted(boxes[j][1] for j in order)
-        sql_rows = lag_cluster(ys)
-        assert [len(r) for r in numpy_rows] == [len(r) for r in sql_rows], i
-        checked += 1
-    assert checked == 120
+        numpy_rows = [sorted(r) for r in group_rows(boxes, order)]
+        pos = {idx: p for p, idx in enumerate(order)}
+        idx_y = sorted(
+            ((i, boxes[i][1]) for i in range(len(boxes))),
+            key=lambda t: (t[1], pos[t[0]]),
+        )
+        assert numpy_rows == lag_cluster(idx_y), li
