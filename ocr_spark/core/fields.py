@@ -55,6 +55,15 @@ def extract_fields(img: np.ndarray) -> dict[str, str]:
     title = rows[0] if rows else ""
     family = classify_family(title)
     out = {"family": family, "type": FAMILY_TYPE[family], "title": title}
-    for name, text in zip(FAMILY_FIELDS[family], rows[1:]):
+    body = rows[1:]
+    # QR region stand-in: the reference's qrcode label is a detected
+    # region decoded by pyzbar (vat_detect.py:341); here the decoded CSV
+    # payload is a rendered row, recognized by shape (the VAT QR format
+    # always leads with '01,' and has >= 6 commas — no other fixture
+    # field contains a comma).
+    if family == "vat" and body and body[-1].startswith("01,") and body[-1].count(",") >= 6:
+        out["qrcode"] = body[-1]
+        body = body[:-1]
+    for name, text in zip(FAMILY_FIELDS[family], body):
         out[name] = text
     return out

@@ -46,6 +46,7 @@ _CJK = (
     "壹贰叁肆伍陆柒捌玖拾佰仟万亿元角分整"  # upper-case amounts
     "零〇一二三四五六七八九十百千"  # lower-case numerals
     "发票专用普通电子总务结算药品据入库单"  # invoice-type keywords
+    "地址购销方税开户行银支市路话账位"  # complex-range addr/bank fields
 )
 
 ALPHABET: str = _DIGITS + _PUNCT + _LATIN + _CJK

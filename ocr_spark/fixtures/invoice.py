@@ -37,6 +37,10 @@ FAMILY_FIELDS: dict[str, list[str]] = {
     "vat": [
         "invoice_code", "invoice_number", "billing_date", "check_code",
         "total_amount", "tax", "amount_with_tax", "buy_title", "sale_title",
+        # complex-range fields (config.ocrRange == 'complex',
+        # vat_detect.py:35-47), routed through process_buy_sale_field
+        "buy_tax", "buy_addr", "buy_bank",
+        "sale_tax", "sale_addr", "sale_bank",
     ],
     "stock_v1": [
         "doc_number", "idate", "total", "total2", "total3", "cnt", "page",
@@ -106,7 +110,42 @@ def _field_value(field: str, rng: np.random.Generator) -> str:
         w = _ORG_WORDS[rng.integers(0, len(_ORG_WORDS))]
         w2 = _ORG_WORDS[rng.integers(0, len(_ORG_WORDS))]
         return f"{w}:{w2}"  # colon exercises the get_title normalizer
+    if field in ("buy_tax", "sale_tax"):
+        # tax id: digits + uppercase letters, exercises get_tax
+        d = "".join(str(rng.integers(0, 10)) for _ in range(9))
+        ls = "".join("ABCDEFGHJK"[rng.integers(0, 10)] for _ in range(4))
+        return f"税号{d}{ls}"
+    if field in ("buy_addr", "sale_addr"):
+        w = _ORG_WORDS[rng.integers(0, len(_ORG_WORDS))]
+        w2 = _ORG_WORDS[rng.integers(0, len(_ORG_WORDS))]
+        tel = "".join(str(rng.integers(0, 10)) for _ in range(7))
+        return f"地址:{w}市{w2}路 电话{tel}"
+    if field in ("buy_bank", "sale_bank"):
+        w = _ORG_WORDS[rng.integers(0, len(_ORG_WORDS))]
+        acct = "".join(str(rng.integers(0, 10)) for _ in range(12))
+        return f"开户行:{w}银行{w}支行 {acct}"
     raise KeyError(field)
+
+
+_QR_TYPES = ["01", "04", "10", "31", "32"]
+
+
+def _qr_payload(rng: np.random.Generator) -> str:
+    """VAT QR CSV payload in the reference format (util/tool.py:321-336):
+    [0] constant '01', [1] invoice_type, [2] invoice_code,
+    [3] invoice_number, [4] amount, [5] date YYYYMMDD, [6] check_code.
+    Drawn independently of the rendered field rows, so QR values and OCR
+    values DISAGREE — the branch choice is observable."""
+    t = _QR_TYPES[rng.integers(0, len(_QR_TYPES))]
+    code = "".join(str(rng.integers(0, 10)) for _ in range(12))
+    num = "".join(str(rng.integers(0, 10)) for _ in range(8))
+    amount = f"{int(rng.integers(1, 999_999))}.{int(rng.integers(0, 100)):02d}"
+    date = (
+        f"{int(rng.integers(2019, 2027))}{int(rng.integers(1, 13)):02d}"
+        f"{int(rng.integers(1, 29)):02d}"
+    )
+    check = "".join(str(rng.integers(0, 10)) for _ in range(6))
+    return f"01,{t},{code},{num},{amount},{date},{check}"
 
 
 def family_of(media_ref: str) -> str:
@@ -129,6 +168,11 @@ def ground_truth(media_ref: str) -> dict[str, str]:
     fields = {"title": title}
     for f in FAMILY_FIELDS[fam]:
         fields[f] = _field_value(f, rng)
+    # Half the vat documents carry a decodable QR region (rendered as the
+    # last row; the reference branches on pyzbar success,
+    # vat_detect.py:341-370).
+    if fam == "vat" and rng.integers(0, 2) == 1:
+        fields["qrcode"] = _qr_payload(rng)
     return fields
 
 
@@ -139,5 +183,7 @@ def render_invoice(media_ref: str) -> RenderedPage:
     fields = ground_truth(media_ref)
     fam = family_of(media_ref)
     texts = [fields["title"]] + [fields[f] for f in FAMILY_FIELDS[fam]]
+    if "qrcode" in fields:
+        texts.append(fields["qrcode"])
     rng = _rng("invlayout:" + media_ref)
     return _render_lines(texts, rng, scale=2)

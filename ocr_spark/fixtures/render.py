@@ -143,18 +143,26 @@ def _render_canonical(key: str, profile: str) -> RenderedPage:
 def _render_lines(
     texts: list[str], rng: np.random.Generator, scale: int = 2
 ) -> RenderedPage:
-    """Render one space-free text per row (labeled-document layout used by
-    fixtures/invoice.py). Same jitter/seal/rotation stressors as the
-    generic pages."""
+    """Render one text per row (labeled-document layout used by
+    fixtures/invoice.py); space-separated tokens become separate boxes on
+    the same row, so OCR's same-row ' '-join reproduces the text exactly.
+    Same jitter/seal/rotation stressors as the generic pages.  RNG draw
+    order for space-free texts is identical to the historical layout
+    (jitter once per row; the inter-box gap draw only happens between
+    tokens)."""
     margin = 4 * scale
     row_pitch = (GLYPH_H + 4) * scale
     lines: list[Line] = []
     for r, text in enumerate(texts):
         jitter = int(rng.integers(0, min(10, 4 * scale)))
-        w = (ADVANCE * len(text) - 1) * scale
-        lines.append(
-            Line(text, margin, margin + r * row_pitch + jitter, w, GLYPH_H * scale)
-        )
+        x = margin
+        base_y = margin + r * row_pitch + jitter
+        toks = text.split(" ")
+        for i, tok in enumerate(toks):
+            w = (ADVANCE * len(tok) - 1) * scale
+            lines.append(Line(tok, x, base_y, w, GLYPH_H * scale))
+            if i + 1 < len(toks):
+                x += w + int(rng.integers(2, 6)) * scale
     return _rasterize(lines, len(texts), scale, rng)
 
 

@@ -29,6 +29,8 @@ RAW_FIELDS = [
     "title", "invoice_code", "invoice_number", "billing_date", "check_code",
     "total_amount", "tax", "amount_with_tax", "buy_title", "sale_title",
     "doc_number", "idate", "total", "total2", "total3", "cnt", "page",
+    "buy_tax", "buy_addr", "buy_bank", "sale_tax", "sale_addr", "sale_bank",
+    "qrcode",
 ]
 _RAW_SCHEMA = "media_ref string, family string, type string, " + ", ".join(
     f"{f}_raw string" for f in RAW_FIELDS
@@ -75,6 +77,36 @@ def _identity_barrier(df: DataFrame) -> DataFrame:
     return df.mapInPandas(lambda it: it, schema=schema)
 
 
+def _bs_norm(col):
+    """Buy/sale addr/bank pre-normalization (vat_detect.py:197,209):
+    strip, then map full-width ：，； to their ASCII forms."""
+    return F.translate(F.trim(col), "：，；", ":,;")
+
+
+def _qr_parse_cols(raw):
+    """Parsed VAT-QR CSV columns (util/tool.py:321-336 field order).
+    F.get (not getItem) so a missing QR yields nulls instead of an ANSI
+    out-of-bounds error; the nulls are dead when qr_ok is false."""
+    qrp = F.split(raw, ",")
+
+    def part(i):
+        return F.coalesce(F.get(qrp, i), F.lit(""))
+
+    date = part(5)
+    return [
+        F.trim(part(1)).alias("qr_type"),
+        F.trim(part(2)).alias("qr_code"),
+        F.trim(part(3)).alias("qr_number"),
+        N.get_float(part(4)).alias("qr_amount"),
+        F.concat(
+            F.substring(date, 1, 4), F.lit("年"),
+            F.substring(date, 5, 2), F.lit("月"),
+            F.substring(date, 7, 2), F.lit("日"),
+        ).alias("qr_date"),
+        N.get_num(part(6)).alias("qr_check"),
+    ]
+
+
 def extract_invoice_fields(refs: DataFrame) -> DataFrame:
     """media_ref DataFrame -> normalized record DataFrame.
 
@@ -117,27 +149,92 @@ def extract_invoice_fields(refs: DataFrame) -> DataFrame:
         N.get_chinese_amount(c("total3_raw")).alias("total3"),
         N.get_num(c("cnt_raw")).alias("cnt"),
         N.get_page(c("page_raw")).alias("page"),
+        # complex-range buy/sale routing (process_buy_sale_field,
+        # vat_detect.py:186-214): tax -> get_tax on the stripped text;
+        # addr/bank -> full-width punctuation normalized (：，； -> :,;)
+        # then extract_addr / extract_bank.
+        N.get_tax(F.trim(c("buy_tax_raw"))).alias("buy_tax"),
+        N.extract_addr(_bs_norm(c("buy_addr_raw"))).alias("buy_addr"),
+        N.extract_bank(_bs_norm(c("buy_bank_raw"))).alias("buy_bank"),
+        N.get_tax(F.trim(c("sale_tax_raw"))).alias("sale_tax"),
+        N.extract_addr(_bs_norm(c("sale_addr_raw"))).alias("sale_addr"),
+        N.extract_bank(_bs_norm(c("sale_bank_raw"))).alias("sale_bank"),
+        # QR-present branch inputs (reference vat_detect.py:341-370 +
+        # util/tool.py:321-336 _vat_qrcode): parse the decoded CSV once
+        # here; the composite layer branches on qr_ok.
+        ((c("family") == F.lit("vat")) & (c("qrcode_raw") != "")).alias(
+            "qr_ok"
+        ),
+        *_qr_parse_cols(c("qrcode_raw")),
     )
     barrier = _identity_barrier(base)
     zero = F.lit("¥ 0.00")
     tot, tot2, tot3 = c("total"), c("total2"), c("total3")
+
+    # -- QR-present branch (vat_detect.py:341-370): when the QR decodes,
+    # identity fields come from the payload and only amounts/title fall
+    # back to OCR, per invoice type:
+    #   31/32: amount_with_tax from QR, total_amount from OCR
+    #   01/04: total_amount from QR, amount_with_tax from OCR
+    #   else ('10'): total_amount from QR, others '¥ 0.00'
+    #   tax from OCR for 01/04/31/32, else '¥ 0.00' (pre-arithmetic)
+    qr_ok = c("qr_ok")
+    t3132 = c("qr_type").isin("31", "32")
+    t0104 = c("qr_type").isin("01", "04")
+    b_total = F.when(
+        qr_ok, F.when(t3132, c("total_amount")).otherwise(c("qr_amount"))
+    ).otherwise(c("total_amount"))
+    b_awt = F.when(
+        qr_ok,
+        F.when(t3132, c("qr_amount"))
+        .when(t0104, c("amount_with_tax"))
+        .otherwise(zero),
+    ).otherwise(c("amount_with_tax"))
+    b_tax0 = F.when(
+        qr_ok, F.when(t3132 | t0104, c("tax0")).otherwise(zero)
+    ).otherwise(c("tax0"))
+    b_check = F.when(
+        qr_ok,
+        F.when(c("qr_type").isin("04", "10"), c("qr_check")).otherwise(
+            F.lit("")
+        ),
+    ).otherwise(c("check_code"))
+
     return barrier.select(
         "media_ref",
         "family",
         "type",
-        "title",
-        "invoice_code",
-        "invoice_number",
-        "billing_date",
-        "check_code",
-        "total_amount",
-        N.tax_arithmetic(c("tax0"), c("total_amount"), c("amount_with_tax")).alias(
-            "tax"
+        F.when(qr_ok & (c("qr_type") == "32"), F.lit("电子发票（普通发票）"))
+        .when(qr_ok & (c("qr_type") == "31"), F.lit("电子发票（专用发票）"))
+        .otherwise(c("title"))
+        .alias("title"),
+        F.when(qr_ok, c("qr_code")).otherwise(c("invoice_code")).alias(
+            "invoice_code"
         ),
-        "amount_with_tax",
+        F.when(qr_ok, c("qr_number")).otherwise(c("invoice_number")).alias(
+            "invoice_number"
+        ),
+        F.when(qr_ok, c("qr_date")).otherwise(c("billing_date")).alias(
+            "billing_date"
+        ),
+        b_check.alias("check_code"),
+        b_total.alias("total_amount"),
+        N.tax_arithmetic(b_tax0, b_total, b_awt).alias("tax"),
+        b_awt.alias("amount_with_tax"),
+        # complex range: buy/sale fields are OCR-routed in BOTH branches
+        # (the QR handler re-processes buy_/sale_ labels from OCR,
+        # vat_detect.py:361-367).
         "buy_title",
         "sale_title",
-        N.judge_invoice_type(c("title"), c("check_code")).alias("invoice_type"),
+        "buy_tax",
+        "buy_addr",
+        "buy_bank",
+        "sale_tax",
+        "sale_addr",
+        "sale_bank",
+        F.when(qr_ok, c("qr_type"))
+        .otherwise(N.judge_invoice_type(c("title"), c("check_code")))
+        .alias("invoice_type"),
         "doc_number",
         "idate",
         "total",

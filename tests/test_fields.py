@@ -46,7 +46,8 @@ def _expected_record(ref: str) -> dict:
     check_code = pyref.get_num(raw.get("check_code", ""))
     total_amount = pyref.get_amount(raw.get("total_amount", ""))
     amount_with_tax = pyref.get_amount(raw.get("amount_with_tax", ""))
-    tax = pyref.get_amount(raw.get("tax", ""))
+    tax_ocr = pyref.get_amount(raw.get("tax", ""))
+    tax = tax_ocr
     if tax == "¥ 0.00" and raw.get("total_amount") and raw.get("amount_with_tax"):
         a = float(total_amount.split()[1])
         b = float(amount_with_tax.split()[1])
@@ -57,7 +58,7 @@ def _expected_record(ref: str) -> dict:
     stock_total = next(
         (t for t in (total, total2, total3) if t != "¥ 0.00"), "¥ 0.00"
     )
-    return {
+    rec = {
         "media_ref": ref,
         "family": fam,
         "type": FAMILY_TYPE[fam],
@@ -71,6 +72,12 @@ def _expected_record(ref: str) -> dict:
         "amount_with_tax": amount_with_tax,
         "buy_title": pyref.get_title(raw.get("buy_title", "")),
         "sale_title": pyref.get_title(raw.get("sale_title", "")),
+        "buy_tax": pyref.get_tax(raw.get("buy_tax", "").strip()),
+        "buy_addr": pyref.extract_addr(_bs_norm(raw.get("buy_addr", ""))),
+        "buy_bank": pyref.extract_bank(_bs_norm(raw.get("buy_bank", ""))),
+        "sale_tax": pyref.get_tax(raw.get("sale_tax", "").strip()),
+        "sale_addr": pyref.extract_addr(_bs_norm(raw.get("sale_addr", ""))),
+        "sale_bank": pyref.extract_bank(_bs_norm(raw.get("sale_bank", ""))),
         "invoice_type": pyref.judge_invoice_type(title, check_code),
         "doc_number": pyref.get_num(raw.get("doc_number", "")),
         "idate": pyref.get_date(raw.get("idate", "")),
@@ -81,6 +88,54 @@ def _expected_record(ref: str) -> dict:
         "cnt": pyref.get_num(raw.get("cnt", "")),
         "page": pyref.get_page(raw.get("page", "")),
     }
+    # QR-present branch twin (vat_detect.py:341-370 + _vat_qrcode,
+    # util/tool.py:321-336): identity fields from the payload; amounts
+    # per invoice type; buy/sale titles unset.
+    qr = gt.get("qrcode", "")
+    if fam == "vat" and qr:
+        p = qr.split(",")
+        t = p[1].strip()
+        qr_amount = pyref.get_float(p[4])
+        if t in ("31", "32"):
+            b_total, b_awt, b_tax = total_amount, qr_amount, tax_ocr
+        elif t in ("01", "04"):
+            b_total, b_awt, b_tax = qr_amount, amount_with_tax, tax_ocr
+        else:
+            b_total, b_awt, b_tax = qr_amount, "¥ 0.00", "¥ 0.00"
+        rec.update(
+            title=(
+                "电子发票（普通发票）" if t == "32"
+                else "电子发票（专用发票）" if t == "31"
+                else title
+            ),
+            invoice_type=t,
+            invoice_code=p[2].strip(),
+            invoice_number=p[3].strip(),
+            billing_date=f"{p[5][:4]}年{p[5][4:6]}月{p[5][6:8]}日",
+            check_code=pyref.get_num(p[6]) if t in ("04", "10") else "",
+            total_amount=b_total,
+            amount_with_tax=b_awt,
+            tax=_tax_arith(b_tax, b_total, b_awt),
+            # complex range: buy/sale stay OCR-routed in the QR branch
+            # (vat_detect.py:361-367) — no blanking.
+        )
+    return rec
+
+
+def _bs_norm(s: str) -> str:
+    """process_buy_sale_field pre-normalization (vat_detect.py:197,209)."""
+    return s.strip().replace("：", ":").replace("，", ",").replace("；", ";")
+
+
+def _tax_arith(tax: str, total: str, awt: str) -> str:
+    """Twin of N.tax_arithmetic (vat_detect.py:412-421)."""
+    import re
+
+    m1 = re.search(r"(-?\d+\.?\d*)", total)
+    m2 = re.search(r"(-?\d+\.?\d*)", awt)
+    if tax == "¥ 0.00" and m1 and m2:
+        return f"¥ {round(float(m1.group(1)) - float(m2.group(1)), 2):.2f}"
+    return tax
 
 
 def test_spark_stage_matches_python_oracle(spark):
@@ -92,3 +147,42 @@ def test_spark_stage_matches_python_oracle(spark):
     assert set(got) == set(refs)
     for ref in refs:
         assert got[ref] == _expected_record(ref), ref
+
+
+def test_qr_branch_overrides_ocr(spark):
+    """When a vat document carries a decodable QR, identity fields come
+    from the payload even though the OCR'd rows carry DIFFERENT values
+    (reference vat_detect.py:341-370 trusts the QR)."""
+    import contextlib
+    import io
+
+    from ocr_spark.operators.fields import extract_invoice_fields
+
+    refs = [f"inv://q{i}#vat" for i in range(12)]
+    with_qr = [r for r in refs if "qrcode" in ground_truth(r)]
+    without_qr = [r for r in refs if "qrcode" not in ground_truth(r)]
+    assert with_qr and without_qr  # both branches exercised
+
+    df = spark.createDataFrame([(r,) for r in refs], "media_ref string")
+    out = extract_invoice_fields(df)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "qr_ok" in buf.getvalue()  # the branch is in the plan
+
+    got = {r["media_ref"]: r.asDict() for r in out.collect()}
+    for ref in refs:
+        assert got[ref] == _expected_record(ref), ref
+    for ref in with_qr:
+        gt = ground_truth(ref)
+        p = gt["qrcode"].split(",")
+        assert got[ref]["invoice_type"] == p[1].strip()
+        assert got[ref]["invoice_code"] == p[2].strip()
+        # the OCR rows disagree with the QR payload by construction
+        assert got[ref]["invoice_code"] != pyref.get_num(gt["invoice_code"])
+        # complex range: buy/sale fields stay OCR-routed even with QR
+        assert got[ref]["buy_title"] == pyref.get_title(gt["buy_title"])
+        assert got[ref]["buy_addr"] != ""
+    for ref in without_qr:
+        gt = ground_truth(ref)
+        assert got[ref]["invoice_code"] == pyref.get_num(gt["invoice_code"])
