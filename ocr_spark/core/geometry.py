@@ -98,15 +98,22 @@ def letterbox_image(
 
 
 def rotate_image(
-    img: np.ndarray, degrees: float, fill: int = 255
+    img: np.ndarray,
+    degrees: float,
+    fill: int = 255,
+    center: tuple[float, float] | None = None,
 ) -> np.ndarray:
-    """Rotate around the center by ``degrees`` CCW (nearest-neighbor
-    inverse mapping, same-size canvas) — the numpy stand-in for the
-    reference's warpAffine rotations (table_extract.py:414-446)."""
+    """Rotate by ``degrees`` CCW about ``center`` (x, y) — default the
+    image center — via nearest-neighbor inverse mapping on a same-size
+    canvas; the numpy stand-in for the reference's warpAffine/PIL
+    rotations (table_extract.py:414-446, apphelper/image.py:198)."""
     h, w = img.shape[:2]
     rad = math.radians(degrees)
     ca, sa = math.cos(rad), math.sin(rad)
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    if center is None:
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    else:
+        cx, cy = float(center[0]), float(center[1])
     yy, xx = np.mgrid[0:h, 0:w]
     # inverse rotation: destination -> source
     sx = (xx - cx) * ca + (yy - cy) * sa + cx
@@ -124,9 +131,11 @@ def rotate_cut_img(
 ) -> np.ndarray:
     """Rotate the image so the quad becomes axis-aligned, then crop it
     (with optional symmetric padding).  Reference apphelper/image.py:
-    188-200 (its degree/center/box math, cv2 replaced by rotate_image)."""
+    188-200: the rotation is about the BOX center (im.rotate(...,
+    center=(cx, cy))), so the quad stays put and the crop window at
+    (cx, cy) remains valid for off-center quads."""
     angle, w, h, cx, cy = solve(quad)
-    rot = rotate_image(img, math.degrees(angle))
+    rot = rotate_image(img, math.degrees(angle), center=(cx, cy))
     x0 = int(max(cx - w / 2 - pad_x, 0))
     x1 = int(min(cx + w / 2 + pad_x, img.shape[1]))
     y0 = int(max(cy - h / 2 - pad_y, 0))

@@ -100,3 +100,20 @@ def test_rotate_cut_img_crops_axis_aligned_box():
     crop = G.rotate_cut_img(img, quad)
     assert crop.shape[0] in (9, 10) and crop.shape[1] in (39, 40)
     assert (crop < 128).mean() > 0.9
+
+
+def test_rotate_cut_img_off_center_rotated_quad():
+    """The rotation must be about the BOX center (apphelper/image.py:198
+    im.rotate(..., center=(cx, cy))): for an off-center rotated quad,
+    rotating about the image center would move the quad away from the
+    crop window and return the wrong region."""
+    import math
+
+    cx, cy, w, h = 140.0, 60.0, 50.0, 16.0
+    img = np.full((200, 200), 255, dtype=np.uint8)
+    img[int(cy - h / 2):int(cy + h / 2), int(cx - w / 2):int(cx + w / 2)] = 0
+    rotated = G.rotate_image(img, 12.0, center=(cx, cy))
+    quad = G.xy_rotate_box(cx, cy, w, h, math.radians(-12.0))
+    crop = G.rotate_cut_img(rotated, quad)
+    assert crop.shape == (16, 50)
+    assert (crop < 128).mean() > 0.95
