@@ -34,6 +34,7 @@ media repartition in operators/pipeline.py).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -59,8 +60,36 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
+CHUNK_FN = "pmod(xxhash64(doc_id), n_chunks)"
+
+
 def _chunk_col(n_chunks: int):
     return F.pmod(F.xxhash64("doc_id"), F.lit(n_chunks)).cast("int")
+
+
+def _check_manifest(out_dir: str, n_chunks: int) -> None:
+    """Pin (n_chunks, chunk function) for the lifetime of an output dir.
+
+    Resume with a different n_chunks would reuse chunk ids from a
+    DIFFERENT pmod chunking — documents silently dropped and/or
+    duplicated in the assembled output.  Fail fast instead."""
+    path = os.path.join(out_dir, "_manifest.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            m = json.load(f)
+        if m.get("n_chunks") != n_chunks or m.get("chunk_fn") != CHUNK_FN:
+            raise ValueError(
+                f"checkpoint dir {out_dir} was started with "
+                f"n_chunks={m.get('n_chunks')} chunk_fn={m.get('chunk_fn')!r}; "
+                f"resume requested n_chunks={n_chunks} chunk_fn={CHUNK_FN!r}. "
+                "Use the original chunking or a fresh output dir."
+            )
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"n_chunks": n_chunks, "chunk_fn": CHUNK_FN}, f)
+    os.rename(tmp, path)
 
 
 def completed_chunks(spark: SparkSession, out_dir: str) -> set[int]:
@@ -92,17 +121,28 @@ def run_checkpointed(
     mode: str = "exploded",
     run_id: str | None = None,
     max_chunks: int | None = None,
+    chunks_per_pass: int = 8,
 ) -> dict:
     """Extract ``df`` (doc_id, spans) into ``out_dir`` resumably.
 
     ``max_chunks`` limits how many *pending* chunks this invocation
     processes (used by the resume tests to simulate a mid-run crash).
 
+    ``chunks_per_pass`` groups pending chunks into one Spark job each:
+    one input scan covers the whole group (the chunk id cannot be pruned
+    by parquet — it is a hash of doc_id — so per-chunk filtering would
+    re-scan the full source n_chunks times; grouping makes the total
+    re-scan cost n_chunks/chunks_per_pass passes).  The result is still
+    committed and lineage-tracked PER CHUNK — a crash loses at most the
+    current group's work and resume granularity is unchanged.  Lineage
+    timings for chunks of one group share the group's wall clock.
+
     Returns a summary dict: chunks done now / skipped (already done) /
     remaining.
     """
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
+    _check_manifest(out_dir, n_chunks)
     os.makedirs(os.path.join(out_dir, "data"), exist_ok=True)
 
     done = completed_chunks(spark, out_dir)
@@ -112,42 +152,61 @@ def run_checkpointed(
 
     chunked = df.withColumn("_chunk", _chunk_col(n_chunks))
     ran = 0
-    for k in pending:
+    step = max(1, chunks_per_pass)
+    for g in range(0, len(pending), step):
+        group = pending[g : g + step]
         t0 = time.time()
-        part = chunked.filter(F.col("_chunk") == k).drop("_chunk")
-        result = extract_documents(part, mode=mode)
+        part = chunked.filter(F.col("_chunk").isin(group)).drop("_chunk")
+        # the pipeline consumes (doc_id, spans); re-derive the chunk id on
+        # the OUTPUT from doc_id (same pure hash) for the partitioned write
+        result = extract_documents(part, mode=mode).withColumn(
+            "chunk", _chunk_col(n_chunks)
+        )
 
-        # atomic landing: write to tmp, rename into place
-        final = os.path.join(out_dir, "data", f"chunk={k}")
-        tmp = os.path.join(out_dir, "data", f"_tmp_chunk_{k}_{run_id}")
+        # one job for the whole group, atomically landed per chunk:
+        # write partitioned by chunk into a tmp dir, then rename each
+        # chunk=K subdir into place
+        tmp = os.path.join(out_dir, "data", f"_tmp_group_{run_id}_{g}")
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        result.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
-
-        stats = spark.read.parquet(final).agg(
-            F.count("*").alias("docs"), F.sum("n_media").alias("media")
-        ).collect()[0]
+        result.write.mode("overwrite").partitionBy("chunk").parquet(tmp)
         t1 = time.time()
-        _append_lineage(
-            spark,
-            out_dir,
-            {
-                "run_id": run_id,
-                "partition_id": k,
-                "doc_count": stats["docs"] or 0,
-                "media_count": int(stats["media"] or 0),
-                "status": "done",
-                "started_at": _ts(t0),
-                "finished_at": _ts(t1),
-                "throughput_docs_per_s": round(
-                    (stats["docs"] or 0) / max(t1 - t0, 1e-9), 3
-                ),
-            },
-        )
-        ran += 1
+
+        for k in group:
+            src = os.path.join(tmp, f"chunk={k}")
+            final = os.path.join(out_dir, "data", f"chunk={k}")
+            if not os.path.exists(src):
+                # a chunk with zero documents still needs a committed dir
+                os.makedirs(src, exist_ok=True)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(src, final)
+            try:
+                stats = spark.read.parquet(final).agg(
+                    F.count("*").alias("docs"),
+                    F.sum("n_media").alias("media"),
+                ).collect()[0]
+                docs, media = stats["docs"] or 0, int(stats["media"] or 0)
+            except Exception:  # empty chunk dir: no parquet footer
+                docs, media = 0, 0
+            _append_lineage(
+                spark,
+                out_dir,
+                {
+                    "run_id": run_id,
+                    "partition_id": k,
+                    "doc_count": docs,
+                    "media_count": media,
+                    "status": "done",
+                    "started_at": _ts(t0),
+                    "finished_at": _ts(t1),
+                    "throughput_docs_per_s": round(
+                        docs / max(t1 - t0, 1e-9), 3
+                    ),
+                },
+            )
+            ran += 1
+        shutil.rmtree(tmp, ignore_errors=True)
 
     return {
         "run_id": run_id,
@@ -166,8 +225,11 @@ def _ts(epoch: float):
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The assembled output across all completed chunks."""
-    return spark.read.parquet(os.path.join(out_dir, "data"))
+    """The assembled output across all completed chunks.  The chunk id is
+    a directory-level partition column (chunk=K), not data — drop it so
+    the output schema equals the pipeline's."""
+    df = spark.read.parquet(os.path.join(out_dir, "data"))
+    return df.drop("chunk") if "chunk" in df.columns else df
 
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -80,3 +80,14 @@ def test_lineage_metrics_consistency(spark, corpus_path, tmp_path):
     )
     assert (lineage["throughput_docs_per_s"] > 0).all()
     assert (lineage["finished_at"] >= lineage["started_at"]).all()
+
+
+def test_resume_rejects_changed_n_chunks(spark, corpus_path, tmp_path):
+    """A different n_chunks implies a different pmod chunking: reusing
+    chunk ids would silently drop/duplicate documents, so resume must
+    fail fast on the recorded manifest."""
+    out = str(tmp_path / "out_manifest")
+    df = spark.read.parquet(corpus_path).select("doc_id", "spans")
+    run_checkpointed(df, out, n_chunks=2, max_chunks=1, run_id="run-m")
+    with pytest.raises(ValueError, match="n_chunks"):
+        run_checkpointed(df, out, n_chunks=8, run_id="run-n")

@@ -40,6 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-chunks", type=int, default=64)
     ap.add_argument("--max-chunks", type=int, default=None)
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--chunks-per-pass", type=int, default=8)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -81,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
         mode=args.mode,
         run_id=args.run_id,
         max_chunks=args.max_chunks,
+        chunks_per_pass=args.chunks_per_pass,
     )
     print(json.dumps(summary))
     spark.stop()
