@@ -125,17 +125,25 @@ def stream_exact_dedup(
     def first_only(key, pdfs, state: GroupState):
         if state.exists:
             return  # digest already emitted in an earlier batch
-        first: pd.DataFrame | None = None
+        # Deterministic survivor: the MINIMUM doc_id across all of this
+        # batch's rows for the digest.  Intra-group arrival order varies
+        # across partitions/runs, so "first non-empty batch" would make
+        # the surviving doc_id nondeterministic — at odds with the batch
+        # twin (operators/dedup.exact_dedup ranks by doc_id).
+        best: pd.DataFrame | None = None
         for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = pdf.iloc[:1]
-        if first is not None:
+            if not len(pdf):
+                continue
+            cand = pdf.loc[[pdf["doc_id"].idxmin()]]
+            if best is None or cand["doc_id"].iloc[0] < best["doc_id"].iloc[0]:
+                best = cand
+        if best is not None:
             state.update((1,))
             yield pd.DataFrame(
                 {
                     "digest": [key[0]],
-                    "doc_id": first["doc_id"].tolist(),
-                    "text": first["text"].tolist(),
+                    "doc_id": best["doc_id"].tolist(),
+                    "text": best["text"].tolist(),
                 }
             )
 
