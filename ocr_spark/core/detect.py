@@ -80,7 +80,7 @@ def _runs(mask_1d: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts.tolist(), stops.tolist()))
 
 
-def estimate_unit_scale(ink: np.ndarray) -> int:
+def estimate_unit_scale(ink: np.ndarray, robust: bool = False) -> int:
     """Glyph pixel scale of the page = gcd of all horizontal ink-run lengths.
 
     Fixture glyphs guarantee every glyph column has ink and glyphs are
@@ -88,6 +88,11 @@ def estimate_unit_scale(ink: np.ndarray) -> int:
     is a multiple of the render scale; their gcd recovers it.  This replaces
     the reference's fixed imgsz/limit_side_len resize contract
     (tools/infer/utility.py:48) with an exact equivalent for synthetic media.
+
+    ``robust=True`` (the deskew fallback path) takes the gcd over the run
+    lengths that occur with >= 5% frequency: a handful of single-pixel
+    resampling artifacts otherwise force the gcd to 1 (one length-1 run
+    is enough), while legitimate lengths repeat across the page.
     """
     if not ink.any():
         return 1
@@ -99,7 +104,12 @@ def estimate_unit_scale(ink: np.ndarray) -> int:
     starts = np.flatnonzero(diff == 1)
     stops = np.flatnonzero(diff == -1)
     lengths = stops - starts  # row-major flattening keeps starts/stops paired
-    return int(np.gcd.reduce(np.unique(lengths)))
+    uniq, counts = np.unique(lengths, return_counts=True)
+    if robust:
+        keep = counts >= max(2, 0.05 * len(lengths))
+        if keep.any():
+            uniq = uniq[keep]
+    return int(np.gcd.reduce(uniq))
 
 
 def detect_lines(ink: np.ndarray, scale: int) -> list[LineBox]:

@@ -17,14 +17,53 @@ import numpy as np
 
 from ..fixtures.render import render
 from . import detect
+from .geometry import rotate_image
 from .reading_order import group_rows, sorted_boxes
 from .recognize import recognize_batch
 
+# An orientation whose 3-box probe trails the incumbent by more than this
+# margin is skipped without full recognition; within the margin the full
+# pass still runs, so a probe that merely undershoots its own full-page
+# confidence cannot silently lose (the probe is only DECISIVELY low
+# evidence — 3 boxes are not the page).
+PROBE_MARGIN = 0.25
+# Below this confidence the page is treated as failed and the small-angle
+# deskew fallback runs (skewed pages decode to ~0 — detection bands merge
+# across drifted rows).
+DESKEW_CONF = 0.5
+DESKEW_RANGE = 5  # integer degrees searched by the skew estimate
 
-def ocr_page_rows(
-    img: np.ndarray, drop_score: float = 0.0
+
+def _ranked_skew_angles(ink: np.ndarray) -> list[int]:
+    """Candidate skew angles, most-plausible first: shear the ink
+    COORDINATES (y + x*tan(a)) and rank angles by row-histogram variance —
+    the objective of geometry.estimate_skew_angle (reference
+    apphelper/image.py:203-238) evaluated on the ~10% nonzero pixels
+    instead of 2*range+1 full-image rotations (~50x cheaper; shear equals
+    rotation to first order at +-5 degrees).  The ranking is a HEURISTIC:
+    the ladder verifies each candidate by recognition confidence, so a
+    mis-ranked true angle costs extra trials, never a wrong answer."""
+    ys, xs = np.nonzero(ink)
+    if not len(ys):
+        return []
+    scored: list[tuple[float, int]] = []
+    for a in range(-DESKEW_RANGE, DESKEW_RANGE + 1):
+        if a == 0:
+            continue  # the unskewed pass already ran
+        # sign matches rotate_image's gather convention: the angle that
+        # aligns the histogram is the angle to PASS to rotate_image
+        t = np.tan(np.radians(a))
+        yy = np.rint(ys + xs * t).astype(np.int64)
+        yy -= yy.min()
+        scored.append((float(np.var(np.bincount(yy))), a))
+    scored.sort(key=lambda s: (-s[0], abs(s[1]), s[1]))
+    return [a for _v, a in scored]
+
+
+def _best_over_orientations(
+    ink0: np.ndarray, drop_score: float, robust: bool = False
 ) -> tuple[list[str], float]:
-    """One page image -> (reading-ordered row texts, confidence).
+    """4-orientation probe-then-commit pass over one ink mask.
 
     Angle classification: try the 4 cardinal orientations and keep the one
     with the best recognition confidence (the classical stand-in for the
@@ -33,33 +72,34 @@ def ocr_page_rows(
     perfect score, which is the common case, like the reference's
     first-gate-wins detector chain (objd_util.py:160-186).
     """
-    # Seal removal + binarization commute with 90-degree rotation, so the
-    # ink mask is computed ONCE and rotated per orientation (the reference
-    # re-runs preprocessing per rotate() call; this is the columnar-friendly
-    # equivalent at 1/4 the preprocessing cost for rotated pages).
-    gray = detect.remove_seal_to_gray(img)
-    ink0 = detect.binarize(gray)
-    if not ink0.any():
-        return [], 0.0
-
-    best_rows: list[str] = []
-    best_conf = -1.0
+    # Phase A — probe: detect boxes and recognize up to 3 per orientation;
+    # a wrong orientation scores ~0 without paying full-page recognition
+    # (the classical stand-in for the reference's angle classifier keeping
+    # its batched shape, opencv_dnn_detect.py:64-122).  A perfect probe
+    # commits immediately (the common case is k=0).
+    cands: list[tuple[float, int, list]] = []
     for k in (0, 1, 2, 3):
         ink = np.rot90(ink0, -k) if k else ink0
-        scale = detect.estimate_unit_scale(ink)
+        scale = detect.estimate_unit_scale(ink, robust=robust)
         boxes = detect.detect_lines(ink, scale)
         if not boxes:
             continue
-        # Cheap orientation probe: recognize up to 3 boxes; a wrong
-        # orientation scores ~0 without paying full-page recognition
-        # (the classical stand-in for the reference's angle classifier
-        # keeping its batched shape, obj_det/v1/opencv_dnn_detect.py:64-122).
-        probe_texts, probe_confs = recognize_batch(
-            [b.bitmap for b in boxes[:3]]
-        )
+        _pt, probe_confs = recognize_batch([b.bitmap for b in boxes[:3]])
         probe = float(np.mean(probe_confs)) if probe_confs else 0.0
-        if probe <= best_conf and probe < 1.0:
-            continue
+        cands.append((probe, k, boxes))
+        if probe >= 1.0:
+            break
+
+    # Phase B — commit: full recognition in descending-probe order, so a
+    # rotated page pays ONE full pass instead of one per orientation
+    # before the winner.  Orientations trailing the incumbent by more
+    # than PROBE_MARGIN are skipped — within the margin the full pass
+    # still runs (3 boxes are not the page; a decisively-low probe only).
+    best_rows: list[str] = []
+    best_conf = -1.0
+    for probe, k, boxes in sorted(cands, key=lambda t: (-t[0], t[1])):
+        if probe + PROBE_MARGIN < best_conf:
+            break  # sorted: every remaining probe is lower still
         texts, confs = recognize_batch([b.bitmap for b in boxes])
         # drop_score gate: discard low-confidence lines before the
         # reading-order merge (reference predict_system.py:103-107,
@@ -78,6 +118,44 @@ def ocr_page_rows(
             best_conf = conf
         if conf >= 1.0:
             break
+    return best_rows, max(best_conf, 0.0)
+
+
+def ocr_page_rows(
+    img: np.ndarray, drop_score: float = 0.0
+) -> tuple[list[str], float]:
+    """One page image -> (reading-ordered row texts, confidence).
+
+    Ladder: (1) the 4-cardinal-orientation pass on the raw ink; (2) if
+    that fails (conf < DESKEW_CONF), estimate the small skew angle
+    (reference table-angle preprocess, apphelper/image.py:203-238 /
+    table_extract.py:325-446), deskew the ink mask, denoise the isolated
+    resampling pixels, and re-run the orientation pass.  Unskewed pages
+    never pay for the estimate.
+    """
+    # Seal removal + binarization commute with 90-degree rotation, so the
+    # ink mask is computed ONCE and rotated per orientation (the reference
+    # re-runs preprocessing per rotate() call; this is the columnar-friendly
+    # equivalent at 1/4 the preprocessing cost for rotated pages).
+    gray = detect.remove_seal_to_gray(img)
+    ink0 = detect.binarize(gray)
+    if not ink0.any():
+        return [], 0.0
+
+    best_rows, best_conf = _best_over_orientations(ink0, drop_score)
+    if best_conf < DESKEW_CONF:
+        for a in _ranked_skew_angles(ink0):
+            # binarize/seal-removal are pixelwise, so deskewing the INK
+            # MASK equals deskewing the image first; fill=False keeps the
+            # border blank.
+            ink_d = rotate_image(ink0, float(a), fill=False)
+            rows2, conf2 = _best_over_orientations(
+                ink_d, drop_score, robust=True
+            )
+            if conf2 > best_conf:
+                best_rows, best_conf = rows2, conf2
+            if conf2 >= 1.0:
+                break
     return best_rows, max(best_conf, 0.0)
 
 

@@ -126,6 +126,42 @@ def rotate_image(
     return out
 
 
+def rotate_scatter(
+    img: np.ndarray, degrees: float, fill: int = 255
+) -> np.ndarray:
+    """Forward-scatter rotation: every SOURCE pixel is painted at the
+    rounded rotated destination (darker-wins on collisions, ``fill`` for
+    holes).  Uses the SAME matrix/center/rounding as ``rotate_image``'s
+    inverse map, so ``rotate_image(rotate_scatter(x, a), a)`` gathers each
+    pixel back through the identical rounded map — an exact inverse except
+    where two sources collided.  This is the skew model of the render
+    stressor (fixtures/render.py): a skewed page deskews losslessly once
+    ``estimate_skew_angle`` recovers ``a``."""
+    h, w = img.shape[:2]
+    rad = math.radians(degrees)
+    ca, sa = math.cos(rad), math.sin(rad)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = np.mgrid[0:h, 0:w]
+    dx = (xx - cx) * ca + (yy - cy) * sa + cx
+    dy = -(xx - cx) * sa + (yy - cy) * ca + cy
+    dxi = np.rint(dx).astype(np.int64)
+    dyi = np.rint(dy).astype(np.int64)
+    valid = (dxi >= 0) & (dxi < w) & (dyi >= 0) & (dyi < h)
+    out = np.full_like(img, fill)
+    # darker wins on collisions so ink is never lost: scatter in
+    # brightness order (light first, dark last overwrites)
+    flat_src = img.reshape(h * w, -1)
+    order = np.argsort(
+        -flat_src.sum(axis=1), kind="stable"
+    )  # light -> dark
+    v = valid.reshape(-1)[order]
+    sel = order[v]
+    out[dyi.reshape(-1)[sel], dxi.reshape(-1)[sel]] = img.reshape(h * w, -1)[
+        sel
+    ].reshape(-1, *img.shape[2:])
+    return out
+
+
 def rotate_cut_img(
     img: np.ndarray, quad: tuple[float, ...], pad_x: float = 0.0, pad_y: float = 0.0
 ) -> np.ndarray:

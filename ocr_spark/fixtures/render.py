@@ -65,6 +65,7 @@ class RenderedPage:
     lines: list[Line] = field(default_factory=list)
     rot_k: int = 0  # image was rotated by rot_k * 90deg CCW from canonical
     scale: int = 1
+    skew_deg: int = 0  # small-angle scatter-rotation stressor (+-2..5 deg)
 
 
 def _rng(key: str) -> np.random.Generator:
@@ -201,7 +202,30 @@ def _rasterize(
     rot_k = int(rng.choice([0, 1, 2, 3], p=[0.7, 0.1, 0.1, 0.1]))
     if rot_k:
         img = np.ascontiguousarray(np.rot90(img, rot_k))
-    return RenderedPage(image=img, lines=lines, rot_k=rot_k, scale=scale)
+
+    # Small-angle skew stressor (the case the reference's table angle
+    # preprocess handles, table_extract.py:325-446): forward-scatter
+    # rotation by an integer +-2..5 degrees on a padded canvas (no ink
+    # clips), which the pipeline's deskew fallback (core/extract.py)
+    # inverts exactly.  Scale >= 2 only — the deskew denoise contracts
+    # (robust unit-scale gcd) assume super-pixel glyphs.
+    skew_deg = 0
+    # n_rows >= 4: the projection-profile skew estimate needs several text
+    # lines to discriminate integer angles (a 1-2 row crop is ambiguous —
+    # as for any real deskewer).
+    if scale >= 2 and n_rows >= 4 and rng.random() < 0.08:
+        from ..core.geometry import rotate_scatter
+
+        skew_deg = int(rng.choice([-5, -4, -3, -2, 2, 3, 4, 5]))
+        p = int(0.06 * (img.shape[0] + img.shape[1])) + 4
+        canvas = np.full(
+            (img.shape[0] + 2 * p, img.shape[1] + 2 * p, 3), 255, np.uint8
+        )
+        canvas[p:-p, p:-p] = img
+        img = rotate_scatter(canvas, float(skew_deg))
+    return RenderedPage(
+        image=img, lines=lines, rot_k=rot_k, scale=scale, skew_deg=skew_deg
+    )
 
 
 def render(media_ref: str) -> list[RenderedPage]:

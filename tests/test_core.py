@@ -122,7 +122,7 @@ def test_seal_removal_recovers_clean_page():
     page = render("img://seal-hunt/0#page")[0]
     # find a fixture that actually has a seal
     i = 0
-    while not (page.image[..., 0] != page.image[..., 1]).any():
+    while page.skew_deg or not (page.image[..., 0] != page.image[..., 1]).any():
         i += 1
         page = render(f"img://seal-hunt/{i}#page")[0]
     gray = detect.remove_seal_to_gray(np.rot90(page.image, -page.rot_k))
@@ -140,6 +140,8 @@ def test_seal_removal_recovers_clean_page():
 def test_scale_recovery():
     for i in range(10):
         page = render(f"img://scale-{i}/0#page")[0]
+        if page.skew_deg:
+            continue  # canonical reconstruction below is rot90-only
         img = np.rot90(page.image, -page.rot_k)
         ink = detect.binarize(detect.remove_seal_to_gray(img))
         assert detect.estimate_unit_scale(ink) == page.scale
@@ -148,6 +150,8 @@ def test_scale_recovery():
 def test_detected_boxes_equal_layout_boxes():
     for i in range(10):
         page = render(f"img://boxes-{i}/0#page")[0]
+        if page.skew_deg:
+            continue  # canonical reconstruction below is rot90-only
         img = np.rot90(page.image, -page.rot_k)
         ink = detect.binarize(detect.remove_seal_to_gray(img))
         boxes = detect.detect_lines(ink, page.scale)
@@ -159,6 +163,7 @@ def test_detected_boxes_equal_layout_boxes():
 def test_ocr_page_angle_invariance():
     """The angle pass must recover the same text for all 4 rotations."""
     page = render("img://angle/0#crop")[0]
+    assert page.skew_deg == 0  # crop profile can be scale 1: never skewed... at scale>=2 possible; re-pick if so
     canonical = np.rot90(page.image, -page.rot_k)
     texts = {ocr_page(np.rot90(canonical, k))[0] for k in range(4)}
     assert len(texts) == 1
@@ -284,3 +289,20 @@ def test_window_sql_clustering_agrees_with_numpy():
             key=lambda t: (t[1], pos[t[0]]),
         )
         assert numpy_rows == lag_cluster(idx_y), li
+
+
+def test_skewed_pages_extract_exactly():
+    """8% of scale>=2 renders carry a +-2..5 degree scatter-skew; the
+    deskew fallback ladder must recover the exact span text (north rule:
+    span-sequence equality, with the skew stressor in the mix)."""
+    from ocr_spark.core.extract import ocr_media_ref
+
+    skewed, i = [], 0
+    while len(skewed) < 5 and i < 200:
+        ref = f"img://skewhunt-{i}/0#page"
+        if render(ref)[0].skew_deg:
+            skewed.append(ref)
+        i += 1
+    assert len(skewed) == 5  # the stressor fires at the expected rate
+    for ref in skewed:
+        assert ocr_media_ref(ref) == expected_media_text(ref), ref
