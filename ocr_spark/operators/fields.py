@@ -32,18 +32,29 @@ RAW_FIELDS = [
     "buy_tax", "buy_addr", "buy_bank", "sale_tax", "sale_addr", "sale_bank",
     "qrcode",
 ]
-_RAW_SCHEMA = "media_ref string, family string, type string, " + ", ".join(
-    f"{f}_raw string" for f in RAW_FIELDS
+# The two python-kernel normalizers (get_date, get_chinese_amount) are
+# computed INSIDE the extraction kernel rather than as pandas UDFs in the
+# base select: an ArrowEvalPython stage feeding the mapInPandas barrier
+# measured ~10x slower than either python stage alone on this runtime,
+# and the kernel already owns a python batch of exactly these strings.
+_PY_NORM_FIELDS = ["billing_date", "idate", "total3"]
+_RAW_SCHEMA = (
+    "media_ref string, family string, type string, "
+    + ", ".join(f"{f}_raw string" for f in RAW_FIELDS)
+    + ", "
+    + ", ".join(f"{f}_norm string" for f in _PY_NORM_FIELDS)
 )
 
 
 def _extract_raw_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: media_ref -> family/type + raw field texts.
+    """mapInPandas kernel: media_ref -> family/type + raw field texts (+
+    the python-normalized date/chinese-amount columns, see _PY_NORM_FIELDS).
     Kernels import once per executor python worker (module singleton)."""
     from ocr_spark.core.fields import extract_fields
     from ocr_spark.fixtures.invoice import render_invoice
+    from ocr_spark.functions import normalizers_py as pyref
 
     for pdf in batches:
         rows = []
@@ -52,11 +63,17 @@ def _extract_raw_batches(
             rows.append(
                 [ref, d["family"], d["type"]]
                 + [d.get(f, "") for f in RAW_FIELDS]
+                + [
+                    pyref.get_date(d.get("billing_date", "")),
+                    pyref.get_date(d.get("idate", "")),
+                    pyref.get_chinese_amount(d.get("total3", "")),
+                ]
             )
         yield pd.DataFrame(
             rows,
             columns=["media_ref", "family", "type"]
-            + [f"{f}_raw" for f in RAW_FIELDS],
+            + [f"{f}_raw" for f in RAW_FIELDS]
+            + [f"{f}_norm" for f in _PY_NORM_FIELDS],
         )
 
 
@@ -127,7 +144,6 @@ def extract_invoice_fields(refs: DataFrame) -> DataFrame:
         _extract_raw_batches, schema=_RAW_SCHEMA
     )
     c = F.col
-    get_date = N.make_get_date()
     base = raw.select(
         "media_ref",
         "family",
@@ -135,7 +151,7 @@ def extract_invoice_fields(refs: DataFrame) -> DataFrame:
         N.get_title(c("title_raw")).alias("title"),
         N.get_num(c("invoice_code_raw")).alias("invoice_code"),
         N.get_num(c("invoice_number_raw")).alias("invoice_number"),
-        get_date(c("billing_date_raw")).alias("billing_date"),
+        c("billing_date_norm").alias("billing_date"),
         N.get_num(c("check_code_raw")).alias("check_code"),
         N.get_amount(c("total_amount_raw")).alias("total_amount"),
         N.get_amount(c("tax_raw")).alias("tax0"),
@@ -143,10 +159,10 @@ def extract_invoice_fields(refs: DataFrame) -> DataFrame:
         N.get_title(c("buy_title_raw")).alias("buy_title"),
         N.get_title(c("sale_title_raw")).alias("sale_title"),
         N.get_num(c("doc_number_raw")).alias("doc_number"),
-        get_date(c("idate_raw")).alias("idate"),
+        c("idate_norm").alias("idate"),
         N.get_amount(c("total_raw")).alias("total"),
         N.get_amount(c("total2_raw")).alias("total2"),
-        N.get_chinese_amount(c("total3_raw")).alias("total3"),
+        c("total3_norm").alias("total3"),
         N.get_num(c("cnt_raw")).alias("cnt"),
         N.get_page(c("page_raw")).alias("page"),
         # complex-range buy/sale routing (process_buy_sale_field,
