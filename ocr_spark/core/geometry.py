@@ -108,57 +108,65 @@ def rotate_image(
     canvas; the numpy stand-in for the reference's warpAffine/PIL
     rotations (table_extract.py:414-446, apphelper/image.py:198)."""
     h, w = img.shape[:2]
+    sxi, syi, valid = _rot_maps(h, w, degrees, center)
+    # clip + full gather + where: one contiguous gather instead of two
+    # boolean compressions (the deskew fallback runs this on whole pages
+    # inside executor workers — memory bandwidth matters at local[32])
+    gathered = img[syi.clip(0, h - 1), sxi.clip(0, w - 1)]
+    fill_arr = np.full_like(img, fill)
+    if img.ndim == 3:
+        valid = valid[..., None]
+    return np.where(valid, gathered, fill_arr)
+
+
+def _rot_maps(
+    h: int, w: int, degrees: float, center: tuple[float, float] | None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rounded source-coordinate maps for rotate_image (int32; float64
+    trig so scatter/gather rounding stays bit-identical across dtypes)."""
     rad = math.radians(degrees)
     ca, sa = math.cos(rad), math.sin(rad)
     if center is None:
         cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     else:
         cx, cy = float(center[0]), float(center[1])
-    yy, xx = np.mgrid[0:h, 0:w]
-    # inverse rotation: destination -> source
-    sx = (xx - cx) * ca + (yy - cy) * sa + cx
-    sy = -(xx - cx) * sa + (yy - cy) * ca + cy
-    sxi = np.rint(sx).astype(np.int64)
-    syi = np.rint(sy).astype(np.int64)
+    xs = np.arange(w, dtype=np.float64) - cx
+    ys = np.arange(h, dtype=np.float64) - cy
+    sx = xs[None, :] * ca + ys[:, None] * sa + cx
+    sy = ys[:, None] * ca - xs[None, :] * sa + cy
+    sxi = np.rint(sx).astype(np.int32)
+    syi = np.rint(sy).astype(np.int32)
     valid = (sxi >= 0) & (sxi < w) & (syi >= 0) & (syi < h)
-    out = np.full_like(img, fill)
-    out[valid] = img[syi[valid], sxi[valid]]
-    return out
+    return sxi, syi, valid
 
 
 def rotate_scatter(
     img: np.ndarray, degrees: float, fill: int = 255
 ) -> np.ndarray:
     """Forward-scatter rotation: every SOURCE pixel is painted at the
-    rounded rotated destination (darker-wins on collisions, ``fill`` for
+    rounded rotated destination (LIGHTER-wins on collisions, ``fill`` for
     holes).  Uses the SAME matrix/center/rounding as ``rotate_image``'s
     inverse map, so ``rotate_image(rotate_scatter(x, a), a)`` gathers each
     pixel back through the identical rounded map — an exact inverse except
-    where two sources collided.  This is the skew model of the render
-    stressor (fixtures/render.py): a skewed page deskews losslessly once
-    ``estimate_skew_angle`` recovers ``a``."""
+    at collision sites.  Lighter-wins makes collision damage BOUNDED INK
+    EROSION (a glyph pixel reads back white), which the recognizer's
+    hamming tolerance absorbs; darker-wins would instead inject spurious
+    ink next to glyphs, distorting the run-length structure the unit-scale
+    estimate and box detection depend on.  This is the skew model of the
+    render stressor (fixtures/render.py): a skewed page deskews exactly
+    once the fallback ladder recovers ``a``."""
     h, w = img.shape[:2]
-    rad = math.radians(degrees)
-    ca, sa = math.cos(rad), math.sin(rad)
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yy, xx = np.mgrid[0:h, 0:w]
-    dx = (xx - cx) * ca + (yy - cy) * sa + cx
-    dy = -(xx - cx) * sa + (yy - cy) * ca + cy
-    dxi = np.rint(dx).astype(np.int64)
-    dyi = np.rint(dy).astype(np.int64)
-    valid = (dxi >= 0) & (dxi < w) & (dyi >= 0) & (dyi < h)
+    dxi, dyi, valid = _rot_maps(h, w, degrees, None)
     out = np.full_like(img, fill)
-    # darker wins on collisions so ink is never lost: scatter in
-    # brightness order (light first, dark last overwrites)
-    flat_src = img.reshape(h * w, -1)
-    order = np.argsort(
-        -flat_src.sum(axis=1), kind="stable"
-    )  # light -> dark
-    v = valid.reshape(-1)[order]
-    sel = order[v]
-    out[dyi.reshape(-1)[sel], dxi.reshape(-1)[sel]] = img.reshape(h * w, -1)[
-        sel
-    ].reshape(-1, *img.shape[2:])
+    # scatter brightness TIERS dark-to-light so the lightest collider
+    # lands last (a page has only a handful of distinct colors; tier
+    # passes beat a full argsort)
+    bright = (
+        img.sum(axis=-1, dtype=np.int32) if img.ndim == 3 else img
+    )
+    for level in sorted(np.unique(bright)):
+        sel = valid & (bright == level)
+        out[dyi[sel], dxi[sel]] = img[sel]
     return out
 
 

@@ -149,12 +149,15 @@ def extract_documents(
                 F.struct("offset", "kind", "text", "media_ref")
             )
         ).alias("ordered"),
-        F.max(F.col("error")).alias("first_error"),
+        # lexicographic MAX error, not chronologically first: any
+        # non-empty value flips success=false, which is the only
+        # contract (reference degrades per request the same way)
+        F.max(F.col("error")).alias("any_error"),
         F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
         .cast("int")
         .alias("n_media"),
     )
-    success = F.col("first_error") == ""
+    success = F.col("any_error") == ""
     spans_ok = F.transform(
         "ordered",
         lambda s: F.struct(
@@ -180,6 +183,6 @@ def extract_documents(
         "doc_id",
         F.when(success, spans_ok).otherwise(spans_failed).alias("spans"),
         success.alias("success"),
-        F.col("first_error").alias("message"),
+        F.col("any_error").alias("message"),
         "n_media",
     )
