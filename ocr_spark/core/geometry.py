@@ -159,14 +159,19 @@ def rotate_scatter(
     dxi, dyi, valid = _rot_maps(h, w, degrees, None)
     out = np.full_like(img, fill)
     # scatter brightness TIERS dark-to-light so the lightest collider
-    # lands last (a page has only a handful of distinct colors; tier
-    # passes beat a full argsort)
+    # lands last.  The background tier is scattered in one pass and the
+    # few non-background colors (ink, seal) tier-sort over their own
+    # small subset — no full-canvas sort.
     bright = (
         img.sum(axis=-1, dtype=np.int32) if img.ndim == 3 else img
     )
-    for level in sorted(np.unique(bright)):
-        sel = valid & (bright == level)
+    bg_level = int(fill) * (img.shape[2] if img.ndim == 3 else 1)
+    fg = valid & (bright != bg_level)
+    for level in sorted(np.unique(bright[fg])):
+        sel = fg & (bright == level)
         out[dyi[sel], dxi[sel]] = img[sel]
+    bg = valid & (bright == bg_level)
+    out[dyi[bg], dxi[bg]] = img[bg]
     return out
 
 
