@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_cluster": spans.row_cluster,
         "reading_order_rank": spans.reading_order_rank,
         "line_merge": spans.line_merge,
+        "union_rbox_merge": spans.union_rbox_merge,
         # -- scalar normalizer library --
         "norm_get_num": _norm_get_num,
         "norm_get_title": _norm_get_title,
@@ -679,6 +680,32 @@ with boxes as (
 select page_id, box_id,
        row_number() over (partition by page_id order by row_id, x, box_id) as reading_rank
 from c order by page_id, box_id
+""",
+        "union_rbox_merge": """
+with recursive b as (
+  select event_id % 97 as page_id, event_id as box_id,
+         (event_id * 37) % 499 as x, (event_id * 17) % 311 as y,
+         20 + ((event_id % 97) % 5) * 8 as h
+  from events
+), s as (
+  select page_id, box_id, x, y, h, y + h / 2.0 as cy,
+         row_number() over (partition by page_id order by y, box_id) as rn
+  from b
+), rec as (
+  select page_id, box_id, x, rn, cy, h, cy as anchor, 1 as grp
+  from s where rn = 1
+  union all
+  select s.page_id, s.box_id, s.x, s.rn, s.cy, s.h,
+         case when (s.cy - rec.anchor) / greatest(0.01, s.h / 2.0) > 0.1
+              then s.cy else rec.anchor end as anchor,
+         rec.grp + case when (s.cy - rec.anchor) / greatest(0.01, s.h / 2.0) > 0.1
+                        then 1 else 0 end as grp
+  from rec join s on s.page_id = rec.page_id and s.rn = rec.rn + 1
+)
+select page_id::int as page_id, grp::int as grp,
+       string_agg(box_id::varchar, ' ' order by x, rn) as merged_ids,
+       count(*)::int as n_boxes
+from rec group by page_id, grp order by page_id, grp
 """,
         "line_merge": """
 with boxes as (

@@ -195,3 +195,54 @@ def line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("page_id", "row_id")
     )
+
+
+def union_rbox_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union_rbox's RELATIVE line merge (apphelper/image.py:317-375) as a
+    distributed operator: boxes grouped per page by the
+    alpha*min(h)/2 centre-distance criterion via the core.reading_order
+    kernel in an ``applyInPandas`` stage (one shuffle on page_id).
+
+    Layout contract that makes this DuckDB-checkable: heights are
+    CONSTANT per page and the input order is ascending cy, so the
+    any-member-exceeds rule reduces to an anchored recursion the oracle
+    expresses with a recursive CTE.  Mixed-height behaviour (where the
+    relative rule diverges from the fixed 10px rule) is pinned by
+    tests/test_core.py."""
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    boxes = ev.select(
+        (F.col("event_id") % 97).alias("page_id"),
+        F.col("event_id").alias("box_id"),
+        ((F.col("event_id") * 37) % 499).alias("x"),
+        ((F.col("event_id") * 17) % 311).alias("y"),
+        (20 + (F.col("event_id") % 97) % 5 * 8).alias("h"),  # per-page const
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ocr_spark.core.reading_order import union_rows
+
+        pdf = pdf.sort_values(["y", "box_id"], kind="mergesort")
+        quads = [
+            (int(x), int(y), 30, int(h))
+            for x, y, h in zip(pdf["x"], pdf["y"], pdf["h"])
+        ]
+        groups = union_rows(quads)
+        page = int(pdf["page_id"].iloc[0])
+        ids = pdf["box_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "page_id": [page] * len(groups),
+                "grp": list(range(1, len(groups) + 1)),
+                "merged_ids": [
+                    " ".join(str(int(ids[i])) for i in g) for g in groups
+                ],
+                "n_boxes": [len(g) for g in groups],
+            }
+        )
+
+    out = boxes.groupBy("page_id").applyInPandas(
+        merge, "page_id int, grp int, merged_ids string, n_boxes int"
+    )
+    return out.repartition(1).sortWithinPartitions("page_id", "grp")
