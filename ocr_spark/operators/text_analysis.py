@@ -96,11 +96,17 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest."""
     docs = _docs(spark, sf_dir)
     n_windows = F.greatest(F.length("text") - 7, F.lit(1))
-    min_window = F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.md5(F.substring(F.col("text"), i, F.lit(8))),
-        )
+    # running-min aggregate, NOT array_min(transform(...)): the transform
+    # materializes one 32-char digest per character — an O(doc_len) array
+    # per row that would be tens of MB for MB-scale documents.  The fold
+    # keeps O(1) state per row; values are identical.  "g"*32 sorts above
+    # every hex digest, so the seed never survives (n_windows >= 1).
+    min_window = F.aggregate(
+        F.sequence(F.lit(1), n_windows),
+        F.lit("g" * 32),
+        lambda acc, i: F.least(
+            acc, F.md5(F.substring(F.col("text"), i, F.lit(8)))
+        ),
     )
     return docs.select(
         "doc_id",
