@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cells": table.table_cells,
         "table_det_assign": table.table_det_assign,
         "table_html": table.table_html,
+        # -- streaming (stateful dedup drained via availableNow) --
+        "stream_exact_dedup": _q_stream_dedup,
         # -- relational breadth --
         "pricing_summary": relational.pricing_summary,
         "top_orders_per_segment": relational.top_orders_per_segment,
@@ -338,6 +340,12 @@ def _norm_chinese_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_custkey", N.get_chinese_amount(s).alias("amount")
     ).orderBy("c_custkey")
+
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.streaming.stream import stream_dedup_query
+
+    return stream_dedup_query(spark, sf_dir)
 
 
 def _q_ofd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1141,6 +1149,10 @@ join cols_ c on d.table_id = c.table_id and d.x between c.x0 and c.x1
 order by d.table_id, d.det_id
 """,
         # -- relational --
+        "stream_exact_dedup": """
+select md5(text) as digest, min(doc_id::varchar) as doc_id, min(text) as text
+from documents group by text order by digest
+""",
         "pricing_summary": """
 select l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) as sum_qty,

@@ -215,3 +215,39 @@ def stream_event_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: run the stateful streaming dedup end-to-end
+    over the documents table and return the deduplicated result.
+
+    Input is staged as ONE parquet file and drained with availableNow, so
+    the whole table arrives in a single micro-batch and the deterministic
+    survivor rule (minimum doc_id per digest) is exactly SQL's
+    arg_min(doc_id) — which is what the DuckDB oracle checks.  Cross-batch
+    state behaviour (first batch wins regardless of doc_id) is pinned by
+    tests/test_streaming.py instead."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="ocr_spark_stream_dedup_")
+    in_dir, out_dir, ck_dir = (
+        f"{base}/in", f"{base}/out", f"{base}/ck"
+    )
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(in_dir)
+        q = stream_exact_dedup(spark, in_dir, out_dir, ck_dir)
+        q.awaitTermination()
+        out = spark.read.parquet(out_dir).select("digest", "doc_id", "text")
+        # materialize before the tmp dir disappears
+        rows = out.collect()
+        return (
+            spark.createDataFrame(rows, out.schema)
+            .repartition(1)
+            .sortWithinPartitions("digest")
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
