@@ -63,6 +63,18 @@ def main() -> int:
     from ocr_spark.operators.pipeline import extract_documents
 
     _force(extract_documents(warm, mode="exploded"))
+    # Warm the normalizer plan too: the field stage's regex-heavy
+    # projections run interpreted until C2 compiles the generated code
+    # (measured 122s -> 28s across repeats on a cold JVM); a small pass
+    # puts the first timed run on warm JIT.
+    from ocr_spark.operators.fields import extract_invoice_fields
+    from ocr_spark.fixtures.invoice import FAMILIES
+
+    warm_refs = spark.createDataFrame(
+        [(f"inv://warm{i}#{FAMILIES[i % 4]}",) for i in range(16)],
+        "media_ref string",
+    )
+    _force(extract_invoice_fields(warm_refs))
 
     qs = entrymod.queries()
     headline = [
