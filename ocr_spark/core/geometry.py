@@ -223,3 +223,43 @@ def red_filter(img: np.ndarray) -> np.ndarray:
     b = img[..., 2].astype(np.int16)
     out[(r < g) | (r < b)] = 0
     return out
+
+
+# Reference region-crop padding (obj_det/vat_detect.py:291): every
+# detected label box is padded 5px vertically and 12px horizontally
+# before the OCR crop; the invoice_number region is widened a further
+# 48px to the right when its companion regions are missing
+# (vat_detect.py:313-314).
+PAD_Y = 5
+PAD_X = 12
+INVOICE_NUMBER_WIDEN = 48
+
+
+def pad_box(
+    x1: int, y1: int, x2: int, y2: int,
+    width: int | None = None, height: int | None = None,
+) -> tuple[int, int, int, int]:
+    """Reference crop padding [y1-5, y2+5, x1-12, x2+12] as (x1, y1, x2,
+    y2), optionally clipped to the image bounds (the reference relies on
+    numpy slice clamping; explicit bounds make the contract testable)."""
+    nx1, ny1 = x1 - PAD_X, y1 - PAD_Y
+    nx2, ny2 = x2 + PAD_X, y2 + PAD_Y
+    if width is not None:
+        nx1, nx2 = max(nx1, 0), min(nx2, width)
+    if height is not None:
+        ny1, ny2 = max(ny1, 0), min(ny2, height)
+    return nx1, ny1, nx2, ny2
+
+
+def widen_invoice_number(
+    boxes: dict[str, list[int]],
+) -> dict[str, list[int]]:
+    """vat_detect.py:313-314: when invoice_number was detected without an
+    invoice_code or second-number region, widen its crop 48px to the
+    right (the number often extends past the detected box on single-code
+    layouts).  Boxes are [y1, y2, x1, x2] lists, mutated reference-style."""
+    if "invoice_number" in boxes and (
+        "invoice_code" not in boxes or "invoice_number2" not in boxes
+    ):
+        boxes["invoice_number"][3] += INVOICE_NUMBER_WIDEN
+    return boxes

@@ -117,3 +117,17 @@ def test_rotate_cut_img_off_center_rotated_quad():
     crop = G.rotate_cut_img(rotated, quad)
     assert crop.shape == (16, 50)
     assert (crop < 128).mean() > 0.95
+
+
+def test_reference_box_padding_constants():
+    """Region-crop padding (vat_detect.py:291) and the invoice_number
+    widening rule (vat_detect.py:313-314)."""
+    assert G.pad_box(20, 10, 50, 30) == (8, 5, 62, 35)
+    assert G.pad_box(5, 2, 50, 30, width=55, height=31) == (0, 0, 55, 31)
+    import copy
+
+    boxes = {"invoice_number": [10, 20, 30, 90], "invoice_code": [0, 5, 0, 40]}
+    # companion code present AND number2 absent -> still widened
+    assert G.widen_invoice_number(copy.deepcopy(boxes))["invoice_number"][3] == 138
+    boxes["invoice_number2"] = [0, 5, 0, 40]
+    assert G.widen_invoice_number(copy.deepcopy(boxes))["invoice_number"][3] == 90
