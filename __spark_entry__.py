@@ -493,9 +493,15 @@ select doc_id, ({add})::varchar as simhash from sums order by doc_id
 """
 
 
-def _minhash_cols() -> str:
-    h = _H32.format(expr="(j.j::varchar || ':' || s.s)")
-    return h
+# One md5 per shingle; family j = (h1 + j*h2) mod P (dedup.MINHASH_P),
+# mirroring ocr_spark/operators/dedup.py::minhash_signatures bit-for-bit.
+def _mh_col(j: int) -> str:
+    h1 = "(('0x' || substr(md5(s), 1, 8))::bigint)"
+    h2 = "(('0x' || substr(md5(s), 9, 8))::bigint)"
+    return (
+        f"list_min(list_transform(shingles, s -> "
+        f"(({h1} + {j} * {h2}) % {dedup.MINHASH_P}))) as mh{j}"
+    )
 
 
 _MINHASH_ORACLE = """
@@ -507,12 +513,7 @@ select doc_id,
 from sh order by doc_id
 """.format(
     sh=_SHINGLES,
-    cols=",\n".join(
-        "  list_min(list_transform(shingles, s -> "
-        + _H32.format(expr=f"'{j}:' || s")
-        + f")) as mh{j}"
-        for j in range(dedup.N_MINHASH)
-    ),
+    cols=",\n".join("  " + _mh_col(j) for j in range(dedup.N_MINHASH)),
 )
 
 
@@ -547,12 +548,7 @@ where round(len(list_intersect(sa.shingles, sb.shingles))::double
 order by doc_a, doc_b
 """.format(
     sh=_SHINGLES,
-    cols=",\n".join(
-        "    list_min(list_transform(shingles, s -> "
-        + _H32.format(expr=f"'{j}:' || s")
-        + f")) as mh{j}"
-        for j in range(dedup.N_MINHASH)
-    ),
+    cols=",\n".join("    " + _mh_col(j) for j in range(dedup.N_MINHASH)),
     nbands=dedup.LSH_BANDS,
     band_cases="\n".join(
         f"           when {b} then md5(mh{b * (dedup.N_MINHASH // dedup.LSH_BANDS)}::varchar"

@@ -138,28 +138,58 @@ def main() -> int:
         )
         extra["corpus_media_spans"] = int(n_media_total)
 
-    scaling_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    scaling_path = os.path.join(repo_dir, "BENCH_SCALING.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as fh:
-            extra["scaling"] = json.load(fh)
+            s = json.load(fh)
+        # Compact on the machine line; the full record stays in
+        # BENCH_SCALING.json.
+        extra["scaling"] = {
+            k: s[k]
+            for k in (
+                "n_cores",
+                "docs_per_sec_n",
+                "n4_cores",
+                "docs_per_sec_4n",
+                "scaling_efficiency",
+                "pass",
+            )
+            if k in s
+        }
 
+    # The driver captures only the TAIL of this process's combined output
+    # (~2k chars) and json-parses the last line.  Round 2 lost its bench
+    # record because per-run lists pushed the line past that window — so
+    # the machine line stays compact (min-of-N per query only) and the
+    # per-run evidence goes to a side file, BENCH_RUNS.json.
     result = {
-        "metric": "headline suite wall time (flagship: end-to-end OCR-span "
-        "extraction docs/sec, see docs_per_sec)",
+        "metric": "suite sec (flagship docs/sec: see docs_per_sec)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "query_runs": query_runs,
-        "query_spread": {
-            n: round(max(r) - min(r), 3) for n, r in query_runs.items()
-        },
         "sf": sf,
         "cpus": int(cpus) if str(cpus).isdigit() else cpus,
         **extra,
     }
-    print(json.dumps(result))
+    with open(os.path.join(repo_dir, "BENCH_RUNS.json"), "w") as fh:
+        json.dump(
+            {
+                "query_runs": query_runs,
+                "query_spread": {
+                    n: round(max(r) - min(r), 3) for n, r in query_runs.items()
+                },
+                "policy": "headline per query = min of runs (VM timing swings"
+                " documented in BASELINE.md); spreads here are the noise"
+                " evidence",
+                **result,
+            },
+            fh,
+            indent=1,
+        )
+    line = json.dumps(result)
+    assert len(line) < 1800, f"machine line too long ({len(line)}b) for driver tail"
+    print(line)
     spark.stop()
     return 0
 

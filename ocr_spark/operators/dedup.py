@@ -22,6 +22,12 @@ from pyspark.sql.window import Window
 N_MINHASH = 8
 LSH_BANDS = 4  # 4 bands x 2 rows per band
 SHINGLE_K = 3  # word shingles
+# Universal-hash family for minhash: mh_j = min((h1 + j*h2) mod P) over the
+# shingle set, with h1/h2 the two 32-bit halves of ONE md5 per shingle.
+# One digest instead of N_MINHASH digests — md5 dominates the signature
+# cost.  P is the smallest prime > 2^32; h1 + 7*h2 < 2^35 so the arithmetic
+# stays well inside bigint range in both Spark and DuckDB.
+MINHASH_P = 4294967311
 
 
 def _h32(c: Column) -> Column:
@@ -72,16 +78,32 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream reference re-evaluates the whole shingle tree — measured
     >100x slower on the LSH path. The aggregation is also the natural
     materialization barrier that hands the LSH banding concrete values.)
+
+    Hashing: ONE md5 per shingle, split into two 32-bit halves h1/h2, and
+    the N_MINHASH family derived as (h1 + j*h2) mod MINHASH_P — the
+    standard universal-hash construction.  Round 3 change: the previous
+    per-family md5 (8 digests/shingle) made the digest the dominant cost
+    and left the query exposed to this VM's stall windows.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     exploded = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
     )
+    # h1/h2 live in the projection UNDER the aggregate so the 8 min()
+    # expressions reference plain bigint columns; md5 runs once per shingle
+    # (codegen subexpression elimination dedups the two substring reads).
+    halves = exploded.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
     aggs = [
-        F.min(_h32(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"mh{j}")
+        F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(MINHASH_P)).alias(
+            f"mh{j}"
+        )
         for j in range(N_MINHASH)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return halves.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
 def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:

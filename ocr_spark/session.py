@@ -65,6 +65,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        # Console progress bars flood the combined output the bench driver
+        # tail-captures; the JSON machine line must stay the last thing in
+        # that window.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if iceberg_warehouse:
         builder = (
