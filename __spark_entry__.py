@@ -40,11 +40,17 @@ _CORPUS_SEED = 42
 
 
 def _corpus_path(n_docs: int) -> str:
-    path = f"/tmp/ocr_spark_corpus_{_CORPUS_SEED}_{n_docs}.parquet"
+    # _v3: cache key bumped whenever the synthesis schema changes (round 3
+    # added ground-truth expected_spans/expect_success columns at check
+    # scale so the driver's DuckDB oracle can value-check the pipeline).
+    path = f"/tmp/ocr_spark_corpus_{_CORPUS_SEED}_{n_docs}_v3.parquet"
     if not os.path.exists(path):
         from ocr_spark.fixtures.corpus import write_corpus
 
-        write_corpus(path, n_docs, seed=_CORPUS_SEED)
+        # Ground truth is computed per media ref at build time (layout
+        # side, no pipeline involved) — affordable at check scale only;
+        # the bench/scaling corpora (2000+) skip it and keep rows-only.
+        write_corpus(path, n_docs, seed=_CORPUS_SEED, with_expected=n_docs <= 200)
     return path
 
 
@@ -620,9 +626,64 @@ def _duck_get_amount(col: str) -> str:
     """
 
 
+def _ocr_pipeline_oracle() -> str:
+    """Value oracle for the OCR pipeline: the corpus parquet carries
+    layout-side ground truth (expected_spans / expect_success, computed at
+    build time WITHOUT running the pipeline — fixtures/corpus.py), so the
+    oracle hashes the expected span sequence exactly like _ocr_summary
+    hashes the pipeline output.  The driver checks at sf0.01 -> the 80-doc
+    corpus (\x01/\x02 field/row separators = chr(1)/chr(2))."""
+    path = _corpus_path(80)
+    return f"""
+select doc_id,
+       expect_success as success,
+       len(list_filter(spans, s -> s.kind = 'media'))::int as n_media,
+       md5(array_to_string(list_transform(expected_spans,
+             s -> s.kind || chr(1) || s.text || chr(1) || s.media_ref
+                  || chr(1) || s."offset"::varchar),
+           chr(2))) as span_digest
+from read_parquet('{path}')
+order by doc_id
+"""
+
+
+def _invoice_expected_path() -> str:
+    """Expected invoice_field_extract records for the sf0.01 ref set,
+    computed from layout ground truth through the pure-Python normalizer
+    twins (fixtures/invoice.expected_record — unit-tested against the
+    reference semantics), never through the Spark stage under test."""
+    path = "/tmp/ocr_spark_invoice_expected_sf001_v1.parquet"
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_spark.fixtures.invoice import FAMILIES, expected_record
+
+        cust = pq.read_table(
+            "/root/testdata/sf0.01/customer.parquet", columns=["c_custkey"]
+        )
+        keys = sorted(k for k in cust["c_custkey"].to_pylist() if k % 10 == 0)
+        recs = [
+            expected_record(f"inv://c{k}#{FAMILIES[k % 4]}") for k in keys
+        ]
+        cols = list(recs[0].keys())
+        pq.write_table(
+            pa.table({c: pa.array([r[c] for r in recs], pa.string()) for c in cols}),
+            path,
+        )
+    return path
+
+
 def oracle_sql() -> dict[str, str]:
     get_num = _DUCK_GET_NUM
+    ocr_oracle = _ocr_pipeline_oracle()
     return {
+        # -- the extraction pipeline (ground-truth value oracles) --
+        "ocr_extract_exploded": ocr_oracle,
+        "ocr_extract_fused": ocr_oracle,
+        "invoice_field_extract": f"""
+select * from read_parquet('{_invoice_expected_path()}') order by media_ref
+""",
         # -- span algebra --
         "span_explode": """
 with s as (

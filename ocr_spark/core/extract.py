@@ -184,11 +184,12 @@ def extract_spans(
     reference batch recognizer (obj_det/ocr_context.py:239-266).
     """
     out: list[dict] = []
-    n_media = 0
+    # Count upfront so a failing document reports its TOTAL media count,
+    # identical to exploded mode's aggregate (and to the value oracle).
+    n_media = sum(1 for s in spans if s["kind"] == "media")
     try:
         for s in sorted(spans, key=lambda s: s["offset"]):
             if s["kind"] == "media":
-                n_media += 1
                 out.append(
                     {
                         "kind": "media",

@@ -105,9 +105,15 @@ def build_corpus(
         doc_ids.append(doc_id)
         all_spans.append(spans)
         if with_expected:
+            # Pipeline contract (operators/pipeline.py): one failing media
+            # span poisons its whole document — success=false and EVERY
+            # media text stays empty.  The expected spans mirror that so
+            # they equal the pipeline output row-for-row (the DuckDB value
+            # oracle hashes them directly).
+            doc_ok = all("#err" not in s["media_ref"] for s in spans)
             exp = []
             for s in spans:
-                if s["kind"] == "media" and "#err" not in s["media_ref"]:
+                if s["kind"] == "media" and doc_ok:
                     exp.append({**s, "text": expected_media_text(s["media_ref"])})
                 else:
                     exp.append(dict(s))

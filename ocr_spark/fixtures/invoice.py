@@ -187,3 +187,111 @@ def render_invoice(media_ref: str) -> RenderedPage:
         texts.append(fields["qrcode"])
     rng = _rng("invlayout:" + media_ref)
     return _render_lines(texts, rng, scale=2)
+
+
+def _bs_norm(s: str) -> str:
+    """process_buy_sale_field pre-normalization (vat_detect.py:197,209)."""
+    return s.strip().replace("：", ":").replace("，", ",").replace("；", ";")
+
+
+def _tax_arith(tax: str, total: str, awt: str) -> str:
+    """Twin of the tax arithmetic (vat_detect.py:412-421)."""
+    import re
+
+    m1 = re.search(r"(-?\d+\.?\d*)", total)
+    m2 = re.search(r"(-?\d+\.?\d*)", awt)
+    if tax == "¥ 0.00" and m1 and m2:
+        return f"¥ {round(float(m1.group(1)) - float(m2.group(1)), 2):.2f}"
+    return tax
+
+
+def expected_record(ref: str) -> dict:
+    """Reference-semantics expected output of the full detector-chain stage
+    (operators/fields.extract_invoice_fields) for one media_ref, computed
+    from layout ground truth through the pure-Python normalizer twins
+    (functions/normalizers_py.py) — never through the Spark stage itself.
+    Used by the pytest equality gate AND the driver's DuckDB value oracle
+    (persisted to parquet by __spark_entry__._invoice_expected_path)."""
+    from ..core.fields import FAMILY_TYPE
+    from ..functions import normalizers_py as pyref
+
+    fam = ref.rsplit("#", 1)[-1]
+    gt = ground_truth(ref)
+    raw = {f: gt.get(f, "") for f in FAMILY_FIELDS[fam]}
+    title = pyref.get_title(gt["title"])
+    check_code = pyref.get_num(raw.get("check_code", ""))
+    total_amount = pyref.get_amount(raw.get("total_amount", ""))
+    amount_with_tax = pyref.get_amount(raw.get("amount_with_tax", ""))
+    tax_ocr = pyref.get_amount(raw.get("tax", ""))
+    tax = tax_ocr
+    if tax == "¥ 0.00" and raw.get("total_amount") and raw.get("amount_with_tax"):
+        a = float(total_amount.split()[1])
+        b = float(amount_with_tax.split()[1])
+        tax = f"¥ {round(a - b, 2):.2f}"
+    total = pyref.get_amount(raw.get("total", ""))
+    total2 = pyref.get_amount(raw.get("total2", ""))
+    total3 = pyref.get_chinese_amount(raw.get("total3", ""))
+    stock_total = next(
+        (t for t in (total, total2, total3) if t != "¥ 0.00"), "¥ 0.00"
+    )
+    rec = {
+        "media_ref": ref,
+        "family": fam,
+        "type": FAMILY_TYPE[fam],
+        "title": title,
+        "invoice_code": pyref.get_num(raw.get("invoice_code", "")),
+        "invoice_number": pyref.get_num(raw.get("invoice_number", "")),
+        "billing_date": pyref.get_date(raw.get("billing_date", "")),
+        "check_code": check_code,
+        "total_amount": total_amount,
+        "tax": tax,
+        "amount_with_tax": amount_with_tax,
+        "buy_title": pyref.get_title(raw.get("buy_title", "")),
+        "sale_title": pyref.get_title(raw.get("sale_title", "")),
+        "buy_tax": pyref.get_tax(raw.get("buy_tax", "").strip()),
+        "buy_addr": pyref.extract_addr(_bs_norm(raw.get("buy_addr", ""))),
+        "buy_bank": pyref.extract_bank(_bs_norm(raw.get("buy_bank", ""))),
+        "sale_tax": pyref.get_tax(raw.get("sale_tax", "").strip()),
+        "sale_addr": pyref.extract_addr(_bs_norm(raw.get("sale_addr", ""))),
+        "sale_bank": pyref.extract_bank(_bs_norm(raw.get("sale_bank", ""))),
+        "invoice_type": pyref.judge_invoice_type(title, check_code),
+        "doc_number": pyref.get_num(raw.get("doc_number", "")),
+        "idate": pyref.get_date(raw.get("idate", "")),
+        "total": total,
+        "total2": total2,
+        "total3": total3,
+        "stock_total_amount": stock_total,
+        "cnt": pyref.get_num(raw.get("cnt", "")),
+        "page": pyref.get_page(raw.get("page", "")),
+    }
+    # QR-present branch twin (vat_detect.py:341-370 + _vat_qrcode,
+    # util/tool.py:321-336): identity fields from the payload; amounts
+    # per invoice type; buy/sale titles stay OCR-routed (no blanking,
+    # vat_detect.py:361-367).
+    qr = gt.get("qrcode", "")
+    if fam == "vat" and qr:
+        p = qr.split(",")
+        t = p[1].strip()
+        qr_amount = pyref.get_float(p[4])
+        if t in ("31", "32"):
+            b_total, b_awt, b_tax = total_amount, qr_amount, tax_ocr
+        elif t in ("01", "04"):
+            b_total, b_awt, b_tax = qr_amount, amount_with_tax, tax_ocr
+        else:
+            b_total, b_awt, b_tax = qr_amount, "¥ 0.00", "¥ 0.00"
+        rec.update(
+            title=(
+                "电子发票（普通发票）" if t == "32"
+                else "电子发票（专用发票）" if t == "31"
+                else title
+            ),
+            invoice_type=t,
+            invoice_code=p[2].strip(),
+            invoice_number=p[3].strip(),
+            billing_date=f"{p[5][:4]}年{p[5][4:6]}月{p[5][6:8]}日",
+            check_code=pyref.get_num(p[6]) if t in ("04", "10") else "",
+            total_amount=b_total,
+            amount_with_tax=b_awt,
+            tax=_tax_arith(b_tax, b_total, b_awt),
+        )
+    return rec

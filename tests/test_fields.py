@@ -36,9 +36,13 @@ def test_gate_predicates():
     assert classify_family("") == "vat"
 
 
-def _expected_record(ref: str) -> dict:
+def _expected_record_local(ref: str) -> dict:
     """Reference-semantics expected output computed from layout ground
-    truth through the pure-Python normalizer twins."""
+    truth through the pure-Python normalizer twins.  Kept here as an
+    independent second copy: the shared fixture twin
+    (fixtures/invoice.expected_record) now also feeds the driver's DuckDB
+    value oracle, and test_expected_record_twins_agree pins the two
+    implementations to each other so oracle drift can't hide."""
     fam = ref.rsplit("#", 1)[-1]
     gt = ground_truth(ref)
     raw = {f: gt.get(f, "") for f in FAMILY_FIELDS[fam]}
@@ -146,7 +150,7 @@ def test_spark_stage_matches_python_oracle(spark):
     got = {r["media_ref"]: r.asDict() for r in extract_invoice_fields(df).collect()}
     assert set(got) == set(refs)
     for ref in refs:
-        assert got[ref] == _expected_record(ref), ref
+        assert got[ref] == _expected_record_local(ref), ref
 
 
 def test_qr_branch_overrides_ocr(spark):
@@ -172,7 +176,7 @@ def test_qr_branch_overrides_ocr(spark):
 
     got = {r["media_ref"]: r.asDict() for r in out.collect()}
     for ref in refs:
-        assert got[ref] == _expected_record(ref), ref
+        assert got[ref] == _expected_record_local(ref), ref
     for ref in with_qr:
         gt = ground_truth(ref)
         p = gt["qrcode"].split(",")
@@ -186,3 +190,13 @@ def test_qr_branch_overrides_ocr(spark):
     for ref in without_qr:
         gt = ground_truth(ref)
         assert got[ref]["invoice_code"] == pyref.get_num(gt["invoice_code"])
+
+
+def test_expected_record_twins_agree():
+    """The shared fixture twin (feeds the driver value oracle) must equal
+    this module's independent copy on every family, QR and non-QR."""
+    from ocr_spark.fixtures.invoice import expected_record
+
+    refs = [f"inv://t{i}#{fam}" for i in range(8) for fam in FAMILIES]
+    for ref in refs:
+        assert expected_record(ref) == _expected_record_local(ref), ref
