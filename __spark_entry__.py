@@ -568,17 +568,28 @@ order by doc_a, doc_b
 )
 
 
-def _lsh_plane(p: int) -> str:
+def _lsh_plane(table: int, p: int) -> str:
     return (
         f"list_transform(range(0, 64), i -> "
-        f"((('0x' || substr(md5('plane{p}:' || i::varchar), 1, 4))::bigint % 16) - 8)::double)"
+        f"((('0x' || substr(md5('plane{table}.{p}:' || i::varchar), 1, 4))::bigint % 16) - 8)::double)"
     )
 
 
-_ANN_BUCKET = " + ".join(
-    f"(case when list_dot_product(embedding::double[], {_lsh_plane(p)}) > 0 "
-    f"then {2**p} else 0 end)"
-    for p in range(similarity.N_PLANES)
+def _ann_bucket(table: int) -> str:
+    """Bucket id in LSH table ``table`` — mirrors similarity.bucket_of."""
+    return " + ".join(
+        f"(case when list_dot_product(embedding::double[], {_lsh_plane(table, p)}) > 0 "
+        f"then {2**p} else 0 end)"
+        for p in range(similarity.DEFAULT_PLANES)
+    )
+
+
+# One bucket column per independent LSH table (multi-table banding).
+_ANN_BUCKET_COLS = ", ".join(
+    f"({_ann_bucket(t)}) as b{t}" for t in range(similarity.DEFAULT_TABLES)
+)
+_ANN_SAME_BUCKET_ANY = lambda a, b: " or ".join(  # noqa: E731
+    f"{a}.b{t} = {b}.b{t}" for t in range(similarity.DEFAULT_TABLES)
 )
 
 _DUCK_COS = (
@@ -963,13 +974,13 @@ from p order by c_custkey
 """,
         "embedding_near_dup": f"""
 with b as (
-  select vec_id, embedding, ({_ANN_BUCKET}) as bucket from embeddings
+  select vec_id, embedding, {_ANN_BUCKET_COLS} from embeddings
 )
 select a.vec_id as vec_a, e.vec_id as vec_b,
        round(list_dot_product(a.embedding::double[], e.embedding::double[]) /
              (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
               sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))), 4) as cos
-from b a join b e on a.bucket = e.bucket and a.vec_id < e.vec_id
+from b a join b e on ({_ANN_SAME_BUCKET_ANY('a', 'e')}) and a.vec_id < e.vec_id
 where round(list_dot_product(a.embedding::double[], e.embedding::double[]) /
             (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
              sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))), 4) >= 0.4
@@ -1036,12 +1047,13 @@ order by cos desc, e.vec_id limit {similarity.TOP_K}
 """,
         "ann_lsh_topk": f"""
 with b as (
-  select vec_id, label, embedding, ({_ANN_BUCKET}) as bucket from embeddings
+  select vec_id, label, embedding, {_ANN_BUCKET_COLS} from embeddings
 ), q as (
-  select embedding as q, bucket as qb from b where vec_id = 0
+  select embedding as q, {', '.join(f'b{t}' for t in range(similarity.DEFAULT_TABLES))}
+  from b where vec_id = 0
 )
 select e.vec_id, e.label, {_DUCK_COS} as cos
-from b e join q on e.bucket = q.qb
+from b e join q on ({_ANN_SAME_BUCKET_ANY('e', 'q')})
 where e.vec_id <> 0
 order by cos desc, e.vec_id limit {similarity.TOP_K}
 """,

@@ -216,34 +216,96 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates = same
-    random-hyperplane LSH bucket (one shuffle on the bucket key), verified
-    by exact cosine >= 0.4.  The embedding-space sibling of lsh_candidates;
-    at corpus scale the bucket join touches ~1/2^N_PLANES of the pairs."""
-    from .similarity import _bucket_of, _dot, _norm
+def embedding_candidates(
+    emb: DataFrame, n_planes: int, n_tables: int
+) -> DataFrame:
+    """Unique candidate pairs (vec_a < vec_b) sharing a random-hyperplane
+    bucket in ANY of ``n_tables`` independent plane sets.  Candidate
+    volume per table is sum over buckets of C(bucket_size, 2) — growing
+    ``n_planes`` splits buckets and shrinks it geometrically (pinned by
+    tests/test_dedup.py::test_embedding_candidates_shrink_with_planes);
+    growing ``n_tables`` adds recall linearly."""
+    from .similarity import bucket_array
 
-    # Norm is a per-row fact: compute it once BEFORE the self-join so each
-    # pair pays only the dot product (round-2 hoist; same float result).
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    bands = emb.select(
         "vec_id",
-        "embedding",
-        _bucket_of(F.col("embedding")),
-        _norm(F.col("embedding")).alias("nrm"),
+        F.posexplode(
+            bucket_array(F.col("embedding"), n_planes, n_tables)
+        ).alias("tbl", "bucket"),
     )
-    a, b = emb.alias("a"), emb.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+
+
+def embedding_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, banded multi-table LSH —
+    the embedding-space mirror of lsh_candidates' minhash banding:
+    candidates = vectors sharing a random-hyperplane bucket in ANY of the
+    ``n_tables`` independent plane sets, deduped, then verified by exact
+    cosine >= 0.4.
+
+    Scale shape (the round-2 version had a fixed 64-bucket table, an
+    O((N/64)^2) ceiling): bucket count is now 2^n_planes PER TABLE with
+    n_planes sized from the corpus (similarity.planes_for_corpus — e.g.
+    18 planes / 262k buckets at 10^9 vectors), so the within-bucket
+    self-join stays O(N * bucket_size).  Recall lost to finer buckets is
+    bought back with independent tables, exactly like adding minhash
+    bands.  Physical plan: posexplode to (table, bucket) band rows, ONE
+    equi-join shuffle on (table, bucket) with AQE skew-split for hot
+    buckets, distinct on the pair key, then a verify join that pays one
+    dot product per unique candidate pair."""
+    from .similarity import DEFAULT_PLANES, DEFAULT_TABLES, _dot, _norm
+
+    if n_planes is None:
+        n_planes = DEFAULT_PLANES
+    if n_tables is None:
+        n_tables = DEFAULT_TABLES
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_candidates(emb, n_planes, n_tables)
+    # Norm is a per-row fact: computed once per vector on the verify side
+    # so each candidate pair pays only the dot product.
+    vecs = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    return (
+        pairs.join(
+            vecs.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("emb_a"),
+                F.col("nrm").alias("nrm_a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("emb_b"),
+                F.col("nrm").alias("nrm_b"),
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
             F.round(
-                _dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
                 4,
             ).alias("cos"),
         )

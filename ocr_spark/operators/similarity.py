@@ -31,7 +31,26 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TOP_K = 10
-N_PLANES = 6  # 64 buckets
+# Defaults only — every entry point takes (n_planes, n_tables) so bucket
+# count is a deployment parameter, not a module ceiling.  Sizing rule at
+# scale: n_planes ≈ log2(corpus_size / target_bucket_rows) keeps the
+# within-bucket self-join quadratic term bounded (see planes_for_corpus);
+# n_tables trades recall for candidate volume exactly like minhash-LSH
+# bands (dedup.py) — each table is an INDEPENDENT plane set and candidates
+# are the union over tables.
+DEFAULT_PLANES = 8  # 256 buckets/table
+DEFAULT_TABLES = 3
+
+
+def planes_for_corpus(n_vectors: int, target_bucket_rows: int = 4096) -> int:
+    """Bucket-count sizing: enough planes that an average bucket holds
+    ~target_bucket_rows vectors, so candidate generation stays
+    O(n * bucket_size) instead of O((n/2^planes)^2) blowing up as the
+    corpus grows.  At 10^9 vectors / 4k-row buckets this yields 18 planes
+    (262k buckets/table)."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(n_vectors, 2) / target_bucket_rows)))
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -59,12 +78,16 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 @lru_cache(maxsize=None)
-def _plane_values(p: int, dim: int) -> tuple[float, ...]:
-    """Hyperplane p's components, bit-identical to the SQL derivation the
-    DuckDB oracle uses: int(md5(f"plane{p}:{i}")[:4], 16) % 16 - 8."""
+def _plane_values(table: int, p: int, dim: int) -> tuple[float, ...]:
+    """Table t / hyperplane p components, bit-identical to the SQL
+    derivation the DuckDB oracle uses:
+    int(md5(f"plane{table}.{p}:{i}")[:4], 16) % 16 - 8."""
     return tuple(
         float(
-            int(hashlib.md5(f"plane{p}:{i}".encode()).hexdigest()[:4], 16)
+            int(
+                hashlib.md5(f"plane{table}.{p}:{i}".encode()).hexdigest()[:4],
+                16,
+            )
             % 16
             - 8
         )
@@ -72,19 +95,30 @@ def _plane_values(p: int, dim: int) -> tuple[float, ...]:
     )
 
 
-def _bucket_of(emb: Column, dim: int = 64) -> Column:
-    """Random-hyperplane LSH bucket: bit p = sign(dot(v, H_p)).  H_p is a
-    plan-time constant array literal (no per-row md5 work)."""
+def bucket_of(emb: Column, table: int, n_planes: int, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket in table ``table``: bit p =
+    sign(dot(v, H_{t,p})).  Planes are plan-time constant array literals
+    (no per-row md5 work — pinned by tests/test_plans.py)."""
     bits = []
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(v) for v in _plane_values(p, dim)])
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _plane_values(table, p, dim)])
         d = F.aggregate(
             F.zip_with(emb, plane, lambda x, h: x.cast("double") * h),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         bits.append(F.when(d > 0, F.lit(2**p)).otherwise(F.lit(0)))
-    return sum(bits[1:], bits[0]).alias("bucket")
+    return sum(bits[1:], bits[0])
+
+
+def bucket_array(
+    emb: Column, n_planes: int, n_tables: int, dim: int = 64
+) -> Column:
+    """One bucket per LSH table, as an array (posexplode → (table, bucket)
+    band rows, the multi-table analog of minhash-LSH banding)."""
+    return F.array(
+        *[bucket_of(emb, t, n_planes, dim) for t in range(n_tables)]
+    )
 
 
 def brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,22 +145,35 @@ def brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cos"), "vec_id").limit(TOP_K)
 
 
-def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: top-k within the query's LSH bucket only (the IVF-style scale
-    path — probes 1/2^N_PLANES of the corpus per query on average)."""
+def lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = DEFAULT_PLANES,
+    n_tables: int = DEFAULT_TABLES,
+) -> DataFrame:
+    """ANN: top-k among vectors sharing the query's bucket in ANY of the
+    ``n_tables`` independent plane sets (multi-probe recall, candidate set
+    still ~n_tables/2^n_planes of the corpus per query).  The single query
+    row broadcasts; the per-table bucket match is the join predicate, so
+    no shuffle of the corpus side ever happens."""
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .withColumn("bucket", _bucket_of(F.col("embedding")))
+        .withColumn(
+            "buckets", bucket_array(F.col("embedding"), n_planes, n_tables)
+        )
         .withColumn("nrm", _norm(F.col("embedding")))
     )
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q"),
-        F.col("bucket").alias("qb"),
+        F.col("buckets").alias("qb"),
         F.col("nrm").alias("qn"),
+    )
+    same_bucket_any_table = F.exists(
+        F.zip_with("buckets", "qb", lambda a, b: a == b), lambda x: x
     )
     scored = (
         emb.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(query), F.col("bucket") == F.col("qb"))
+        .join(F.broadcast(query), same_bucket_any_table)
         .select(
             "vec_id",
             "label",

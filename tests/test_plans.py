@@ -151,8 +151,29 @@ def test_embedding_near_dup_norms_precomputed(spark):
 
     tree = plan_of(embedding_near_dup(spark, SF), "simple").lower()
     # one sqrt per join side (the per-row nrm columns), none per pair:
-    # the final projection computes dot/(a.nrm*b.nrm) with no sqrt call.
+    # the final projection computes dot/(nrm_a*nrm_b) with no sqrt call.
+    # Pair-level projections are the ones carrying BOTH vec_a and vec_b;
+    # per-row projections (vec_a only) legitimately compute the sqrt norm.
     proj_lines = [l for l in tree.splitlines() if "project" in l]
-    pair_lines = [l for l in proj_lines if "vec_a" in l or ("nrm#" in l and "* nrm" in l)]
+    pair_lines = [l for l in proj_lines if "vec_a" in l and "vec_b" in l]
+    assert pair_lines
     for l in pair_lines:
         assert "sqrt" not in l
+
+
+def test_embedding_candidates_shrink_with_planes(spark):
+    """The VERDICT round-2 scale criterion for the vector LSH: candidate
+    pair volume must shrink as n_planes grows (finer buckets) — this is
+    what keeps the within-bucket self-join off the O(N^2) cliff at corpus
+    scale — while extra tables add candidates back (recall knob)."""
+    from ocr_spark.operators.dedup import embedding_candidates
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    counts = {
+        p: embedding_candidates(emb, n_planes=p, n_tables=1).count()
+        for p in (2, 5, 8)
+    }
+    assert counts[2] >= counts[5] >= counts[8]
+    assert counts[2] > counts[8]  # strict shrink across the range
+    multi = embedding_candidates(emb, n_planes=8, n_tables=3).count()
+    assert multi >= counts[8]  # union over tables only adds candidates
