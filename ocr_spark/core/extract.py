@@ -87,7 +87,14 @@ def _best_over_orientations(
         _pt, probe_confs = recognize_batch([b.bitmap for b in boxes[:3]])
         probe = float(np.mean(probe_confs)) if probe_confs else 0.0
         cands.append((probe, k, boxes))
-        if probe >= 1.0:
+        # Short-circuit ONLY when the probe covered the whole page (<=3
+        # boxes), because then probe conf IS the full-page conf.  A 3-box
+        # probe of a larger page scoring 1.0 must NOT commit: a page whose
+        # first boxes read perfectly under a wrong orientation
+        # (180-degree-symmetric glyph rows) would lock in the wrong answer
+        # with no fallback — the remaining orientations still get probed
+        # (cheap: 3 boxes each) and Phase B's full-pass ordering decides.
+        if probe >= 1.0 and len(boxes) <= 3:
             break
 
     # Phase B — commit: full recognition in descending-probe order, so a

@@ -85,6 +85,24 @@ def _check_manifest(out_dir: str, n_chunks: int) -> None:
                 "Use the original chunking or a fresh output dir."
             )
         return
+    # No manifest: only safe to (back)fill one when the dir carries no
+    # prior work.  A pre-manifest output dir with existing lineage/data
+    # was chunked under an UNKNOWN n_chunks — stamping the new value and
+    # resuming would mix two chunkings, the exact drop/duplicate
+    # corruption this guard exists to prevent.
+    has_prior_work = any(
+        os.path.isdir(os.path.join(out_dir, d)) and os.listdir(os.path.join(out_dir, d))
+        for d in ("_lineage", "data")
+    )
+    if has_prior_work:
+        raise ValueError(
+            f"checkpoint dir {out_dir} contains lineage/data but no "
+            "_manifest.json (created before manifest pinning); its original "
+            "n_chunks is unknown, so resume cannot prove chunk-id "
+            "compatibility. Use a fresh output dir (or hand-write a "
+            f"manifest {{'n_chunks': <original>, 'chunk_fn': {CHUNK_FN!r}}} "
+            "if the original chunking is known)."
+        )
     os.makedirs(out_dir, exist_ok=True)
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:

@@ -191,6 +191,11 @@ def extract_invoice_fields(refs: DataFrame) -> DataFrame:
     # identity fields come from the payload and only amounts/title fall
     # back to OCR, per invoice type:
     #   31/32: amount_with_tax from QR, total_amount from OCR
+    #          (fidelity note: the reference sources this from its
+    #          separate 'total' OCR label, vat_detect.py:359
+    #          ocr_results_dict.get('total'); this fixture has no
+    #          distinct 'total' region on digital invoices, so the
+    #          total_amount label stands in for it)
     #   01/04: total_amount from QR, amount_with_tax from OCR
     #   else ('10'): total_amount from QR, others '¥ 0.00'
     #   tax from OCR for 01/04/31/32, else '¥ 0.00' (pre-arithmetic)

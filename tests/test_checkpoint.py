@@ -82,6 +82,20 @@ def test_lineage_metrics_consistency(spark, corpus_path, tmp_path):
     assert (lineage["finished_at"] >= lineage["started_at"]).all()
 
 
+def test_resume_rejects_premanifest_dir(spark, corpus_path, tmp_path):
+    """An output dir with lineage/data but no manifest (created before
+    manifest pinning) has an UNKNOWN original n_chunks; backfilling a
+    manifest with the new value would mix two chunkings. Refuse."""
+    out = str(tmp_path / "out_premanifest")
+    df = spark.read.parquet(corpus_path).select("doc_id", "spans")
+    run_checkpointed(df, out, n_chunks=2, max_chunks=1, run_id="run-p")
+    import os
+
+    os.remove(os.path.join(out, "_manifest.json"))  # simulate pre-manifest dir
+    with pytest.raises(ValueError, match="no\\s+_manifest"):
+        run_checkpointed(df, out, n_chunks=2, run_id="run-q")
+
+
 def test_resume_rejects_changed_n_chunks(spark, corpus_path, tmp_path):
     """A different n_chunks implies a different pmod chunking: reusing
     chunk ids would silently drop/duplicate documents, so resume must
