@@ -164,7 +164,8 @@ def get_chinese_amount(s: str) -> str:
     """Chinese upper-case amount -> '¥ x.xx' (util/tool.py:172-252).
     Stateful digit/unit accumulation; falls back to get_amount on failure.
     Quirk preserved: the reference's 万/亿 handling multiplies only the
-    pending digit, not the accumulated total (壹拾万 -> 100010, not 100000).
+    pending digit, not the accumulated total (壹拾万 -> 10 + 1*10000 =
+    10010, not 100000; mixed 亿+万 likewise never scales the total).
     """
     if not s:
         return "¥ 0.00"

@@ -18,6 +18,24 @@ from pyspark.sql import SparkSession
 ARROW_BATCH_ROWS = 256
 
 
+def iceberg_configs(warehouse: str, catalog: str = "ice") -> dict[str, str]:
+    """Spark confs registering a hadoop-type Iceberg catalog at ``warehouse``.
+
+    Kept as a pure function so the wiring is testable without the
+    iceberg-spark-runtime jar (absent in this sandbox): the catalog impl
+    class only loads when a query touches ``<catalog>.<table>``, so
+    setting these on a builder is safe jar-less, but reads require the
+    jar on the cluster classpath (see README quickstart)."""
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
 def get_spark(
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
@@ -71,15 +89,6 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
     )
     if iceberg_warehouse:
-        builder = (
-            builder.config(
-                "spark.sql.extensions",
-                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
-            )
-            .config(
-                "spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog"
-            )
-            .config("spark.sql.catalog.ice.type", "hadoop")
-            .config("spark.sql.catalog.ice.warehouse", iceberg_warehouse)
-        )
+        for k, v in iceberg_configs(iceberg_warehouse).items():
+            builder = builder.config(k, v)
     return builder.getOrCreate()

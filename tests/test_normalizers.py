@@ -60,6 +60,22 @@ GOLDEN = {
         # no exception raised -> NO get_amount fallback (util/tool.py:250
         # only catches exceptions); plain digits parse to 0
         ("123.45", "¥ 0.00"),
+        # --- 万/亿 pending-digit-only quirk (util/tool.py:216-229): a big
+        # unit multiplies ONLY the pending digit (or 1), never the
+        # accumulated total, then ADDS — so 壹拾万 is 10 + 1*10000, not
+        # (1*10)*10000.  Preserved bit-for-bit from the reference.
+        ("壹拾万元", "¥ 10010.00"),  # "real" Chinese reading would be 100000
+        ("伍拾万元", "¥ 10050.00"),  # 50 + 10000, not 500000
+        ("贰仟万元", "¥ 12000.00"),  # 2000 + 10000, not 20000000
+        # mixed 亿+万: each big unit still sees only its own pending digit
+        ("叁亿伍仟万元", "¥ 300015000.00"),  # 3e8 + 5000 + 1e4, not 3.5e8
+        # quirk compounds: 仟/佰 flush immediately, so 万 sees pending 0
+        # and contributes a bare +1e4: 1e8 + 2000 + 300 + 10000
+        ("壹亿贰仟叁佰万元", "¥ 100012300.00"),
+        ("贰亿零叁万元", "¥ 200030000.00"),  # digit directly before 万: correct
+        ("万元", "¥ 10000.00"),  # bare unit -> implied leading 1
+        ("亿元", "¥ 100000000.00"),
+        ("伍元整", "¥ 5.00"),  # 整 terminates the decimal scan
     ],
     "get_date": [
         ("2022年11月04日", "2022年11月04日"),
