@@ -19,7 +19,7 @@ from ..fixtures.render import render
 from . import detect
 from .geometry import rotate_image
 from .reading_order import group_rows, sorted_boxes
-from .recognize import recognize_batch
+from .recognize import recognize_batch, recognize_batch_cls
 
 # An orientation whose 3-box probe trails the incumbent by more than this
 # margin is skipped without full recognition; within the margin the full
@@ -107,7 +107,14 @@ def _best_over_orientations(
     for probe, k, boxes in sorted(cands, key=lambda t: (-t[0], t[1])):
         if probe + PROBE_MARGIN < best_conf:
             break  # sorted: every remaining probe is lower still
-        texts, confs = recognize_batch([b.bitmap for b in boxes])
+        # Full pass runs the per-LINE 180-degree classifier (reference
+        # det -> cls -> rec, predict_system.py:76-84): a minority of
+        # upside-down lines inside an otherwise-upright page is rescued
+        # here; the page-level vote handles whole-page rotation.  Probes
+        # stay classifier-free: under a wrong page orientation every line
+        # would be "rescued" to full confidence with a reversed reading
+        # order, so orientation selection must score the RAW decode.
+        texts, confs, _flips = recognize_batch_cls([b.bitmap for b in boxes])
         # drop_score gate: discard low-confidence lines before the
         # reading-order merge (reference predict_system.py:103-107,
         # default 0.5 there; 0.0 here keeps every line).

@@ -93,6 +93,48 @@ def recognize_batch(bitmaps: list[np.ndarray]) -> tuple[list[str], list[float]]:
 
 _SUB_BATCH = 64  # sub-batch size (reference OCR_BATCH_SIZE family of knobs)
 
+# Per-line 180-degree classifier gate (reference cls_thresh=0.9,
+# tools/infer/utility.py:116): adopt the flipped reading only when its
+# confidence clears this AND beats the unflipped one.
+CLS_THRESH = 0.9
+
+
+def recognize_batch_cls(
+    bitmaps: list[np.ndarray], cls_thresh: float = CLS_THRESH
+) -> tuple[list[str], list[float], list[bool]]:
+    """det -> cls -> rec chain with the per-LINE 180-degree classifier.
+
+    The reference runs a dedicated direction classifier on every line crop
+    and rotates a crop in place when it labels '180' above cls_thresh
+    (tools/infer/predict_cls.py:115-119, thresh utility.py:116) — so a page
+    whose lines disagree in orientation (pasted content, rotated stamps)
+    still reads.  The classical stand-in uses the recognizer itself as the
+    direction scorer: lines whose upright decode is already confident
+    (>= cls_thresh) skip the flip probe (they cannot be adopted anyway —
+    the flipped read would have to strictly beat them above the same
+    gate), and only the low-confidence minority pays a second decode of
+    its 180-rotated bitmap, batched through the same width-sorted padded
+    tensors.  Returns (texts, confs, flipped_flags).
+    """
+    texts, confs = recognize_batch(bitmaps)
+    flipped = [False] * len(bitmaps)
+    low = [
+        i
+        for i, c in enumerate(confs)
+        if c < cls_thresh
+        and bitmaps[i].shape[0] == GLYPH_H
+        and bitmaps[i].shape[1] >= GLYPH_W
+    ]
+    if low:
+        # rot90 twice == the reference's cv2.rotate(crop, ROTATE_180)
+        t2, c2 = recognize_batch(
+            [np.ascontiguousarray(np.rot90(bitmaps[i], 2)) for i in low]
+        )
+        for j, i in enumerate(low):
+            if c2[j] > cls_thresh and c2[j] > confs[i]:
+                texts[i], confs[i], flipped[i] = t2[j], c2[j], True
+    return texts, confs, flipped
+
 
 def _recognize_padded(
     bitmaps: list[np.ndarray],

@@ -15,6 +15,9 @@ media_ref grammar
                                   rasterized PDF pages, reference
                                   obj_det/objd_util.py:99-107)
     img://{doc}/{i}#big           rare large page (scale stressor)
+    img://{doc}/{i}#flip          page with exactly one 180-degree-rotated
+                                  line (per-line direction-classifier
+                                  stressor, reference predict_cls.py)
     pdf://{doc}/{i}#{n}           n-page document; page p salts the RNG with
                                   p; extracted text = pages joined by \\n
     anything containing '#err'    render raises (per-row failure-isolation
@@ -40,6 +43,11 @@ from . import glyphs
 from .glyphs import ADVANCE, GLYPH_H
 
 _SKEW_PROB = float(os.environ.get("OCR_SPARK_SKEW_PROB", "0.08"))
+# One line per affected page is stamped upside-down (mixed-orientation
+# stressor; the per-line 180-degree classifier must rescue it).  Drawn from
+# a SPAWNED child generator so pre-existing fixture layouts/texts are
+# byte-identical — only the ink of the chosen line changes.
+_FLIP_PROB = float(os.environ.get("OCR_SPARK_FLIP_PROB", "0.06"))
 
 # Canonical token vocabulary: the value shapes the reference's normalizer
 # library consumes (amounts util/tool.py:109-169, dates :271-301, pages
@@ -61,6 +69,11 @@ class Line:
     y: int
     w: int
     h: int
+    # Ink stamped 180-degree-rotated inside the box (per-line orientation
+    # stressor — the case the reference's direction classifier exists for,
+    # tools/infer/predict_cls.py:115-119).  ``text`` stays the TRUE
+    # reading, so the layout-side span oracle is unchanged.
+    flipped: bool = False
 
 
 @dataclass
@@ -119,7 +132,7 @@ def _render_canonical(key: str, profile: str) -> RenderedPage:
         n_rows, max_cols, scale = int(rng.integers(1, 3)), 1, int(rng.integers(1, 3))
     elif profile == "big":
         n_rows, max_cols, scale = int(rng.integers(10, 16)), 2, 4
-    else:  # page
+    else:  # page (and flip: a page with one guaranteed 180-degree line)
         n_rows, max_cols, scale = int(rng.integers(6, 15)), 2, 2
 
     margin = 4 * scale
@@ -142,7 +155,7 @@ def _render_canonical(key: str, profile: str) -> RenderedPage:
             lines.append(Line(text, x, base_y + jitter, w, GLYPH_H * scale))
             x += w + int(rng.integers(2, 6)) * scale
 
-    return _rasterize(lines, n_rows, scale, rng)
+    return _rasterize(lines, n_rows, scale, rng, force_flip=(profile == "flip"))
 
 
 def _render_lines(
@@ -172,17 +185,41 @@ def _render_lines(
 
 
 def _rasterize(
-    lines: list[Line], n_rows: int, scale: int, rng: np.random.Generator
+    lines: list[Line],
+    n_rows: int,
+    scale: int,
+    rng: np.random.Generator,
+    force_flip: bool = False,
 ) -> RenderedPage:
     """Shared raster tail: ink mask -> image (+ optional red seal, whole
     image rotation). Consumes RNG draws in a fixed order."""
+    # Per-line 180-degree stressor: the flip generator is SPAWNED, not
+    # drawn from ``rng``, so the main draw stream (and therefore every
+    # pre-existing layout, seal, rotation and skew decision) is untouched.
+    # force_flip (the #flip profile) guarantees exactly one flipped line
+    # for deterministic tests; otherwise the flip is a rare background
+    # stressor like skew.
+    # >= 3 boxes so a STRICT majority stays upright: on a 2-box page with
+    # one flip, a 180-degree whole-page rotation explains the ink equally
+    # well (either frame needs exactly one per-line rescue) — orientation
+    # is genuinely ambiguous, for the reference classifier too.  With a
+    # majority upright, the raw 3-box probe strictly prefers the true
+    # orientation before any per-line rescue runs.
+    flip_rng = rng.spawn(1)[0]
+    flip_idx = -1
+    if len(lines) >= 3 and (force_flip or flip_rng.random() < _FLIP_PROB):
+        flip_idx = int(flip_rng.integers(0, len(lines)))
+
     margin = 4 * scale
     row_pitch = (GLYPH_H + 4) * scale
     width = max(ln.x + ln.w for ln in lines) + margin
     height = margin + (n_rows - 1) * row_pitch + GLYPH_H * scale + 9 + margin
     ink = np.zeros((height, width), dtype=bool)
-    for ln in lines:
+    for i, ln in enumerate(lines):
         mask = glyphs.render_text_line(ln.text)
+        if i == flip_idx:
+            ln.flipped = True
+            mask = mask[::-1, ::-1]  # 180-degree rotation of the line ink
         if scale > 1:  # exact kron-with-ones upsampling, ~10x faster
             mask = mask.repeat(scale, axis=0).repeat(scale, axis=1)
         ink[ln.y : ln.y + mask.shape[0], ln.x : ln.x + mask.shape[1]] |= mask

@@ -306,3 +306,46 @@ def test_skewed_pages_extract_exactly():
     assert len(skewed) == 5  # the stressor fires at the expected rate
     for ref in skewed:
         assert ocr_media_ref(ref) == expected_media_text(ref), ref
+
+
+def test_per_line_180_classifier_rescues_flipped_line():
+    """A page with ONE upside-down line (pasted content / rotated stamp —
+    the case the reference's per-line direction classifier exists for,
+    tools/infer/predict_cls.py:115-119) must still satisfy span-sequence
+    equality; the page-level orientation vote alone cannot fix it."""
+    from ocr_spark.core.recognize import recognize_batch, recognize_batch_cls
+
+    for i in range(5):
+        ref = f"img://flip-{i}/0#flip"
+        page = render(ref)[0]
+        assert sum(ln.flipped for ln in page.lines) == 1
+        assert ocr_media_ref(ref) == expected_media_text(ref), ref
+
+    # unit semantics: the flipped bitmap decodes empty raw (no fixture
+    # glyph is 180-confusable within tolerance), and the classifier
+    # adopts the flipped reading above the 0.9 gate; upright lines are
+    # untouched and skip the flip probe entirely.
+    from ocr_spark.fixtures.glyphs import render_text_line
+
+    up = render_text_line("total123")
+    down = np.ascontiguousarray(up[::-1, ::-1])
+    t_raw, c_raw = recognize_batch([down])
+    assert t_raw[0] == "" and c_raw[0] == 0.0
+    texts, confs, flips = recognize_batch_cls([up, down])
+    assert texts == ["total123", "total123"]
+    assert flips == [False, True]
+    assert confs[1] > 0.9
+
+
+def test_background_flip_stressor_rate_and_equality():
+    """The ~6% background per-line flip (spawned-RNG, layout-invariant)
+    must be recovered wherever it fires."""
+    flipped, i = [], 0
+    while len(flipped) < 4 and i < 120:
+        ref = f"img://fliphunt-{i}/0#page"
+        if any(ln.flipped for ln in render(ref)[0].lines):
+            flipped.append(ref)
+        i += 1
+    assert len(flipped) == 4  # the stressor fires at the expected rate
+    for ref in flipped:
+        assert ocr_media_ref(ref) == expected_media_text(ref), ref
