@@ -663,23 +663,40 @@ def _invoice_expected_path() -> str:
     computed from layout ground truth through the pure-Python normalizer
     twins (fixtures/invoice.expected_record — unit-tested against the
     reference semantics), never through the Spark stage under test."""
-    path = "/tmp/ocr_spark_invoice_expected_sf001_v1.parquet"
+    path = "/tmp/ocr_spark_invoice_expected_sf001_v2.parquet"
     if not os.path.exists(path):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from ocr_spark.fixtures.invoice import FAMILIES, expected_record
+        from ocr_spark.fixtures.invoice import (
+            FAMILIES,
+            expected_multi_records,
+            expected_record,
+        )
 
         cust = pq.read_table(
             "/root/testdata/sf0.01/customer.parquet", columns=["c_custkey"]
         )
-        keys = sorted(k for k in cust["c_custkey"].to_pylist() if k % 10 == 0)
+        ks = sorted(cust["c_custkey"].to_pylist())
         recs = [
-            expected_record(f"inv://c{k}#{FAMILIES[k % 4]}") for k in keys
+            expected_record(f"inv://c{k}#{FAMILIES[k % 4]}")
+            for k in ks
+            if k % 10 == 0
         ]
+        for k in ks:
+            if k % 100 == 50:  # multi-invoice sheets: N rows per page
+                recs.extend(expected_multi_records(f"inv://m{k}#multi"))
         cols = list(recs[0].keys())
         pq.write_table(
-            pa.table({c: pa.array([r[c] for r in recs], pa.string()) for c in cols}),
+            pa.table(
+                {
+                    c: pa.array(
+                        [r[c] for r in recs],
+                        pa.int32() if c == "region_idx" else pa.string(),
+                    )
+                    for c in cols
+                }
+            ),
             path,
         )
     return path
@@ -693,7 +710,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_exploded": ocr_oracle,
         "ocr_extract_fused": ocr_oracle,
         "invoice_field_extract": f"""
-select * from read_parquet('{_invoice_expected_path()}') order by media_ref
+select * from read_parquet('{_invoice_expected_path()}') order by media_ref, region_idx
 """,
         # -- span algebra --
         "span_explode": """

@@ -158,11 +158,17 @@ def ocr_page_rows(
 
     best_rows, best_conf = _best_over_orientations(ink0, drop_score)
     if best_conf < DESKEW_CONF:
-        for a in _ranked_skew_angles(ink0):
+        # Angle 0 is retried FIRST with the robust unit-scale estimate: a
+        # straight page whose ink carries resampling erosion (e.g. a
+        # region crop of an already-deskewed batch-scan sheet) fails the
+        # strict gcd (one odd-length eroded run forces scale 1) yet needs
+        # no rotation at all — without this entry the ladder would only
+        # ever apply robust recovery to rotated candidates.
+        for a in [0] + _ranked_skew_angles(ink0):
             # binarize/seal-removal are pixelwise, so deskewing the INK
             # MASK equals deskewing the image first; fill=False keeps the
             # border blank.
-            ink_d = rotate_image(ink0, float(a), fill=False)
+            ink_d = rotate_image(ink0, float(a), fill=False) if a else ink0
             rows2, conf2 = _best_over_orientations(
                 ink_d, drop_score, robust=True
             )

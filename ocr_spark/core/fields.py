@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..fixtures.invoice import FAMILY_FIELDS
+from . import detect
 from .extract import ocr_page_rows
 
 # result `type` discriminator (reference response envelope, api.py:50-64 /
@@ -42,6 +43,130 @@ def classify_family(title: str) -> str:
     if "据" in title:
         return "bill"
     return "vat"
+
+
+# Minimum blank-row run that separates two invoice regions on a
+# batch-scanned sheet.  Fixture internal blank runs are <= 16 px and the
+# inter-invoice run is >= 64 px (fixtures/invoice._MULTI_GAP) — 32 sits at
+# a 2x margin from both.  The classical stand-in for the YOLO whole-page
+# detector's NMS boxes (obj_det/v1/detect.py:113-156).
+MIN_REGION_GAP = 32
+
+
+def detect_invoice_regions(img: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """Segment a page image into invoice regions, top-to-bottom.
+
+    Reference semantics (obj_det/v1/detect.py:144-156): the YOLO pass
+    yields N invoice boxes per page; each is cropped with
+    ``im0[y1:y3, x0:x2]`` and becomes its own record.  Without the
+    weights, regions are recovered from the ink itself: binarize (seal
+    removed), project onto rows, split on blank runs >= MIN_REGION_GAP,
+    then take each band's ink bounding box.  Returns (x0, y0, x1, y1)
+    crop slices; a page with no separating gap is one region (the single
+    invoice case degenerates to the whole-page crop).
+    """
+    from .detect import binarize, remove_seal_to_gray
+
+    ink = binarize(remove_seal_to_gray(img))
+    rows = ink.any(axis=1)
+    idx = np.flatnonzero(rows)
+    if idx.size == 0:
+        return [(0, 0, img.shape[1], img.shape[0])]
+    # split the inked rows where consecutive ink is > MIN_REGION_GAP apart
+    brk = np.flatnonzero(np.diff(idx) > MIN_REGION_GAP)
+    starts = np.concatenate(([0], brk + 1))
+    ends = np.concatenate((brk, [idx.size - 1]))
+    regions = []
+    pad = 2
+    for s, e in zip(starts, ends):
+        y0, y1 = int(idx[s]), int(idx[e]) + 1
+        cols = np.flatnonzero(ink[y0:y1].any(axis=0))
+        x0, x1 = int(cols[0]), int(cols[-1]) + 1
+        regions.append(
+            (
+                max(x0 - pad, 0),
+                max(y0 - pad, 0),
+                min(x1 + pad, img.shape[1]),
+                min(y1 + pad, img.shape[0]),
+            )
+        )
+    return regions
+
+
+def _probe_sheet_conf(ink: np.ndarray) -> float:
+    """Cheap recognition confidence of a sheet ink mask: best 3-box probe
+    over the 4 cardinal orientations (a sub-invoice pasted 90-degree
+    rotated must not veto the sheet's skew estimate — per-crop orientation
+    is decided later, per region).  The 3 probe boxes are SPREAD over the
+    sheet (first/middle/last in detection order) so one rotated sub at the
+    top cannot blind the probe: a majority-upright sheet at the true angle
+    still scores >= the upright fraction, while a wrong angle scores ~0
+    everywhere."""
+    from .recognize import recognize_batch
+
+    best = 0.0
+    for k in (0, 1, 2, 3):
+        rot = np.rot90(ink, -k) if k else ink
+        scale = detect.estimate_unit_scale(rot, robust=True)
+        boxes = detect.detect_lines(rot, scale)
+        if not boxes:
+            continue
+        probe = [boxes[0], boxes[len(boxes) // 2], boxes[-1]]
+        _t, confs = recognize_batch([b.bitmap for b in probe])
+        if confs:
+            best = max(best, float(np.mean(confs)))
+        if best >= 1.0:
+            break
+    return best
+
+
+def deskew_sheet(img: np.ndarray) -> np.ndarray:
+    """Undo small-angle scan skew of a whole batch-scanned sheet BEFORE
+    region cropping — the reference's table-angle preprocess runs at page
+    level before any region work (table_extract.py:325-446), and that
+    ordering is load-bearing here: deskewing the full sheet keeps the
+    gather on the same canvas/center as the scan's forward rotation, so
+    the inversion is exact, whereas deskewing a tight crop would resample
+    on a sub-pixel-shifted grid and fragment the ink runs the unit-scale
+    estimate and glyph matcher depend on.
+
+    Straight sheets pay one 3-box probe; skewed sheets search the same
+    ranked candidate angles as the single-page ladder
+    (extract._ranked_skew_angles), each verified by probe confidence."""
+    from .extract import DESKEW_CONF, _ranked_skew_angles
+    from .geometry import rotate_image
+
+    ink = detect.binarize(detect.remove_seal_to_gray(img))
+    if not ink.any():
+        return img
+    conf0 = _probe_sheet_conf(ink)
+    if conf0 >= DESKEW_CONF:
+        return img
+    # seed with the 0-degree conf: a sheet that probes poorly at EVERY
+    # angle (e.g. mixed per-sub orientations) must stay unrotated rather
+    # than commit to whichever garbage angle scored epsilon more
+    best_conf, best_angle = conf0, 0
+    for a in _ranked_skew_angles(ink):
+        conf = _probe_sheet_conf(rotate_image(ink, float(a), fill=False))
+        if conf > best_conf:
+            best_conf, best_angle = conf, a
+        if conf >= 1.0:
+            break
+    return rotate_image(img, float(best_angle)) if best_angle else img
+
+
+def extract_fields_regions(img: np.ndarray) -> list[dict[str, str]]:
+    """Multi-invoice page -> one raw-field record per detected region
+    (the 1 page -> N document rows explode of the legacy whole-page
+    route, obj_det/v1/detect.py:150-156).  The sheet is deskewed FIRST
+    (see deskew_sheet), then each crop runs the full single-document
+    chain — angle pass, detection, recognition, gate dispatch — exactly
+    as an uploaded single invoice would."""
+    img = deskew_sheet(img)
+    return [
+        extract_fields(np.ascontiguousarray(img[y0:y1, x0:x1]))
+        for x0, y0, x1, y1 in detect_invoice_regions(img)
+    ]
 
 
 def extract_fields(img: np.ndarray) -> dict[str, str]:

@@ -189,6 +189,118 @@ def render_invoice(media_ref: str) -> RenderedPage:
     return _render_lines(texts, rng, scale=2)
 
 
+# --- multi-invoice pages -------------------------------------------------
+# Grammar: ``inv://{key}#multi`` — a batch-scanned sheet carrying SEVERAL
+# invoices on one page image (the reference's legacy whole-page route,
+# obj_det/v1/detect.py:71-156: YOLO finds each invoice region, crops it
+# with ``im0[y1:y3, x0:x2]`` and emits one record per region).  The number
+# of sub-invoices and their families are drawn from the fixture RNG, so
+# detection must COUNT the regions from pixels — the ref does not say n.
+
+# Vertical whitespace between pasted sub-invoices.  Internal blank runs
+# inside one rendered invoice are <= row_pitch - glyph_h + jitter = 16 px
+# (scale 2); the explicit gap plus two 8 px sub-image margins puts the
+# inter-invoice blank run at >= 64 px, so the region splitter's 32 px
+# threshold (core/fields.MIN_REGION_GAP) has a 2x margin on both sides.
+_MULTI_GAP = 48
+
+# Sheet-level scan-skew probability.  Skew on a batch-scanned sheet is a
+# property of the SCAN (the paper sat crooked on the glass), so it is
+# applied once to the composited sheet, never per sub-invoice — exactly
+# the regime the reference's page-level angle preprocess assumes
+# (table_extract.py:325-446 deskews the page BEFORE region work).  Higher
+# than the single-page _SKEW_PROB because multi sheets are the primary
+# test bed for deskew-before-region-crop.
+_MULTI_SKEW_PROB = 0.25
+
+
+def is_multi(media_ref: str) -> bool:
+    return media_ref.rsplit("#", 1)[-1] == "multi"
+
+
+def multi_sub_refs(media_ref: str) -> list[str]:
+    """The deterministic sub-invoice refs composited onto a #multi page,
+    top-to-bottom.  Each sub-ref is a full single-invoice ref, so layout,
+    values and expected records all reuse the single-invoice machinery."""
+    if not is_multi(media_ref):
+        raise ValueError(f"not a multi-invoice ref: {media_ref}")
+    rng = _rng("multi:" + media_ref)
+    n = int(rng.integers(2, 5))
+    base = media_ref.rsplit("#", 1)[0]
+    return [
+        f"{base}/r{i}#{FAMILIES[rng.integers(0, len(FAMILIES))]}"
+        for i in range(n)
+    ]
+
+
+def render_multi(
+    media_ref: str,
+) -> tuple[np.ndarray, list[tuple[int, int, int, int]], int]:
+    """Composite the sub-invoices onto one white sheet, stacked
+    top-to-bottom with ``_MULTI_GAP`` whitespace and a small random x
+    indent each, then (sometimes) skew the WHOLE sheet by a small scan
+    angle.  Returns (image, ground-truth region boxes (x0,y0,x1,y1) in
+    PRE-skew, pre-padding sheet coordinates, skew_deg) — the boxes are the
+    layout-side truth the region detector must recover (within margin
+    tolerance; on skewed sheets the skew padding shifts both axes, so box
+    comparisons should use unskewed refs), never an input to the pipeline.
+
+    Each sub-invoice is pasted FLAT: a sub whose own render drew the
+    small-angle skew stressor is derotated first via the exact
+    scatter-inverse (geometry.rotate_image == the inverse of the render's
+    rotate_scatter on the same canvas).  Physically, small-angle skew on a
+    batch-scanned sheet comes from the scan itself, so it is applied once
+    at sheet level; per-sub 90-degree rotations (crooked paste-ups) are
+    kept — the per-crop orientation vote handles those exactly."""
+    from ..core.geometry import rotate_image, rotate_scatter
+
+    subs = []
+    for r in multi_sub_refs(media_ref):
+        page = render_invoice(r)
+        im = page.image
+        if page.skew_deg:
+            im = rotate_image(im, float(page.skew_deg))
+        subs.append(im)
+    rng = _rng("multilayout:" + media_ref)
+    xoffs = [int(rng.integers(0, 33)) for _ in subs]
+    width = max(im.shape[1] + dx for im, dx in zip(subs, xoffs)) + 8
+    height = sum(im.shape[0] for im in subs) + _MULTI_GAP * (len(subs) - 1) + 16
+    sheet = np.full((height, width, 3), 255, dtype=np.uint8)
+    boxes = []
+    y = 8
+    for im, dx in zip(subs, xoffs):
+        h, w = im.shape[:2]
+        sheet[y : y + h, dx : dx + w] = im
+        boxes.append((dx, y, dx + w, y + h))
+        y += h + _MULTI_GAP
+    skew_deg = 0
+    if rng.random() < _MULTI_SKEW_PROB:
+        skew_deg = int(rng.choice([-5, -4, -3, -2, 2, 3, 4, 5]))
+        # same padding contract as fixtures/render._rasterize: corner
+        # displacement at 5 deg is <= r*theta ~ 0.031*(h+w); no ink clips
+        p = int(0.035 * (sheet.shape[0] + sheet.shape[1])) + 4
+        canvas = np.full(
+            (sheet.shape[0] + 2 * p, sheet.shape[1] + 2 * p, 3), 255, np.uint8
+        )
+        canvas[p:-p, p:-p] = sheet
+        sheet = rotate_scatter(canvas, float(skew_deg))
+    return sheet, boxes, skew_deg
+
+
+def expected_multi_records(media_ref: str) -> list[dict]:
+    """Reference-semantics expected output rows for one #multi page: the
+    single-invoice expected record of each sub-ref, re-keyed to the parent
+    ref + its region index (the ref emits one record per cropped region,
+    obj_det/v1/detect.py:150-156)."""
+    out = []
+    for i, sub in enumerate(multi_sub_refs(media_ref)):
+        rec = expected_record(sub)
+        rec["media_ref"] = media_ref
+        rec["region_idx"] = i
+        out.append(rec)
+    return out
+
+
 def _bs_norm(s: str) -> str:
     """process_buy_sale_field pre-normalization (vat_detect.py:197,209)."""
     return s.strip().replace("：", ":").replace("，", ",").replace("；", ";")
@@ -236,6 +348,9 @@ def expected_record(ref: str) -> dict:
     )
     rec = {
         "media_ref": ref,
+        # single-invoice routes carry one implicit whole-page region
+        # (multi-region pages re-key this, expected_multi_records)
+        "region_idx": 0,
         "family": fam,
         "type": FAMILY_TYPE[fam],
         "title": title,

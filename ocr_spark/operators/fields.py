@@ -39,7 +39,7 @@ RAW_FIELDS = [
 # and the kernel already owns a python batch of exactly these strings.
 _PY_NORM_FIELDS = ["billing_date", "idate", "total3"]
 _RAW_SCHEMA = (
-    "media_ref string, family string, type string, "
+    "media_ref string, region_idx int, family string, type string, "
     + ", ".join(f"{f}_raw string" for f in RAW_FIELDS)
     + ", "
     + ", ".join(f"{f}_norm string" for f in _PY_NORM_FIELDS)
@@ -51,27 +51,37 @@ def _extract_raw_batches(
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: media_ref -> family/type + raw field texts (+
     the python-normalized date/chinese-amount columns, see _PY_NORM_FIELDS).
-    Kernels import once per executor python worker (module singleton)."""
-    from ocr_spark.core.fields import extract_fields
-    from ocr_spark.fixtures.invoice import render_invoice
+    Kernels import once per executor python worker (module singleton).
+
+    ``#multi`` refs take the legacy whole-page route
+    (obj_det/v1/detect.py:71-156): the region detector counts the invoice
+    regions from pixels, each crop runs the same single-document chain,
+    and the kernel EXPLODES 1 page row -> N region rows (region_idx
+    top-to-bottom).  Single refs stay one row with region_idx 0."""
+    from ocr_spark.core.fields import extract_fields, extract_fields_regions
+    from ocr_spark.fixtures.invoice import is_multi, render_invoice, render_multi
     from ocr_spark.functions import normalizers_py as pyref
 
     for pdf in batches:
         rows = []
         for ref in pdf["media_ref"]:
-            d = extract_fields(render_invoice(ref).image)
-            rows.append(
-                [ref, d["family"], d["type"]]
-                + [d.get(f, "") for f in RAW_FIELDS]
-                + [
-                    pyref.get_date(d.get("billing_date", "")),
-                    pyref.get_date(d.get("idate", "")),
-                    pyref.get_chinese_amount(d.get("total3", "")),
-                ]
-            )
+            if is_multi(ref):
+                recs = extract_fields_regions(render_multi(ref)[0])
+            else:
+                recs = [extract_fields(render_invoice(ref).image)]
+            for ridx, d in enumerate(recs):
+                rows.append(
+                    [ref, ridx, d["family"], d["type"]]
+                    + [d.get(f, "") for f in RAW_FIELDS]
+                    + [
+                        pyref.get_date(d.get("billing_date", "")),
+                        pyref.get_date(d.get("idate", "")),
+                        pyref.get_chinese_amount(d.get("total3", "")),
+                    ]
+                )
         yield pd.DataFrame(
             rows,
-            columns=["media_ref", "family", "type"]
+            columns=["media_ref", "region_idx", "family", "type"]
             + [f"{f}_raw" for f in RAW_FIELDS]
             + [f"{f}_norm" for f in _PY_NORM_FIELDS],
         )
@@ -146,6 +156,7 @@ def extract_invoice_fields(refs: DataFrame) -> DataFrame:
     c = F.col
     base = raw.select(
         "media_ref",
+        "region_idx",
         "family",
         "type",
         N.get_title(c("title_raw")).alias("title"),
@@ -223,6 +234,7 @@ def extract_invoice_fields(refs: DataFrame) -> DataFrame:
 
     return barrier.select(
         "media_ref",
+        "region_idx",
         "family",
         "type",
         F.when(qr_ok & (c("qr_type") == "32"), F.lit("电子发票（普通发票）"))
@@ -282,14 +294,19 @@ def synth_invoice_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 4 == 2, F.lit("stock_v2"))
         .otherwise(F.lit("bill"))
     )
-    return (
-        cust.filter(k % 10 == 0)
-        .select(
-            F.concat(F.lit("inv://c"), k.cast("string"), F.lit("#"), fam).alias(
-                "media_ref"
-            )
+    singles = cust.filter(k % 10 == 0).select(
+        F.concat(F.lit("inv://c"), k.cast("string"), F.lit("#"), fam).alias(
+            "media_ref"
         )
     )
+    # batch-scanned multi-invoice sheets (1 page -> N region records; the
+    # region count is a fixture-RNG draw the detector must recover)
+    multis = cust.filter(k % 100 == 50).select(
+        F.concat(F.lit("inv://m"), k.cast("string"), F.lit("#multi")).alias(
+            "media_ref"
+        )
+    )
+    return singles.unionAll(multis)
 
 
 def invoice_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,5 +322,5 @@ def invoice_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         extract_invoice_fields(synth_invoice_refs(spark, sf_dir))
         .repartition(1)
-        .sortWithinPartitions("media_ref")
+        .sortWithinPartitions("media_ref", "region_idx")
     )

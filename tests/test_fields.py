@@ -64,6 +64,7 @@ def _expected_record_local(ref: str) -> dict:
     )
     rec = {
         "media_ref": ref,
+        "region_idx": 0,
         "family": fam,
         "type": FAMILY_TYPE[fam],
         "title": title,
@@ -200,3 +201,61 @@ def test_expected_record_twins_agree():
     refs = [f"inv://t{i}#{fam}" for i in range(8) for fam in FAMILIES]
     for ref in refs:
         assert expected_record(ref) == _expected_record_local(ref), ref
+
+
+def test_multi_region_detector_recovers_layout_boxes():
+    """The pixel-side region splitter must find exactly the composited
+    sub-invoice regions, top-to-bottom, within the 2 px crop padding
+    (classical stand-in for the YOLO whole-page boxes,
+    obj_det/v1/detect.py:113-156).  Box coordinates are only comparable
+    on UNSKEWED sheets (the sheet-level scan skew pads the canvas); the
+    skewed sheets are covered end-to-end by the record-equality tests."""
+    from ocr_spark.core.fields import detect_invoice_regions
+    from ocr_spark.fixtures.invoice import multi_sub_refs, render_multi
+
+    checked = 0
+    for i in range(10):
+        ref = f"inv://mr{i}#multi"
+        img, truth, skew_deg = render_multi(ref)
+        if skew_deg:
+            continue
+        checked += 1
+        got = detect_invoice_regions(img)
+        assert len(got) == len(multi_sub_refs(ref)), ref
+        for (gx0, gy0, gx1, gy1), (tx0, ty0, tx1, ty1) in zip(got, truth):
+            # detected box sits inside the pasted region (up to pad) and
+            # covers its ink; sub-images have a 4*scale=8 px blank margin
+            # so the ink box may be ~8 px inside the paste box per side
+            assert gx0 >= tx0 - 2 and gy0 >= ty0 - 2, ref
+            assert gx1 <= tx1 + 2 and gy1 <= ty1 + 2, ref
+            assert gy1 > gy0 + 10 and gx1 > gx0 + 10, ref
+    assert checked >= 4  # the sweep must not silently skip everything
+
+
+def test_multi_invoice_page_explodes_to_per_region_records(spark):
+    """1 #multi page -> N invoice records (region_idx 0..N-1), each equal
+    to its sub-invoice's expected record (reference legacy route:
+    one cropped record per detected invoice, obj_det/v1/detect.py:150-156)."""
+    from ocr_spark.fixtures.invoice import expected_multi_records, multi_sub_refs
+    from ocr_spark.operators.fields import extract_invoice_fields
+
+    # ms0: straight sheet with 90-degree-rotated subs; ms3: SKEWED sheet
+    # (the deskew-before-crop path) with a rotated sub; ms6: skewed sheet
+    # whose subs carry scatter-erosion from their own derotation (the
+    # robust-unit-scale-at-0-degrees ladder entry).  Together the three
+    # stressor combinations that broke during development.
+    refs = [f"inv://ms{i}#multi" for i in (0, 3, 6)]
+    from ocr_spark.fixtures.invoice import render_multi
+
+    assert [render_multi(r)[2] for r in refs] == [0, -3, -3]
+    # region counts are fixture-RNG draws; make sure the set is not degenerate
+    assert {len(multi_sub_refs(r)) for r in refs} != {2}
+    df = spark.createDataFrame([(r,) for r in refs], "media_ref string")
+    got = {}
+    for row in extract_invoice_fields(df).collect():
+        got[(row["media_ref"], row["region_idx"])] = row.asDict()
+    for ref in refs:
+        exp = expected_multi_records(ref)
+        assert sum(1 for k in got if k[0] == ref) == len(exp), ref
+        for rec in exp:
+            assert got[(ref, rec["region_idx"])] == rec, (ref, rec["region_idx"])
