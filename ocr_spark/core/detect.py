@@ -17,6 +17,18 @@ import numpy as np
 # (tools/infer/predict_det.py:194-195).
 MIN_BOX_SIDE = 3
 
+# QR-candidate gate (the classical stand-in for the reference's YOLO
+# 'qrcode' class head, obj_det/vat_detect.py:341): a detected box routes
+# to the QR decoder instead of text recognition when it is big, square
+# and dense.  Text-line boxes can never qualify: glyph rows are at most
+# GLYPH_H * scale = 28 px tall (scale 4) and the shortest token is 2
+# glyphs wide (aspect >= 1.7), while the QR frame ring guarantees the
+# patch detects as ONE square box >= 9 modules (= 36 px) per side; 48
+# adds margin.
+QR_MIN_SIDE = 48
+QR_ASPECT = (0.8, 1.25)
+QR_MIN_DENSITY = 0.3
+
 
 @dataclass
 class LineBox:
@@ -110,6 +122,31 @@ def estimate_unit_scale(ink: np.ndarray, robust: bool = False) -> int:
         if keep.any():
             uniq = uniq[keep]
     return int(np.gcd.reduce(uniq))
+
+
+def split_qr_boxes(
+    boxes: list[LineBox],
+) -> tuple[list[LineBox], list[LineBox]]:
+    """Partition detected boxes into (text lines, QR candidates).
+
+    Runs right after detection everywhere recognition or probing consumes
+    boxes: a QR region recognizes as garbage under every orientation, so
+    leaving it in the text stream would both emit a phantom row and drag
+    the page/orientation confidence (the reference never has this problem
+    because its YOLO heads emit the 'qrcode' label separately).
+    """
+    text: list[LineBox] = []
+    qr: list[LineBox] = []
+    for b in boxes:
+        if (
+            min(b.w, b.h) >= QR_MIN_SIDE
+            and QR_ASPECT[0] <= b.w / b.h <= QR_ASPECT[1]
+            and float(b.bitmap.mean()) >= QR_MIN_DENSITY
+        ):
+            qr.append(b)
+        else:
+            text.append(b)
+    return text, qr
 
 
 def detect_lines(ink: np.ndarray, scale: int) -> list[LineBox]:

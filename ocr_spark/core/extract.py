@@ -13,6 +13,8 @@ span-sequence-equality gate.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 import numpy as np
 
 from ..fixtures.render import render
@@ -60,9 +62,22 @@ def _ranked_skew_angles(ink: np.ndarray) -> list[int]:
     return [a for _v, a in scored]
 
 
+@dataclass
+class PageState:
+    """Result of the page ladder plus the geometry needed to map regions
+    (QR candidate boxes) back onto the ORIGINAL pixels: the winning page
+    transform is rot90(rotate_image(page, skew_deg), -rot_k)."""
+
+    rows: list[str] = field(default_factory=list)
+    conf: float = 0.0
+    rot_k: int = 0
+    skew_deg: int = 0
+    qr_boxes: list[tuple[int, int, int, int]] = field(default_factory=list)
+
+
 def _best_over_orientations(
     ink0: np.ndarray, drop_score: float, robust: bool = False
-) -> tuple[list[str], float]:
+) -> tuple[list[str], float, int, list[tuple[int, int, int, int]]]:
     """4-orientation probe-then-commit pass over one ink mask.
 
     Angle classification: try the 4 cardinal orientations and keep the one
@@ -77,16 +92,21 @@ def _best_over_orientations(
     # (the classical stand-in for the reference's angle classifier keeping
     # its batched shape, opencv_dnn_detect.py:64-122).  A perfect probe
     # commits immediately (the common case is k=0).
-    cands: list[tuple[float, int, list]] = []
+    cands: list[tuple[float, int, list, list]] = []
     for k in (0, 1, 2, 3):
         ink = np.rot90(ink0, -k) if k else ink0
         scale = detect.estimate_unit_scale(ink, robust=robust)
-        boxes = detect.detect_lines(ink, scale)
+        # QR candidates split out BEFORE probing/recognition: a QR block
+        # is square under every rotation and recognizes as garbage, so it
+        # must neither occupy a probe slot nor dilute page confidence.
+        boxes, qr_boxes = detect.split_qr_boxes(detect.detect_lines(ink, scale))
         if not boxes:
+            if qr_boxes:  # QR-only page: no text to vote with, keep k=0
+                cands.append((0.0, k, [], qr_boxes))
             continue
         _pt, probe_confs = recognize_batch([b.bitmap for b in boxes[:3]])
         probe = float(np.mean(probe_confs)) if probe_confs else 0.0
-        cands.append((probe, k, boxes))
+        cands.append((probe, k, boxes, qr_boxes))
         # Short-circuit ONLY when the probe covered the whole page (<=3
         # boxes), because then probe conf IS the full-page conf.  A 3-box
         # probe of a larger page scoring 1.0 must NOT commit: a page whose
@@ -104,7 +124,9 @@ def _best_over_orientations(
     # still runs (3 boxes are not the page; a decisively-low probe only).
     best_rows: list[str] = []
     best_conf = -1.0
-    for probe, k, boxes in sorted(cands, key=lambda t: (-t[0], t[1])):
+    best_k = 0
+    best_qr: list[tuple[int, int, int, int]] = []
+    for probe, k, boxes, qr_boxes in sorted(cands, key=lambda t: (-t[0], t[1])):
         if probe + PROBE_MARGIN < best_conf:
             break  # sorted: every remaining probe is lower still
         # Full pass runs the per-LINE 180-degree classifier (reference
@@ -130,15 +152,18 @@ def _best_over_orientations(
             rows = group_rows(xywh, order)
             best_rows = [" ".join(texts[i] for i in row) for row in rows]
             best_conf = conf
+            best_k = k
+            best_qr = [(b.x, b.y, b.w, b.h) for b in qr_boxes]
         if conf >= 1.0:
             break
-    return best_rows, max(best_conf, 0.0)
+    return best_rows, max(best_conf, 0.0), best_k, best_qr
 
 
-def ocr_page_rows(
+def ocr_page_state(
     img: np.ndarray, drop_score: float = 0.0
-) -> tuple[list[str], float]:
-    """One page image -> (reading-ordered row texts, confidence).
+) -> PageState:
+    """One page image -> PageState (reading-ordered row texts, confidence,
+    winning transform, QR candidate boxes in the transformed frame).
 
     Ladder: (1) the 4-cardinal-orientation pass on the raw ink; (2) if
     that fails (conf < DESKEW_CONF), estimate the small skew angle
@@ -154,10 +179,11 @@ def ocr_page_rows(
     gray = detect.remove_seal_to_gray(img)
     ink0 = detect.binarize(gray)
     if not ink0.any():
-        return [], 0.0
+        return PageState()
 
-    best_rows, best_conf = _best_over_orientations(ink0, drop_score)
-    if best_conf < DESKEW_CONF:
+    rows, conf, k, qr = _best_over_orientations(ink0, drop_score)
+    best = PageState(rows, max(conf, 0.0), k, 0, qr)
+    if conf < DESKEW_CONF:
         # Angle 0 is retried FIRST with the robust unit-scale estimate: a
         # straight page whose ink carries resampling erosion (e.g. a
         # region crop of an already-deskewed batch-scan sheet) fails the
@@ -169,14 +195,22 @@ def ocr_page_rows(
             # MASK equals deskewing the image first; fill=False keeps the
             # border blank.
             ink_d = rotate_image(ink0, float(a), fill=False) if a else ink0
-            rows2, conf2 = _best_over_orientations(
+            rows2, conf2, k2, qr2 = _best_over_orientations(
                 ink_d, drop_score, robust=True
             )
-            if conf2 > best_conf:
-                best_rows, best_conf = rows2, conf2
+            if conf2 > best.conf:
+                best = PageState(rows2, conf2, k2, a, qr2)
             if conf2 >= 1.0:
                 break
-    return best_rows, max(best_conf, 0.0)
+    return best
+
+
+def ocr_page_rows(
+    img: np.ndarray, drop_score: float = 0.0
+) -> tuple[list[str], float]:
+    """One page image -> (reading-ordered row texts, confidence)."""
+    st = ocr_page_state(img, drop_score)
+    return st.rows, st.conf
 
 
 def ocr_page(img: np.ndarray) -> tuple[str, float]:

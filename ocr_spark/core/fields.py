@@ -26,7 +26,6 @@ import numpy as np
 
 from ..fixtures.invoice import FAMILY_FIELDS
 from . import detect
-from .extract import ocr_page_rows
 
 # result `type` discriminator (reference response envelope, api.py:50-64 /
 # objd_util.py:160-186): '01' invoice-like (vat/bill), '02' stock,
@@ -108,7 +107,10 @@ def _probe_sheet_conf(ink: np.ndarray) -> float:
     for k in (0, 1, 2, 3):
         rot = np.rot90(ink, -k) if k else ink
         scale = detect.estimate_unit_scale(rot, robust=True)
-        boxes = detect.detect_lines(rot, scale)
+        # QR blocks recognize as garbage at every angle — they must not
+        # occupy probe slots (a bottom sub-invoice's QR would otherwise
+        # sit in the 'last box' slot and blind the sheet probe).
+        boxes, _qr = detect.split_qr_boxes(detect.detect_lines(rot, scale))
         if not boxes:
             continue
         probe = [boxes[0], boxes[len(boxes) // 2], boxes[-1]]
@@ -169,6 +171,48 @@ def extract_fields_regions(img: np.ndarray) -> list[dict[str, str]]:
     ]
 
 
+def _decode_qr_regions(
+    img: np.ndarray, state
+) -> str:
+    """Decode the page's QR candidate boxes from the ORIGINAL pixels.
+
+    Mirrors the reference chain (vat_detect.py:341 -> qrcode_pyzbar,
+    util/tool.py:370-389): the detected 'qrcode' region is cropped from
+    the page image, grayscaled, and handed to the decoder WITH the
+    enhancement retry ladder (core/qr.get_qrcode_data, the pyzbar twin of
+    util/tool.py:353-367).  The crop source is the page's red channel —
+    QR ink is neutral (dark in every channel) while seal overlay is
+    bright in red, so the channel choice is the same seal-immunity
+    argument as remove_red.py — NOT the seal-removed/binarized gray,
+    whose Otsu pass would destroy the low-contrast gray levels the retry
+    ladder exists to rescue.
+
+    ``state.qr_boxes`` live in the transformed frame
+    rot90(rotate_image(page, skew), -rot_k), so the same transform is
+    applied to the red channel before cropping (rotate_image is the exact
+    inverse of the fixture's forward-scatter skew, and nearest-neighbor,
+    so gray VALUES survive the mapping bit-exactly).
+    """
+    from .geometry import rotate_image
+
+    gray = np.ascontiguousarray(img[..., 0] if img.ndim == 3 else img)
+    if state.skew_deg:
+        gray = rotate_image(gray, float(state.skew_deg))
+    if state.rot_k:
+        gray = np.ascontiguousarray(np.rot90(gray, -state.rot_k))
+    from . import qr as qrmod
+
+    pad = 2
+    for x, y, w, h in state.qr_boxes:
+        crop = gray[
+            max(y - pad, 0) : y + h + pad, max(x - pad, 0) : x + w + pad
+        ]
+        payload = qrmod.get_qrcode_data(crop)
+        if payload:
+            return payload
+    return ""
+
+
 def extract_fields(img: np.ndarray) -> dict[str, str]:
     """Labeled-document image -> raw field texts + family + type.
 
@@ -176,19 +220,22 @@ def extract_fields(img: np.ndarray) -> dict[str, str]:
     detected family does not define are absent (the Spark stage back-fills
     defaults, mirroring vat_detect.py:423-429 / stock_detect.py:196-204).
     """
-    rows, _conf = ocr_page_rows(img)
+    from .extract import ocr_page_state
+
+    state = ocr_page_state(img)
+    rows = state.rows
     title = rows[0] if rows else ""
     family = classify_family(title)
     out = {"family": family, "type": FAMILY_TYPE[family], "title": title}
-    body = rows[1:]
-    # QR region stand-in: the reference's qrcode label is a detected
-    # region decoded by pyzbar (vat_detect.py:341); here the decoded CSV
-    # payload is a rendered row, recognized by shape (the VAT QR format
-    # always leads with '01,' and has >= 6 commas — no other fixture
-    # field contains a comma).
-    if family == "vat" and body and body[-1].startswith("01,") and body[-1].count(",") >= 6:
-        out["qrcode"] = body[-1]
-        body = body[:-1]
-    for name, text in zip(FAMILY_FIELDS[family], body):
+    # QR branch input (vat_detect.py:341-370): candidate regions were
+    # detected alongside the text lines; decode them from pixels via the
+    # enhancement retry ladder.  An undecodable QR leaves the key absent
+    # (the reference's qrcode_pyzbar returns False and the OCR branch
+    # runs).
+    if family == "vat" and state.qr_boxes:
+        payload = _decode_qr_regions(img, state)
+        if payload:
+            out["qrcode"] = payload
+    for name, text in zip(FAMILY_FIELDS[family], rows[1:]):
         out[name] = text
     return out

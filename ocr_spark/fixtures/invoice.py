@@ -25,7 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .render import Line, RenderedPage, _rng, _render_lines
+from .render import Line, RenderedPage, _render_lines, _rng
+from .glyphs import GLYPH_H
 
 FAMILIES = ("vat", "stock_v1", "stock_v2", "bill")
 
@@ -168,25 +169,60 @@ def ground_truth(media_ref: str) -> dict[str, str]:
     fields = {"title": title}
     for f in FAMILY_FIELDS[fam]:
         fields[f] = _field_value(f, rng)
-    # Half the vat documents carry a decodable QR region (rendered as the
-    # last row; the reference branches on pyzbar success,
-    # vat_detect.py:341-370).
+    # Half the vat documents carry a decodable QR region (stamped as a
+    # pixel matrix patch, see render_invoice; the reference branches on
+    # pyzbar success, vat_detect.py:341-370).
     if fam == "vat" and rng.integers(0, 2) == 1:
         fields["qrcode"] = _qr_payload(rng)
     return fields
 
 
+# Fraction of QR-carrying invoices rendered UNDEREXPOSED (module grays
+# 10/60 instead of 0/255): both levels sit below the reader's fixed
+# threshold, so the raw decode fails and the reference's enhancement
+# retry ladder (core/qr.get_qrcode_data = util/tool.py:353-367) must
+# brighten the patch before the bits separate — the pixel-level stressor
+# the ladder exists for.
+_QR_LOW_CONTRAST_PROB = 0.4
+_QR_GAP = 12  # blank px between the last field row's ink and the patch
+
+
 def render_invoice(media_ref: str) -> RenderedPage:
     """Render the labeled document: one field per row, reading order =
     title, then FAMILY_FIELDS[family] order. Same rotation/seal stressors
-    as the generic fixture pages."""
+    as the generic fixture pages.
+
+    A QR-carrying vat document gets its payload stamped as a REAL pixel
+    matrix patch below the last field row (core/qr.encode), never as a
+    text row: the pipeline must detect the square region, crop it, and
+    decode it through the retry ladder, mirroring the reference's
+    YOLO-label-crop -> pyzbar chain (vat_detect.py:341).  The patch gap
+    (12..19 px with jitter) sits above the band-split threshold (>= 1
+    blank row) and below the multi-region splitter's MIN_REGION_GAP=32,
+    so the QR stays inside its invoice's region on batch-scanned sheets.
+    Exposure/placement draws come from a dedicated RNG stream so every
+    pre-existing layout/stressor draw is byte-identical."""
+    from ..core import qr as qrmod
+
     fields = ground_truth(media_ref)
     fam = family_of(media_ref)
     texts = [fields["title"]] + [fields[f] for f in FAMILY_FIELDS[fam]]
-    if "qrcode" in fields:
-        texts.append(fields["qrcode"])
     rng = _rng("invlayout:" + media_ref)
-    return _render_lines(texts, rng, scale=2)
+    patches = None
+    if "qrcode" in fields:
+        qrng = _rng("qrpatch:" + media_ref)
+        dark, light = (
+            (10, 60) if qrng.random() < _QR_LOW_CONTRAST_PROB else (0, 255)
+        )
+        patch = qrmod.encode(fields["qrcode"], dark=dark, light=light)
+        scale = 2
+        margin = 4 * scale
+        row_pitch = (GLYPH_H + 4) * scale
+        # below the deepest possible ink of the last row (max jitter 7)
+        y = margin + (len(texts) - 1) * row_pitch + 7 + GLYPH_H * scale + _QR_GAP
+        x = margin + int(qrng.integers(0, 33))
+        patches = [(x, y, patch)]
+    return _render_lines(texts, rng, scale=2, patches=patches)
 
 
 # --- multi-invoice pages -------------------------------------------------

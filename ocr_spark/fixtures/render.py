@@ -159,7 +159,10 @@ def _render_canonical(key: str, profile: str) -> RenderedPage:
 
 
 def _render_lines(
-    texts: list[str], rng: np.random.Generator, scale: int = 2
+    texts: list[str],
+    rng: np.random.Generator,
+    scale: int = 2,
+    patches: list[tuple[int, int, np.ndarray]] | None = None,
 ) -> RenderedPage:
     """Render one text per row (labeled-document layout used by
     fixtures/invoice.py); space-separated tokens become separate boxes on
@@ -181,7 +184,7 @@ def _render_lines(
             lines.append(Line(tok, x, base_y, w, GLYPH_H * scale))
             if i + 1 < len(toks):
                 x += w + int(rng.integers(2, 6)) * scale
-    return _rasterize(lines, len(texts), scale, rng)
+    return _rasterize(lines, len(texts), scale, rng, patches=patches)
 
 
 def _rasterize(
@@ -190,9 +193,17 @@ def _rasterize(
     scale: int,
     rng: np.random.Generator,
     force_flip: bool = False,
+    patches: list[tuple[int, int, np.ndarray]] | None = None,
 ) -> RenderedPage:
     """Shared raster tail: ink mask -> image (+ optional red seal, whole
-    image rotation). Consumes RNG draws in a fixed order."""
+    image rotation). Consumes RNG draws in a fixed order.
+
+    ``patches`` are (x, y, gray uint8) rectangles stamped verbatim onto
+    the page BEFORE the seal/rotation/skew stressors, so a QR region
+    rotates and skews with the page exactly like printed ink; their dark
+    pixels join the seal-exclusion mask (the seal may cover a patch's
+    LIGHT pixels — seal removal restores those to light, which is the
+    correct read — but must never paint over dark modules)."""
     # Per-line 180-degree stressor: the flip generator is SPAWNED, not
     # drawn from ``rng``, so the main draw stream (and therefore every
     # pre-existing layout, seal, rotation and skew decision) is untouched.
@@ -214,6 +225,9 @@ def _rasterize(
     row_pitch = (GLYPH_H + 4) * scale
     width = max(ln.x + ln.w for ln in lines) + margin
     height = margin + (n_rows - 1) * row_pitch + GLYPH_H * scale + 9 + margin
+    for px, py, patch in patches or []:
+        width = max(width, px + patch.shape[1] + margin)
+        height = max(height, py + patch.shape[0] + margin)
     ink = np.zeros((height, width), dtype=bool)
     for i, ln in enumerate(lines):
         mask = glyphs.render_text_line(ln.text)
@@ -226,6 +240,10 @@ def _rasterize(
 
     img = np.full((height, width, 3), 255, dtype=np.uint8)
     img[ink] = 0
+    for px, py, patch in patches or []:
+        ph, pw = patch.shape[:2]
+        img[py : py + ph, px : px + pw] = patch[..., None]
+        ink[py : py + ph, px : px + pw] |= patch < 128
 
     # Red seal overlay: drawn only where there is no ink, so the
     # red-channel threshold removal is exact (reference remove_red.py:16-35
