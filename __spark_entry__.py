@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_fused": _q_ocr("fused"),
         # -- detector-chain field extraction (rows-only + pytest gate) --
         "invoice_field_extract": invoice_field_extract,
+        # -- save-crop debug sink (label routing vs layout ground truth) --
+        "save_crops": _save_crops_query,
         # -- span algebra (SQL twins of the pipeline's span handling) --
         "span_explode": spans.span_explode,
         "span_splice": spans.span_splice,
@@ -156,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- similarity search --
         "ann_brute_topk": similarity.brute_topk,
         "ann_lsh_topk": similarity.lsh_topk,
+        "ann_ivf_topk": similarity.ivf_topk,
         # -- text analysis --
         "token_stats": text_analysis.token_stats,
         "quality_score": text_analysis.quality_score,
@@ -658,6 +661,79 @@ order by doc_id
 """
 
 
+def _save_crops_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry for the save-crop debug sink: per-label crop rows
+    over a SMALL deterministic ref subset (every 40th customer, singles
+    only — the sink re-runs the whole extraction chain per ref, exactly
+    like the reference's saveImage=True mode, so the driver pays it on a
+    1/40 sample).  Output is the label-routing projection (crop bytes
+    stay out: the oracle checks WHICH regions were cropped under WHICH
+    labels, the pytest gate checks pixel content)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.fields import save_crop_sink
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    fam = (
+        F.when(k % 4 == 0, F.lit("vat"))
+        .when(k % 4 == 1, F.lit("stock_v1"))
+        .when(k % 4 == 2, F.lit("stock_v2"))
+        .otherwise(F.lit("bill"))
+    )
+    refs = cust.filter(k % 40 == 0).select(
+        F.concat(F.lit("inv://c"), k.cast("string"), F.lit("#"), fam).alias(
+            "media_ref"
+        )
+    )
+    # label ROUTING is the oracle surface; crop extents stay out of it
+    # (deskew resampling can erode an ink bbox by a pixel on skewed
+    # pages) — pixel content and extents are pytest-gated instead
+    # (tests/test_fields.py save_crops cases).
+    return (
+        save_crop_sink(refs)
+        .select("media_ref", "region_idx", "crop_idx", "label")
+        .repartition(1)
+        .sortWithinPartitions("media_ref", "region_idx", "crop_idx")
+    )
+
+
+def _crop_expected_path() -> str:
+    """Expected save-crop label routing for the sf0.01 subset: labels in
+    reading order (title + FAMILY_FIELDS + trailing qrcode when the
+    ground truth carries one), straight from fixture ground truth —
+    never through the pipeline."""
+    path = "/tmp/ocr_spark_crop_expected_sf001_v1.parquet"
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_spark.fixtures.invoice import FAMILIES, expected_crop_labels
+
+        cust = pq.read_table(
+            "/root/testdata/sf0.01/customer.parquet", columns=["c_custkey"]
+        )
+        ks = sorted(cust["c_custkey"].to_pylist())
+        recs = []
+        for k in ks:
+            if k % 40 == 0:
+                ref = f"inv://c{k}#{FAMILIES[k % 4]}"
+                for i, lab in enumerate(expected_crop_labels(ref)):
+                    recs.append((ref, 0, i, lab))
+        pq.write_table(
+            pa.table(
+                {
+                    "media_ref": pa.array([r[0] for r in recs]),
+                    "region_idx": pa.array([r[1] for r in recs], pa.int32()),
+                    "crop_idx": pa.array([r[2] for r in recs], pa.int32()),
+                    "label": pa.array([r[3] for r in recs]),
+                }
+            ),
+            path,
+        )
+    return path
+
+
 def _invoice_expected_path() -> str:
     """Expected invoice_field_extract records for the sf0.01 ref set,
     computed from layout ground truth through the pure-Python normalizer
@@ -711,6 +787,10 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_fused": ocr_oracle,
         "invoice_field_extract": f"""
 select * from read_parquet('{_invoice_expected_path()}') order by media_ref, region_idx
+""",
+        "save_crops": f"""
+select * from read_parquet('{_crop_expected_path()}')
+order by media_ref, region_idx, crop_idx
 """,
         # -- span algebra --
         "span_explode": """
@@ -1072,6 +1152,33 @@ with b as (
 select e.vec_id, e.label, {_DUCK_COS} as cos
 from b e join q on ({_ANN_SAME_BUCKET_ANY('e', 'q')})
 where e.vec_id <> 0
+order by cos desc, e.vec_id limit {similarity.TOP_K}
+""",
+        "ann_ivf_topk": f"""
+with a as (
+  select vec_id as aid, embedding as avec,
+         list_dot_product(embedding::double[], embedding::double[]) as aa
+  from embeddings where vec_id < {similarity.DEFAULT_ANCHORS}
+), v as (
+  select vec_id, label, embedding,
+         list_dot_product(embedding::double[], embedding::double[]) as xx
+  from embeddings
+), dist as (
+  select v.vec_id, v.label, v.embedding, a.aid,
+         round(v.xx
+               - 2 * list_dot_product(v.embedding::double[], a.avec::double[])
+               + a.aa, 6) as d
+  from v cross join a
+), assign as (
+  select vec_id, label, embedding, aid as list_id from dist
+  qualify row_number() over (partition by vec_id order by d, aid) = 1
+), probes as (
+  select aid from dist where vec_id = 0
+  qualify row_number() over (order by d, aid) <= {similarity.DEFAULT_PROBE}
+)
+select e.vec_id, e.label, {_DUCK_COS} as cos
+from assign e, (select embedding as q from embeddings where vec_id = 0) q
+where e.vec_id <> 0 and e.list_id in (select aid from probes)
 order by cos desc, e.vec_id limit {similarity.TOP_K}
 """,
         # -- text analysis --

@@ -85,6 +85,7 @@ def main() -> int:
         "lsh_near_dup",
         "simhash64",
         "ann_brute_topk",
+        "ann_ivf_topk",
         "embedding_near_dup",
         "token_stats",
         "quality_score",

@@ -73,11 +73,20 @@ class PageState:
     rot_k: int = 0
     skew_deg: int = 0
     qr_boxes: list[tuple[int, int, int, int]] = field(default_factory=list)
+    # union bbox (x, y, w, h) of each reading-order row, same frame as
+    # qr_boxes — consumed by the save-crop debug sink (core/fields)
+    row_boxes: list[tuple[int, int, int, int]] = field(default_factory=list)
 
 
 def _best_over_orientations(
     ink0: np.ndarray, drop_score: float, robust: bool = False
-) -> tuple[list[str], float, int, list[tuple[int, int, int, int]]]:
+) -> tuple[
+    list[str],
+    float,
+    int,
+    list[tuple[int, int, int, int]],
+    list[tuple[int, int, int, int]],
+]:
     """4-orientation probe-then-commit pass over one ink mask.
 
     Angle classification: try the 4 cardinal orientations and keep the one
@@ -126,6 +135,7 @@ def _best_over_orientations(
     best_conf = -1.0
     best_k = 0
     best_qr: list[tuple[int, int, int, int]] = []
+    best_row_boxes: list[tuple[int, int, int, int]] = []
     for probe, k, boxes, qr_boxes in sorted(cands, key=lambda t: (-t[0], t[1])):
         if probe + PROBE_MARGIN < best_conf:
             break  # sorted: every remaining probe is lower still
@@ -154,9 +164,16 @@ def _best_over_orientations(
             best_conf = conf
             best_k = k
             best_qr = [(b.x, b.y, b.w, b.h) for b in qr_boxes]
+            best_row_boxes = []
+            for row in rows:  # union bbox per reading-order row
+                xs0 = min(xywh[i][0] for i in row)
+                ys0 = min(xywh[i][1] for i in row)
+                xs1 = max(xywh[i][0] + xywh[i][2] for i in row)
+                ys1 = max(xywh[i][1] + xywh[i][3] for i in row)
+                best_row_boxes.append((xs0, ys0, xs1 - xs0, ys1 - ys0))
         if conf >= 1.0:
             break
-    return best_rows, max(best_conf, 0.0), best_k, best_qr
+    return best_rows, max(best_conf, 0.0), best_k, best_qr, best_row_boxes
 
 
 def ocr_page_state(
@@ -181,8 +198,8 @@ def ocr_page_state(
     if not ink0.any():
         return PageState()
 
-    rows, conf, k, qr = _best_over_orientations(ink0, drop_score)
-    best = PageState(rows, max(conf, 0.0), k, 0, qr)
+    rows, conf, k, qr, rb = _best_over_orientations(ink0, drop_score)
+    best = PageState(rows, max(conf, 0.0), k, 0, qr, rb)
     if conf < DESKEW_CONF:
         # Angle 0 is retried FIRST with the robust unit-scale estimate: a
         # straight page whose ink carries resampling erosion (e.g. a
@@ -195,11 +212,11 @@ def ocr_page_state(
             # MASK equals deskewing the image first; fill=False keeps the
             # border blank.
             ink_d = rotate_image(ink0, float(a), fill=False) if a else ink0
-            rows2, conf2, k2, qr2 = _best_over_orientations(
+            rows2, conf2, k2, qr2, rb2 = _best_over_orientations(
                 ink_d, drop_score, robust=True
             )
             if conf2 > best.conf:
-                best = PageState(rows2, conf2, k2, a, qr2)
+                best = PageState(rows2, conf2, k2, a, qr2, rb2)
             if conf2 >= 1.0:
                 break
     return best

@@ -171,28 +171,14 @@ def extract_fields_regions(img: np.ndarray) -> list[dict[str, str]]:
     ]
 
 
-def _decode_qr_regions(
-    img: np.ndarray, state
-) -> str:
-    """Decode the page's QR candidate boxes from the ORIGINAL pixels.
-
-    Mirrors the reference chain (vat_detect.py:341 -> qrcode_pyzbar,
-    util/tool.py:370-389): the detected 'qrcode' region is cropped from
-    the page image, grayscaled, and handed to the decoder WITH the
-    enhancement retry ladder (core/qr.get_qrcode_data, the pyzbar twin of
-    util/tool.py:353-367).  The crop source is the page's red channel —
-    QR ink is neutral (dark in every channel) while seal overlay is
-    bright in red, so the channel choice is the same seal-immunity
-    argument as remove_red.py — NOT the seal-removed/binarized gray,
-    whose Otsu pass would destroy the low-contrast gray levels the retry
-    ladder exists to rescue.
-
-    ``state.qr_boxes`` live in the transformed frame
-    rot90(rotate_image(page, skew), -rot_k), so the same transform is
-    applied to the red channel before cropping (rotate_image is the exact
-    inverse of the fixture's forward-scatter skew, and nearest-neighbor,
-    so gray VALUES survive the mapping bit-exactly).
-    """
+def _page_gray(img: np.ndarray, state) -> np.ndarray:
+    """The page's red channel mapped into ``state``'s winning frame
+    rot90(rotate_image(page, skew), -rot_k), where region boxes
+    (state.qr_boxes / state.row_boxes) live.  Red channel because QR/text
+    ink is neutral (dark in every channel) while the seal overlay is
+    bright in red — the same seal-immunity argument as remove_red.py —
+    and rotate_image is nearest-neighbor, so gray VALUES survive the
+    mapping bit-exactly."""
     from .geometry import rotate_image
 
     gray = np.ascontiguousarray(img[..., 0] if img.ndim == 3 else img)
@@ -200,8 +186,24 @@ def _decode_qr_regions(
         gray = rotate_image(gray, float(state.skew_deg))
     if state.rot_k:
         gray = np.ascontiguousarray(np.rot90(gray, -state.rot_k))
+    return gray
+
+
+def _decode_qr_regions(
+    img: np.ndarray, state
+) -> str:
+    """Decode the page's QR candidate boxes from the ORIGINAL pixels.
+
+    Mirrors the reference chain (vat_detect.py:341 -> qrcode_pyzbar,
+    util/tool.py:370-389): the detected 'qrcode' region is cropped from
+    the page image (via _page_gray — NOT the seal-removed/binarized
+    gray, whose Otsu pass would destroy the low-contrast gray levels)
+    and handed to the decoder WITH the enhancement retry ladder
+    (core/qr.get_qrcode_data, the pyzbar twin of util/tool.py:353-367).
+    """
     from . import qr as qrmod
 
+    gray = _page_gray(img, state)
     pad = 2
     for x, y, w, h in state.qr_boxes:
         crop = gray[
@@ -238,4 +240,45 @@ def extract_fields(img: np.ndarray) -> dict[str, str]:
             out["qrcode"] = payload
     for name, text in zip(FAMILY_FIELDS[family], rows[1:]):
         out[name] = text
+    return out
+
+
+def save_crops(img: np.ndarray) -> list[dict]:
+    """Per-label debug crops of one document image (the save-crop debug
+    sink's kernel).
+
+    Reference semantics (obj_det/vat_detect.py:305-309 and
+    stock_detect.py:118-122, the ``saveImage=True`` paths): each labeled
+    field region is written out as ``images/<family>/<label>.png`` for
+    inspection.  Here the crops become ROWS — {label, x, y, w, h, crop}
+    with the crop as gray npy bytes — so the Spark sink writes one
+    sidecar parquet/Iceberg table instead of executor-local files (the
+    SURVEY §2.1 mapping for this operator).  Labels are assigned
+    positionally like extract_fields (title + FAMILY_FIELDS order); QR
+    candidate regions are emitted under the reference's 'qrcode' label.
+    Coordinates are in the page's winning deskewed/upright frame, the
+    frame the crops are taken from.
+    """
+    from ..operators.media import encode_image
+    from .extract import ocr_page_state
+
+    state = ocr_page_state(img)
+    title = state.rows[0] if state.rows else ""
+    family = classify_family(title)
+    gray = _page_gray(img, state)
+    labels = ["title"] + FAMILY_FIELDS[family]
+    out = []
+    boxes = [(lab, b) for lab, b in zip(labels, state.row_boxes)]
+    boxes += [("qrcode", b) for b in state.qr_boxes]
+    for label, (x, y, w, h) in boxes:
+        out.append(
+            {
+                "label": label,
+                "x": int(x),
+                "y": int(y),
+                "w": int(w),
+                "h": int(h),
+                "crop": encode_image(gray[y : y + h, x : x + w]),
+            }
+        )
     return out

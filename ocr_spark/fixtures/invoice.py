@@ -225,6 +225,21 @@ def render_invoice(media_ref: str) -> RenderedPage:
     return _render_lines(texts, rng, scale=2, patches=patches)
 
 
+def expected_crop_labels(media_ref: str) -> list[str]:
+    """Layout-side expected label sequence of the save-crop debug sink
+    (core/fields.save_crops) for one single-invoice ref: title, then the
+    family's fields in reading order, then 'qrcode' when the ground truth
+    carries a QR region (emitted last because QR candidate boxes are
+    appended after the text rows).  Pure function of media_ref — never
+    runs the pipeline."""
+    fam = family_of(media_ref)
+    gt = ground_truth(media_ref)
+    labels = ["title"] + list(FAMILY_FIELDS[fam])
+    if "qrcode" in gt:
+        labels.append("qrcode")
+    return labels
+
+
 # --- multi-invoice pages -------------------------------------------------
 # Grammar: ``inv://{key}#multi`` — a batch-scanned sheet carrying SEVERAL
 # invoices on one page image (the reference's legacy whole-page route,

@@ -283,6 +283,73 @@ def extract_invoice_fields(refs: DataFrame) -> DataFrame:
     )
 
 
+_CROP_SCHEMA = (
+    "media_ref string, region_idx int, crop_idx int, label string, "
+    "x int, y int, w int, h int, crop binary"
+)
+
+
+def _save_crop_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from ocr_spark.core.fields import save_crops
+    from ocr_spark.fixtures.invoice import is_multi, render_invoice, render_multi
+
+    for pdf in batches:
+        rows = []
+        for ref in pdf["media_ref"]:
+            if is_multi(ref):
+                from ocr_spark.core.fields import (
+                    deskew_sheet,
+                    detect_invoice_regions,
+                )
+                import numpy as np
+
+                sheet = deskew_sheet(render_multi(ref)[0])
+                crops_per_region = [
+                    save_crops(np.ascontiguousarray(sheet[y0:y1, x0:x1]))
+                    for x0, y0, x1, y1 in detect_invoice_regions(sheet)
+                ]
+            else:
+                crops_per_region = [save_crops(render_invoice(ref).image)]
+            for ridx, crops in enumerate(crops_per_region):
+                for cidx, c in enumerate(crops):
+                    rows.append(
+                        [ref, ridx, cidx, c["label"],
+                         c["x"], c["y"], c["w"], c["h"], c["crop"]]
+                    )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_ref", "region_idx", "crop_idx", "label",
+                "x", "y", "w", "h", "crop",
+            ],
+        )
+
+
+def save_crop_sink(refs: DataFrame, out_dir: str | None = None) -> DataFrame:
+    """The save-crop DEBUG sink (reference ``saveImage=True`` paths,
+    obj_det/vat_detect.py:305-309 / stock_detect.py:118-122: each labeled
+    field region written to ``images/<family>/<label>.png``).
+
+    Spark-first shape: one row per labeled crop — (media_ref, region_idx,
+    label, box, npy-encoded gray crop) — written as ONE sidecar
+    parquet/Iceberg table when ``out_dir`` is given, instead of
+    executor-local PNG files (which don't exist in a cluster's world; the
+    SURVEY §2.1 mapping).  Debug-only: runs the extraction chain again
+    for the refs it is asked to dump, exactly like the reference's
+    saveImage flag re-running with side effects on.
+    """
+    spark = refs.sparkSession
+    df = refs.repartition(_default_partitions(spark)).mapInPandas(
+        _save_crop_batches, schema=_CROP_SCHEMA
+    )
+    if out_dir is not None:
+        df.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir)
+    return df
+
+
 def synth_invoice_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic invoice media refs derived from customer keys (one
     per 10 customers; family round-robins over the four detectors)."""

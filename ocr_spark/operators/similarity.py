@@ -121,6 +121,121 @@ def bucket_array(
     )
 
 
+# IVF coarse quantizer defaults.  Anchors (inverted-list centroids) are a
+# deterministic sample of the corpus — the K lowest vec_ids — standing in
+# for k-means centroids (the quantizer CONTRACT is identical: assign each
+# vector to its nearest anchor, probe the query's closest lists).  Sizing
+# at scale mirrors FAISS IVF practice: n_lists ~ sqrt(corpus), n_probe
+# trades recall for candidates scanned.
+DEFAULT_ANCHORS = 16
+DEFAULT_PROBE = 4
+
+
+def anchors_for_corpus(n_vectors: int) -> int:
+    """IVF list-count sizing (the FAISS rule of thumb): n_lists ~
+    sqrt(corpus) balances assignment cost (n_lists dots per vector,
+    map-side) against probe cost (n_probe * corpus / n_lists candidates
+    per query).  At 10^9 vectors this is ~32k lists; the anchor set stays
+    a broadcastable few MB."""
+    import math
+
+    return max(1, int(math.isqrt(max(n_vectors, 1))))
+
+
+@lru_cache(maxsize=None)
+def _anchor_rows(
+    sf_dir: str, n_anchors: int = DEFAULT_ANCHORS
+) -> tuple[tuple[int, tuple[float, ...]], ...]:
+    """The anchor vectors, read ONCE driver-side at plan-build time and
+    embedded as literals (centroids are always broadcast state in IVF —
+    at 10^9-vector scale they would live in their own small table, read
+    the same way).  Values come straight from the parquet so the DuckDB
+    oracle, reading the same file, sees bit-identical floats."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    rows = sorted(
+        (int(v), tuple(float(x) for x in e))
+        for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        if int(v) < n_anchors
+    )
+    return tuple(rows)
+
+
+def _l2_struct_array(emb: Column, anchors) -> Column:
+    """Array of (round(L2^2 distance, 6), anchor_id) structs, one per
+    anchor.  Distance is composed from three dot products
+    (x·x − 2·x·a + a·a) so each piece uses the exact fold the DuckDB
+    oracle's list_dot_product reproduces; rounding to 6 decimals before
+    any argmin/sort kills float-boundary sensitivity on both sides."""
+    xx = _dot(emb, emb)
+    elems = []
+    for aid, vec in anchors:
+        a = F.array(*[F.lit(v) for v in vec])
+        d = F.round(xx - 2.0 * _dot(emb, a) + _dot(a, a), 6)
+        elems.append(F.struct(d.alias("d"), F.lit(aid).alias("aid")))
+    return F.array(*elems)
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_anchors: int = DEFAULT_ANCHORS,
+    n_probe: int = DEFAULT_PROBE,
+) -> DataFrame:
+    """ANN via an IVF (inverted-file) coarse quantizer: each vector is
+    assigned map-side to its nearest anchor (argmin over literal anchor
+    vectors — no shuffle, no join), the query probes its ``n_probe``
+    nearest lists, and exact cosine runs only over vectors in the probed
+    lists (~n_probe/n_anchors of the corpus).
+
+    Plan shape at scale: one map-side assignment pass + one broadcast of
+    the single query row + final TakeOrdered — the corpus is never
+    shuffled.  Ties in assignment/probing break on the lower anchor id
+    (array_min/array_sort order struct fields lexicographically), the
+    same rule as the oracle's ORDER BY d, aid.
+    """
+    anchors = _anchor_rows(sf_dir, n_anchors)
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .withColumn(
+            "list_id",
+            F.array_min(_l2_struct_array(F.col("embedding"), anchors))[
+                "aid"
+            ],
+        )
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q"),
+        F.col("nrm").alias("qn"),
+        F.transform(
+            F.slice(
+                F.array_sort(_l2_struct_array(F.col("embedding"), anchors)),
+                1,
+                n_probe,
+            ),
+            lambda s: s["aid"],
+        ).alias("probes"),
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(query), F.array_contains("probes", F.col("list_id")))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("embedding"), F.col("q"))
+                / (F.col("nrm") * F.col("qn")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    return scored.orderBy(F.desc("cos"), "vec_id").limit(TOP_K)
+
+
 def brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k by cosine similarity to the vec_id=0 query vector."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(

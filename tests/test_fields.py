@@ -259,3 +259,59 @@ def test_multi_invoice_page_explodes_to_per_region_records(spark):
         assert sum(1 for k in got if k[0] == ref) == len(exp), ref
         for rec in exp:
             assert got[(ref, rec["region_idx"])] == rec, (ref, rec["region_idx"])
+
+
+def test_save_crops_kernel_labels_and_content():
+    """save_crops (the saveImage=True debug path, vat_detect.py:305-309)
+    must emit one crop per labeled region — title + family fields in
+    reading order, QR regions under the 'qrcode' label — whose pixels
+    contain the region's ink."""
+    import numpy as np
+
+    from ocr_spark.core.fields import save_crops
+    from ocr_spark.operators.media import decode_image
+
+    qr_ref = next(
+        f"inv://t{i}#vat"
+        for i in range(40)
+        if "qrcode" in ground_truth(f"inv://t{i}#vat")
+    )
+    for ref in [qr_ref, "inv://e0#stock_v1", "inv://e0#bill"]:
+        fam = ref.rsplit("#", 1)[-1]
+        gt = ground_truth(ref)
+        crops = save_crops(render_invoice(ref).image)
+        labels = [c["label"] for c in crops]
+        want = ["title"] + FAMILY_FIELDS[fam]
+        if "qrcode" in gt:
+            want.append("qrcode")
+        assert labels == want, ref
+        for c in crops:
+            img = decode_image(c["crop"])
+            assert img.shape == (c["h"], c["w"])
+            assert img.min() < 128  # the region's ink is in the crop
+
+
+def test_save_crop_sink_writes_sidecar(spark, tmp_path):
+    from ocr_spark.operators.fields import save_crop_sink
+
+    refs = spark.createDataFrame(
+        [("inv://e0#vat",), ("inv://e0#stock_v1",), ("inv://s0#multi",)],
+        "media_ref string",
+    )
+    out = save_crop_sink(refs, out_dir=str(tmp_path / "crops"))
+    rows = out.collect()
+    by_ref: dict = {}
+    for r in rows:
+        by_ref.setdefault((r.media_ref, r.region_idx), []).append(r.label)
+    # singles: one region each, title leads
+    assert by_ref[("inv://e0#vat", 0)][0] == "title"
+    assert len(by_ref[("inv://e0#stock_v1", 0)]) == 1 + len(
+        FAMILY_FIELDS["stock_v1"]
+    )
+    # the multi sheet explodes into its region count
+    from ocr_spark.fixtures.invoice import multi_sub_refs
+
+    n_regions = len(multi_sub_refs("inv://s0#multi"))
+    assert (
+        len({k for k in by_ref if k[0] == "inv://s0#multi"}) == n_regions
+    )

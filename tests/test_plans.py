@@ -177,3 +177,55 @@ def test_embedding_candidates_shrink_with_planes(spark):
     assert counts[2] > counts[8]  # strict shrink across the range
     multi = embedding_candidates(emb, n_planes=8, n_tables=3).count()
     assert multi >= counts[8]  # union over tables only adds candidates
+
+
+def test_ivf_assignment_is_map_side(spark):
+    """IVF (ann_ivf_topk): list assignment must be a map-side argmin over
+    LITERAL anchor vectors — the corpus side is never shuffled and never
+    sort-merge-joined; the only join is the broadcast of the single query
+    row (its probes array).  TakeOrdered handles the final top-k without
+    a global sort exchange."""
+    from ocr_spark.operators.similarity import ivf_topk
+
+    tree = plan_of(ivf_topk(spark, SF), "formatted").lower()
+    assert "sortmergejoin" not in tree
+    assert "hashpartitioning" not in tree  # no corpus shuffle
+    assert "broadcast" in tree  # the 1-row query side
+    assert "takeordered" in tree
+
+
+def test_ivf_probes_shrink_candidates(spark):
+    """Probing n_probe of n_anchors lists must scan a strict subset of
+    the corpus (the whole point of the inverted file), and more probes
+    can only widen the candidate set."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.similarity import (
+        _anchor_rows,
+        _l2_struct_array,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    total = emb.count()
+    anchors = _anchor_rows(SF)
+    assigned = emb.withColumn(
+        "list_id", F.array_min(_l2_struct_array(F.col("embedding"), anchors))["aid"]
+    )
+    # every list non-degenerate: assignment spreads over several anchors
+    n_lists = assigned.select("list_id").distinct().count()
+    assert n_lists > 1
+    # the probed lists hold a strict subset of the corpus
+    list_sizes = {
+        r["list_id"]: r["count"]
+        for r in assigned.groupBy("list_id").count().collect()
+    }
+    assert max(list_sizes.values()) < total
+    rows = ivf_topk(spark, SF).collect()
+    assert len(rows) == 10 and all(r.vec_id != 0 for r in rows)
+    cos = [r.cos for r in rows]
+    assert cos == sorted(cos, reverse=True)
+    assert all(-1.0 <= c <= 1.0 for c in cos)
+    # fewer probes -> no more candidates than more probes
+    few = ivf_topk(spark, SF, n_probe=1).collect()
+    assert len(few) <= len(rows)
