@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_near_dup": dedup.lsh_candidates,
+        "near_dup_clusters": dedup.near_dup_clusters,
         "simhash64": dedup.simhash64,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_near_dup": dedup.embedding_near_dup,
@@ -166,8 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": text_analysis.fingerprint,
         # -- container sources --
         "ofd_extract": _q_ofd,
-        # -- multimodal media plumbing (rows-only: pixel metadata is not
-        # SQL-derivable; contracts pinned by tests/test_media.py) --
+        # -- multimodal media plumbing (value oracles over driver-side
+        # expected rows, see _media_expected_path; pixel math is
+        # pytest-gated in tests/test_media.py) --
         "media_metadata": media.media_metadata,
         "media_thumbnails": media.media_thumbnails,
         "frame_sample": media.frame_sample,
@@ -175,8 +177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cells": table.table_cells,
         "table_det_assign": table.table_det_assign,
         "table_html": table.table_html,
-        # -- streaming (stateful dedup drained via availableNow) --
+        # -- streaming (drained via availableNow) --
         "stream_exact_dedup": _q_stream_dedup,
+        "stream_window_counts": _q_stream_window,
         # -- relational breadth --
         "pricing_summary": relational.pricing_summary,
         "top_orders_per_segment": relational.top_orders_per_segment,
@@ -355,6 +358,12 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.streaming.stream import stream_dedup_query
 
     return stream_dedup_query(spark, sf_dir)
+
+
+def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.streaming.stream import stream_window_query
+
+    return stream_window_query(spark, sf_dir)
 
 
 def _q_ofd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,6 +787,114 @@ def _invoice_expected_path() -> str:
     return path
 
 
+def _media_expected_path(which: str) -> str:
+    """Expected rows for the media plumbing queries, computed DRIVER-SIDE
+    (plain python loop over the sampled refs — no Spark).  frame_sample's
+    expectation is fully independent (sha256 over the frame key string);
+    media_metadata / media_thumbnails reuse the per-image fixture kernels
+    (render / npy encode / nearest-neighbor resize), so those two oracles
+    certify the DISTRIBUTED plumbing — Arrow binary round-trip through
+    mapInPandas, partitioning, emission order — while the pixel math
+    itself is pytest-gated (tests/test_media.py)."""
+    path = f"/tmp/ocr_spark_media_expected_{which}_sf001_v1.parquet"
+    if not os.path.exists(path):
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cust = pq.read_table(
+            "/root/testdata/sf0.01/customer.parquet", columns=["c_custkey"]
+        )
+        ks = sorted(cust["c_custkey"].to_pylist())
+        if which == "frames":
+            recs = []
+            for k in ks:
+                if k % 50 == 0:
+                    ref = f"vid://{k}"
+                    for i in range(4):
+                        digest = hashlib.sha256(
+                            f"frame:{ref}:{i}".encode()
+                        ).hexdigest()
+                        recs.append((ref, i, i * 1000, digest))
+            recs.sort(key=lambda r: (r[0], r[1]))
+            table = pa.table(
+                {
+                    "media_ref": pa.array([r[0] for r in recs]),
+                    "frame_idx": pa.array([r[1] for r in recs], pa.int32()),
+                    "ts_ms": pa.array([r[2] for r in recs], pa.int64()),
+                    "frame_sha256": pa.array([r[3] for r in recs]),
+                }
+            )
+        else:
+            from ocr_spark.fixtures.render import render
+            from ocr_spark.operators.media import (
+                THUMB_MAX_SIDE,
+                encode_image,
+                resize_max_side,
+            )
+
+            recs = []
+            for k in ks:
+                if k % 20 == 0:
+                    # k % 20 == 0 implies even k, so the ref grammar's
+                    # crop/page toggle always lands on #crop here — same
+                    # as operators/media.media_binary over this sample.
+                    ref = f"img://m{k}/0#crop"
+                    img = render(ref)[0].image
+                    payload = encode_image(img)
+                    if which == "meta":
+                        recs.append(
+                            (
+                                ref,
+                                1,
+                                int(img.shape[1]),
+                                int(img.shape[0]),
+                                len(payload),
+                                hashlib.sha256(payload).hexdigest(),
+                            )
+                        )
+                    else:
+                        th = resize_max_side(img, THUMB_MAX_SIDE)
+                        recs.append(
+                            (
+                                ref,
+                                int(img.shape[1]),
+                                int(img.shape[0]),
+                                int(th.shape[1]),
+                                int(th.shape[0]),
+                                round(float(th.mean()), 4),
+                            )
+                        )
+            recs.sort(key=lambda r: r[0])
+            if which == "meta":
+                table = pa.table(
+                    {
+                        "media_ref": pa.array([r[0] for r in recs]),
+                        "n_pages": pa.array([r[1] for r in recs], pa.int32()),
+                        "width": pa.array([r[2] for r in recs], pa.int32()),
+                        "height": pa.array([r[3] for r in recs], pa.int32()),
+                        "n_bytes": pa.array([r[4] for r in recs], pa.int64()),
+                        "sha256": pa.array([r[5] for r in recs]),
+                    }
+                )
+            else:
+                table = pa.table(
+                    {
+                        "media_ref": pa.array([r[0] for r in recs]),
+                        "width": pa.array([r[1] for r in recs], pa.int32()),
+                        "height": pa.array([r[2] for r in recs], pa.int32()),
+                        "thumb_w": pa.array([r[3] for r in recs], pa.int32()),
+                        "thumb_h": pa.array([r[4] for r in recs], pa.int32()),
+                        "thumb_mean": pa.array(
+                            [r[5] for r in recs], pa.float64()
+                        ),
+                    }
+                )
+        pq.write_table(table, path)
+    return path
+
+
 def oracle_sql() -> dict[str, str]:
     get_num = _DUCK_GET_NUM
     ocr_oracle = _ocr_pipeline_oracle()
@@ -791,6 +908,17 @@ select * from read_parquet('{_invoice_expected_path()}') order by media_ref, reg
         "save_crops": f"""
 select * from read_parquet('{_crop_expected_path()}')
 order by media_ref, region_idx, crop_idx
+""",
+        # -- multimodal media plumbing (driver-side expected rows) --
+        "media_metadata": f"""
+select * from read_parquet('{_media_expected_path("meta")}') order by media_ref
+""",
+        "media_thumbnails": f"""
+select * from read_parquet('{_media_expected_path("thumb")}') order by media_ref
+""",
+        "frame_sample": f"""
+select * from read_parquet('{_media_expected_path("frames")}')
+order by media_ref, frame_idx
 """,
         # -- span algebra --
         "span_explode": """
@@ -1120,6 +1248,27 @@ from documents order by doc_id
 """,
         "minhash_signatures": _MINHASH_ORACLE,
         "lsh_near_dup": _LSH_ORACLE,
+        # connected components as a recursive reachability closure over
+        # the SAME verified-pair SQL; min over reachable = component min.
+        "near_dup_clusters": f"""
+with recursive lsh as ({_LSH_ORACLE}),
+edges as (
+  select doc_a as a, doc_b as b from lsh
+  union
+  select doc_b, doc_a from lsh
+),
+walk(id, r) as (
+  select doc_id, doc_id from documents
+  union
+  select w.id, e.b from walk w join edges e on e.a = w.r
+),
+lab as (select id as doc_id, min(r) as cluster_id from walk group by id)
+select doc_id, cluster_id,
+       count(*) over (partition by cluster_id) as cluster_size,
+       (doc_id = cluster_id)::int as is_survivor
+from lab
+order by doc_id
+""",
         "simhash64": _simhash_oracle(),
         "ngram_jaccard_pairs": f"""
 with d as (
@@ -1345,6 +1494,23 @@ order by d.table_id, d.det_id
         "stream_exact_dedup": """
 select md5(text) as digest, min(doc_id::varchar) as doc_id, min(text) as text
 from documents group by text order by digest
+""",
+        # Watermarked windowed aggregation, availableNow drain: append
+        # mode emits exactly the windows closed by the final watermark
+        # (max(ts) - 30 min); open windows stay in state.  time_bucket
+        # and Spark's window() share the epoch-aligned bucketing origin.
+        "stream_window_counts": """
+with agg as (
+  select time_bucket(interval '10 minutes', ts) as ws, event_type,
+         count(*) as n, round(sum(value), 2) as total
+  from events group by ws, event_type
+), wm as (select max(ts) as mx from events)
+select epoch(ws)::bigint as w_start_s,
+       epoch(ws + interval '10 minutes')::bigint as w_end_s,
+       event_type, n, total
+from agg, wm
+where ws + interval '10 minutes' <= mx - interval '30 minutes'
+order by w_start_s, event_type
 """,
         "pricing_summary": """
 select l_returnflag, l_linestatus,

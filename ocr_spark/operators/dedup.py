@@ -319,6 +319,123 @@ def embedding_near_dup(
     )
 
 
+def _canon(df: DataFrame) -> DataFrame:
+    """Canonicalize an edge list to distinct (u, v) with u > v, no
+    self-loops — the invariant the star rounds maintain."""
+    return (
+        df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its LARGER neighbors to its
+    smallest neighbor (or itself if smallest).  One groupBy shuffle on the
+    node key + one self-join back on the same key."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return _canon(
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node rewires its SMALLER neighbors (and
+    itself) to the smallest of them.  Input/output canonical (u > v)."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = mins.select("u", F.col("m").alias("v"))
+    return _canon(rewired.union(self_edge))
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Connected components of an undirected edge list (columns ``u``,
+    ``v``) via alternating large-star / small-star rounds — the
+    MapReduce-native algorithm of Kiveris et al., "Connected Components
+    in MapReduce and Beyond" (SoCC'14).  Returns (doc_id, cluster_id)
+    with cluster_id = the component's minimum node id, one row per
+    NON-ROOT member (roots are implicit: cluster_id values).
+
+    Scale shape: each round is two key-shuffles (groupBy + join-back),
+    intermediate edge count never exceeds O(E), and the round count is
+    O(log^2 n) — in practice 2-3 rounds for near-dup graphs, whose
+    components are dense (LSH clusters are clique-ish).  This is the
+    piece naive min-label propagation gets wrong at 10^12 scale: label
+    propagation needs O(graph diameter) rounds, and a pathological
+    duplicate CHAIN (a1~a2~a3~...) makes the diameter O(n).  Each round
+    is localCheckpoint-ed: the iterative plan would otherwise double in
+    depth every round and re-execute the whole history at each action
+    (same reason GraphX checkpoints Pregel iterations).
+
+    Convergence test: the canonical edge sets before/after a round are
+    compared with exceptAll counts — both sides are materialized
+    checkpoints, so each test is one shuffle over the current (small,
+    shrinking) edge set, not a recompute of the chain.
+    """
+    cur = _canon(edges).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        if (
+            nxt.exceptAll(cur).isEmpty()
+            and cur.exceptAll(nxt).isEmpty()
+        ):
+            cur = nxt
+            break
+        cur = nxt
+    # Converged: a star forest (u -> component min).  The min-agg is a
+    # no-op on a clean forest but makes the result well-defined even at
+    # the round cap.
+    return cur.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
+        F.col("u").alias("doc_id"), "cluster_id"
+    )
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate clustering — the survivor-selection
+    stage a production dedup pipeline runs AFTER pair generation:
+    minhash-LSH verified pairs (lsh_candidates) -> connected components
+    -> one cluster id per document (singletons keep their own id) ->
+    deterministic survivor = the cluster's minimum doc_id.
+
+    Output: (doc_id, cluster_id, cluster_size, is_survivor) for EVERY
+    document; filtering is_survivor = 1 yields the deduplicated corpus.
+    The final window over cluster_id is a shuffle on the cluster key —
+    cluster count ~ doc count, uniform, no skew concern."""
+    pairs = lsh_candidates(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels = connected_components(pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    out = (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster_id")),
+        )
+        .withColumn(
+            "is_survivor",
+            (F.col("doc_id") == F.col("cluster_id")).cast("int"),
+        )
+    )
+    return out.repartition(1).sortWithinPartitions("doc_id")
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over bucketed candidate pairs (same lang and
     same n_chars decile) — the quadratic verifier restricted to buckets, as

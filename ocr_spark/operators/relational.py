@@ -6,6 +6,9 @@ extraction pipeline and document the intended physical plans.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -28,6 +31,43 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) table on ``key``.
+
+    The 100 TB lever: when two fact tables are recurrently joined or
+    aggregated on the same key (orders x lineitem on orderkey; the span
+    sidecar x the document table on doc_id), bucketing BOTH sides with
+    the same bucket count at write time makes every downstream equi-join
+    and groupBy on that key shuffle-free — the scan is already hash-
+    partitioned, so SortMergeJoin runs with zero Exchange (and zero Sort,
+    when sortBy matches).  One shuffle paid once at ingest replaces one
+    shuffle per query forever after.  Pinned by
+    tests/test_plans.py::test_bucketed_join_no_exchange.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # A managed-table location can outlive its catalog entry (prior JVM
+    # wrote the files, this session's in-memory catalog never heard of
+    # the table) — saveAsTable then fails LOCATION_ALREADY_EXISTS, so
+    # clear any orphaned directory first.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, key
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table_name)
 
 
 def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -217,6 +217,49 @@ def stream_event_counts(
     return writer.start()
 
 
+def stream_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: drain the events table through the
+    watermarked windowed aggregation (stream_event_counts) with
+    availableNow and return the emitted (closed) windows.
+
+    Determinism argument: the event-time watermark ends at
+    max(ts) - delay once every file is consumed, and append mode emits
+    exactly the windows the watermark has closed — windows still inside
+    the delay horizon stay in state and are NOT emitted.  That closed-
+    window set is a pure function of the input (independent of how
+    availableNow splits micro-batches), which is what the DuckDB oracle
+    reproduces with a time_bucket aggregate + max(ts) cutoff.  Window
+    bounds are projected as epoch seconds (bigint) so the value-hash
+    compare is engine-neutral."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="ocr_spark_stream_window_")
+    in_dir, out_dir, ck_dir = f"{base}/in", f"{base}/out", f"{base}/ck"
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        events.coalesce(1).write.mode("overwrite").parquet(in_dir)
+        q = stream_event_counts(spark, in_dir, out_dir, ck_dir)
+        q.awaitTermination()
+        out = spark.read.parquet(out_dir).select(
+            F.unix_timestamp("w_start").alias("w_start_s"),
+            F.unix_timestamp("w_end").alias("w_end_s"),
+            "event_type",
+            "n",
+            "total",
+        )
+        rows = out.collect()  # materialize before the tmp dir disappears
+        return (
+            spark.createDataFrame(rows, out.schema)
+            .repartition(1)
+            .sortWithinPartitions("w_start_s", "event_type")
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing wrapper: run the stateful streaming dedup end-to-end
     over the documents table and return the deduplicated result.

@@ -1,0 +1,86 @@
+"""Connected-components clustering tests (operators/dedup.py).
+
+The star rounds (Kiveris et al., SoCC'14) are exercised on adversarial
+shapes — a pure CHAIN is the case naive min-label propagation needs
+O(n) rounds for — and the end-to-end near_dup_clusters labels are
+cross-checked against an independent pure-python union-find over the
+same verified LSH pairs.
+"""
+
+from __future__ import annotations
+
+from ocr_spark.operators.dedup import (
+    connected_components,
+    lsh_candidates,
+    near_dup_clusters,
+)
+
+
+def _labels(df) -> dict[str, str]:
+    return {r["doc_id"]: r["cluster_id"] for r in df.collect()}
+
+
+def test_cc_chain(spark):
+    # d1-d2-d3-d4-d5-d6: worst case for label propagation (diameter 5);
+    # the star rounds collapse it in O(log^2 n).
+    edges = spark.createDataFrame(
+        [(f"d{i}", f"d{i + 1}") for i in range(1, 6)], ["u", "v"]
+    )
+    got = _labels(connected_components(edges))
+    assert got == {f"d{i}": "d1" for i in range(2, 7)}
+
+
+def test_cc_two_components_and_direction(spark):
+    # two components, edges given in mixed orientation; roots are the
+    # component minima and appear only as cluster_id values.
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("z", "y"), ("x", "y")], ["u", "v"]
+    )
+    got = _labels(connected_components(edges))
+    assert got == {"b": "a", "c": "a", "y": "x", "z": "x"}
+
+
+def test_cc_empty(spark):
+    edges = spark.createDataFrame([], "u string, v string")
+    assert connected_components(edges).count() == 0
+
+
+def _union_find(pairs):
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted([ra, rb])
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def test_near_dup_clusters_matches_union_find(spark, sf_dir):
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in lsh_candidates(spark, sf_dir).collect()
+    ]
+    assert pairs, "fixture corpus should carry near-dup pairs"
+    expected = _union_find(pairs)
+    rows = near_dup_clusters(spark, sf_dir).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in rows}
+    # paired docs carry the union-find component min
+    for doc, root in expected.items():
+        assert got[doc] == root
+    # unpaired docs are singletons surviving under their own id
+    sizes: dict[str, int] = {}
+    for r in rows:
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+    for r in rows:
+        if r["doc_id"] not in expected:
+            assert r["cluster_id"] == r["doc_id"]
+            assert r["cluster_size"] == 1
+        assert r["cluster_size"] == sizes[r["cluster_id"]]
+        assert r["is_survivor"] == int(r["doc_id"] == r["cluster_id"])

@@ -229,3 +229,48 @@ def test_ivf_probes_shrink_candidates(spark):
     # fewer probes -> no more candidates than more probes
     few = ivf_topk(spark, SF, n_probe=1).collect()
     assert len(few) <= len(rows)
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Co-located join: both sides bucketed on the join key at write time
+    -> SortMergeJoin with ZERO Exchange (the at-scale payoff of paying
+    the ingest shuffle once).  Broadcast is disabled via merge hint so
+    the plan can't dodge the question with a broadcast join."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.relational import write_bucketed
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey")
+    write_bucketed(li, "b_lineitem", "o_orderkey")
+    j = (
+        spark.table("b_orders")
+        .hint("merge")
+        .join(spark.table("b_lineitem").hint("merge"), "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.first("o_totalprice").alias("total"),
+        )
+    )
+    tree = plan_of(j, "simple")
+    assert "SortMergeJoin" in tree
+    assert "Exchange" not in tree, (
+        "bucketed scan must feed both the join AND the groupBy with no "
+        "shuffle"
+    )
+    # sanity: result matches the unbucketed computation
+    plain = (
+        orders.join(li, "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.first("o_totalprice").alias("total"),
+        )
+    )
+    assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
