@@ -165,6 +165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": text_analysis.quality_score,
         "lang_id": text_analysis.lang_id,
         "fingerprint": text_analysis.fingerprint,
+        "repetition_stats": text_analysis.repetition_stats,
+        "contamination_check": text_analysis.contamination_check,
+        "pii_scrub": text_analysis.pii_scrub,
+        "stratified_sample": text_analysis.stratified_sample,
         # -- container sources --
         "ofd_extract": _q_ofd,
         # -- multimodal media plumbing (value oracles over driver-side
@@ -1378,6 +1382,125 @@ select doc_id, md5(text) as digest,
        list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
                                i -> md5(text[i:i+7]))) as min_shingle_md5
 from documents order by doc_id
+""",
+        # Gopher-style repetition: per-doc n-gram mode via unnest+group
+        # (DuckDB range(1,n) = [1..n-1]; list slice l[i:j] is 1-based
+        # inclusive, so a 5-gram at i is toks[i:i+4]).
+        "repetition_stats": """
+with t as (select doc_id, string_split(text, ' ') as toks from documents),
+base as (select doc_id, toks, len(toks) as n_tok from t),
+uni as (
+  select doc_id, max(c) as top_uni from (
+    select doc_id, g, count(*) as c
+    from (select doc_id, unnest(toks) as g from base)
+    group by doc_id, g
+  ) group by doc_id
+),
+bi as (
+  select doc_id, max(c) as top_bi from (
+    select doc_id, g, count(*) as c
+    from (
+      select doc_id,
+             unnest(list_transform(range(1, n_tok),
+                                   i -> toks[i] || ' ' || toks[i+1])) as g
+      from base where n_tok >= 2
+    )
+    group by doc_id, g
+  ) group by doc_id
+),
+d5 as (
+  select doc_id,
+         case when n_tok >= 5
+              then round(1 - len(list_distinct(g5))::double / len(g5), 4)
+              else 0.0 end as dup_5gram_frac
+  from (
+    select doc_id, n_tok,
+           case when n_tok >= 5
+                then list_transform(range(1, n_tok - 3),
+                                    i -> array_to_string(toks[i:i+4], ' '))
+                else []::varchar[] end as g5
+    from base
+  )
+),
+m as (
+  select b.doc_id, b.n_tok as n_tokens,
+         round(u.top_uni::double / b.n_tok, 4) as top_unigram_frac,
+         round(coalesce(bi.top_bi, 0)::double
+               / greatest(b.n_tok - 1, 1), 4) as top_bigram_frac,
+         d5.dup_5gram_frac
+  from base b
+  join uni u using (doc_id)
+  left join bi using (doc_id)
+  join d5 using (doc_id)
+)
+select *, (top_unigram_frac <= 0.30 and top_bigram_frac <= 0.18
+           and dup_5gram_frac <= 0.30)::int as keep
+from m order by doc_id
+""",
+        "contamination_check": """
+with t as (
+  select doc_id, string_split(text, ' ') as toks,
+         (doc_id % 100 = 0)::int as is_benchmark
+  from documents
+),
+base as (select doc_id, is_benchmark, toks, len(toks) as n_tok from t),
+grams as (
+  select doc_id, is_benchmark,
+         unnest(case when n_tok >= 5
+                     then list_transform(range(1, n_tok - 3),
+                                         i -> array_to_string(toks[i:i+4], ' '))
+                     else []::varchar[] end) as g
+  from base
+),
+bg as (select distinct g from grams where is_benchmark = 1),
+ng as (select doc_id, count(*) as n_grams from grams group by doc_id),
+hits as (
+  select doc_id, count(*) as n_contaminated
+  from grams
+  where is_benchmark = 0 and g in (select g from bg)
+  group by doc_id
+)
+select b.doc_id, b.is_benchmark,
+       coalesce(ng.n_grams, 0) as n_grams,
+       coalesce(h.n_contaminated, 0) as n_contaminated,
+       (b.is_benchmark = 0 and coalesce(h.n_contaminated, 0) > 0)::int
+         as contaminated
+from base b
+left join ng using (doc_id)
+left join hits h using (doc_id)
+order by b.doc_id
+""",
+        # patterns spliced from the module constants so Spark and the
+        # oracle can never drift; RE2 and Java regex agree on them
+        # (no lookaround, no backrefs).
+        "pii_scrub": """
+with aug as (
+  select doc_id,
+         text || ' contact user' || doc_id::varchar || '@example.com or 139'
+              || lpad((doc_id % 100000000)::varchar, 8, '0')
+              || ' from 10.0.' || (doc_id % 256)::varchar || '.7' as text
+  from documents
+)
+select doc_id,
+       len(regexp_extract_all(text, '@EMAIL@')) as n_emails,
+       len(regexp_extract_all(text, '@PHONE@')) as n_phones,
+       len(regexp_extract_all(text, '@IP@')) as n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             text, '@EMAIL@', '[EMAIL]', 'g'),
+             '@PHONE@', '[PHONE]', 'g'),
+             '@IP@', '[IP]', 'g')) as scrubbed_md5
+from aug order by doc_id
+""".replace("@EMAIL@", text_analysis.PII_EMAIL)
+        .replace("@PHONE@", text_analysis.PII_PHONE)
+        .replace("@IP@", text_analysis.PII_IP),
+        "stratified_sample": """
+select doc_id, lang, source,
+       md5(doc_id::varchar || ':' || lang) as sample_key
+from documents
+where md5(doc_id::varchar || ':' || lang) <
+      case lang when 'en' then '8' when 'de' then '4'
+                when 'es' then '2' else 'g' end
+order by doc_id
 """,
         "qr_stock_parse": """
 with qr as (

@@ -1,9 +1,11 @@
 """Text analysis operators for training-data curation, all native SQL.
 
 language-ID (stopword-hit heuristic), quality scoring (length / punct /
-stopword ratios), token counting (whitespace + a BPE-ish regex), and
-document fingerprinting (min-of-8-gram-md5 winnowing) — each over the
-driver's documents table with a DuckDB oracle in __spark_entry__.
+stopword ratios), token counting (whitespace + a BPE-ish regex), document
+fingerprinting (min-of-8-gram-md5 winnowing), Gopher-style repetition
+stats, benchmark-contamination check, PII scrubbing, and deterministic
+stratified sampling — each over the driver's documents table with a
+DuckDB oracle in __spark_entry__.
 """
 
 from __future__ import annotations
@@ -113,3 +115,258 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("digest"),
         min_window.alias("min_shingle_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition statistics
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats_df(docs: DataFrame) -> DataFrame:
+    """Word-level repetition filters in the Gopher/MassiveText style
+    (Rae et al. 2021, §A1.1): fraction of tokens taken by the most
+    frequent unigram, fraction of bigram slots taken by the most frequent
+    bigram, and the duplicate-5-gram fraction.  ``keep`` applies the
+    documented thresholds (0.30 / 0.18 / 0.30).
+
+    Scale shape: the per-doc mode (most frequent n-gram) is computed by
+    explode -> two-level groupBy — both shuffles are keyed by
+    (doc_id, gram) then doc_id, so partial aggregation does the heavy
+    lifting map-side and skew is bounded by the longest single document,
+    not by any global hot key.  The duplicate-5-gram fraction needs no
+    mode, so it stays fully in-row (array_distinct over the gram array —
+    zero shuffle).  A driver-side loop or a global gram table would be
+    wrong here: nothing about these stats crosses document boundaries.
+    """
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tok")
+    )
+
+    def grams(n: int):
+        # guard: sequence(1, 0) would DESCEND ([1, 0]) — never build it
+        return F.when(
+            F.col("n_tok") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tok") - (n - 1)),
+                lambda i: F.array_join(F.slice("toks", i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    top_uni = (
+        base.select("doc_id", F.explode("toks").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_uni"))
+    )
+    top_bi = (
+        base.select("doc_id", F.explode(grams(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bi"))
+    )
+    g5 = grams(5)
+    dup5 = F.when(
+        F.col("n_tok") >= 5,
+        F.round(
+            1 - F.size(F.array_distinct(g5)) / F.size(g5).cast("double"), 4
+        ),
+    ).otherwise(F.lit(0.0))
+
+    out = (
+        base.select("doc_id", "n_tok", dup5.alias("dup_5gram_frac"))
+        .join(top_uni, "doc_id")
+        .join(top_bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok").alias("n_tokens"),
+            F.round(F.col("top_uni") / F.col("n_tok"), 4).alias(
+                "top_unigram_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("top_bi"), F.lit(0))
+                / F.greatest(F.col("n_tok") - 1, F.lit(1)),
+                4,
+            ).alias("top_bigram_frac"),
+            "dup_5gram_frac",
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (
+            (F.col("top_unigram_frac") <= 0.30)
+            & (F.col("top_bigram_frac") <= 0.18)
+            & (F.col("dup_5gram_frac") <= 0.30)
+        ).cast("int"),
+    ).orderBy("doc_id")
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats_df(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination check
+# ---------------------------------------------------------------------------
+
+CONTAM_K = 5  # words per contamination shingle (13 in the GPT-3 paper;
+# 5 here because the fixture documents are short)
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (the GPT-3 appendix-C / PaLM
+    procedure): build word K-grams of every training document and flag
+    documents sharing any K-gram with a held-out benchmark set — here
+    deterministically `doc_id % 100 == 0`, standing in for MMLU/GSM8K
+    prompts.
+
+    Scale shape: benchmark suites are tiny (~10^5 grams) next to a
+    100 TB corpus, so the gram set is DISTINCT-ed and broadcast — the
+    corpus side is never shuffled; each task streams its grams against
+    the in-memory hash set.  The per-doc count then reuses the doc_id
+    grouping.  The wrong plan (shuffle equi-join on gram) would move the
+    entire exploded corpus — K times the input — across the network.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n_tok"),
+        (F.col("doc_id") % 100 == 0).cast("int").alias("is_benchmark"),
+    )
+    gram_list = F.when(
+        F.col("n_tok") >= CONTAM_K,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tok") - (CONTAM_K - 1)),
+            lambda i: F.array_join(F.slice("toks", i, CONTAM_K), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        "doc_id", "is_benchmark", F.explode(gram_list).alias("g")
+    )
+    bench_grams = (
+        grams.filter(F.col("is_benchmark") == 1).select("g").distinct()
+    )
+    hits = (
+        grams.filter(F.col("is_benchmark") == 0)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    n_grams = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        base.select("doc_id", "is_benchmark")
+        .join(n_grams, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_benchmark",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contaminated",
+            (
+                (F.col("is_benchmark") == 0) & (F.col("n_contaminated") > 0)
+            ).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
+# identically — no lookarounds, no backrefs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b1[3-9]\d{9}\b"  # Chinese mobile, the reference's domain
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact emails / CN mobile numbers / IPv4 literals.
+    Pure map-side Catalyst regex (codegen'd, zero shuffle, zero Python).
+    Redaction order email -> phone -> ip: the email pattern can consume
+    digits a later pattern would half-match, never vice versa."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+        ),
+        PII_IP,
+        "[IP]",
+    )
+
+    def n(pat: str):
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+
+    return docs.select(
+        "doc_id",
+        n(PII_EMAIL).alias("n_emails"),
+        n(PII_PHONE).alias("n_phones"),
+        n(PII_IP).alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the fixture corpus carries no PII, so each document
+    is deterministically augmented with synthetic contact lines (a pure
+    function of doc_id, mirrored in the DuckDB oracle) before scrubbing —
+    making hit counts non-trivial and the redaction path exercised."""
+    docs = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 139"),
+        F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return pii_scrub_df(docs.select("doc_id", aug.alias("text")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# md5-prefix thresholds: lexicographic compare of the 32-hex digest
+# against a one-char bound keeps exactly that fraction of a uniform hash.
+SAMPLE_THRESHOLDS = {"en": "8", "de": "4", "es": "2"}  # 1/2, 1/4, 1/8
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling with a DETERMINISTIC hash gate — the
+    domain-mix rebalancing step of a training-data pipeline (keep 50% en,
+    25% de, 12.5% es here).  keep iff md5(doc_id:lang) < threshold(lang).
+
+    Scale shape: pure map-side filter — no shuffle, no RNG.  Unlike
+    df.sample(), the decision is a function of the ROW, so it is stable
+    across retries, partitionings, and engines (the DuckDB oracle
+    reproduces it bit-for-bit), and re-running the pipeline on an
+    appended table keeps prior decisions — the property that matters when
+    sampling feeds an incremental ingest."""
+    docs = _docs(spark, sf_dir)
+    key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))
+    )
+    thresh = F.lit(None).cast("string")
+    expr = None
+    for lang, t in SAMPLE_THRESHOLDS.items():
+        cond = F.col("lang") == lang
+        expr = F.when(cond, F.lit(t)) if expr is None else expr.when(
+            cond, F.lit(t)
+        )
+    thresh = expr.otherwise(F.lit("g"))  # unknown langs: keep all
+    return (
+        docs.select("doc_id", "lang", "source", key.alias("sample_key"))
+        .filter(F.col("sample_key") < thresh)
+        .orderBy("doc_id")
+    )

