@@ -230,7 +230,7 @@ def embedding_candidates(
     bands = emb.select(
         "vec_id",
         F.posexplode(
-            bucket_array(F.col("embedding"), n_planes, n_tables)
+            bucket_array("embedding", n_planes, n_tables)
         ).alias("tbl", "bucket"),
     )
     return (

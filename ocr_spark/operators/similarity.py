@@ -95,29 +95,45 @@ def _plane_values(table: int, p: int, dim: int) -> tuple[float, ...]:
     )
 
 
-def bucket_of(emb: Column, table: int, n_planes: int, dim: int = 64) -> Column:
+def _dlit(v: float) -> str:
+    """Exact double literal for a SQL expr string: repr round-trips the
+    IEEE value, and string->double cast parses it back bit-identically
+    (scientific notation like 1e-05 is not a valid bare D-literal)."""
+    return f"cast('{v!r}' as double)"
+
+
+def bucket_of(emb_col: str, table: int, n_planes: int, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket in table ``table``: bit p =
     sign(dot(v, H_{t,p})).  Planes are plan-time constant array literals
-    (no per-row md5 work — pinned by tests/test_plans.py)."""
-    bits = []
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _plane_values(table, p, dim)])
-        d = F.aggregate(
-            F.zip_with(emb, plane, lambda x, h: x.cast("double") * h),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    (no per-row md5 work — pinned by tests/test_plans.py).
+
+    Built as ONE F.expr over an array-of-structs constant, not n_planes
+    python-side expression copies: plan size (and codegen time, and the
+    py4j round-trips to build it) is O(1) in n_planes, which is what lets
+    planes_for_corpus() return 18+ at 10^9 vectors without the plan
+    itself becoming the bottleneck."""
+    items = ",".join(
+        "named_struct('bit',{b},'vec',array({vs}))".format(
+            b=2**p,
+            vs=",".join(_dlit(v) for v in _plane_values(table, p, dim)),
         )
-        bits.append(F.when(d > 0, F.lit(2**p)).otherwise(F.lit(0)))
-    return sum(bits[1:], bits[0])
+        for p in range(n_planes)
+    )
+    return F.expr(
+        f"aggregate(transform(array({items}), p -> if("
+        f"aggregate(zip_with({emb_col}, p.vec,"
+        " (x, h) -> cast(x as double) * h), 0.0D, (acc, v) -> acc + v)"
+        " > 0.0D, p.bit, 0)), 0, (acc, v) -> acc + v)"
+    )
 
 
 def bucket_array(
-    emb: Column, n_planes: int, n_tables: int, dim: int = 64
+    emb_col: str, n_planes: int, n_tables: int, dim: int = 64
 ) -> Column:
     """One bucket per LSH table, as an array (posexplode → (table, bucket)
     band rows, the multi-table analog of minhash-LSH banding)."""
     return F.array(
-        *[bucket_of(emb, t, n_planes, dim) for t in range(n_tables)]
+        *[bucket_of(emb_col, t, n_planes, dim) for t in range(n_tables)]
     )
 
 
@@ -164,19 +180,38 @@ def _anchor_rows(
     return tuple(rows)
 
 
-def _l2_struct_array(emb: Column, anchors) -> Column:
+def _l2_struct_array(emb_col: str, anchors) -> Column:
     """Array of (round(L2^2 distance, 6), anchor_id) structs, one per
     anchor.  Distance is composed from three dot products
     (x·x − 2·x·a + a·a) so each piece uses the exact fold the DuckDB
     oracle's list_dot_product reproduces; rounding to 6 decimals before
-    any argmin/sort kills float-boundary sensitivity on both sides."""
-    xx = _dot(emb, emb)
-    elems = []
-    for aid, vec in anchors:
-        a = F.array(*[F.lit(v) for v in vec])
-        d = F.round(xx - 2.0 * _dot(emb, a) + _dot(a, a), 6)
-        elems.append(F.struct(d.alias("d"), F.lit(aid).alias("aid")))
-    return F.array(*elems)
+    any argmin/sort kills float-boundary sensitivity on both sides.
+
+    ONE F.expr over an array-of-structs anchor constant (aid, a·a
+    precomputed driver-side — same left-fold order, bit-identical —
+    and the anchor vector): plan size is O(1) in anchor count, so
+    anchors_for_corpus() can return sqrt(10^9) lists without the
+    expression tree (16 python-built copies of a ~130-node fold in the
+    round-2 form: 7.7 s py4j build + 4 s codegen PER QUERY) exploding."""
+    items = ",".join(
+        "named_struct('aid',{aid},'aa',{aa},'vec',array({vs}))".format(
+            aid=aid,
+            aa=_dlit(sum(v * v for v in vec)),
+            vs=",".join(_dlit(v) for v in vec),
+        )
+        for aid, vec in anchors
+    )
+    xx = (
+        f"aggregate(zip_with({emb_col}, {emb_col},"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"transform(array({items}), a -> named_struct("
+        f"'d', round({xx} - 2.0D * aggregate(zip_with({emb_col}, a.vec,"
+        " (x, h) -> cast(x as double) * h), 0.0D, (acc, v) -> acc + v)"
+        " + a.aa, 6), 'aid', a.aid))"
+    )
 
 
 def ivf_topk(
@@ -203,9 +238,7 @@ def ivf_topk(
         .withColumn("nrm", _norm(F.col("embedding")))
         .withColumn(
             "list_id",
-            F.array_min(_l2_struct_array(F.col("embedding"), anchors))[
-                "aid"
-            ],
+            F.array_min(_l2_struct_array("embedding", anchors))["aid"],
         )
     )
     query = emb.filter(F.col("vec_id") == 0).select(
@@ -213,7 +246,7 @@ def ivf_topk(
         F.col("nrm").alias("qn"),
         F.transform(
             F.slice(
-                F.array_sort(_l2_struct_array(F.col("embedding"), anchors)),
+                F.array_sort(_l2_struct_array("embedding", anchors)),
                 1,
                 n_probe,
             ),
@@ -274,7 +307,7 @@ def lsh_topk(
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .withColumn(
-            "buckets", bucket_array(F.col("embedding"), n_planes, n_tables)
+            "buckets", bucket_array("embedding", n_planes, n_tables)
         )
         .withColumn("nrm", _norm(F.col("embedding")))
     )

@@ -210,7 +210,7 @@ def test_ivf_probes_shrink_candidates(spark):
     total = emb.count()
     anchors = _anchor_rows(SF)
     assigned = emb.withColumn(
-        "list_id", F.array_min(_l2_struct_array(F.col("embedding"), anchors))["aid"]
+        "list_id", F.array_min(_l2_struct_array("embedding", anchors))["aid"]
     )
     # every list non-degenerate: assignment spreads over several anchors
     n_lists = assigned.select("list_id").distinct().count()
