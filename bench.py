@@ -89,6 +89,9 @@ def main() -> int:
         "embedding_near_dup",
         "token_stats",
         "quality_score",
+        "repetition_stats",
+        "contamination_check",
+        "near_dup_clusters",
         "table_det_assign",
         "ofd_extract",
         "media_thumbnails",

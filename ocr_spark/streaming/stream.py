@@ -174,12 +174,19 @@ def stream_event_counts(
     slide: str | None = None,
     watermark: str = "30 minutes",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Watermarked windowed counts over an event-file stream.
 
     Late rows beyond ``watermark`` are dropped; append mode emits a
     window only once it is closed by the watermark — both behaviors the
-    tests exercise.
+    tests exercise.  For a TIME-ORDERED file sequence (log rotation: each
+    file later than the previous) the emitted set is additionally
+    independent of micro-batch boundaries — no row can fall behind a
+    watermark derived from an earlier file — which
+    tests/test_streaming.py::test_stream_window_batch_split_invariance
+    pins by draining the same input 1 file/trigger vs one batch;
+    ``max_files_per_trigger`` exists for that test.
     """
     schema = T.StructType(
         [
@@ -190,7 +197,10 @@ def stream_event_counts(
             T.StructField("value", T.DoubleType()),
         ]
     )
-    src = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
     agg = (
         src.withWatermark("ts", watermark)
         .groupBy(

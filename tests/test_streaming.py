@@ -148,3 +148,48 @@ def test_stream_exact_dedup_across_batches(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     texts = sorted(r["text"] for r in rows)
     assert texts == ["alpha", "beta", "gamma"]  # cross-restart dedup held
+
+
+def test_stream_window_batch_split_invariance(spark, tmp_path, sf_dir):
+    """For a time-ordered file sequence the emitted (closed) window set
+    must not depend on micro-batch boundaries: draining 1 file per
+    trigger (watermark advancing file by file) equals draining all files
+    in one batch.  This is the determinism claim stream_window_query's
+    oracle rests on."""
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts")
+        .toPandas()
+    )
+    import pandas as pd  # noqa: F401
+    import pyarrow as pa
+
+    n = len(events)
+    results = []
+    for tag, per_trigger in (("split", 1), ("onebatch", None)):
+        d = str(tmp_path / f"in_{tag}")
+        os.makedirs(d)
+        # three time-ordered files (log-rotation shape)
+        for i, (lo, hi) in enumerate(
+            [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+        ):
+            chunk = events.iloc[lo:hi].copy()
+            chunk["ts"] = chunk["ts"].astype("datetime64[us]")
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False),
+                f"{d}/f{i}.parquet",
+            )
+        out, ckpt = str(tmp_path / f"out_{tag}"), str(tmp_path / f"ck_{tag}")
+        stream_event_counts(
+            spark, d, out, ckpt, max_files_per_trigger=per_trigger
+        ).awaitTermination(600)
+        results.append(
+            {
+                (str(r["w_start"]), r["event_type"]): (r["n"], r["total"])
+                for r in spark.read.parquet(out).collect()
+            }
+        )
+    split, onebatch = results
+    assert split, "closed windows must be emitted"
+    assert split == onebatch
