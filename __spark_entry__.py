@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": similarity.brute_topk,
         "ann_lsh_topk": similarity.lsh_topk,
         "ann_ivf_topk": similarity.ivf_topk,
+        "ann_ivf_indexed_topk": similarity.ivf_indexed_topk,
         # -- text analysis --
         "token_stats": text_analysis.token_stats,
         "quality_score": text_analysis.quality_score,
@@ -902,7 +903,7 @@ def _media_expected_path(which: str) -> str:
 def oracle_sql() -> dict[str, str]:
     get_num = _DUCK_GET_NUM
     ocr_oracle = _ocr_pipeline_oracle()
-    return {
+    sql = {
         # -- the extraction pipeline (ground-truth value oracles) --
         "ocr_extract_exploded": ocr_oracle,
         "ocr_extract_fused": ocr_oracle,
@@ -1674,3 +1675,8 @@ select user_id, session_id, count(*) as n_events,
 from s group by user_id, session_id order by user_id, session_id
 """,
     }
+    # The persisted-index ANN returns the exact rows ivf_topk returns at
+    # the same (n_anchors, n_probe) — probe selection reuses the same
+    # expression — so its oracle IS the ivf oracle.
+    sql["ann_ivf_indexed_topk"] = sql["ann_ivf_topk"]
+    return sql

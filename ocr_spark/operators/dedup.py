@@ -379,21 +379,20 @@ def connected_components(
     depth every round and re-execute the whole history at each action
     (same reason GraphX checkpoints Pregel iterations).
 
-    Convergence test: the canonical edge sets before/after a round are
-    compared with exceptAll counts — both sides are materialized
-    checkpoints, so each test is one shuffle over the current (small,
-    shrinking) edge set, not a recompute of the chain.
+    Convergence test: both sides are canonical DISTINCT sets, so set
+    equality ⟺ equal cardinality + one-sided exceptAll empty — one cheap
+    count over a materialized checkpoint plus a single anti-join per
+    round, instead of two exceptAll shuffles.
     """
     cur = _canon(edges).localCheckpoint(eager=True)
+    n_cur = cur.count()
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        if (
-            nxt.exceptAll(cur).isEmpty()
-            and cur.exceptAll(nxt).isEmpty()
-        ):
+        n_nxt = nxt.count()
+        if n_nxt == n_cur and nxt.exceptAll(cur).isEmpty():
             cur = nxt
             break
-        cur = nxt
+        cur, n_cur = nxt, n_nxt
     # Converged: a star forest (u -> component min).  The min-agg is a
     # no-op on a clean forest but makes the result well-defined even at
     # the round cap.

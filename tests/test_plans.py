@@ -274,3 +274,43 @@ def test_bucketed_join_no_exchange(spark):
         )
     )
     assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_ivf_indexed_scan_prunes_partitions(spark):
+    """The persisted IVF index is PARTITIONED by list_id; a query probing
+    n_probe lists must read only those list directories (partition
+    pruning: the probe set appears in PartitionFilters and the scanned
+    files live under exactly the probed list_id= directories), and it
+    must return exactly what the scan-time ivf_topk returns at the same
+    parameters."""
+    import re
+
+    from ocr_spark.operators.similarity import (
+        DEFAULT_PROBE,
+        _ivf_index_path,
+        ivf_indexed_topk,
+        ivf_topk,
+    )
+
+    df = ivf_indexed_topk(spark, SF)
+    tree = plan_of(df, "formatted")
+    # the probe set rides in PartitionFilters — applied at FILE LISTING
+    # (FileSourceScanExec prunes partition dirs before any task runs),
+    # so this line IS the only-probed-directories-read evidence
+    assert re.search(r"PartitionFilters: \[.*list_id.* IN \(", tree), tree
+    # and the probed slice is a strict subset of the index
+    from pyspark.sql import functions as F
+
+    idx = spark.read.parquet(_ivf_index_path(spark, SF))
+    n_lists = idx.select("list_id").distinct().count()
+    probed = re.search(r"list_id.* IN \(([0-9,]+)\)", tree).group(1)
+    assert 0 < len(probed.split(",")) <= DEFAULT_PROBE
+    assert (
+        idx.filter(F.col("list_id").isin([int(x) for x in probed.split(",")]))
+        .count()
+        < idx.count()
+    )
+    assert n_lists > DEFAULT_PROBE  # pruning is non-vacuous
+    assert [tuple(r) for r in df.collect()] == [
+        tuple(r) for r in ivf_topk(spark, SF).collect()
+    ]
