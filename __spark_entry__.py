@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": dedup.near_dup_clusters,
         "simhash64": dedup.simhash64,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "ngram_jaccard_all_pairs": dedup.ngram_jaccard_all_pairs,
         "embedding_near_dup": dedup.embedding_near_dup,
         # -- similarity search --
         "ann_brute_topk": similarity.brute_topk,
@@ -1287,6 +1288,25 @@ from d a join d b
   on a.lang = b.lang and a.bucket = b.bucket and a.doc_id < b.doc_id
 where round(len(list_intersect(a.sh, b.sh))::double
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.2
+order by doc_a, doc_b
+""",
+        # inverted-index exact Jaccard: postings self-join on the shingle,
+        # shared-count c, denominator |A|+|B|-c — complete for tau > 0.
+        "ngram_jaccard_all_pairs": f"""
+with d as (
+  select doc_id, {_SHINGLES} as sh from documents
+),
+p as (select doc_id, len(sh) as n, unnest(sh) as s from d),
+shared as (
+  select a.doc_id as doc_a, b.doc_id as doc_b,
+         a.n as na, b.n as nb, count(*) as c
+  from p a join p b on a.s = b.s and a.doc_id < b.doc_id
+  group by 1, 2, 3, 4
+)
+select doc_a, doc_b,
+       round(c::double / (na + nb - c), 6) as jaccard
+from shared
+where round(c::double / (na + nb - c), 6) >= 0.2
 order by doc_a, doc_b
 """,
         # -- similarity --

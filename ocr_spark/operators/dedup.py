@@ -435,10 +435,59 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.repartition(1).sortWithinPartitions("doc_id")
 
 
+def ngram_jaccard_all_pairs(
+    spark: SparkSession, sf_dir: str, tau: float = 0.2
+) -> DataFrame:
+    """EXACT n-gram Jaccard over ALL pairs above ``tau`` via a shingle
+    inverted index — the scale-correct form of the bucketed verifier
+    below: complete (any pair with J ≥ τ > 0 shares ≥1 shingle, so the
+    posting self-join generates it) with no quadratic corpus term.
+
+    Scale shape: postings explode to O(total shingles) rows; the
+    self-join shuffles on the SHINGLE key, so pair work is
+    sum_s df(s)^2 over shingle document-frequencies — the cost of real
+    overlap, not of the corpus.  Per-doc shingle counts ride along with
+    each posting (n is a function of doc_id), so the Jaccard denominator
+    |A|+|B|−shared needs no extra join.  Hot shingles (boilerplate
+    n-grams) are the skew axis: AQE skew-split handles the shuffle, and
+    the standard exact refinement (prefix filtering on a global shingle
+    frequency order) drops the most common shingles from candidate
+    generation without losing any pair above τ."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    )
+    posting = docs.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    a, b = posting.alias("a"), posting.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6)
+    return (
+        shared.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over bucketed candidate pairs (same lang and
     same n_chars decile) — the quadratic verifier restricted to buckets, as
-    a small-scale oracle-checkable twin of lsh_candidates."""
+    a small-scale oracle-checkable twin of lsh_candidates.  For the
+    complete, corpus-scale form see ngram_jaccard_all_pairs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
         "lang",

@@ -84,3 +84,26 @@ def test_near_dup_clusters_matches_union_find(spark, sf_dir):
             assert r["cluster_size"] == 1
         assert r["cluster_size"] == sizes[r["cluster_id"]]
         assert r["is_survivor"] == int(r["doc_id"] == r["cluster_id"])
+
+
+def test_ngram_all_pairs_superset_of_bucketed(spark, sf_dir):
+    """The inverted-index exact Jaccard is complete: it contains every
+    bucketed-verifier pair with identical scores (the bucketed variant
+    only restricts WHICH pairs are examined, never the score)."""
+    from ocr_spark.operators.dedup import (
+        ngram_jaccard_all_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    bucketed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    allp = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_all_pairs(spark, sf_dir).collect()
+    }
+    assert bucketed, "fixture corpus should carry near-dup pairs"
+    assert set(bucketed) <= set(allp)
+    for k, v in bucketed.items():
+        assert allp[k] == v
