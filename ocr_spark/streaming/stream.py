@@ -29,6 +29,18 @@ from pyspark.sql import types as T
 
 from ..operators.pipeline import extract_documents
 
+
+def _scratch_dir(spark: SparkSession, tag: str, sf_dir: str) -> str:
+    """Deterministic per-(query, corpus) scratch path under the local
+    dirs, so driver-facing wrappers can return LAZY reads over their
+    drained sinks instead of collecting: each call wipes and rebuilds
+    its own directory; nothing accumulates across corpora."""
+    import os
+    import re
+
+    corpus = re.sub(r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return os.path.join("/tmp", f"ocr_spark_{tag}_{corpus}")
+
 DOC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),
@@ -236,38 +248,40 @@ def stream_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(ts) - delay once every file is consumed, and append mode emits
     exactly the windows the watermark has closed — windows still inside
     the delay horizon stay in state and are NOT emitted.  That closed-
-    window set is a pure function of the input (independent of how
-    availableNow splits micro-batches), which is what the DuckDB oracle
-    reproduces with a time_bucket aggregate + max(ts) cutoff.  Window
-    bounds are projected as epoch seconds (bigint) so the value-hash
-    compare is engine-neutral."""
-    import shutil
-    import tempfile
+    window set is a pure function of the input (for time-ordered file
+    sequences also independent of micro-batch boundaries —
+    test_stream_window_batch_split_invariance), which is what the DuckDB
+    oracle reproduces with a time_bucket aggregate + max(ts) cutoff.
+    Window bounds are projected as epoch seconds (bigint) so the
+    value-hash compare is engine-neutral.
 
-    base = tempfile.mkdtemp(prefix="ocr_spark_stream_window_")
+    The result stays a LAZY read over the drained sink (no driver-side
+    collect — the emitted window set is unbounded in the input's time
+    span): scratch dirs are deterministic per corpus and re-created
+    fresh each call, so the returned DataFrame's files remain valid."""
+    import shutil
+
+    base = _scratch_dir(spark, "stream_window", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
     in_dir, out_dir, ck_dir = f"{base}/in", f"{base}/out", f"{base}/ck"
-    try:
-        events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-            "event_id", "ts", "user_id", "event_type", "value"
-        )
-        events.coalesce(1).write.mode("overwrite").parquet(in_dir)
-        q = stream_event_counts(spark, in_dir, out_dir, ck_dir)
-        q.awaitTermination()
-        out = spark.read.parquet(out_dir).select(
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = stream_event_counts(spark, in_dir, out_dir, ck_dir)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select(
             F.unix_timestamp("w_start").alias("w_start_s"),
             F.unix_timestamp("w_end").alias("w_end_s"),
             "event_type",
             "n",
             "total",
         )
-        rows = out.collect()  # materialize before the tmp dir disappears
-        return (
-            spark.createDataFrame(rows, out.schema)
-            .repartition(1)
-            .sortWithinPartitions("w_start_s", "event_type")
-        )
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+        .repartition(1)
+        .sortWithinPartitions("w_start_s", "event_type")
+    )
 
 
 def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,28 +293,26 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor rule (minimum doc_id per digest) is exactly SQL's
     arg_min(doc_id) — which is what the DuckDB oracle checks.  Cross-batch
     state behaviour (first batch wins regardless of doc_id) is pinned by
-    tests/test_streaming.py instead."""
-    import shutil
-    import tempfile
+    tests/test_streaming.py instead.
 
-    base = tempfile.mkdtemp(prefix="ocr_spark_stream_dedup_")
-    in_dir, out_dir, ck_dir = (
-        f"{base}/in", f"{base}/out", f"{base}/ck"
+    Like stream_window_query, the result is a LAZY read over the drained
+    sink (no driver-side collect — the deduplicated set is corpus-sized):
+    the scratch dir is deterministic per corpus and re-created fresh each
+    call, so the returned DataFrame's files remain valid."""
+    import shutil
+
+    base = _scratch_dir(spark, "stream_dedup", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ck_dir = f"{base}/in", f"{base}/out", f"{base}/ck"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    try:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            F.col("doc_id").cast("string").alias("doc_id"), "text"
-        )
-        docs.coalesce(1).write.mode("overwrite").parquet(in_dir)
-        q = stream_exact_dedup(spark, in_dir, out_dir, ck_dir)
-        q.awaitTermination()
-        out = spark.read.parquet(out_dir).select("digest", "doc_id", "text")
-        # materialize before the tmp dir disappears
-        rows = out.collect()
-        return (
-            spark.createDataFrame(rows, out.schema)
-            .repartition(1)
-            .sortWithinPartitions("digest")
-        )
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = stream_exact_dedup(spark, in_dir, out_dir, ck_dir)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select("digest", "doc_id", "text")
+        .repartition(1)
+        .sortWithinPartitions("digest")
+    )
