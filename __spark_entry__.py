@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": dedup.simhash64,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ngram_jaccard_all_pairs": dedup.ngram_jaccard_all_pairs,
+        "duplicate_substring_spans": dedup.duplicate_substring_spans,
         "embedding_near_dup": dedup.embedding_near_dup,
         # -- similarity search --
         "ann_brute_topk": similarity.brute_topk,
@@ -171,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": text_analysis.contamination_check,
         "pii_scrub": text_analysis.pii_scrub,
         "stratified_sample": text_analysis.stratified_sample,
+        "tfidf_top_terms": text_analysis.tfidf_top_terms,
         # -- container sources --
         "ofd_extract": _q_ofd,
         # -- multimodal media plumbing (value oracles over driver-side
@@ -1308,6 +1310,60 @@ select doc_a, doc_b,
 from shared
 where round(c::double / (na + nb - c), 6) >= 0.2
 order by doc_a, doc_b
+""",
+        # strided window hashing (Lee et al. substring-dedup stand-in);
+        # Spark sequence(1, L-39, 10) == DuckDB range(1, L-38, 10)
+        # (inclusive vs exclusive stop).
+        "duplicate_substring_spans": f"""
+with wins as (
+  select doc_id, unnest(range(1, length(text) - {dedup.SUBSTR_W - 2},
+                              {dedup.SUBSTR_STRIDE})) as pos, text
+  from documents where length(text) >= {dedup.SUBSTR_W}
+),
+wh as (
+  select doc_id, pos, md5(substr(text, pos, {dedup.SUBSTR_W})) as h
+  from wins
+),
+dup as (select h from wh group by h having min(doc_id) <> max(doc_id)),
+per as (
+  select doc_id, count(*) as n_dup_windows,
+         min(pos) as first_dup_pos, max(pos) as last_dup_pos
+  from wh where h in (select h from dup) group by doc_id
+),
+tot as (select doc_id, count(*) as n_windows from wh group by doc_id)
+select d.doc_id,
+       coalesce(t.n_windows, 0) as n_windows,
+       coalesce(p.n_dup_windows, 0) as n_dup_windows,
+       round(coalesce(p.n_dup_windows, 0)::double
+             / greatest(coalesce(t.n_windows, 0), 1), 4) as dup_frac,
+       coalesce(p.first_dup_pos, 0) as first_dup_pos,
+       coalesce(p.last_dup_pos, 0) as last_dup_pos
+from documents d
+left join tot t using (doc_id)
+left join per p using (doc_id)
+order by d.doc_id
+""",
+        "tfidf_top_terms": f"""
+with t as (
+  select doc_id, unnest(string_split(lower(text), ' ')) as term
+  from documents
+),
+tf as (select doc_id, term, count(*) as tf from t group by 1, 2),
+n as (select count(*) as nd from documents),
+dfx as (select term, count(*) as df from tf group by term),
+scored as (
+  select tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln((n.nd + 1.0) / (dfx.df + 1.0)), 4) as score
+  from tf join dfx using (term) cross join n
+),
+r as (
+  select *, row_number() over (partition by doc_id
+                               order by score desc, term) as rank
+  from scored
+)
+select doc_id, rank, term, tf, score
+from r where rank <= {text_analysis.TFIDF_K}
+order by doc_id, rank
 """,
         # -- similarity --
         "ann_brute_topk": f"""

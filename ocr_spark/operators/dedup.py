@@ -518,3 +518,95 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed exact-substring duplication (Lee et al. 2022 approximation)
+# ---------------------------------------------------------------------------
+
+SUBSTR_W = 40  # window length in chars
+SUBSTR_STRIDE = 10  # window stride
+
+
+def duplicate_substring_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    w: int = SUBSTR_W,
+    stride: int = SUBSTR_STRIDE,
+) -> DataFrame:
+    """Cross-document EXACT substring duplication via strided window
+    hashing — the scalable stand-in for the suffix-array substring dedup
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022): any substring shared by two documents with
+    length ≥ w + stride − 1 contains at least one aligned strided
+    window in each, so it is detected exactly; shorter overlaps may be
+    missed (stride trades index size for the minimum detectable length,
+    suffix arrays set stride=1 at O(corpus) index cost).
+
+    Scale shape: O(len/stride) window rows per doc; the duplicated-hash
+    set comes from one groupBy on the window hash (map-side partial
+    count-distinct on doc_id bounded at 2 — approx_count beyond 2 is
+    irrelevant, only >1 matters, so min/max doc_id suffice); windows then
+    semi-join that set.  Both shuffles key on the window hash — uniform
+    by construction (md5)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return duplicate_substring_spans_df(docs, w, stride)
+
+
+def duplicate_substring_spans_df(
+    docs: DataFrame, w: int = SUBSTR_W, stride: int = SUBSTR_STRIDE
+) -> DataFrame:
+    """DataFrame-level core of duplicate_substring_spans (unit-testable
+    on crafted corpora)."""
+    wins = docs.filter(F.length("text") >= w).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.length("text") - (w - 1), F.lit(stride)
+                ),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.substring(F.col("text"), i, F.lit(w))).alias("h"),
+                ),
+            )
+        ).alias("win"),
+    ).select("doc_id", F.col("win.pos").alias("pos"), F.col("win.h").alias("h"))
+    # a hash is cross-doc duplicated iff its min and max doc_id differ —
+    # exact, and cheaper than count(distinct doc_id)
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    per_doc = (
+        wins.join(dup_hashes, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.min("pos").alias("first_dup_pos"),
+            F.max("pos").alias("last_dup_pos"),
+        )
+    )
+    totals = wins.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0))
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+            F.coalesce("first_dup_pos", F.lit(0)).alias("first_dup_pos"),
+            F.coalesce("last_dup_pos", F.lit(0)).alias("last_dup_pos"),
+        )
+        .orderBy("doc_id")
+    )

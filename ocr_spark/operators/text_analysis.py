@@ -370,3 +370,53 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_key") < thresh)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = TFIDF_K) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the keyword-extraction /
+    feature-weighting step of a corpus-analysis pipeline.
+
+    tf = in-doc term count; idf = ln((N+1)/(df+1)) (add-one smoothed);
+    score rounded to 4 decimals BEFORE ranking so the rank order is the
+    rounded order in every engine; ties break on the term string.
+
+    Scale shape: term frequency and document frequency are each one
+    groupBy with map-side partial aggregation (keys (doc_id, term) and
+    term — no global hot key beyond stopwords, which partial agg absorbs).
+    idf joins back on the term key; the vocabulary is corpus-sized state,
+    so this stays a shuffle join rather than a broadcast (at 10^12 tokens
+    the distinct-term table is still millions of rows — broadcastable
+    only after a frequency cutoff).  The final top-k is a doc_id window.
+    """
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = df_t.select(
+        "term", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)).alias("idf")
+    )
+    from pyspark.sql.window import Window
+
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.col("idf"), 4).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "score")
+        .orderBy("doc_id", "rank")
+    )

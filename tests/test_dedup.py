@@ -107,3 +107,36 @@ def test_ngram_all_pairs_superset_of_bucketed(spark, sf_dir):
     assert set(bucketed) <= set(allp)
     for k, v in bucketed.items():
         assert allp[k] == v
+
+
+def test_substring_spans_crafted(spark):
+    """Strided-window substring dedup on a crafted corpus: exact
+    duplicates share EVERY window (dup_frac 1.0); a long substring
+    shared mid-document is caught by its aligned windows; a unique doc
+    and a too-short doc report zero."""
+    from ocr_spark.operators.dedup import (
+        SUBSTR_W,
+        duplicate_substring_spans_df,
+    )
+
+    shared = "S" * (3 * SUBSTR_W)  # long shared block, > w + stride - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "A" * 50 + shared + "B" * 50),
+            (2, "C" * 80 + shared + "D" * 20),
+            (3, "E" * 200),          # unique, windowed, no dups
+            (4, "short"),            # below window size: no windows
+            (5, "A" * 50 + shared + "B" * 50),  # exact dup of doc 1
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in duplicate_substring_spans_df(docs).collect()}
+    assert got[1]["dup_frac"] == 1.0  # exact dup of doc 5
+    assert got[5]["dup_frac"] == 1.0
+    # doc 2 shares only the S-block with 1/5: some but not all windows
+    assert 0 < got[2]["n_dup_windows"] < got[2]["n_windows"]
+    # the flagged span sits inside the shared block's char range
+    assert got[2]["first_dup_pos"] > 80 - SUBSTR_W
+    assert got[2]["last_dup_pos"] <= 80 + 3 * SUBSTR_W
+    assert got[3]["n_dup_windows"] == 0 and got[3]["n_windows"] > 0
+    assert got[4]["n_windows"] == 0 and got[4]["dup_frac"] == 0.0

@@ -165,3 +165,19 @@ def test_stratified_sample_no_shuffle(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert gated.count() <= df.count() or True  # smoke: evaluable
+
+
+def test_tfidf_rank_invariants(spark, sf_dir):
+    from ocr_spark.operators.text_analysis import TFIDF_K, tfidf_top_terms
+
+    rows = tfidf_top_terms(spark, sf_dir).collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        ranks = [r["rank"] for r in rs]
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= TFIDF_K
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
