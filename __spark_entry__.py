@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ngram_jaccard_all_pairs": dedup.ngram_jaccard_all_pairs,
         "duplicate_substring_spans": dedup.duplicate_substring_spans,
+        "simhash_near_dup": dedup.simhash_near_dup,
         "embedding_near_dup": dedup.embedding_near_dup,
         # -- similarity search --
         "ann_brute_topk": similarity.brute_topk,
@@ -1278,6 +1279,41 @@ from lab
 order by doc_id
 """,
         "simhash64": _simhash_oracle(),
+        # Manku banding over the same signature SQL.  DuckDB's decimal
+        # `//` ROUNDS the quotient before flooring (observed: a band off
+        # by one near a boundary), so the 32-bit halves are extracted
+        # with exact subtract-then-divide on the decimal and all band
+        # math happens on bigints, where // is true integer division.
+        "simhash_near_dup": f"""
+with s as ({_simhash_oracle()}),
+d as (select doc_id, simhash::decimal(38,0) as sim from s),
+hh as (
+  select doc_id,
+         ((sim - (sim % 4294967296)) / 4294967296)::bigint as hi,
+         (sim % 4294967296)::bigint as lo
+  from d
+),
+bands as (
+  select doc_id, 0 as b, lo % 65536 as v from hh
+  union all select doc_id, 1, lo // 65536 from hh
+  union all select doc_id, 2, hi % 65536 from hh
+  union all select doc_id, 3, hi // 65536 from hh
+),
+cand as (
+  select distinct a.doc_id as doc_a, c.doc_id as doc_b
+  from bands a join bands c
+    on a.b = c.b and a.v = c.v and a.doc_id < c.doc_id
+)
+select c.doc_a, c.doc_b,
+       (bit_count(xor(ha.hi, hb.hi))
+        + bit_count(xor(ha.lo, hb.lo))) as hamming
+from cand c
+join hh ha on ha.doc_id = c.doc_a
+join hh hb on hb.doc_id = c.doc_b
+where bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo))
+      <= {dedup.SIMHASH_HAM_T}
+order by doc_a, doc_b
+""",
         "ngram_jaccard_pairs": f"""
 with d as (
   select doc_id, lang, (n_chars / 100)::int as bucket, {_SHINGLES} as sh

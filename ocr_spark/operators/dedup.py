@@ -610,3 +610,86 @@ def duplicate_substring_spans_df(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate search (Manku et al., WWW'07)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4  # 4 x 16-bit bands over the 64-bit signature
+SIMHASH_HAM_T = 3  # pigeonhole: <= BANDS-1 differing bits leave >= 1 band equal
+
+
+def simhash_near_dup(
+    spark: SparkSession, sf_dir: str, ham_t: int = SIMHASH_HAM_T
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance — the banded
+    search of Manku et al. ("Detecting Near-Duplicates for Web
+    Crawling", WWW 2007): split the 64-bit signature into 4 16-bit
+    bands; any pair within hamming distance ≤ 3 has all its differing
+    bits in ≤ 3 bands, so at least one band matches exactly —
+    candidate generation by band equi-join is COMPLETE at this
+    threshold, never all-pairs.
+
+    Numerics: the signature is an unsigned 64-bit value carried as
+    DECIMAL(38,0); bands and 32-bit halves are extracted with
+    subtract-then-divide ((sim − sim % P) / P), which is exact integer
+    arithmetic in any decimal engine — a plain decimal division would
+    round at the result scale and could flip a floor near band
+    boundaries.  Hamming = bit_count over the xor of the two bigint
+    halves, identical two's-complement semantics in Spark and DuckDB.
+
+    Scale shape: one band shuffle (same as minhash-LSH banding), a
+    bucket-local self-join AQE skew-splits, and the verify join touches
+    only candidates.  64-bit signatures make this the cheapest near-dup
+    path per byte of state — the reason Manku ran it web-scale."""
+    sigs = simhash64(spark, sf_dir).select(
+        "doc_id", F.col("simhash").cast("decimal(38,0)").alias("sim")
+    )
+
+    def band(b: int):
+        p = 16 * b
+        if p == 0:
+            return F.expr("CAST(sim % 65536 AS BIGINT)")
+        return F.expr(
+            f"CAST(((sim - (sim % {2**p})) / {2**p}) % 65536 AS BIGINT)"
+        )
+
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[band(b) for b in range(SIMHASH_BANDS)])
+        ).alias("b", "v"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("c"),
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.v") == F.col("c.v"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    halves = sigs.select(
+        "doc_id",
+        F.expr(
+            f"CAST((sim - (sim % {2**32})) / {2**32} AS BIGINT)"
+        ).alias("hi"),
+        F.expr(f"CAST(sim % {2**32} AS BIGINT)").alias("lo"),
+    )
+    ham = F.bit_count(
+        F.col("ha.hi").bitwiseXOR(F.col("hb.hi"))
+    ) + F.bit_count(F.col("ha.lo").bitwiseXOR(F.col("hb.lo")))
+    return (
+        cand.join(
+            halves.alias("ha"), F.col("doc_a") == F.col("ha.doc_id")
+        )
+        .join(halves.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= ham_t)
+        .orderBy("doc_a", "doc_b")
+    )
