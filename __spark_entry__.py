@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- streaming (drained via availableNow) --
         "stream_exact_dedup": _q_stream_dedup,
         "stream_window_counts": _q_stream_window,
+        "stream_user_sessions": _q_stream_sessions,
         # -- relational breadth --
         "pricing_summary": relational.pricing_summary,
         "top_orders_per_segment": relational.top_orders_per_segment,
@@ -373,6 +374,12 @@ def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.streaming.stream import stream_window_query
 
     return stream_window_query(spark, sf_dir)
+
+
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.streaming.stream import stream_session_query
+
+    return stream_session_query(spark, sf_dir)
 
 
 def _q_ofd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1747,6 +1754,38 @@ select epoch(ws)::bigint as w_start_s,
 from agg, wm
 where ws + interval '10 minutes' <= mx - interval '30 minutes'
 order by w_start_s, event_type
+""",
+        # Session windows, availableNow drain: a session (10-min gap) is
+        # emitted once the watermark passes its end (last event + gap) —
+        # the batch gap-sessionization restricted to sessions ending
+        # before max(ts) - 30 min.  Session end = max(ts in session)+gap,
+        # matching F.session_window's window.end.
+        "stream_user_sessions": """
+with g as (
+  select user_id, ts, value, event_id,
+         case when ts - lag(ts) over (partition by user_id
+                                      order by ts, event_id)
+                   >= interval '10 minutes' then 1 else 0 end as brk
+  from events
+),
+s as (
+  select user_id, ts, value,
+         sum(brk) over (partition by user_id order by ts, event_id
+                        rows unbounded preceding) as sid
+  from g
+),
+agg as (
+  select user_id, sid, min(ts) as st, max(ts) as en,
+         count(*) as n_events, round(sum(value), 2) as session_value
+  from s group by user_id, sid
+),
+wm as (select max(ts) as mx from events)
+select floor(epoch(st))::bigint as s_start_s,
+       floor(epoch(en + interval '10 minutes'))::bigint as s_end_s,
+       user_id, n_events, session_value
+from agg, wm
+where en + interval '10 minutes' <= mx - interval '30 minutes'
+order by user_id, s_start_s
 """,
         "pricing_summary": """
 select l_returnflag, l_linestatus,

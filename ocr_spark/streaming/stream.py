@@ -316,3 +316,92 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("digest")
     )
+
+
+def stream_user_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Watermarked SESSION-window aggregation per user (native
+    F.session_window — Spark's built-in stateful session merging): an
+    event extends the user's open session while its timestamp lands
+    before last_event + gap; append mode emits a session once the
+    watermark passes its end (no admissible event can extend it any
+    more, because an extender would be older than the watermark and
+    dropped as late).  The emitted set over a full availableNow drain is
+    therefore the batch gap-sessionization of the input restricted to
+    sessions with end ≤ max(ts) − delay — which is exactly what the
+    DuckDB lag/sum oracle computes."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: drain the events table through the
+    session-window aggregation and return the emitted (closed) sessions,
+    epoch-seconds bounds for engine-neutral comparison.  Lazy read over
+    the drained sink (see _scratch_dir)."""
+    import shutil
+
+    base = _scratch_dir(spark, "stream_sessions", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ck_dir = f"{base}/in", f"{base}/out", f"{base}/ck"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = stream_user_sessions(spark, in_dir, out_dir, ck_dir)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            F.unix_timestamp("s_start").alias("s_start_s"),
+            F.unix_timestamp("s_end").alias("s_end_s"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+        .repartition(1)
+        .sortWithinPartitions("user_id", "s_start_s")
+    )
