@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_all_pairs": dedup.ngram_jaccard_all_pairs,
         "duplicate_substring_spans": dedup.duplicate_substring_spans,
         "simhash_near_dup": dedup.simhash_near_dup,
+        "dedup_signal_fusion": dedup.dedup_signal_fusion,
         "embedding_near_dup": dedup.embedding_near_dup,
         # -- similarity search --
         "ann_brute_topk": similarity.brute_topk,
@@ -1830,4 +1831,32 @@ from s group by user_id, session_id order by user_id, session_id
     # the same (n_anchors, n_probe) — probe selection reuses the same
     # expression — so its oracle IS the ivf oracle.
     sql["ann_ivf_indexed_topk"] = sql["ann_ivf_topk"]
+    # Signal fusion composes the three pair oracles verbatim (CTEs over
+    # the exact SQL the individual checks run), so the fused oracle can
+    # never drift from its parts.
+    sql["dedup_signal_fusion"] = f"""
+with mh as ({sql["lsh_near_dup"]}),
+sh as ({sql["simhash_near_dup"]}),
+em0 as ({sql["embedding_near_dup"]}),
+em as (select vec_a as doc_a, vec_b as doc_b, cos from em0),
+p1 as (
+  select coalesce(mh.doc_a, sh.doc_a) as doc_a,
+         coalesce(mh.doc_b, sh.doc_b) as doc_b,
+         mh.jaccard, sh.hamming
+  from mh full join sh on mh.doc_a = sh.doc_a and mh.doc_b = sh.doc_b
+),
+f as (
+  select coalesce(p1.doc_a, em.doc_a) as doc_a,
+         coalesce(p1.doc_b, em.doc_b) as doc_b,
+         p1.jaccard, p1.hamming, em.cos
+  from p1 full join em on p1.doc_a = em.doc_a and p1.doc_b = em.doc_b
+)
+select doc_a, doc_b,
+       (jaccard is not null)::int + (hamming is not null)::int
+         + (cos is not null)::int as n_signals,
+       coalesce(jaccard, -1.0) as jaccard,
+       coalesce(hamming, -1) as hamming,
+       coalesce(cos, -9.0) as cos
+from f order by doc_a, doc_b
+"""
     return sql

@@ -693,3 +693,43 @@ def simhash_near_dup(
         .filter(F.col("hamming") <= ham_t)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup decisions fuse SIGNALS: a pair flagged by
+    minhash-LSH (lexical shingle overlap), simhash (bit-level sketch),
+    AND embedding cosine (semantic) is a far safer kill than any single
+    detector's hit.  This query full-outer-joins the three verified pair
+    sets on the pair key and reports which signals fired (sentinels -1 /
+    -1 / -9 for absent scores so the row stays dense and engine-neutral).
+
+    Scale shape: each signal pipeline is independently scale-safe (see
+    their docstrings); the fusion itself joins three NEAR-DUP-sized pair
+    sets (tiny relative to the corpus) on (doc_a, doc_b) — two shuffles
+    over already-collapsed data.  vec_id is the embeddings table's
+    doc_id (1:1 by construction in the driver corpus)."""
+    mh = lsh_candidates(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    sh = simhash_near_dup(spark, sf_dir).select("doc_a", "doc_b", "hamming")
+    em = embedding_near_dup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "cos"
+    )
+    fused = mh.join(sh, ["doc_a", "doc_b"], "full_outer").join(
+        em, ["doc_a", "doc_b"], "full_outer"
+    )
+    n_signals = (
+        F.col("jaccard").isNotNull().cast("int")
+        + F.col("hamming").isNotNull().cast("int")
+        + F.col("cos").isNotNull().cast("int")
+    )
+    return (
+        fused.select(
+            "doc_a",
+            "doc_b",
+            n_signals.alias("n_signals"),
+            F.coalesce("jaccard", F.lit(-1.0)).alias("jaccard"),
+            F.coalesce("hamming", F.lit(-1)).alias("hamming"),
+            F.coalesce("cos", F.lit(-9.0)).alias("cos"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
+    )
