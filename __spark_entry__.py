@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": text_analysis.pii_scrub,
         "stratified_sample": text_analysis.stratified_sample,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
+        "dsir_importance_weights": text_analysis.dsir_importance_weights,
         # -- container sources --
         "ofd_extract": _q_ofd,
         # -- multimodal media plumbing (value oracles over driver-side
@@ -1614,6 +1615,42 @@ from aug order by doc_id
 """.replace("@EMAIL@", text_analysis.PII_EMAIL)
         .replace("@PHONE@", text_analysis.PII_PHONE)
         .replace("@IP@", text_analysis.PII_IP),
+        "dsir_importance_weights": """
+with d as (
+  select doc_id, (source = 'src0')::int as is_target,
+         string_split(lower(text), ' ') as toks
+  from documents
+), b as (
+  select doc_id, is_target, toks, len(toks) as n_tok from d
+), feats as (
+  select doc_id, is_target,
+         substr(md5(unnest(case when n_tok >= 2
+                     then list_transform(range(1, n_tok),
+                                         i -> array_to_string(toks[i:i+1], ' '))
+                     else []::varchar[] end)), 1, 2) as bucket
+  from b
+), counts as (
+  select bucket, sum(is_target) as tgt, count(*) as tot
+  from feats group by bucket
+), totals as (
+  select sum(tgt) as t_tot, sum(tot) as a_tot from counts
+), weights as (
+  select bucket,
+         round(ln(((tgt + 1.0) / (t_tot + 256.0))
+                  / ((tot - tgt + 1.0) / (a_tot - t_tot + 256.0))),
+               6)::decimal(18,6) as w
+  from counts cross join totals
+), scored as (
+  select doc_id, count(*) as n_feats, sum(w) as sumw
+  from feats join weights using (bucket)
+  group by doc_id
+)
+select b.doc_id, b.is_target,
+       coalesce(n_feats, 0) as n_feats,
+       coalesce(sumw, 0::decimal(28,6)) as dsir_logweight
+from b left join scored on b.doc_id = scored.doc_id
+order by b.doc_id
+""",
         "stratified_sample": """
 select doc_id, lang, source,
        md5(doc_id::varchar || ':' || lang) as sample_key

@@ -420,3 +420,104 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = TFIDF_K) -> DataF
         .select("doc_id", "rank", "term", "tf", "score")
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (data selection for language models)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed-feature dimension (10^4..10^6 in the paper;
+# 256 here so the 500-doc oracle corpus populates every bucket)
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS
+    2023): score every raw document by how target-domain-like it is
+    under a hashed bag-of-bigrams bigram model.  Per doc,
+
+        log w(doc) = sum over bigram features of
+                     ln( p_target(bucket) / p_raw(bucket) )
+
+    with bigrams hashed into ``DSIR_BUCKETS`` buckets and add-one
+    smoothed bucket probabilities.  High log-weight docs look like the
+    target domain; the resampling step keeps docs proportional to w.
+    Target here is the deterministic stand-in ``source = 'src0'`` (in a
+    real pipeline: a curated high-quality corpus).
+
+    Engine-portable determinism: the bucket key is the 2-hex-char md5
+    prefix of the bigram (a STRING key — no integer-hash divergence
+    between engines), and the per-bucket log-ratio is rounded to 6
+    decimals then summed as DECIMAL(18,6) — decimal addition is exact
+    and associative, so the per-doc sum cannot depend on partition
+    order (a float64 sum would differ between Spark's partial-agg order
+    and DuckDB's scan order in the last ulp).
+
+    Scale shape (100 TB): two passes over exploded bigrams, both with
+    map-side partial aggregation — (a) bucket counts collapse to
+    DSIR_BUCKETS rows regardless of corpus size, (b) the per-doc sum
+    groups on doc_id.  The learned bucket-weight table is tiny and
+    BROADCAST; the corpus is never shuffled except by doc_id for the
+    final sum (and that shuffle carries one decimal per feature, not
+    text).  This is why DSIR runs at trillion-token scale: model state
+    is O(buckets), corpus work is one streaming pass."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), " ")
+    base = docs.select(
+        "doc_id",
+        (F.col("source") == "src0").cast("int").alias("is_target"),
+        toks.alias("toks"),
+        F.size(toks).alias("n_tok"),
+    )
+    big_list = F.when(
+        F.col("n_tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tok") - 1),
+            lambda i: F.array_join(F.slice("toks", i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = base.select(
+        "doc_id", "is_target", F.explode(big_list).alias("g")
+    ).withColumn("bucket", F.substring(F.md5("g"), 1, 2))
+
+    counts = feats.groupBy("bucket").agg(
+        F.sum("is_target").alias("tgt"), F.count("*").alias("tot")
+    )
+    totals = counts.agg(
+        F.sum("tgt").alias("t_tot"), F.sum("tot").alias("a_tot")
+    )
+    b = float(DSIR_BUCKETS)
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("tgt") + 1.0) / (F.col("t_tot") + b))
+                / (
+                    (F.col("tot") - F.col("tgt") + 1.0)
+                    / (F.col("a_tot") - F.col("t_tot") + b)
+                )
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("w").alias("sumw"))
+    )
+    return (
+        base.select("doc_id", "is_target")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce("n_feats", F.lit(0).cast("bigint")).alias("n_feats"),
+            # emitted as DECIMAL end-to-end: a cast to double would hit
+            # engine-specific round() midpoint behavior on re-rounding
+            F.coalesce(
+                F.col("sumw"), F.lit(0).cast("decimal(28,6)")
+            ).alias("dsir_logweight"),
+        )
+        .orderBy("doc_id")
+    )

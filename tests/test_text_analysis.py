@@ -181,3 +181,29 @@ def test_tfidf_rank_invariants(spark, sf_dir):
         assert len(rs) <= TFIDF_K
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_dsir_target_scores_higher(spark, sf_dir):
+    from ocr_spark.operators.text_analysis import dsir_importance_weights
+
+    rows = dsir_importance_weights(spark, sf_dir).collect()
+    assert rows
+    tgt = [float(r["dsir_logweight"]) for r in rows if r["is_target"] == 1]
+    raw = [float(r["dsir_logweight"]) for r in rows if r["is_target"] == 0]
+    assert tgt and raw
+    # the defining DSIR property: the importance weight is a likelihood
+    # ratio trained ON the target, so target docs must average higher
+    assert sum(tgt) / len(tgt) > sum(raw) / len(raw)
+    for r in rows:
+        if r["n_feats"] == 0:
+            assert float(r["dsir_logweight"]) == 0.0
+
+
+def test_dsir_plan_broadcasts_bucket_weights(spark, sf_dir):
+    from ocr_spark.operators.text_analysis import dsir_importance_weights
+
+    plan = _plan(dsir_importance_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, (
+        "the 256-row bucket-weight table must broadcast; a shuffle join "
+        "would move every exploded bigram to the weight side"
+    )
