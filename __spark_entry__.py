@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_exact_dedup": _q_stream_dedup,
         "stream_window_counts": _q_stream_window,
         "stream_user_sessions": _q_stream_sessions,
+        "stream_enriched_events": _q_stream_enrich,
+        "stream_click_attribution": _q_stream_attribution,
         # -- relational breadth --
         "pricing_summary": relational.pricing_summary,
         "top_orders_per_segment": relational.top_orders_per_segment,
@@ -382,6 +384,18 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.streaming.stream import stream_session_query
 
     return stream_session_query(spark, sf_dir)
+
+
+def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.streaming.stream import stream_enrich_query
+
+    return stream_enrich_query(spark, sf_dir)
+
+
+def _q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.streaming.stream import stream_attribution_query
+
+    return stream_attribution_query(spark, sf_dir)
 
 
 def _q_ofd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1824,6 +1838,31 @@ select floor(epoch(st))::bigint as s_start_s,
 from agg, wm
 where en + interval '10 minutes' <= mx - interval '30 minutes'
 order by user_id, s_start_s
+""",
+        # Stream-static enrichment is STATELESS: the availableNow drain
+        # equals the batch left join against the dimension.
+        "stream_enriched_events": """
+select e.event_id, floor(epoch(e.ts))::bigint as ts_s, e.user_id,
+       e.event_type, e.value, c.c_name, c.c_mktsegment
+from events e left join customer c on e.user_id = c.c_custkey
+order by e.event_id
+""",
+        # Stream-stream interval join: with watermark >= the attribution
+        # window and time-ordered inputs, the drained inner join equals
+        # the batch interval join (click state is never evicted before
+        # its last possible purchase arrives).
+        "stream_click_attribution": """
+select c.user_id,
+       c.event_id as click_id,
+       p.event_id as purchase_id,
+       floor(epoch(c.ts))::bigint as click_ts_s,
+       floor(epoch(p.ts))::bigint as purchase_ts_s,
+       p.value as purchase_value
+from events c join events p
+  on c.user_id = p.user_id
+ and c.event_type = 'click' and p.event_type = 'purchase'
+ and p.ts >= c.ts and p.ts <= c.ts + interval '30 minutes'
+order by click_id, purchase_id
 """,
         "pricing_summary": """
 select l_returnflag, l_linestatus,

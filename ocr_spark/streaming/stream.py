@@ -405,3 +405,213 @@ def stream_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("user_id", "s_start_s")
     )
+
+
+_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def stream_enrich_events(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    dim: DataFrame,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Stream-static dimension enrichment — the ingest-time join every
+    event pipeline runs: each arriving event picks up its customer
+    attributes from a STATIC dimension table.  Stream-static joins are
+    STATELESS (no watermark, no state store): each micro-batch joins
+    against the dimension as a plain batch join, so append mode emits
+    every event exactly once, enriched.
+
+    Scale shape: the dimension is broadcast (dims are ~10^6 rows next to
+    a 10^12-event stream) — zero shuffle on the stream side; the hint
+    survives into every micro-batch plan.  A LEFT join keeps events whose
+    dimension row is missing (late dimension arrival) instead of
+    silently dropping them."""
+    reader = spark.readStream.schema(_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    enriched = src.join(
+        F.broadcast(dim), src["user_id"] == dim["c_custkey"], "left"
+    ).select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        "c_name", "c_mktsegment",
+    )
+    writer = (
+        enriched.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_click_attribution(
+    spark: SparkSession,
+    clicks_dir: str,
+    purchases_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Watermarked STREAM-STREAM interval join — the canonical ad-
+    attribution shape: every purchase joins each click by the same user
+    that happened within ``attribution_window`` BEFORE it.  Both sides
+    carry an event-time watermark; the time-bound join condition lets
+    Spark evict click state older than watermark + window, so state is
+    bounded by the window, not the stream length.
+
+    Completeness: an inner stream-stream join emits a pair once both
+    rows are in state.  With ``watermark >= attribution_window`` and a
+    time-ordered file sequence, a click is never evicted before every
+    purchase that could match it has arrived — the drained availableNow
+    result equals the batch interval join, which is the DuckDB oracle
+    (and test_streaming pins the 1-file-per-trigger split gives the same
+    set).
+
+    Scale shape: the join keys on user_id, so both streams shuffle once
+    by user; state per user is one attribution window of clicks.  Skewed
+    hot users bound state by the window, not by their total click
+    volume."""
+    def _src(d):
+        r = spark.readStream.schema(_EVENT_SCHEMA)
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r.parquet(d)
+
+    clicks = (
+        _src(clicks_dir)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("c_user"),
+        )
+    )
+    purchases = (
+        _src(purchases_dir)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("p_user"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {attribution_window}"
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    writer = (
+        joined.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: drain the events table through the
+    stream-static enrichment join and return the enriched events as a
+    LAZY read over the sink (conventions of stream_window_query).
+    Stateless join => the drained set is exactly the batch left join,
+    which is the DuckDB oracle."""
+    import shutil
+
+    base = _scratch_dir(spark, "stream_enrich", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ck_dir = f"{base}/in", f"{base}/out", f"{base}/ck"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    q = stream_enrich_events(spark, in_dir, out_dir, ck_dir, dim)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "event_id",
+            F.unix_timestamp("ts").alias("ts_s"),
+            "user_id",
+            "event_type",
+            "value",
+            "c_name",
+            "c_mktsegment",
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_id")
+    )
+
+
+def stream_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: split the events table into click and
+    purchase streams (one time-ordered file each), drain the watermarked
+    stream-stream interval join, and return the attribution pairs.
+    Timestamps are projected as epoch seconds for engine-neutral
+    hashing; LAZY read over the sink per module convention."""
+    import shutil
+
+    base = _scratch_dir(spark, "stream_attr", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    c_dir, p_dir = f"{base}/clicks", f"{base}/purchases"
+    out_dir, ck_dir = f"{base}/out", f"{base}/ck"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    for et, d in (("click", c_dir), ("purchase", p_dir)):
+        (
+            ev.filter(F.col("event_type") == et)
+            .repartition(1)
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+    q = stream_click_attribution(spark, c_dir, p_dir, out_dir, ck_dir)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.unix_timestamp("click_ts").alias("click_ts_s"),
+            F.unix_timestamp("purchase_ts").alias("purchase_ts_s"),
+            "purchase_value",
+        )
+        .repartition(1)
+        .sortWithinPartitions("click_id", "purchase_id")
+    )

@@ -193,3 +193,84 @@ def test_stream_window_batch_split_invariance(spark, tmp_path, sf_dir):
     split, onebatch = results
     assert split, "closed windows must be emitted"
     assert split == onebatch
+
+
+def test_stream_attribution_batch_split_invariance(spark, tmp_path, sf_dir):
+    """The stream-stream interval join must emit the same pair set
+    whether each side drains 1 file per trigger or everything in one
+    batch (watermark 1 h >= the 30-min attribution window, time-ordered
+    files) — the determinism claim stream_attribution_query's oracle
+    rests on."""
+    from ocr_spark.streaming.stream import stream_click_attribution
+
+    import pyarrow as pa
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts")
+        .toPandas()
+    )
+    results = []
+    for tag, per_trigger in (("split", 1), ("onebatch", None)):
+        dirs = {}
+        for et in ("click", "purchase"):
+            d = str(tmp_path / f"{tag}_{et}")
+            os.makedirs(d)
+            side = ev[ev["event_type"] == et].reset_index(drop=True)
+            n = len(side)
+            for i, (lo, hi) in enumerate(
+                [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+            ):
+                chunk = side.iloc[lo:hi].copy()
+                chunk["ts"] = chunk["ts"].astype("datetime64[us]")
+                pq.write_table(
+                    pa.Table.from_pandas(chunk, preserve_index=False),
+                    f"{d}/f{i}.parquet",
+                )
+            dirs[et] = d
+        out, ckpt = str(tmp_path / f"out_{tag}"), str(tmp_path / f"ck_{tag}")
+        stream_click_attribution(
+            spark,
+            dirs["click"],
+            dirs["purchase"],
+            out,
+            ckpt,
+            max_files_per_trigger=per_trigger,
+        ).awaitTermination(600)
+        results.append(
+            {
+                (r["click_id"], r["purchase_id"])
+                for r in spark.read.parquet(out).collect()
+            }
+        )
+    split, onebatch = results
+    assert onebatch, "attribution pairs must exist in the fixture"
+    assert split == onebatch
+
+
+def test_stream_enrich_left_join_keeps_dimensionless_events(spark, tmp_path):
+    """Events whose user has no dimension row survive the stream-static
+    left join with null attributes (late-dimension tolerance)."""
+    from ocr_spark.streaming.stream import stream_enrich_events
+
+    import datetime
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 1), 10, "click", 1.0),
+        (2, datetime.datetime(2024, 1, 1, 0, 0, 2), 999, "view", 2.0),
+    ]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    ).coalesce(1).write.parquet(in_dir)
+    dim = spark.createDataFrame(
+        [(10, "Customer#10", "BUILDING")],
+        "c_custkey long, c_name string, c_mktsegment string",
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream_enrich_events(spark, in_dir, out, ck, dim).awaitTermination(600)
+    got = {r["event_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["c_name"] == "Customer#10"
+    assert got[2]["c_name"] is None and got[2]["c_mktsegment"] is None
