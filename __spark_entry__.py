@@ -26,6 +26,7 @@ from ocr_spark.operators import (
     spans,
     table,
     text_analysis,
+    web_extract,
 )
 from ocr_spark.operators.fields import invoice_field_extract
 from ocr_spark.operators.pipeline import extract_documents
@@ -176,6 +177,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": text_analysis.stratified_sample,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "dsir_importance_weights": text_analysis.dsir_importance_weights,
+        # -- HTML main-content extraction (boilerplate strip, pure
+        # Catalyst: regexp blocks + densometric classification) --
+        "html_block_classify": web_extract.html_block_classify,
+        "html_main_content": web_extract.html_main_content,
         # -- container sources --
         "ofd_extract": _q_ofd,
         # -- multimodal media plumbing (value oracles over driver-side
@@ -1664,6 +1669,92 @@ select b.doc_id, b.is_target,
        coalesce(sumw, 0::decimal(28,6)) as dsir_logweight
 from b left join scored on b.doc_id = scored.doc_id
 order by b.doc_id
+""",
+        # HTML synthesis + densometric extraction, symmetric with
+        # web_extract.py.  DuckDB quirks handled: regexp_replace needs
+        # the 'g' flag (Spark replaces all by default) and
+        # array_to_string([]) is NULL (Spark's array_join is '').
+        "html_block_classify": """
+with t as (
+  select doc_id, string_split(text, ' ') as toks from documents
+), pages as (
+  select doc_id,
+    '<html><body><nav><a href=/>home</a> <a href=/about>about</a> <a href=/tag>tag'
+    || doc_id::varchar
+    || '</a></nav><p>' || coalesce(array_to_string(toks[1:8], ' '), '')
+    || '</p><p>' || coalesce(array_to_string(toks[9:16], ' '), '')
+    || '</p><p>' || coalesce(array_to_string(toks[17:24], ' '), '')
+    || '</p><p>share this <a href=t>tweet</a> <a href=f>like</a></p><footer>copyright <a href=c>contact us</a> all rights reserved</footer></body></html>'
+    as html
+  from t
+), raw as (
+  select doc_id, 'p' as kind,
+         regexp_extract_all(html, '<p>(.*?)</p>', 1) as bl from pages
+  union all
+  select doc_id, 'nav', regexp_extract_all(html, '<nav>(.*?)</nav>', 1)
+  from pages
+  union all
+  select doc_id, 'footer',
+         regexp_extract_all(html, '<footer>(.*?)</footer>', 1) from pages
+), rows_k as (
+  select doc_id, kind, i - 1 as block_idx, bl[i] as block
+  from raw cross join unnest(range(1, len(bl) + 1)) as u(i)
+), feats as (
+  select doc_id, kind, block_idx,
+    len(list_filter(string_split_regex(trim(regexp_replace(
+        regexp_replace(block, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')),
+        ' +'), x -> x <> '')) as n_words,
+    len(list_filter(string_split_regex(coalesce(array_to_string(
+        regexp_extract_all(block, '<a[^>]*>([^<]*)</a>', 1), ' '), ''),
+        ' +'), x -> x <> '')) as n_link_words,
+    trim(regexp_replace(regexp_replace(block, '<[^>]*>', ' ', 'g'),
+         ' +', ' ', 'g')) as clean_text
+  from rows_k
+)
+select doc_id, kind, block_idx, n_words, n_link_words,
+       (n_words >= 5 and n_link_words * 10 <= n_words * 3)::int
+         as is_content,
+       clean_text
+from feats order by doc_id, kind, block_idx
+""",
+        "html_main_content": """
+with t as (
+  select doc_id, string_split(text, ' ') as toks from documents
+), pages as (
+  select doc_id,
+    '<html><body><nav><a href=/>home</a> <a href=/about>about</a> <a href=/tag>tag'
+    || doc_id::varchar
+    || '</a></nav><p>' || coalesce(array_to_string(toks[1:8], ' '), '')
+    || '</p><p>' || coalesce(array_to_string(toks[9:16], ' '), '')
+    || '</p><p>' || coalesce(array_to_string(toks[17:24], ' '), '')
+    || '</p><p>share this <a href=t>tweet</a> <a href=f>like</a></p><footer>copyright <a href=c>contact us</a> all rights reserved</footer></body></html>'
+    as html
+  from t
+), blocks as (
+  select doc_id, regexp_extract_all(html, '<p>(.*?)</p>', 1) as bl
+  from pages
+), kept as (
+  select doc_id, bl,
+    list_filter(bl, b ->
+      len(list_filter(string_split_regex(trim(regexp_replace(
+          regexp_replace(b, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')),
+          ' +'), x -> x <> '')) >= 5
+      and len(list_filter(string_split_regex(coalesce(array_to_string(
+          regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1), ' '), ''),
+          ' +'), x -> x <> '')) * 10
+          <= len(list_filter(string_split_regex(trim(regexp_replace(
+          regexp_replace(b, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')),
+          ' +'), x -> x <> '')) * 3
+    ) as k
+  from blocks
+)
+select doc_id,
+       coalesce(array_to_string(list_transform(k, b ->
+         trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+              ' +', ' ', 'g'))), ' '), '') as main_text,
+       len(k) as n_content_blocks,
+       len(bl) - len(k) as n_boiler_p_blocks
+from kept order by doc_id
 """,
         "stratified_sample": """
 select doc_id, lang, source,

@@ -1,0 +1,76 @@
+"""HTML boilerplate-strip tests: densometric rule on crafted blocks and
+the zero-shuffle plan guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.web_extract import (
+    _is_content,
+    html_main_content,
+    synth_html_docs,
+)
+
+
+def _classify(spark, html: str) -> list[int]:
+    """Classify each <p> block of a crafted page."""
+    df = spark.createDataFrame([(html,)], "html string")
+    ps = F.regexp_extract_all(F.col("html"), F.lit("<p>(.*?)</p>"), 1)
+    out = df.select(
+        F.transform(ps, lambda b: _is_content(b).cast("int")).alias("c")
+    ).collect()[0]["c"]
+    return list(out)
+
+
+def test_density_rule_on_crafted_blocks(spark):
+    html = (
+        # prose, no links -> content
+        "<p>one two three four five six seven</p>"
+        # long but link-dense (6 of 8 words inside anchors) -> boiler
+        "<p>aa bb <a href=x>cc dd ee</a> <a href=y>ff gg hh</a></p>"
+        # short prose (4 words) -> boiler
+        "<p>too short to keep</p>"
+        # prose with one small link (1 of 7 words) -> content
+        "<p>alpha beta <a href=z>gamma</a> delta epsilon zeta eta</p>"
+    )
+    assert _classify(spark, html) == [1, 0, 0, 1]
+
+
+def test_main_content_recovers_document_prose(spark, sf_dir):
+    """The extracted main_text must equal the first 24 words of the
+    source document (the synthesized prose), with every nav/share/footer
+    word gone."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    out = html_main_content(spark, sf_dir).collect()
+    assert len(out) == len(docs)
+    checked = 0
+    for r in out:
+        words = docs[r["doc_id"]].split(" ")
+        if len(words) >= 24:
+            assert r["main_text"] == " ".join(words[:24])
+            assert r["n_content_blocks"] == 3
+            checked += 1
+        assert r["n_boiler_p_blocks"] >= 1  # the share-bar
+        for w in ("home", "tweet", "copyright"):
+            assert w not in r["main_text"].split(" ")
+    assert checked > 0
+
+
+def test_main_content_plan_is_single_pass(spark, sf_dir):
+    """No shuffle except the check-gate repartition(1), no Python: the
+    extractor must run at scan speed."""
+    plan = html_main_content(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_synth_pages_are_deterministic(spark, sf_dir):
+    a = synth_html_docs(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    b = synth_html_docs(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    assert a == b
