@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Catalyst: regexp blocks + densometric classification) --
         "html_block_classify": web_extract.html_block_classify,
         "html_main_content": web_extract.html_main_content,
+        "link_graph_pagerank": web_extract.link_graph_pagerank,
         # -- container sources --
         "ofd_extract": _q_ofd,
         # -- multimodal media plumbing (value oracles over driver-side
@@ -1755,6 +1756,59 @@ select doc_id,
        len(k) as n_content_blocks,
        len(bl) - len(k) as n_boiler_p_blocks
 from kept order by doc_id
+""",
+        # PageRank in integer ppb arithmetic (floor-division damping),
+        # 3 unrolled iterations — integer sums are associative so the
+        # value-hash is engine- and partition-order-exact.
+        "link_graph_pagerank": """
+with n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as (select distinct src, dst from e0 where src != dst),
+outd as (select src, count(*) as out_deg from edges group by src),
+ind as (select dst, count(*) as in_deg from edges group by dst),
+pr0 as (select doc_id as v, 1000000000 // nn as pr from documents, n),
+c1 as (
+  select e.dst as v, sum((85 * p.pr) // (100 * o.out_deg)) as s
+  from edges e join pr0 p on e.src = p.v join outd o on e.src = o.src
+  group by e.dst
+),
+it1 as (
+  select d.doc_id as v, (150000000 // nn) + coalesce(c1.s, 0) as pr
+  from documents d cross join n left join c1 on c1.v = d.doc_id
+),
+c2 as (
+  select e.dst as v, sum((85 * p.pr) // (100 * o.out_deg)) as s
+  from edges e join it1 p on e.src = p.v join outd o on e.src = o.src
+  group by e.dst
+),
+it2 as (
+  select d.doc_id as v, (150000000 // nn) + coalesce(c2.s, 0) as pr
+  from documents d cross join n left join c2 on c2.v = d.doc_id
+),
+c3 as (
+  select e.dst as v, sum((85 * p.pr) // (100 * o.out_deg)) as s
+  from edges e join it2 p on e.src = p.v join outd o on e.src = o.src
+  group by e.dst
+),
+it3 as (
+  select d.doc_id as v, (150000000 // nn) + coalesce(c3.s, 0) as pr
+  from documents d cross join n left join c3 on c3.v = d.doc_id
+)
+select d.doc_id,
+       coalesce(outd.out_deg, 0) as out_deg,
+       coalesce(ind.in_deg, 0) as in_deg,
+       it3.pr as pr_ppb
+from documents d
+left join outd on d.doc_id = outd.src
+left join ind on d.doc_id = ind.dst
+left join it3 on d.doc_id = it3.v
+order by d.doc_id
 """,
         "stratified_sample": """
 select doc_id, lang, source,

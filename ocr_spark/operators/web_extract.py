@@ -152,3 +152,89 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Link graph + PageRank
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000_000  # PageRank mass carried as integer ppb
+
+
+def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document link graph + ``PR_ITERS`` PageRank iterations — the
+    web-scale companion to content extraction: every crawler pipeline
+    ranks pages by link structure before/while extracting them.
+
+    The edge list is synthesized deterministically (doc i links to
+    (7i+1, 13i+2, 31i+3) mod N, deduped, self-links dropped) so the
+    DuckDB oracle can rebuild the identical graph.
+
+    Engine-exact iteration: rank mass is carried as an INTEGER number of
+    parts-per-billion.  Each edge contributes
+    ``(85 * pr_src) div (100 * out_deg)`` (the 0.85 damping as exact
+    integer floor division) and every node gets the ``0.15/N`` base as
+    ``150_000_000 div N``.  Integer sums are associative, so the result
+    is bit-identical across partition orders and engines — float
+    PageRank would drift in the last ulp and break the value-hash gate.
+    (No dangling-mass redistribution: floor losses and rank parked on
+    zero-out-degree nodes simply leak, identically in both engines.)
+
+    Scale shape: the canonical distributed PageRank — per iteration one
+    join of edges with the rank vector on src (co-partitionable: edges
+    are pre-partitioned by src once and every iteration reuses that
+    layout) and one groupBy dst with map-side partial sums.  State is
+    O(nodes); work per iteration is O(edges).  At web scale the edge
+    list is bucketed by src at ingest so the join side never reshuffles
+    (relational.write_bucketed is the same trick on the TPC-H side)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    k = F.col("doc_id")
+    targets = F.array(
+        ((k * 7 + 1) % n).cast("bigint"),
+        ((k * 13 + 2) % n).cast("bigint"),
+        ((k * 31 + 3) % n).cast("bigint"),
+    )
+    edges = (
+        docs.select(k.alias("src"), F.explode(targets).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    in_deg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+
+    base = 150_000_000 // n
+    pr = docs.select(
+        k.alias("v"), F.lit(PR_SCALE // n).cast("bigint").alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["v"])
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("v"),
+                F.expr("(85 * pr) div (100 * out_deg)").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        pr = docs.select(k.alias("v")).join(sums, "v", "left").select(
+            "v",
+            (F.lit(base) + F.coalesce("s", F.lit(0)))
+            .cast("bigint")
+            .alias("pr"),
+        )
+    return (
+        docs.select(k.alias("doc_id"))
+        .join(out_deg, k == out_deg["src"], "left")
+        .join(in_deg, k == in_deg["dst"], "left")
+        .join(pr, k == pr["v"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.col("pr").alias("pr_ppb"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -74,3 +74,33 @@ def test_synth_pages_are_deterministic(spark, sf_dir):
     a = synth_html_docs(spark, sf_dir).orderBy("doc_id").limit(5).collect()
     b = synth_html_docs(spark, sf_dir).orderBy("doc_id").limit(5).collect()
     assert a == b
+
+
+def test_pagerank_matches_python_twin(spark, sf_dir):
+    """Exact integer-ppb PageRank against an independent pure-python
+    twin on the same deterministic graph."""
+    from ocr_spark.operators.web_extract import PR_ITERS, link_graph_pagerank
+
+    rows = link_graph_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    edges = set()
+    for i in range(n):
+        for a, b in ((7, 1), (13, 2), (31, 3)):
+            t = (i * a + b) % n
+            if t != i:
+                edges.add((i, t))
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    pr = {v: 10**9 // n for v in range(n)}
+    base = 150_000_000 // n
+    for _ in range(PR_ITERS):
+        nxt = {v: base for v in range(n)}
+        for s, d in edges:
+            nxt[d] += (85 * pr[s]) // (100 * out_deg[s])
+        pr = nxt
+    for r in rows:
+        assert r["pr_ppb"] == pr[r["doc_id"]], r
+        assert r["out_deg"] == out_deg.get(r["doc_id"], 0)
+    # rank mass stays below the initial scale (floor losses only leak)
+    assert sum(pr.values()) <= 10**9
