@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_near_dup": dedup.lsh_candidates,
+        "incremental_near_dup": dedup.incremental_near_dup,
         "near_dup_clusters": dedup.near_dup_clusters,
         "simhash64": dedup.simhash64,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -177,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": text_analysis.stratified_sample,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "dsir_importance_weights": text_analysis.dsir_importance_weights,
+        "sequence_pack": text_analysis.sequence_pack,
         # -- HTML main-content extraction (boilerplate strip, pure
         # Catalyst: regexp blocks + densometric classification) --
         "html_block_classify": web_extract.html_block_classify,
@@ -602,6 +604,53 @@ where round(len(list_intersect(sa.shingles, sb.shingles))::double
             / (len(sa.shingles) + len(sb.shingles)
                - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.5
 order by doc_a, doc_b
+""".format(
+    sh=_SHINGLES,
+    cols=",\n".join("    " + _mh_col(j) for j in range(dedup.N_MINHASH)),
+    nbands=dedup.LSH_BANDS,
+    band_cases="\n".join(
+        f"           when {b} then md5(mh{b * (dedup.N_MINHASH // dedup.LSH_BANDS)}::varchar"
+        + "".join(
+            f" || ',' || mh{b * (dedup.N_MINHASH // dedup.LSH_BANDS) + r}::varchar"
+            for r in range(1, dedup.N_MINHASH // dedup.LSH_BANDS)
+        )
+        + ")"
+        for b in range(dedup.LSH_BANDS)
+    ),
+)
+
+
+# Incremental variant: pairs are batch (doc_id % 5 = 0) x corpus (rest),
+# same signatures/banding/verify as _LSH_ORACLE.
+_INCR_LSH_ORACLE = """
+with sh as (
+  select doc_id, {sh} as shingles from documents
+), sigs as (
+  select doc_id, shingles,
+{cols}
+  from sh
+), bands as (
+  select doc_id, b.band,
+         case b.band
+{band_cases}
+         end as bucket
+  from sigs, (select unnest(range(0, {nbands})) as band) b
+), pairs as (
+  select distinct a.doc_id as batch_doc, b.doc_id as corpus_doc
+  from bands a join bands b on a.band = b.band and a.bucket = b.bucket
+  where a.doc_id % 5 = 0 and b.doc_id % 5 != 0
+)
+select p.batch_doc, p.corpus_doc,
+       round(len(list_intersect(sa.shingles, sb.shingles))::double
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 6) as jaccard
+from pairs p
+join sh sa on sa.doc_id = p.batch_doc
+join sh sb on sb.doc_id = p.corpus_doc
+where round(len(list_intersect(sa.shingles, sb.shingles))::double
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.5
+order by batch_doc, corpus_doc
 """.format(
     sh=_SHINGLES,
     cols=",\n".join("    " + _mh_col(j) for j in range(dedup.N_MINHASH)),
@@ -1286,6 +1335,7 @@ from documents order by doc_id
 """,
         "minhash_signatures": _MINHASH_ORACLE,
         "lsh_near_dup": _LSH_ORACLE,
+        "incremental_near_dup": _INCR_LSH_ORACLE,
         # connected components as a recursive reachability closure over
         # the SAME verified-pair SQL; min over reachable = component min.
         "near_dup_clusters": f"""
@@ -1756,6 +1806,24 @@ select doc_id,
        len(k) as n_content_blocks,
        len(bl) - len(k) as n_boiler_p_blocks
 from kept order by doc_id
+""",
+        # Per-source-shard packing: window cumulative sum, all integer
+        # arithmetic (div = floor on the non-negative offsets).
+        "sequence_pack": """
+with base as (
+  select source, doc_id, len(string_split(text, ' ')) as n_tokens,
+         sum(len(string_split(text, ' ')))
+           over (partition by source order by doc_id
+                 rows unbounded preceding) as cum_end
+  from documents
+)
+select source, doc_id, n_tokens,
+       cum_end - n_tokens as start_tok,
+       (cum_end - n_tokens) // 128 as first_seq,
+       (cum_end - 1) // 128 as last_seq,
+       ((cum_end - 1) // 128) - ((cum_end - n_tokens) // 128) + 1
+         as n_seqs_spanned
+from base order by source, doc_id
 """,
         # PageRank in integer ppb arithmetic (floor-division damping),
         # 3 unrolled iterations — integer sums are associative so the

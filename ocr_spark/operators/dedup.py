@@ -86,6 +86,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     and left the query exposed to this VM's stall windows.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_signatures_df(docs).orderBy("doc_id")
+
+
+def minhash_signatures_df(docs: DataFrame) -> DataFrame:
+    """Signature computation over an arbitrary (doc_id, text) frame —
+    the reusable core of minhash_signatures (same plan, no sort)."""
     exploded = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
     )
@@ -103,20 +109,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(N_MINHASH)
     ]
-    return halves.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return halves.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: docs sharing any (band, bucket) are candidate pairs;
-    verified with exact shingle-set Jaccard >= 0.5. Output: verified pairs.
-
-    At scale the self-join is bucket-local (equi-join on band+bucket), so
-    Catalyst shuffles both sides once on the bucket key; AQE handles hot
-    buckets via skew-join splitting.
-    """
+def band_buckets(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) banding rows from a signature frame —
+    shared by lsh_candidates and the incremental index."""
     rows_per_band = N_MINHASH // LSH_BANDS
-    sigs = minhash_signatures(spark, sf_dir)
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -135,6 +135,18 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any (band, bucket) are candidate pairs;
+    verified with exact shingle-set Jaccard >= 0.5. Output: verified pairs.
+
+    At scale the self-join is bucket-local (equi-join on band+bucket), so
+    Catalyst shuffles both sides once on the bucket key; AQE handles hot
+    buckets via skew-join splitting.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = band_buckets(sigs)
     pairs = (
         bands.alias("a")
         .join(
@@ -733,3 +745,104 @@ def dedup_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: tonight's batch vs a persisted corpus index
+# ---------------------------------------------------------------------------
+
+MINHASH_INDEX_TABLE = "minhash_index"
+
+
+def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import re
+
+    tag = re.sub(r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return os.path.join(
+        warehouse.removeprefix("file:"), f"{MINHASH_INDEX_TABLE}_{tag}"
+    )
+
+
+def minhash_index_write(
+    spark: SparkSession, corpus: DataFrame, path: str
+) -> str:
+    """Persist the historical corpus's LSH band buckets PARTITIONED BY
+    band — signatures are computed once at ingest, never again.  The
+    nightly job joins only against this table."""
+    bands = band_buckets(minhash_signatures_df(corpus))
+    bands.write.mode("overwrite").partitionBy("band").parquet(path)
+    return path
+
+
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: dedup tonight's ingest
+    BATCH against the historical CORPUS without recomputing anything on
+    the corpus side.  The corpus's band buckets live in a persisted
+    index table (minhash_index_write, built once at ingest); the batch's
+    signatures are computed fresh and equi-joined against the index on
+    (band, bucket); survivors verify with exact shingle Jaccard >= 0.5.
+
+    Here the deterministic split is doc_id % 5 == 0 (batch, ~20%) vs the
+    rest (corpus), standing in for date partitions.
+
+    Scale shape — why incremental beats recompute: a full-corpus LSH
+    run is O(corpus) shuffle every night; this query's cost is
+    O(batch) + one index equi-join whose corpus side streams straight
+    off a pre-partitioned parquet layout (no signature recompute, no
+    corpus-side wide shuffle).  At 10^12 docs with a 10^8-doc nightly
+    batch that is a 10^4x nightly saving; the index append for the new
+    batch is the same band layout, so tomorrow's run reuses tonight's
+    output."""
+    import os
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    path = _minhash_index_path(spark, sf_dir)
+    if not os.path.exists(path):
+        minhash_index_write(spark, corpus, path)
+    idx = spark.read.parquet(path)
+
+    bbands = band_buckets(minhash_signatures_df(batch))
+    cand = (
+        bbands.withColumnRenamed("doc_id", "batch_doc")
+        .join(
+            idx.withColumnRenamed("doc_id", "corpus_doc"),
+            ["band", "bucket"],
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    verified = (
+        cand.join(
+            sh.withColumnRenamed("doc_id", "batch_doc").withColumnRenamed(
+                "sh", "sh_a"
+            ),
+            "batch_doc",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "corpus_doc").withColumnRenamed(
+                "sh", "sh_b"
+            ),
+            "corpus_doc",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("batch_doc", "corpus_doc", "jaccard")
+        .repartition(1)
+        .sortWithinPartitions("batch_doc", "corpus_doc")
+    )
+    return verified

@@ -521,3 +521,60 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 128  # tokens per packed training sequence
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a
+    deterministic order and split the token stream into fixed
+    ``SEQ_LEN``-token training sequences, reporting for every document
+    the sequences it lands in.  This is the final batching step of every
+    LLM data pipeline (docs -> token stream -> equal-length rows).
+
+    Packing is PER SOURCE SHARD (partition by ``source``, order by
+    doc_id): the running token offset is a window cumulative sum, and a
+    doc spanning [start, end) covers sequences start div L through
+    (end-1) div L.  All integer arithmetic — engine- and
+    partition-order-exact.
+
+    Scale shape: a running sum within a shard is inherently sequential,
+    so the parallel unit is the shard (here ``source``; in production
+    the ingest file), exactly how packing is sharded in real pipelines —
+    no global coordination, each shard packs independently, and the
+    window shuffle is one exchange on the shard key.  A global pack
+    (single window over 10^12 docs) would serialize on one task; the
+    per-shard form never does."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select(
+        "source", "doc_id", n_tok.alias("n_tokens")
+    ).withColumn("cum_end", F.sum("n_tokens").over(w))
+    L = SEQ_LEN
+    return (
+        base.select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            (F.col("cum_end") - F.col("n_tokens")).alias("start_tok"),
+            F.expr(f"(cum_end - n_tokens) div {L}").alias("first_seq"),
+            F.expr(f"(cum_end - 1) div {L}").alias("last_seq"),
+        )
+        .withColumn(
+            "n_seqs_spanned", F.col("last_seq") - F.col("first_seq") + 1
+        )
+        .repartition(1)
+        .sortWithinPartitions("source", "doc_id")
+    )

@@ -140,3 +140,46 @@ def test_substring_spans_crafted(spark):
     assert got[2]["last_dup_pos"] <= 80 + 3 * SUBSTR_W
     assert got[3]["n_dup_windows"] == 0 and got[3]["n_windows"] > 0
     assert got[4]["n_windows"] == 0 and got[4]["dup_frac"] == 0.0
+
+
+def test_incremental_near_dup_consistent_with_full_lsh(spark, sf_dir, tmp_path):
+    """The incremental (batch vs persisted corpus index) result must
+    equal the full LSH run restricted to batch x corpus pairs, and the
+    index must be reused, not rebuilt, on the second call."""
+    import os
+
+    from ocr_spark.operators.dedup import (
+        _minhash_index_path,
+        incremental_near_dup,
+        lsh_candidates,
+    )
+
+    idx = _minhash_index_path(spark, sf_dir)
+    inc = {
+        (r["batch_doc"], r["corpus_doc"], r["jaccard"])
+        for r in incremental_near_dup(spark, sf_dir).collect()
+    }
+    full = lsh_candidates(spark, sf_dir).collect()
+    expected = set()
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if a % 5 == 0 and b % 5 != 0:
+            expected.add((a, b, r["jaccard"]))
+        elif b % 5 == 0 and a % 5 != 0:
+            expected.add((b, a, r["jaccard"]))
+    assert inc == expected
+    assert inc, "fixture must contain batch-vs-corpus near-dups"
+
+    # index reuse: the second call must not rewrite the index files
+    mtime = max(
+        os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(idx)
+        for f in fs
+    )
+    incremental_near_dup(spark, sf_dir).collect()
+    mtime2 = max(
+        os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(idx)
+        for f in fs
+    )
+    assert mtime2 == mtime

@@ -207,3 +207,24 @@ def test_dsir_plan_broadcasts_bucket_weights(spark, sf_dir):
         "the 256-row bucket-weight table must broadcast; a shuffle join "
         "would move every exploded bigram to the weight side"
     )
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    from ocr_spark.operators.text_analysis import SEQ_LEN, sequence_pack
+
+    rows = sequence_pack(spark, sf_dir).collect()
+    assert rows
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        expect_start = 0
+        for r in rs:
+            # the token stream is gapless and in doc_id order per shard
+            assert r["start_tok"] == expect_start, (source, r)
+            expect_start += r["n_tokens"]
+            assert r["first_seq"] == r["start_tok"] // SEQ_LEN
+            last = (r["start_tok"] + r["n_tokens"] - 1) // SEQ_LEN
+            assert r["last_seq"] == last
+            assert r["n_seqs_spanned"] == last - r["first_seq"] + 1
