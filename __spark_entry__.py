@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": relational.pricing_summary,
         "top_orders_per_segment": relational.top_orders_per_segment,
         "sessionize_events": relational.sessionize_events,
+        "profile_tables": relational.profile_tables,
     }
 
 
@@ -2076,6 +2077,67 @@ from events c join events p
  and c.event_type = 'click' and p.event_type = 'purchase'
  and p.ts >= c.ts and p.ts <= c.ts + interval '30 minutes'
 order by click_id, purchase_id
+""",
+        # ANALYZE-style profile; doubles as floor(x*100) cents and
+        # timestamps as epoch seconds (engine-exact canonicalization).
+        "profile_tables": """
+with o as (select * from orders), e as (select * from events),
+prof as (
+  select 'orders' as table_name, 'o_orderkey' as column_name,
+         count(*) as n_rows, count(*) - count(o_orderkey) as n_null,
+         count(distinct o_orderkey) as n_distinct,
+         min(o_orderkey)::varchar as min_val,
+         max(o_orderkey)::varchar as max_val from o
+  union all
+  select 'orders', 'o_custkey', count(*), count(*) - count(o_custkey),
+         count(distinct o_custkey),
+         min(o_custkey)::varchar, max(o_custkey)::varchar from o
+  union all
+  select 'orders', 'o_orderstatus', count(*),
+         count(*) - count(o_orderstatus), count(distinct o_orderstatus),
+         min(o_orderstatus), max(o_orderstatus) from o
+  union all
+  select 'orders', 'o_totalprice', count(*),
+         count(*) - count(o_totalprice), count(distinct o_totalprice),
+         floor(min(o_totalprice) * 100)::bigint::varchar,
+         floor(max(o_totalprice) * 100)::bigint::varchar from o
+  union all
+  select 'orders', 'o_orderdate', count(*),
+         count(*) - count(o_orderdate), count(distinct o_orderdate),
+         floor(epoch(min(o_orderdate)))::bigint::varchar,
+         floor(epoch(max(o_orderdate)))::bigint::varchar from o
+  union all
+  select 'orders', 'o_orderpriority', count(*),
+         count(*) - count(o_orderpriority),
+         count(distinct o_orderpriority),
+         min(o_orderpriority), max(o_orderpriority) from o
+  union all
+  select 'events', 'event_id', count(*), count(*) - count(event_id),
+         count(distinct event_id),
+         min(event_id)::varchar, max(event_id)::varchar from e
+  union all
+  select 'events', 'ts', count(*), count(*) - count(ts),
+         count(distinct ts),
+         floor(epoch(min(ts)))::bigint::varchar,
+         floor(epoch(max(ts)))::bigint::varchar from e
+  union all
+  select 'events', 'user_id', count(*), count(*) - count(user_id),
+         count(distinct user_id),
+         min(user_id)::varchar, max(user_id)::varchar from e
+  union all
+  select 'events', 'event_type', count(*), count(*) - count(event_type),
+         count(distinct event_type),
+         min(event_type), max(event_type) from e
+  union all
+  select 'events', 'value', count(*), count(*) - count(value),
+         count(distinct value),
+         floor(min(value) * 100)::bigint::varchar,
+         floor(max(value) * 100)::bigint::varchar from e
+  union all
+  select 'events', 'props', count(*), count(*) - count(props),
+         count(distinct props), min(props), max(props) from e
+)
+select * from prof order by table_name, column_name
 """,
         "pricing_summary": """
 select l_returnflag, l_linestatus,

@@ -9,7 +9,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -208,3 +208,83 @@ def qr_payload_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "check_code"
         ),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style table profiling
+# ---------------------------------------------------------------------------
+
+
+def _canon_minmax(c: Column, dtype: str) -> Column:
+    """Engine-exact string canonicalization for min/max values.
+
+    Doubles become fixed-point cents via floor(x*100) — double-to-string
+    and double rounding both diverge between engines in the last digit,
+    but multiply+floor on the identical binary value does not.
+    Timestamps become epoch seconds for the same reason (fractional-
+    second printing differs)."""
+    if dtype in ("double", "float"):
+        return F.floor(c * 100).cast("bigint").cast("string")
+    if dtype.startswith("timestamp"):
+        return F.unix_timestamp(c).cast("string")
+    return c.cast("string")
+
+
+def table_profile(df: DataFrame, table_name: str) -> DataFrame:
+    """Per-column profiling stats (the ANALYZE / data-quality sweep every
+    ingest pipeline runs): row count, null count, exact distinct count,
+    canonicalized min/max — one row per column.
+
+    Scale shape: ONE aggregation pass over the table; nulls and min/max
+    are plain partial aggs.  The exact count(distinct) per column makes
+    Catalyst expand the input ``n_cols`` ways before the shuffle — the
+    honest cost of exactness, kept here because the DuckDB oracle needs
+    exact values; at 10^12 rows swap in approx_count_distinct (HLL
+    sketches merge map-side, no expand) and the rest of the plan is
+    unchanged."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for f in df.schema.fields:
+        c, d = F.col(f.name), f.dataType.simpleString()
+        aggs += [
+            F.count(c).alias(f"nn_{f.name}"),
+            F.countDistinct(c).alias(f"nd_{f.name}"),
+            F.min(_canon_minmax(c, d)).alias(f"mn_{f.name}")
+            if d == "string"
+            else _canon_minmax(F.min(c), d).alias(f"mn_{f.name}"),
+            F.max(_canon_minmax(c, d)).alias(f"mx_{f.name}")
+            if d == "string"
+            else _canon_minmax(F.max(c), d).alias(f"mx_{f.name}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(f.name).alias("column_name"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"nn_{f.name}")).alias("n_null"),
+                F.col(f"nd_{f.name}").alias("n_distinct"),
+                F.col(f"mn_{f.name}").alias("min_val"),
+                F.col(f"mx_{f.name}").alias("max_val"),
+            )
+            for f in df.schema.fields
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        F.lit(table_name).alias("table_name"), "r.*"
+    )
+
+
+def profile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: profile the orders and events tables in one
+    result (two independent single-pass aggregations)."""
+    orders = table_profile(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "orders"
+    )
+    events = table_profile(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "events"
+    )
+    return (
+        orders.unionAll(events)
+        .repartition(1)
+        .sortWithinPartitions("table_name", "column_name")
+    )

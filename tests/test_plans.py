@@ -314,3 +314,30 @@ def test_ivf_indexed_scan_prunes_partitions(spark):
     assert [tuple(r) for r in df.collect()] == [
         tuple(r) for r in ivf_topk(spark, SF).collect()
     ]
+
+
+def test_table_profile_crafted_nulls_and_types(spark):
+    """Profiler counts on a crafted frame with nulls, duplicate values,
+    and all four canonicalization classes."""
+    import datetime
+
+    from ocr_spark.operators.relational import table_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "a", datetime.datetime(2024, 1, 1, 0, 0, 1)),
+            (1, None, "b", datetime.datetime(2024, 1, 2, 0, 0, 2)),
+            (3, -1.25, None, None),
+        ],
+        "k long, v double, s string, t timestamp",
+    )
+    rows = {r["column_name"]: r for r in table_profile(df, "t").collect()}
+    assert rows["k"]["n_rows"] == 3
+    assert rows["k"]["n_null"] == 0 and rows["k"]["n_distinct"] == 2
+    assert rows["k"]["min_val"] == "1" and rows["k"]["max_val"] == "3"
+    assert rows["v"]["n_null"] == 1 and rows["v"]["n_distinct"] == 2
+    assert rows["v"]["min_val"] == "-125" and rows["v"]["max_val"] == "250"
+    assert rows["s"]["n_null"] == 1
+    assert rows["s"]["min_val"] == "a" and rows["s"]["max_val"] == "b"
+    assert rows["t"]["n_null"] == 1
+    assert rows["t"]["min_val"] == "1704067201"
