@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_segment": relational.top_orders_per_segment,
         "sessionize_events": relational.sessionize_events,
         "profile_tables": relational.profile_tables,
+        "heavy_hitters": relational.heavy_hitters,
+        "curation_decision": text_analysis.curation_decision,
     }
 
 
@@ -2078,6 +2080,16 @@ from events c join events p
  and p.ts >= c.ts and p.ts <= c.ts + interval '30 minutes'
 order by click_id, purchase_id
 """,
+        # Skew diagnosis: exact top-K hottest keys; share in integer ppm.
+        "heavy_hitters": """
+with c as (select user_id, count(*) as n from events group by user_id),
+t as (select count(*) as tot from events),
+r as (select user_id, n,
+             row_number() over (order by n desc, user_id) as rank
+      from c)
+select rank, user_id, n, (n * 1000000) // tot as share_ppm
+from r, t where rank <= 20 order by rank
+""",
         # ANALYZE-style profile; doubles as floor(x*100) cents and
         # timestamps as epoch seconds (engine-exact canonicalization).
         "profile_tables": """
@@ -2209,5 +2221,21 @@ select doc_a, doc_b,
        coalesce(hamming, -1) as hamming,
        coalesce(cos, -9.0) as cos
 from f order by doc_a, doc_b
+"""
+    # Curation keep/drop fuses the quality/repetition/lang oracles
+    # verbatim as CTEs — same never-drifts argument as dedup fusion.
+    sql["curation_decision"] = f"""
+with q as ({sql["quality_score"]}),
+r as ({sql["repetition_stats"]}),
+l as ({sql["lang_id"]})
+select q.doc_id,
+       q.len_ok::int as len_ok,
+       r.keep as rep_ok,
+       (l.pred_lang != 'unk')::int as lang_ok,
+       (q.stopword_ratio >= 0.03)::int as stop_ok,
+       (q.len_ok and r.keep = 1 and l.pred_lang != 'unk'
+        and q.stopword_ratio >= 0.03)::int as keep
+from q join r on q.doc_id = r.doc_id join l on q.doc_id = l.doc_id
+order by q.doc_id
 """
     return sql

@@ -288,3 +288,36 @@ def profile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("table_name", "column_name")
     )
+
+
+HH_TOP_K = 20
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis: the top-K hottest join keys with their exact
+    frequency and corpus share — the first query anyone runs when a
+    shuffle stage straggles (README scale playbook: hot keys get salted
+    or AQE-skew-split; this is how you find them).
+
+    Share is integer parts-per-million (count * 1e6 div total) — exact
+    in both engines.  Scale shape: one partial-agg groupBy on the key,
+    then a top-K over the aggregated (already tiny) key-count table;
+    the raw table is never sorted."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = ev.count()
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n"), "user_id")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HH_TOP_K)
+        .select(
+            "rank",
+            "user_id",
+            "n",
+            F.expr(f"(n * 1000000) div {total}").alias("share_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("rank")
+    )

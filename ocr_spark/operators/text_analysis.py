@@ -578,3 +578,54 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation decision fusion
+# ---------------------------------------------------------------------------
+
+
+def curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual per-document KEEP/DROP decision a curation pipeline
+    ships: fuse the independent quality signals (C4 / Gopher style) and
+    report which gates failed, so drops are auditable.
+
+    Gates (all must pass to keep):
+      len_ok       — >= 10 tokens (quality_score's length gate)
+      rep_ok       — Gopher repetition thresholds (repetition_stats.keep)
+      lang_ok      — stopword-vote language identified (pred_lang != unk)
+      stop_ok      — stopword_ratio >= 0.03 (C4's "reads like prose")
+
+    Scale shape: every signal is an independent map-side/partial-agg
+    pipeline over the same scan (see their docstrings); the fusion joins
+    per-doc single rows on doc_id — each join input is exactly one row
+    per document, so the fusion costs one co-partitioned shuffle of
+    already-collapsed data, like dedup_signal_fusion."""
+    q = quality_score(spark, sf_dir).select(
+        "doc_id", "stopword_ratio", "len_ok"
+    )
+    r = repetition_stats(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rep_ok")
+    )
+    lang = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    fused = (
+        q.join(r, "doc_id")
+        .join(lang, "doc_id")
+        .select(
+            "doc_id",
+            F.col("len_ok").cast("int").alias("len_ok"),
+            "rep_ok",
+            (F.col("pred_lang") != "unk").cast("int").alias("lang_ok"),
+            (F.col("stopword_ratio") >= 0.03).cast("int").alias("stop_ok"),
+        )
+        .withColumn(
+            "keep",
+            (
+                (F.col("len_ok") == 1)
+                & (F.col("rep_ok") == 1)
+                & (F.col("lang_ok") == 1)
+                & (F.col("stop_ok") == 1)
+            ).cast("int"),
+        )
+    )
+    return fused.repartition(1).sortWithinPartitions("doc_id")

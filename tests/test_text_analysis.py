@@ -228,3 +228,16 @@ def test_sequence_pack_invariants(spark, sf_dir):
             last = (r["start_tok"] + r["n_tokens"] - 1) // SEQ_LEN
             assert r["last_seq"] == last
             assert r["n_seqs_spanned"] == last - r["first_seq"] + 1
+
+
+def test_curation_decision_gate_semantics(spark, sf_dir):
+    from ocr_spark.operators.text_analysis import curation_decision
+
+    rows = curation_decision(spark, sf_dir).collect()
+    assert rows
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows), "fixture must exercise both outcomes"
+    for r in rows:
+        gates = (r["len_ok"], r["rep_ok"], r["lang_ok"], r["stop_ok"])
+        assert all(g in (0, 1) for g in gates)
+        assert r["keep"] == int(all(gates))
