@@ -209,6 +209,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_tables": relational.profile_tables,
         "heavy_hitters": relational.heavy_hitters,
         "curation_decision": text_analysis.curation_decision,
+        "asof_join_order_events": relational.asof_join_order_events,
+        "rolling_user_value": relational.rolling_user_value,
+        "percentile_profile": relational.percentile_profile,
+        "skew_salted_join": relational.skew_salted_join,
     }
 
 
@@ -2237,5 +2241,70 @@ select q.doc_id,
         and q.stopword_ratio >= 0.03)::int as keep
 from q join r on q.doc_id = r.doc_id join l on q.doc_id = l.doc_id
 order by q.doc_id
+"""
+    # As-of join, union-window encoding — the oracle mirrors the exact
+    # tie-break order (t, tag, event_id, o_orderkey); null-order
+    # divergence between engines is unreachable because null columns
+    # only tie within a tag where the remaining keys disambiguate.
+    sql["asof_join_order_events"] = """
+with u as (
+  select user_id as k, ts as t, 0 as tag, event_id, event_type,
+         value as ev_value, cast(null as bigint) as o_orderkey
+  from events
+  union all
+  select o_custkey, o_orderdate, 1, null, null, null, o_orderkey
+  from orders
+), w as (
+  select *,
+    last_value(event_id ignore nulls) over win as last_event_id,
+    last_value(event_type ignore nulls) over win as last_event_type,
+    last_value(case when tag = 0 then floor(epoch(t))::bigint end ignore nulls)
+      over win as last_event_ts,
+    round(last_value(ev_value ignore nulls) over win, 6)
+      as last_event_value
+  from u
+  window win as (partition by k order by t, tag, event_id, o_orderkey
+                 rows between unbounded preceding and current row)
+)
+select o_orderkey, k as user_id, floor(epoch(t))::bigint as order_epoch,
+       last_event_id, last_event_type, last_event_ts, last_event_value
+from w where tag = 1 order by o_orderkey
+"""
+    # Trailing 7-day rolling window: RANGE frame over epoch seconds, so
+    # equal-timestamp peers are frame-inclusive in both engines.
+    sql["rolling_user_value"] = """
+select event_id, user_id, floor(epoch(ts))::bigint as epoch,
+       round(sum(value) over win, 6) as roll_value_7d,
+       count(*) over win as roll_events_7d
+from events
+window win as (partition by user_id order by floor(epoch(ts))::bigint
+               range between 604800 preceding and current row)
+order by event_id
+"""
+    # Exact linear-interpolation percentiles: Spark percentile() and
+    # DuckDB quantile_cont() share the pos = p*(n-1) definition.
+    sql["percentile_profile"] = """
+select l_returnflag, count(*) as n_rows,
+       round(quantile_cont(l_extendedprice, 0.25), 6) as price_p25,
+       round(quantile_cont(l_quantity, 0.25), 6) as qty_p25,
+       round(quantile_cont(l_extendedprice, 0.5), 6) as price_p50,
+       round(quantile_cont(l_quantity, 0.5), 6) as qty_p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) as price_p75,
+       round(quantile_cont(l_quantity, 0.75), 6) as qty_p75,
+       round(quantile_cont(l_extendedprice, 0.9), 6) as price_p90,
+       round(quantile_cont(l_quantity, 0.9), 6) as qty_p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) as price_p99,
+       round(quantile_cont(l_quantity, 0.99), 6) as qty_p99
+from lineitem group by l_returnflag order by l_returnflag
+"""
+    # Salting is a physical rewrite: the oracle is the PLAIN join —
+    # identical output proves the salt changed the shuffle, not the
+    # semantics.
+    sql["skew_salted_join"] = """
+select p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       count(*) as n_items
+from lineitem join part on l_partkey = p_partkey
+group by p_brand order by p_brand
 """
     return sql

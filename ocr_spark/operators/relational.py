@@ -290,6 +290,190 @@ def profile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (most-recent-prior) join: for every order, the latest event
+    by the same user at or before the order timestamp.
+
+    Spark has no native ASOF JOIN; the naive encoding (non-equi range
+    join + per-order max) is a cartesian-within-key explosion.  This is
+    the scale-safe union-window encoding instead: tag both tables, union
+    on (key, time), and carry the last non-null event attribute forward
+    with ``last(..., ignorenulls=True)`` over a rows-frame window.  Cost
+    is ONE shuffle on the key and a linear pass per key — O(n log n)
+    total, no pair blow-up, works unchanged at 10^12 rows.
+
+    Determinism: ties sort by (t, tag, event_id, o_orderkey) with events
+    (tag 0) before orders (tag 1) so an event at exactly the order
+    timestamp is matched; equal-timestamp events resolve to the max
+    event_id.  Timestamps are canonicalized to epoch seconds for the
+    oracle compare.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("tag"),
+        "event_id",
+        "event_type",
+        F.col("value").alias("ev_value"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("ev_value"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "tag", "event_id", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = ev.unionByName(orders)
+    return (
+        u.withColumn(
+            "last_event_id", F.last("event_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_event_type",
+            F.last("event_type", ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "last_event_ts",
+            F.last(
+                F.when(F.col("tag") == 0, F.unix_timestamp("t")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .withColumn(
+            "last_event_value",
+            F.round(F.last("ev_value", ignorenulls=True).over(w), 6),
+        )
+        .filter(F.col("tag") == 1)
+        .select(
+            "o_orderkey",
+            F.col("k").alias("user_id"),
+            F.unix_timestamp("t").alias("order_epoch"),
+            "last_event_id",
+            "last_event_type",
+            "last_event_ts",
+            "last_event_value",
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+
+
+ROLLING_WINDOW_SECONDS = 7 * 86400
+
+
+def rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 7-day rolling sum/count over each user's event
+    stream — the time-decayed feature shape (user activity velocity)
+    that feeds quality/abuse models at ingest time.
+
+    Uses a RANGE frame over epoch seconds, so equal-timestamp peers are
+    all in-frame in both engines (ties are frame-inclusive, not
+    order-dependent).  Scale shape: one shuffle on user_id, then a
+    linear sliding-frame pass per user — Spark's window evaluator keeps
+    the running frame incrementally, no per-row rescan."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-ROLLING_WINDOW_SECONDS, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("epoch"),
+            F.round(F.sum("value").over(w), 6).alias("roll_value_7d"),
+            F.count(F.lit(1)).over(w).alias("roll_events_7d"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_id")
+    )
+
+
+PCT_POINTS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of price and quantity per
+    return flag — the distribution profile a curation pipeline computes
+    before choosing length/quality cut thresholds.
+
+    EXACT percentile is a per-group sort: fine as a profiling pass, and
+    it is the verifier twin.  At 100 TB the production variant swaps in
+    ``approx_percentile`` (t-digest-style sketch, one pass, mergeable
+    map-side partials) with identical call shape — the docstring IS the
+    scale note; the oracle pins the exact semantics."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pts = ", ".join(f"{p}D" for p in PCT_POINTS)
+    price = F.expr(f"percentile(l_extendedprice, array({pts}))")
+    qty = F.expr(f"percentile(l_quantity, array({pts}))")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        price.alias("_price"),
+        qty.alias("_qty"),
+    )
+    cols = [F.col("l_returnflag"), F.col("n_rows")]
+    for i, p in enumerate(PCT_POINTS):
+        tag = f"p{int(round(p * 100)):02d}"
+        cols.append(F.round(F.col("_price")[i], 6).alias(f"price_{tag}"))
+        cols.append(F.round(F.col("_qty")[i], 6).alias(f"qty_{tag}"))
+    return (
+        agg.select(*cols)
+        .repartition(1)
+        .sortWithinPartitions("l_returnflag")
+    )
+
+
+N_SALT = 8
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted fact-to-dim join: revenue per part brand.
+
+    The manual skew pattern (README scale playbook): the fact side gets
+    a salt column, the dim side is replicated once per salt value, and
+    the join key becomes (p_partkey, salt) — a single hot part key now
+    spreads over N_SALT reducers instead of one straggler.  The join is
+    hinted ``shuffle_hash`` so the demo is honest (a broadcast would
+    hide the salt; at real scale the dim is too big to broadcast but
+    small enough to replicate 8x).  The aggregate result is EXACTLY the
+    unsalted join's — salting is a physical rewrite, not a semantic one
+    — which is what the oracle pins.  Plan pinned by
+    tests/test_plans.py::test_salted_join_shuffle_hash_no_broadcast."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    fact = li.withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(N_SALT))
+    )
+    dim = part.crossJoin(
+        spark.range(N_SALT).select(F.col("id").cast("int").alias("salt"))
+    )
+    joined = fact.join(
+        dim.hint("shuffle_hash"),
+        (fact.l_partkey == dim.p_partkey) & (fact.salt == dim.salt),
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("p_brand")
+    )
+
+
 HH_TOP_K = 20
 
 

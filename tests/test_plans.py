@@ -341,3 +341,60 @@ def test_table_profile_crafted_nulls_and_types(spark):
     assert rows["s"]["min_val"] == "a" and rows["s"]["max_val"] == "b"
     assert rows["t"]["n_null"] == 1
     assert rows["t"]["min_val"] == "1704067201"
+
+
+def test_salted_join_shuffle_hash_no_broadcast(spark):
+    """The salted-join demo is only honest if the salt actually reaches
+    the shuffle: pin a ShuffledHashJoin on (p_partkey, salt) and the
+    absence of a broadcast that would bypass the salting."""
+    from ocr_spark.operators.relational import skew_salted_join
+
+    plan = plan_of(skew_salted_join(spark, SF), "simple")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "salt" in plan
+
+
+def test_asof_join_semantics_crafted(spark):
+    """Hand-built as-of cases: exact-timestamp match counts, later events
+    don't, equal-timestamp events resolve to max event_id, and a user
+    with no prior event yields nulls."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    ev = spark.createDataFrame(
+        [
+            (1, ts(10), 100, "a", 1.0),
+            (1, ts(10), 101, "b", 2.0),   # same ts: max event_id wins
+            (1, ts(30), 102, "c", 3.0),   # after the order: ignored
+            (2, ts(5), 200, "d", 4.0),
+        ],
+        "user_id long, ts timestamp, event_id long, "
+        "event_type string, value double",
+    )
+    orders = spark.createDataFrame(
+        [(7, 1, ts(10)), (8, 2, ts(4)), (9, 3, ts(20))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="asof_")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+
+    from ocr_spark.operators.relational import asof_join_order_events
+
+    rows = {
+        r["o_orderkey"]: r for r in asof_join_order_events(spark, d).collect()
+    }
+    assert rows[7]["last_event_id"] == 101  # ts-equal, max event_id
+    assert rows[7]["last_event_type"] == "b"
+    assert rows[8]["last_event_id"] is None  # order precedes all events
+    assert rows[9]["last_event_id"] is None  # user never seen
