@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_value": relational.rolling_user_value,
         "percentile_profile": relational.percentile_profile,
         "skew_salted_join": relational.skew_salted_join,
+        "url_canonicalize": web_extract.url_canonicalize,
+        "scd2_intervals": relational.scd2_intervals,
+        "source_mix_rebalance": text_analysis.source_mix_rebalance,
     }
 
 
@@ -2306,5 +2309,85 @@ select p_brand,
        count(*) as n_items
 from lineitem join part on l_partkey = p_partkey
 group by p_brand order by p_brand
+"""
+    # URL canonicalization: the raw URL is synthesized by the same
+    # expression, then canonicalized with the same regex/array steps.
+    sql["url_canonicalize"] = r"""
+with raw as (
+  select doc_id,
+         'HTTP://WWW.Site' || (doc_id % 5) || '.COM:80/Path/'
+         || (doc_id % 20)
+         || case doc_id % 3
+              when 0 then '/?utm_source=feed&b=2&a=1#Frag'
+              when 1 then '?a=1&utm_campaign=x&fbclid=zz'
+              else '/' end as raw_url
+  from documents
+), parts as (
+  select doc_id, raw_url,
+    lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      as scheme,
+    lower(regexp_extract(raw_url, '^[^:]+://([^/?#]+)', 1)) as host0,
+    regexp_replace(
+      regexp_extract(raw_url, '^[^:]+://[^/?#]+([^?#]*)', 1),
+      '/+$', '') as path,
+    regexp_extract(raw_url, '\?([^#]*)', 1) as qraw
+  from raw
+), canon0 as (
+  select doc_id, raw_url, scheme, path, qraw,
+    case when scheme = 'http'
+           then regexp_replace(regexp_replace(host0, '^www\.', ''),
+                               ':80$', '')
+         when scheme = 'https'
+           then regexp_replace(regexp_replace(host0, '^www\.', ''),
+                               ':443$', '')
+         else regexp_replace(host0, '^www\.', '') end as host,
+    array_to_string(
+      list_sort(list_filter(string_split(qraw, '&'),
+        x -> not regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)='))),
+      '&') as qkeep
+  from parts
+), c as (
+  select doc_id, raw_url,
+    scheme || '://' || host || path ||
+    case when qraw != '' and qkeep != '' then '?' || qkeep else '' end
+      as canon_url
+  from canon0
+)
+select doc_id, raw_url, canon_url,
+       (doc_id = min(doc_id) over (partition by canon_url))::int
+         as is_survivor
+from c order by doc_id
+"""
+    # SCD-2 dimension build from the order change log.
+    sql["scd2_intervals"] = """
+select o_custkey, o_orderkey, o_orderstatus,
+       floor(epoch(o_orderdate))::bigint as valid_from,
+       lead(floor(epoch(o_orderdate))::bigint)
+         over (partition by o_custkey
+               order by o_orderdate, o_orderkey) as valid_to,
+       (lead(o_orderdate) over (partition by o_custkey
+                                order by o_orderdate, o_orderkey)
+        is null)::int as is_current
+from orders order by o_custkey, valid_from, o_orderkey
+"""
+    # Source-mix rebalance: integer rate arithmetic + Knuth row hash,
+    # both engine-exact.
+    sql["source_mix_rebalance"] = r"""
+with c as (
+  select source, count(*) as cnt,
+         regexp_extract(source, 'src(\d+)', 1)::bigint + 1 as w
+  from documents group by source
+), t as (
+  select sum(cnt) as total, sum(w) as wsum from c
+), r as (
+  select source,
+         least(16777216, (16777216 * t.total * c.w) // (t.wsum * c.cnt))
+           as rate24
+  from c, t
+)
+select d.doc_id, d.source, r.rate24
+from documents d join r using (source)
+where (d.doc_id * 2654435761) % 16777216 < r.rate24
+order by d.doc_id
 """
     return sql

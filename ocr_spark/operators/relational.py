@@ -505,3 +505,31 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("rank")
     )
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an SCD type-2 dimension from a change log: each customer's
+    order stream becomes validity intervals [valid_from, valid_to) with
+    the open interval flagged current — the standard warehouse pattern
+    for ingesting CDC/event feeds into a point-in-time-queryable table.
+
+    One shuffle on the business key, then a lead() window per key; ties
+    (same-day orders) break on o_orderkey so the intervals are
+    deterministic.  Epoch-second canonicalization for the oracle."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    epoch = F.unix_timestamp("o_orderdate")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderstatus",
+            epoch.alias("valid_from"),
+            F.lead(epoch).over(w).alias("valid_to"),
+        )
+        .withColumn(
+            "is_current", F.col("valid_to").isNull().cast("int")
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_custkey", "valid_from", "o_orderkey")
+    )

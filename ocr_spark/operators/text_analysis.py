@@ -629,3 +629,53 @@ def curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.repartition(1).sortWithinPartitions("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# source-mix rebalancing
+# ---------------------------------------------------------------------------
+
+MIX_MOD = 16777216  # 24-bit gate space
+MIX_KNUTH = 2654435761  # Knuth multiplicative hash constant
+
+
+def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward a target source mix — the DoReMi-ish
+    static domain-weighting step: given target weights per source
+    (here: weight k+1 for source ``src{k}``, declared not learned), keep
+    each source at rate min(1, target_share * total / count) with a
+    deterministic per-row hash gate.
+
+    Two-pass shape: a tiny per-source count aggregate (one shuffle of
+    O(sources) rows), rates broadcast-joined back, then a pure map-side
+    gate — the corpus itself is never shuffled.  All arithmetic is
+    integer (rate in 1/2^24 units, Knuth multiplicative row hash) so
+    the decision is retry-stable and engine-exact; like
+    stratified_sample, appends keep prior decisions."""
+    docs = _docs(spark, sf_dir)
+    src_w = (
+        F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("long") + 1
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.sum(src_w).alias("wsum")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(MIX_MOD),
+            F.expr(
+                f"({MIX_MOD} * total * "
+                f"(cast(regexp_extract(source, 'src(\\\\d+)', 1) as bigint)"
+                f" + 1)) div (wsum * cnt)"
+            ),
+        ).alias("rate24"),
+    )
+    gate = (F.col("doc_id") * F.lit(MIX_KNUTH)) % F.lit(MIX_MOD)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(gate < F.col("rate24"))
+        .select("doc_id", "source", "rate24")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -238,3 +238,92 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + exact URL dedup
+# ---------------------------------------------------------------------------
+
+# tracking parameters stripped during canonicalization (the standard
+# crawl-dedup list: UTM campaign tags + click identifiers)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)="
+
+
+def _synth_raw_url(doc_id: Column) -> Column:
+    """Deterministic messy URL per document (same expression in the
+    DuckDB oracle): uppercase scheme/host, www prefix, default port,
+    tracking params, unsorted query, fragment, trailing slash.  The
+    residues (host %5, path %20, query-class %3) collide every 60
+    doc_ids so the dedup stage has real work."""
+    return F.concat(
+        F.lit("HTTP://WWW.Site"),
+        (doc_id % 5).cast("string"),
+        F.lit(".COM:80/Path/"),
+        (doc_id % 20).cast("string"),
+        F.when(doc_id % 3 == 0, F.lit("/?utm_source=feed&b=2&a=1#Frag"))
+        .when(doc_id % 3 == 1, F.lit("?a=1&utm_campaign=x&fbclid=zz"))
+        .otherwise(F.lit("/")),
+    )
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize crawl URLs and mark exact-URL duplicates — the very
+    first dedup pass of a web pipeline (CommonCrawl dedups by canonical
+    URL before any content hashing).
+
+    Canonical form: lowercase scheme+host, strip leading ``www.``,
+    strip default ports (:80 http / :443 https), drop the fragment,
+    drop tracking params (utm_*/gclid/fbclid), sort the surviving query
+    params, strip trailing slashes.  All pure Catalyst (regexp + array
+    higher-order functions) — a map-side projection at scan speed; the
+    only shuffle is the duplicate-marking window on the canonical key.
+    Survivor = min doc_id per canonical URL (deterministic, idempotent
+    across retries)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = _synth_raw_url(F.col("doc_id"))
+    scheme = F.lower(F.regexp_extract(raw, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host0 = F.lower(F.regexp_extract(raw, r"^[^:]+://([^/?#]+)", 1))
+    host = F.regexp_replace(host0, r"^www\.", "")
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+    path = F.regexp_replace(
+        F.regexp_extract(raw, r"^[^:]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    qraw = F.regexp_extract(raw, r"\?([^#]*)", 1)
+    qkeep = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qraw, "&"),
+                lambda x: ~x.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(
+            (qraw != "") & (qkeep != ""), F.concat(F.lit("?"), qkeep)
+        ).otherwise(F.lit("")),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("canon_url")
+    return (
+        docs.select(
+            "doc_id",
+            raw.alias("raw_url"),
+            canon.alias("canon_url"),
+        )
+        .withColumn(
+            "is_survivor",
+            (F.col("doc_id") == F.min("doc_id").over(w)).cast("int"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -398,3 +398,41 @@ def test_asof_join_semantics_crafted(spark):
     assert rows[7]["last_event_type"] == "b"
     assert rows[8]["last_event_id"] is None  # order precedes all events
     assert rows[9]["last_event_id"] is None  # user never seen
+
+
+def test_source_mix_rebalance_broadcast_rates(spark):
+    """The rebalance gate must broadcast the tiny rate table — the
+    corpus side is never shuffled (the whole point of the two-pass
+    shape)."""
+    from ocr_spark.operators.text_analysis import source_mix_rebalance
+
+    df = source_mix_rebalance(spark, SF)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert 0 < len(rows)
+    # higher-index sources get higher target weight -> rate24 increases
+    rates = {r["source"]: r["rate24"] for r in rows}
+    import re as _re
+
+    ordered = sorted(rates, key=lambda s: int(_re.findall(r"\d+", s)[0]))
+    vals = [rates[s] for s in ordered]
+    assert vals == sorted(vals)
+
+
+def test_scd2_intervals_chain(spark):
+    """SCD-2 invariants: per key, exactly one open (current) interval,
+    and each valid_to equals the next interval's valid_from."""
+    from collections import defaultdict
+
+    from ocr_spark.operators.relational import scd2_intervals
+
+    rows = scd2_intervals(spark, SF).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["o_custkey"]].append(r)
+    for key, ivs in by_key.items():
+        assert sum(1 for r in ivs if r["is_current"] == 1) == 1
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        assert ivs[-1]["valid_to"] is None

@@ -104,3 +104,22 @@ def test_pagerank_matches_python_twin(spark, sf_dir):
         assert r["out_deg"] == out_deg.get(r["doc_id"], 0)
     # rank mass stays below the initial scale (floor losses only leak)
     assert sum(pr.values()) <= 10**9
+
+
+def test_url_canonicalize_crafted(spark, tmp_path):
+    """Hand-checked canonical forms: tracking params dropped, query
+    sorted, fragment dropped, default port + www + trailing slash
+    stripped; residue-colliding doc_ids share a canonical URL with the
+    min-doc_id survivor."""
+    from ocr_spark.operators.web_extract import url_canonicalize
+
+    df = spark.createDataFrame([(0,), (1,), (2,), (60,)], "doc_id long")
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/documents.parquet")
+    rows = {r.doc_id: r for r in url_canonicalize(spark, d).collect()}
+    assert rows[0].canon_url == "http://site0.com/Path/0?a=1&b=2"
+    assert rows[1].canon_url == "http://site1.com/Path/1?a=1"
+    assert rows[2].canon_url == "http://site2.com/Path/2"
+    # 60 % 5 == 0, 60 % 20 == 0, 60 % 3 == 0: exact residue collision
+    assert rows[60].canon_url == rows[0].canon_url
+    assert rows[0].is_survivor == 1 and rows[60].is_survivor == 0
