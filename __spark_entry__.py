@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_sessions": _q_stream_sessions,
         "stream_enriched_events": _q_stream_enrich,
         "stream_click_attribution": _q_stream_attribution,
+        "stream_upsert_latest": _q_stream_upsert,
         # -- relational breadth --
         "pricing_summary": relational.pricing_summary,
         "top_orders_per_segment": relational.top_orders_per_segment,
@@ -414,6 +415,12 @@ def _q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.streaming.stream import stream_attribution_query
 
     return stream_attribution_query(spark, sf_dir)
+
+
+def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.streaming.stream import stream_upsert_query
+
+    return stream_upsert_query(spark, sf_dir)
 
 
 def _q_ofd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2389,5 +2396,18 @@ select d.doc_id, d.source, r.rate24
 from documents d join r using (source)
 where (d.doc_id * 2654435761) % 16777216 < r.rate24
 order by d.doc_id
+"""
+    # foreachBatch upsert sink: the drained keyed state equals the batch
+    # arg-max per user (max ts, tie-break max event_id).
+    sql["stream_upsert_latest"] = """
+select user_id, event_id as last_event_id,
+       floor(epoch(ts))::bigint as ts_s,
+       event_type as last_event_type,
+       round(value, 6) as last_value
+from (
+  select *, row_number() over (partition by user_id
+                               order by ts desc, event_id desc) as rn
+  from events
+) t where rn = 1 order by user_id
 """
     return sql

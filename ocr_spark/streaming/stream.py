@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..operators.pipeline import extract_documents
 
@@ -614,4 +615,151 @@ def stream_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1)
         .sortWithinPartitions("click_id", "purchase_id")
+    )
+
+
+N_STATE_BUCKETS = 16
+
+
+def stream_upsert_latest(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """foreachBatch idempotent UPSERT sink: maintain a keyed table of the
+    latest event per user (MERGE semantics) without a lakehouse format.
+
+    The scale pattern is Hudi/Iceberg copy-on-write with PARTIAL
+    rewrites: the state table is partitioned into N_STATE_BUCKETS by
+    ``user_id % N`` and each micro-batch rewrites ONLY the buckets its
+    keys touch — per-batch cost is O(touched buckets), not O(state).
+    Reading the untouched buckets is skipped entirely via partition
+    pruning on the bucket column.  At 10^12 keys the same code runs
+    with more buckets (or swaps the staging/rename for a real MERGE);
+    the shape is identical.
+
+    Exactly-once: the merge ("keep the (ts, event_id)-max row per key")
+    is idempotent and commutative, so a replayed micro-batch converges
+    to the same state; a manifest records the last applied batch_id so
+    replays are normally skipped outright.  Staging + directory rename
+    keeps readers from ever seeing a half-written bucket."""
+    import json
+    import os
+    import shutil
+
+    reader = spark.readStream.schema(_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+
+    cur_path = os.path.join(state_dir, "current")
+    manifest = os.path.join(state_dir, "_state_manifest.json")
+
+    def _latest_per_key(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        last = -1
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                last = json.load(fh)["last_batch_id"]
+        if batch_id <= last:  # post-failure replay: already applied
+            return
+        sess = batch_df.sparkSession
+        batch = batch_df.withColumn(
+            "bucket", (F.col("user_id") % N_STATE_BUCKETS).cast("int")
+        )
+        touched = sorted(
+            r["bucket"] for r in batch.select("bucket").distinct().collect()
+        )
+        merged = _latest_per_key(batch)
+        if os.path.isdir(cur_path) and touched:
+            cur = sess.read.parquet(cur_path).filter(
+                F.col("bucket").isin(touched)
+            )
+            merged = _latest_per_key(
+                cur.unionByName(batch, allowMissingColumns=False)
+            )
+        stage = os.path.join(state_dir, f"_stage_{batch_id}")
+        shutil.rmtree(stage, ignore_errors=True)
+        merged.repartition(1).write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(stage)
+        os.makedirs(cur_path, exist_ok=True)
+        for b in touched:
+            src_b = os.path.join(stage, f"bucket={b}")
+            dst_b = os.path.join(cur_path, f"bucket={b}")
+            old_b = dst_b + "_old"
+            if not os.path.isdir(src_b):
+                continue
+            if os.path.isdir(dst_b):
+                os.rename(dst_b, old_b)
+            os.rename(src_b, dst_b)
+            shutil.rmtree(old_b, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        with open(manifest, "w") as fh:
+            json.dump({"last_batch_id": int(batch_id)}, fh)
+
+    writer = (
+        src.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: feed the events table through the upsert
+    sink as FOUR time-ordered micro-batches (1 file per trigger), so
+    later batches genuinely overwrite earlier keys, then return the
+    final keyed state.  The drained state equals the batch arg-max per
+    user (max ts, tie-break max event_id) — the DuckDB oracle."""
+    import shutil
+
+    base = _scratch_dir(spark, "stream_upsert", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, st_dir, ck_dir = f"{base}/in", f"{base}/state", f"{base}/ck"
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn(
+            "_q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+        )
+    )
+    for i in range(1, 5):  # one time-ordered file per quartile
+        (
+            ev.filter(F.col("_q") == i)
+            .drop("_q")
+            .repartition(1)
+            .sortWithinPartitions("ts")
+            .write.mode("append")
+            .parquet(in_dir)
+        )
+    q = stream_upsert_latest(
+        spark, in_dir, st_dir, ck_dir, max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{st_dir}/current")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("user_id")
     )

@@ -274,3 +274,51 @@ def test_stream_enrich_left_join_keeps_dimensionless_events(spark, tmp_path):
     got = {r["event_id"]: r for r in spark.read.parquet(out).collect()}
     assert got[1]["c_name"] == "Customer#10"
     assert got[2]["c_name"] is None and got[2]["c_mktsegment"] is None
+
+
+def test_stream_upsert_multi_batch_and_replay(spark, tmp_path):
+    """Upsert sink invariants: later micro-batches overwrite earlier
+    keys, state is bucket-partitioned on disk, and a full replay with a
+    fresh checkpoint (batch ids restart at 0) leaves the state
+    untouched thanks to the manifest skip."""
+    import datetime
+    import os
+
+    from ocr_spark.streaming.stream import stream_upsert_latest
+
+    def ts(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    in_dir = str(tmp_path / "in")
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    # file 1: initial values; file 2 (later mtime): overwrites user 10
+    spark.createDataFrame(
+        [(1, ts(1), 10, "click", 1.0), (2, ts(2), 11, "view", 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        [(3, ts(3), 10, "buy", 9.0)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    st, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    stream_upsert_latest(
+        spark, in_dir, st, ck, max_files_per_trigger=1
+    ).awaitTermination(600)
+    cur = f"{st}/current"
+    got = {r["user_id"]: r for r in spark.read.parquet(cur).collect()}
+    assert got[10]["event_id"] == 3 and got[10]["value"] == 9.0
+    assert got[11]["event_id"] == 2
+    assert any(d.startswith("bucket=") for d in os.listdir(cur))
+
+    # replay everything with a FRESH checkpoint: manifest's
+    # last_batch_id >= replayed ids, so every batch is skipped
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(cur).collect()
+    )
+    stream_upsert_latest(
+        spark, in_dir, st, str(tmp_path / "ck2"), max_files_per_trigger=1
+    ).awaitTermination(600)
+    after = sorted(tuple(r) for r in spark.read.parquet(cur).collect())
+    assert before == after
