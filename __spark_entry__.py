@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
+        "json_props_rollup": relational.json_props_rollup,
     }
 
 
@@ -2409,5 +2410,13 @@ from (
                                order by ts desc, event_id desc) as rn
   from events
 ) t where rn = 1 order by user_id
+"""
+    # Schema-on-read JSON parse + rollup; integer bucket arithmetic.
+    sql["json_props_rollup"] = """
+select event_type, (json_extract(props, '$.k')::int // 10) as k_bucket,
+       count(*) as n, round(sum(value), 6) as sum_value,
+       min(json_extract(props, '$.k')::int) as min_k,
+       max(json_extract(props, '$.k')::int) as max_k
+from events group by event_type, k_bucket order by event_type, k_bucket
 """
     return sql

@@ -533,3 +533,27 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("o_custkey", "valid_from", "o_orderkey")
     )
+
+
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingest: parse the events table's JSON ``props``
+    column with a declared schema (``from_json`` — JVM-side Jackson, no
+    Python) and aggregate on the extracted field.  The schema-on-read
+    path every log pipeline needs; at scale the parse is a map-side
+    projection and the only shuffle is the final low-cardinality
+    rollup."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        ev.select("event_id", "event_type", "value", k.alias("k"))
+        .withColumn("k_bucket", (F.col("k") / 10).cast("int"))
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type", "k_bucket")
+    )
