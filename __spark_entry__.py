@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": similarity.lsh_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "ann_ivf_indexed_topk": similarity.ivf_indexed_topk,
+        "knn_graph": similarity.knn_graph,
         # -- text analysis --
         "token_stats": text_analysis.token_stats,
         "quality_score": text_analysis.quality_score,
@@ -2418,5 +2419,39 @@ select event_type, (json_extract(props, '$.k')::int // 10) as k_bucket,
        min(json_extract(props, '$.k')::int) as min_k,
        max(json_extract(props, '$.k')::int) as max_k
 from events group by event_type, k_bucket order by event_type, k_bucket
+"""
+    # Batch kNN graph: the oracle reuses the IVF assignment CTE shape
+    # (round-6 L2 argmin, aid tie-break) and ranks on the ROUNDED cosine
+    # with a dst tie-break — engine-exact ranking.
+    sql["knn_graph"] = f"""
+with a as (
+  select vec_id as aid, embedding as avec,
+         list_dot_product(embedding::double[], embedding::double[]) as aa
+  from embeddings where vec_id < {similarity.DEFAULT_ANCHORS}
+), v as (
+  select vec_id, embedding,
+         list_dot_product(embedding::double[], embedding::double[]) as xx
+  from embeddings
+), dist as (
+  select v.vec_id, v.embedding, v.xx, a.aid,
+         round(v.xx
+               - 2 * list_dot_product(v.embedding::double[], a.avec::double[])
+               + a.aa, 6) as d
+  from v cross join a
+), assign as (
+  select vec_id, embedding, xx, aid as list_id from dist
+  qualify row_number() over (partition by vec_id order by d, aid) = 1
+), p as (
+  select x.vec_id as src, y.vec_id as dst,
+         round(list_dot_product(x.embedding::double[], y.embedding::double[])
+               / (sqrt(x.xx) * sqrt(y.xx)), 4) as cos
+  from assign x join assign y
+    on x.list_id = y.list_id and x.vec_id <> y.vec_id
+)
+select src, rank, dst, cos from (
+  select *, row_number() over (partition by src
+                               order by cos desc, dst) as rank
+  from p
+) t where rank <= {similarity.KNN_K} order by src, rank
 """
     return sql

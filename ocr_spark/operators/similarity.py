@@ -433,3 +433,72 @@ def lsh_topk(
         )
     )
     return scored.orderBy(F.desc("cos"), "vec_id").limit(TOP_K)
+
+
+KNN_K = 3
+
+
+def knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    n_anchors: int = DEFAULT_ANCHORS,
+    k: int = KNN_K,
+) -> DataFrame:
+    """Batch kNN graph: for EVERY vector, its k nearest neighbors by
+    cosine among vectors sharing its IVF list — the SemDeDup-style
+    primitive (Abbas et al., 2023: cluster embeddings, compare within
+    cluster) that feeds semantic dedup and embedding-cluster pruning.
+
+    Unlike ann_*_topk (one query vector, broadcast), this is the
+    all-rows batch form: one map-side list assignment (argmin over
+    literal anchors, no shuffle), then ONE equi-join on list_id —
+    quadratic only WITHIN a list, and the list count is the knob:
+    anchors_for_corpus() sizes n_lists ~ sqrt(corpus) so the per-list
+    pair term stays bounded as the corpus grows (FAISS sizing rule).
+    Ranks are computed over the ROUNDED cosine with a dst tie-break, so
+    ranking is engine-exact.  Vectors alone in their list emit no rows
+    (no neighbors at this probe radius) — same in the oracle."""
+    anchors = _anchor_rows(sf_dir, n_anchors)
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .withColumn(
+            "list_id",
+            F.array_min(_l2_struct_array("embedding", anchors))["aid"],
+        )
+    )
+    a = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "list_id",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "list_id",
+    )
+    scored = (
+        a.join(b, "list_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                _dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "rank", "dst", "cos")
+        .repartition(1)
+        .sortWithinPartitions("src", "rank")
+    )

@@ -436,3 +436,22 @@ def test_scd2_intervals_chain(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to"] == b["valid_from"]
         assert ivs[-1]["valid_to"] is None
+
+
+def test_knn_graph_equi_join_and_k_bound(spark):
+    """kNN graph must join on list_id (no cartesian / nested loop) and
+    emit at most k rows per src with ranks 1..k over rounded cosine."""
+    from collections import Counter
+
+    from ocr_spark.operators.similarity import KNN_K, knn_graph
+
+    df = knn_graph(spark, SF)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert rows, "sf0.001 embeddings should produce neighbor rows"
+    per_src = Counter(r["src"] for r in rows)
+    assert max(per_src.values()) <= KNN_K
+    for r in rows:
+        assert 1 <= r["rank"] <= KNN_K
