@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
         "json_props_rollup": relational.json_props_rollup,
+        "lm_perplexity": text_analysis.lm_perplexity,
     }
 
 
@@ -2453,5 +2454,21 @@ select src, rank, dst, cos from (
                                order by cos desc, dst) as rank
   from p
 ) t where rank <= {similarity.KNN_K} order by src, rank
+"""
+    # Unigram-LM perplexity (corpus-fit, add-one smoothing) — same
+    # ln/exp arithmetic, rounded after exp.
+    sql["lm_perplexity"] = """
+with t as (
+  select doc_id, unnest(string_split(text, ' ')) as tok from documents
+), v as (
+  select tok, count(*) as c from t group by tok
+), s as (
+  select sum(c) as t_total, count(*) as v_size from v
+), lm as (
+  select tok, ln((c + 1.0) / (t_total + v_size)) as lp from v, s
+)
+select doc_id, count(*) as n_tokens, round(exp(-avg(lp)), 4) as ppl
+from t join lm using (tok)
+group by doc_id order by doc_id
 """
     return sql

@@ -679,3 +679,51 @@ def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-LM perplexity scoring
+# ---------------------------------------------------------------------------
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram language-model perplexity — the CCNet-style
+    quality signal (Wenzek et al., LREC 2020 score with a KenLM model;
+    here the LM is a unigram model fit on the corpus itself, so the
+    operator is self-contained and engine-exact): documents whose token
+    distribution diverges from the corpus read as high-perplexity and
+    get filtered or down-weighted.
+
+    ppl(doc) = exp(-mean_t ln p(t)),  p(t) = (count(t)+1) / (T+V)
+    (add-one smoothing over the corpus vocabulary).
+
+    Scale shape: one explode + groupBy builds the vocabulary (shuffle
+    O(distinct tokens), partial-agg map-side); the fitted LM is a
+    vocabulary-sized table — language-sized (~10^6 rows), broadcast to
+    the scoring join, so the corpus itself shuffles only for the final
+    per-doc mean.  At 10^12 docs the LM fit is a one-off job and the
+    scorer joins against its persisted output."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = vocab.agg(
+        F.sum("c").alias("t_total"), F.count("*").alias("v_size")
+    )
+    lm = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.log(
+            (F.col("c") + 1.0) / (F.col("t_total") + F.col("v_size"))
+        ).alias("lp"),
+    )
+    return (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -241,3 +241,26 @@ def test_curation_decision_gate_semantics(spark, sf_dir):
         gates = (r["len_ok"], r["rep_ok"], r["lang_ok"], r["stop_ok"])
         assert all(g in (0, 1) for g in gates)
         assert r["keep"] == int(all(gates))
+
+
+def test_lm_perplexity_orders_common_below_rare(spark, tmp_path):
+    """A document of corpus-frequent tokens must score lower perplexity
+    than one of corpus-rare tokens; smoothing keeps every score finite
+    and > 1."""
+    from ocr_spark.operators.text_analysis import lm_perplexity
+
+    rows = [
+        (0, "the the the cat cat sat"),   # common mass
+        (1, "the cat sat on the mat"),    # mostly common
+        (2, "zyx qwv plk jhg"),           # rare singletons
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r["doc_id"]: r for r in lm_perplexity(spark, d).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0]["ppl"] < got[2]["ppl"]
+    assert got[1]["ppl"] < got[2]["ppl"]
+    assert all(r["ppl"] > 1.0 for r in got.values())
+    assert got[1]["n_tokens"] == 6
