@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
         "json_props_rollup": relational.json_props_rollup,
         "lm_perplexity": text_analysis.lm_perplexity,
+        "referential_audit": relational.referential_audit,
+        "length_outlier_filter": text_analysis.length_outlier_filter,
     }
 
 
@@ -2470,5 +2472,43 @@ with t as (
 select doc_id, count(*) as n_tokens, round(exp(-avg(lp)), 4) as ppl
 from t join lm using (tok)
 group by doc_id order by doc_id
+"""
+    # FK integrity audit: anti-join orphan counts per relationship.
+    rels = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders",
+         "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+         "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer",
+         "c_custkey"),
+        ("events->customer", "events", "user_id", "customer",
+         "c_custkey"),
+    ]
+    sql["referential_audit"] = "\nunion all\n".join(
+        f"""
+select '{name}' as relation,
+  (select count(*) from {child}) as n_rows,
+  (select count(distinct {key}) from {child}) as n_keys,
+  (select count(*) from {child} c
+     where not exists (select 1 from {parent} p
+                       where p.{pkey} = c.{key})) as n_orphan_rows,
+  (select count(distinct {key}) from {child} c
+     where not exists (select 1 from {parent} p
+                       where p.{pkey} = c.{key})) as n_orphan_keys
+"""
+        for name, child, key, parent, pkey in rels
+    ) + "\norder by relation"
+    # Percentile-threshold outlier gate: per-lang p01/p99 from pass one.
+    sql["length_outlier_filter"] = """
+with th as (
+  select lang, round(quantile_cont(n_chars, 0.01), 6) as lo,
+         round(quantile_cont(n_chars, 0.99), 6) as hi
+  from documents group by lang
+)
+select d.doc_id, d.lang, d.n_chars, th.lo, th.hi,
+       (d.n_chars >= th.lo and d.n_chars <= th.hi)::int as keep
+from documents d join th using (lang)
+order by d.doc_id
 """
     return sql

@@ -557,3 +557,106 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("event_type", "k_bucket")
     )
+
+
+def zvalue(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton/Z-order interleave of two non-negative ints (bit i of
+    ``a`` -> bit 2i, bit i of ``b`` -> bit 2i+1) — native bit ops only,
+    no UDF; the 2*bits-term sum folds into one codegen expression."""
+    acc: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = (
+            acc
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return acc
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Persist ``df`` Z-ordered on two columns — the multi-dimensional
+    data-layout lever (Delta OPTIMIZE ZORDER / Iceberg sort orders).
+
+    A single-column sort makes parquet min/max pruning perfect on that
+    column and useless on every other; interleaving the bits of two
+    keys gives every output file a small RECTANGLE of the (a, b) space,
+    so range predicates on EITHER column skip most files at scan time
+    (PushedFilters + footer stats — no index needed).  At 100 TB this
+    is the difference between reading a partition and reading a file:
+    layout is decided once at write, every later query benefits.
+    Pinned by tests/test_plans.py::test_zorder_tightens_file_rectangles.
+    """
+    z = zvalue(F.col(col_a), F.col(col_b), bits).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit across the star schema: for each
+    child->parent relationship, the child row count, distinct child
+    keys, and orphan rows (keys with no parent) via LEFT ANTI joins.
+
+    The ingest-gate query every warehouse runs before publishing a
+    snapshot.  Scale shape: parents are dimension-sized -> broadcast
+    anti-joins, the fact tables are never shuffled; each relation is an
+    independent single-pass aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def rel(name, child, key, parent, pkey):
+        orphans = child.join(
+            F.broadcast(parent.select(pkey)),
+            child[key] == parent[pkey],
+            "left_anti",
+        )
+        return (
+            child.agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct(key).alias("n_keys"),
+            )
+            .crossJoin(
+                orphans.agg(
+                    F.count("*").alias("n_orphan_rows"),
+                    F.countDistinct(key).alias("n_orphan_keys"),
+                )
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "n_rows",
+                "n_keys",
+                "n_orphan_rows",
+                "n_orphan_keys",
+            )
+        )
+
+    out = (
+        rel("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionAll(rel("lineitem->part", li, "l_partkey", part, "p_partkey"))
+        .unionAll(
+            rel("lineitem->supplier", li, "l_suppkey", sup, "s_suppkey")
+        )
+        .unionAll(
+            rel("orders->customer", orders, "o_custkey", cust, "c_custkey")
+        )
+        .unionAll(rel("events->customer", ev, "user_id", cust, "c_custkey"))
+    )
+    return out.repartition(1).sortWithinPartitions("relation")

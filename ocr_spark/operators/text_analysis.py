@@ -727,3 +727,47 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# percentile-threshold outlier filter
+# ---------------------------------------------------------------------------
+
+OUTLIER_LO, OUTLIER_HI = 0.01, 0.99
+
+
+def length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass distribution-based outlier gate: per-language p01/p99
+    length thresholds from pass one, broadcast back, every doc flagged
+    in a map-side pass two — the data-driven version of a fixed length
+    cut (truncated docs and concatenation blobs sit in the tails of
+    their OWN language's distribution, not a global one).
+
+    Exact percentile here (the verifier twin); the 100 TB swap is
+    approx_percentile with the same two-pass shape.  The threshold
+    table is O(languages) — broadcast, corpus never shuffled."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    th = docs.groupBy("lang").agg(
+        F.round(
+            F.expr(f"percentile(n_chars, {OUTLIER_LO}D)"), 6
+        ).alias("lo"),
+        F.round(
+            F.expr(f"percentile(n_chars, {OUTLIER_HI}D)"), 6
+        ).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(th), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "lo",
+            "hi",
+            (
+                (F.col("n_chars") >= F.col("lo"))
+                & (F.col("n_chars") <= F.col("hi"))
+            ).cast("int").alias("keep"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -455,3 +455,51 @@ def test_knn_graph_equi_join_and_k_bound(spark):
     assert max(per_src.values()) <= KNN_K
     for r in rows:
         assert 1 <= r["rank"] <= KNN_K
+
+
+def test_zorder_skips_files_on_the_second_dimension(spark, tmp_path):
+    """Z-ordered layout: a range filter on the SECOND key touches few
+    files (each file is a small (a, b) rectangle), while the
+    single-column-sorted layout must read every file (each spans the
+    full b range).  This is the footer-stats skipping a scan performs
+    with PushedFilters — measured here directly from the file min/max."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.relational import write_zordered
+
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+    )
+    zdir = str(tmp_path / "z")
+    adir = str(tmp_path / "a")
+    write_zordered(df, zdir, "a", "b", n_files=16, bits=6)
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(adir)
+    )
+
+    def files_touched(d, b_lo, b_hi):
+        n_total, n_hit = 0, 0
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(d, f), columns=["b"])
+            if t.num_rows == 0:
+                continue
+            n_total += 1
+            bmin, bmax = pc.min(t["b"]).as_py(), pc.max(t["b"]).as_py()
+            if bmax >= b_lo and bmin <= b_hi:
+                n_hit += 1
+        return n_hit, n_total
+
+    z_hit, z_total = files_touched(zdir, 0, 15)
+    a_hit, a_total = files_touched(adir, 0, 15)
+    assert a_hit == a_total, "a-sorted layout cannot skip on b"
+    assert z_hit * 2 <= z_total, (z_hit, z_total)
