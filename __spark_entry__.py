@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": text_analysis.lm_perplexity,
         "referential_audit": relational.referential_audit,
         "length_outlier_filter": text_analysis.length_outlier_filter,
+        "sales_rollup": relational.sales_rollup,
+        "priority_pivot": relational.priority_pivot,
     }
 
 
@@ -2510,5 +2512,31 @@ select d.doc_id, d.lang, d.n_chars, th.lo, th.hi,
        (d.n_chars >= th.lo and d.n_chars <= th.hi)::int as keep
 from documents d join th using (lang)
 order by d.doc_id
+"""
+    # ROLLUP: one-pass grouping sets; gid = grouping(flag)*2 +
+    # grouping(status), matching Spark's grouping_id() bit order.
+    sql["sales_rollup"] = """
+select coalesce(l_returnflag, 'ALL') as flag,
+       coalesce(l_linestatus, 'ALL') as status,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       count(*) as n_items,
+       grouping(l_returnflag) * 2 + grouping(l_linestatus) as gid
+from lineitem
+group by rollup(l_returnflag, l_linestatus)
+order by gid, flag, status
+"""
+    # PIVOT as conditional aggregation (identical wide column names).
+    sql["priority_pivot"] = """
+select o_orderpriority,
+  count(*) filter (where o_orderstatus = 'F') as F_n,
+  count(*) filter (where o_orderstatus = 'O') as O_n,
+  count(*) filter (where o_orderstatus = 'P') as P_n,
+  round(avg(o_totalprice) filter (where o_orderstatus = 'F'), 4)
+    as F_avg_price,
+  round(avg(o_totalprice) filter (where o_orderstatus = 'O'), 4)
+    as O_avg_price,
+  round(avg(o_totalprice) filter (where o_orderstatus = 'P'), 4)
+    as P_avg_price
+from orders group by o_orderpriority order by o_orderpriority
 """
     return sql

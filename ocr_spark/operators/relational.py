@@ -660,3 +660,62 @@ def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(rel("events->customer", ev, "user_id", cust, "c_custkey"))
     )
     return out.repartition(1).sortWithinPartitions("relation")
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: per-(returnflag, linestatus) revenue plus
+    per-flag subtotals plus the grand total in ONE pass — Spark expands
+    grouping sets map-side, so the input is scanned once and each
+    grouping level is a partial aggregate, not a separate query.
+    grouping_id() disambiguates subtotal rows from real NULL keys;
+    NULL keys are rendered as 'ALL' for the oracle compare."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    g = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+        F.grouping_id().alias("gid"),
+    )
+    return (
+        g.select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "revenue",
+            "n_items",
+            "gid",
+        )
+        .repartition(1)
+        .sortWithinPartitions("gid", "flag", "status")
+    )
+
+
+def priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts and mean price by priority, one column per
+    order status — the wide-format report shape.  The pivot values are
+    DECLARED (not discovered), so the plan is a single groupBy with
+    conditional aggregates — one shuffle, no second pass to enumerate
+    statuses, which is what keeps it scannable at 10^12 rows."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    statuses = ["F", "O", "P"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        # an absent (priority, status) cell pivots to NULL; the oracle's
+        # conditional count yields 0 — normalize counts to 0 (avgs stay
+        # NULL in both engines)
+        .select(
+            "o_orderpriority",
+            *[
+                F.coalesce(f"{s}_n", F.lit(0)).alias(f"{s}_n")
+                for s in statuses
+            ],
+            *[F.col(f"{s}_avg_price") for s in statuses],
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderpriority")
+    )
