@@ -102,6 +102,9 @@ def main() -> int:
         "rolling_user_value",
         "percentile_profile",
         "skew_salted_join",
+        "knn_graph",
+        "lm_perplexity",
+        "url_canonicalize",
         "span_splice",
     ]
     if only:
