@@ -44,7 +44,14 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    # sf comes from a strict `sf<number>` basename match; anything else
+    # (a renamed corpus copy, an 'sf' elsewhere in the path) is an
+    # UNKNOWN scale and must never masquerade as the default 0.1 —
+    # the artifact guard below keys on this value.
+    import re as _re
+
+    _m = _re.search(r"sf(\d+(?:\.\d+)?)/*$", sf_dir)
+    sf = float(_m.group(1)) if _m else None
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
@@ -179,7 +186,7 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": sf,
+        "sf": sf if sf is not None else sf_dir,
         "cpus": int(cpus) if str(cpus).isdigit() else cpus,
         **extra,
     }
@@ -191,7 +198,9 @@ def main() -> int:
     if only is not None:
         runs_name = "BENCH_RUNS_subset.json"
     elif sf != 0.1:
-        runs_name = f"BENCH_RUNS_sf{sf}.json"
+        runs_name = f"BENCH_RUNS_sf{sf}.json" if sf is not None else (
+            "BENCH_RUNS_other.json"
+        )
     else:
         runs_name = "BENCH_RUNS.json"
     runs_path = os.path.join(repo_dir, runs_name)

@@ -545,7 +545,7 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.from_json(F.col("props"), "k int")["k"]
     return (
-        ev.select("event_id", "event_type", "value", k.alias("k"))
+        ev.select("event_type", "value", k.alias("k"))
         .withColumn("k_bucket", (F.col("k") / 10).cast("int"))
         .groupBy("event_type", "k_bucket")
         .agg(
@@ -593,8 +593,26 @@ def write_zordered(
     (PushedFilters + footer stats — no index needed).  At 100 TB this
     is the difference between reading a partition and reading a file:
     layout is decided once at write, every later query benefits.
-    Pinned by tests/test_plans.py::test_zorder_tightens_file_rectangles.
+    Pinned by tests/test_plans.py::test_zorder_skips_files_on_the_second_dimension.
+
+    Keys must fit in ``bits`` bits: silent truncation would interleave
+    only the low bits and quietly destroy the rectangle property, so
+    out-of-range keys fail fast here (one cheap agg — at a real 100 TB
+    ingest the key bounds come from table stats instead).
     """
+    lim = 1 << bits
+    mx = df.agg(
+        F.max(col_a).alias("ma"),
+        F.max(col_b).alias("mb"),
+        F.min(col_a).alias("na"),
+        F.min(col_b).alias("nb"),
+    ).collect()[0]
+    if mx["na"] < 0 or mx["nb"] < 0 or mx["ma"] >= lim or mx["mb"] >= lim:
+        raise ValueError(
+            f"write_zordered: keys out of [0, 2^{bits}) — "
+            f"{col_a} in [{mx['na']}, {mx['ma']}], "
+            f"{col_b} in [{mx['nb']}, {mx['mb']}]; raise `bits`"
+        )
     z = zvalue(F.col(col_a), F.col(col_b), bits).alias("_z")
     (
         df.withColumn("_z", z)

@@ -656,19 +656,19 @@ def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_w = (
         F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("long") + 1
     )
-    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    # the declared weight is a function of the source key, so it rides
+    # the counts aggregate — ONE definition feeds both wsum and rate24
+    counts = docs.groupBy("source").agg(
+        F.count("*").alias("cnt"), F.max(src_w).alias("w")
+    )
     tot = counts.agg(
-        F.sum("cnt").alias("total"), F.sum(src_w).alias("wsum")
+        F.sum("cnt").alias("total"), F.sum("w").alias("wsum")
     )
     rates = counts.crossJoin(F.broadcast(tot)).select(
         "source",
         F.least(
             F.lit(MIX_MOD),
-            F.expr(
-                f"({MIX_MOD} * total * "
-                f"(cast(regexp_extract(source, 'src(\\\\d+)', 1) as bigint)"
-                f" + 1)) div (wsum * cnt)"
-            ),
+            F.expr(f"({MIX_MOD} * total * w) div (wsum * cnt)"),
         ).alias("rate24"),
     )
     gate = (F.col("doc_id") * F.lit(MIX_KNUTH)) % F.lit(MIX_MOD)

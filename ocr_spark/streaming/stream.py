@@ -641,11 +641,17 @@ def stream_upsert_latest(
     with more buckets (or swaps the staging/rename for a real MERGE);
     the shape is identical.
 
-    Exactly-once: the merge ("keep the (ts, event_id)-max row per key")
-    is idempotent and commutative, so a replayed micro-batch converges
-    to the same state; a manifest records the last applied batch_id so
-    replays are normally skipped outright.  Staging + directory rename
-    keeps readers from ever seeing a half-written bucket."""
+    Exactly-once under replay: the merge ("keep the (ts, event_id)-max
+    row per key") is idempotent and commutative, so REAPPLYING any
+    batch converges to the same state.  The manifest records the last
+    applied batch_id PER CHECKPOINT (batch ids restart at 0 when the
+    checkpoint changes, so a cross-checkpoint skip could drop genuinely
+    new data — ids from a different checkpoint never skip; idempotence
+    covers the re-merges instead).  Retired bucket dirs live OUTSIDE
+    the live table dir and are repaired on entry: a crash mid-swap is
+    rolled back (the batch replays), a crash post-swap leaves only
+    garbage to delete — readers never see a half-written or half-moved
+    bucket."""
     import json
     import os
     import shutil
@@ -656,6 +662,7 @@ def stream_upsert_latest(
     src = reader.parquet(input_dir)
 
     cur_path = os.path.join(state_dir, "current")
+    retired = os.path.join(state_dir, "_retired")
     manifest = os.path.join(state_dir, "_state_manifest.json")
 
     def _latest_per_key(df: DataFrame) -> DataFrame:
@@ -668,13 +675,34 @@ def stream_upsert_latest(
             .drop("_rn")
         )
 
+    def _repair() -> None:
+        """Crash recovery: a retired bucket whose live twin is MISSING
+        marks a crash between the two swap renames — restore it (the
+        interrupted batch was never recorded in the manifest, so it
+        replays and re-merges).  A retired bucket whose live twin
+        exists is post-swap garbage — delete it."""
+        if not os.path.isdir(retired):
+            return
+        for d in os.listdir(retired):
+            live = os.path.join(cur_path, d)
+            dead = os.path.join(retired, d)
+            if os.path.isdir(live):
+                shutil.rmtree(dead, ignore_errors=True)
+            else:
+                os.rename(dead, live)
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        last = -1
+        _repair()
         if os.path.exists(manifest):
             with open(manifest) as fh:
-                last = json.load(fh)["last_batch_id"]
-        if batch_id <= last:  # post-failure replay: already applied
-            return
+                m = json.load(fh)
+            # skip only replays of THIS checkpoint's lineage — a new
+            # checkpoint restarts ids at 0 over possibly-new input
+            if (
+                m.get("checkpoint") == checkpoint_dir
+                and batch_id <= m["last_batch_id"]
+            ):
+                return
         sess = batch_df.sparkSession
         batch = batch_df.withColumn(
             "bucket", (F.col("user_id") % N_STATE_BUCKETS).cast("int")
@@ -696,19 +724,27 @@ def stream_upsert_latest(
             "overwrite"
         ).parquet(stage)
         os.makedirs(cur_path, exist_ok=True)
+        os.makedirs(retired, exist_ok=True)
         for b in touched:
             src_b = os.path.join(stage, f"bucket={b}")
             dst_b = os.path.join(cur_path, f"bucket={b}")
-            old_b = dst_b + "_old"
+            old_b = os.path.join(retired, f"bucket={b}")
             if not os.path.isdir(src_b):
                 continue
+            shutil.rmtree(old_b, ignore_errors=True)
             if os.path.isdir(dst_b):
                 os.rename(dst_b, old_b)
             os.rename(src_b, dst_b)
             shutil.rmtree(old_b, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
         with open(manifest, "w") as fh:
-            json.dump({"last_batch_id": int(batch_id)}, fh)
+            json.dump(
+                {
+                    "checkpoint": checkpoint_dir,
+                    "last_batch_id": int(batch_id),
+                },
+                fh,
+            )
 
     writer = (
         src.writeStream.foreachBatch(_merge)

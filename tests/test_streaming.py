@@ -322,3 +322,55 @@ def test_stream_upsert_multi_batch_and_replay(spark, tmp_path):
     ).awaitTermination(600)
     after = sorted(tuple(r) for r in spark.read.parquet(cur).collect())
     assert before == after
+
+
+def test_stream_upsert_crash_recovery(spark, tmp_path):
+    """The two swap-crash windows heal on the next run: a bucket
+    stranded in _retired with no live twin (crash mid-swap) is restored
+    and the interrupted batch re-merges; a stale retired copy WITH a
+    live twin (crash post-swap) is garbage-collected."""
+    import datetime
+    import os
+    import shutil
+
+    from ocr_spark.streaming.stream import stream_upsert_latest
+
+    def ts(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, ts(1), 10, "click", 1.0), (2, ts(2), 11, "view", 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    st = str(tmp_path / "state")
+    stream_upsert_latest(
+        spark, in_dir, st, str(tmp_path / "ck1")
+    ).awaitTermination(600)
+    cur, ret = f"{st}/current", f"{st}/_retired"
+    bucket10 = f"bucket={10 % 16}"
+
+    # simulate a crash BETWEEN the two renames: live bucket moved to
+    # _retired, manifest still points at the pre-crash batch
+    os.makedirs(ret, exist_ok=True)
+    os.rename(f"{cur}/{bucket10}", f"{ret}/{bucket10}")
+    # also plant post-swap garbage for a bucket that still exists
+    bucket11 = f"bucket={11 % 16}"
+    shutil.copytree(f"{cur}/{bucket11}", f"{ret}/{bucket11}")
+
+    # new input batch for an unrelated user triggers repair on entry
+    spark.createDataFrame(
+        [(3, ts(3), 12, "buy", 3.0)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_upsert_latest(
+        spark, in_dir, st, str(tmp_path / "ck2")
+    ).awaitTermination(600)
+
+    assert not os.listdir(ret), "retired dir must be emptied by repair"
+    got = {r["user_id"]: r for r in spark.read.parquet(cur).collect()}
+    assert got[10]["event_id"] == 1  # restored, then re-merged
+    assert got[11]["event_id"] == 2
+    assert got[12]["event_id"] == 3
