@@ -503,3 +503,15 @@ def test_zorder_skips_files_on_the_second_dimension(spark, tmp_path):
     a_hit, a_total = files_touched(adir, 0, 15)
     assert a_hit == a_total, "a-sorted layout cannot skip on b"
     assert z_hit * 2 <= z_total, (z_hit, z_total)
+
+
+def test_asof_join_single_key_shuffle_no_join(spark):
+    """The union-window as-of encoding must stay join-free: one shuffle
+    on the key for the window (plus the check-gate repartition tail),
+    no join operator of any kind — the property that makes it safe
+    where a range join would explode."""
+    from ocr_spark.operators.relational import asof_join_order_events
+
+    plan = plan_of(asof_join_order_events(spark, SF), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2, plan
