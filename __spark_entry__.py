@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outlier_filter": text_analysis.length_outlier_filter,
         "sales_rollup": relational.sales_rollup,
         "priority_pivot": relational.priority_pivot,
+        "funnel_counts": relational.funnel_counts,
+        "gap_fill_daily": relational.gap_fill_daily,
     }
 
 
@@ -2538,5 +2540,48 @@ select o_orderpriority,
   round(avg(o_totalprice) filter (where o_orderstatus = 'P'), 4)
     as P_avg_price
 from orders group by o_orderpriority order by o_orderpriority
+"""
+    # Ordered funnel: chained first-occurrence-after semantics, strict >.
+    sql["funnel_counts"] = """
+with per as (
+  select user_id,
+         min(ts) filter (where event_type = 'click') as t1
+  from events group by user_id
+), s2 as (
+  select p.user_id, p.t1, min(e.ts) as t2
+  from per p left join events e
+    on e.user_id = p.user_id and e.event_type = 'view' and e.ts > p.t1
+  group by p.user_id, p.t1
+), s3 as (
+  select s.user_id, s.t1, s.t2, min(e.ts) as t3
+  from s2 s left join events e
+    on e.user_id = s.user_id and e.event_type = 'purchase'
+       and e.ts > s.t2
+  group by s.user_id, s.t1, s.t2
+)
+select case when t1 is null then 0 when t2 is null then 1
+            when t3 is null then 2 else 3 end as funnel_depth,
+       count(*) as n_users
+from s3 group by 1 order by 1
+"""
+    # Daily gap fill: generate_series grid left-joined to real counts.
+    sql["gap_fill_daily"] = """
+with b as (select min(ts)::date as d0, max(ts)::date as d1 from events),
+u as (select distinct user_id from events),
+g as (
+  select u.user_id,
+         unnest(generate_series(b.d0::timestamp, b.d1::timestamp,
+                                interval 1 day))::date as day
+  from u, b
+),
+d as (
+  select user_id, ts::date as day, count(*) as n,
+         round(sum(value), 6) as v
+  from events group by 1, 2
+)
+select g.user_id, strftime(g.day, '%Y-%m-%d') as day,
+       coalesce(d.n, 0) as n_events, coalesce(d.v, 0.0) as day_value
+from g left join d using (user_id, day)
+order by g.user_id, day
 """
     return sql

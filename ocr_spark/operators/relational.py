@@ -737,3 +737,115 @@ def priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("o_orderpriority")
     )
+
+
+FUNNEL_STAGES = ["click", "view", "purchase"]
+
+
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: how many users completed click -> view
+    -> purchase IN ORDER (each later stage strictly after the user's FIRST
+    occurrence of the previous one).
+
+    Shape: one groupBy per user computing the first qualifying
+    timestamp of each stage as a chained conditional min — no joins, no
+    per-stage passes, one shuffle on user_id.  The chain needs the
+    previous stage's first-ts, so stage k filters on min-so-far via a
+    two-level aggregate (min of ts where type = stage AND ts > prior
+    min), computed with nested aggregation in SQL; counts per funnel
+    depth come out of one final tiny aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s1, s2, s3 = FUNNEL_STAGES
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s1, F.col("ts"))).alias("t1"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("event_type") == s2,
+                    F.struct(F.col("ts"), F.col("event_id")),
+                )
+            )
+        ).alias("l2"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("event_type") == s3,
+                    F.struct(F.col("ts"), F.col("event_id")),
+                )
+            )
+        ).alias("l3"),
+    )
+    first_after = (
+        lambda lst, t: F.try_element_at(
+            F.filter(lst, lambda s: s["ts"] > t), F.lit(1)
+        )["ts"]
+    )
+    staged = per_user.select(
+        "user_id",
+        "t1",
+        first_after(F.col("l2"), F.col("t1")).alias("t2"),
+        F.col("l3"),
+    ).select(
+        "user_id",
+        "t1",
+        "t2",
+        # the funnel stops at a missing stage: t3 only exists after t2
+        F.when(
+            F.col("t2").isNotNull(),
+            first_after(F.col("l3"), F.col("t2")),
+        ).alias("t3"),
+    )
+    depth = (
+        F.when(F.col("t1").isNull(), 0)
+        .when(F.col("t2").isNull(), 1)
+        .when(F.col("t3").isNull(), 2)
+        .otherwise(3)
+    )
+    return (
+        staged.select(depth.alias("funnel_depth"))
+        .groupBy("funnel_depth")
+        .agg(F.count("*").alias("n_users"))
+        .repartition(1)
+        .sortWithinPartitions("funnel_depth")
+    )
+
+
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: every user's DAILY event count/value over
+    the corpus's full date range, missing days zero-filled — the
+    regularization step before any windowed model or charting layer
+    (absent rows are not zero rows until you make them so).
+
+    Shape: the date bounds are one tiny agg broadcast into a
+    users x days grid (sequence + explode — generated, not shuffled),
+    the real counts are one groupBy, and the grid LEFT-joins them.
+    Grid cardinality is users x days — at 10^12-event scale the grid is
+    still tiny next to the events table, which is touched exactly
+    once."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"),
+        F.to_date(F.max("ts")).alias("d1"),
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("v"),
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("v", F.lit(0.0)).alias("day_value"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("user_id", "day")
+    )

@@ -515,3 +515,97 @@ def test_asof_join_single_key_shuffle_no_join(spark):
     plan = plan_of(asof_join_order_events(spark, SF), "simple")
     assert "Join" not in plan
     assert plan.count("Exchange") == 2, plan
+
+
+def test_funnel_depth_chaining_crafted(spark, tmp_path):
+    """Stage order must be enforced: a view BEFORE the first click does
+    not count, a purchase between click and view does not count, and
+    each depth bucket lands exactly one crafted user."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import funnel_counts
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 0: never clicks -> depth 0
+        (1, ts(1), 0, "view", 0.0),
+        # user 1: clicks only -> depth 1
+        (2, ts(1), 1, "click", 0.0),
+        (3, ts(0), 1, "view", 0.0),     # view BEFORE click: ignored
+        # user 2: click then view; purchase came BETWEEN click and view
+        # -> not after view -> depth 2
+        (4, ts(1), 2, "click", 0.0),
+        (5, ts(2), 2, "purchase", 0.0),
+        (6, ts(3), 2, "view", 0.0),
+        # user 3: full ordered funnel -> depth 3
+        (7, ts(1), 3, "click", 0.0),
+        (8, ts(2), 3, "view", 0.0),
+        (9, ts(3), 3, "purchase", 0.0),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).write.parquet(f"{d}/events.parquet")
+    got = {
+        r["funnel_depth"]: r["n_users"]
+        for r in funnel_counts(spark, d).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_asof_join_matches_bruteforce_property(spark, tmp_path):
+    """Property check: the union-window as-of join equals the O(n*m)
+    python reference on a randomized-but-seeded instance with heavy
+    timestamp ties."""
+    import datetime as dt
+    import random
+
+    from ocr_spark.operators.relational import asof_join_order_events
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    ev = [
+        (
+            i,
+            base + dt.timedelta(seconds=rng.randrange(20)),  # many ties
+            rng.randrange(6),
+            "e",
+            float(i),
+        )
+        for i in range(60)
+    ]
+    orders = [
+        (
+            100 + j,
+            rng.randrange(8),  # some users have no events
+            base + dt.timedelta(seconds=rng.randrange(20)),
+        )
+        for j in range(40)
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).write.parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).write.parquet(f"{d}/orders.parquet")
+
+    def brute(ok, ck, od):
+        cand = [e for e in ev if e[2] == ck and e[1] <= od]
+        if not cand:
+            return None
+        best = max(cand, key=lambda e: (e[1], e[0]))
+        return best[0]
+
+    got = {
+        r["o_orderkey"]: r["last_event_id"]
+        for r in asof_join_order_events(spark, d).collect()
+    }
+    for ok, ck, od in orders:
+        assert got[ok] == brute(ok, ck, od), (ok, ck, od)
