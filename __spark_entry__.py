@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_pivot": relational.priority_pivot,
         "funnel_counts": relational.funnel_counts,
         "gap_fill_daily": relational.gap_fill_daily,
+        "kmeans_clusters": similarity.kmeans_clusters,
     }
 
 
@@ -2584,4 +2585,55 @@ select g.user_id, strftime(g.day, '%Y-%m-%d') as day,
 from g left join d using (user_id, day)
 order by g.user_id, day
 """
+    # Lloyd's k-means, KMEANS_ITERS unrolled iterations in fixed-point
+    # integer arithmetic (micro-units, truncating `//` means) — the same
+    # derivation as the Spark driver loop, bit-exact.
+    _dist = (
+        "list_sum(list_transform(range(1, len(e.xi) + 1),"
+        " i -> (e.xi[i] - c.cv[i]) * (e.xi[i] - c.cv[i])))"
+    )
+    _parts = [
+        f"""
+e as (
+  select vec_id,
+         list_transform(embedding,
+           x -> round(x::double * {similarity.KMEANS_SCALE})::bigint)
+           as xi
+  from embeddings
+),
+c0 as (select vec_id as cid, xi as cv from e
+       where vec_id < {similarity.KMEANS_K})"""
+    ]
+    for i in range(1, similarity.KMEANS_ITERS + 1):
+        _parts.append(f"""
+a{i} as (
+  select vec_id, xi, cid from (
+    select e.vec_id, e.xi, c.cid, {_dist} as d
+    from e cross join c{i - 1} c
+  ) t qualify row_number() over (partition by vec_id
+                                 order by d, cid) = 1
+),
+s{i} as (
+  select cid, pos, sum(x) as s, count(*) as n
+  from (select cid, unnest(xi) as x,
+               unnest(range(1, len(xi) + 1)) as pos from a{i})
+  group by cid, pos
+),
+c{i} as (
+  select cid, list(s // n order by pos) as cv from s{i} group by cid
+  union all
+  select cid, cv from c{i - 1}
+  where cid not in (select cid from s{i})
+)""")
+    _n = similarity.KMEANS_ITERS
+    sql["kmeans_clusters"] = (
+        "with " + ",".join(_parts) + f"""
+select vec_id, cluster, dist_sq_micro from (
+  select e.vec_id, c.cid as cluster, ({_dist})::bigint as dist_sq_micro
+  from e cross join c{_n} c
+) t qualify row_number() over (partition by vec_id
+                               order by dist_sq_micro, cluster) = 1
+order by vec_id
+"""
+    )
     return sql

@@ -502,3 +502,96 @@ def knn_graph(
         .repartition(1)
         .sortWithinPartitions("src", "rank")
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_SCALE = 1_000_000
+
+
+def _emb_fixedpoint(col: Column) -> Column:
+    """Embedding floats as fixed-point integers (micro-units): every
+    later sum/mean/distance is integer arithmetic — exact, partition-
+    order-independent, and bit-identical in the DuckDB oracle (both
+    engines round the identical double half-away-from-zero)."""
+    return F.transform(
+        col,
+        lambda x: F.round(x.cast("double") * KMEANS_SCALE).cast("long"),
+    )
+
+
+def _tdiv(s: int, n: int) -> int:
+    """Integer division truncating toward zero — SQL's `div`/`//`
+    semantics (python's // floors, which diverges on negative sums)."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def _assign_expr(cents: list[list[int]]) -> Column:
+    """argmin-over-centroids cluster id as ONE struct-array expression
+    (same O(1)-plan-size shape as _l2_struct_array); squared L2 in
+    integer micro-units, ties to the lower centroid id."""
+    items = ",".join(
+        "named_struct('cid',{cid},'vec',array({vs}))".format(
+            cid=cid, vs=",".join(f"{v}L" for v in vec)
+        )
+        for cid, vec in enumerate(cents)
+    )
+    return F.expr(
+        f"array_min(transform(array({items}), c -> named_struct("
+        "'d', aggregate(zip_with(xi, c.vec, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, v) -> acc + v), 'cid', c.cid)))"
+    )
+
+
+def kmeans_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding table — the canonical
+    iterative-ML-on-Spark shape (and the clustering stage SemDeDup runs
+    before within-cluster comparison): centroids are DRIVER/broadcast
+    state (k x dim ints, a few KB), each iteration is one map-side
+    argmin assignment plus one (cluster, dim) aggregation shuffle, the
+    corpus is scanned once per iteration and never collected.
+
+    Determinism (the hard part of an iterative-fp oracle): all
+    arithmetic is fixed-point integer — micro-unit embeddings, integer
+    squared-L2, truncating-division centroid means — so three unrolled
+    iterations are bit-exact across engines AND partition orders.
+    Init = the first k vectors; an emptied cluster keeps its previous
+    centroid (deterministic rule, same in the oracle)."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", _emb_fixedpoint(F.col("embedding")).alias("xi"))
+    )
+    init = emb.filter(F.col("vec_id") < k).collect()
+    cents = [
+        list(r["xi"]) for r in sorted(init, key=lambda r: r["vec_id"])
+    ]
+    for _ in range(iters):
+        a = emb.withColumn("c", _assign_expr(cents)).select(
+            "vec_id", F.col("c")["cid"].alias("cid"), "xi"
+        )
+        sums = (
+            a.select("cid", F.posexplode("xi").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]  # emptied cluster keeps centroid
+        for r in sums:
+            nxt[r["cid"]][r["pos"]] = _tdiv(int(r["s"]), int(r["n"]))
+        cents = nxt
+    final = emb.withColumn("c", _assign_expr(cents))
+    return (
+        final.select(
+            "vec_id",
+            F.col("c")["cid"].alias("cluster"),
+            F.col("c")["d"].alias("dist_sq_micro"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("vec_id")
+    )

@@ -609,3 +609,36 @@ def test_asof_join_matches_bruteforce_property(spark, tmp_path):
     }
     for ok, ck, od in orders:
         assert got[ok] == brute(ok, ck, od), (ok, ck, od)
+
+
+def test_kmeans_improves_over_init(spark):
+    """Lloyd sanity: total within-cluster squared distance under the
+    trained centroids is at most the distance under the init centroids
+    (monotone non-increase), and every vector gets a cluster in [0, K)."""
+    from ocr_spark.operators.similarity import (
+        KMEANS_K,
+        _assign_expr,
+        _emb_fixedpoint,
+        kmeans_clusters,
+    )
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", _emb_fixedpoint(F.col("embedding")).alias("xi"))
+    )
+    init = [
+        list(r["xi"])
+        for r in sorted(
+            emb.filter(F.col("vec_id") < KMEANS_K).collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+    d_init = (
+        emb.withColumn("c", _assign_expr(init))
+        .agg(F.sum(F.col("c")["d"])).collect()[0][0]
+    )
+    out = kmeans_clusters(spark, SF).collect()
+    d_final = sum(r["dist_sq_micro"] for r in out)
+    assert d_final <= d_init
+    assert all(0 <= r["cluster"] < KMEANS_K for r in out)
