@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": relational.funnel_counts,
         "gap_fill_daily": relational.gap_fill_daily,
         "kmeans_clusters": similarity.kmeans_clusters,
+        "price_histogram": relational.price_histogram,
+        "snapshot_diff": relational.snapshot_diff,
     }
 
 
@@ -2636,4 +2638,60 @@ select vec_id, cluster, dist_sq_micro from (
 order by vec_id
 """
     )
+    # Equi-width histogram in integer cents (truncating div, both
+    # operands non-negative -> identical in both engines).
+    sql["price_histogram"] = f"""
+with c as (select floor(o_totalprice * 100)::bigint as c from orders),
+b as (select min(c) as lo, max(c) as hi from c)
+select bucket,
+       lo + (bucket * (hi - lo + 1)) // {relational.HIST_BUCKETS}
+         as bucket_lo_cents,
+       count(*) as n_orders
+from (
+  select least({relational.HIST_BUCKETS - 1},
+               ((c.c - b.lo) * {relational.HIST_BUCKETS})
+                 // greatest(b.hi - b.lo + 1, 1))::int as bucket,
+         b.lo, b.hi
+  from c, b
+) t group by bucket, lo, hi order by bucket
+"""
+    # Snapshot diff: snapshot B derived by the same expressions.
+    sql["snapshot_diff"] = """
+with base as (
+  select o_orderkey as k,
+         floor(o_totalprice * 100)::bigint as price_cents,
+         o_orderstatus as status
+  from orders
+), kept as (select * from base where k % 97 != 0),
+repriced as (
+  select k,
+         case when k % 13 = 0 then price_cents + price_cents // 10
+              else price_cents end as price_cents,
+         status
+  from kept
+),
+inserted as (
+  select k + 1000000000 as k, price_cents, status
+  from base where k % 101 = 0
+),
+b as (select * from repriced union all select * from inserted),
+j as (
+  select coalesce(a.k, b.k) as k,
+         a.price_cents as a_price, b.price_cents as b_price,
+         a.status as a_status, b.status as b_status
+  from base a full join b on a.k = b.k
+)
+select k,
+       case when a_price is null then 'added'
+            when b_price is null then 'removed'
+            when a_price != b_price or a_status != b_status
+              then 'changed' end as change_type,
+       a_price, b_price
+from j
+where case when a_price is null then 'added'
+           when b_price is null then 'removed'
+           when a_price != b_price or a_status != b_status
+             then 'changed' end is not null
+order by k, change_type
+"""
     return sql

@@ -849,3 +849,106 @@ def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("user_id", "day")
     )
+
+
+HIST_BUCKETS = 20
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals — the profiling pass behind
+    any distribution chart or coarse anomaly gate.  Two-pass broadcast
+    shape (global min/max, then a map-side bucket assignment + one
+    low-cardinality rollup); bucket arithmetic is integer cents with
+    truncating division, so bucket edges are engine-exact — no float
+    boundary can flip a row's bucket between engines."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    bounds = orders.agg(
+        F.min(cents).alias("lo"), F.max(cents).alias("hi")
+    )
+    n = HIST_BUCKETS
+    return (
+        orders.select(cents.alias("c"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(n - 1),
+                F.expr(f"((c - lo) * {n}) div greatest(hi - lo + 1, 1)"),
+            ).cast("int").alias("bucket"),
+            "lo",
+            "hi",
+        )
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("lo")
+             + F.expr(f"(bucket * (hi - lo + 1)) div {n}")).alias(
+                "bucket_lo_cents"
+            ),
+            "n_orders",
+        )
+        .repartition(1)
+        .sortWithinPartitions("bucket")
+    )
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC derivation: given two versions of a keyed
+    table, emit added / removed / changed rows — how a change feed is
+    reconstructed when the source system only hands you full snapshots.
+
+    Snapshot B is derived deterministically from orders (same
+    expressions in the oracle): keys %97 deleted, %13 repriced (+10%
+    in integer cents), %101 duplicated under a new key.  One full
+    outer join on the key, comparison on canonicalized columns,
+    unchanged rows dropped — at scale both sides pre-bucket on the key
+    to make this recurring join shuffle-free (write_bucketed)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        cents.alias("price_cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    kept = base.filter(F.col("k") % 97 != 0)
+    repriced = kept.select(
+        "k",
+        F.when(
+            F.col("k") % 13 == 0,
+            F.col("price_cents") + F.expr("price_cents div 10"),
+        ).otherwise(F.col("price_cents")).alias("price_cents"),
+        "status",
+    )
+    inserted = base.filter(F.col("k") % 101 == 0).select(
+        (F.col("k") + F.lit(10**9)).alias("k"), "price_cents", "status"
+    )
+    snap_b = repriced.unionByName(inserted)
+
+    a = base.select(
+        F.col("k"),
+        F.col("price_cents").alias("a_price"),
+        F.col("status").alias("a_status"),
+    )
+    b = snap_b.select(
+        F.col("k"),
+        F.col("price_cents").alias("b_price"),
+        F.col("status").alias("b_status"),
+    )
+    j = a.join(b, "k", "full_outer")
+    change = (
+        F.when(F.col("a_price").isNull(), F.lit("added"))
+        .when(F.col("b_price").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a_price") != F.col("b_price"))
+            | (F.col("a_status") != F.col("b_status")),
+            F.lit("changed"),
+        )
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select("k", "change_type", "a_price", "b_price")
+        .repartition(1)
+        .sortWithinPartitions("k", "change_type")
+    )
