@@ -266,22 +266,15 @@ def _synth_raw_url(doc_id: Column) -> Column:
     )
 
 
-def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonicalize crawl URLs and mark exact-URL duplicates — the very
-    first dedup pass of a web pipeline (CommonCrawl dedups by canonical
-    URL before any content hashing).
-
-    Canonical form: lowercase scheme+host, strip leading ``www.``,
-    strip default ports (:80 http / :443 https), drop the fragment,
-    drop tracking params (utm_*/gclid/fbclid), sort the surviving query
-    params, strip trailing slashes.  All pure Catalyst (regexp + array
-    higher-order functions) — a map-side projection at scan speed; the
-    only shuffle is the duplicate-marking window on the canonical key.
-    Survivor = min doc_id per canonical URL (deterministic, idempotent
-    across retries)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    raw = _synth_raw_url(F.col("doc_id"))
-    scheme = F.lower(F.regexp_extract(raw, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+def canonicalize_url(raw: Column) -> Column:
+    """Canonical form of a URL column — lowercase scheme+host, strip
+    leading ``www.``, strip default ports (:80 http / :443 https),
+    drop the fragment, drop tracking params (TRACKING_PARAM_RE), sort
+    the surviving query params, strip trailing slashes.  Pure Catalyst
+    (regexp + array higher-order functions): a map-side projection."""
+    scheme = F.lower(
+        F.regexp_extract(raw, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
     host0 = F.lower(F.regexp_extract(raw, r"^[^:]+://([^/?#]+)", 1))
     host = F.regexp_replace(host0, r"^www\.", "")
     host = F.when(
@@ -302,7 +295,7 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "&",
     )
-    canon = F.concat(
+    return F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -311,6 +304,24 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (qraw != "") & (qkeep != ""), F.concat(F.lit("?"), qkeep)
         ).otherwise(F.lit("")),
     )
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize crawl URLs and mark exact-URL duplicates — the very
+    first dedup pass of a web pipeline (CommonCrawl dedups by canonical
+    URL before any content hashing).
+
+    Canonical form: lowercase scheme+host, strip leading ``www.``,
+    strip default ports (:80 http / :443 https), drop the fragment,
+    drop tracking params (utm_*/gclid/fbclid), sort the surviving query
+    params, strip trailing slashes.  All pure Catalyst (regexp + array
+    higher-order functions) — a map-side projection at scan speed; the
+    only shuffle is the duplicate-marking window on the canonical key.
+    Survivor = min doc_id per canonical URL (deterministic, idempotent
+    across retries)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = _synth_raw_url(F.col("doc_id"))
+    canon = canonicalize_url(raw)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("canon_url")

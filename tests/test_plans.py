@@ -642,3 +642,30 @@ def test_kmeans_improves_over_init(spark):
     d_final = sum(r["dist_sq_micro"] for r in out)
     assert d_final <= d_init
     assert all(0 <= r["cluster"] < KMEANS_K for r in out)
+
+
+def test_zvalue_interleave_roundtrip(spark):
+    """zvalue is a bijection on [0,2^bits)²: decode by de-interleaving
+    the bits in python and compare; also monotone within a fixed b for
+    the high bit (spot ordering sanity)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.relational import zvalue
+
+    bits = 5
+    df = spark.range(32 * 32).select(
+        (F.col("id") % 32).alias("a"),
+        (F.col("id") / 32).cast("long").alias("b"),
+    )
+    rows = df.select("a", "b", zvalue(F.col("a"), F.col("b"), bits).alias("z")).collect()
+    assert len({r["z"] for r in rows}) == 32 * 32  # injective
+
+    def decode(z):
+        a = b = 0
+        for i in range(bits):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    for r in rows:
+        assert decode(r["z"]) == (r["a"], r["b"])

@@ -123,3 +123,22 @@ def test_url_canonicalize_crafted(spark, tmp_path):
     # 60 % 5 == 0, 60 % 20 == 0, 60 % 3 == 0: exact residue collision
     assert rows[60].canon_url == rows[0].canon_url
     assert rows[0].is_survivor == 1 and rows[60].is_survivor == 0
+
+
+def test_url_canonicalize_generic_forms(spark):
+    """canonicalize_url on raw strings beyond the fixture grammar:
+    https default port stripped, non-default port preserved, path case
+    preserved, all-tracking query collapses entirely."""
+    from ocr_spark.operators.web_extract import canonicalize_url
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("HTTPS://WWW.Ex.COM:443/A/B/?gclid=1#x",),
+            ("http://ex.com:8080/p?b=2&a=1",),
+        ],
+        "raw string",
+    )
+    got = [r[0] for r in df.select(canonicalize_url(F.col("raw"))).collect()]
+    assert got[0] == "https://ex.com/A/B"     # 443 stripped, case kept
+    assert got[1] == "http://ex.com:8080/p?a=1&b=2"  # 8080 preserved
