@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": similarity.kmeans_clusters,
         "price_histogram": relational.price_histogram,
         "snapshot_diff": relational.snapshot_diff,
+        "window_tumbling_stats": relational.window_tumbling_stats,
+        "window_sliding_stats": relational.window_sliding_stats,
     }
 
 
@@ -2693,5 +2695,26 @@ where case when a_price is null then 'added'
            when a_price != b_price or a_status != b_status
              then 'changed' end is not null
 order by k, change_type
+"""
+    # Batch tumbling/sliding windows: time_bucket twins (sliding = the
+    # two offset buckets unioned; 1970 vs 2000 epoch origins align for
+    # divisors of 24 h).
+    sql["window_tumbling_stats"] = """
+select epoch(time_bucket(interval '6 hours', ts))::bigint as w_start_s,
+       event_type, count(*) as n, round(sum(value), 2) as total
+from events group by 1, 2 order by 1, 2
+"""
+    sql["window_sliding_stats"] = """
+with x as (
+  select time_bucket(interval '6 hours', ts) as ws, event_type, value
+  from events
+  union all
+  select time_bucket(interval '6 hours', ts - interval '3 hours')
+           + interval '3 hours' as ws, event_type, value
+  from events
+)
+select epoch(ws)::bigint as w_start_s, event_type,
+       count(*) as n, round(sum(value), 2) as total
+from x group by 1, 2 order by 1, 2
 """
     return sql

@@ -952,3 +952,52 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("k", "change_type")
     )
+
+
+def window_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window aggregation (6-hour buckets per event
+    type) via ``F.window`` — the same time-bucketing the streaming path
+    uses, on the batch API.  Map-side partial agg, one shuffle on
+    (window, type)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.window("ts", "6 hours")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("w_start_s"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .repartition(1)
+        .sortWithinPartitions("w_start_s", "event_type")
+    )
+
+
+def window_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch SLIDING-window aggregation (6-hour window, 3-hour slide):
+    every event lands in exactly window/slide = 2 windows — Spark
+    expands the windows map-side (no join), then one shuffle on
+    (window, type).  The oracle reproduces the expansion as a 2-way
+    offset-bucket union."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.window("ts", "6 hours", "3 hours")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("w_start_s"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .repartition(1)
+        .sortWithinPartitions("w_start_s", "event_type")
+    )
