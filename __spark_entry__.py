@@ -231,6 +231,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": relational.snapshot_diff,
         "window_tumbling_stats": relational.window_tumbling_stats,
         "window_sliding_stats": relational.window_sliding_stats,
+        "shipping_priority": relational.shipping_priority,
+        "late_order_priority": relational.late_order_priority,
+        "idle_rich_customers": relational.idle_rich_customers,
+        "interval_ship_demand": relational.interval_ship_demand,
+        "revenue_wow_change": relational.revenue_wow_change,
+        "fuzzy_name_match": dedup.fuzzy_name_match,
+        "doc_chunk_overlap": text_analysis.doc_chunk_overlap,
     }
 
 
@@ -2716,5 +2723,116 @@ with x as (
 select epoch(ws)::bigint as w_start_s, event_type,
        count(*) as n, round(sum(value), 2) as total
 from x group by 1, 2 order by 1, 2
+"""
+    # TPC-H Q3 shape: revenue as per-row integer cents so the top-10 cut
+    # cannot flip on accumulation-order noise between engines.
+    sql["shipping_priority"] = """
+select o_orderkey, floor(epoch(o_orderdate))::bigint as order_epoch,
+       revenue_cents
+from (
+  select o_orderkey, o_orderdate,
+         sum(round(l_extendedprice * (1 - l_discount) * 100)::bigint)
+           as revenue_cents
+  from customer
+  join orders on c_custkey = o_custkey
+  join lineitem on o_orderkey = l_orderkey
+  where c_mktsegment = 'BUILDING'
+    and o_orderdate < timestamp '1998-06-30'
+    and l_shipdate > timestamp '1998-06-30'
+  group by o_orderkey, o_orderdate
+)
+order by revenue_cents desc, order_epoch, o_orderkey
+limit 10
+"""
+    # TPC-H Q4 shape: EXISTS == the Spark side's LEFT SEMI join.  All
+    # o_orderdate values are midnight, so date_add (date) == + interval.
+    sql["late_order_priority"] = """
+select o_orderpriority, count(*) as n_late_orders
+from orders o
+where exists (
+  select 1 from lineitem l
+  where l.l_orderkey = o.o_orderkey
+    and l.l_shipdate > o.o_orderdate + interval 20 day
+)
+group by o_orderpriority order by o_orderpriority
+"""
+    # TPC-H Q22 shape: integer-cents threshold (floor of exact integer
+    # sum / count — one double division, bit-identical in both engines)
+    # so no customer can sit within an ulp of the cut.
+    sql["idle_rich_customers"] = """
+with thr as (
+  select floor(sum(round(c_acctbal * 100)::bigint) / count(*))::bigint
+           as thr_cents
+  from customer where round(c_acctbal * 100)::bigint > 0
+)
+select c_nationkey, count(*) as n_custs,
+       sum(round(c_acctbal * 100)::bigint) as bal_cents
+from customer, thr
+where round(c_acctbal * 100)::bigint > thr_cents
+  and not exists (select 1 from orders
+                  where o_custkey = c_custkey
+                    and o_orderdate >= timestamp '2000-01-01')
+group by c_nationkey order by c_nationkey
+"""
+    # Point-in-interval join: the oracle mirrors the bin rewrite's exact
+    # semantics (7 covered calendar days per order, day == day).
+    sql["interval_ship_demand"] = """
+with daily as (
+  select cast(l_shipdate as date) as day, count(*) as n_ship,
+         sum(round(l_quantity)::bigint) as qty_units
+  from lineitem group by 1
+), days as (
+  select o_orderkey, o_orderpriority,
+         cast(o_orderdate as date) + i::int as day
+  from orders cross join (select unnest(generate_series(0, 6)) as i) t
+)
+select o_orderpriority,
+       sum(n_ship) as shipped_nearby,
+       sum(qty_units) as qty_nearby
+from days join daily using (day)
+group by o_orderpriority order by o_orderpriority
+"""
+    # Weekly revenue + lag: both engines truncate weeks to Monday.
+    sql["revenue_wow_change"] = """
+with weekly as (
+  select date_trunc('week', o_orderdate) as week, count(*) as n_orders,
+         sum(round(o_totalprice * 100)::bigint) as rev_cents
+  from orders group by 1
+)
+select floor(epoch(week))::bigint as week_epoch, n_orders, rev_cents,
+       lag(rev_cents) over (order by week) as prev_cents,
+       rev_cents - lag(rev_cents) over (order by week) as wow_delta_cents
+from weekly order by week_epoch
+"""
+    # SymSpell equivalence: levenshtein == 1 at a length difference of
+    # exactly 1 IFF the short string is a one-deletion of the long one —
+    # the oracle states the edit-distance contract literally, the Spark
+    # side answers it with the deletion-variant equi-join.
+    sql["fuzzy_name_match"] = """
+with noisy as (
+  select p_partkey as src_partkey,
+         substring(p_name, 1, p_partkey % length(p_name)) ||
+         substring(p_name, p_partkey % length(p_name) + 2) as noisy_name
+  from part
+)
+select distinct n.src_partkey, n.noisy_name,
+       p.p_partkey as match_partkey, p.p_name as match_name
+from noisy n
+join part p
+  on length(p.p_name) = length(n.noisy_name) + 1
+ and levenshtein(n.noisy_name, p.p_name) = 1
+order by src_partkey, match_partkey
+"""
+    # Overlapping chunk explode: generate_series and Spark sequence share
+    # inclusive-stop stepped semantics; char-based length/substring in
+    # both engines.
+    sql["doc_chunk_overlap"] = """
+select doc_id, (o // 192)::int as chunk_id, o::int as offset,
+       length(substring(text, o + 1, 256)) as chunk_len,
+       substring(text, o + 1, 256) as chunk
+from documents
+cross join unnest(generate_series(0, greatest(length(text) - 1, 0), 192))
+  as t(o)
+order by doc_id, chunk_id
 """
     return sql

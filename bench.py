@@ -113,6 +113,8 @@ def main() -> int:
         "lm_perplexity",
         "url_canonicalize",
         "span_splice",
+        "shipping_priority",
+        "interval_ship_demand",
     ]
     if only:
         headline = [q for q in headline if q in only]

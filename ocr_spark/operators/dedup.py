@@ -846,3 +846,52 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("batch_doc", "corpus_doc")
     )
     return verified
+
+
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance WITHOUT an all-pairs scan:
+    symmetric-delete (SymSpell-style) blocking turns "find every
+    canonical name within levenshtein 1 of a corrupted name" into a
+    pure equi-join.
+
+    Input is self-synthesized and deterministic: each part name gets a
+    one-character deletion at position (p_partkey % length) — the OCR /
+    manual-entry corruption model.  The index side explodes each
+    canonical name into its L one-deletion variants (L = name length, a
+    bounded constant — NOT data-sized), so matching is
+
+        noisy_name  ==  delete1(canonical, i)   for some i
+
+    which for a length-difference of exactly 1 is *equivalent* to
+    levenshtein(noisy, canonical) == 1 — the equi-join candidate set IS
+    the answer set, no verify pass needed (the oracle pins this with a
+    literal levenshtein predicate).  Cost: O(names x avg_len) index
+    rows, one hash shuffle on the variant string, zero quadratic
+    blow-up — at 10^12 names this is the only shape that finishes.
+    Plan pinned by tests/test_plans.py::test_fuzzy_name_match_equi_join.
+    """
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    noisy = part.select(
+        F.col("p_partkey").alias("src_partkey"),
+        F.concat(
+            F.expr("substring(p_name, 1, pmod(p_partkey, length(p_name)))"),
+            F.expr("substring(p_name, pmod(p_partkey, length(p_name)) + 2)"),
+        ).alias("noisy_name"),
+    )
+    variants = part.select(
+        F.col("p_partkey").alias("match_partkey"),
+        F.col("p_name").alias("match_name"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(p_name) - 1), i -> "
+                "concat(substring(p_name, 1, i), substring(p_name, i + 2)))"
+            )
+        ).alias("variant"),
+    ).distinct()
+    return (
+        noisy.join(variants, noisy.noisy_name == variants.variant)
+        .select("src_partkey", "noisy_name", "match_partkey", "match_name")
+        .distinct()
+        .repartition(1)
+        .sortWithinPartitions("src_partkey", "match_partkey")
+    )

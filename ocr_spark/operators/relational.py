@@ -1001,3 +1001,202 @@ def window_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("w_start_s", "event_type")
     )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): 3-table join with filters on
+    every side, revenue agg, global top-10.
+
+    Scale notes: each filter is pushed into its parquet scan (segment on
+    customer, date on orders and lineitem — PushedFilters pinned by
+    tests/test_plans.py::test_shipping_priority_pushdown_no_nlj), so the
+    join inputs are pre-shrunk before any shuffle; Catalyst orders the
+    joins and AQE picks broadcast for the filtered customer side when it
+    fits.  Revenue is per-row integer cents (round(x*100) is one IEEE
+    double op on identical inputs in both engines) so the top-10 cut
+    can never flip on accumulation-order noise.  The global top-10 is
+    TakeOrderedAndProject — no full sort is materialized.
+    """
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1998-06-30")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1998-06-30")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("order_epoch"),
+            "revenue_cents",
+        )
+        .orderBy(F.col("revenue_cents").desc(), "order_epoch", "o_orderkey")
+        .limit(10)
+    )
+
+
+LATE_SHIP_DAYS = 20
+
+
+def late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking via a LEFT SEMI join —
+    count orders per priority that have AT LEAST ONE lineitem shipped
+    more than LATE_SHIP_DAYS days after the order date.
+
+    The semi join is the point: EXISTS never materializes the (order x
+    matching-lineitem) blow-up — each probe row emits at most once, so
+    the shuffle and the agg input stay O(orders) regardless of how many
+    late lineitems an order has.  Plan pinned by
+    tests/test_plans.py::test_late_order_priority_semi_join.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.date_add(orders.o_orderdate, LATE_SHIP_DAYS)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+        .repartition(1)
+        .sortWithinPartitions("o_orderpriority")
+    )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no RECENT orders (none since 2000-01-01) — a scalar subquery
+    feeding a LEFT ANTI join over a filtered probe side, grouped by
+    nation.
+
+    Scale notes: the scalar average is a one-row aggregate broadcast
+    into the filter (no collect, no driver round-trip); NOT EXISTS is a
+    LEFT ANTI join on custkey — one shuffle, emits each customer at most
+    once, never builds the pair set.  Balance sums are per-row integer
+    cents so the group totals are accumulation-order-proof.  Plan pinned
+    by tests/test_plans.py::test_idle_rich_customers_anti_join.
+    """
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    # Integer-cents threshold: exact bigint sum, ONE double division,
+    # floor — bit-identical in both engines, so no customer can sit
+    # within an ulp of the cut (a double avg() would accumulate in
+    # engine-specific order).
+    thr = (
+        cust.filter(cents > 0)
+        .agg(F.floor(F.sum(cents) / F.count(F.lit(1))).alias("thr_cents"))
+    )
+    rich = cust.withColumn("bal_cents_row", cents).join(
+        F.broadcast(thr)
+    ).filter(F.col("bal_cents_row") > F.col("thr_cents"))
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum("bal_cents_row").alias("bal_cents"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("c_nationkey")
+    )
+
+
+DEMAND_WINDOW_DAYS = 7
+
+
+def interval_ship_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join at scale, the bin-and-equi-join rewrite:
+    for each order priority, how many lineitems (any order) shipped
+    within DEMAND_WINDOW_DAYS days of one of its orders.
+
+    A naive interval join (l_shipdate BETWEEN o_orderdate AND
+    o_orderdate+6) between two fact tables is a nested-loop — O(orders x
+    lineitems) comparisons and an un-shuffleable predicate.  The scale
+    rewrite here does BOTH classic tricks:
+
+    * aggregate-before-join — lineitem collapses to per-day (count,
+      quantity) first: ~2.4k rows at any SF, since the day domain grows
+      with calendar time, not data volume;
+    * bin-explode the interval side — each order emits its 7 covered
+      days (posexplode of a sequence), turning the range predicate into
+      an exact equi-join on the day key.
+
+    Join cost becomes O(orders x 7) hashed rows against a tiny build
+    side — AQE broadcasts it — and NO row ever pairs with more than its
+    own day bucket.  Quantities ride as per-row integer units.  Plan
+    pinned by tests/test_plans.py::test_interval_ship_demand_no_nlj.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.count("*").alias("n_ship"),
+        F.sum(F.round("l_quantity").cast("bigint")).alias("qty_units"),
+    )
+    days = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(
+            F.sequence(
+                F.to_date("o_orderdate"),
+                F.date_add(F.to_date("o_orderdate"), DEMAND_WINDOW_DAYS - 1),
+            )
+        ).alias("day"),
+    )
+    return (
+        days.join(daily, "day")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_ship").alias("shipped_nearby"),
+            F.sum("qty_units").alias("qty_nearby"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderpriority")
+    )
+
+
+def revenue_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue with week-over-week delta via lag().
+
+    The series axis (ISO weeks) has calendar cardinality — a few hundred
+    rows no matter the SF — so the single-partition lag window over the
+    AGGREGATED series is safe by construction at any scale; the heavy
+    lifting (the weekly rollup) is a normal partial-agg shuffle.
+    Revenue is per-row integer cents; the delta is integer-exact.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    weekly = orders.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("week")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents).alias("rev_cents"),
+    )
+    w = Window.orderBy("week")
+    return (
+        weekly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+        .select(
+            F.unix_timestamp("week").alias("week_epoch"),
+            "n_orders",
+            "rev_cents",
+            "prev_cents",
+            (F.col("rev_cents") - F.col("prev_cents")).alias("wow_delta_cents"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("week_epoch")
+    )

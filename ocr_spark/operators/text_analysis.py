@@ -771,3 +771,37 @@ def length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+CHUNK_CHARS = 256
+CHUNK_STRIDE = 192
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping fixed-size training chunks
+    (CHUNK_CHARS window, CHUNK_STRIDE stride — 25% overlap), the
+    context-window packing precursor every LLM data pipeline runs.
+
+    Pure Catalyst: offsets come from ``sequence(0, len-1, stride)``
+    exploded map-side (no shuffle at all — the output keeps the input's
+    partitioning), chunks are ``substring`` slices.  Memory per row is
+    bounded by doc length x (1/stride) overlap factor; empty docs emit
+    exactly one empty chunk so downstream row accounting stays 1:1
+    auditable against the input.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, greatest(length(text) - 1, 0),"
+                f" {CHUNK_STRIDE}), o -> substring(text, o + 1, {CHUNK_CHARS}))"
+            )
+        ).alias("chunk_id", "chunk"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * CHUNK_STRIDE).alias("offset"),
+        F.length("chunk").alias("chunk_len"),
+        "chunk",
+    )

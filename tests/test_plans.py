@@ -669,3 +669,80 @@ def test_zvalue_interleave_roundtrip(spark):
 
     for r in rows:
         assert decode(r["z"]) == (r["a"], r["b"])
+
+
+def test_shipping_priority_pushdown_no_nlj(spark):
+    """Q3 shape: every per-table filter must reach its parquet scan, the
+    top-10 must be TakeOrdered (no global sort materialization), and no
+    join may degrade to a nested loop."""
+    from ocr_spark.operators.relational import shipping_priority
+
+    df = shipping_priority(spark, SF)
+    plan = plan_of(df)
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan.replace(" ", "").replace(
+        "'", ""
+    ) or "c_mktsegment" in [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ][0], "segment filter not pushed to the customer scan"
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), "shipdate not pushed"
+    assert any("o_orderdate" in ln for ln in pushed), "orderdate not pushed"
+    simple = plan_of(df, "simple")
+    assert "TakeOrdered" in simple
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+
+
+def test_late_order_priority_semi_join(spark):
+    """Q4 shape: EXISTS must compile to a LEFT SEMI join — each order
+    emits at most once no matter how many late lineitems it has."""
+    from ocr_spark.operators.relational import late_order_priority
+
+    plan = plan_of(late_order_priority(spark, SF), "simple")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_idle_rich_customers_anti_join(spark):
+    """Q22 shape: NOT EXISTS must compile to a LEFT ANTI join on the
+    custkey (never a pair materialization), and the scalar threshold
+    rides in as a broadcast, not a collect."""
+    from ocr_spark.operators.relational import idle_rich_customers
+
+    plan = plan_of(idle_rich_customers(spark, SF), "simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # the 1-row threshold join is the only nested-loop-ish node allowed,
+    # and it must be a broadcast of the single aggregate row
+    assert "Broadcast" in plan
+
+
+def test_interval_ship_demand_no_nlj(spark):
+    """The bin-rewrite must hold: lineitem collapses to per-day partials
+    BEFORE any join (partial_count in the pre-join agg), the interval
+    side explodes via Generate, and the join is an equi-join — a range
+    predicate would show up here as a nested loop."""
+    from ocr_spark.operators.relational import interval_ship_demand
+
+    df = interval_ship_demand(spark, SF)
+    simple = plan_of(df, "simple")
+    assert "Generate" in simple  # the 7-day interval explode
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "partial_count" in plan_of(df), (
+        "lineitem must aggregate to per-day rows before the join"
+    )
+
+
+def test_fuzzy_name_match_equi_join(spark):
+    """SymSpell blocking must make edit-distance matching a pure
+    equi-join: no nested loop, no cartesian, and no levenshtein call
+    anywhere in the plan (the deletion-variant equality IS the
+    distance-1 predicate at a length difference of 1)."""
+    from ocr_spark.operators.dedup import fuzzy_name_match
+
+    df = fuzzy_name_match(spark, SF)
+    simple = plan_of(df, "simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "levenshtein" not in plan_of(df).lower()

@@ -1,0 +1,207 @@
+"""Crafted edge-case semantics for the round-3 relational breadth
+operators (Q3/Q4/Q22 shapes, binned interval join, WoW lag, SymSpell
+fuzzy match, overlapping chunking).  The DuckDB oracle pins full-table
+values at sf0.01; these pin the boundary rules a random corpus might
+never exercise.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+def _write(spark, d, name, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{d}/{name}.parquet"
+    )
+
+
+def test_late_order_boundary_and_multiplicity(spark, tmp_path):
+    """An order counts once no matter how many late lineitems it has;
+    shipdate exactly AT the +20-day boundary is NOT late (strict >)."""
+    from ocr_spark.operators.relational import late_order_priority
+
+    d = str(tmp_path)
+    base = dt.datetime(2024, 1, 1)
+    _write(
+        spark, d, "orders",
+        [
+            (1, 10, "O", 1.0, base, "1-URGENT"),   # 3 late items -> 1 count
+            (2, 11, "O", 1.0, base, "1-URGENT"),   # boundary item: not late
+            (3, 12, "O", 1.0, base, "2-HIGH"),     # on-time only
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _write(
+        spark, d, "lineitem",
+        [
+            (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", base + dt.timedelta(days=21)),
+            (1, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", base + dt.timedelta(days=22)),
+            (1, 1, 1, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", base + dt.timedelta(days=23)),
+            (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", base + dt.timedelta(days=20)),
+            (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", base + dt.timedelta(days=5)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    got = {
+        r["o_orderpriority"]: r["n_late_orders"]
+        for r in late_order_priority(spark, d).collect()
+    }
+    assert got == {"1-URGENT": 1}
+
+
+def test_idle_rich_threshold_is_strict_and_integer(spark, tmp_path):
+    """The cut is floor(mean cents) with a STRICT >: a customer exactly
+    at the threshold is excluded; negative balances don't feed the
+    mean but can't pass the cut either."""
+    from ocr_spark.operators.relational import idle_rich_customers
+
+    d = str(tmp_path)
+    _write(
+        spark, d, "customer",
+        [
+            (1, "a", 0, 10.00, "BUILDING"),   # feeds mean
+            (2, "b", 0, 20.00, "BUILDING"),   # feeds mean; above thr
+            (3, "c", 1, 15.00, "BUILDING"),   # exactly thr (1500): excluded
+            (4, "d", 1, -5.00, "BUILDING"),   # negative: excluded everywhere
+            (5, "e", 2, 19.99, "BUILDING"),   # above thr, but has recent order
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    _write(
+        spark, d, "orders",
+        [
+            (100, 5, "O", 1.0, dt.datetime(2001, 5, 1), "1-URGENT"),
+            (101, 2, "O", 1.0, dt.datetime(1995, 5, 1), "1-URGENT"),  # old: ok
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = idle_rich_customers(spark, d).collect()
+    got = {r["c_nationkey"]: (r["n_custs"], r["bal_cents"]) for r in rows}
+    # mean cents = (1000+2000+1500+1999)/4 = 1624 (floor); > 1624 passes:
+    # cust 2 (2000, old order only) and cust 5 (1999, recent order -> out)
+    assert got == {0: (1, 2000)}
+
+
+def test_interval_demand_window_boundaries(spark, tmp_path):
+    """Day-binned interval join: ship days at offset -1 and +7 are out,
+    0 and +6 are in; quantities sum as integer units."""
+    from ocr_spark.operators.relational import interval_ship_demand
+
+    d = str(tmp_path)
+    base = dt.datetime(2024, 1, 10)
+    _write(
+        spark, d, "orders",
+        [(1, 1, "O", 1.0, base, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = []
+    for i, days in enumerate([-1, 0, 3, 6, 7]):
+        li.append(
+            (10 + i, 1, 1, 1, 2.0, 1.0, 0.0, 0.0, "N", "O",
+             base + dt.timedelta(days=days))
+        )
+    _write(
+        spark, d, "lineitem", li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    rows = interval_ship_demand(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["shipped_nearby"] == 3       # offsets 0, 3, 6
+    assert rows[0]["qty_nearby"] == 6           # 3 items x 2 units
+
+
+def test_revenue_wow_first_week_null_and_delta(spark, tmp_path):
+    from ocr_spark.operators.relational import revenue_wow_change
+
+    d = str(tmp_path)
+    # two ISO weeks: 2024-01-01 (Mon) and 2024-01-08 (Mon)
+    _write(
+        spark, d, "orders",
+        [
+            (1, 1, "O", 10.00, dt.datetime(2024, 1, 2), "1-URGENT"),
+            (2, 1, "O", 20.00, dt.datetime(2024, 1, 7), "1-URGENT"),
+            (3, 1, "O", 25.50, dt.datetime(2024, 1, 8), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = revenue_wow_change(spark, d).collect()
+    assert [r["rev_cents"] for r in rows] == [3000, 2550]
+    assert rows[0]["prev_cents"] is None
+    assert rows[0]["wow_delta_cents"] is None
+    assert rows[1]["wow_delta_cents"] == -450
+
+
+def test_fuzzy_match_finds_all_distance1_canonicals(spark, tmp_path):
+    """A corrupted name must match EVERY canonical name at edit distance
+    1 (not just its own source), and nothing at distance 0 or 2."""
+    from ocr_spark.operators.dedup import fuzzy_name_match
+
+    d = str(tmp_path)
+    _write(
+        spark, d, "part",
+        [
+            # key 1 -> delete pos 1%4=1: "abcd" -> "acd"
+            (1, "abcd", "B", "T", 1, 1.0),
+            # "aacd" is ALSO distance 1 from "acd" (delete the extra a)
+            (2, "aacd", "B", "T", 1, 1.0),
+            # unrelated name, its own noisy variant only matches itself
+            (3, "xyz", "B", "T", 1, 1.0),
+            # distance 2 from "acd": must NOT match noisy of part 1
+            (4, "azzd", "B", "T", 1, 1.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    pairs = {
+        (r["src_partkey"], r["match_partkey"])
+        for r in fuzzy_name_match(spark, d).collect()
+    }
+    assert (1, 1) in pairs and (1, 2) in pairs
+    assert (3, 3) in pairs
+    assert (1, 4) not in pairs
+    # noisy("aacd", pos 2%4=2) = "aad": matches only "aacd" itself
+    assert (2, 2) in pairs and (2, 1) not in pairs
+
+
+def test_doc_chunks_overlap_and_cover(spark, tmp_path):
+    """Chunk algebra: stride-192/size-256 chunks overlap by exactly 64
+    chars, jointly cover the document, and an empty doc emits one empty
+    chunk (1:1 row accounting)."""
+    from ocr_spark.operators.text_analysis import doc_chunk_overlap
+
+    d = str(tmp_path)
+    text = "".join(chr(ord("a") + (i % 26)) for i in range(300))
+    _write(
+        spark, d, "documents",
+        [(1, text, "en", "s", 300), (2, "", "en", "s", 0),
+         (3, "short", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = sorted(
+        doc_chunk_overlap(spark, d).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c0, c1 = by_doc[1]
+    assert (c0["offset"], c0["chunk_len"]) == (0, 256)
+    assert (c1["offset"], c1["chunk_len"]) == (192, 108)
+    assert c0["chunk"][192:] == c1["chunk"][:64]          # overlap region
+    assert c0["chunk"] + c1["chunk"][64:] == text          # full coverage
+    assert [(r["chunk_len"],) for r in by_doc[2]] == [(0,)]
+    assert [(r["chunk"],) for r in by_doc[3]] == [("short",)]
