@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_wow_change": relational.revenue_wow_change,
         "fuzzy_name_match": dedup.fuzzy_name_match,
         "doc_chunk_overlap": text_analysis.doc_chunk_overlap,
+        "kmv_distinct_users": relational.kmv_distinct_users,
+        "hash_sample": text_analysis.hash_sample,
     }
 
 
@@ -2834,5 +2836,41 @@ from documents
 cross join unnest(generate_series(0, greatest(length(text) - 1, 0), 192))
   as t(o)
 order by doc_id, chunk_id
+"""
+    # KMV sketch: the portable multiplicative hash makes the ESTIMATE
+    # itself reproducible cross-engine (HLL/xxhash sketches never are).
+    # (k-1)*2^32 = 63*4294967296 = 270582939648.
+    sql["kmv_distinct_users"] = """
+with h as (
+  select distinct event_type,
+         (user_id * 2654435761) % 4294967296 as h
+  from events
+), r as (
+  select event_type, h,
+         row_number() over (partition by event_type order by h) as rn
+  from h
+), a as (
+  select event_type, max(rn) as n_seen, max(h) as kth_hash
+  from r where rn <= 64 group by event_type
+), t as (
+  select event_type, count(distinct user_id) as true_distinct
+  from events group by event_type
+)
+select a.event_type, n_seen,
+       case when n_seen < 64 then n_seen::double
+            else round(270582939648.0 / kth_hash, 3)
+       end as kmv_estimate,
+       true_distinct
+from a join t using (event_type)
+order by event_type
+"""
+    # Deterministic hash sample: keep iff hash < 10% of 2^32
+    # (429496729 = (2^32 * 10) // 100).
+    sql["hash_sample"] = """
+select doc_id, source, lang, n_chars,
+       (doc_id * 2654435761) % 4294967296 as h
+from documents
+where (doc_id * 2654435761) % 4294967296 < 429496729
+order by doc_id
 """
     return sql

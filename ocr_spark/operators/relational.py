@@ -1200,3 +1200,63 @@ def revenue_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("week_epoch")
     )
+
+
+# Portable multiplicative hash (Knuth): both engines compute
+# (x * A) mod 2^32 with exact bigint arithmetic, so sketch contents are
+# bit-identical cross-engine — unlike HLL/xxhash whose implementations
+# differ per engine and can never be value-oracled.
+KMV_HASH_A = 2654435761
+KMV_HASH_M = 2**32
+KMV_K = 64
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SKETCH done portably: a k-minimum-values (KMV)
+    estimator of distinct users per event type, with the exact count
+    alongside as the verification baseline.
+
+    Why KMV and not approx_count_distinct: the sketch state is just the
+    k smallest hash values — order-insensitive, mergeable (union = merge
+    k-min sets), and *deterministic given the hash*, so a DuckDB oracle
+    can reproduce the ESTIMATE itself bit-for-bit.  Estimator: with
+    U = kth smallest hash / 2^32, est = (k-1)/U; groups with fewer than
+    k distinct hashes report their exact hash count (the standard KMV
+    small-range rule; rel. error ~1/sqrt(k-2) above it).
+
+    Scale shape: the only heavy step is the (event_type, hash) distinct
+    — a partial-agg shuffle of the deduplicated pairs; the per-group
+    k-smallest is a window over at most the distinct set, and everything
+    after is sketch-sized.  At 100 TB the exact twin column is dropped
+    and ONLY the k-row-per-group state moves.  Plan pinned by
+    tests/test_plans.py::test_kmv_partial_dedup_before_shuffle.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = F.pmod(F.col("user_id") * F.lit(KMV_HASH_A), F.lit(KMV_HASH_M))
+    hashes = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sketch = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("rn").alias("n_seen"), F.max("h").alias("kth_hash"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    est = F.when(
+        F.col("n_seen") < KMV_K, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.round(F.lit(float((KMV_K - 1) * KMV_HASH_M)) / F.col("kth_hash"), 3)
+    )
+    return (
+        sketch.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_seen",
+            est.alias("kmv_estimate"),
+            "true_distinct",
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )

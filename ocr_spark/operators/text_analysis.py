@@ -805,3 +805,34 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("chunk").alias("chunk_len"),
         "chunk",
     )
+
+
+SAMPLE_HASH_A = 2654435761
+SAMPLE_HASH_M = 2**32
+SAMPLE_RATE_PCT = 10
+
+
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling: keep a document iff the high range
+    of its portable multiplicative hash falls under rate% of 2^32 —
+    the web-scale sampling idiom.
+
+    Why hash, not rand(): the sample is a pure function of the key, so
+    it is (a) reproducible across runs and retries (a re-executed task
+    samples identically — rand() breaks exactly-once semantics under
+    speculative execution), (b) CONSISTENT across tables — any other
+    table keyed by doc_id samples the same ids, so sampled joins stay
+    inner-complete, and (c) map-side only: zero shuffle, zero state,
+    trivially parallel at any scale (plan pinned by
+    tests/test_plans.py::test_hash_sample_map_side_only).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.pmod(F.col("doc_id") * F.lit(SAMPLE_HASH_A), F.lit(SAMPLE_HASH_M))
+    thr = SAMPLE_HASH_M * SAMPLE_RATE_PCT // 100
+    return (
+        docs.withColumn("h", h)
+        .filter(F.col("h") < thr)
+        .select("doc_id", "source", "lang", "n_chars", "h")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -746,3 +746,31 @@ def test_fuzzy_name_match_equi_join(spark):
     assert "CartesianProduct" not in simple
     assert "BroadcastNestedLoopJoin" not in simple
     assert "levenshtein" not in plan_of(df).lower()
+
+
+def test_hash_sample_map_side_only(spark):
+    """Deterministic hash sampling must stay map-side: scan -> filter ->
+    project, with the ONLY exchange being the check-gate repartition(1)
+    tail — no aggregate, no join, no key shuffle."""
+    from ocr_spark.operators.text_analysis import hash_sample
+
+    simple = plan_of(hash_sample(spark, SF), "simple")
+    assert simple.count("Exchange") == 1          # the check-gate tail only
+    assert "SinglePartition" in simple
+    assert "HashAggregate" not in simple
+    assert "Join" not in simple
+
+
+def test_kmv_partial_dedup_before_shuffle(spark):
+    """The KMV sketch's heavy step is the (event_type, hash) distinct —
+    it must partial-aggregate map-side before its shuffle, and the
+    exact-twin join must broadcast the tiny aggregate (never a shuffle
+    of sketch-sized data against the fact table)."""
+    from ocr_spark.operators.relational import kmv_distinct_users
+
+    df = kmv_distinct_users(spark, SF)
+    simple = plan_of(df, "simple")
+    # distinct = partial + final HashAggregate pair around one Exchange
+    assert simple.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in simple
+    assert "CartesianProduct" not in simple

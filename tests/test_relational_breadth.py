@@ -205,3 +205,68 @@ def test_doc_chunks_overlap_and_cover(spark, tmp_path):
     assert c0["chunk"] + c1["chunk"][64:] == text          # full coverage
     assert [(r["chunk_len"],) for r in by_doc[2]] == [(0,)]
     assert [(r["chunk"],) for r in by_doc[3]] == [("short",)]
+
+
+def test_kmv_estimate_accuracy_and_merge_rule(spark, tmp_path):
+    """KMV estimator quality: on 5000 distinct synthetic users the
+    estimate lands within 20% of truth (k=64 -> ~12.5% expected rel.
+    error), and a group with fewer than k distinct users reports the
+    EXACT count (the small-range rule)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.relational import KMV_K, kmv_distinct_users
+
+    d = str(tmp_path)
+    big = spark.range(20000).select(
+        F.col("id").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        (F.col("id") % 5000).alias("user_id"),   # 5000 distinct
+        F.lit("big").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    small = spark.range(300).select(
+        (F.col("id") + 10**6).alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        (F.col("id") % 17).alias("user_id"),     # 17 distinct: under k=64
+        F.lit("small").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    big.unionByName(small).write.parquet(f"{d}/events.parquet")
+    rows = {r["event_type"]: r for r in kmv_distinct_users(spark, d).collect()}
+    big_r = rows["big"]
+    assert big_r["true_distinct"] == 5000
+    assert abs(big_r["kmv_estimate"] - 5000) / 5000 < 0.20
+    small_r = rows["small"]
+    assert small_r["n_seen"] == 17 < KMV_K
+    assert small_r["kmv_estimate"] == 17.0 == small_r["true_distinct"]
+
+
+def test_hash_sample_consistent_and_unbiased(spark, tmp_path):
+    """Hash sampling invariants: the sampled id set is a pure function
+    of the key (two runs agree), the rate is near 10% on 5000 docs, and
+    every returned hash is under the threshold."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.text_analysis import (
+        SAMPLE_HASH_M,
+        SAMPLE_RATE_PCT,
+        hash_sample,
+    )
+
+    d = str(tmp_path)
+    spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("s").alias("source"),
+        F.lit(1).alias("n_chars"),
+    ).write.parquet(f"{d}/documents.parquet")
+    ids1 = sorted(r["doc_id"] for r in hash_sample(spark, d).collect())
+    ids2 = sorted(r["doc_id"] for r in hash_sample(spark, d).collect())
+    assert ids1 == ids2
+    rate = len(ids1) / 5000
+    assert 0.07 < rate < 0.13, rate
+    thr = SAMPLE_HASH_M * SAMPLE_RATE_PCT // 100
+    assert all(r["h"] < thr for r in hash_sample(spark, d).collect())
