@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_html": table.table_html,
         # -- streaming (drained via availableNow) --
         "stream_exact_dedup": _q_stream_dedup,
+        "stream_watermark_dedup": _q_stream_wm_dedup,
         "stream_window_counts": _q_stream_window,
         "stream_user_sessions": _q_stream_sessions,
         "stream_enriched_events": _q_stream_enrich,
@@ -240,6 +241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_overlap": text_analysis.doc_chunk_overlap,
         "kmv_distinct_users": relational.kmv_distinct_users,
         "hash_sample": text_analysis.hash_sample,
+        "cms_user_frequency": relational.cms_user_frequency,
+        "group_hash_sample": text_analysis.group_hash_sample,
+        "text_normalize": text_analysis.text_normalize,
     }
 
 
@@ -414,6 +418,12 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.streaming.stream import stream_dedup_query
 
     return stream_dedup_query(spark, sf_dir)
+
+
+def _q_stream_wm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.streaming.stream import stream_watermark_dedup_query
+
+    return stream_watermark_dedup_query(spark, sf_dir)
 
 
 def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2864,6 +2874,15 @@ select a.event_type, n_seen,
 from a join t using (event_type)
 order by event_type
 """
+    # Watermark-bounded streaming dedup: input is every event written
+    # twice with identical bytes, so whichever copy survives, the row is
+    # the same — the oracle is the plain distinct.
+    sql["stream_watermark_dedup"] = """
+select distinct event_id, floor(epoch(ts))::bigint as epoch, user_id,
+       event_type, round(value, 6) as value
+from events
+order by event_id
+"""
     # Deterministic hash sample: keep iff hash < 10% of 2^32
     # (429496729 = (2^32 * 10) // 100).
     sql["hash_sample"] = """
@@ -2872,5 +2891,75 @@ select doc_id, source, lang, n_chars,
 from documents
 where (doc_id * 2654435761) % 4294967296 < 429496729
 order by doc_id
+"""
+    # Count-min sketch: same portable hash family as KMV, so the
+    # ESTIMATES (min over depth rows of the bucket counters) reproduce
+    # bit-for-bit.
+    sql["cms_user_frequency"] = """
+with cells as (
+  select user_id, j.row,
+         ((user_id + j.row * 9973) * 2654435761) % 4294967296 % 128
+           as bucket
+  from events
+  cross join (select unnest(generate_series(0, 3)) as row) j
+), sketch as (
+  select row, bucket, count(*) as cnt from cells group by row, bucket
+), keys as (
+  select user_id, count(*) as true_events from events group by user_id
+), key_cells as (
+  select k.user_id, k.true_events, j.row,
+         ((k.user_id + j.row * 9973) * 2654435761) % 4294967296 % 128
+           as bucket
+  from keys k
+  cross join (select unnest(generate_series(0, 3)) as row) j
+)
+select kc.user_id, min(s.cnt) as cms_estimate, kc.true_events
+from key_cells kc join sketch s using (row, bucket)
+group by kc.user_id, kc.true_events
+order by kc.user_id
+"""
+    # Per-group deterministic sample: k smallest portable hashes per
+    # source (hash is injective on doc_id < 2^32 -> no rank ties).
+    sql["group_hash_sample"] = """
+with r as (
+  select source, doc_id, lang, n_chars,
+         row_number() over (
+           partition by source
+           order by (doc_id * 2654435761) % 4294967296
+         ) as rn
+  from documents
+)
+select source, rn, doc_id, lang, n_chars
+from r where rn <= 5
+order by source, rn
+"""
+    # NFC + cleanup chain: nfc_normalize, CRLF->LF, zero-width strip,
+    # horizontal-whitespace collapse, edge trim — same op order as the
+    # pandas kernel.
+    sql["text_normalize"] = """
+with raw as (
+  select doc_id,
+         (case when doc_id % 3 = 0 then 'e' || chr(769) || ' '
+               when doc_id % 3 = 1 then chr(233) || ' '
+               else '' end)
+         || chr(9) || ' ' || text || chr(13) || chr(10) || ' tail'
+         || chr(8203) as raw
+  from documents
+), norm as (
+  select doc_id, length(raw) as n_raw,
+         trim(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(nfc_normalize(raw), '\\r\\n?', chr(10), 'g'),
+               '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279)
+                 || ']', '', 'g'),
+             '[ ' || chr(9) || ']+', ' ', 'g'),
+           ' ' || chr(9) || chr(10)) as norm
+  from raw
+)
+select doc_id, n_raw, length(norm) as n_norm,
+       substring(norm, 1, 40) as norm_head,
+       substring(norm, greatest(length(norm) - 11, 1), 12) as norm_tail
+from norm order by doc_id
 """
     return sql

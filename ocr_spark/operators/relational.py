@@ -1260,3 +1260,81 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("event_type")
     )
+
+
+# Count-min sketch geometry: CMS_DEPTH independent hash rows of
+# CMS_WIDTH counters.  Hash family j: ((x + j*9973) * A) mod 2^32
+# mod WIDTH — same portable arithmetic as the KMV sketch, so the
+# ESTIMATES are reproducible in the DuckDB oracle.
+CMS_DEPTH = 4
+CMS_WIDTH = 128
+
+
+def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-estimation SKETCH, portably: a count-min sketch of
+    per-user event counts, reported next to the exact count.
+
+    The sketch is CMS_DEPTH x CMS_WIDTH counters — constant-size,
+    mergeable (cell-wise sum), built with ONE map-side explode (each
+    event emits its CMS_DEPTH (row, bucket) cells) and one shuffle of at
+    most DEPTH*WIDTH = 512 groups regardless of data volume.  The
+    estimate for a key is min over rows of its cell — always >= the
+    true count (one-sided error; overestimate bounded by collisions,
+    pinned in tests).  At 100 TB this is how you answer "how often does
+    key X appear" without a data-sized groupBy state; the exact twin
+    column here is the verification baseline the oracle also checks.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cells = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.pmod(
+                            F.pmod(
+                                (F.col("user_id") + F.lit(j * 9973))
+                                * F.lit(KMV_HASH_A),
+                                F.lit(KMV_HASH_M),
+                            ),
+                            F.lit(CMS_WIDTH),
+                        ).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("user_id", "c.row", "c.bucket")
+    sketch = cells.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+    keys = ev.groupBy("user_id").agg(F.count("*").alias("true_events"))
+    key_cells = keys.select(
+        "user_id",
+        "true_events",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.pmod(
+                            F.pmod(
+                                (F.col("user_id") + F.lit(j * 9973))
+                                * F.lit(KMV_HASH_A),
+                                F.lit(KMV_HASH_M),
+                            ),
+                            F.lit(CMS_WIDTH),
+                        ).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("user_id", "true_events", "c.row", "c.bucket")
+    return (
+        key_cells.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("user_id", "true_events")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select("user_id", "cms_estimate", "true_events")
+        .repartition(1)
+        .sortWithinPartitions("user_id")
+    )

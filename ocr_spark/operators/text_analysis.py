@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to"],
@@ -835,4 +836,106 @@ def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang", "n_chars", "h")
         .repartition(1)
         .sortWithinPartitions("doc_id")
+    )
+
+
+# Zero-width characters stripped by text_normalize (ZWSP, ZWNJ, ZWJ, BOM).
+_ZW_CODEPOINTS = (0x200B, 0x200C, 0x200D, 0xFEFF)
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-aware text canonicalization — the step every multilingual
+    training pipeline runs before dedup/tokenization: NFC normalization
+    (composed and decomposed forms of the same grapheme must hash
+    identically or every dedup signal silently misses cross-source
+    duplicates), CRLF -> LF, zero-width character strip, horizontal
+    whitespace collapse, edge trim.
+
+    The corpus is ASCII, so adversarial inputs are SYNTHESIZED
+    deterministically: docs get a decomposed (e +  ̈ U+0301) or
+    precomposed (é U+00E9) prefix by doc_id residue — NFC must map both
+    to the same byte sequence — plus a tab run, a CRLF, and a trailing
+    zero-width space.
+
+    NFC itself has no Catalyst builtin, so it runs as an Arrow-batched
+    pandas UDF (``unicodedata.normalize`` — the slow-path rule: vectorized
+    python only where the JVM genuinely lacks the primitive); everything
+    around it (prefix synthesis, length accounting) is native SQL.  The
+    stage is map-side only — zero shuffle at any scale.  The DuckDB
+    oracle reproduces the full chain via ``nfc_normalize`` + regexes.
+    """
+    import re
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    zw = "".join(chr(c) for c in _ZW_CODEPOINTS)
+    zw_re = re.compile(f"[{zw}]")
+    ws_re = re.compile(r"[ \t]+")
+
+    def _kernel(s):  # pd.Series -> pd.Series (module has deferred
+        # annotations, so the signature is declared via returnType below)
+        def one(x: str) -> str:
+            x = unicodedata.normalize("NFC", x)
+            x = x.replace("\r\n", "\n").replace("\r", "\n")
+            x = zw_re.sub("", x)
+            x = ws_re.sub(" ", x)
+            return x.strip(" \t\n")
+
+        return s.map(one)
+
+    nfc_clean = pandas_udf(_kernel, "string")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prefix = (
+        # decomposed e + combining acute vs the precomposed codepoint:
+        # NFC must send both to the same bytes
+        F.when(F.col("doc_id") % 3 == 0, F.lit("e\u0301 "))
+        .when(F.col("doc_id") % 3 == 1, F.lit("\u00e9 "))
+        .otherwise(F.lit(""))
+    )
+    raw = F.concat(
+        prefix, F.lit("\t "), F.col("text"), F.lit("\r\n tail\u200b")
+    )
+    return (
+        docs.select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            F.length("raw").alias("n_raw"),
+            nfc_clean(F.col("raw")).alias("norm"),
+        )
+        .select(
+            "doc_id",
+            "n_raw",
+            F.length("norm").alias("n_norm"),
+            F.substring("norm", 1, 40).alias("norm_head"),
+            F.substring("norm", -12, 12).alias("norm_tail"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+GROUP_SAMPLE_K = 5
+
+
+def group_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic sample: for every source, the
+    GROUP_SAMPLE_K documents with the smallest portable hash — the
+    spot-check sample a curation review pulls per slice, stable across
+    runs and machines (rand()-based sampling is neither).
+
+    One shuffle on the group key, then a row_number window; the
+    multiplicative hash is injective on doc_id < 2^32, so ordering has
+    no ties and the sample is fully deterministic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.pmod(F.col("doc_id") * F.lit(SAMPLE_HASH_A), F.lit(SAMPLE_HASH_M))
+    w = Window.partitionBy("source").orderBy("h")
+    return (
+        docs.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= GROUP_SAMPLE_K)
+        .select("source", "rn", "doc_id", "lang", "n_chars")
+        .repartition(1)
+        .sortWithinPartitions("source", "rn")
     )

@@ -799,3 +799,79 @@ def stream_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("user_id")
     )
+
+
+def stream_watermark_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming dedup with BOUNDED state via the native
+    ``dropDuplicatesWithinWatermark``: a duplicate event_id arriving
+    within the watermark delay of the first copy is dropped; once the
+    event-time watermark passes a key's expiry the key is EVICTED, so
+    state size is O(keys per watermark window), not O(all keys ever) —
+    the property that makes streaming dedup survivable at 10^12 events
+    where ``dropDuplicates``'s forever-state (and our explicit
+    applyInPandasWithState twin, stream_exact_dedup) would grow without
+    bound.  The trade is semantic: a duplicate arriving LATER than the
+    delay is re-emitted — the at-least-once contract every log-ingest
+    dedup at scale actually ships (eviction + re-emit pinned by
+    tests/test_streaming.py::test_watermark_dedup_evicts_state).
+    """
+    src = spark.readStream.schema(_EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    deduped = (
+        src.parquet(input_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_watermark_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: stage the events table DOUBLED (every row
+    written twice — the retransmission model) into one file, drain the
+    watermark dedup, and return the surviving rows.
+
+    Determinism argument: the two copies of each event_id are
+    bit-identical, so WHICHEVER copy wins, the output row is the same —
+    the oracle is simply ``select distinct * from events`` (plus the
+    epoch canonicalization).  The eviction/re-emit semantics that DO
+    depend on batch boundaries are pinned in tests, not here."""
+    import shutil
+
+    base = _scratch_dir(spark, "stream_wm_dedup", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ck_dir = f"{base}/in", f"{base}/out", f"{base}/ck"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.unionAll(ev).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = stream_watermark_dedup(spark, in_dir, out_dir, ck_dir)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "event_id",
+            F.unix_timestamp("ts").alias("epoch"),
+            "user_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_id")
+    )

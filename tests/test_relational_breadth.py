@@ -270,3 +270,20 @@ def test_hash_sample_consistent_and_unbiased(spark, tmp_path):
     assert 0.07 < rate < 0.13, rate
     thr = SAMPLE_HASH_M * SAMPLE_RATE_PCT // 100
     assert all(r["h"] < thr for r in hash_sample(spark, d).collect())
+
+
+def test_cms_one_sided_error_and_min_rule(spark):
+    """Count-min contract: every estimate is >= the true count (errors
+    are ONE-sided), and taking the min over the 4 depth rows keeps the
+    average overestimate well under a single row's expected collision
+    mass (N/width)."""
+    from ocr_spark.operators.relational import CMS_WIDTH, cms_user_frequency
+
+    rows = cms_user_frequency(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    n_total = sum(r["true_events"] for r in rows)
+    excesses = []
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_events"], r
+        excesses.append(r["cms_estimate"] - r["true_events"])
+    assert sum(excesses) / len(excesses) <= 2 * n_total / CMS_WIDTH

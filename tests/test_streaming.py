@@ -374,3 +374,59 @@ def test_stream_upsert_crash_recovery(spark, tmp_path):
     assert got[10]["event_id"] == 1  # restored, then re-merged
     assert got[11]["event_id"] == 2
     assert got[12]["event_id"] == 3
+
+
+def test_watermark_dedup_evicts_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract: a duplicate arriving while
+    the key is still in state is dropped, and once the event-time
+    watermark passes the key's expiry (first-seen ts + delay) the key is
+    EVICTED — a later duplicate is re-emitted.  This bounded-state /
+    at-least-once trade is exactly why the operator survives at stream
+    scale where forever-state dedup cannot."""
+    import datetime as dt
+
+    from ocr_spark.streaming.stream import stream_watermark_dedup
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    out, ckpt = str(tmp_path / "wout"), str(tmp_path / "wckpt")
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    def emit(name, rows):
+        import pandas as pd
+        import pyarrow as pa
+
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf), f"{d}/{name}.parquet")
+
+    # batch 1: first copy of event 1 -> emitted; watermark ends at t=0-10
+    emit("b1", [(1, ts(0), 7, "click", 1.0)])
+    stream_watermark_dedup(
+        spark, d, out, ckpt, watermark="10 seconds"
+    ).awaitTermination(300)
+    assert spark.read.parquet(out).count() == 1
+
+    # batch 2: duplicate at t=100.  Watermark entering the batch is -10,
+    # so event 1's state (expiry 0+10) is still live -> duplicate DROPPED.
+    # After the batch the watermark advances to 90 -> the key is evicted.
+    emit("b2", [(1, ts(100), 7, "click", 1.0)])
+    stream_watermark_dedup(
+        spark, d, out, ckpt, watermark="10 seconds"
+    ).awaitTermination(300)
+    assert spark.read.parquet(out).count() == 1
+
+    # batch 3: duplicate at t=200 arrives AFTER eviction -> re-emitted.
+    emit("b3", [(1, ts(200), 7, "click", 1.0)])
+    stream_watermark_dedup(
+        spark, d, out, ckpt, watermark="10 seconds"
+    ).awaitTermination(300)
+    rows = sorted(
+        (r["event_id"], r["ts"]) for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [(1, ts(0)), (1, ts(200))]
