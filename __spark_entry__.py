@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_frequency": relational.cms_user_frequency,
         "group_hash_sample": text_analysis.group_hash_sample,
         "text_normalize": text_analysis.text_normalize,
+        "bloom_semi_prune": relational.bloom_semi_prune,
     }
 
 
@@ -2932,6 +2933,39 @@ with r as (
 select source, rn, doc_id, lang, n_chars
 from r where rn <= 5
 order by source, rn
+"""
+    # Bloom pruning oracle via the position-set equivalence: a bit is
+    # set iff SOME dim key hashes to that position, so membership can be
+    # checked against the distinct position set without reproducing
+    # 64-bit word wraparound.
+    sql["bloom_semi_prune"] = """
+with dim as (
+  select distinct o_custkey as k from orders
+  where o_orderdate >= timestamp '2001-06-01'
+), js as (select unnest(generate_series(0, 3)) as j),
+dim_pos as (
+  select distinct ((k + j * 9973) * 2654435761) % 4294967296 % 4096 as p
+  from dim cross join js
+), probe as (
+  select c_custkey,
+         ((c_custkey + j * 9973) * 2654435761) % 4294967296 % 4096 as p
+  from customer cross join js
+), checked as (
+  select c_custkey,
+         sum(case when dp.p is not null then 1 else 0 end) as hits
+  from probe left join dim_pos dp using (p)
+  group by c_custkey
+), truth as (
+  select c_custkey,
+         max(case when k is not null then 1 else 0 end) as true_match
+  from customer left join dim on c_custkey = k
+  group by c_custkey
+)
+select c.c_custkey,
+       case when hits = 4 then 1 else 0 end as bloom_pass,
+       t.true_match
+from checked c join truth t using (c_custkey)
+order by c_custkey
 """
     # NFC + cleanup chain: nfc_normalize, CRLF->LF, zero-width strip,
     # horizontal-whitespace collapse, edge trim — same op order as the

@@ -1338,3 +1338,85 @@ def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("user_id")
     )
+
+
+BLOOM_BITS = 4096
+BLOOM_K = 4
+
+
+def _bloom_positions(key: Column) -> "list[Column]":
+    """The BLOOM_K bit positions of ``key`` under the portable hash
+    family (same arithmetic as the KMV/CMS sketches)."""
+    return [
+        F.pmod(
+            F.pmod(
+                (key + F.lit(j * 9973)) * F.lit(KMV_HASH_A),
+                F.lit(KMV_HASH_M),
+            ),
+            F.lit(BLOOM_BITS),
+        )
+        for j in range(BLOOM_K)
+    ]
+
+
+def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit runtime Bloom-filter join pruning: build a BLOOM_BITS-bit
+    filter over the keys of a SELECTIVE dim side (customers with an
+    order since 2001-06-01), probe every fact-side row map-side, and
+    report the bloom verdict next to the exact semi-join truth.
+
+    This is the rewrite Spark's runtime bloom injection performs
+    internally, built portably: the filter is 64 bigint words (bit_or
+    aggregate over shifted bits — mergeable, broadcastable at any dim
+    size), the probe is k AND-mask tests against a broadcast 64-row
+    map — so the expensive side is pruned BEFORE its shuffle, which at
+    100 TB is the difference between shuffling the whole fact table and
+    shuffling the ~match fraction.  Bloom guarantees pinned in tests:
+    ZERO false negatives (every true match passes), false positives
+    bounded by the (k, m/n) design point.  The oracle replays the
+    semantics via the position-set equivalence (a bit is set iff some
+    dim key hashes to that position) without needing engine-identical
+    64-bit wraparound.
+    """
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit("2001-06-01"))
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    dim_pos = dim.select(
+        F.explode(F.array(*_bloom_positions(F.col("k")))).alias("p")
+    )
+    bloom = dim_pos.groupBy((F.col("p") / 64).cast("int").alias("word")).agg(
+        F.expr("bit_or(shiftleft(1L, cast(pmod(p, 64) as int)))").alias("wv")
+    )
+    probe = cust.select(
+        "c_custkey",
+        F.explode(F.array(*_bloom_positions(F.col("c_custkey")))).alias("p"),
+    ).withColumn("word", (F.col("p") / 64).cast("int"))
+    checked = (
+        probe.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            (
+                F.coalesce(F.col("wv"), F.lit(0)).bitwiseAND(
+                    F.expr("shiftleft(1L, cast(pmod(p, 64) as int))")
+                )
+                != 0
+            ).cast("int"),
+        )
+        .groupBy("c_custkey")
+        .agg((F.sum("hit") == BLOOM_K).cast("int").alias("bloom_pass"))
+    )
+    truth = cust.select("c_custkey").join(
+        dim.withColumn("m", F.lit(1)),
+        cust.c_custkey == dim.k,
+        "left",
+    ).select("c_custkey", F.coalesce("m", F.lit(0)).alias("true_match"))
+    return (
+        checked.join(truth, "c_custkey")
+        .select("c_custkey", "bloom_pass", "true_match")
+        .repartition(1)
+        .sortWithinPartitions("c_custkey")
+    )

@@ -774,3 +774,14 @@ def test_kmv_partial_dedup_before_shuffle(spark):
     assert simple.count("HashAggregate") >= 2
     assert "BroadcastHashJoin" in simple
     assert "CartesianProduct" not in simple
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    """The bloom probe must broadcast the 64-word filter (never shuffle
+    the probed side against it) and contain no nested loop."""
+    from ocr_spark.operators.relational import bloom_semi_prune
+
+    simple = plan_of(bloom_semi_prune(spark, SF), "simple")
+    assert "BroadcastHashJoin" in simple
+    assert "CartesianProduct" not in simple
+    assert "bit_or" in plan_of(bloom_semi_prune(spark, SF)).lower()

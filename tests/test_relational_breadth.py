@@ -287,3 +287,29 @@ def test_cms_one_sided_error_and_min_rule(spark):
         assert r["cms_estimate"] >= r["true_events"], r
         excesses.append(r["cms_estimate"] - r["true_events"])
     assert sum(excesses) / len(excesses) <= 2 * n_total / CMS_WIDTH
+
+
+def test_bloom_no_false_negatives_bounded_fp(spark):
+    """Bloom contract on the sf0.001 tables: every true match passes the
+    filter (zero false negatives — the property that makes bloom pruning
+    SAFE as a join pre-filter), and the false-positive rate stays under
+    a loose 5x of the (k=4, m=4096, n<=dim-size) design point."""
+    from ocr_spark.operators.relational import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_semi_prune,
+    )
+
+    rows = bloom_semi_prune(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    n_dim = sum(1 for r in rows if r["true_match"] == 1)
+    for r in rows:
+        if r["true_match"] == 1:
+            assert r["bloom_pass"] == 1, r      # never a false negative
+    negatives = [r for r in rows if r["true_match"] == 0]
+    fps = sum(1 for r in negatives if r["bloom_pass"] == 1)
+    # design-point FP rate: (1 - e^(-k n / m))^k
+    import math
+
+    expect = (1 - math.exp(-BLOOM_K * max(n_dim, 1) / BLOOM_BITS)) ** BLOOM_K
+    assert fps <= max(5, 5 * expect * len(negatives)), (fps, expect)
