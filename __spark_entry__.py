@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_hash_sample": text_analysis.group_hash_sample,
         "text_normalize": text_analysis.text_normalize,
         "bloom_semi_prune": relational.bloom_semi_prune,
+        "shard_pack_manifest": text_analysis.shard_pack_manifest,
+        "global_rank_two_pass": relational.global_rank_two_pass,
+        "media_ref_dedup": spans.media_ref_dedup,
     }
 
 
@@ -2995,5 +2998,52 @@ select doc_id, n_raw, length(norm) as n_norm,
        substring(norm, 1, 40) as norm_head,
        substring(norm, greatest(length(norm) - 11, 1), 12) as norm_tail
 from norm order by doc_id
+"""
+    # Deterministic shard packing: portable-hash permutation, shard =
+    # h mod N_SHARDS, per-shard position + running byte offset.
+    sql["shard_pack_manifest"] = """
+with m as (
+  select doc_id, n_chars,
+         (doc_id * 2654435761) % 4294967296 as h
+  from documents
+), s as (
+  select doc_id, n_chars, h, h % 8 as shard from m
+)
+select doc_id, shard,
+       row_number() over (partition by shard order by h) as pos,
+       cast(coalesce(sum(n_chars) over (
+           partition by shard order by h
+           rows between unbounded preceding and 1 preceding), 0)
+         as bigint) as byte_offset
+from s order by doc_id
+"""
+    # Two-pass global rank == a plain global row_number when the hash
+    # has no ties (multiplicative hash is injective on the key domain).
+    sql["global_rank_two_pass"] = """
+select o_orderkey,
+       row_number() over (
+         order by (o_orderkey * 2654435761) % 4294967296
+       ) as global_rank
+from orders
+order by o_orderkey
+"""
+    # Media-blob dedup over the derived interleaved spans: same span
+    # derivation as span_explode, media = token length divisible by 3.
+    sql["media_ref_dedup"] = """
+with spans as (
+  select doc_id, u.tok
+  from documents,
+       unnest(string_split(text, ' ')) as u(tok)
+  where length(u.tok) % 3 = 0
+)
+select tok as media_key,
+       count(distinct doc_id) as n_docs,
+       count(*) as n_occurrences,
+       min(doc_id) as canonical_doc,
+       cast((count(*) - 1) * length(tok) as bigint) as bytes_saved
+from spans
+group by tok
+having count(distinct doc_id) > 1
+order by media_key
 """
     return sql

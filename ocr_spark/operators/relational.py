@@ -1420,3 +1420,61 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("c_custkey")
     )
+
+
+RANK_BUCKETS = 64
+
+
+def global_rank_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row numbers WITHOUT a single-partition sort —
+    the scale-correct zipWithIndex.  A naive
+    ``row_number() over (order by k)`` collapses the whole table into
+    one window partition (one task sorts 100 TB); ``repartitionByRange``
+    fixes the sort but samples, so ranks can shift between runs.
+
+    Two deterministic passes instead:
+      1. bucket = k's position in a FIXED equal-width grid over the
+         hash domain (uniform because the portable multiplicative hash
+         is uniform; no sampling, so the partitioning is reproducible);
+         a tiny per-bucket count aggregate (O(RANK_BUCKETS) rows) is
+         cumulated into per-bucket start offsets — the only "global"
+         sort touches RANK_BUCKETS rows, not the table.
+      2. offsets broadcast back; global_rank = bucket offset +
+         row_number within the bucket (each window partition is one
+         bucket, ~N/RANK_BUCKETS rows — at 100 TB raise RANK_BUCKETS so
+         a bucket fits a task).
+
+    The big table shuffles exactly once (on bucket); the hash is
+    injective on o_orderkey < 2^32, so ranks are total and tie-free."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bucket_width = KMV_HASH_M // RANK_BUCKETS
+    keyed = orders.select("o_orderkey").withColumn(
+        "h", F.pmod(F.col("o_orderkey") * F.lit(KMV_HASH_A), F.lit(KMV_HASH_M))
+    ).withColumn("bucket", (F.col("h") / F.lit(bucket_width)).cast("int"))
+    offsets = (
+        keyed.groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    w = Window.partitionBy("bucket").orderBy("h")
+    return (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "global_rank",
+            (F.col("offset") + F.row_number().over(w)).cast("bigint"),
+        )
+        .select("o_orderkey", "global_rank")
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )

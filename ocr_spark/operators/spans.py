@@ -246,3 +246,38 @@ def union_rbox_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge, "page_id int, grp int, merged_ids string, n_boxes int"
     )
     return out.repartition(1).sortWithinPartitions("page_id", "grp")
+
+
+def media_ref_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document media-blob dedup over the interleaved corpus —
+    the image/asset dedup step of a multimodal pipeline: the same image
+    embedded by thousands of pages should be STORED once and referenced
+    everywhere else.  Media spans group by content key (here the token
+    that plays the blob; in production a binary-content digest), and
+    each blob reports how widely it is shared, its canonical holder
+    (deterministic min doc_id), and the bytes a content-addressed store
+    saves vs materializing every occurrence.
+
+    Scale shape: one shuffle on the content key with map-side partial
+    aggregation (count/min/sum all combine); blob keys are ~unique so
+    the post-shuffle table is small and skew-free — the heavy explode
+    stays map-side.  Only blobs shared by >1 document surface (the
+    actionable rows)."""
+    m = derived_spans(spark, sf_dir).filter(F.col("kind") == "media")
+    return (
+        m.groupBy(F.col("tok").alias("media_key"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .withColumn(
+            "bytes_saved",
+            (
+                (F.col("n_occurrences") - 1) * F.length("media_key")
+            ).cast("bigint"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("media_key")
+    )

@@ -939,3 +939,46 @@ def group_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("source", "rn")
     )
+
+
+N_SHARDS = 8
+
+
+def shard_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + balanced shard packing — the
+    manifest a training dataloader needs: every document gets a shard,
+    a position within that shard, and the cumulative byte offset where
+    its text starts, all reproducible bit-for-bit across runs.
+
+    The permutation is the portable multiplicative hash (injective on
+    doc_id < 2^32 — no ties, no rand()): shard = h mod N_SHARDS, order
+    within a shard = ascending h.  Because h is uniform, shards balance
+    to ~corpus/N_SHARDS rows each with no planning pass.
+
+    Scale shape: ONE shuffle, on the shard key; position and offset are
+    per-shard windows (each window partition IS a shard — at 100 TB
+    N_SHARDS is thousands, so no partition exceeds a target shard
+    size and there is never a global single-partition sort).  The
+    offset window is the running sum a shard writer keeps for free when
+    streaming rows out in order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.pmod(F.col("doc_id") * F.lit(SAMPLE_HASH_A), F.lit(SAMPLE_HASH_M))
+    w = Window.partitionBy("shard").orderBy("h")
+    return (
+        docs.select("doc_id", "n_chars")
+        .withColumn("h", h)
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(N_SHARDS)))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "byte_offset",
+            F.coalesce(
+                F.sum("n_chars").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .select("doc_id", "shard", "pos", "byte_offset")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

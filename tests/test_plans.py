@@ -785,3 +785,25 @@ def test_bloom_probe_broadcasts_filter(spark):
     assert "BroadcastHashJoin" in simple
     assert "CartesianProduct" not in simple
     assert "bit_or" in plan_of(bloom_semi_prune(spark, SF)).lower()
+
+
+def test_global_rank_window_is_per_bucket(spark):
+    """The two-pass rank must never fall back to a single-partition
+    global window: the window partitions by bucket, the tiny offset
+    table is broadcast, and there is no nested-loop join."""
+    from ocr_spark.operators.relational import global_rank_two_pass
+
+    df = global_rank_two_pass(spark, SF)
+    simple = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in simple
+    assert "CartesianProduct" not in simple
+    # The authoritative check: the big-table window's spec carries the
+    # bucket PARTITION column ("windowspecdefinition(bucket#.., h#..L ASC");
+    # the only partition-less window allowed is the O(RANK_BUCKETS)
+    # offset cumulation, whose spec orders by bucket itself.
+    import re
+
+    ext = plan_of(df, "extended")
+    assert re.search(
+        r"windowspecdefinition\(bucket#\d+, h#\d+L? ASC", ext
+    ), ext

@@ -313,3 +313,55 @@ def test_bloom_no_false_negatives_bounded_fp(spark):
 
     expect = (1 - math.exp(-BLOOM_K * max(n_dim, 1) / BLOOM_BITS)) ** BLOOM_K
     assert fps <= max(5, 5 * expect * len(negatives)), (fps, expect)
+
+
+def test_global_rank_contiguous_and_order_correct(spark):
+    """global_rank_two_pass must emit exactly 1..N with no gap or tie,
+    and agree with the single-window reference rank on the same hash
+    order (the thing the bucket decomposition must not change)."""
+    from ocr_spark.operators.relational import (
+        KMV_HASH_A,
+        KMV_HASH_M,
+        global_rank_two_pass,
+    )
+
+    rows = global_rank_two_pass(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert n > 0
+    ranks = sorted(r["global_rank"] for r in rows)
+    assert ranks == list(range(1, n + 1))
+    by_hash = sorted(rows, key=lambda r: (r["o_orderkey"] * KMV_HASH_A) % KMV_HASH_M)
+    assert [r["global_rank"] for r in by_hash] == list(range(1, n + 1))
+
+
+def test_shard_pack_balanced_contiguous_offsets(spark):
+    """Shard packing contract: positions are contiguous 1..n_shard per
+    shard, byte offsets are the exact prefix sums of n_chars in pack
+    order, and no shard exceeds 2x the mean (hash uniformity)."""
+    import duckdb
+
+    from ocr_spark.operators.text_analysis import (
+        N_SHARDS,
+        shard_pack_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = shard_pack_manifest(spark, sf).collect()
+    chars = dict(
+        duckdb.sql(
+            f"select doc_id, n_chars from '{sf}/documents.parquet'"
+        ).fetchall()
+    )
+    shards = {}
+    for r in rows:
+        shards.setdefault(r["shard"], []).append(r)
+    assert set(shards) == set(range(N_SHARDS))
+    mean = len(rows) / N_SHARDS
+    for sid, members in shards.items():
+        members.sort(key=lambda r: r["pos"])
+        assert [m["pos"] for m in members] == list(range(1, len(members) + 1))
+        running = 0
+        for m in members:
+            assert m["byte_offset"] == running, (sid, m)
+            running += chars[m["doc_id"]]
+        assert len(members) <= 2 * mean, (sid, len(members), mean)
