@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_pack_manifest": text_analysis.shard_pack_manifest,
         "global_rank_two_pass": relational.global_rank_two_pass,
         "media_ref_dedup": spans.media_ref_dedup,
+        "regional_revenue": relational.regional_revenue,
+        "exact_quantile_refine": relational.exact_quantile_refine,
+        "ewma_user_value": relational.ewma_user_value,
     }
 
 
@@ -3045,5 +3048,72 @@ from spans
 group by tok
 having count(distinct doc_id) > 1
 order by media_key
+"""
+    # Q5 star-join: same integer hundredths-of-a-cent revenue formula.
+    sql["regional_revenue"] = """
+select n_name,
+       cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                * (100 - cast(round(l_discount * 100) as bigint)))
+         as bigint) as revenue_c2
+from lineitem
+join orders   on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+join nation   on s_nationkey = n_nationkey
+join region   on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and o_orderdate >= timestamp '2000-01-01'
+  and o_orderdate <  timestamp '2001-01-01'
+group by n_name
+order by n_name
+"""
+    # Order statistics are tie-insensitive: the oracle reads the exact
+    # rank-k value directly; the Spark side reaches the same value via
+    # histogram refinement without a global sort.
+    sql["exact_quantile_refine"] = """
+with o as (
+  select cast(round(o_totalprice * 100) as bigint) as cents from orders
+), r as (
+  select cents, row_number() over (order by cents) as rn from o
+), n as (select count(*) as c from o),
+ks as (
+  select 'p25' as quantile, greatest(1, (25 * c + 99) // 100) as k from n
+  union all
+  select 'p50', greatest(1, (50 * c + 99) // 100) from n
+  union all
+  select 'p75', greatest(1, (75 * c + 99) // 100) from n
+)
+select ks.quantile, r.cents as value_cents
+from ks join r on r.rn = ks.k
+order by ks.quantile
+"""
+    # Integer-exact EWMA: lag j weighted 2^(9-j) on cents, reported at
+    # each user's latest event.
+    sql["ewma_user_value"] = """
+with ev as (
+  select user_id, ts, event_id,
+         cast(round(value * 100) as bigint) as cents
+  from events
+), wtd as (
+  select user_id, ts, event_id,
+         (coalesce(lag(cents, 0) over w, 0) * 512
+        + coalesce(lag(cents, 1) over w, 0) * 256
+        + coalesce(lag(cents, 2) over w, 0) * 128
+        + coalesce(lag(cents, 3) over w, 0) * 64
+        + coalesce(lag(cents, 4) over w, 0) * 32
+        + coalesce(lag(cents, 5) over w, 0) * 16
+        + coalesce(lag(cents, 6) over w, 0) * 8
+        + coalesce(lag(cents, 7) over w, 0) * 4
+        + coalesce(lag(cents, 8) over w, 0) * 2
+        + coalesce(lag(cents, 9) over w, 0) * 1) as ewma_scaled,
+         row_number() over (
+           partition by user_id order by ts desc, event_id desc
+         ) as rn
+  from ev
+  window w as (partition by user_id order by ts, event_id)
+)
+select user_id, cast(ewma_scaled as bigint) as ewma_scaled
+from wtd where rn = 1
+order by user_id
 """
     return sql

@@ -1478,3 +1478,167 @@ def global_rank_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("o_orderkey")
     )
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the classic star-schema multi-way join: revenue
+    per nation for ASIA-region suppliers whose customer sits in the
+    SAME nation, over one order-date year.
+
+    Join strategy, which is the whole point at 100 TB:
+      * region -> nation -> supplier collapse into ONE broadcast dim
+        (filter first, broadcast the survivors: 1 region x its nations
+        x their suppliers — tiny after the region gate);
+      * lineitem joins orders on l_orderkey = o_orderkey, the two
+        genuinely large tables co-keyed on the SAME key so one shuffle
+        pair serves the join, with the date filter pushed to the orders
+        scan BEFORE its shuffle;
+      * customer joins on o_custkey (big at web scale: shuffle join,
+        AQE free to demote it to broadcast at small sf);
+      * the c_nationkey = s_nationkey equality rides the supplier
+        broadcast join as a second condition — never a separate join.
+    Revenue is integer hundredths-of-a-cent (price-cents x
+    (100 - discount-cents)) so accumulation order cannot flip the hash.
+    """
+    rg = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    dim = su.join(
+        F.broadcast(na.join(F.broadcast(rg), na.n_regionkey == rg.r_regionkey)),
+        su.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("2000-01-01"))
+            & (F.col("o_orderdate") < F.lit("2001-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_c2"),
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(dim),
+            (li.l_suppkey == dim.s_suppkey)
+            & (cust.c_nationkey == dim.s_nationkey),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum("rev_c2").alias("revenue_c2"))
+        .repartition(1)
+        .sortWithinPartitions("n_name")
+    )
+
+
+QUANTILE_BUCKETS = 256
+
+
+def exact_quantile_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p25/p50/p75 of o_totalprice (cents) without ever sorting
+    the table globally — the histogram-refinement answer to "exact
+    quantiles of 100 TB": approx_percentile is approximate and a global
+    sort is a RangePartitioner pass over everything, but two cheap
+    passes give the exact order statistic:
+
+      pass 1: min/max agg, then a fixed-grid histogram (map-side
+        partial agg -> QUANTILE_BUCKETS rows); cumulating the tiny
+        histogram locates, for each target rank k = ceil(q*N), the
+        bucket holding the k-th value and the residual rank within it;
+      pass 2: scan again filtered to ONE bucket (~N/QUANTILE_BUCKETS
+        rows — the filter is pushed to the parquet scan), take the
+        residual-rank-th smallest via sort-limit on the tiny survivor
+        set.  At extreme scale the same step recurses; one refinement
+        suffices here and the recursion depth is log_B(N).
+
+    The histogram (O(QUANTILE_BUCKETS) rows) is collected as a
+    plan-manifest read — same tiny-stats policy as the checkpoint
+    manifests.  Order statistics are tie-insensitive, so no tiebreak
+    column is needed for value equality with the oracle."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    lo, hi, n = orders.agg(
+        F.min("cents"), F.max("cents"), F.count("*")
+    ).first()
+    width = max((hi - lo) // QUANTILE_BUCKETS + 1, 1)
+    hist = (
+        orders.groupBy(((F.col("cents") - lo) / width).cast("int").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    counts = {r["b"]: r["cnt"] for r in hist}
+    out = None
+    for qname, qpct in [("p25", 25), ("p50", 50), ("p75", 75)]:
+        k = max(1, -(-(qpct * n) // 100))  # ceil(q*N), 1-indexed, int-exact
+        below, bucket = 0, 0
+        for b in sorted(counts):
+            if below + counts[b] >= k:
+                bucket = b
+                break
+            below += counts[b]
+        residual = k - below
+        one = (
+            orders.filter(
+                ((F.col("cents") - lo) / width).cast("int") == bucket
+            )
+            .orderBy("cents")
+            .limit(residual)
+            .agg(F.max("cents").alias("value_cents"))
+            .select(F.lit(qname).alias("quantile"), "value_cents")
+        )
+        out = one if out is None else out.union(one)
+    return out.repartition(1).sortWithinPartitions("quantile")
+
+
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving value over each user's
+    last 10 events (alpha = 1/2) — the decay-weighted signal a
+    freshness-sensitive feature store keeps, engine-exact: weights are
+    POWERS OF TWO on integer cents (lag j weighted 2^(9-j)), so the
+    weighted sum is pure bigint arithmetic — no float accumulation
+    order to disagree on, unlike a textbook alpha*x + (1-alpha)*ewma
+    recurrence (which is also inherently sequential; the windowed form
+    is embarrassingly parallel).
+
+    One shuffle on user_id; the 10 lag() calls share a single window
+    frame (one sort, one pass).  Reported at each user's latest event."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    weighted = sum(
+        (
+            F.coalesce(F.lag("cents", j).over(w), F.lit(0))
+            * F.lit(1 << (9 - j))
+        )
+        for j in range(10)
+    )
+    latest = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("ewma_scaled", weighted.cast("bigint"))
+        .withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ewma_scaled")
+        .repartition(1)
+        .sortWithinPartitions("user_id")
+    )

@@ -807,3 +807,19 @@ def test_global_rank_window_is_per_bucket(spark):
     assert re.search(
         r"windowspecdefinition\(bucket#\d+, h#\d+L? ASC", ext
     ), ext
+
+
+def test_regional_revenue_broadcasts_dim_chain(spark):
+    """Q5 shape: the region->nation->supplier chain must ride broadcast
+    joins (the c_nationkey = s_nationkey equality as a second condition
+    on the broadcast join, never a separate shuffle), the orders date
+    filter must reach the parquet scan, and no nested loop may form."""
+    from ocr_spark.operators.relational import regional_revenue
+
+    df = regional_revenue(spark, SF)
+    simple = plan_of(df, "simple")
+    assert simple.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    fmt = plan_of(df)
+    assert "PushedFilters" in fmt and "o_orderdate" in fmt

@@ -365,3 +365,61 @@ def test_shard_pack_balanced_contiguous_offsets(spark):
             assert m["byte_offset"] == running, (sid, m)
             running += chars[m["doc_id"]]
         assert len(members) <= 2 * mean, (sid, len(members), mean)
+
+
+def test_exact_quantile_ties_and_skewed_bucket(spark, tmp_path):
+    """Histogram refinement must return the exact order statistic even
+    when the distribution is massively skewed into one bucket and the
+    quantile value is tied across many rows."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import exact_quantile_refine
+
+    d = str(tmp_path)
+    ts = dt.datetime(2024, 1, 1)
+    # 97 rows of 10.00, one 0.01, one 5000.00, one 10.01 -> p25/p50 are
+    # inside the tie plateau, p75 too; min/max force a wide grid where
+    # almost everything lands in a single bucket.
+    prices = [10.00] * 97 + [0.01, 5000.00, 10.01]
+    rows = [(i, i, "O", p, ts, "1-URGENT") for i, p in enumerate(prices)]
+    _write(
+        spark, d, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {
+        r["quantile"]: r["value_cents"]
+        for r in exact_quantile_refine(spark, d).collect()
+    }
+    cents = sorted(int(round(p * 100)) for p in prices)
+    n = len(cents)
+    expect = {
+        q: cents[max(1, -(-(pct * n) // 100)) - 1]
+        for q, pct in [("p25", 25), ("p50", 50), ("p75", 75)]
+    }
+    assert got == expect, (got, expect)
+
+
+def test_ewma_short_history_and_weights(spark, tmp_path):
+    """EWMA contract on a crafted user: fewer than 10 events means the
+    missing lags contribute zero; weights are 2^(9-j) with j=0 at the
+    latest event."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import ewma_user_value
+
+    d = str(tmp_path)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 7, "click", v, "{}")
+        for i, v in enumerate([1.00, 2.00, 4.00])
+    ]
+    _write(
+        spark, d, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = ewma_user_value(spark, d).collect()
+    assert len(got) == 1
+    # latest event 4.00 (j=0, w=512), 2.00 (j=1, w=256), 1.00 (j=2, w=128)
+    assert got[0]["ewma_scaled"] == 400 * 512 + 200 * 256 + 100 * 128
