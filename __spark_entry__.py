@@ -251,6 +251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": relational.regional_revenue,
         "exact_quantile_refine": relational.exact_quantile_refine,
         "ewma_user_value": relational.ewma_user_value,
+        "triangle_count": relational.triangle_count,
+        "incremental_agg_merge": relational.incremental_agg_merge,
     }
 
 
@@ -3114,6 +3116,41 @@ with ev as (
 )
 select user_id, cast(ewma_scaled as bigint) as ewma_scaled
 from wtd where rn = 1
+order by user_id
+"""
+    # Triangle truth without degree ordering: enumerate a<b<c directly
+    # on the canonical edge set (the orientation trick must not change
+    # WHICH triangles exist, only how they are generated).
+    sql["triangle_count"] = """
+with raw as (
+  select event_id % 200 as x,
+         ((event_id * 2654435761) % 4294967296) % 200 as y
+  from events
+), edges as (
+  select distinct least(x, y) as a, greatest(x, y) as b
+  from raw where x <> y
+), tri as (
+  select e1.a as p, e1.b as q, e2.b as r
+  from edges e1
+  join edges e2 on e2.a = e1.b
+  join edges e3 on e3.a = e1.a and e3.b = e2.b
+), corners as (
+  select p as node from tri
+  union all select q from tri
+  union all select r from tri
+)
+select node, count(*) as n_triangles
+from corners group by node order by node
+"""
+    # Merge-vs-recompute equivalence: the oracle is the FULL recompute;
+    # the Spark side must reach the identical table via state + delta.
+    sql["incremental_agg_merge"] = """
+select user_id,
+       count(*) as n_events,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) as sum_cents,
+       max(ts) as last_ts
+from events
+group by user_id
 order by user_id
 """
     return sql

@@ -1642,3 +1642,138 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("user_id")
     )
+
+
+def _synth_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic undirected edge list derived from events (portable
+    arithmetic, no rand()): canonicalized (a < b), distinct.  The y
+    endpoint runs through the Knuth multiplicative hash (the repo's
+    portable-hash convention) so it is NOT a function of x mod 200 —
+    a plain affine map would make the graph functional (zero
+    triangles)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("event_id") % 200).alias("x"),
+        (((F.col("event_id") * 2654435761) % 4294967296) % 200).alias("y"),
+    ).filter(F.col("x") != F.col("y"))
+    return ev.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct()
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts via DEGREE-ORDERED edge orientation —
+    the trick that makes triangle enumeration survive power-law graphs:
+    orient every edge from the (degree, id)-smaller endpoint to the
+    larger, so a hub of degree d keeps out-degree O(sqrt(E)) instead of
+    d, and the wedge join (e1.v = e2.u) cannot explode on hot nodes.
+    Each triangle is generated exactly once (its unique orientation is
+    acyclic), then closed by joining the wedge back to the oriented
+    edge set.
+
+    Shape: degree agg (one small shuffle), degrees joined onto the
+    edge list (broadcast here; at 10^9-node scale the degree table is
+    edge-co-keyed and the join becomes one more key shuffle), wedge
+    self-join + closing join both keyed on node ids — no cartesian
+    anywhere.  Output explodes each triangle to its three corners and
+    counts per node."""
+    edges = _synth_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .union(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = (
+        edges.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    w1 = ranked.select(F.col("u").alias("p"), F.col("v").alias("q"))
+    w2 = ranked.select(F.col("u").alias("q"), F.col("v").alias("r"))
+    wedges = w1.join(w2, "q").filter(F.col("p") != F.col("r"))
+    closing = ranked.select(F.col("u").alias("p"), F.col("v").alias("r"))
+    tri = wedges.join(closing, ["p", "r"])
+    corners = (
+        tri.select(F.explode(F.array("p", "q", "r")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return corners.repartition(1).sortWithinPartitions("node")
+
+
+AGG_MERGE_CUTOFF = "2024-01-20"
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the production shape for a
+    daily pipeline that must NOT recompute history: a per-user state
+    aggregate over everything before the cutoff (in production: the
+    stored state table from yesterday's run), a delta aggregate over
+    only the new slice, and an algebraic MERGE (counts add, sums add,
+    maxes take greatest).  History is touched once, ever; each day's
+    cost is O(delta) + a state-sized merge join.
+
+    Works because count/sum/max are commutative monoids — the same
+    property that lets Spark combine map-side partially.  At 100 TB the
+    state table is bucketed on user_id so the merge join is
+    shuffle-free on the state side; the delta (one day) is tiny by
+    comparison.  Oracle: full recompute over the union — merge and
+    recompute must agree EXACTLY (integer cents)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    cut = F.lit(AGG_MERGE_CUTOFF).cast("timestamp")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    state = agg(ev.filter(F.col("ts") < cut))
+    delta = agg(ev.filter(F.col("ts") >= cut))
+    s = state.select(
+        "user_id",
+        F.col("n_events").alias("s_n"),
+        F.col("sum_cents").alias("s_sum"),
+        F.col("last_ts").alias("s_ts"),
+    )
+    d = delta.select(
+        "user_id",
+        F.col("n_events").alias("d_n"),
+        F.col("sum_cents").alias("d_sum"),
+        F.col("last_ts").alias("d_ts"),
+    )
+    return (
+        s.join(d, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (
+                F.coalesce("s_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce("s_sum", F.lit(0)) + F.coalesce("d_sum", F.lit(0))
+            ).alias("sum_cents"),
+            F.greatest(
+                F.coalesce("s_ts", "d_ts"), F.coalesce("d_ts", "s_ts")
+            ).alias("last_ts"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("user_id")
+    )

@@ -423,3 +423,73 @@ def test_ewma_short_history_and_weights(spark, tmp_path):
     assert len(got) == 1
     # latest event 4.00 (j=0, w=512), 2.00 (j=1, w=256), 1.00 (j=2, w=128)
     assert got[0]["ewma_scaled"] == 400 * 512 + 200 * 256 + 100 * 128
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-oriented enumeration must find EXACTLY the triangles a
+    brute-force itertools check finds on the same edge set — and the
+    set must be non-empty (regression: an affine y=f(x) edge generator
+    makes the graph functional and silently yields zero triangles)."""
+    import itertools
+
+    from ocr_spark.operators.relational import _synth_edges, triangle_count
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = {
+        (r.a, r.b) for r in _synth_edges(spark, sf_dir).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for p, q, r in itertools.combinations(sorted(adj), 3):
+        if q in adj[p] and r in adj[p] and r in adj[q]:
+            for n in (p, q, r):
+                expected[n] = expected.get(n, 0) + 1
+    assert expected, "fixture graph has no triangles — generator broken"
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_count(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_incremental_agg_merge_equals_recompute(spark, tmp_path):
+    """Merge(state, delta) must equal the full recompute for a user
+    only in state, only in delta, and straddling the cutoff (count adds,
+    cents add, last_ts takes greatest across the cutoff)."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import (
+        AGG_MERGE_CUTOFF,
+        incremental_agg_merge,
+    )
+
+    cut = dt.datetime.fromisoformat(AGG_MERGE_CUTOFF)
+    before = cut - dt.timedelta(days=3)
+    after = cut + dt.timedelta(days=3)
+    d = str(tmp_path)
+    rows = [
+        (1, before, 100, "a", 1.23, "{}"),          # state-only user
+        (2, after, 200, "a", 2.00, "{}"),           # delta-only user
+        (3, before, 300, "a", 5.55, "{}"),          # straddles
+        (3, after, 300, "a", 0.45, "{}"),
+        (4, cut, 400, "a", 9.99, "{}"),             # exactly AT cutoff -> delta
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        r.user_id: (r.n_events, r.sum_cents, r.last_ts)
+        for r in incremental_agg_merge(spark, d).collect()
+    }
+    assert got == {
+        100: (1, 123, before),
+        200: (1, 200, after),
+        300: (2, 600, after),
+        400: (1, 999, cut),
+    }
