@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": text_analysis.pii_scrub,
         "stratified_sample": text_analysis.stratified_sample,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
+        "inverted_index_postings": text_analysis.inverted_index_postings,
+        "pmi_bigram_lift": text_analysis.pmi_bigram_lift,
         "dsir_importance_weights": text_analysis.dsir_importance_weights,
         "sequence_pack": text_analysis.sequence_pack,
         # -- HTML main-content extraction (boilerplate strip, pure
@@ -3006,6 +3008,48 @@ from norm order by doc_id
 """
     # Deterministic shard packing: portable-hash permutation, shard =
     # h mod N_SHARDS, per-shard position + running byte offset.
+    # Posting-list truth: the lag-window gap IS the delta encoding; the
+    # ordered string_agg pins doc order so the hash checks list ORDER,
+    # not just membership.
+    sql["inverted_index_postings"] = """
+with t as (
+  select doc_id, unnest(string_split(lower(text), ' ')) as term
+  from documents
+), pd as (
+  select term, doc_id, count(*) as tf from t group by 1, 2
+), g as (
+  select term, doc_id, tf,
+         doc_id - coalesce(
+           lag(doc_id) over (partition by term order by doc_id), 0
+         ) as gap
+  from pd
+)
+select term, count(*) as df, sum(tf) as cf,
+       string_agg(gap::varchar, ',' order by doc_id) as doc_gaps,
+       string_agg(tf::varchar, ',' order by doc_id) as tfs
+from g group by term order by term
+"""
+    # Lift in exact ppm integer arithmetic: same div, same marginals —
+    # any float log would hash-differ at the ulp.
+    sql["pmi_bigram_lift"] = f"""
+with toks as (
+  select string_split(lower(text), ' ') as ws from documents
+), pos as (
+  select ws, unnest(generate_series(1, len(ws) - 1)) as i from toks
+), bg as (
+  select ws[i] as w1, ws[i + 1] as w2 from pos
+), cxy as (
+  select w1, w2, count(*) as c_xy from bg group by 1, 2
+), lx as (select w1, sum(c_xy) as c_x from cxy group by 1),
+rx as (select w2, sum(c_xy) as c_y from cxy group by 1),
+n as (select sum(c_xy) as np from cxy)
+select w1, w2, c_xy,
+       cast(c_x as bigint) as c_x, cast(c_y as bigint) as c_y,
+       cast((1000000 * c_xy * np) // (c_x * c_y) as bigint) as lift_ppm
+from cxy join lx using (w1) join rx using (w2) cross join n
+where c_xy >= {text_analysis.PMI_MIN_COUNT}
+order by lift_ppm desc, c_xy desc, w1, w2 limit {text_analysis.PMI_TOP_K}
+"""
     sql["shard_pack_manifest"] = """
 with m as (
   select doc_id, n_chars,

@@ -982,3 +982,124 @@ def shard_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+POSTING_BLOCK = 64  # doc_ids per partial posting block (thousands in prod)
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build: term -> document frequency, corpus frequency,
+    and a delta-encoded posting list (first doc_id, then doc_id gaps —
+    the compression every real index applies before varint coding), with
+    the per-doc term frequencies aligned to the same order.
+
+    Scale shape: one explode (map-side), then a TWO-STAGE aggregation
+    keyed on (term, doc_block) before (term).  The block stage bounds
+    reducer state for hot terms (stopwords appear in nearly every
+    document — a single-stage groupBy(term) collect_list concentrates
+    the whole corpus's worst posting list in one task's memory); block
+    partials arrive pre-sorted, so the final merge is an ordered concat,
+    not a resort.  At true scale the writer keeps one row PER BLOCK
+    (skip pointers) and never materializes the full list; we concat here
+    so the output is one exact row per term for the DuckDB oracle."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    blocks = (
+        per_doc.withColumn("blk", F.floor(F.col("doc_id") / POSTING_BLOCK))
+        .groupBy("term", "blk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf"))
+            ).alias("plist"),
+            F.count("*").alias("df_part"),
+            F.sum("tf").alias("cf_part"),
+        )
+    )
+    merged = blocks.groupBy("term").agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("blk", "plist"))),
+                lambda s: s["plist"],
+            )
+        ).alias("plist"),
+        F.sum("df_part").alias("df"),
+        F.sum("cf_part").alias("cf"),
+    )
+    ds = F.transform(F.col("plist"), lambda s: s["doc_id"])
+    shifted = F.concat(
+        F.array(F.lit(0).cast("long")), F.slice(ds, 1, F.size(ds) - 1)
+    )
+    gaps = F.zip_with(ds, shifted, lambda a, b: a - b)
+    tfs = F.transform(F.col("plist"), lambda s: s["tf"])
+    return (
+        merged.select(
+            "term",
+            "df",
+            "cf",
+            F.concat_ws(
+                ",", F.transform(gaps, lambda g: g.cast("string"))
+            ).alias("doc_gaps"),
+            F.concat_ws(
+                ",", F.transform(tfs, lambda t: t.cast("string"))
+            ).alias("tfs"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("term")
+    )
+
+
+PMI_MIN_COUNT = 5  # drop noise bigrams below this support
+PMI_TOP_K = 50
+
+
+def pmi_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-k adjacent word bigrams by LIFT
+    P(xy)/(P(x)P(y)) — the monotone core of PMI (PMI = ln lift), kept
+    in EXACT integer arithmetic (parts-per-million, bigint div) so the
+    cross-engine hash cannot flip on a libm ulp: lift_ppm =
+    (1e6 * c_xy * N) div (c_x * c_y), with c_x / c_y the left/right
+    bigram marginals and N the total bigram count.
+
+    Scale shape: bigrams are formed array-side (zip of two slices — no
+    self-join on position), ONE (w1, w2) shuffle counts them, and both
+    marginals + N derive from that counted table (vocabulary-sized, not
+    corpus-sized), broadcast back.  The min-count filter runs before
+    the top-k so the TakeOrdered heap sees only supported pairs."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), " ")
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    cxy = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    lx = cxy.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    rx = cxy.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
+    n = cxy.agg(F.sum("c_xy").alias("np"))
+    return (
+        cxy.join(F.broadcast(lx), "w1")
+        .join(F.broadcast(rx), "w2")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr("(1000000 * c_xy * np) div (c_x * c_y)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(
+            F.desc("lift_ppm"), F.desc("c_xy"), "w1", "w2"
+        )
+        .limit(PMI_TOP_K)
+    )

@@ -264,3 +264,58 @@ def test_lm_perplexity_orders_common_below_rare(spark, tmp_path):
     assert got[1]["ppl"] < got[2]["ppl"]
     assert all(r["ppl"] > 1.0 for r in got.values())
     assert got[1]["n_tokens"] == 6
+
+
+def test_inverted_index_delta_encoding_and_block_merge(spark, tmp_path):
+    """Posting lists must be delta-encoded in ascending doc order even
+    when the docs span multiple aggregation blocks (doc_ids straddling
+    POSTING_BLOCK=64 boundaries), and tf must align with the gap list."""
+    from ocr_spark.operators.text_analysis import inverted_index_postings
+
+    rows = [
+        (3, "zig zig zag"),        # block 0, tf(zig)=2
+        (70, "zig"),               # block 1
+        (200, "zag zig"),          # block 3 — out-of-order block arrival
+        (64, "solo"),              # exactly at a block boundary
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r["term"]: r for r in inverted_index_postings(spark, d).collect()}
+    zig = got["zig"]
+    assert (zig["df"], zig["cf"]) == (3, 4)
+    # docs 3, 70, 200 -> gaps 3, 67, 130; tfs 2, 1, 1
+    assert zig["doc_gaps"] == "3,67,130"
+    assert zig["tfs"] == "2,1,1"
+    zag = got["zag"]
+    assert zag["doc_gaps"] == "3,197"
+    assert got["solo"]["doc_gaps"] == "64"
+
+
+def test_pmi_bigram_lift_exact_arithmetic_and_min_count(spark, tmp_path):
+    """lift_ppm must be the exact integer div of 1e6*c_xy*N by the
+    left/right marginals; pairs below PMI_MIN_COUNT are dropped; a
+    single-token doc contributes no bigrams."""
+    from ocr_spark.operators.text_analysis import (
+        PMI_MIN_COUNT,
+        pmi_bigram_lift,
+    )
+
+    # "a b" x5 -> c_xy=5 meets min count; "c d" x4 -> filtered out.
+    rows = (
+        [(i, "a b") for i in range(5)]
+        + [(10 + i, "c d") for i in range(4)]
+        + [(99, "lonely")]
+    )
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = pmi_bigram_lift(spark, d).collect()
+    assert [(r["w1"], r["w2"]) for r in out] == [("a", "b")]
+    r = out[0]
+    # N = 9 bigrams total; c_x("a")=5 (left marginal), c_y("b")=5.
+    assert (r["c_xy"], r["c_x"], r["c_y"]) == (5, 5, 5)
+    assert r["lift_ppm"] == (1_000_000 * 5 * 9) // (5 * 5)
+    assert PMI_MIN_COUNT == 5
