@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Catalyst: regexp blocks + densometric classification) --
         "html_block_classify": web_extract.html_block_classify,
         "html_main_content": web_extract.html_main_content,
+        "html_to_spans": web_extract.html_to_spans,
         "link_graph_pagerank": web_extract.link_graph_pagerank,
         # -- container sources --
         "ofd_extract": _q_ofd,
@@ -1867,6 +1868,59 @@ select doc_id,
        len(k) as n_content_blocks,
        len(bl) - len(k) as n_boiler_p_blocks
 from kept order by doc_id
+""",
+        # HTML -> interleaved spans: same synth page plus <img> elements;
+        # the window running-sum IS the Spark fold's running offset, and
+        # row_number renumbers the density-filtered element stream.
+        "html_to_spans": """
+with t as (
+  select doc_id, string_split(text, ' ') as toks from documents
+), pages as (
+  select doc_id,
+    '<html><body><nav><a href=/>home</a> <a href=/about>about</a> <a href=/tag>tag'
+    || doc_id::varchar
+    || '</a></nav><img src=img://web' || doc_id::varchar || 'a#gray><p>'
+    || coalesce(array_to_string(toks[1:8], ' '), '')
+    || '</p><img src=img://web' || doc_id::varchar || 'b#gray><p>'
+    || coalesce(array_to_string(toks[9:16], ' '), '')
+    || '</p><p>share this <a href=t>tweet</a> <a href=f>like</a></p><footer>copyright <a href=c>contact us</a> all rights reserved</footer></body></html>'
+    as html
+  from t
+), el0 as (
+  select doc_id, regexp_extract_all(html, '<p>.*?</p>|<img [^>]*>') as els
+  from pages
+), el as (
+  select doc_id, i, els[i] as elem
+  from el0 cross join unnest(range(1, len(els) + 1)) as u(i)
+), feat as (
+  select doc_id, i, elem,
+    elem like '<p>%' as isp,
+    trim(regexp_replace(regexp_replace(elem, '<[^>]*>', ' ', 'g'),
+         ' +', ' ', 'g')) as clean,
+    len(list_filter(string_split_regex(trim(regexp_replace(
+        regexp_replace(elem, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')),
+        ' +'), x -> x <> '')) as nw,
+    len(list_filter(string_split_regex(coalesce(array_to_string(
+        regexp_extract_all(elem, '<a[^>]*>([^<]*)</a>', 1), ' '), ''),
+        ' +'), x -> x <> '')) as lw
+  from el
+), kept as (
+  select doc_id, i, isp, clean,
+    case when isp then null
+         else regexp_extract(elem, 'src=([^ >]*)', 1) end as media_ref,
+    row_number() over (partition by doc_id order by i) - 1 as span_idx,
+    sum(case when isp then length(clean) + 1 else 0 end)
+      over (partition by doc_id order by i
+            rows between unbounded preceding and 1 preceding) as prev
+  from feat
+  where (not isp) or (nw >= 5 and lw * 10 <= nw * 3)
+)
+select doc_id, cast(span_idx as int) as span_idx,
+       case when isp then 'text' else 'image' end as kind,
+       case when isp then clean end as text,
+       media_ref,
+       cast(coalesce(prev, 0) as int) as span_offset
+from kept order by doc_id, span_idx
 """,
         # Per-source-shard packing: window cumulative sum, all integer
         # arithmetic (div = floor on the non-negative offsets).

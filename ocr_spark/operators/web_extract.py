@@ -158,6 +158,112 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Link graph + PageRank
 # ---------------------------------------------------------------------------
 
+def synth_html_media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HTML pages WITH inline images: the synth_html_docs
+    page plus two <img> elements (after the nav and between paragraphs)
+    whose src uses the corpus media-ref grammar, so the extracted spans
+    feed straight into the OCR flagship.  Identical string expression in
+    the DuckDB oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+
+    def para(start: int) -> Column:
+        return F.array_join(F.slice(toks, start, 8), " ")
+
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><nav><a href=/>home</a> "
+              "<a href=/about>about</a> <a href=/tag>tag"),
+        did,
+        F.lit("</a></nav><img src=img://web"),
+        did,
+        F.lit("a#gray><p>"),
+        para(1),
+        F.lit("</p><img src=img://web"),
+        did,
+        F.lit("b#gray><p>"),
+        para(9),
+        F.lit("</p><p>share this <a href=t>tweet</a> "
+              "<a href=f>like</a></p><footer>copyright "
+              "<a href=c>contact us</a> all rights reserved"
+              "</footer></body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def html_to_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> the engine's interleaved span schema (kind, text,
+    media_ref, offset) — the bridge between the web-extraction tier and
+    the OCR flagship, whose input table is exactly
+    spans:array<struct<kind,text,media_ref,offset>>: content <p> blocks
+    become kind='text' spans, <img> elements become kind='image' spans
+    carrying their media_ref, boilerplate (link-dense or short blocks)
+    is dropped by the same densometric rule as html_main_content, and
+    every span gets the char offset where it sits in the stripped text
+    flow (text spans contribute len+1; images are zero-width).
+
+    Scale shape: ZERO shuffle — element tokenization is one
+    regexp_extract_all, the density filter and the running-offset fold
+    are array higher-order functions (F.filter / F.aggregate), and the
+    final posexplode is map-side.  The whole extractor runs at
+    parquet-scan speed, same as html_main_content."""
+    pages = synth_html_media_docs(spark, sf_dir)
+    elems = F.regexp_extract_all(
+        F.col("html"), F.lit("<p>.*?</p>|<img [^>]*>"), 0
+    )
+
+    def is_p(e: Column) -> Column:
+        return e.startswith("<p>")
+
+    kept = F.filter(elems, lambda e: (~is_p(e)) | _is_content(e))
+    spans_arr = F.aggregate(
+        kept,
+        F.struct(
+            F.lit(0).alias("off"),
+            F.array().cast(
+                "array<struct<kind:string,text:string,"
+                "media_ref:string,span_offset:int>>"
+            ).alias("out"),
+        ),
+        lambda acc, e: F.struct(
+            (
+                acc["off"]
+                + F.when(is_p(e), F.length(_clean(e)) + 1).otherwise(0)
+            ).alias("off"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        F.when(is_p(e), "text").otherwise("image").alias("kind"),
+                        F.when(is_p(e), _clean(e)).alias("text"),
+                        F.when(
+                            ~is_p(e),
+                            F.regexp_extract(e, "src=([^ >]*)", 1),
+                        ).alias("media_ref"),
+                        acc["off"].alias("span_offset"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+    return (
+        pages.select(
+            "doc_id", F.posexplode(spans_arr).alias("span_idx", "s")
+        )
+        .select(
+            "doc_id",
+            F.col("span_idx").cast("int").alias("span_idx"),
+            "s.kind",
+            "s.text",
+            "s.media_ref",
+            "s.span_offset",
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id", "span_idx")
+    )
+
+
 PR_ITERS = 3
 PR_SCALE = 1_000_000_000  # PageRank mass carried as integer ppb
 

@@ -142,3 +142,51 @@ def test_url_canonicalize_generic_forms(spark):
     got = [r[0] for r in df.select(canonicalize_url(F.col("raw"))).collect()]
     assert got[0] == "https://ex.com/A/B"     # 443 stripped, case kept
     assert got[1] == "http://ex.com:8080/p?a=1&b=2"  # 8080 preserved
+
+
+def test_html_to_spans_interleave_and_offsets(spark, sf_dir):
+    """Spans must interleave text and image in page order, drop the
+    link-dense share-bar <p>, carry the img src as media_ref, and give
+    every span the char offset where it sits in the stripped text flow
+    (text spans contribute len+1, images are zero-width)."""
+    from ocr_spark.operators.web_extract import html_to_spans
+
+    rows = html_to_spans(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    checked = 0
+    for doc_id, spans in by_doc.items():
+        kinds = [s["kind"] for s in spans]
+        assert "share" not in " ".join(s["text"] or "" for s in spans)
+        off = 0
+        for i, s in enumerate(spans):
+            assert s["span_idx"] == i
+            assert s["span_offset"] == off
+            if s["kind"] == "text":
+                assert s["media_ref"] is None and s["text"]
+                off += len(s["text"]) + 1
+            else:
+                assert s["kind"] == "image"
+                assert s["text"] is None
+                assert s["media_ref"].startswith(f"img://web{doc_id}")
+        if kinds == ["image", "text", "image", "text"]:
+            checked += 1
+    assert checked > 0
+
+
+def test_html_to_spans_plan_is_single_pass(spark, sf_dir):
+    """Element tokenization, density filter, and the running-offset fold
+    are all array-side: no shuffle except the check-gate repartition(1),
+    no Python."""
+    from ocr_spark.operators.web_extract import html_to_spans
+
+    plan = (
+        html_to_spans(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Scan parquet" in plan
