@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_user_value": relational.ewma_user_value,
         "triangle_count": relational.triangle_count,
         "incremental_agg_merge": relational.incremental_agg_merge,
+        "connected_components_labels": relational.connected_components_labels,
     }
 
 
@@ -3239,6 +3240,33 @@ with raw as (
 )
 select node, count(*) as n_triangles
 from corners group by node order by node
+"""
+    # Component truth = transitive closure by recursive CTE (min over
+    # all reachable labels); the Spark side must reach the identical
+    # labeling via star contraction.
+    sql["connected_components_labels"] = """
+with recursive raw as (
+  select (event_id % 25) * 8 + (event_id % 8) as x,
+         (((event_id * 2654435761) % 4294967296) % 25) * 8
+           + (event_id % 8) as y
+  from events
+), edges as (
+  select distinct least(x, y) as a, greatest(x, y) as b
+  from raw where x <> y
+), nodes as (
+  select a as n from edges union select b from edges
+), sym as (
+  select a as s, b as d from edges union select b, a from edges
+), reach(n, lab) as (
+  select n, n from nodes
+  union
+  select s.s, r.lab from sym s join reach r on r.n = s.d
+), cc as (
+  select n as node, min(lab) as cluster_id from reach group by n
+)
+select node, cluster_id,
+       count(*) over (partition by cluster_id) as cluster_size
+from cc order by node
 """
     # Merge-vs-recompute equivalence: the oracle is the FULL recompute;
     # the Spark side must reach the identical table via state + delta.

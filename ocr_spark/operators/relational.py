@@ -1777,3 +1777,58 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("user_id")
     )
+
+
+CC_GROUPS = 8  # disjoint node groups -> guaranteed >= 8 components
+
+
+def _synth_grouped_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic edge list whose nodes split into CC_GROUPS disjoint
+    residue classes (edges never cross groups), so the component
+    structure is non-trivial by construction.  Same portable-hash
+    decorrelation as _synth_edges."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = F.col("event_id") % CC_GROUPS
+    x = (F.col("event_id") % 25) * CC_GROUPS + g
+    y = (
+        ((F.col("event_id") * 2654435761) % 4294967296) % 25
+    ) * CC_GROUPS + g
+    pairs = ev.select(x.alias("x"), y.alias("y")).filter(
+        F.col("x") != F.col("y")
+    )
+    return pairs.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct()
+
+
+def connected_components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components as a first-class query: every node labeled
+    with its component's minimum node id plus the component size —
+    via the alternating large-star / small-star rounds of Kiveris et
+    al. (SoCC'14) in ocr_spark.operators.dedup.connected_components.
+
+    Why not min-label propagation: propagation needs O(diameter)
+    rounds (a duplicate CHAIN makes that O(n)); star contraction
+    converges in O(log^2 n) rounds regardless of diameter, each round
+    two key shuffles with intermediate size O(E).  The oracle is the
+    ground-truth transitive closure (DuckDB recursive CTE) — feasible
+    only because the test graph is small; the Spark side is the form
+    that survives 10^12 edges."""
+    from ocr_spark.operators.dedup import connected_components
+
+    edges = _synth_grouped_edges(spark, sf_dir)
+    labels = connected_components(
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    ).select(F.col("doc_id").alias("node"), "cluster_id")
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    out = nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
+    )
+    out = out.withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
+    )
+    return out.repartition(1).sortWithinPartitions("node")

@@ -493,3 +493,28 @@ def test_incremental_agg_merge_equals_recompute(spark, tmp_path):
         300: (2, 600, after),
         400: (1, 999, cut),
     }
+
+
+def test_connected_components_labels_partition_invariants(spark):
+    """Board-query invariants on the real fixture graph: labels must
+    respect the group construction (edges never cross residue classes,
+    so a component's nodes share node % CC_GROUPS), every cluster_id is
+    the component minimum, and sizes sum to the node count."""
+    from ocr_spark.operators.relational import (
+        CC_GROUPS,
+        connected_components_labels,
+    )
+
+    rows = connected_components_labels(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert len(by_cluster) >= CC_GROUPS
+    for cid, members in by_cluster.items():
+        assert min(m.node for m in members) == cid
+        assert len({m.node % CC_GROUPS for m in members}) == 1
+        assert all(m.cluster_size == len(members) for m in members)
+    assert sum(len(m) for m in by_cluster.values()) == len(rows)
