@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enriched_events": _q_stream_enrich,
         "stream_click_attribution": _q_stream_attribution,
         "stream_upsert_latest": _q_stream_upsert,
+        "stream_topk_trending": _q_stream_topk,
         # -- relational breadth --
         "pricing_summary": relational.pricing_summary,
         "top_orders_per_segment": relational.top_orders_per_segment,
@@ -467,6 +468,12 @@ def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.streaming.stream import stream_upsert_query
 
     return stream_upsert_query(spark, sf_dir)
+
+
+def _q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.streaming.stream import stream_topk_query
+
+    return stream_topk_query(spark, sf_dir)
 
 
 def _q_ofd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2498,6 +2505,27 @@ order by d.doc_id
 """
     # foreachBatch upsert sink: the drained keyed state equals the batch
     # arg-max per user (max ts, tie-break max event_id).
+    # Batch twin of the stateful top-K: rank per hour window, CLOSED
+    # windows only (window end strictly before max(ts) - delay, in ms —
+    # the event-time-timeout firing rule).
+    sql["stream_topk_trending"] = """
+with mx as (select max(ts) as m from events),
+w as (
+  select cast(epoch(date_trunc('hour', ts)) as bigint) as ws, event_type
+  from events
+), c as (
+  select ws, event_type, count(*) as n from w group by 1, 2
+), r as (
+  select ws, event_type, n,
+         row_number() over (partition by ws
+                            order by n desc, event_type) as rnk
+  from c
+)
+select ws, cast(rnk as int) as rnk, event_type, n
+from r cross join mx
+where rnk <= 3 and (ws + 3600) * 1000 < epoch_ms(m) - 1800000
+order by ws, rnk
+"""
     sql["stream_upsert_latest"] = """
 select user_id, event_id as last_event_id,
        floor(epoch(ts))::bigint as ts_s,

@@ -875,3 +875,142 @@ def stream_watermark_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("event_id")
     )
+
+
+TOPK_K = 3
+TOPK_WINDOW_S = 3600
+TOPK_DELAY = "30 minutes"
+TOPK_DELAY_S = 1800
+
+
+def stream_topk_trending(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Per-hour top-K trending event types as a CUSTOM stateful operator
+    (``applyInPandasWithState`` + event-time timeout) — the shape Spark's
+    built-in streaming aggregation cannot express: a rank over a
+    windowed aggregate is not allowed in append mode, so the window's
+    count table lives in keyed state and the top-K is emitted exactly
+    once, when the watermark passes the window end and the state times
+    out (Spark's no-data final micro-batch fires the trailing timers on
+    an availableNow drain).
+
+    State per (window-start) key: parallel arrays of event types and
+    counts, merged across micro-batches.  At scale the key space is
+    windows × shards — to bound one window's state on a hot hour, shard
+    the key to (window, hash(type) % S) and merge the S partial top-Ks
+    downstream (S tiny, the merge is free); the sandbox corpus needs no
+    shard.  Emission is deterministic: count desc, event_type asc."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    keyed = (
+        src.withWatermark("ts", TOPK_DELAY)
+        .withColumn(
+            "ws", F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+        )
+    )
+
+    out_type = T.StructType(
+        [
+            T.StructField("ws", T.LongType()),
+            T.StructField("rnk", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    state_type = T.StructType(
+        [
+            T.StructField("types", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def topk(key, pdfs, state: GroupState):
+        ws = int(key[0])  # numpy int64 breaks the state JSON protocol
+        if state.hasTimedOut:
+            types, counts = state.get
+            state.remove()
+            ranked = sorted(zip(types, counts), key=lambda t: (-t[1], t[0]))
+            top = ranked[:TOPK_K]
+            yield pd.DataFrame(
+                {
+                    "ws": [ws] * len(top),
+                    "rnk": list(range(1, len(top) + 1)),
+                    "event_type": [t for t, _ in top],
+                    "n": [int(c) for _, c in top],
+                }
+            )
+            return
+        if state.exists:
+            types, counts = state.get
+            d = dict(zip(types, counts))
+        else:
+            d = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for et, c in pdf.groupby("event_type").size().items():
+                d[et] = d.get(et, 0) + int(c)
+        state.update((list(d.keys()), [int(v) for v in d.values()]))
+        # fire when the watermark passes the window end
+        state.setTimeoutTimestamp((ws + TOPK_WINDOW_S) * 1000)
+
+    trending = keyed.groupBy("ws").applyInPandasWithState(
+        topk,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    writer = (
+        trending.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: drain events through the stateful top-K
+    operator; emitted rows are exactly the CLOSED windows (window end
+    strictly before final watermark = max(ts) - delay), which the DuckDB
+    rank oracle reproduces."""
+    import shutil
+
+    base = _scratch_dir(spark, "stream_topk", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ck_dir = f"{base}/in", f"{base}/out", f"{base}/ck"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = stream_topk_trending(spark, in_dir, out_dir, ck_dir)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select("ws", "rnk", "event_type", "n")
+        .repartition(1)
+        .sortWithinPartitions("ws", "rnk")
+    )

@@ -430,3 +430,55 @@ def test_watermark_dedup_evicts_state(spark, tmp_path):
         (r["event_id"], r["ts"]) for r in spark.read.parquet(out).collect()
     )
     assert rows == [(1, ts(0)), (1, ts(200))]
+
+
+def test_stream_topk_merges_across_batches_and_holds_open_window(
+    spark, tmp_path
+):
+    """The stateful top-K must (a) merge one window's counts arriving in
+    different micro-batches, (b) rank deterministically (count desc,
+    type asc on ties), and (c) withhold a window the watermark has not
+    passed."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_spark.streaming.stream import stream_topk_trending
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    out, ckpt = str(tmp_path / "tout"), str(tmp_path / "tckpt")
+    h0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def ev(eid, minute, etype):
+        return (eid, h0 + dt.timedelta(minutes=minute), 1, etype, 1.0)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    # batch 1: window h0 gets view x2, click x1
+    b1 = pd.DataFrame(
+        [ev(1, 0, "view"), ev(2, 1, "view"), ev(3, 2, "click")],
+        columns=cols,
+    )
+    # batch 2: same window gets click x2 (total click=3 > view=2) plus a
+    # far-future event that closes h0 but leaves its own window open.
+    b2 = pd.DataFrame(
+        [ev(4, 3, "click"), ev(5, 4, "click"), ev(6, 600, "late_probe")],
+        columns=cols,
+    )
+    b1["ts"] = b1["ts"].astype("datetime64[us]")
+    b2["ts"] = b2["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(b1), f"{d}/b1.parquet")
+    pq.write_table(pa.Table.from_pandas(b2), f"{d}/b2.parquet")
+    stream_topk_trending(
+        spark, d, out, ckpt, max_files_per_trigger=1
+    ).awaitTermination(300)
+
+    rows = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: (r["ws"], r["rnk"])
+    )
+    ws0 = int(h0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert [(r["ws"], r["rnk"], r["event_type"], r["n"]) for r in rows] == [
+        (ws0, 1, "click", 3),   # merged across batches: 1 + 2
+        (ws0, 2, "view", 2),
+    ]  # the late_probe window is still open -> not emitted
