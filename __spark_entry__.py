@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": dedup.embedding_near_dup,
         # -- similarity search --
         "ann_brute_topk": similarity.brute_topk,
+        "ann_filtered_topk": similarity.filtered_topk,
         "ann_lsh_topk": similarity.lsh_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "ann_ivf_indexed_topk": similarity.ivf_indexed_topk,
@@ -250,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": text_analysis.text_normalize,
         "bloom_semi_prune": relational.bloom_semi_prune,
         "shard_pack_manifest": text_analysis.shard_pack_manifest,
+        "rendezvous_shard": text_analysis.rendezvous_shard,
         "global_rank_two_pass": relational.global_rank_two_pass,
         "media_ref_dedup": spans.media_ref_dedup,
         "regional_revenue": relational.regional_revenue,
@@ -1568,6 +1570,21 @@ select e.vec_id, e.label, {_DUCK_COS} as cos
 from b e join q on ({_ANN_SAME_BUCKET_ANY('e', 'q')})
 where e.vec_id <> 0
 order by cos desc, e.vec_id limit {similarity.TOP_K}
+""",
+        "ann_filtered_topk": f"""
+with scored as (
+  select e.label, e.vec_id, {_DUCK_COS} as cos
+  from embeddings e,
+       (select embedding as q from embeddings where vec_id = 0) q
+  where e.vec_id <> 0
+)
+select label, cast(row_number() over (partition by label
+                                      order by cos desc, vec_id) as int)
+         as rnk,
+       vec_id, cos
+from scored
+qualify rnk <= {similarity.TOP_K}
+order by label, rnk
 """,
         "ann_ivf_topk": f"""
 with a as (
@@ -3088,6 +3105,31 @@ select doc_id, n_raw, length(norm) as n_norm,
        substring(norm, 1, 40) as norm_head,
        substring(norm, greatest(length(norm) - 11, 1), 12) as norm_tail
 from norm order by doc_id
+"""
+    # HRW truth: per-(doc, s) hash rows, argmax by (hv desc, s desc) —
+    # identical tie rule to the Spark sort_array(desc) pick.
+    sql["rendezvous_shard"] = """
+with d as (select doc_id from documents),
+g as (select doc_id, unnest(range(0, 9)) as s from d),
+m as (
+  select doc_id, s,
+         (doc_id * 2654435761 + s * 40503) % 2147483647 as mv
+  from g
+), h as (
+  select doc_id, s, (mv * mv) % 2147483647 as hv from m
+), a8 as (
+  select doc_id, s as shard8 from h where s < 8
+  qualify row_number() over (partition by doc_id
+                             order by hv desc, s desc) = 1
+), a9 as (
+  select doc_id, s as shard9 from h
+  qualify row_number() over (partition by doc_id
+                             order by hv desc, s desc) = 1
+)
+select d.doc_id, shard8, shard9,
+       (shard8 <> shard9)::int as moved
+from d join a8 using (doc_id) join a9 using (doc_id)
+order by d.doc_id
 """
     # Deterministic shard packing: portable-hash permutation, shard =
     # h mod N_SHARDS, per-shard position + running byte offset.

@@ -595,3 +595,46 @@ def kmeans_clusters(
         .repartition(1)
         .sortWithinPartitions("vec_id")
     )
+
+
+def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: exact top-k by cosine PER LABEL
+    — the 'pre-filter' shape every production vector store needs (post-
+    filtering a global top-k under-fills selective predicates; here the
+    predicate partitions scoring itself, so each label's k results are
+    exact by construction).
+
+    Scale shape: the label predicate is a scan-level filter/partition
+    key (Catalyst pushes it to parquet when selective); scoring stays
+    map-side against the broadcast query; the per-label rank is one
+    shuffle keyed on label — label cardinality ~ corpus partitions, no
+    single-reducer global sort."""
+    from pyspark.sql.window import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("embedding"), F.col("q"))
+                / (F.col("nrm") * F.col("qn")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("label", F.col("rnk").cast("int").alias("rnk"), "vec_id", "cos")
+        .repartition(1)
+        .sortWithinPartitions("label", "rnk")
+    )

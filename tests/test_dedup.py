@@ -183,3 +183,25 @@ def test_incremental_near_dup_consistent_with_full_lsh(spark, sf_dir, tmp_path):
         for f in fs
     )
     assert mtime2 == mtime
+
+
+def test_filtered_topk_per_label_exactness(spark, sf_dir):
+    """Per-label top-k must equal the brute-force per-label rank: cos
+    non-increasing within a label, ranks contiguous from 1, and every
+    label present in the corpus (vec_id != 0) is served."""
+    from ocr_spark.operators.similarity import TOP_K, filtered_topk
+
+    rows = filtered_topk(spark, sf_dir).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_labels = (
+        emb.filter("vec_id <> 0").select("label").distinct().count()
+    )
+    assert len(by_label) == n_labels
+    for label, rs in by_label.items():
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K
+        cs = [r["cos"] for r in rs]
+        assert cs == sorted(cs, reverse=True)

@@ -319,3 +319,36 @@ def test_pmi_bigram_lift_exact_arithmetic_and_min_count(spark, tmp_path):
     assert (r["c_xy"], r["c_x"], r["c_y"]) == (5, 5, 5)
     assert r["lift_ppm"] == (1_000_000 * 5 * 9) // (5 * 5)
     assert PMI_MIN_COUNT == 5
+
+
+def test_rendezvous_shard_minimal_movement_invariant(spark, sf_dir):
+    """HRW's defining property: growing 8 -> 9 shards, every doc either
+    keeps its shard or moves to the NEW shard (s=8) — never between old
+    shards — and the moved fraction is ~1/9, not ~8/9 like mod-N."""
+    from ocr_spark.operators.text_analysis import rendezvous_shard
+
+    rows = rendezvous_shard(spark, sf_dir).collect()
+    assert rows
+    n_moved = 0
+    for r in rows:
+        assert 0 <= r["shard8"] < 8 and 0 <= r["shard9"] < 9
+        if r["moved"]:
+            n_moved += 1
+            assert r["shard9"] == 8, r  # moves only TO the new shard
+        else:
+            assert r["shard8"] == r["shard9"]
+    frac = n_moved / len(rows)
+    assert 0.02 < frac < 0.30, frac
+
+
+def test_rendezvous_shard_plan_is_map_side(spark, sf_dir):
+    from ocr_spark.operators.text_analysis import rendezvous_shard
+
+    plan = (
+        rendezvous_shard(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan  # check-gate only
+    assert "EvalPython" not in plan
