@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": dedup.simhash64,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ngram_jaccard_all_pairs": dedup.ngram_jaccard_all_pairs,
+        "prefix_filter_jaccard": dedup.prefix_filter_jaccard,
         "duplicate_substring_spans": dedup.duplicate_substring_spans,
         "simhash_near_dup": dedup.simhash_near_dup,
         "dedup_signal_fusion": dedup.dedup_signal_fusion,
@@ -3133,6 +3134,9 @@ order by d.doc_id
 """
     # Deterministic shard packing: portable-hash permutation, shard =
     # h mod N_SHARDS, per-shard position + running byte offset.
+    # Prefix filtering is an exact refinement: the result set must be
+    # IDENTICAL to the full posting join, so the oracle is shared.
+    sql["prefix_filter_jaccard"] = sql["ngram_jaccard_all_pairs"]
     # Posting-list truth: the lag-window gap IS the delta encoding; the
     # ordered string_agg pins doc order so the hash checks list ORDER,
     # not just membership.

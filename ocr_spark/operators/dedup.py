@@ -895,3 +895,89 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("src_partkey", "match_partkey")
     )
+
+
+def prefix_candidates(
+    spark: SparkSession, sf_dir: str, tau: float = 0.2
+) -> DataFrame:
+    """Candidate pairs under PREFIX FILTERING (Chaudhuri/Bayardo
+    SSJoin/AllPairs): order every doc's shingles by global rarity
+    (document frequency asc, shingle asc), keep only the first
+    n - ceil(tau*n) + 1 per doc, and join postings on those prefixes
+    alone.  Complete: J(A,B) >= tau forces |A∩B| >= ceil(tau*n_a) and
+    >= ceil(tau*n_b), so the intersection cannot hide entirely in
+    either suffix — the prefixes must share a shingle.
+
+    This is the refinement ngram_jaccard_all_pairs's docstring promises:
+    hot boilerplate shingles have maximal df, land at the END of the
+    rarity order, and drop out of candidate generation — exactly the
+    skew axis of the full posting join — while rare shingles (tiny df,
+    tiny join fan-out) carry the candidates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    )
+    posting = docs.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    df_tab = posting.groupBy("s").agg(F.count("*").alias("df"))
+    ranked = posting.join(df_tab, "s").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "s")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
+    ).select("doc_id", "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def prefix_filter_jaccard(
+    spark: SparkSession, sf_dir: str, tau: float = 0.2
+) -> DataFrame:
+    """EXACT Jaccard pairs above tau via prefix filtering + exact
+    verification — same result set as ngram_jaccard_all_pairs (shared
+    oracle), strictly fewer generated candidates (pinned in a test).
+
+    Scale shape: the df table is one shingle-keyed agg; the rarity rank
+    is a doc-keyed window; candidate generation joins only PREFIX
+    postings (sum over rare shingles of df^2 — the boilerplate-shingle
+    quadratic term is gone); verification rejoins the two full shingle
+    arrays by doc key and intersects array-side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    )
+    cand = prefix_candidates(spark, sf_dir, tau)
+    va = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    vb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -205,3 +205,44 @@ def test_filtered_topk_per_label_exactness(spark, sf_dir):
         assert len(rs) <= TOP_K
         cs = [r["cos"] for r in rs]
         assert cs == sorted(cs, reverse=True)
+
+
+def test_prefix_filter_is_exact_and_prunes(spark, sf_dir):
+    """Prefix filtering must return EXACTLY the all-pairs result while
+    generating strictly fewer candidate pairs than the full posting
+    join (the pruning is the point)."""
+    from ocr_spark.operators.dedup import (
+        ngram_jaccard_all_pairs,
+        prefix_candidates,
+        prefix_filter_jaccard,
+        word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_all_pairs(spark, sf_dir).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_jaccard(spark, sf_dir).collect()
+    }
+    assert pref == full and full  # identical non-empty result set
+
+    n_pref_cand = prefix_candidates(spark, sf_dir).count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    )
+    posting = docs.select("doc_id", F.explode("sh").alias("s"))
+    a, b = posting.alias("a"), posting.alias("b")
+    n_full_cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_pref_cand < n_full_cand, (n_pref_cand, n_full_cand)
