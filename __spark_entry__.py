@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": relational.triangle_count,
         "incremental_agg_merge": relational.incremental_agg_merge,
         "connected_components_labels": relational.connected_components_labels,
+        "two_hop_neighbors": relational.two_hop_neighbors,
+        "vocab_coverage": text_analysis.vocab_coverage,
     }
 
 
@@ -3341,6 +3343,54 @@ with recursive raw as (
 select node, cluster_id,
        count(*) over (partition by cluster_id) as cluster_size
 from cc order by node
+"""
+    # 2-hop truth: wedge join through the middle node, minus direct
+    # neighbors and self (NOT EXISTS = the Spark anti-join).
+    sql["two_hop_neighbors"] = """
+with raw as (
+  select (event_id % 25) * 8 + (event_id % 8) as x,
+         (((event_id * 2654435761) % 4294967296) % 25) * 8
+           + (event_id % 8) as y
+  from events
+), edges as (
+  select distinct least(x, y) as a, greatest(x, y) as b
+  from raw where x <> y
+), sym as (
+  select a as u, b as v from edges
+  union all select b, a from edges
+), wedge as (
+  select distinct s1.v as v, s2.v as w
+  from sym s1 join sym s2 on s1.u = s2.u
+  where s1.v <> s2.v
+), twoh as (
+  select v, w from wedge
+  where not exists (
+    select 1 from sym s where s.u = wedge.v and s.v = wedge.w
+  )
+)
+select v as node, count(*) as n_two_hop
+from twoh group by v order by node
+"""
+    # Vocab coverage: rank/cumsum over the aggregated vocabulary,
+    # coverage in exact ppm integer division.
+    sql["vocab_coverage"] = f"""
+with t as (
+  select unnest(string_split(lower(text), ' ')) as word from documents
+), u as (
+  select word, count(*) as cnt from t group by word
+), tot as (select sum(cnt) as tot from u),
+r as (
+  select word, cnt,
+         row_number() over (order by cnt desc, word) as rnk,
+         sum(cnt) over (order by cnt desc, word
+                        rows unbounded preceding) as cum
+  from u
+)
+select cast(rnk as int) as rnk, word, cnt,
+       cast((cum * 1000000) // tot as bigint) as coverage_ppm
+from r cross join tot
+where rnk <= {text_analysis.VOCAB_TOP}
+order by rnk
 """
     # Merge-vs-recompute equivalence: the oracle is the FULL recompute;
     # the Spark side must reach the identical table via state + delta.

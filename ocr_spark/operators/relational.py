@@ -1832,3 +1832,39 @@ def connected_components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
     )
     return out.repartition(1).sortWithinPartitions("node")
+
+
+def two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 2-hop neighborhood size per node (GNN receptive-field /
+    friend-of-friend feature): |{w : w≠v, w∉N(v), ∃u: v~u~w}|.
+
+    Scale shape: the wedge join is keyed on the middle node u, so its
+    fan-out is sum_u deg(u)^2 — the same hub-quadratic axis as triangle
+    counting, and the same levers apply (degree-cap sampling for
+    approximate features, or the degree-orientation split for exact).
+    Here: symmetric edges, one self-join on u, DISTINCT (v, w) pairs,
+    anti-join against direct neighbors, then one count per node.  The
+    fixture graph caps degrees by construction, so the exact form is
+    the right one to pin."""
+    edges = _synth_grouped_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    hop1 = sym.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedge = (
+        sym.select(F.col("v").alias("v0"), F.col("u").alias("mid"))
+        .join(
+            sym.select(F.col("u").alias("mid"), F.col("v").alias("w")),
+            "mid",
+        )
+        .filter(F.col("v0") != F.col("w"))
+        .select(F.col("v0").alias("v"), "w")
+        .distinct()
+    )
+    two_hop = wedge.join(hop1, ["v", "w"], "left_anti")
+    return (
+        two_hop.groupBy(F.col("v").alias("node"))
+        .agg(F.count("*").alias("n_two_hop"))
+        .repartition(1)
+        .sortWithinPartitions("node")
+    )

@@ -1171,3 +1171,51 @@ def rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+VOCAB_TOP = 100
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary truncation report: the top-V words by corpus
+    frequency with each word's cumulative corpus coverage in exact ppm —
+    the table that answers 'how big must the vocab be to cover 95% of
+    tokens?' before training a tokenizer.
+
+    Scale shape: ONE (word) count shuffle over the token stream (map-
+    side partial agg), then the rank/cumsum window runs on the
+    AGGREGATED vocabulary table — vocab-sized, not corpus-sized, so the
+    single-partition window is bounded by |vocab| (≤ millions) no matter
+    the corpus; at true scale swap in the two-pass global rank
+    (global_rank_two_pass) for the same result."""
+    docs = _docs(spark, sf_dir)
+    uni = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").alias("tot"))
+    w = Window.orderBy(F.desc("cnt"), "word")
+    ranked = (
+        uni.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("rnk") <= VOCAB_TOP)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "word",
+            "cnt",
+            F.expr("(cum * 1000000) div tot").alias("coverage_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("rnk")
+    )

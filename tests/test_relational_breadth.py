@@ -518,3 +518,33 @@ def test_connected_components_labels_partition_invariants(spark):
         assert len({m.node % CC_GROUPS for m in members}) == 1
         assert all(m.cluster_size == len(members) for m in members)
     assert sum(len(m) for m in by_cluster.values()) == len(rows)
+
+
+def test_two_hop_matches_bruteforce(spark):
+    """Exact 2-hop counts vs a python BFS on the same fixture edges:
+    excludes self and direct neighbors, counts distinct nodes only."""
+    from ocr_spark.operators.relational import (
+        _synth_grouped_edges,
+        two_hop_neighbors,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = {(r.a, r.b) for r in _synth_grouped_edges(spark, sf_dir).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for v in adj:
+        two = set()
+        for u in adj[v]:
+            two |= adj[u]
+        two -= adj[v]
+        two.discard(v)
+        if two:
+            expected[v] = len(two)
+    got = {
+        r.node: r.n_two_hop
+        for r in two_hop_neighbors(spark, sf_dir).collect()
+    }
+    assert got == expected and expected

@@ -352,3 +352,24 @@ def test_rendezvous_shard_plan_is_map_side(spark, sf_dir):
     )
     assert plan.count("Exchange") == 1, plan  # check-gate only
     assert "EvalPython" not in plan
+
+
+def test_vocab_coverage_exact_ppm_and_tiebreak(spark, tmp_path):
+    """Coverage must be the exact integer ppm of the cumulative count;
+    equal-count words rank alphabetically."""
+    from ocr_spark.operators.text_analysis import vocab_coverage
+
+    rows = [(0, "b b b a a c"), (1, "a c")]  # a:3 b:3 c:2, total 8
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = [
+        (r["rnk"], r["word"], r["cnt"], r["coverage_ppm"])
+        for r in vocab_coverage(spark, d).collect()
+    ]
+    assert out == [
+        (1, "a", 3, 3 * 1_000_000 // 8),
+        (2, "b", 3, 6 * 1_000_000 // 8),
+        (3, "c", 2, 1_000_000),
+    ]
