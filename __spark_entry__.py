@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg_merge": relational.incremental_agg_merge,
         "connected_components_labels": relational.connected_components_labels,
         "two_hop_neighbors": relational.two_hop_neighbors,
+        "cohort_retention": relational.cohort_retention,
         "vocab_coverage": text_analysis.vocab_coverage,
     }
 
@@ -3370,6 +3371,31 @@ with raw as (
 )
 select v as node, count(*) as n_two_hop
 from twoh group by v order by node
+"""
+    # Cohort truth: epoch-week floor division, distinct (user, week)
+    # activity, ppm integer division.
+    sql["cohort_retention"] = """
+with ev as (
+  select user_id,
+         date_diff('day', date '1970-01-01', cast(ts as date)) // 7 as week
+  from events
+), first as (
+  select user_id, min(week) as cohort_week from ev group by user_id
+), active as (
+  select distinct user_id, week from ev
+), joined as (
+  select f.cohort_week, a.week - f.cohort_week as "offset"
+  from active a join first f using (user_id)
+), sizes as (
+  select cohort_week, count(*) as cohort_users from first group by 1
+), matrix as (
+  select cohort_week, "offset", count(*) as n_active
+  from joined group by 1, 2
+)
+select m.cohort_week, m."offset" as offset, m.n_active, s.cohort_users,
+       (m.n_active * 1000000) // s.cohort_users as retention_ppm
+from matrix m join sizes s using (cohort_week)
+order by m.cohort_week, m."offset"
 """
     # Vocab coverage: rank/cumsum over the aggregated vocabulary,
     # coverage in exact ppm integer division.

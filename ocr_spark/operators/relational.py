@@ -1868,3 +1868,49 @@ def two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("node")
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week (the cohort), counted in each later week they return — the
+    table behind every retention curve, in exact integer arithmetic
+    (epoch-week = epoch_days div 7; retention as ppm of cohort size).
+
+    Scale shape: first-activity week is one user-keyed min-agg; the
+    (user, week) activity set is one distinct agg on the same key
+    (co-partitioned — AQE reuses the exchange); the cohort matrix agg is
+    keyed on (cohort_week, week_offset), whose cardinality is weeks² —
+    tiny forever.  No window over the raw event stream, no skew axis
+    beyond the busiest user."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr(
+            "cast(datediff(cast(ts as date), date'1970-01-01') as bigint)"
+            " div 7"
+        ).alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    joined = active.join(first, "user_id").select(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    matrix = joined.groupBy("cohort_week", "offset").agg(
+        F.count("*").alias("n_active")
+    )
+    return (
+        matrix.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "offset",
+            "n_active",
+            "cohort_users",
+            F.expr("(n_active * 1000000) div cohort_users").alias(
+                "retention_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("cohort_week", "offset")
+    )

@@ -548,3 +548,46 @@ def test_two_hop_matches_bruteforce(spark):
         for r in two_hop_neighbors(spark, sf_dir).collect()
     }
     assert got == expected and expected
+
+
+def test_cohort_retention_crafted(spark, tmp_path):
+    """Offset-0 row counts every cohort user once (multiple events in
+    the first week collapse); later weeks count distinct returning
+    users; retention is exact ppm."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import cohort_retention
+
+    w0 = dt.datetime(2024, 1, 4)  # Thursday = epoch-week boundary day
+    wk = dt.timedelta(days=7)
+    rows = [
+        # cohort A (week of w0): users 1, 2
+        (1, w0, 1, "a", 1.0, "{}"),
+        (2, w0 + dt.timedelta(days=1), 1, "a", 1.0, "{}"),  # same week dup
+        (3, w0, 2, "a", 1.0, "{}"),
+        (4, w0 + wk, 1, "a", 1.0, "{}"),          # only user 1 returns w+1
+        (5, w0 + 2 * wk, 1, "a", 1.0, "{}"),
+        (6, w0 + 2 * wk, 2, "a", 1.0, "{}"),      # both return w+2
+        # cohort B (w0+1): user 3, never returns
+        (7, w0 + wk, 3, "a", 1.0, "{}"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        (r.cohort_week, r.offset): (
+            r.n_active, r.cohort_users, r.retention_ppm
+        )
+        for r in cohort_retention(spark, d).collect()
+    }
+    wA = ((w0 - dt.datetime(1970, 1, 1)).days) // 7
+    assert got == {
+        (wA, 0): (2, 2, 1_000_000),
+        (wA, 1): (1, 2, 500_000),
+        (wA, 2): (2, 2, 1_000_000),
+        (wA + 1, 0): (1, 1, 1_000_000),
+    }
