@@ -823,3 +823,26 @@ def test_regional_revenue_broadcasts_dim_chain(spark):
     assert "BroadcastNestedLoopJoin" not in simple
     fmt = plan_of(df)
     assert "PushedFilters" in fmt and "o_orderdate" in fmt
+
+
+def test_triangle_count_joins_stay_keyed(spark):
+    """Degree orientation must keep the wedge enumeration on hash joins:
+    no cartesian/nested-loop anywhere, and the degree table rides a
+    broadcast join onto the edges."""
+    from ocr_spark.operators.relational import triangle_count
+
+    plan = plan_of(triangle_count(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_filter_no_cartesian_and_partial_df(spark):
+    """Candidate generation joins prefix postings on the shingle key —
+    keyed joins only, and the df table aggregates map-side first."""
+    from ocr_spark.operators.dedup import prefix_filter_jaccard
+
+    plan = plan_of(prefix_filter_jaccard(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
