@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_labels": relational.connected_components_labels,
         "two_hop_neighbors": relational.two_hop_neighbors,
         "cohort_retention": relational.cohort_retention,
+        "cdc_apply": relational.cdc_apply,
         "vocab_coverage": text_analysis.vocab_coverage,
     }
 
@@ -3371,6 +3372,33 @@ with raw as (
 )
 select v as node, count(*) as n_two_hop
 from twoh group by v order by node
+"""
+    # MERGE truth: last-writer-wins per side, full outer, delete filter
+    # AFTER the join (a delete of an absent key must be a no-op).
+    sql["cdc_apply"] = """
+with ev as (
+  select user_id, ts, event_id,
+         cast(round(value * 100) as bigint) as cents,
+         (event_id % 10 = 0) as is_delete
+  from events
+), base as (
+  select user_id, cents as b_cents, ts as b_ts from ev
+  where ts < timestamp '2024-01-20'
+  qualify row_number() over (partition by user_id
+                             order by ts desc, event_id desc) = 1
+), delta as (
+  select user_id, cents as d_cents, ts as d_ts, is_delete from ev
+  where ts >= timestamp '2024-01-20'
+  qualify row_number() over (partition by user_id
+                             order by ts desc, event_id desc) = 1
+)
+select user_id,
+       coalesce(d_cents, b_cents) as cents,
+       coalesce(d_ts, b_ts) as ts,
+       case when d_ts is not null then 'updated' else 'base' end as src
+from base full outer join delta using (user_id)
+where is_delete is null or not is_delete
+order by user_id
 """
     # Cohort truth: epoch-week floor division, distinct (user, week)
     # activity, ppm integer division.

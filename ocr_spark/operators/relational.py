@@ -1914,3 +1914,71 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("cohort_week", "offset")
     )
+
+
+CDC_CUTOFF = "2024-01-20"
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a lakehouse format: apply a
+    changelog of upserts and deletes to a base snapshot — the inverse of
+    snapshot_diff (which DERIVES the changelog).  Base = latest value
+    per user before the cutoff; changelog = events at/after it, each
+    deterministically an upsert or a delete (event_id % 10 == 0).
+    Last-writer-wins within the changelog by (ts, event_id); a final
+    delete removes the key, a final upsert sets its value, untouched
+    base keys survive.
+
+    Scale shape: the changelog collapses to ONE row per touched key
+    (max_by on the key shuffle) BEFORE the merge, so the full-outer
+    join is state-size × touched-size — with the state table bucketed
+    on user_id the merge is shuffle-free on the big side, same layout
+    argument as incremental_agg_merge.  Deletes must flow through the
+    join (not be pre-filtered): a delete of an absent key is a no-op,
+    a delete of a present key is a tombstone."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("event_id") % 10 == 0).alias("is_delete"),
+    )
+    cut = F.lit(CDC_CUTOFF).cast("timestamp")
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    base = latest(ev.filter(F.col("ts") < cut)).select(
+        "user_id",
+        F.col("cents").alias("b_cents"),
+        F.col("ts").alias("b_ts"),
+    )
+    delta = latest(ev.filter(F.col("ts") >= cut)).select(
+        "user_id",
+        F.col("cents").alias("d_cents"),
+        F.col("ts").alias("d_ts"),
+        "is_delete",
+    )
+    merged = base.join(delta, "user_id", "full_outer")
+    return (
+        merged.filter(
+            F.col("is_delete").isNull() | (~F.col("is_delete"))
+        )
+        .select(
+            "user_id",
+            F.coalesce("d_cents", "b_cents").alias("cents"),
+            F.coalesce("d_ts", "b_ts").alias("ts"),
+            F.when(F.col("d_ts").isNotNull(), "updated")
+            .otherwise("base")
+            .alias("src"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("user_id")
+    )

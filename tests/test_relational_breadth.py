@@ -591,3 +591,43 @@ def test_cohort_retention_crafted(spark, tmp_path):
         (wA, 2): (2, 2, 1_000_000),
         (wA + 1, 0): (1, 1, 1_000_000),
     }
+
+
+def test_cdc_apply_merge_semantics(spark, tmp_path):
+    """MERGE rules: last-writer-wins in the changelog, a trailing delete
+    tombstones the key (even if base never had it), a delete followed by
+    a later upsert resurrects it, untouched base keys survive."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import CDC_CUTOFF, cdc_apply
+
+    cut = dt.datetime.fromisoformat(CDC_CUTOFF)
+    b = cut - dt.timedelta(days=1)
+    a1, a2 = cut + dt.timedelta(hours=1), cut + dt.timedelta(hours=2)
+    # event_id % 10 == 0 -> delete
+    rows = [
+        (1, b, 100, "a", 1.00, "{}"),     # base only -> survives as base
+        (2, b, 200, "a", 2.00, "{}"),     # base, then deleted
+        (10, a1, 200, "a", 0.0, "{}"),    # delete op (id 10)
+        (3, b, 300, "a", 3.00, "{}"),     # base, deleted then re-upserted
+        (20, a1, 300, "a", 0.0, "{}"),    # delete (id 20)
+        (21, a2, 300, "a", 3.50, "{}"),   # later upsert wins
+        (30, a1, 400, "a", 0.0, "{}"),    # delete of ABSENT key -> no-op
+        (41, a1, 500, "a", 5.00, "{}"),   # insert via changelog only
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        r.user_id: (r.cents, r.ts, r.src)
+        for r in cdc_apply(spark, d).collect()
+    }
+    assert got == {
+        100: (100, b, "base"),
+        300: (350, a2, "updated"),
+        500: (500, a1, "updated"),
+    }
