@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- similarity search --
         "ann_brute_topk": similarity.brute_topk,
         "ann_filtered_topk": similarity.filtered_topk,
+        "embedding_quantize_int8": similarity.embedding_quantize_int8,
         "ann_lsh_topk": similarity.lsh_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "ann_ivf_indexed_topk": similarity.ivf_indexed_topk,
@@ -3138,6 +3139,32 @@ order by d.doc_id
 """
     # Deterministic shard packing: portable-hash permutation, shard =
     # h mod N_SHARDS, per-shard position + running byte offset.
+    # int8 quantization truth: float64 all the way (list elements cast
+    # BEFORE any arithmetic), round() = half away from zero in both
+    # engines; the CSV pins every quantized component.
+    sql["embedding_quantize_int8"] = """
+with q as (
+  select vec_id,
+         len(embedding) as n_dims,
+         list_transform(
+           embedding::double[],
+           x -> case when list_max(list_transform(embedding::double[],
+                                                  y -> abs(y))) = 0
+                     then 0
+                     else cast(round(x * 127.0 /
+                       list_max(list_transform(embedding::double[],
+                                               y -> abs(y)))) as int)
+                end
+         ) as qv
+  from embeddings
+)
+select vec_id, cast(n_dims as int) as n_dims,
+       cast(list_sum(qv) as bigint) as q_sum,
+       cast(list_sum(list_transform(qv, v -> abs(v))) as bigint)
+         as q_abs_sum,
+       array_to_string(qv, ',') as q_csv
+from q order by vec_id
+"""
     # Prefix filtering is an exact refinement: the result set must be
     # IDENTICAL to the full posting join, so the oracle is shared.
     sql["prefix_filter_jaccard"] = sql["ngram_jaccard_all_pairs"]

@@ -246,3 +246,40 @@ def test_prefix_filter_is_exact_and_prunes(spark, sf_dir):
         .count()
     )
     assert n_pref_cand < n_full_cand, (n_pref_cand, n_full_cand)
+
+
+def test_embedding_quantize_int8_range_and_fidelity(spark, sf_dir):
+    """Every quantized component lies in [-127, 127], the max-|x|
+    component maps to ±127 exactly, and cosine between the original and
+    its dequantized self stays near 1 (quantization sanity)."""
+    import math
+
+    from ocr_spark.operators.similarity import embedding_quantize_int8
+
+    out = {
+        r["vec_id"]: r
+        for r in embedding_quantize_int8(spark, sf_dir).collect()
+    }
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(
+            f"{sf_dir}/embeddings.parquet"
+        ).limit(2000).collect()
+    }
+    checked = 0
+    for vid, x in list(emb.items())[:50]:
+        q = [int(v) for v in out[vid]["q_csv"].split(",")]
+        assert len(q) == out[vid]["n_dims"] == len(x)
+        assert all(-127 <= v <= 127 for v in q)
+        scale = max(abs(v) for v in x)
+        if scale == 0:
+            continue
+        i = max(range(len(x)), key=lambda j: abs(x[j]))
+        assert abs(q[i]) == 127
+        deq = [v * scale / 127.0 for v in q]
+        dot = sum(a * b for a, b in zip(x, deq))
+        na = math.sqrt(sum(a * a for a in x))
+        nb = math.sqrt(sum(b * b for b in deq))
+        assert dot / (na * nb) > 0.99
+        checked += 1
+    assert checked > 10
