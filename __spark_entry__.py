@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": similarity.brute_topk,
         "ann_filtered_topk": similarity.filtered_topk,
         "embedding_quantize_int8": similarity.embedding_quantize_int8,
+        "ann_int8_topk": similarity.ann_int8_topk,
         "ann_lsh_topk": similarity.lsh_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "ann_ivf_indexed_topk": similarity.ivf_indexed_topk,
@@ -3164,6 +3165,30 @@ select vec_id, cast(n_dims as int) as n_dims,
          as q_abs_sum,
        array_to_string(qv, ',') as q_csv
 from q order by vec_id
+"""
+    # Quantized retrieval truth: the same quantize expression feeds an
+    # integer dot product — bigint arithmetic end to end.
+    sql["ann_int8_topk"] = f"""
+with q as (
+  select vec_id, label,
+         list_transform(
+           embedding::double[],
+           x -> case when list_max(list_transform(embedding::double[],
+                                                  y -> abs(y))) = 0
+                     then 0
+                     else cast(round(x * 127.0 /
+                       list_max(list_transform(embedding::double[],
+                                               y -> abs(y)))) as bigint)
+                end
+         ) as qv
+  from embeddings
+), qq as (select qv as query_qv from q where vec_id = 0)
+select e.vec_id, e.label,
+       cast(list_sum(list_transform(range(1, len(e.qv) + 1),
+              i -> e.qv[i] * qq.query_qv[i])) as bigint) as int_dot
+from q e cross join qq
+where e.vec_id <> 0
+order by int_dot desc, e.vec_id limit {similarity.TOP_K}
 """
     # Prefix filtering is an exact refinement: the result set must be
     # IDENTICAL to the full posting join, so the oracle is shared.

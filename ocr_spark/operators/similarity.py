@@ -679,3 +679,47 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("vec_id")
     )
+
+
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval over the int8-quantized corpus — how a 100 TB
+    vector store actually serves queries: integer dot products on 4×-
+    compressed vectors (SIMD int8 GEMM in real engines), floats nowhere.
+    The score is the raw integer dot ⟨q_vec, d_vec⟩ (per-vector scales
+    only multiply positively, so the int dot preserves each pair's sign
+    structure and is THE standard symmetric-quantization ranking proxy);
+    being pure bigint arithmetic it is engine-exact with no rounding
+    convention at all.
+
+    Map-side quantize (same fold as embedding_quantize_int8), broadcast
+    quantized query, zip_with integer dot, TakeOrdered — one scan, no
+    shuffle beyond the top-k."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xd, F.abs))
+    q = F.transform(
+        xd,
+        lambda x: F.when(scale == 0, F.lit(0))
+        .otherwise(F.round(x * 127.0 / scale))
+        .cast("long"),
+    )
+    qd = emb.select("vec_id", "label", q.alias("qv"))
+    query = qd.filter(F.col("vec_id") == 0).select(
+        F.col("qv").alias("query_qv")
+    )
+    scored = (
+        qd.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("query_qv"), lambda a, b: a * b
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("int_dot"),
+        )
+    )
+    return scored.orderBy(F.desc("int_dot"), "vec_id").limit(TOP_K)

@@ -283,3 +283,19 @@ def test_embedding_quantize_int8_range_and_fidelity(spark, sf_dir):
         assert dot / (na * nb) > 0.99
         checked += 1
     assert checked > 10
+
+
+def test_ann_int8_topk_agrees_with_float_retrieval(spark, sf_dir):
+    """Quantized retrieval must substantially agree with exact float
+    cosine retrieval (recall@10 >= 0.7 on the fixture) and scores must
+    be pure integers ordered descending."""
+    from ocr_spark.operators.similarity import ann_int8_topk, brute_topk
+
+    qrows = ann_int8_topk(spark, sf_dir).collect()
+    assert len(qrows) == 10
+    dots = [r["int_dot"] for r in qrows]
+    assert dots == sorted(dots, reverse=True)
+    assert all(isinstance(d, int) for d in dots)
+    exact = {r["vec_id"] for r in brute_topk(spark, sf_dir).collect()}
+    got = {r["vec_id"] for r in qrows}
+    assert len(got & exact) >= 7, (got, exact)
