@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": relational.cohort_retention,
         "cdc_apply": relational.cdc_apply,
         "vocab_coverage": text_analysis.vocab_coverage,
+        "span_corruption_mask": text_analysis.span_corruption_mask,
     }
 
 
@@ -3476,6 +3477,40 @@ select m.cohort_week, m."offset" as offset, m.n_active, s.cohort_users,
        (m.n_active * 1000000) // s.cohort_users as retention_ppm
 from matrix m join sizes s using (cohort_week)
 order by m.cohort_week, m."offset"
+"""
+    # Span-corruption truth: same square-mix start selection, 3-token
+    # expansion clipped at n, distinct positions, lag-window span count.
+    sql["span_corruption_mask"] = """
+with t as (
+  select doc_id, len(string_split(text, ' ')) as n from documents
+), pos as (
+  select doc_id, n, unnest(range(1, n + 1)) as p from t
+), sel as (
+  select doc_id, n, p from pos
+  where ((((doc_id * 2654435761 + p * 40503) % 2147483647)
+          * ((doc_id * 2654435761 + p * 40503) % 2147483647))
+         % 2147483647) % 20 = 0
+), mask as (
+  select distinct doc_id, p + o as m
+  from sel cross join (values (0), (1), (2)) as ofs(o)
+  where p + o <= n
+), lagged as (
+  select doc_id, m,
+         lag(m) over (partition by doc_id order by m) as prev
+  from mask
+), agg as (
+  select doc_id, count(*) as n_masked,
+         sum(case when prev is null or m - prev > 1 then 1 else 0 end)
+           as n_spans,
+         min(m) as firstm
+  from lagged group by doc_id
+)
+select t.doc_id, cast(t.n as int) as n_tokens,
+       cast(coalesce(a.n_masked, 0) as int) as n_masked,
+       cast(coalesce(a.n_spans, 0) as int) as n_spans,
+       cast(coalesce(a.firstm, 0) as int) as first_masked_pos
+from t left join agg a using (doc_id)
+order by t.doc_id
 """
     # Vocab coverage: rank/cumsum over the aggregated vocabulary,
     # coverage in exact ppm integer division.

@@ -1219,3 +1219,60 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("rnk")
     )
+
+
+MASK_P = 2147483647  # Mersenne 2^31-1 (square-mix, same as HRW)
+MASK_ONE_IN = 20     # span-start rate: 1/20 of positions
+MASK_SPAN = 3        # tokens per span -> ~15% masked, T5 defaults
+
+
+def span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask generation — the deterministic
+    preprocessing a span-denoising pretraining run applies to every
+    document: ~1/20 of token positions start a 3-token mask span
+    (≈15% corruption), overlapping spans merge, and the whole mask is a
+    pure function of (doc_id, position) so any worker, any retry, any
+    engine regenerates the identical mask (no RNG state to ship).
+
+    Position selection uses the square-mod-prime mix: a hash LINEAR in
+    position degenerates to a fixed-stride comb (every 20th token —
+    periodic, not noise-like; same failure mode as the HRW linear hash).
+
+    All array-side per row: zero shuffle, scan-speed."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+
+    def hsel(p):
+        m = (F.col("doc_id") * 2654435761 + p.cast("long") * 40503) % MASK_P
+        return ((m * m) % MASK_P) % MASK_ONE_IN == 0
+
+    starts = F.filter(F.sequence(F.lit(1), n), hsel)
+    masked = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    starts,
+                    lambda p: F.sequence(
+                        p, F.least(p + (MASK_SPAN - 1), n)
+                    ),
+                )
+            )
+        )
+    )
+    n_spans = F.size(
+        F.filter(masked, lambda p: ~F.array_contains(masked, p - 1))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.size(masked).alias("n_masked"),
+            n_spans.alias("n_spans"),
+            F.coalesce(
+                F.try_element_at(masked, F.lit(1)), F.lit(0)
+            ).alias("first_masked_pos"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

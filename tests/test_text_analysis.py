@@ -373,3 +373,28 @@ def test_vocab_coverage_exact_ppm_and_tiebreak(spark, tmp_path):
         (2, "b", 3, 6 * 1_000_000 // 8),
         (3, "c", 2, 1_000_000),
     ]
+
+
+def test_span_corruption_mask_rate_and_merging(spark, sf_dir):
+    """Mask rate must land near the configured ~15% corpus-wide, spans
+    must merge (n_masked <= 3 * n_spans, with strict < somewhere —
+    proof that overlapping starts merged), and empty-mask docs report
+    zeros."""
+    from ocr_spark.operators.text_analysis import span_corruption_mask
+
+    rows = span_corruption_mask(spark, sf_dir).collect()
+    tot_tok = sum(r["n_tokens"] for r in rows)
+    tot_mask = sum(r["n_masked"] for r in rows)
+    assert 0.08 < tot_mask / tot_tok < 0.25, tot_mask / tot_tok
+    saw_merge = False
+    for r in rows:
+        assert r["n_spans"] <= r["n_masked"] <= r["n_tokens"]
+        if r["n_masked"] > 3 * r["n_spans"] > 0:
+            # a maximal run longer than one 3-token window can only come
+            # from overlapping starts merging into one span
+            saw_merge = True
+        if r["n_masked"] == 0:
+            assert r["n_spans"] == 0 and r["first_masked_pos"] == 0
+        else:
+            assert 1 <= r["first_masked_pos"] <= r["n_tokens"]
+    assert saw_merge
