@@ -190,3 +190,62 @@ def test_html_to_spans_plan_is_single_pass(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "Scan parquet" in plan
+
+
+def test_web_spans_compose_with_ocr_pipeline(spark, sf_dir):
+    """Tier composition: html_to_spans output IS a valid interleaved
+    document — regroup its rows into the flagship span schema, run the
+    real OCR extraction pipeline, and every image span's recognized text
+    must equal the fixture ground truth while text spans pass through
+    in order."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.fixtures.render import expected_media_text
+    from ocr_spark.operators.pipeline import extract_documents
+    from ocr_spark.operators.web_extract import html_to_spans
+
+    flat = html_to_spans(spark, sf_dir)
+    docs = (
+        flat.filter(F.col("doc_id") < 4)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "span_idx",
+                        F.struct(
+                            F.when(F.col("kind") == "image", "media")
+                            .otherwise("text")
+                            .alias("kind"),
+                            F.col("text").alias("text"),
+                            F.col("media_ref").alias("media_ref"),
+                            F.col("span_offset").alias("offset"),
+                        ).alias("s"),
+                    )
+                )
+            ).alias("packed")
+        )
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.transform(F.col("packed"), lambda p: p["s"]).alias("spans"),
+        )
+    )
+    out = {r["doc_id"]: r for r in extract_documents(docs).collect()}
+    assert out and all(r["success"] for r in out.values())
+    src = {str(r["doc_id"]): r for r in docs.collect()}
+    checked_imgs = 0
+    for doc_id, r in out.items():
+        inp = src[doc_id]["spans"]
+        got = r["spans"]
+        assert len(got) == len(inp)
+        for s_in, s_out in zip(inp, got):
+            assert s_out["kind"] == s_in["kind"]
+            assert s_out["media_ref"] == s_in["media_ref"]
+            if s_in["kind"] != "media":
+                assert s_out["text"] == s_in["text"]
+            else:
+                assert s_out["text"] == expected_media_text(
+                    s_in["media_ref"]
+                )
+                checked_imgs += 1
+    assert checked_imgs >= 4
