@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_hop_neighbors": relational.two_hop_neighbors,
         "cohort_retention": relational.cohort_retention,
         "cdc_apply": relational.cdc_apply,
+        "pruning_effectiveness": relational.pruning_effectiveness,
         "vocab_coverage": text_analysis.vocab_coverage,
         "span_corruption_mask": text_analysis.span_corruption_mask,
     }
@@ -3425,6 +3426,38 @@ with raw as (
 )
 select v as node, count(*) as n_two_hop
 from twoh group by v order by node
+"""
+    # Pruning-audit truth: same bucket formulas, same stats test.
+    sql["pruning_effectiveness"] = """
+with arrival as (
+  select doc_id // 50 as bucket, n_chars from documents
+), by_len as (
+  select (row_number() over (order by n_chars, doc_id) - 1) // 50
+           as bucket,
+         n_chars
+  from documents
+), sa as (
+  select min(n_chars) as lo, max(n_chars) as hi
+  from arrival group by bucket
+), sb as (
+  select min(n_chars) as lo, max(n_chars) as hi
+  from by_len group by bucket
+), ra as (
+  select 'arrival' as layout, count(*) as n_buckets,
+         sum(case when hi < 400 or lo > 500 then 1 else 0 end)
+           as n_skippable
+  from sa
+), rb as (
+  select 'sorted' as layout, count(*) as n_buckets,
+         sum(case when hi < 400 or lo > 500 then 1 else 0 end)
+           as n_skippable
+  from sb
+)
+select layout, n_buckets,
+       cast(n_skippable as bigint) as n_skippable,
+       cast((n_skippable * 1000000) // n_buckets as bigint) as skip_ppm
+from (select * from ra union all select * from rb)
+order by layout
 """
     # MERGE truth: last-writer-wins per side, full outer, delete filter
     # AFTER the join (a delete of an absent key must be a no-op).

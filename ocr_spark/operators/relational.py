@@ -1982,3 +1982,60 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("user_id")
     )
+
+
+PRUNE_BUCKET_ROWS = 50
+PRUNE_LO, PRUNE_HI = 400, 500  # n_chars predicate window
+
+
+def pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-effectiveness audit: how many row groups a min/max-stats
+    reader (parquet/Iceberg) could SKIP for the predicate
+    n_chars BETWEEN 400 AND 500, under (a) arrival order (bucket =
+    doc_id div B) vs (b) n_chars-sorted order (bucket = rank div B) —
+    the number that justifies paying for a sorted/Z-ordered rewrite:
+    arrival buckets all straddle the predicate (skip ≈ 0), sorted
+    buckets localize it (skip ≈ all but the matching stripe).
+
+    Exact integer output: per layout, bucket count, skippable count
+    (bucket max < lo OR bucket min > hi — the reader's stats test
+    verbatim), and skip ppm.  One agg per layout; the rank for the
+    sorted layout is a window on the aggregated (value-sorted) stream —
+    at production scale the rank comes from the write-time sort itself,
+    so the audit is metadata-only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    arrival = docs.select(
+        F.expr(f"doc_id div {PRUNE_BUCKET_ROWS}").alias("bucket"),
+        "n_chars",
+    )
+    by_len = docs.select(
+        F.expr(
+            f"(row_number() over (order by n_chars, doc_id) - 1)"
+            f" div {PRUNE_BUCKET_ROWS}"
+        ).alias("bucket"),
+        "n_chars",
+    )
+
+    def audit(df: DataFrame, layout: str) -> DataFrame:
+        stats = df.groupBy("bucket").agg(
+            F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+        )
+        skippable = (F.col("hi") < PRUNE_LO) | (F.col("lo") > PRUNE_HI)
+        return stats.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").alias("n_buckets"),
+            F.sum(skippable.cast("bigint")).alias("n_skippable"),
+            F.expr(
+                f"(sum(cast((hi < {PRUNE_LO} or lo > {PRUNE_HI}) as bigint))"
+                " * 1000000) div count(*)"
+            ).alias("skip_ppm"),
+        )
+
+    return (
+        audit(arrival, "arrival")
+        .unionAll(audit(by_len, "sorted"))
+        .repartition(1)
+        .sortWithinPartitions("layout")
+    )

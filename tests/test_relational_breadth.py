@@ -631,3 +631,15 @@ def test_cdc_apply_merge_semantics(spark, tmp_path):
         300: (350, a2, "updated"),
         500: (500, a1, "updated"),
     }
+
+
+def test_pruning_audit_sorted_dominates_arrival(spark, sf_dir):
+    """A value-sorted layout can never skip FEWER stat buckets than
+    arrival order for a range predicate; on the fixture it must skip a
+    strict majority while arrival skips ~none."""
+    from ocr_spark.operators.relational import pruning_effectiveness
+
+    rows = {r.layout: r for r in pruning_effectiveness(spark, sf_dir).collect()}
+    assert set(rows) == {"arrival", "sorted"}
+    assert rows["sorted"].n_skippable >= rows["arrival"].n_skippable
+    assert rows["sorted"].skip_ppm > 500_000
