@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": relational.cohort_retention,
         "cdc_apply": relational.cdc_apply,
         "pruning_effectiveness": relational.pruning_effectiveness,
+        "half_life_engagement": relational.half_life_engagement,
+        "join_size_estimate": relational.join_size_estimate,
         "vocab_coverage": text_analysis.vocab_coverage,
         "span_corruption_mask": text_analysis.span_corruption_mask,
     }
@@ -3426,6 +3428,54 @@ with raw as (
 )
 select v as node, count(*) as n_two_hop
 from twoh group by v order by node
+"""
+    # Half-life truth: exact power-of-two weights on integer cents.
+    sql["half_life_engagement"] = """
+with ev as (
+  select user_id, cast(ts as date) as d,
+         cast(round(value * 100) as bigint) as cents
+  from events
+), mx as (select max(d) as mxd from ev),
+aged as (
+  select user_id, cents,
+         least(date_diff('day', d, mxd), 30) as age
+  from ev cross join mx
+)
+select user_id,
+       cast(sum(cents * (1::bigint << (30 - age))) as bigint)
+         as decayed_cents_x2c,
+       count(*) as n_events
+from aged group by user_id order by user_id
+"""
+    # KMV join-size truth: identical sketch algebra, nested integer div.
+    sql["join_size_estimate"] = """
+with ha as (
+  select distinct (user_id * 2654435761) % 4294967296 as h
+  from events where event_type = 'view' order by h limit 64
+), hb as (
+  select distinct (user_id * 2654435761) % 4294967296 as h
+  from events where event_type = 'purchase' order by h limit 64
+), un as (
+  select h from (select h from ha union select h from hb) u
+  order by h limit 64
+), thr as (select max(h) as hk, count(*) as k from un),
+common as (
+  select count(*) as c
+  from ha join hb using (h) cross join thr
+  where h <= hk
+), exact as (
+  select count(*) as exact_n from (
+    select user_id from events where event_type = 'view'
+    intersect
+    select user_id from events where event_type = 'purchase'
+  ) q
+)
+select k, c, exact_n,
+       cast((c * ((k - 1) * 4294967296 // hk)) // k as bigint) as est_n,
+       cast((abs(cast((c * ((k - 1) * 4294967296 // hk)) // k as bigint)
+                 - exact_n) * 1000000) // greatest(exact_n, 1) as bigint)
+         as err_ppm
+from thr cross join common cross join exact
 """
     # Pruning-audit truth: same bucket formulas, same stats test.
     sql["pruning_effectiveness"] = """

@@ -2039,3 +2039,129 @@ def pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("layout")
     )
+
+
+HALF_LIFE_CAP_DAYS = 30
+
+
+def half_life_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wall-clock half-life decayed engagement per user: an event's
+    weight halves per day of age at the corpus max date, ages capped at
+    HALF_LIFE_CAP_DAYS.  Carried as EXACT integers — weight 2^(cap-age)
+    on integer cents — so the sum is associative bigint arithmetic (no
+    float decay, no accumulation-order hazard); a consumer divides by
+    2^cap once for the human-readable score.
+
+    Complements ewma_user_value (event-INDEX decay): this is clock-time
+    decay, the form feed-ranking and abuse counters actually use.
+    Shape: ages computed against a broadcast 1-row max-date, one
+    user-keyed sum — map-side partial agg does the heavy lifting."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    mx = ev.agg(F.max("d").alias("mxd"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "cents",
+        F.least(
+            F.datediff("mxd", "d"), F.lit(HALF_LIFE_CAP_DAYS)
+        ).alias("age"),
+    )
+    return (
+        aged.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cents * shiftleft(cast(1 as bigint),"
+                    f" {HALF_LIFE_CAP_DAYS} - age)"
+                )
+            ).alias("decayed_cents_x2c"),
+            F.count("*").alias("n_events"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("user_id")
+    )
+
+
+KMV_JOIN_K = 64
+
+
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from mergeable KMV sketches — what a
+    cost-based planner does before choosing a join strategy: estimate
+    |users(view) ∩ users(purchase)| from two K-minimum-values sketches
+    WITHOUT scanning the join, then report the exact truth and the
+    estimation error side by side.
+
+    KMV algebra (portable hash, all integer): each side keeps its K
+    smallest hashes; the union sketch is the K smallest of the merged
+    set with threshold h_K, |A∪B| ≈ (K-1)·M/h_K; intersection counts
+    common hashes below the union threshold: |A∩B| ≈ (c/K)·|A∪B|.
+    Sketches are tiny (K values), merge is associative — exactly the
+    property that lets 1000 executors sketch 100 TB map-side and merge
+    on the driver.  Output is one row: exact, estimate, error ppm."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type"
+    )
+    h = F.pmod(F.col("user_id") * 2654435761, F.lit(4294967296))
+
+    def sketch(etype: str):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(h.alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_JOIN_K)
+        )
+
+    a = sketch("view").select(F.col("h").alias("ha"))
+    b = sketch("purchase").select(F.col("h").alias("hb"))
+    union_k = (
+        a.select(F.col("ha").alias("h"))
+        .union(b.select(F.col("hb").alias("h")))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_JOIN_K)
+    )
+    thr = union_k.agg(F.max("h").alias("hk"), F.count("*").alias("k"))
+    common = (
+        a.join(b, F.col("ha") == F.col("hb"))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("ha") <= F.col("hk"))
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count("*").alias("exact_n"))
+    )
+    est = (
+        thr.crossJoin(common)
+        .select(
+            "k",
+            "c",
+            "hk",
+            F.expr(
+                "(cast(c as bigint) * ((cast(k as bigint) - 1)"
+                " * 4294967296 div hk)) div k"
+            ).alias("est_n"),
+        )
+    )
+    return (
+        est.crossJoin(exact)
+        .select(
+            "k",
+            "c",
+            "exact_n",
+            "est_n",
+            F.expr(
+                "(abs(est_n - exact_n) * 1000000)"
+                " div greatest(exact_n, 1)"
+            ).alias("err_ppm"),
+        )
+    )

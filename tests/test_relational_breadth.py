@@ -643,3 +643,42 @@ def test_pruning_audit_sorted_dominates_arrival(spark, sf_dir):
     assert set(rows) == {"arrival", "sorted"}
     assert rows["sorted"].n_skippable >= rows["arrival"].n_skippable
     assert rows["sorted"].skip_ppm > 500_000
+
+
+def test_half_life_exact_weights(spark, tmp_path):
+    """Today's event weighs 2^30, a 1-day-old one 2^29, a 100-day-old
+    one clamps to weight 1 — verified against hand arithmetic."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import half_life_engagement
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        (1, t0, 7, "a", 1.00, "{}"),                          # age 0
+        (2, t0 - dt.timedelta(days=1), 7, "a", 2.00, "{}"),   # age 1
+        (3, t0 - dt.timedelta(days=100), 7, "a", 4.00, "{}"), # clamped
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = half_life_engagement(spark, d).collect()[0]
+    assert r.user_id == 7 and r.n_events == 3
+    assert r.decayed_cents_x2c == (
+        100 * 2**30 + 200 * 2**29 + 400 * 2**0
+    )
+
+
+def test_join_size_estimate_sane(spark, sf_dir):
+    """The KMV estimate must land within 60% of truth on the fixture
+    (K=64 → σ ≈ 1/√64 ≈ 12.5%; the bound is loose for VM determinism,
+    the exact value is pinned by the DuckDB oracle anyway)."""
+    from ocr_spark.operators.relational import join_size_estimate
+
+    r = join_size_estimate(spark, sf_dir).collect()[0]
+    assert r.exact_n > 0 and r.est_n > 0
+    assert abs(r.est_n - r.exact_n) / r.exact_n < 0.6, (
+        r.est_n, r.exact_n,
+    )
