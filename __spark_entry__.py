@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": relational.join_size_estimate,
         "vocab_coverage": text_analysis.vocab_coverage,
         "span_corruption_mask": text_analysis.span_corruption_mask,
+        "bm25_topk": text_analysis.bm25_topk,
     }
 
 
@@ -3560,6 +3561,36 @@ select m.cohort_week, m."offset" as offset, m.n_active, s.cohort_users,
        (m.n_active * 1000000) // s.cohort_users as retention_ppm
 from matrix m join sizes s using (cohort_week)
 order by m.cohort_week, m."offset"
+"""
+    # BM25 truth: identical literal arithmetic; ln + round(4) follows
+    # the lm_perplexity precedent for float-producing oracles.
+    sql["bm25_topk"] = f"""
+with d as (
+  select doc_id, string_split(lower(text), ' ') as ws from documents
+), base as (
+  select doc_id, len(ws) as dl, unnest(ws) as t from d
+), hits as (
+  select * from base
+  where t in ('spark', 'join', 'filter')
+), tf as (
+  select doc_id, t, count(*) as tf, min(dl) as dl
+  from hits group by 1, 2
+), dfx as (
+  select t, count(distinct doc_id) as df from hits group by t
+), stats as (
+  select count(*) as n, avg(len(ws)) as avgdl from d
+), scored as (
+  select tf.doc_id,
+         ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+           * (tf.tf * ({text_analysis.BM25_K1} + 1))
+           / (tf.tf + {text_analysis.BM25_K1}
+              * (1 - {text_analysis.BM25_B}
+                 + {text_analysis.BM25_B} * tf.dl / stats.avgdl)) as part
+  from tf join dfx using (t) cross join stats
+)
+select doc_id, round(sum(part), 4) as score
+from scored group by doc_id
+order by score desc, doc_id limit {text_analysis.BM25_TOP}
 """
     # Span-corruption truth: same square-mix start selection, 3-token
     # expansion clipped at n, distinct positions, lag-window span count.

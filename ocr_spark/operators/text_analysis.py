@@ -1067,7 +1067,12 @@ def pmi_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on position), ONE (w1, w2) shuffle counts them, and both
     marginals + N derive from that counted table (vocabulary-sized, not
     corpus-sized), broadcast back.  The min-count filter runs before
-    the top-k so the TakeOrdered heap sees only supported pairs."""
+    the top-k so the TakeOrdered heap sees only supported pairs.
+
+    Integer-overflow bound: 1e6 * c_xy * N must stay under 2^63, i.e.
+    c_xy * N < 9.2e12 — holds through ~3M bigrams even for the hottest
+    pair; past that, drop the 1e6 scale (or rescale to per-thousand) —
+    lift ORDERING is unaffected because the divisor is per-pair."""
     docs = _docs(spark, sf_dir)
     toks = F.split(F.lower("text"), " ")
     pairs = docs.select(
@@ -1276,3 +1281,62 @@ def span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "filter")
+BM25_TOP = 50
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query — the search-engine
+    scoring function over the same posting statistics the inverted-index
+    builder emits: idf(t) = ln(1 + (N - df + .5)/(df + .5)), tf
+    saturation k1=1.2, length normalization b=0.75 against the mean
+    document length.
+
+    Scale shape: tf rows exist only for (doc, query-term) pairs — the
+    token explode is filtered to the query vocabulary BEFORE the count
+    shuffle, so the aggregate is query-sized, not corpus-sized; df and
+    avgdl are one tiny broadcast each; the final top-k is a TakeOrdered
+    heap.  Scores round to 4 decimals (repo precedent for ln-based
+    oracles: lm_perplexity)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), " ")
+    base = docs.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("t")
+    )
+    hits = base.filter(F.col("t").isin(*BM25_QUERY))
+    tf = hits.groupBy("doc_id", "t").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    n_df = hits.select("doc_id", "t").distinct().groupBy("t").agg(
+        F.count("*").alias("df")
+    )
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(n_df), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1
+                    + (F.col("n") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(BM25_TOP)

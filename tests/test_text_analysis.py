@@ -398,3 +398,26 @@ def test_span_corruption_mask_rate_and_merging(spark, sf_dir):
         else:
             assert 1 <= r["first_masked_pos"] <= r["n_tokens"]
     assert saw_merge
+
+
+def test_bm25_ranks_matching_docs_and_saturates_tf(spark, tmp_path):
+    """A doc containing all query terms outranks a doc with one; tf
+    saturation: 10 repeats of one term score less than 10x a single
+    occurrence; docs with no query term are absent."""
+    from ocr_spark.operators.text_analysis import bm25_topk
+
+    rows = [
+        (0, "spark join filter data data data"),     # all three terms
+        (1, "spark data data data data data"),       # one term once
+        (2, "spark spark spark spark spark spark"),  # one term, tf=6
+        (3, "data data data data data data"),        # no query term
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(spark, d).collect()}
+    assert 3 not in out
+    assert out[0] > out[1]            # coverage beats single term
+    assert out[2] < 6 * out[1] * 1.01  # tf saturation kicked in
+    assert out[2] > out[1]            # but more tf still scores higher
