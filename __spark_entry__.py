@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": text_analysis.vocab_coverage,
         "span_corruption_mask": text_analysis.span_corruption_mask,
         "bm25_topk": text_analysis.bm25_topk,
+        "term_drift": text_analysis.term_drift,
+        "sliding_distinct_users": relational.sliding_distinct_users,
     }
 
 
@@ -3561,6 +3563,49 @@ select m.cohort_week, m."offset" as offset, m.n_active, s.cohort_users,
        (m.n_active * 1000000) // s.cohort_users as retention_ppm
 from matrix m join sizes s using (cohort_week)
 order by m.cohort_week, m."offset"
+"""
+    # Drift truth: even/odd halves, ppm shares, conditional-agg pivot.
+    sql["term_drift"] = f"""
+with t as (
+  select doc_id % 2 = 0 as is_a,
+         unnest(string_split(lower(text), ' ')) as term
+  from documents
+), counts as (
+  select term,
+         sum(case when is_a then 1 else 0 end) as cnt_a,
+         sum(case when not is_a then 1 else 0 end) as cnt_b
+  from t group by term
+), tot as (
+  select sum(cnt_a) as tot_a, sum(cnt_b) as tot_b from counts
+)
+select term, cast(cnt_a as bigint) as cnt_a, cast(cnt_b as bigint) as cnt_b,
+       cast((cnt_a * 1000000) // greatest(tot_a, 1) as bigint)
+         as share_a_ppm,
+       cast((cnt_b * 1000000) // greatest(tot_b, 1) as bigint)
+         as share_b_ppm,
+       abs(cast((cnt_a * 1000000) // greatest(tot_a, 1) as bigint)
+           - cast((cnt_b * 1000000) // greatest(tot_b, 1) as bigint))
+         as drift_ppm
+from counts cross join tot
+order by drift_ppm desc, term limit {text_analysis.DRIFT_TOP}
+"""
+    # Sliding-distinct truth: dedup to (user, day), explode into the 7
+    # covering window-ends, distinct, count; full windows only.
+    sql["sliding_distinct_users"] = """
+with ev as (
+  select user_id,
+         date_diff('day', date '1970-01-01', cast(ts as date)) as day
+  from events
+), activity as (select distinct user_id, day from ev),
+bounds as (select min(day) as d0, max(day) as d1 from ev),
+covered as (
+  select distinct user_id, day + o as win_end
+  from activity cross join unnest(range(0, 7)) as t(o)
+)
+select win_end, count(*) as n_distinct_users
+from covered cross join bounds
+where win_end >= d0 + 6 and win_end <= d1
+group by win_end order by win_end
 """
     # BM25 truth: identical literal arithmetic; ln + round(4) follows
     # the lm_perplexity precedent for float-producing oracles.

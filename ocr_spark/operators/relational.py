@@ -2165,3 +2165,54 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ppm"),
         )
     )
+
+
+SLIDE_WINDOW_DAYS = 7
+
+
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sliding 7-day distinct active users per day — the DAU/WAU
+    family metric that resists naive windowing because COUNT(DISTINCT)
+    doesn't decompose over sliding frames.  The scale-correct exact
+    form: collapse the raw stream to distinct (user, day) first (the
+    big shuffle, heavily map-side combined), then explode each activity
+    day into the <=7 window-end days it covers, distinct again, count
+    per day.  Blowup is bounded by window/stride = 7x on the ALREADY
+    deduplicated activity table, not on the raw events.  Only days with
+    a full 7-day lookback inside the data range are emitted (partial
+    leading windows would disagree with any fixed-window consumer).
+
+    At larger windows (W/stride >> 10) the exact form gives way to
+    per-day KMV/HLL sketch unions — kmv_distinct_users holds that end
+    of the spectrum; this op pins the exact end."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    )
+    activity = ev.distinct()
+    bounds = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    covered = activity.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + (SLIDE_WINDOW_DAYS - 1)
+            )
+        ).alias("win_end"),
+    ).distinct()
+    counted = covered.groupBy("win_end").agg(
+        F.count("*").alias("n_distinct_users")
+    )
+    return (
+        counted.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("win_end") >= F.col("d0") + (SLIDE_WINDOW_DAYS - 1))
+            & (F.col("win_end") <= F.col("d1"))
+        )
+        .select("win_end", "n_distinct_users")
+        .repartition(1)
+        .sortWithinPartitions("win_end")
+    )

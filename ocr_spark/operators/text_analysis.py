@@ -1340,3 +1340,49 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("part"), 4).alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(BM25_TOP)
+
+
+DRIFT_TOP = 30
+
+
+def term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots (here:
+    even vs odd doc_id halves — in production yesterday's vs today's
+    partition): per-term share of each snapshot in exact ppm, ranked by
+    absolute share delta — the table a data-quality gate alerts on when
+    a scraper change floods one template's vocabulary.
+
+    Integer-exact: shares are (cnt * 1e6) div total per side; delta is
+    their difference.  One (term, side) count shuffle, then a term-level
+    pivot via conditional aggregation — no join between the sides."""
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select(
+            (F.col("doc_id") % 2 == 0).alias("is_a"),
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cnt_b"),
+    )
+    tot = counts.agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "cnt_a",
+        "cnt_b",
+        F.expr("(cnt_a * 1000000) div greatest(tot_a, 1)").alias(
+            "share_a_ppm"
+        ),
+        F.expr("(cnt_b * 1000000) div greatest(tot_b, 1)").alias(
+            "share_b_ppm"
+        ),
+    ).withColumn(
+        "drift_ppm",
+        F.abs(F.col("share_a_ppm") - F.col("share_b_ppm")),
+    )
+    return scored.orderBy(
+        F.desc("drift_ppm"), "term"
+    ).limit(DRIFT_TOP)

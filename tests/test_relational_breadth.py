@@ -682,3 +682,37 @@ def test_join_size_estimate_sane(spark, sf_dir):
     assert abs(r.est_n - r.exact_n) / r.exact_n < 0.6, (
         r.est_n, r.exact_n,
     )
+
+
+def test_sliding_distinct_exact_window_semantics(spark, tmp_path):
+    """A user active on two days inside one window counts once; window
+    ends without a full 7-day lookback are suppressed."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import sliding_distinct_users
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, day_off, uid):
+        return (i, d0 + dt.timedelta(days=day_off), uid, "a", 1.0, "{}")
+
+    # 10-day span: day 0 (u1, u2), day 3 (u1), day 9 (u3)
+    rows = [ev(1, 0, 1), ev(2, 0, 2), ev(3, 3, 1), ev(4, 9, 3)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    day0 = (d0 - dt.datetime(1970, 1, 1)).days
+    got = {
+        r.win_end - day0: r.n_distinct_users
+        for r in sliding_distinct_users(spark, d).collect()
+    }
+    # full windows end on days 6..9 only
+    assert got == {
+        6: 2,   # [0..6]: u1 (two activity days -> once) + u2
+        7: 1,   # [1..7]: only u1's day-3 activity remains in range
+        8: 1,   # [2..8]: u1
+        9: 2,   # [3..9]: u1 (day 3) + u3 (day 9)
+    }
