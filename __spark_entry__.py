@@ -273,6 +273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption_mask": text_analysis.span_corruption_mask,
         "bm25_topk": text_analysis.bm25_topk,
         "term_drift": text_analysis.term_drift,
+        "conjunctive_search": text_analysis.conjunctive_search,
+        "bigram_next_token": text_analysis.bigram_next_token,
         "sliding_distinct_users": relational.sliding_distinct_users,
     }
 
@@ -3563,6 +3565,50 @@ select m.cohort_week, m."offset" as offset, m.n_active, s.cohort_users,
        (m.n_active * 1000000) // s.cohort_users as retention_ppm
 from matrix m join sizes s using (cohort_week)
 order by m.cohort_week, m."offset"
+"""
+    # Boolean-AND truth: distinct matched terms == |query|, tf pivot.
+    sql["conjunctive_search"] = """
+with t as (
+  select doc_id, unnest(string_split(lower(text), ' ')) as tk
+  from documents
+), hits as (
+  select doc_id, tk from t where tk in ('spark', 'join', 'filter')
+)
+select doc_id,
+       sum(case when tk = 'spark' then 1 else 0 end) as tf_spark,
+       sum(case when tk = 'join' then 1 else 0 end) as tf_join,
+       sum(case when tk = 'filter' then 1 else 0 end) as tf_filter
+from hits group by doc_id
+having count(distinct tk) = 3
+order by doc_id
+"""
+    # Transition-table truth: same double rank, ppm conditional prob.
+    sql["bigram_next_token"] = f"""
+with toks as (
+  select string_split(lower(text), ' ') as ws from documents
+), pos as (
+  select ws, unnest(generate_series(1, len(ws) - 1)) as i from toks
+), bg as (
+  select ws[i] as w1, ws[i + 1] as w2 from pos
+), cxy as (
+  select w1, w2, count(*) as c_xy from bg group by 1, 2
+), heads as (
+  select w1, sum(c_xy) as c_head,
+         row_number() over (order by sum(c_xy) desc, w1) as head_rank
+  from cxy group by w1
+  qualify head_rank <= {text_analysis.NEXT_TOKEN_HEADS}
+), ranked as (
+  select c.w1, h.head_rank, c.w2, c.c_xy, h.c_head,
+         row_number() over (partition by c.w1
+                            order by c.c_xy desc, c.w2) as next_rank
+  from cxy c join heads h using (w1)
+  qualify next_rank <= {text_analysis.NEXT_TOKEN_K}
+)
+select w1, cast(head_rank as int) as head_rank,
+       cast(next_rank as int) as next_rank, w2,
+       c_xy, cast(c_head as bigint) as c_head,
+       cast((c_xy * 1000000) // c_head as bigint) as cond_ppm
+from ranked order by head_rank, next_rank
 """
     # Drift truth: even/odd halves, ppm shares, conditional-agg pivot.
     sql["term_drift"] = f"""

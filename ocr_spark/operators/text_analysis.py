@@ -1386,3 +1386,100 @@ def term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("drift_ppm"), "term"
     ).limit(DRIFT_TOP)
+
+
+CONJ_QUERY = ("spark", "join", "filter")
+
+
+def conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-AND search via posting intersection — the other half of
+    the inverted-index story next to BM25's ranked OR: a doc qualifies
+    iff it contains EVERY query term.  Execution is the index way
+    (filter the token stream to query terms, count distinct matched
+    terms per doc, keep count == |query|), not a scan with
+    LIKE-conjunctions: per-term postings are exactly what the shuffle
+    carries, and the cheapest term bounds the candidate set the same
+    way a real engine intersects smallest-df-first.  Emits per-doc
+    per-term tf columns so the oracle checks the match structure, not
+    just membership."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), " ")
+    hits = docs.select(
+        "doc_id", F.explode(toks).alias("t")
+    ).filter(F.col("t").isin(*CONJ_QUERY))
+    per = hits.groupBy("doc_id").agg(
+        F.countDistinct("t").alias("n_terms"),
+        *[
+            F.sum(F.when(F.col("t") == q, 1).otherwise(0)).alias(f"tf_{q}")
+            for q in CONJ_QUERY
+        ],
+    )
+    return (
+        per.filter(F.col("n_terms") == len(CONJ_QUERY))
+        .drop("n_terms")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+NEXT_TOKEN_HEADS = 20
+NEXT_TOKEN_K = 3
+
+
+def bigram_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram transition table: for the NEXT_TOKEN_HEADS most frequent
+    head words, their top NEXT_TOKEN_K followers with conditional
+    probability in exact ppm — the count-based LM a data pipeline
+    builds for perplexity filters and autocomplete baselines.
+
+    Shape: one (w1, w2) count shuffle (shared with pmi_bigram_lift's
+    plan), head marginals from the counted table, two vocabulary-sized
+    window ranks — nothing corpus-sized past the first aggregate."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), " ")
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    cxy = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    heads = (
+        cxy.groupBy("w1")
+        .agg(F.sum("c_xy").alias("c_head"))
+        .withColumn(
+            "head_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("c_head"), "w1")
+            ),
+        )
+        .filter(F.col("head_rank") <= NEXT_TOKEN_HEADS)
+    )
+    ranked = (
+        cxy.join(F.broadcast(heads), "w1")
+        .withColumn(
+            "next_rank",
+            F.row_number().over(
+                Window.partitionBy("w1").orderBy(
+                    F.desc("c_xy"), "w2"
+                )
+            ),
+        )
+        .filter(F.col("next_rank") <= NEXT_TOKEN_K)
+    )
+    return (
+        ranked.select(
+            "w1",
+            F.col("head_rank").cast("int").alias("head_rank"),
+            F.col("next_rank").cast("int").alias("next_rank"),
+            "w2",
+            "c_xy",
+            "c_head",
+            F.expr("(c_xy * 1000000) div c_head").alias("cond_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("head_rank", "next_rank")
+    )

@@ -421,3 +421,45 @@ def test_bm25_ranks_matching_docs_and_saturates_tf(spark, tmp_path):
     assert out[0] > out[1]            # coverage beats single term
     assert out[2] < 6 * out[1] * 1.01  # tf saturation kicked in
     assert out[2] > out[1]            # but more tf still scores higher
+
+
+def test_conjunctive_search_requires_all_terms(spark, tmp_path):
+    from ocr_spark.operators.text_analysis import conjunctive_search
+
+    rows = [
+        (0, "spark join filter x"),      # all three -> match
+        (1, "spark join y"),             # missing filter -> no
+        (2, "spark spark join filter"),  # dup spark -> tf 2
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["tf_spark"], r["tf_join"], r["tf_filter"])
+        for r in conjunctive_search(spark, d).collect()
+    }
+    assert got == {0: (1, 1, 1), 2: (2, 1, 1)}
+
+
+def test_bigram_next_token_cond_ppm_sums_and_ranks(spark, sf_dir):
+    """Follower ranks are contiguous per head, conditional ppm is
+    non-increasing within a head, and every cond_ppm <= 1e6."""
+    from ocr_spark.operators.text_analysis import (
+        NEXT_TOKEN_K,
+        bigram_next_token,
+    )
+
+    rows = bigram_next_token(spark, sf_dir).collect()
+    assert rows
+    by_head = {}
+    for r in rows:
+        by_head.setdefault(r["w1"], []).append(r)
+    for w1, rs in by_head.items():
+        rs.sort(key=lambda r: r["next_rank"])
+        assert [r["next_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= NEXT_TOKEN_K
+        ppms = [r["cond_ppm"] for r in rs]
+        assert all(0 < p <= 1_000_000 for p in ppms)
+        counts = [r["c_xy"] for r in rs]
+        assert counts == sorted(counts, reverse=True)
