@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive_search": text_analysis.conjunctive_search,
         "bigram_next_token": text_analysis.bigram_next_token,
         "sliding_distinct_users": relational.sliding_distinct_users,
+        "dwell_time_stats": relational.dwell_time_stats,
     }
 
 
@@ -3634,6 +3635,24 @@ select term, cast(cnt_a as bigint) as cnt_a, cast(cnt_b as bigint) as cnt_b,
          as drift_ppm
 from counts cross join tot
 order by drift_ppm desc, term limit {text_analysis.DRIFT_TOP}
+"""
+    # Dwell truth: lead over (user, ts, event_id), integer-div average.
+    sql["dwell_time_stats"] = """
+with ev as (
+  select user_id, event_type,
+         cast(epoch(date_trunc('second', ts)) as bigint) as s, event_id
+  from events
+), gapped as (
+  select event_type,
+         lead(s) over (partition by user_id
+                       order by s, event_id) - s as gap_s
+  from ev
+)
+select event_type, count(*) as n_gaps,
+       cast(sum(gap_s) // count(*) as bigint) as avg_gap_s,
+       min(gap_s) as min_gap_s, max(gap_s) as max_gap_s
+from gapped where gap_s is not null
+group by event_type order by event_type
 """
     # Sliding-distinct truth: dedup to (user, day), explode into the 7
     # covering window-ends, distinct, count; full windows only.

@@ -2216,3 +2216,37 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("win_end")
     )
+
+
+def dwell_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event dwell time per event type: for each event, the gap to
+    the SAME USER's next event (lead window keyed on user — the
+    sessionization shuffle, reused); aggregated per the type the user
+    was dwelling on.  Integer-exact: gaps in whole seconds, average as
+    bigint div, plus min/max — the engagement numbers a product team
+    reads next to the funnel.
+
+    Shape: one user-keyed window (sorted within partitions by ts), one
+    small agg keyed by event_type; nothing corpus-sized after the
+    window."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("s"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    gapped = ev.withColumn(
+        "gap_s", F.lead("s").over(w) - F.col("s")
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gapped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.expr("sum(gap_s) div count(*)").alias("avg_gap_s"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )
