@@ -482,3 +482,52 @@ def test_stream_topk_merges_across_batches_and_holds_open_window(
         (ws0, 1, "click", 3),   # merged across batches: 1 + 2
         (ws0, 2, "view", 2),
     ]  # the late_probe window is still open -> not emitted
+
+
+def test_stream_topk_state_survives_restart(spark, tmp_path):
+    """Stop the query after batch 1, add a file, start a NEW query on
+    the same checkpoint: the window's counts must continue from
+    persisted state, not restart from zero."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_spark.streaming.stream import stream_topk_trending
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    out, ckpt = str(tmp_path / "tout"), str(tmp_path / "tckpt")
+    h0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def write(name, rows):
+        df = pd.DataFrame(rows, columns=cols)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(df), f"{d}/{name}.parquet")
+
+    write("b1", [(1, h0, 1, "view", 1.0), (2, h0, 1, "view", 1.0)])
+    stream_topk_trending(spark, d, out, ckpt).awaitTermination(300)
+    # window still open -> nothing emitted yet
+    import glob as _g
+
+    emitted = [
+        p for p in _g.glob(f"{out}/*.parquet") if os.path.getsize(p) > 0
+    ]
+    assert spark.read.schema(
+        "ws long, rnk int, event_type string, n long"
+    ).parquet(out).count() == 0 if emitted else True
+
+    # restart with one more view + a closer event far in the future
+    write(
+        "b2",
+        [
+            (3, h0 + dt.timedelta(minutes=5), 1, "view", 1.0),
+            (4, h0 + dt.timedelta(hours=10), 2, "probe", 1.0),
+        ],
+    )
+    stream_topk_trending(spark, d, out, ckpt).awaitTermination(300)
+    rows = spark.read.parquet(out).collect()
+    ws0 = int(h0.replace(tzinfo=dt.timezone.utc).timestamp())
+    got = {(r["ws"], r["event_type"]): r["n"] for r in rows}
+    assert got == {(ws0, "view"): 3}  # 2 (run 1, from state) + 1 (run 2)
