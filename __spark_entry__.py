@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-gated in tests/test_media.py) --
         "media_metadata": media.media_metadata,
         "media_thumbnails": media.media_thumbnails,
+        "media_dhash_dedup": media.media_dhash_dedup,
         "frame_sample": media.frame_sample,
         # -- table structure (row x col interval geometry) --
         "table_cells": table.table_cells,
@@ -1002,6 +1003,41 @@ def _media_expected_path(which: str) -> str:
                     "frame_sha256": pa.array([r[3] for r in recs]),
                 }
             )
+        elif which == "dhash":
+            from collections import Counter
+
+            from ocr_spark.fixtures.render import render
+            from ocr_spark.operators.media import dhash64
+
+            refs = [f"img://m{k}/0#crop" for k in ks if k % 20 == 0]
+            hs = {r: dhash64(render(r)[0].image) for r in refs}
+            groups = Counter(hs.values())
+            canon: dict[str, str] = {}
+            for r in sorted(refs):
+                canon.setdefault(hs[r], r)
+            recs = sorted(
+                (
+                    r,
+                    hs[r],
+                    groups[hs[r]],
+                    canon[hs[r]],
+                    int(canon[hs[r]] == r),
+                )
+                for r in refs
+            )
+            table = pa.table(
+                {
+                    "media_ref": pa.array([r[0] for r in recs]),
+                    "dhash": pa.array([r[1] for r in recs]),
+                    "group_size": pa.array(
+                        [r[2] for r in recs], pa.int64()
+                    ),
+                    "canonical_ref": pa.array([r[3] for r in recs]),
+                    "is_canonical": pa.array(
+                        [r[4] for r in recs], pa.int32()
+                    ),
+                }
+            )
         else:
             from ocr_spark.fixtures.render import render
             from ocr_spark.operators.media import (
@@ -1086,6 +1122,10 @@ select * from read_parquet('{_crop_expected_path()}')
 order by media_ref, region_idx, crop_idx
 """,
         # -- multimodal media plumbing (driver-side expected rows) --
+        "media_dhash_dedup": f"""
+select * from read_parquet('{_media_expected_path("dhash")}')
+order by media_ref
+""",
         "media_metadata": f"""
 select * from read_parquet('{_media_expected_path("meta")}') order by media_ref
 """,

@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .pipeline import _default_partitions
 
@@ -222,4 +223,66 @@ def frame_sample(
         .mapInPandas(_sample, schema=FRAME_SCHEMA)
         .repartition(1)
         .sortWithinPartitions("media_ref", "frame_idx")
+    )
+
+
+def resize_to(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resize to an exact (w, h) grid."""
+    H, W = img.shape[:2]
+    yi = (np.arange(h) * H // h).clip(0, H - 1)
+    xi = (np.arange(w) * W // w).clip(0, W - 1)
+    return img[yi][:, xi]
+
+
+def dhash64(img: np.ndarray) -> str:
+    """64-bit difference hash (dHash): 9x8 downscale, horizontal
+    gradient sign per cell — the classic perceptual image fingerprint
+    (robust to resize/re-encode, cheap enough for 10^12 images).
+    Returned as 16 hex chars so the value is engine/string-portable."""
+    g = resize_to(img, 9, 8).astype(np.int32)
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return f"{v:016x}"
+
+
+def media_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate grouping of media blobs: decode each
+    image, compute its 64-bit dHash, group by hash — re-encoded or
+    resized copies of the same picture collapse to one group where the
+    exact content-key dedup (media_ref_dedup) cannot see them.  Emits
+    per blob: the hash, the group's size, and its canonical (minimum)
+    member — filtering is_canonical keeps one visual per group.
+
+    Scale shape: hashing is map-side (mapInPandas over Arrow binary
+    batches); the only shuffle is the 8-byte hash key; at 10^12 images
+    the extension to Hamming-radius matching is multi-index banding
+    (split the 64 bits into 4 bands of 16, bucket-join per band — the
+    simhash/minhash-LSH shape already in dedup.py)."""
+    binary = media_binary(spark, sf_dir)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "dhash": [
+                        dhash64(decode_image(bytes(p)))
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    hashed = binary.mapInPandas(_hash, schema="media_ref string, dhash string")
+    w = Window.partitionBy("dhash")
+    return (
+        hashed.withColumn("group_size", F.count("*").over(w))
+        .withColumn("canonical_ref", F.min("media_ref").over(w))
+        .withColumn(
+            "is_canonical",
+            (F.col("media_ref") == F.col("canonical_ref")).cast("int"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("media_ref")
     )

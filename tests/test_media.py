@@ -68,3 +68,22 @@ def test_frame_sample_spark(spark):
     # deterministic fake: same ref+idx -> same digest across runs
     rows2 = frame_sample(spark, SF).collect()
     assert rows == rows2
+
+
+def test_dhash_is_resize_invariant_and_discriminative():
+    """The perceptual property itself: a 2x nearest-neighbor downscale
+    moves the dHash by at most a few bits (Hamming <= 8/64) while two
+    different pages differ in many bits."""
+    from ocr_spark.fixtures.render import render
+    from ocr_spark.operators.media import dhash64, resize_to
+
+    img_a = render("img://m20/0#crop")[0].image
+    img_b = render("img://m40/0#crop")[0].image
+
+    def ham(a: str, b: str) -> int:
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    h_a = dhash64(img_a)
+    half = resize_to(img_a, img_a.shape[1] // 2, img_a.shape[0] // 2)
+    assert ham(h_a, dhash64(half)) <= 8
+    assert ham(h_a, dhash64(img_b)) > 12
