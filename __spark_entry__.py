@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_block_classify": web_extract.html_block_classify,
         "html_main_content": web_extract.html_main_content,
         "html_to_spans": web_extract.html_to_spans,
+        "robots_gate": web_extract.robots_gate,
         "link_graph_pagerank": web_extract.link_graph_pagerank,
         # -- container sources --
         "ofd_extract": _q_ofd,
@@ -3606,6 +3607,34 @@ select m.cohort_week, m."offset" as offset, m.n_active, s.cohort_users,
        (m.n_active * 1000000) // s.cohort_users as retention_ppm
 from matrix m join sizes s using (cohort_week)
 order by m.cohort_week, m."offset"
+"""
+    # Robots LPM truth: same host/path arithmetic, rules via VALUES,
+    # longest matching prefix wins (rank by length desc, prefix asc).
+    sql["robots_gate"] = """
+with urls as (
+  select doc_id,
+         'site' || (doc_id % 5) || '.com' as host,
+         '/path/' || (doc_id % 20) as path
+  from documents
+), hosts as (
+  select distinct host, (doc_id % 5) as h from urls
+), rules as (
+  select host, prefix, verdict
+  from hosts cross join (values
+    ('/', 'allow'), ('/path/1', 'deny'), ('/path/12', 'allow')
+  ) as r(prefix, verdict)
+  union all
+  select host, '/path/3', 'deny' from hosts where h % 2 = 0
+), matched as (
+  select u.doc_id, u.host, u.path, r.prefix, r.verdict,
+         row_number() over (partition by u.doc_id
+                            order by length(r.prefix) desc, r.prefix)
+           as rk
+  from urls u join rules r on u.host = r.host
+  where starts_with(u.path, r.prefix)
+)
+select doc_id, host, path, prefix as matched_prefix, verdict
+from matched where rk = 1 order by doc_id
 """
     # Boolean-AND truth: distinct matched terms == |query|, tf pivot.
     sql["conjunctive_search"] = """

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # tag kinds segmented into candidate text blocks; <p> carries prose,
 # nav/footer are the classic boilerplate containers
@@ -440,6 +441,74 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "is_survivor",
             (F.col("doc_id") == F.min("doc_id").over(w)).cast("int"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+ROBOTS_BASE_RULES = (("/", "allow"), ("/path/1", "deny"), ("/path/12", "allow"))
+ROBOTS_EVEN_EXTRA = ("/path/3", "deny")
+
+
+def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy gate with robots.txt longest-prefix-match semantics
+    — the same shape as IP-prefix routing: each (host, path) is judged
+    by the LONGEST rule prefix that matches it, not the first or the
+    strictest.  The fixture rules exercise the interplay: "/path/1"
+    (deny) covers /path/1 and /path/10../path/19, the longer
+    "/path/12" (allow) carves an exception back out, "/" allows the
+    rest, and even-numbered hosts add a "/path/3" deny.
+
+    Scale shape: the rule table is per-host and tiny (robots files are
+    KBs) — broadcast; the match is a prefix-join + per-URL rank by
+    prefix length, so the big side shuffles once on the rank key.  At
+    real scale rules compile to a per-host trie in a pandas UDF; the
+    join form here keeps the semantics in pure SQL for the oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com"),
+        ).alias("host"),
+        F.concat(
+            F.lit("/path/"), (F.col("doc_id") % 20).cast("string")
+        ).alias("path"),
+    )
+    hosts = urls.select("host", (F.col("doc_id") % 5).alias("h")).distinct()
+    base = F.array(
+        *[
+            F.struct(F.lit(p).alias("prefix"), F.lit(v).alias("verdict"))
+            for p, v in ROBOTS_BASE_RULES
+        ]
+    )
+    extra = F.struct(
+        F.lit(ROBOTS_EVEN_EXTRA[0]).alias("prefix"),
+        F.lit(ROBOTS_EVEN_EXTRA[1]).alias("verdict"),
+    )
+    rules = hosts.select(
+        "host",
+        F.explode(
+            F.when(F.col("h") % 2 == 0, F.concat(base, F.array(extra)))
+            .otherwise(base)
+        ).alias("r"),
+    ).select("host", "r.prefix", "r.verdict")
+    matched = urls.join(F.broadcast(rules), "host").filter(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.length("prefix")), "prefix"
+    )
+    return (
+        matched.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.col("prefix").alias("matched_prefix"),
+            "verdict",
         )
         .repartition(1)
         .sortWithinPartitions("doc_id")

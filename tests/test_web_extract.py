@@ -249,3 +249,24 @@ def test_web_spans_compose_with_ocr_pipeline(spark, sf_dir):
                 )
                 checked_imgs += 1
     assert checked_imgs >= 4
+
+
+def test_robots_gate_longest_prefix_semantics(spark, sf_dir):
+    """/path/12 is allowed on every host (the longer allow carves the
+    exception out of the /path/1 deny); /path/1 and /path/10..19 (except
+    12) are denied; /path/3 is denied only on even hosts."""
+    from ocr_spark.operators.web_extract import robots_gate
+
+    rows = robots_gate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        p = int(r.path.rsplit("/", 1)[1])
+        h = int(r.host[4])
+        if p == 12:
+            assert (r.verdict, r.matched_prefix) == ("allow", "/path/12")
+        elif p == 1 or 10 <= p <= 19:
+            assert (r.verdict, r.matched_prefix) == ("deny", "/path/1")
+        elif p == 3 and h % 2 == 0:
+            assert (r.verdict, r.matched_prefix) == ("deny", "/path/3")
+        else:
+            assert (r.verdict, r.matched_prefix) == ("allow", "/")
