@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_next_token": text_analysis.bigram_next_token,
         "sliding_distinct_users": relational.sliding_distinct_users,
         "dwell_time_stats": relational.dwell_time_stats,
+        "dq_expectations": relational.dq_expectations,
     }
 
 
@@ -3704,6 +3705,44 @@ select term, cast(cnt_a as bigint) as cnt_a, cast(cnt_b as bigint) as cnt_b,
          as drift_ppm
 from counts cross join tot
 order by drift_ppm desc, term limit {text_analysis.DRIFT_TOP}
+"""
+    # DQ truth: one conditional-aggregate scan, unpivoted tall.
+    sql["dq_expectations"] = """
+with agg as (
+  select count(*) as n,
+         sum(case when o_orderkey is null then 1 else 0 end) as f_key_null,
+         count(*) - count(distinct o_orderkey) as f_key_dupes,
+         sum(case when o_custkey is null then 1 else 0 end) as f_cust_null,
+         sum(case when not (o_totalprice > 0) then 1 else 0 end)
+           as f_price_pos,
+         sum(case when o_orderstatus not in ('O', 'F', 'P') then 1
+                  else 0 end) as f_status_set,
+         sum(case when not (o_orderdate >= timestamp '1992-01-01'
+                            and o_orderdate < timestamp '2030-01-01')
+                  then 1 else 0 end) as f_date_range
+  from orders
+)
+select e.expectation, a.n as n_checked,
+       cast(case e.expectation
+         when 'orderkey_not_null' then a.f_key_null
+         when 'orderkey_unique' then a.f_key_dupes
+         when 'custkey_not_null' then a.f_cust_null
+         when 'totalprice_positive' then a.f_price_pos
+         when 'orderstatus_accepted' then a.f_status_set
+         else a.f_date_range end as bigint) as n_failed,
+       cast(case when (case e.expectation
+         when 'orderkey_not_null' then a.f_key_null
+         when 'orderkey_unique' then a.f_key_dupes
+         when 'custkey_not_null' then a.f_cust_null
+         when 'totalprice_positive' then a.f_price_pos
+         when 'orderstatus_accepted' then a.f_status_set
+         else a.f_date_range end) = 0 then 1 else 0 end as int) as pass
+from agg a cross join (values
+  ('custkey_not_null'), ('orderdate_in_horizon'),
+  ('orderkey_not_null'), ('orderkey_unique'),
+  ('orderstatus_accepted'), ('totalprice_positive')
+) as e(expectation)
+order by e.expectation
 """
     # Dwell truth: lead over (user, ts, event_id), integer-div average.
     sql["dwell_time_stats"] = """

@@ -2250,3 +2250,58 @@ def dwell_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("event_type")
     )
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite over the orders fact —
+    the Great-Expectations/dbt-test shape: each expectation evaluates in
+    the SAME single scan as conditional aggregates (not one job per
+    rule), plus one distinct-count for uniqueness; output is the tall
+    (expectation, n_checked, n_failed, pass) table a quality gate
+    asserts on before publishing a partition.
+
+    Expectations: o_orderkey not-null and unique; o_custkey not-null;
+    o_totalprice positive; o_orderstatus within the accepted set;
+    o_orderdate within the loaded horizon.  All counts are exact
+    integers; 'pass' is n_failed == 0."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = F.count("*")
+
+    def fails(cond) -> object:
+        return F.sum(F.when(~cond, 1).otherwise(0))
+
+    row_checks = o.agg(
+        n.alias("n"),
+        fails(F.col("o_orderkey").isNotNull()).alias("f_key_null"),
+        fails(F.col("o_custkey").isNotNull()).alias("f_cust_null"),
+        fails(F.col("o_totalprice") > 0).alias("f_price_pos"),
+        fails(F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "f_status_set"
+        ),
+        fails(
+            (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2030-01-01").cast("timestamp"))
+        ).alias("f_date_range"),
+        (n - F.countDistinct("o_orderkey")).alias("f_key_dupes"),
+    )
+    tall = []
+    for name, col in [
+        ("orderkey_not_null", "f_key_null"),
+        ("orderkey_unique", "f_key_dupes"),
+        ("custkey_not_null", "f_cust_null"),
+        ("totalprice_positive", "f_price_pos"),
+        ("orderstatus_accepted", "f_status_set"),
+        ("orderdate_in_horizon", "f_date_range"),
+    ]:
+        tall.append(
+            row_checks.select(
+                F.lit(name).alias("expectation"),
+                F.col("n").alias("n_checked"),
+                F.col(col).cast("bigint").alias("n_failed"),
+                (F.col(col) == 0).cast("int").alias("pass"),
+            )
+        )
+    out = tall[0]
+    for t in tall[1:]:
+        out = out.unionAll(t)
+    return out.repartition(1).sortWithinPartitions("expectation")

@@ -716,3 +716,37 @@ def test_sliding_distinct_exact_window_semantics(spark, tmp_path):
         8: 1,   # [2..8]: u1
         9: 2,   # [3..9]: u1 (day 3) + u3 (day 9)
     }
+
+
+def test_dq_expectations_detects_violations(spark, tmp_path):
+    """Duplicate keys, nulls, non-positive prices, bad statuses, and
+    out-of-horizon dates must each fail exactly their own expectation."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import dq_expectations
+
+    t = dt.datetime(1995, 6, 1)
+    rows = [
+        (1, 10, "O", 5.0, t, "1-URGENT"),
+        (1, 11, "F", 3.0, t, "1-URGENT"),            # dup key
+        (2, None, "P", 0.0, t, "2-HIGH"),            # null cust + price<=0
+        (3, 12, "X", 9.0, dt.datetime(1980, 1, 1), "3-LOW"),  # bad status+date
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = {
+        r.expectation: (r.n_failed, r["pass"])
+        for r in dq_expectations(spark, d).collect()
+    }
+    assert got == {
+        "orderkey_not_null": (0, 1),
+        "orderkey_unique": (1, 0),
+        "custkey_not_null": (1, 0),
+        "totalprice_positive": (1, 0),
+        "orderstatus_accepted": (1, 0),
+        "orderdate_in_horizon": (1, 0),
+    }
