@@ -28,7 +28,10 @@ from ocr_spark.operators import (
     text_analysis,
     web_extract,
 )
-from ocr_spark.operators.fields import invoice_field_extract
+from ocr_spark.operators.fields import (
+    invoice_field_extract,
+    invoice_fill_rates,
+)
 from ocr_spark.operators.pipeline import extract_documents
 
 # ---------------------------------------------------------------------------
@@ -121,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_fused": _q_ocr("fused"),
         # -- detector-chain field extraction (rows-only + pytest gate) --
         "invoice_field_extract": invoice_field_extract,
+        "invoice_fill_rates": invoice_fill_rates,
         # -- save-crop debug sink (label routing vs layout ground truth) --
         "save_crops": _save_crops_query,
         # -- span algebra (SQL twins of the pipeline's span handling) --
@@ -1118,6 +1122,26 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_fused": ocr_oracle,
         "invoice_field_extract": f"""
 select * from read_parquet('{_invoice_expected_path()}') order by media_ref, region_idx
+""",
+        "invoice_fill_rates": f"""
+with e as (select * from read_parquet('{_invoice_expected_path()}'))
+select family, count(*) as n_regions,
+       cast((sum(case when invoice_number is not null
+                       and invoice_number <> '' then 1 else 0 end)
+             * 1000000) // count(*) as bigint) as fill_invoice_number_ppm,
+       cast((sum(case when billing_date is not null
+                       and billing_date <> '' then 1 else 0 end)
+             * 1000000) // count(*) as bigint) as fill_billing_date_ppm,
+       cast((sum(case when total_amount is not null
+                       and total_amount <> '' then 1 else 0 end)
+             * 1000000) // count(*) as bigint) as fill_total_amount_ppm,
+       cast((sum(case when check_code is not null
+                       and check_code <> '' then 1 else 0 end)
+             * 1000000) // count(*) as bigint) as fill_check_code_ppm,
+       cast((sum(case when buy_bank is not null
+                       and buy_bank <> '' then 1 else 0 end)
+             * 1000000) // count(*) as bigint) as fill_buy_bank_ppm
+from e group by family order by family
 """,
         "save_crops": f"""
 select * from read_parquet('{_crop_expected_path()}')

@@ -391,3 +391,40 @@ def invoice_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("media_ref", "region_idx")
     )
+
+
+FILL_FIELDS = (
+    "invoice_number", "billing_date", "total_amount", "check_code",
+    "buy_bank",
+)
+
+
+def invoice_fill_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-quality analytics ON TOP of the flagship: per invoice
+    family, how often each key field came back non-empty — the fill-rate
+    dashboard an extraction team watches for silent regressions (a
+    detector change that blanks check_code on 10% of VAT invoices moves
+    this table before any user complains).  Fill rates in exact ppm.
+
+    The oracle aggregates the driver-side expected rows with the same
+    rules, so this certifies the LIVE pipeline's aggregate behavior
+    end-to-end, not a recomputation of the expectation."""
+    out = invoice_field_extract(spark, sf_dir)
+    aggs = [F.count("*").alias("n_regions")]
+    for f in FILL_FIELDS:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(f).isNotNull() & (F.col(f) != ""), 1
+                ).otherwise(0)
+            ).alias(f"nf_{f}")
+        )
+    g = out.groupBy("family").agg(*aggs)
+    cols = [F.col("family"), F.col("n_regions")]
+    for f in FILL_FIELDS:
+        cols.append(
+            F.expr(f"(nf_{f} * 1000000) div n_regions").alias(
+                f"fill_{f}_ppm"
+            )
+        )
+    return g.select(*cols).repartition(1).sortWithinPartitions("family")
