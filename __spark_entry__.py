@@ -284,6 +284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct_users": relational.sliding_distinct_users,
         "dwell_time_stats": relational.dwell_time_stats,
         "dq_expectations": relational.dq_expectations,
+        "events_anomaly_days": relational.events_anomaly_days,
+        "ltv_deciles": relational.ltv_deciles,
     }
 
 
@@ -3729,6 +3731,55 @@ select term, cast(cnt_a as bigint) as cnt_a, cast(cnt_b as bigint) as cnt_b,
          as drift_ppm
 from counts cross join tot
 order by drift_ppm desc, term limit {text_analysis.DRIFT_TOP}
+"""
+    # Anomaly truth: lag-7 window over day counts, ppm ratio, strict >.
+    sql["events_anomaly_days"] = """
+with ev as (
+  select date_diff('day', date '1970-01-01', cast(ts as date)) as day
+  from events
+), daily as (select day, count(*) as n from ev group by day),
+trailed as (
+  select day, n,
+         count(n) over (order by day
+                        rows between 7 preceding and 1 preceding)
+           as trail_n,
+         sum(n) over (order by day
+                      rows between 7 preceding and 1 preceding)
+           as trail_sum
+  from daily
+)
+select day, n,
+       case when trail_n = 7
+            then cast((n * 7 * 1000000) // trail_sum as bigint)
+       end as ratio_ppm,
+       cast(coalesce(
+         (case when trail_n = 7
+               then (n * 7 * 1000000) // trail_sum end) > 1500000,
+         false) as int) as is_anomaly
+from trailed order by day
+"""
+    # LTV truth: rank over the aggregated user table, equal-count cut.
+    sql["ltv_deciles"] = """
+with ev as (
+  select user_id, cast(round(value * 100) as bigint) as cents from events
+), ltv as (
+  select user_id, sum(cents) as ltv_cents from ev group by user_id
+), nt as (select count(*) as n_total from ltv),
+ranked as (
+  select ltv_cents,
+         row_number() over (order by ltv_cents desc, user_id) as rk
+  from ltv
+), dec as (
+  select cast(((rk - 1) * 10) // n_total as bigint) as decile, ltv_cents
+  from ranked cross join nt
+), tot as (select sum(ltv_cents) as tot from ltv)
+select decile, count(*) as n_users,
+       cast(min(ltv_cents) as bigint) as min_cents,
+       cast(max(ltv_cents) as bigint) as max_cents,
+       cast(sum(ltv_cents) as bigint) as sum_cents,
+       cast((sum(ltv_cents) * 1000000) // max(tot) as bigint)
+         as value_share_ppm
+from dec cross join tot group by decile order by decile
 """
     # DQ truth: one conditional-aggregate scan, unpivoted tall.
     sql["dq_expectations"] = """

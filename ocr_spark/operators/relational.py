@@ -2305,3 +2305,101 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tall[1:]:
         out = out.unionAll(t)
     return out.repartition(1).sortWithinPartitions("expectation")
+
+
+ANOMALY_TRAIL_DAYS = 7
+ANOMALY_THRESH_PPM = 1_500_000  # flag days > 1.5x the trailing mean
+
+
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly gate on the daily event count: each day compares
+    against the mean of the PRECEDING 7 days (strictly before it — the
+    day must not feed its own baseline) as an exact ppm ratio; days over
+    1.5x are flagged.  The ingest-monitoring query that catches a
+    double-delivery or a dead producer before it poisons downstream
+    aggregates.
+
+    Integer-exact: ratio_ppm = (n * 7 * 1e6) div trailing_sum — the
+    trailing MEAN never materializes as a float.  Days without a full
+    7-day baseline emit ratio null, flag 0.  Shape: one day-keyed count
+    (map-side partials), then a lag-7 window over the day-count table —
+    days-sized, never corpus-sized."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count("*").alias("n"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-ANOMALY_TRAIL_DAYS, -1)
+    )
+    trailed = daily.withColumn("trail_n", F.count("n").over(w)).withColumn(
+        "trail_sum", F.sum("n").over(w)
+    )
+    ratio = F.when(
+        F.col("trail_n") == ANOMALY_TRAIL_DAYS,
+        F.expr(
+            f"(n * {ANOMALY_TRAIL_DAYS} * 1000000) div trail_sum"
+        ),
+    )
+    return (
+        trailed.select(
+            "day",
+            "n",
+            ratio.alias("ratio_ppm"),
+            F.coalesce(
+                (ratio > ANOMALY_THRESH_PPM).cast("int"), F.lit(0)
+            ).alias("is_anomaly"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("day")
+    )
+
+
+LTV_DECILES = 10
+
+
+def ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile profile: users ranked by lifetime value
+    (integer cents), cut into 10 equal-count buckets, each reporting its
+    population, value floor/ceiling, total, and share of all value in
+    exact ppm — the RFM-style table behind 'the top decile is 40% of
+    revenue'.
+
+    Shape: the heavy work is ONE user-keyed sum over events; the decile
+    rank is a window over the AGGREGATED user table (users << events;
+    at 10^9 users swap in global_rank_two_pass, same result), and the
+    decile rollup is 10 rows."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ltv = ev.groupBy("user_id").agg(F.sum("cents").alias("ltv_cents"))
+    n_total = ltv.count()
+    w = Window.orderBy(F.desc("ltv_cents"), "user_id")
+    ranked = ltv.withColumn("rk", F.row_number().over(w)).withColumn(
+        "decile",
+        F.expr(f"((rk - 1) * {LTV_DECILES}) div {n_total}"),
+    )
+    tot = ltv.agg(F.sum("ltv_cents").alias("tot"))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.min("ltv_cents").alias("min_cents"),
+            F.max("ltv_cents").alias("max_cents"),
+            F.sum("ltv_cents").alias("sum_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "min_cents",
+            "max_cents",
+            "sum_cents",
+            F.expr("(sum_cents * 1000000) div tot").alias("value_share_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("decile")
+    )

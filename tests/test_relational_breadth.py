@@ -750,3 +750,65 @@ def test_dq_expectations_detects_violations(spark, tmp_path):
         "orderstatus_accepted": (1, 0),
         "orderdate_in_horizon": (1, 0),
     }
+
+
+def test_anomaly_days_baseline_and_flag(spark, tmp_path):
+    """A 2x day against a flat 7-day baseline flags; the first 7 days
+    (incomplete baseline) emit null ratio and flag 0; the day does not
+    feed its own baseline."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import events_anomaly_days
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 7 days x 10 events, then a 20-event day, then a 10-event day
+    for day, cnt in [(i, 10) for i in range(7)] + [(7, 20), (8, 10)]:
+        for _ in range(cnt):
+            rows.append(
+                (eid, d0 + dt.timedelta(days=day), 1, "a", 1.0, "{}")
+            )
+            eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    day0 = (d0 - dt.datetime(1970, 1, 1)).days
+    got = {
+        r.day - day0: (r.ratio_ppm, r.is_anomaly)
+        for r in events_anomaly_days(spark, d).collect()
+    }
+    for i in range(7):
+        assert got[i] == (None, 0)          # no full baseline yet
+    assert got[7] == (2_000_000, 1)         # 20 vs mean 10 -> 2.0x
+    # day 8: baseline = days 1..7 = (10*6 + 20)/7; 10/ (80/7) ppm
+    assert got[8] == ((10 * 7 * 1_000_000) // 80, 0)
+
+
+def test_ltv_deciles_partition_and_share(spark, tmp_path):
+    """Deciles are equal-count, ordered by value (decile 0 holds the
+    max), and value shares sum to ~1e6 ppm."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import ltv_deciles
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t, i, "a", float(i + 1), "{}") for i in range(20)
+    ]  # 20 users, ltv = 100..2000 cents
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r.decile: r for r in ltv_deciles(spark, d).collect()}
+    assert set(out) == set(range(10))
+    assert all(r.n_users == 2 for r in out.values())
+    assert out[0].max_cents == 2000 and out[9].min_cents == 100
+    assert sum(r.value_share_ppm for r in out.values()) >= 999_990
+    mins = [out[i].min_cents for i in range(10)]
+    assert mins == sorted(mins, reverse=True)
