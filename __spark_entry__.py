@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_expectations": relational.dq_expectations,
         "events_anomaly_days": relational.events_anomaly_days,
         "ltv_deciles": relational.ltv_deciles,
+        "market_basket_pairs": relational.market_basket_pairs,
     }
 
 
@@ -3731,6 +3732,23 @@ select term, cast(cnt_a as bigint) as cnt_a, cast(cnt_b as bigint) as cnt_b,
          as drift_ppm
 from counts cross join tot
 order by drift_ppm desc, term limit {text_analysis.DRIFT_TOP}
+"""
+    # Basket truth: distinct (order, part), pair self-join, top support.
+    sql["market_basket_pairs"] = f"""
+with li as (
+  select distinct l_orderkey as ok, l_partkey as pk from lineitem
+), pairs as (
+  select a.pk as pa, b.pk as pb, count(*) as support
+  from li a join li b on a.ok = b.ok and a.pk < b.pk
+  group by 1, 2
+), freq as (
+  select pk, count(*) as n_orders from li group by pk
+)
+select pa, pb, support,
+       fa.n_orders as n_a, fb.n_orders as n_b
+from pairs join freq fa on pairs.pa = fa.pk
+           join freq fb on pairs.pb = fb.pk
+order by support desc, pa, pb limit {relational.BASKET_TOP}
 """
     # Anomaly truth: lag-7 window over day counts, ppm ratio, strict >.
     sql["events_anomaly_days"] = """

@@ -2403,3 +2403,52 @@ def ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("decile")
     )
+
+
+BASKET_TOP = 40
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs (market-basket support counting):
+    pairs of parts appearing in the SAME order, support = number of
+    orders containing both, plus each part's own order frequency so a
+    consumer can derive confidence/lift without rescanning.
+
+    Scale shape: the pair generator self-joins the (order, part) table
+    on the ORDER key — fan-out is sum over orders of basket_size², and
+    baskets are small by nature (single-digit lines per order), so the
+    quadratic term is bounded per key; a pathological mega-basket is the
+    skew axis and gets the same cap-or-salt treatment as hub nodes in
+    triangle counting.  Distinct (order, part) first so quantity
+    repeats don't inflate support."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+    )
+    freq = li.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    fa = freq.select(
+        F.col("l_partkey").alias("pa"), F.col("n_orders").alias("n_a")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("pb"), F.col("n_orders").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "pa")
+        .join(F.broadcast(fb), "pb")
+        .select("pa", "pb", "support", "n_a", "n_b")
+        .orderBy(F.desc("support"), "pa", "pb")
+        .limit(BASKET_TOP)
+    )
