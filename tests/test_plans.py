@@ -846,3 +846,19 @@ def test_prefix_filter_no_cartesian_and_partial_df(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_new_analytics_plans_stay_keyed(spark):
+    """Cohort, sliding-distinct, and market-basket must all run on keyed
+    hash joins/aggregates — no cartesian/nested-loop anywhere, map-side
+    partial aggregation present."""
+    from ocr_spark.operators.relational import (
+        cohort_retention,
+        market_basket_pairs,
+        sliding_distinct_users,
+    )
+
+    for q in (cohort_retention, sliding_distinct_users, market_basket_pairs):
+        plan = plan_of(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "partial_count" in plan or "partial_sum" in plan, q.__name__
