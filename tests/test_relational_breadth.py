@@ -812,3 +812,52 @@ def test_ltv_deciles_partition_and_share(spark, tmp_path):
     assert sum(r.value_share_ppm for r in out.values()) >= 999_990
     mins = [out[i].min_cents for i in range(10)]
     assert mins == sorted(mins, reverse=True)
+
+
+def test_operators_are_empty_input_safe(spark, tmp_path):
+    """Every derived-table operator must yield an empty (or degenerate
+    single-report-row) result on EMPTY input tables — never throw: at
+    100 TB some partition/day/source is always empty, and a fold or
+    window that assumes rows exist dies there first."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.operators import relational as R
+    from ocr_spark.operators import text_analysis as T
+    from ocr_spark.operators import web_extract as W
+
+    d = str(tmp_path)
+    ev = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    doc = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(ev, f"{d}/events.parquet")
+    pq.write_table(doc, f"{d}/documents.parquet")
+
+    empty_ok = [
+        R.triangle_count, R.incremental_agg_merge,
+        R.connected_components_labels, R.two_hop_neighbors,
+        R.cohort_retention, R.cdc_apply, R.half_life_engagement,
+        R.sliding_distinct_users, R.dwell_time_stats,
+        R.events_anomaly_days, R.ltv_deciles,
+        T.inverted_index_postings, T.pmi_bigram_lift, T.vocab_coverage,
+        T.span_corruption_mask, T.bm25_topk, T.term_drift,
+        T.conjunctive_search, T.bigram_next_token, T.rendezvous_shard,
+        W.html_to_spans, W.robots_gate,
+    ]
+    for fn in empty_ok:
+        assert fn(spark, d).count() == 0, fn.__name__
+    # the estimator emits its one report row even over nothing
+    assert R.join_size_estimate(spark, d).count() == 1
