@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": text_analysis.bm25_topk,
         "term_drift": text_analysis.term_drift,
         "conjunctive_search": text_analysis.conjunctive_search,
+        "quality_calibration": text_analysis.quality_calibration,
         "bigram_next_token": text_analysis.bigram_next_token,
         "sliding_distinct_users": relational.sliding_distinct_users,
         "dwell_time_stats": relational.dwell_time_stats,
@@ -2461,6 +2462,22 @@ select q.doc_id,
 from q join r on q.doc_id = r.doc_id join l on q.doc_id = l.doc_id
 order by q.doc_id
 """
+    # Calibration truth: same tenth-bucket cut on the quality score
+    # crossed with the shipped keep decision, ppm keep rate.
+    sql["quality_calibration"] = f"""
+with q as ({{Q}}),
+k as ({{K}}),
+b as (
+  select q.doc_id,
+         least(cast(floor(q.quality * 10) as bigint), 9) as bucket,
+         k.keep
+  from q join k on q.doc_id = k.doc_id
+)
+select bucket, count(*) as n_docs,
+       cast(sum(keep) as bigint) as n_kept,
+       cast((sum(keep) * 1000000) // count(*) as bigint) as keep_ppm
+from b group by bucket order by bucket
+""".format(Q=sql["quality_score"], K=sql["curation_decision"])
     # As-of join, union-window encoding — the oracle mirrors the exact
     # tie-break order (t, tag, event_id, o_orderkey); null-order
     # divergence between engines is unreachable because null columns

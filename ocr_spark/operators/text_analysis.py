@@ -1483,3 +1483,42 @@ def bigram_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("head_rank", "next_rank")
     )
+
+
+CALIB_BUCKETS = 10
+
+
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration table: quality score bucketed into tenths
+    (floor(score*10), score ∈ [0,1]) crossed with the shipped KEEP/DROP
+    decision — the curve a curation team reads before moving a
+    threshold ('bucket 3 keeps 40%: tightening to 0.4 drops these many
+    docs').  Keep rate in exact ppm per bucket.
+
+    Scale shape: both inputs are per-doc single rows (quality_score is
+    map-side; curation_decision is the fused gate table), so the join is
+    one co-partitioned doc_id shuffle and the rollup is <= 11 rows."""
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.least(
+            F.floor(F.col("quality") * CALIB_BUCKETS).cast("bigint"),
+            F.lit(CALIB_BUCKETS - 1).cast("bigint"),
+        ).alias("bucket"),
+    )
+    k = curation_decision(spark, sf_dir).select("doc_id", "keep")
+    return (
+        q.join(k, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.expr("(n_kept * 1000000) div n_docs").alias("keep_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bucket")
+    )
