@@ -288,6 +288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_days": relational.events_anomaly_days,
         "ltv_deciles": relational.ltv_deciles,
         "market_basket_pairs": relational.market_basket_pairs,
+        "pareto_frontier_docs": text_analysis.pareto_frontier_docs,
+        "bfs_hop_distance": web_extract.bfs_hop_distance,
+        "kmv_weekly_rollup": relational.kmv_weekly_rollup,
+        "unpivot_measures": relational.unpivot_measures,
     }
 
 
@@ -3985,5 +3989,111 @@ select user_id,
 from events
 group by user_id
 order by user_id
+"""
+    # Skyline truth: the direct NOT EXISTS dominance test (quadratic is
+    # fine at oracle scale; the Spark side is the two-pass collapsed
+    # frontier) — an INDEPENDENT formulation of the same set.
+    sql["pareto_frontier_docs"] = """
+with scored as (
+  select doc_id,
+         cast(length(list_distinct(string_split(text, ' '))) as bigint)
+           as q,
+         n_chars as l
+  from documents
+)
+select s.doc_id, s.q as distinct_tokens, s.l as n_chars
+from scored s
+where not exists (
+  select 1 from scored o
+  where (o.q > s.q and o.l >= s.l) or (o.q = s.q and o.l > s.l)
+)
+order by s.doc_id
+"""
+    # BFS truth: recursive reachability with a hop counter; min(hop)
+    # collapses multi-path discoveries to the true BFS distance.
+    sql["bfs_hop_distance"] = f"""
+with recursive n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as (select distinct src, dst from e0 where src != dst),
+reach(v, hop) as (
+  select doc_id, 0 from documents
+  where doc_id % {web_extract.BFS_SEED_MOD} = 0
+  union
+  select e.dst, r.hop + 1 from reach r join edges e on e.src = r.v
+  where r.hop < {web_extract.BFS_MAX_HOP}
+)
+select v as doc_id, cast(min(hop) as bigint) as hop
+from reach group by v order by v
+"""
+    # Rollup truth: the same daily-partial -> weekly-merge arithmetic;
+    # the merged ESTIMATE is deterministic given the hash, so it is
+    # value-checked, not just the exact baseline.
+    sql["kmv_weekly_rollup"] = f"""
+with ev as (
+  select cast(ts as date) as day,
+         (user_id * {relational.KMV_HASH_A}) % {relational.KMV_HASH_M}
+           as h,
+         user_id
+  from events
+), daily as (select distinct day, h from ev),
+dsk as (
+  select day, h from (
+    select day, h,
+           row_number() over (partition by day order by h) as rn
+    from daily
+  ) where rn <= {relational.KMV_K}
+),
+wk0 as (
+  select distinct
+    date_diff('day', date '2024-01-01', day) // 7 as week, h
+  from dsk
+),
+wks as (
+  select week, h,
+         row_number() over (partition by week order by h) as rn
+  from wk0
+),
+sk as (
+  select week, cast(max(rn) as bigint) as n_seen, max(h) as kth_hash
+  from wks where rn <= {relational.KMV_K} group by week
+),
+ex as (
+  select date_diff('day', date '2024-01-01', cast(ts as date)) // 7
+           as week,
+         count(distinct user_id) as true_distinct
+  from events group by week
+)
+select cast(sk.week as bigint) as week, sk.n_seen,
+       case when sk.n_seen < {relational.KMV_K}
+            then cast(sk.n_seen as double)
+            else round(
+              {float((relational.KMV_K - 1) * relational.KMV_HASH_M)}
+                / sk.kth_hash, 3)
+       end as kmv_estimate,
+       cast(ex.true_distinct as bigint) as true_distinct
+from sk join ex on sk.week = ex.week
+order by sk.week
+"""
+    # Unpivot truth: the UNION ALL the stack() expansion replaces.
+    sql["unpivot_measures"] = """
+with long as (
+  select 'quantity' as measure, l_quantity as val from lineitem
+  union all
+  select 'extendedprice', l_extendedprice from lineitem
+  union all
+  select 'discount', l_discount from lineitem
+  union all
+  select 'tax', l_tax from lineitem
+)
+select measure, count(*) as n_rows,
+       cast(sum(cast(round(val * 100) as bigint)) as bigint) as sum_cents,
+       cast(max(cast(round(val * 100) as bigint)) as bigint) as max_cents
+from long group by measure order by measure
 """
     return sql

@@ -2452,3 +2452,120 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "pa", "pb")
         .limit(BASKET_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch rollup: daily partials merged to weekly — sketch mergeability
+# ---------------------------------------------------------------------------
+
+
+def kmv_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAGGREGATION story for distinct-count sketches: per-DAY KMV
+    partials (k smallest user hashes per day) merged into per-WEEK
+    estimates without touching the raw events again — the pattern that
+    makes pre-aggregated dashboards possible (daily sketch partitions
+    roll up to week/month/quarter; an exact distinct count cannot be
+    re-aggregated, a KMV/HLL sketch can: merge = union, re-take k-min).
+
+    Same portable hash + estimator as ``kmv_distinct_users``
+    (est = (k-1)*2^32 / kth-smallest, exact below k), so the merged
+    ESTIMATE itself is engine-exact and the DuckDB oracle verifies the
+    whole rollup, not just the baseline.
+
+    Scale shape: raw events are touched ONCE to build the daily
+    partials (a (day, hash) distinct partial-agg shuffle); the weekly
+    merge then runs over at most ``365 * k`` sketch rows per year —
+    sketch-sized, not data-sized.  The exact per-week twin column here
+    is the verification baseline; at 100 TB it is dropped and ONLY the
+    k-row partials move."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.to_date("ts")
+    h = F.pmod(F.col("user_id") * F.lit(KMV_HASH_A), F.lit(KMV_HASH_M))
+    daily = ev.select(day.alias("day"), h.alias("h")).distinct()
+    wd = Window.partitionBy("day").orderBy("h")
+    daily_sk = (
+        daily.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= KMV_K)
+        .select("day", "h")
+    )
+    week = F.expr("datediff(day, date'2024-01-01') div 7")
+    merged = daily_sk.select(week.alias("week"), "h").distinct()
+    ww = Window.partitionBy("week").orderBy("h")
+    week_sk = (
+        merged.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("week")
+        .agg(F.max("rn").alias("n_seen"), F.max("h").alias("kth_hash"))
+    )
+    exact = (
+        ev.select(
+            F.expr("datediff(to_date(ts), date'2024-01-01') div 7").alias(
+                "week"
+            ),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("week")
+        .agg(F.count("*").alias("true_distinct"))
+    )
+    est = F.when(
+        F.col("n_seen") < KMV_K, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.round(F.lit(float((KMV_K - 1) * KMV_HASH_M)) / F.col("kth_hash"), 3)
+    )
+    return (
+        week_sk.join(F.broadcast(exact), "week")
+        .select(
+            "week",
+            "n_seen",
+            est.alias("kmv_estimate"),
+            "true_distinct",
+        )
+        .repartition(1)
+        .sortWithinPartitions("week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt
+# ---------------------------------------------------------------------------
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the lineitem measure columns turned into
+    (measure, value) rows and profiled per measure — the inverse of
+    ``priority_pivot`` and the standard reshape before a generic
+    per-metric quality dashboard.
+
+    ``stack(4, ...)`` is a map-side 1-row -> 4-row expansion inside the
+    project node — no join, no python; the only shuffle is the 4-group
+    partial aggregation.  Sums are exact integer cents.
+
+    Scale shape: identical to a groupBy over a corpus 4x the row count,
+    with map-side combine collapsing each partition to 4 rows before
+    the exchange — the plan a hand-written UNION ALL of four aggregates
+    would need four scans for."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    long = li.select(
+        F.expr(
+            "stack(4,"
+            " 'quantity', l_quantity,"
+            " 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount,"
+            " 'tax', l_tax) as (measure, val)"
+        )
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("val") * 100).cast("bigint")).alias(
+                "sum_cents"
+            ),
+            F.max(F.round(F.col("val") * 100).cast("bigint")).alias(
+                "max_cents"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("measure")
+    )

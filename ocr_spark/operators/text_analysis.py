@@ -1522,3 +1522,66 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto-frontier (skyline) document selection
+# ---------------------------------------------------------------------------
+
+
+def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query over (vocabulary richness, length): the documents no
+    other document dominates on BOTH axes — the multi-criteria shortlist
+    a curation team starts from when no single quality scalar is agreed
+    (Borzsony et al., ICDE'01 skyline operator).
+
+    Dominance: doc B dominates doc A iff
+    ``(q_B > q_A and len_B >= len_A) or (q_B = q_A and len_B > len_A)``
+    where q = distinct-token count and len = n_chars (both exact
+    integers, so the frontier set is engine-exact).
+
+    Scale shape: NOT the quadratic all-pairs dominance test.  The corpus
+    collapses to one row per distinct q (max len per q — a partial-agg
+    shuffle over at most |vocab-size| groups); a window over that TINY
+    collapsed table computes ``best_len_above(q)`` = max len among
+    strictly-higher q; the frontier test is then a broadcast join back
+    to the unshuffled corpus.  Work is one map-side pass + one
+    sketch-sized window, exactly the two-pass shape of
+    ``length_outlier_filter``.  The same trick is the standard
+    distributed skyline: grid-collapse, frontier-of-collapsed,
+    broadcast-filter (at 100 TB the q domain stays bounded by the
+    tokenizer vocabulary, not the corpus).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("bigint").alias("q"),
+        F.col("n_chars").alias("len"),
+    )
+    per_q = scored.groupBy("q").agg(F.max("len").alias("max_len"))
+    w = (
+        Window.orderBy(F.desc("q"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    collapsed = per_q.select(
+        "q",
+        "max_len",
+        F.coalesce(F.max("max_len").over(w), F.lit(-1)).alias(
+            "best_len_above"
+        ),
+    )
+    return (
+        scored.join(F.broadcast(collapsed), "q")
+        .filter(
+            (F.col("best_len_above") < F.col("len"))
+            & (F.col("max_len") <= F.col("len"))
+        )
+        .select(
+            "doc_id",
+            F.col("q").alias("distinct_tokens"),
+            F.col("len").alias("n_chars"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -298,16 +298,7 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     n = docs.count()
     k = F.col("doc_id")
-    targets = F.array(
-        ((k * 7 + 1) % n).cast("bigint"),
-        ((k * 13 + 2) % n).cast("bigint"),
-        ((k * 31 + 3) % n).cast("bigint"),
-    )
-    edges = (
-        docs.select(k.alias("src"), F.explode(targets).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    edges = _link_edges(docs, n)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     in_deg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
 
@@ -510,6 +501,77 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prefix").alias("matched_prefix"),
             "verdict",
         )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance over the link graph
+# ---------------------------------------------------------------------------
+
+BFS_MAX_HOP = 3
+BFS_SEED_MOD = 50  # seeds = every 50th doc_id
+
+
+def _link_edges(docs: DataFrame, n: int) -> DataFrame:
+    """The deterministic link-graph edge list shared with
+    ``link_graph_pagerank`` (doc i -> (7i+1, 13i+2, 31i+3) mod N,
+    deduped, self-links dropped) — synthesized, so the DuckDB oracle
+    rebuilds the identical graph."""
+    k = F.col("doc_id")
+    targets = F.array(
+        ((k * 7 + 1) % n).cast("bigint"),
+        ((k * 13 + 2) % n).cast("bigint"),
+        ((k * 31 + 3) % n).cast("bigint"),
+    )
+    return (
+        docs.select(k.alias("src"), F.explode(targets).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: min link-hops from the seed set (every
+    ``BFS_SEED_MOD``-th document) out to ``BFS_MAX_HOP`` hops — the
+    crawl-frontier / seed-proximity computation (how far is each page
+    from the curated seed list), and the other standard iterated-join
+    graph primitive next to PageRank.
+
+    Level-synchronous frontier expansion: iteration h joins ONLY the
+    newly-discovered hop-(h-1) frontier against the edge list (not the
+    whole visited set), takes the distinct successor set, and anti-joins
+    the visited table so every vertex is labeled exactly once, at its
+    true minimum hop.  All-integer state => engine-exact.
+
+    Scale shape: per iteration one equi-join of the frontier with edges
+    on src (edges pre-partitioned by src once — the same reusable
+    layout as PageRank's contribution join) plus one anti-join on the
+    O(visited) state; work per round is O(frontier x out-degree), the
+    textbook Pregel/GraphX BFS cost.  Unreached vertices never enter
+    the state table, so a 3-hop neighborhood query on a 10^12-edge
+    graph touches only the reachable ball, not the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    edges = _link_edges(docs, n)
+    seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0).select(
+        F.col("doc_id").alias("v"), F.lit(0).cast("bigint").alias("hop")
+    )
+    visited = seeds
+    frontier = seeds
+    for h in range(1, BFS_MAX_HOP + 1):
+        nxt = (
+            frontier.join(edges, frontier["v"] == edges["src"])
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(visited, "v", "left_anti")
+            .select("v", F.lit(h).cast("bigint").alias("hop"))
+        )
+        visited = visited.union(nxt)
+        frontier = nxt
+    return (
+        visited.select(F.col("v").alias("doc_id"), "hop")
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )

@@ -861,3 +861,107 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         assert fn(spark, d).count() == 0, fn.__name__
     # the estimator emits its one report row even over nothing
     assert R.join_size_estimate(spark, d).count() == 1
+
+
+def test_pareto_frontier_dominance_rules(spark, tmp_path):
+    """Ties survive together; strict one-axis dominance kills; equal
+    pairs are both frontier (neither dominates under the strict rule)."""
+    from ocr_spark.operators.text_analysis import pareto_frontier_docs
+
+    d = str(tmp_path)
+    # q = distinct tokens, len = n_chars.
+    # doc 0: q=3 len=10  -> frontier (best q)
+    # doc 1: q=2 len=10  -> dominated by doc 0 (q higher, len equal)
+    # doc 2: q=2 len=20  -> frontier (longest at its q, nothing above reaches 20)
+    # doc 3: q=1 len=20  -> dominated by doc 2 (q higher, len equal)
+    # doc 4: q=3 len=10  -> frontier (exact tie with doc 0: both stay)
+    _write(
+        spark, d, "documents",
+        [
+            (0, "a b c", "en", "s", 10),
+            (1, "a b a", "en", "s", 10),
+            (2, "a b b", "en", "s", 20),
+            (3, "a a a", "en", "s", 20),
+            (4, "x y z", "en", "s", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = sorted(
+        r["doc_id"] for r in pareto_frontier_docs(spark, d).collect()
+    )
+    assert got == [0, 2, 4]
+
+
+def test_bfs_min_hop_and_frontier_isolation(spark, tmp_path):
+    """A node reachable at hop 1 AND hop 3 reports 1 (anti-join keeps the
+    first discovery); nodes outside the 3-hop ball are absent."""
+    from ocr_spark.operators import web_extract as wx
+
+    d = str(tmp_path)
+    # Build a corpus sized so the synthesized graph is known: n=4 docs,
+    # seeds = {0} (BFS_SEED_MOD=50 -> only doc 0).  Edges from doc i:
+    # (7i+1, 13i+2, 31i+3) mod 4 minus self-loops.
+    _write(
+        spark, d, "documents",
+        [(i, "t", "en", "s", 1) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r["hop"] for r in wx.bfs_hop_distance(spark, d).collect()}
+    # doc0 -> {1, 2, 3}; every other node reaches the rest, so all 4
+    # nodes are in the 1-hop ball.
+    assert rows[0] == 0
+    assert all(rows[i] == 1 for i in (1, 2, 3))
+
+
+def test_kmv_weekly_merge_equals_direct_weekly_sketch(spark, tmp_path):
+    """Merging daily k-min partials must give the SAME weekly sketch as
+    computing k-min directly over the week's raw hashes (the KMV merge
+    property) — including when a day overflows k."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.relational import (
+        KMV_HASH_A,
+        KMV_HASH_M,
+        KMV_K,
+        kmv_weekly_rollup,
+    )
+
+    d = str(tmp_path)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 200 distinct users on day 0 (> KMV_K=64), 150 on day 1 with 100
+    # overlapping, sprinkle of repeats (distinct() must collapse them).
+    for u in range(200):
+        rows.append((eid, base, u, "click", 1.0, "{}")); eid += 1
+    for u in range(100, 250):
+        rows.append((eid, base + dt.timedelta(days=1), u, "view", 1.0, "{}"))
+        eid += 1
+    rows.append((eid, base, 0, "click", 1.0, "{}")); eid += 1
+    _write(
+        spark, d, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = kmv_weekly_rollup(spark, d).collect()
+    assert len(got) == 1 and got[0]["week"] == 0
+    # Direct weekly sketch over raw hashes:
+    hashes = sorted({(u * KMV_HASH_A) % KMV_HASH_M for u in range(250)})
+    kth = hashes[KMV_K - 1]
+    est = round((KMV_K - 1) * KMV_HASH_M / kth, 3)
+    assert got[0]["n_seen"] == KMV_K
+    assert got[0]["kmv_estimate"] == est
+    assert got[0]["true_distinct"] == 250
+
+
+def test_unpivot_stack_no_join(spark):
+    """The melt is a single-scan stack() expansion: no Join in the plan,
+    exactly one Exchange (the 4-group aggregate)."""
+    from ocr_spark.operators.relational import unpivot_measures
+
+    plan = unpivot_measures(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
