@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltv_deciles": relational.ltv_deciles,
         "market_basket_pairs": relational.market_basket_pairs,
         "pareto_frontier_docs": text_analysis.pareto_frontier_docs,
+        "paragraph_dedup_rebuild": text_analysis.paragraph_dedup_rebuild,
         "bfs_hop_distance": web_extract.bfs_hop_distance,
         "kmv_weekly_rollup": relational.kmv_weekly_rollup,
         "unpivot_measures": relational.unpivot_measures,
@@ -4008,6 +4009,34 @@ where not exists (
   where (o.q > s.q and o.l >= s.l) or (o.q = s.q and o.l > s.l)
 )
 order by s.doc_id
+"""
+    # Rebuild truth: same chunking + global-first-occurrence survivorship,
+    # reassembly via ordered list aggregation.
+    sql["paragraph_dedup_rebuild"] = f"""
+with t as (
+  select doc_id, string_split(text, ' ') as toks from documents
+), ch as (
+  select doc_id, cast(i as bigint) as chunk_idx,
+         array_to_string(
+           toks[i*{text_analysis.PARA_W}+1 : i*{text_analysis.PARA_W}+{text_analysis.PARA_W}],
+           ' ') as chunk
+  from t, unnest(range(0, (length(toks)+{text_analysis.PARA_W}-1)//{text_analysis.PARA_W})) as u(i)
+), surv as (
+  select md5(chunk) as h,
+         min(struct_pack(d := doc_id, i := chunk_idx)) as first_occ
+  from ch group by h
+), marked as (
+  select c.doc_id, c.chunk_idx, c.chunk,
+         (s.first_occ.d = c.doc_id and s.first_occ.i = c.chunk_idx) as keep
+  from ch c join surv s on md5(c.chunk) = s.h
+)
+select doc_id,
+       count(*) as n_chunks,
+       cast(sum(case when keep then 1 else 0 end) as bigint) as n_kept,
+       coalesce(array_to_string(
+         list(case when keep then chunk end order by chunk_idx)
+           filter (where keep), ' '), '') as text_dedup
+from marked group by doc_id order by doc_id
 """
     # BFS truth: recursive reachability with a hop counter; min(hop)
     # collapses multi-path discoveries to the true BFS distance.

@@ -1585,3 +1585,82 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup with document reconstruction
+# ---------------------------------------------------------------------------
+
+PARA_W = 10  # words per paragraph chunk
+
+
+def paragraph_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at sub-document granularity with REASSEMBLY (the Lee
+    et al., ACL'22 deduplicate-then-rebuild step): documents are split
+    into consecutive ``PARA_W``-word paragraphs, every paragraph that
+    already occurred earlier in the corpus (global first-occurrence
+    order = min (doc_id, chunk_idx)) is dropped, and each document is
+    rebuilt from its surviving paragraphs — so shared boilerplate
+    disappears but the unique remainder of a partially-duplicated page
+    SURVIVES, where whole-doc dedup would discard it entirely.
+
+    Scale shape: chunking is a map-side posexplode; the survivor table
+    is one groupBy on the content hash whose aggregate (min struct) is
+    partial-aggregable, so the hot boilerplate paragraph collapses
+    map-side instead of flooding one reducer; the keep-mark is an
+    equi-join back on that hash (AQE skew-split handles the residual
+    hot keys, same as the LSH bucket join); reassembly is one doc_id
+    regroup.  Total work O(corpus words), three shuffles, no windows
+    over data-sized partitions."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(PARA_W)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * PARA_W + 1, PARA_W), " "
+        ),
+    )
+    chunks = docs.select(
+        "doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk",
+        F.md5("chunk").alias("h"),
+    )
+    surv = chunks.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first_occ")
+    )
+    marked = chunks.join(surv, "h").select(
+        chunks["doc_id"],
+        chunks["chunk_idx"],
+        chunks["chunk"],
+        (
+            (F.col("first_occ.doc_id") == chunks["doc_id"])
+            & (F.col("first_occ.chunk_idx") == chunks["chunk_idx"])
+        ).alias("keep"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("chunk_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -463,3 +463,48 @@ def test_bigram_next_token_cond_ppm_sums_and_ranks(spark, sf_dir):
         assert all(0 < p <= 1_000_000 for p in ppms)
         counts = [r["c_xy"] for r in rs]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_paragraph_dedup_keeps_unique_remainder(spark, tmp_path):
+    """A partially-duplicated doc loses ONLY the shared paragraphs; its
+    unique tail survives (whole-doc dedup would drop everything), and
+    first occurrence is global (doc_id, chunk_idx) order."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ocr_spark.operators.text_analysis import (
+        PARA_W,
+        paragraph_dedup_rebuild,
+    )
+
+    boiler = " ".join(["b%d" % i for i in range(PARA_W)])
+    uniq0 = " ".join(["u%d" % i for i in range(PARA_W)])
+    uniq1 = " ".join(["v%d" % i for i in range(PARA_W)])
+    rows = [
+        (0, boiler + " " + uniq0, "en", "s", 1),   # owns the boilerplate
+        (1, boiler + " " + uniq1, "en", "s", 1),   # loses it, keeps uniq1
+        (2, boiler, "en", "s", 1),                 # fully duplicated -> empty
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_dedup"])
+        for r in paragraph_dedup_rebuild(spark, d).collect()
+    }
+    assert got[0] == (2, 2, boiler + " " + uniq0)
+    assert got[1] == (2, 1, uniq1)
+    assert got[2] == (1, 0, "")
+
+
+def test_paragraph_dedup_survivor_agg_is_partial(spark):
+    """The survivor table's min-struct aggregate must collapse map-side
+    (partial_min before the hash exchange) so a hot boilerplate chunk
+    cannot flood one reducer."""
+    from ocr_spark.operators.text_analysis import paragraph_dedup_rebuild
+
+    plan = paragraph_dedup_rebuild(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan or "partial min" in plan.lower()
