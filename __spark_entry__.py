@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_rebuild": text_analysis.paragraph_dedup_rebuild,
         "bfs_hop_distance": web_extract.bfs_hop_distance,
         "kmv_weekly_rollup": relational.kmv_weekly_rollup,
+        "ann_pq_topk": similarity.pq_topk,
         "unpivot_measures": relational.unpivot_measures,
     }
 
@@ -4108,6 +4109,45 @@ select cast(sk.week as bigint) as week, sk.n_seen,
        cast(ex.true_distinct as bigint) as true_distinct
 from sk join ex on sk.week = ex.week
 order by sk.week
+"""
+    # PQ truth: identical codebook (subvectors of vec_id < K in integer
+    # micros), argmin codes with lower-k ties, ADC sum, (d, vec_id) rank.
+    sql["ann_pq_topk"] = f"""
+with emb as (
+  select vec_id,
+         list_transform(embedding,
+           x -> cast(round(cast(x as double)*{similarity.PQ_MICRO})
+                  as bigint)) as e
+  from embeddings
+),
+subs as (
+  select vec_id, cast(m as int) as m,
+         e[m*{similarity.PQ_SUB}+1 : m*{similarity.PQ_SUB}+{similarity.PQ_SUB}] as s
+  from emb, unnest(range(0, {similarity.PQ_M})) as u(m)
+),
+cent as (select vec_id as k, m, s as c from subs where vec_id < {similarity.PQ_K}),
+dists as (
+  select s.vec_id, s.m, c.k,
+         list_sum(list_transform(range(1, {similarity.PQ_SUB}+1),
+           i -> (s.s[i]-c.c[i])*(s.s[i]-c.c[i]))) as d
+  from subs s join cent c on s.m = c.m
+),
+codes as (
+  select vec_id, m, k as code from (
+    select vec_id, m, k,
+           row_number() over (partition by vec_id, m order by d, k) as rn
+    from dists) where rn = 1
+),
+adc as (select m, k, d from dists where vec_id = 0),
+approx as (
+  select c.vec_id, sum(a.d) as approx_d
+  from codes c join adc a on c.m = a.m and c.code = a.k
+  where c.vec_id != 0
+  group by c.vec_id
+)
+select cast(row_number() over (order by approx_d, vec_id) as bigint) as rank,
+       vec_id, cast(approx_d as bigint) as approx_d
+from approx order by approx_d, vec_id limit {similarity.PQ_TOPK}
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

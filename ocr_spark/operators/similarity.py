@@ -723,3 +723,143 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("int_dot"), "vec_id").limit(TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization (PQ) ANN with ADC scoring
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace (PQ_M * PQ_SUB = 64 = embedding dim)
+PQ_K = 16  # centroids per subspace (codebook = subvectors of vec_id < PQ_K)
+PQ_TOPK = 10
+PQ_MICRO = 1_000_000  # fixed-point: micro-units => all-integer distances
+
+
+@lru_cache(maxsize=None)
+def _pq_codebook(sf_dir: str) -> tuple[tuple[tuple[int, ...], ...], ...]:
+    """codebook[m][k] = centroid k of subspace m, in integer micro-units.
+    Centroids are the subvectors of the first ``PQ_K`` corpus vectors —
+    deterministic, so the DuckDB oracle rebuilds the identical codebook
+    from the same parquet (real systems train them with k-means; the
+    encode/ADC machinery is identical either way)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    def r(v: float) -> int:
+        # SQL round semantics (half away from zero), NOT python's
+        # half-even — the codebook literals must match what the
+        # engines compute for round(cast(x as double) * MICRO).
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    rows = sorted(
+        (int(v), [r(float(x) * PQ_MICRO) for x in e])
+        for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        if int(v) < PQ_K
+    )
+    return tuple(
+        tuple(
+            tuple(vec[m * PQ_SUB : (m + 1) * PQ_SUB]) for _, vec in rows
+        )
+        for m in range(PQ_M)
+    )
+
+
+def _pq_code_expr(micro_col: str, m: int, cents) -> str:
+    """SQL expr string: the PQ code (argmin centroid, ties -> lower k)
+    of subspace ``m`` of an integer-micro embedding array.  One literal
+    array-of-structs per subspace => plan size O(1) in corpus."""
+    items = ",".join(
+        "named_struct('k',{k},'vec',array({vs}))".format(
+            k=k, vs=",".join(f"{v}L" for v in vec)
+        )
+        for k, vec in enumerate(cents)
+    )
+    sub = f"slice({micro_col}, {m * PQ_SUB + 1}, {PQ_SUB})"
+    return (
+        f"array_min(transform(array({items}), c -> named_struct("
+        f"'d', aggregate(zip_with({sub}, c.vec,"
+        " (x, h) -> (x - h) * (x - h)), 0L, (acc, v) -> acc + v),"
+        " 'k', c.k))).k"
+    )
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization + asymmetric distance computation
+    (Jégou et al., TPAMI'11) — the memory-bound scale strategy next to
+    IVF: each vector is ENCODED map-side as ``PQ_M`` 4-bit codes
+    (2 bytes/vector here vs 256 float bytes — the reason PQ runs at
+    10^9+ vectors in RAM), and the query scores candidates WITHOUT
+    touching their floats: a per-query ADC table (distance from the
+    query subvector to every centroid, ``PQ_M x PQ_K`` integers) is
+    broadcast and each candidate's approx distance is ``PQ_M`` table
+    lookups + a sum.
+
+    All arithmetic is fixed-point integer micro-units, so codes, the
+    ADC table, and the final ranking are bit-exact vs the DuckDB oracle
+    (ties: lower centroid id, then lower vec_id).
+
+    Scale shape: encode = one map-side pass over literal codebooks (no
+    shuffle — codes would be written once at ingest next to the IVF
+    list assignment); query = broadcast ADC row, element_at lookups,
+    TakeOrdered top-k.  The corpus is never shuffled and never re-read
+    as floats at query time."""
+    from pyspark.sql.window import Window
+
+    cb = _pq_codebook(sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double)"
+            f" * {PQ_MICRO}) as bigint))"
+        ).alias("e"),
+    )
+    coded = emb.select(
+        "vec_id",
+        *[
+            F.expr(_pq_code_expr("e", m, cb[m])).alias(f"c{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    # Per-query ADC table: distance from the query's m-th subvector to
+    # every centroid of subspace m, as an array indexed by centroid id.
+    adc_cols = [
+        F.expr(
+            "transform(array({items}), c -> aggregate(zip_with("
+            "slice(e, {off}, {w}), c, (x, h) -> (x - h) * (x - h)),"
+            " 0L, (acc, v) -> acc + v))".format(
+                items=",".join(
+                    "array(" + ",".join(f"{v}L" for v in vec) + ")"
+                    for vec in cb[m]
+                ),
+                off=m * PQ_SUB + 1,
+                w=PQ_SUB,
+            )
+        ).alias(f"adc{m}")
+        for m in range(PQ_M)
+    ]
+    query = emb.filter(F.col("vec_id") == 0).select(*adc_cols)
+    scored = (
+        coded.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            sum(
+                F.element_at(f"adc{m}", F.col(f"c{m}") + 1)
+                for m in range(PQ_M)
+            ).alias("approx_d"),
+        )
+    )
+    top = scored.orderBy("approx_d", "vec_id").limit(PQ_TOPK)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy("approx_d", "vec_id"))
+        .cast("bigint")
+        .alias("rank"),
+        "vec_id",
+        F.col("approx_d").cast("bigint").alias("approx_d"),
+    )

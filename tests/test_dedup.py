@@ -299,3 +299,57 @@ def test_ann_int8_topk_agrees_with_float_retrieval(spark, sf_dir):
     exact = {r["vec_id"] for r in brute_topk(spark, sf_dir).collect()}
     got = {r["vec_id"] for r in qrows}
     assert len(got & exact) >= 7, (got, exact)
+
+
+def test_pq_centroids_encode_to_themselves(spark, sf_dir):
+    """A vector that IS centroid k of every subspace must encode to code
+    k everywhere (self-distance 0; ties cannot steal it because lower-k
+    wins and no earlier centroid matches) — and all codes stay in
+    [0, PQ_K)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import similarity as sim
+
+    cb = sim._pq_codebook(sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double)"
+            f" * {sim.PQ_MICRO}) as bigint))"
+        ).alias("e"),
+    )
+    coded = emb.select(
+        "vec_id",
+        *[
+            F.expr(sim._pq_code_expr("e", m, cb[m])).alias(f"c{m}")
+            for m in range(sim.PQ_M)
+        ],
+    ).collect()
+    for r in coded:
+        for m in range(sim.PQ_M):
+            assert 0 <= r[f"c{m}"] < sim.PQ_K
+        if r["vec_id"] < sim.PQ_K:
+            assert all(
+                r[f"c{m}"] == r["vec_id"] for m in range(sim.PQ_M)
+            ), r
+
+    # ADC ranking surfaces and is deterministic
+    top = sim.pq_topk(spark, sf_dir).collect()
+    assert len(top) == sim.PQ_TOPK
+    ds = [r["approx_d"] for r in top]
+    assert ds == sorted(ds)
+
+
+def test_pq_encode_is_shuffle_free(spark, sf_dir):
+    """Corpus encode + ADC scoring never shuffles the corpus by key: the
+    only exchange the plan may contain is the single-partition collapse
+    of the final global top-k (no hashpartitioning)."""
+    from ocr_spark.operators import similarity as sim
+
+    plan = (
+        sim.pq_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning" not in plan
