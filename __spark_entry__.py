@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": dedup.near_dup_clusters,
         "simhash64": dedup.simhash64,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "containment_pairs": dedup.containment_pairs,
         "ngram_jaccard_all_pairs": dedup.ngram_jaccard_all_pairs,
         "prefix_filter_jaccard": dedup.prefix_filter_jaccard,
         "duplicate_substring_spans": dedup.duplicate_substring_spans,
@@ -4109,6 +4110,27 @@ select cast(sk.week as bigint) as week, sk.n_seen,
        cast(ex.true_distinct as bigint) as true_distinct
 from sk join ex on sk.week = ex.week
 order by sk.week
+"""
+    # Containment truth: same posting join as the Jaccard oracle, with
+    # the per-direction |A∩B|/|A| ratios and an either-direction gate.
+    sql["containment_pairs"] = f"""
+with d as (
+  select doc_id, {_SHINGLES} as sh from documents
+),
+p as (select doc_id, len(sh) as n, unnest(sh) as s from d),
+shared as (
+  select a.doc_id as doc_a, b.doc_id as doc_b,
+         a.n as na, b.n as nb, count(*) as c
+  from p a join p b on a.s = b.s and a.doc_id < b.doc_id
+  group by 1, 2, 3, 4
+)
+select doc_a, doc_b, c as shared_shingles,
+       round(c::double / na, 6) as cont_a_in_b,
+       round(c::double / nb, 6) as cont_b_in_a
+from shared
+where round(c::double / na, 6) >= {dedup.CONTAIN_TAU}
+   or round(c::double / nb, 6) >= {dedup.CONTAIN_TAU}
+order by doc_a, doc_b
 """
     # PQ truth: identical codebook (subvectors of vec_id < K in integer
     # micros), argmin codes with lower-k ties, ADC sum, (d, vec_id) rank.

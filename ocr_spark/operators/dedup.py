@@ -981,3 +981,59 @@ def prefix_filter_jaccard(
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+CONTAIN_TAU = 0.5  # report pairs where either direction's containment >= tau
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    ``|A∩B| / |A|`` in both directions — catches the quote/subset case
+    symmetric Jaccard misses (a short doc fully embedded in a long one
+    has J ≈ |A|/|B| ≈ 0 but containment(A in B) = 1; Broder'97
+    distinguishes resemblance from containment for exactly this).
+
+    Same inverted-index shape as ``ngram_jaccard_all_pairs``:
+    completeness holds because any pair with containment ≥ τ > 0 shares
+    at least one shingle, so the posting self-join generates it; pair
+    work is Σ_s df(s)² — proportional to real overlap, never corpus².
+    Hot boilerplate shingles are the skew axis, handled by AQE
+    skew-split + the documented prefix-filter refinement."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    )
+    posting = docs.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    a, b = posting.alias("a"), posting.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    cab = F.round(F.col("c") / F.col("na"), 6)
+    cba = F.round(F.col("c") / F.col("nb"), 6)
+    return (
+        shared.select(
+            "doc_a",
+            "doc_b",
+            F.col("c").alias("shared_shingles"),
+            cab.alias("cont_a_in_b"),
+            cba.alias("cont_b_in_a"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= CONTAIN_TAU)
+            | (F.col("cont_b_in_a") >= CONTAIN_TAU)
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
+    )

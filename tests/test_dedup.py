@@ -353,3 +353,32 @@ def test_pq_encode_is_shuffle_free(spark, sf_dir):
         .toString()
     )
     assert "hashpartitioning" not in plan
+
+
+def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
+    """A short doc fully embedded in a long one: containment(A in B)=1.0
+    while Jaccard is far below the 0.2 all-pairs gate — the asymmetric
+    detector reports it, the symmetric one does not."""
+    from ocr_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_all_pairs,
+    )
+
+    short = " ".join(f"w{i}" for i in range(6))  # 4 shingles
+    long_ = short + " " + " ".join(f"z{i}" for i in range(60))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, short, "en", "s", len(short)),
+            (1, long_, "en", "s", len(long_)),
+            (2, "totally different words only here", "en", "s", 33),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    cont = {
+        (r["doc_a"], r["doc_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in containment_pairs(spark, d).collect()
+    }
+    assert cont[(0, 1)][0] == 1.0 and cont[(0, 1)][1] < 0.5
+    jac = ngram_jaccard_all_pairs(spark, d).collect()
+    assert not any(r["doc_a"] == 0 and r["doc_b"] == 1 for r in jac)
