@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hop_distance": web_extract.bfs_hop_distance,
         "kmv_weekly_rollup": relational.kmv_weekly_rollup,
         "ann_pq_topk": similarity.pq_topk,
+        "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
     }
 
@@ -4169,6 +4170,87 @@ approx as (
 )
 select cast(row_number() over (order by approx_d, vec_id) as bigint) as rank,
        vec_id, cast(approx_d as bigint) as approx_d
+from approx order by approx_d, vec_id limit {similarity.PQ_TOPK}
+"""
+    # IVFPQ truth: proven IVF assignment (round-6 argmin, lower-aid
+    # ties) + residual codes vs the [PQ_K, 2*PQ_K) residual codebook +
+    # per-probed-list ADC tables; the adc join doubles as the probe cut.
+    sql["ann_ivfpq_topk"] = f"""
+with a as (
+  select vec_id as aid, embedding as avec,
+         list_dot_product(embedding::double[], embedding::double[]) as aa,
+         list_transform(embedding,
+           x -> cast(round(cast(x as double)*{similarity.PQ_MICRO}) as bigint)) as amicro
+  from embeddings where vec_id < {similarity.DEFAULT_ANCHORS}
+), v as (
+  select vec_id, embedding,
+         list_dot_product(embedding::double[], embedding::double[]) as xx,
+         list_transform(embedding,
+           x -> cast(round(cast(x as double)*{similarity.PQ_MICRO}) as bigint)) as e
+  from embeddings
+), dist as (
+  select v.vec_id, v.e, a.aid,
+         round(v.xx - 2*list_dot_product(v.embedding::double[], a.avec::double[]) + a.aa, 6) as d
+  from v cross join a
+), assign as (
+  select vec_id, e, aid as list_id from dist
+  qualify row_number() over (partition by vec_id order by d, aid) = 1
+), res as (
+  select s.vec_id, s.list_id,
+         list_transform(range(1, {similarity.PQ_M * similarity.PQ_SUB}+1),
+                        i -> s.e[i] - a.amicro[i]) as r
+  from assign s join a on s.list_id = a.aid
+), csubs as (
+  select cast(vec_id - {similarity.PQ_K} as int) as k, cast(m as int) as m,
+         r[m*{similarity.PQ_SUB}+1 : m*{similarity.PQ_SUB}+{similarity.PQ_SUB}] as c
+  from res, unnest(range(0, {similarity.PQ_M})) as u(m)
+  where vec_id >= {similarity.PQ_K} and vec_id < {2 * similarity.PQ_K}
+), rsubs as (
+  select vec_id, list_id, cast(m as int) as m,
+         r[m*{similarity.PQ_SUB}+1 : m*{similarity.PQ_SUB}+{similarity.PQ_SUB}] as s
+  from res, unnest(range(0, {similarity.PQ_M})) as u(m)
+), rd as (
+  select r0.vec_id, r0.m, c.k,
+         list_sum(list_transform(range(1, {similarity.PQ_SUB}+1),
+           i -> (r0.s[i]-c.c[i])*(r0.s[i]-c.c[i]))) as d
+  from rsubs r0 join csubs c on r0.m = c.m
+), codes as (
+  select vec_id, m, k as code from (
+    select vec_id, m, k,
+           row_number() over (partition by vec_id, m order by d, k) as rn
+    from rd) where rn = 1
+), probes as (
+  select aid from dist where vec_id = 0
+  qualify row_number() over (order by d, aid) <= {similarity.DEFAULT_PROBE}
+), qres as (
+  select p.aid as l,
+         list_transform(range(1, {similarity.PQ_M * similarity.PQ_SUB}+1),
+                        i -> q.e[i] - a.amicro[i]) as r
+  from probes p
+  join a on p.aid = a.aid
+  cross join (select e from v where vec_id = 0) q
+), qsubs as (
+  select l, cast(m as int) as m,
+         r[m*{similarity.PQ_SUB}+1 : m*{similarity.PQ_SUB}+{similarity.PQ_SUB}] as s
+  from qres, unnest(range(0, {similarity.PQ_M})) as u(m)
+), adc as (
+  select q0.l, q0.m, c.k,
+         list_sum(list_transform(range(1, {similarity.PQ_SUB}+1),
+           i -> (q0.s[i]-c.c[i])*(q0.s[i]-c.c[i]))) as d
+  from qsubs q0 join csubs c on q0.m = c.m
+), cand as (
+  select r1.vec_id, r1.list_id, c.m, c.code
+  from res r1 join codes c on r1.vec_id = c.vec_id
+  where r1.vec_id != 0
+), approx as (
+  select cand.vec_id, cand.list_id, sum(adc.d) as approx_d
+  from cand join adc on adc.l = cand.list_id and adc.m = cand.m
+                    and adc.k = cand.code
+  group by cand.vec_id, cand.list_id
+)
+select cast(row_number() over (order by approx_d, vec_id) as bigint) as rank,
+       vec_id, cast(list_id as int) as list_id,
+       cast(approx_d as bigint) as approx_d
 from approx order by approx_d, vec_id limit {similarity.PQ_TOPK}
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.

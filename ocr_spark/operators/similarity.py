@@ -863,3 +863,198 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("approx_d").cast("bigint").alias("approx_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ: coarse quantizer + residual product codes (the FAISS IVFPQ shape)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _anchor_micro_rows(sf_dir: str) -> tuple[tuple[int, tuple[int, ...]], ...]:
+    """(aid, anchor vector in integer micro-units) — the same SQL round
+    semantics as the PQ codebook so residual arithmetic is engine-exact."""
+    import math
+
+    def r(v: float) -> int:
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    return tuple(
+        (aid, tuple(r(float(x) * PQ_MICRO) for x in vec))
+        for aid, vec in _anchor_rows(sf_dir, DEFAULT_ANCHORS)
+    )
+
+
+@lru_cache(maxsize=None)
+def _ivfpq_codebook(sf_dir: str) -> tuple[tuple[tuple[int, ...], ...], ...]:
+    """Residual codebook: centroid k of subspace m = the RESIDUAL
+    (vector − its assigned IVF anchor, in integer micros) of corpus
+    vector ``PQ_K + k``.  Trained on residuals, not raw vectors — the
+    IVFPQ contract (Jégou TPAMI'11 §IV): after the coarse quantizer
+    removes the coarse location, the product codes only need to span
+    the residual ball, which is why IVFPQ beats flat PQ at equal code
+    size.  Assignment here replicates the engines' argmin exactly
+    (round-6 L2², ties to lower aid — same fold order)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    def r(v: float) -> int:
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    anchors = _anchor_rows(sf_dir, DEFAULT_ANCHORS)
+    a_aa = [(aid, vec, sum(x * x for x in vec)) for aid, vec in anchors]
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    rows = sorted(
+        (int(v), [float(x) for x in e])
+        for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        if PQ_K <= int(v) < 2 * PQ_K
+    )
+    cents: list[list[tuple[int, ...]]] = [[] for _ in range(PQ_M)]
+    for _vid, vec in rows:
+        xx = sum(x * x for x in vec)
+        best = min(
+            (
+                round(
+                    xx - 2 * sum(x * a for x, a in zip(vec, avec)) + aa, 6
+                ),
+                aid,
+            )
+            for aid, avec, aa in a_aa
+        )
+        avec = dict((aid, av) for aid, av, _ in a_aa)[best[1]]
+        res = [
+            r(x * PQ_MICRO) - r(a * PQ_MICRO) for x, a in zip(vec, avec)
+        ]
+        for m in range(PQ_M):
+            cents[m].append(tuple(res[m * PQ_SUB : (m + 1) * PQ_SUB]))
+    return tuple(tuple(c) for c in cents)
+
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN index shape — IVF coarse quantizer + PQ over
+    RESIDUALS with per-list ADC tables (FAISS ``IVFx,PQy``): candidates
+    come only from the query's ``DEFAULT_PROBE`` nearest inverted lists
+    (the IVF cut), and are scored from their 2-byte codes via the ADC
+    table built for THEIR list's residual frame (query − that list's
+    anchor) — no corpus floats touched at query time, no corpus
+    shuffle, memory per vector = codes + a list id.
+
+    All residual arithmetic is fixed-point integer micros and the
+    coarse assignment replicates the proven round-6 argmin, so codes,
+    per-list ADC tables, and the final ranking are engine-exact.
+
+    Scale shape: assignment + residual encode are one map-side pass
+    (broadcast anchor table, literal codebooks) — at ingest this writes
+    the code columns next to ``ivf_index_write``'s list layout; a query
+    is a broadcast of ``n_probe`` ADC rows, an equi-join on list_id
+    against the (partition-pruned) probed lists, ``PQ_M`` lookups per
+    candidate, TakeOrdered."""
+    from pyspark.sql.window import Window
+
+    anchors = _anchor_rows(sf_dir, DEFAULT_ANCHORS)
+    cb = _ivfpq_codebook(sf_dir)
+    amicro = spark.createDataFrame(
+        [(aid, list(vec)) for aid, vec in _anchor_micro_rows(sf_dir)],
+        "list_id int, amicro array<bigint>",
+    )
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> cast(round(cast(x as double)"
+                f" * {PQ_MICRO}) as bigint))"
+            ).alias("e"),
+            F.array_min(_l2_struct_array("embedding", anchors))["aid"]
+            .cast("int")
+            .alias("list_id"),
+            F.array_sort(_l2_struct_array("embedding", anchors)).alias(
+                "dists"
+            ),
+        )
+    )
+    withres = emb.join(F.broadcast(amicro), "list_id").withColumn(
+        "r", F.zip_with("e", "amicro", lambda x, h: x - h)
+    )
+    coded = withres.select(
+        "vec_id",
+        "list_id",
+        *[
+            F.expr(_pq_code_expr("r", m, cb[m])).alias(f"c{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    # Query side: one row per probed list, carrying that list's ADC
+    # tables over the query residual in that list's frame.
+    probe_rows = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            "e",
+            F.posexplode(
+                F.slice(
+                    F.transform(F.col("dists"), lambda s: s["aid"]),
+                    1,
+                    DEFAULT_PROBE,
+                )
+            ).alias("p_rank", "probe_l"),
+        )
+        .join(
+            F.broadcast(
+                amicro.select(
+                    F.col("list_id").alias("probe_l"),
+                    F.col("amicro").alias("pa"),
+                )
+            ),
+            "probe_l",
+        )
+        .withColumn("qr", F.zip_with("e", "pa", lambda x, h: x - h))
+        .select(
+            "probe_l",
+            *[
+                F.expr(
+                    "transform(array({items}), c -> aggregate(zip_with("
+                    "slice(qr, {off}, {w}), c,"
+                    " (x, h) -> (x - h) * (x - h)),"
+                    " 0L, (acc, v) -> acc + v))".format(
+                        items=",".join(
+                            "array("
+                            + ",".join(f"{v}L" for v in vec)
+                            + ")"
+                            for vec in cb[m]
+                        ),
+                        off=m * PQ_SUB + 1,
+                        w=PQ_SUB,
+                    )
+                ).alias(f"adc{m}")
+                for m in range(PQ_M)
+            ],
+        )
+    )
+    scored = (
+        coded.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(probe_rows),
+            coded["list_id"] == probe_rows["probe_l"],
+        )
+        .select(
+            "vec_id",
+            coded["list_id"],
+            sum(
+                F.element_at(f"adc{m}", F.col(f"c{m}") + 1)
+                for m in range(PQ_M)
+            ).alias("approx_d"),
+        )
+    )
+    top = scored.orderBy("approx_d", "vec_id").limit(PQ_TOPK)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy("approx_d", "vec_id"))
+        .cast("bigint")
+        .alias("rank"),
+        "vec_id",
+        F.col("list_id").cast("int").alias("list_id"),
+        F.col("approx_d").cast("bigint").alias("approx_d"),
+    )

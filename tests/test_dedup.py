@@ -382,3 +382,75 @@ def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
     assert cont[(0, 1)][0] == 1.0 and cont[(0, 1)][1] < 0.5
     jac = ngram_jaccard_all_pairs(spark, d).collect()
     assert not any(r["doc_a"] == 0 and r["doc_b"] == 1 for r in jac)
+
+
+def test_ivfpq_residual_codebook_and_probe_cut(spark, sf_dir):
+    """Codebook-source vectors [PQ_K, 2*PQ_K) encode to their own
+    residual code (self-distance 0, lower-k ties can't steal);
+    every returned candidate sits in one of the query's probed lists;
+    and the corpus is never key-shuffled (broadcast joins only)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import similarity as sim
+
+    df = sim.ivfpq_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+
+    rows = df.collect()
+    assert len(rows) == sim.PQ_TOPK
+    # probed lists of query vec 0, recomputed independently
+    anchors = sim._anchor_rows(sf_dir, sim.DEFAULT_ANCHORS)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    q = [float(x) for v, e in zip(t["vec_id"].to_pylist(),
+                                  t["embedding"].to_pylist())
+         if int(v) == 0 for x in e]
+    xx = sum(x * x for x in q)
+    ds = sorted(
+        (round(xx - 2 * sum(x * a for x, a in zip(q, vec))
+               + sum(a * a for a in vec), 6), aid)
+        for aid, vec in anchors
+    )
+    probes = {aid for _, aid in ds[: sim.DEFAULT_PROBE]}
+    assert all(r["list_id"] in probes for r in rows)
+
+    # self-encode of the codebook-source vectors
+    cb = sim._ivfpq_codebook(sf_dir)
+    amicro = spark.createDataFrame(
+        [(aid, list(vec)) for aid, vec in sim._anchor_micro_rows(sf_dir)],
+        "list_id int, amicro array<bigint>",
+    )
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(
+            (F.col("vec_id") >= sim.PQ_K)
+            & (F.col("vec_id") < 2 * sim.PQ_K)
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> cast(round(cast(x as double)"
+                f" * {sim.PQ_MICRO}) as bigint))"
+            ).alias("e"),
+            F.array_min(
+                sim._l2_struct_array("embedding", sim._anchor_rows(
+                    sf_dir, sim.DEFAULT_ANCHORS))
+            )["aid"].cast("int").alias("list_id"),
+        )
+        .join(F.broadcast(amicro), "list_id")
+        .withColumn("r", F.zip_with("e", "amicro", lambda x, h: x - h))
+    )
+    coded = emb.select(
+        "vec_id",
+        *[
+            F.expr(sim._pq_code_expr("r", m, cb[m])).alias(f"c{m}")
+            for m in range(sim.PQ_M)
+        ],
+    ).collect()
+    assert len(coded) == sim.PQ_K
+    for r in coded:
+        want = r["vec_id"] - sim.PQ_K
+        assert all(r[f"c{m}"] == want for m in range(sim.PQ_M)), r
