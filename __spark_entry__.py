@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_rebuild": text_analysis.paragraph_dedup_rebuild,
         "bfs_hop_distance": web_extract.bfs_hop_distance,
         "kmv_weekly_rollup": relational.kmv_weekly_rollup,
+        "theta_sketch_overlap": relational.theta_sketch_overlap,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4252,6 +4253,61 @@ select cast(row_number() over (order by approx_d, vec_id) as bigint) as rank,
        vec_id, cast(list_id as int) as list_id,
        cast(approx_d as bigint) as approx_d
 from approx order by approx_d, vec_id limit {similarity.PQ_TOPK}
+"""
+    # Theta truth: same k-min sketches, θ = min per-period θ, sample =
+    # sketch hashes < θ, inclusion-exclusion on the sample.
+    sql["theta_sketch_overlap"] = f"""
+with ev as (
+  select event_type,
+         date_diff('day', date '2024-01-01', cast(ts as date))
+           // {relational.THETA_PERIOD_DAYS} as p,
+         (user_id * {relational.KMV_HASH_A}) % {relational.KMV_HASH_M} as h,
+         user_id
+  from events
+  where date_diff('day', date '2024-01-01', cast(ts as date))
+          // {relational.THETA_PERIOD_DAYS} <= 1
+), dist as (select distinct event_type, p, h from ev),
+sk as (
+  select event_type, p, h, rn from (
+    select event_type, p, h,
+           row_number() over (partition by event_type, p order by h) as rn
+    from dist) where rn <= {relational.KMV_K}
+),
+theta_p as (
+  select event_type, p,
+         case when max(rn) < {relational.KMV_K}
+              then {relational.KMV_HASH_M} else max(h) end as theta_p
+  from sk group by event_type, p
+),
+th as (select event_type, min(theta_p) as theta from theta_p group by event_type),
+rows_ as (
+  select sk.event_type, sk.p, sk.h, th.theta
+  from sk join th on sk.event_type = th.event_type
+  where sk.h < th.theta
+),
+counts as (
+  select event_type, theta,
+         count(distinct h) as u,
+         count(distinct case when p = 0 then h end)
+           + count(distinct case when p = 1 then h end)
+           - count(distinct h) as c
+  from rows_ group by event_type, theta
+),
+exact as (
+  select event_type,
+         count(distinct user_id) as true_union,
+         count(distinct case when p = 0 then user_id end)
+           + count(distinct case when p = 1 then user_id end)
+           - count(distinct user_id) as true_inter
+  from ev group by event_type
+)
+select counts.event_type,
+       round(u::double * {relational.KMV_HASH_M} / theta, 3) as union_est,
+       round(c::double * {relational.KMV_HASH_M} / theta, 3) as inter_est,
+       cast(true_union as bigint) as true_union,
+       cast(true_inter as bigint) as true_inter
+from counts join exact on counts.event_type = exact.event_type
+order by counts.event_type
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

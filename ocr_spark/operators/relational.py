@@ -2569,3 +2569,92 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("measure")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set algebra: union / intersection estimates from k-min sketches
+# ---------------------------------------------------------------------------
+
+THETA_PERIOD_DAYS = 15  # period 0 = days [0,15), period 1 = [15,30)
+
+
+def theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET ALGEBRA on distinct-count sketches (the theta-sketch
+    union/intersection rules): per event type, the users active in the
+    month's FIRST half vs SECOND half are sketched independently
+    (k-min over the portable hash), and the retention overlap —
+    |P1 ∪ P2| and |P1 ∩ P2| — is estimated purely from the two
+    k-row sketches: θ = min(θ_a, θ_b) (each θ = kth smallest hash,
+    or the full space when the set is under k), sample = sketch rows
+    below θ, est = |sample| · M / θ.  This is how audience-overlap
+    questions are answered at 100 TB without ever joining the raw
+    sets; exact twins ride along as the verification baseline.
+
+    Deterministic given the hash (no random seeds), so the ESTIMATES
+    are value-checked by the DuckDB oracle, not just the exacts.
+
+    Scale shape: one (type, period, hash) distinct partial-agg over the
+    events scan, per-group k-min windows over the deduplicated hash
+    sets, then ALL set algebra happens on ≤ 2k rows per type —
+    sketch-sized. The exact columns are dropped at scale."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    period = F.expr(
+        f"datediff(to_date(ts), date'2024-01-01') div {THETA_PERIOD_DAYS}"
+    )
+    h = F.pmod(F.col("user_id") * F.lit(KMV_HASH_A), F.lit(KMV_HASH_M))
+    hashes = (
+        ev.filter(period <= 1)
+        .select("event_type", period.alias("p"), h.alias("h"), "user_id")
+    )
+    dist = hashes.select("event_type", "p", "h").distinct()
+    w = Window.partitionBy("event_type", "p").orderBy("h")
+    sk = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    theta = sk.groupBy("event_type", "p").agg(
+        F.max("rn").alias("n_seen"), F.max("h").alias("kth")
+    ).select(
+        "event_type",
+        "p",
+        F.when(F.col("n_seen") < KMV_K, F.lit(KMV_HASH_M))
+        .otherwise(F.col("kth"))
+        .alias("theta_p"),
+    )
+    th = theta.groupBy("event_type").agg(
+        F.min("theta_p").alias("theta")
+    )
+    rows = sk.select("event_type", "p", "h").join(
+        F.broadcast(th), "event_type"
+    ).filter(F.col("h") < F.col("theta"))
+    counts = rows.groupBy("event_type", "theta").agg(
+        F.countDistinct("h").alias("u"),
+        (
+            F.countDistinct(F.when(F.col("p") == 0, F.col("h")))
+            + F.countDistinct(F.when(F.col("p") == 1, F.col("h")))
+            - F.countDistinct("h")
+        ).alias("c"),
+    )
+    exact = hashes.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_union"),
+        (
+            F.countDistinct(F.when(F.col("p") == 0, F.col("user_id")))
+            + F.countDistinct(F.when(F.col("p") == 1, F.col("user_id")))
+            - F.countDistinct("user_id")
+        ).alias("true_inter"),
+    )
+    est = lambda c: F.round(  # noqa: E731
+        c.cast("double") * KMV_HASH_M / F.col("theta"), 3
+    )
+    return (
+        counts.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            est(F.col("u")).alias("union_est"),
+            est(F.col("c")).alias("inter_est"),
+            F.col("true_union").cast("bigint").alias("true_union"),
+            F.col("true_inter").cast("bigint").alias("true_inter"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )

@@ -965,3 +965,39 @@ def test_unpivot_stack_no_join(spark):
         spark, "/root/testdata/sf0.001"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_theta_overlap_exact_regime_and_disjoint_sets(spark, tmp_path):
+    """Below k the sketch is the set: estimates equal the exact counts
+    exactly (θ = full space).  Disjoint periods estimate intersection 0."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import theta_sketch_overlap
+
+    d = str(tmp_path)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # type "a": users 0-9 in period 0, users 5-14 in period 1 (overlap 5)
+    for u in range(10):
+        rows.append((eid, base, u, "a", 1.0, "{}")); eid += 1
+    for u in range(5, 15):
+        rows.append((eid, base + dt.timedelta(days=20), u, "a", 1.0, "{}"))
+        eid += 1
+    # type "b": disjoint periods
+    for u in range(5):
+        rows.append((eid, base, 100 + u, "b", 1.0, "{}")); eid += 1
+    for u in range(5):
+        rows.append((eid, base + dt.timedelta(days=20), 200 + u, "b", 1.0, "{}"))
+        eid += 1
+    _write(
+        spark, d, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["event_type"]: r for r in theta_sketch_overlap(spark, d).collect()}
+    a, b = got["a"], got["b"]
+    assert a["true_union"] == 15 and a["true_inter"] == 5
+    assert a["union_est"] == 15.0 and a["inter_est"] == 5.0
+    assert b["true_inter"] == 0 and b["inter_est"] == 0.0
+    assert b["union_est"] == 10.0
