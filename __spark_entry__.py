@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hop_distance": web_extract.bfs_hop_distance,
         "kmv_weekly_rollup": relational.kmv_weekly_rollup,
         "theta_sketch_overlap": relational.theta_sketch_overlap,
+        "pps_systematic_sample": relational.pps_systematic_sample,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4308,6 +4309,27 @@ select counts.event_type,
        cast(true_inter as bigint) as true_inter
 from counts join exact on counts.event_type = exact.event_type
 order by counts.event_type
+"""
+    # PPS truth: plain global cumsum (the Spark side is the two-pass
+    # bucketed equivalent) + the same integer stride-hit rule.
+    sql["pps_systematic_sample"] = f"""
+with w as (select doc_id, n_chars as w from documents),
+c as (
+  select doc_id, w,
+         sum(w) over (order by doc_id
+                      rows between unbounded preceding and current row)
+           as cum
+  from w
+), t as (select sum(w) as tw from w),
+s as (
+  select c.doc_id, c.w, c.cum, t.tw // {relational.PPS_SAMPLE_N} as step
+  from c cross join t
+)
+select doc_id, cast(w as bigint) as w, cast(cum as bigint) as cum_end,
+       cast((cum // step) - ((cum - w) // step) as bigint) as n_hits
+from s
+where (cum // step) - ((cum - w) // step) >= 1
+order by doc_id
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

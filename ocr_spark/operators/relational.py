@@ -2658,3 +2658,77 @@ def theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling (probability proportional to size, deterministic)
+# ---------------------------------------------------------------------------
+
+PPS_SAMPLE_N = 50
+PPS_BUCKETS = 64
+
+
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling done DETERMINISTICALLY: classic systematic
+    PPS (probability-proportional-to-size) selection over the document
+    length weights — lay every document's weight on a line in doc_id
+    order, walk the line in strides of ``step = W div n``, and take the
+    document under each stride point.  Heavy documents (w > step) are
+    hit multiple times and carry ``n_hits`` as their replication count
+    — exactly how curation pipelines oversample long/valuable sources
+    with zero randomness (retry- and engine-stable; the customary
+    random start offset is pinned to ``step`` and documented).
+
+    All integer arithmetic: a doc is selected iff
+    ``floor(cum/step) > floor((cum-w)/step)``.
+
+    Scale shape: the cumulative position uses the same two-pass scheme
+    as ``global_rank_two_pass`` — per-bucket weight sums (tiny
+    aggregate) cumulated into bucket offsets, broadcast back, plus a
+    within-bucket running sum (window over ~N/buckets rows, doc_id
+    order) — so the ONLY global sort touches ``PPS_BUCKETS`` rows and
+    the corpus shuffles exactly once, on the order-aligned bucket."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").alias("w")
+    )
+    n_docs = docs.count()
+    bwidth = max(1, (n_docs + PPS_BUCKETS - 1) // PPS_BUCKETS)
+    keyed = docs.withColumn(
+        "bucket", (F.col("doc_id") / F.lit(bwidth)).cast("int")
+    )
+    per_bucket = keyed.groupBy("bucket").agg(F.sum("w").alias("bw"))
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(
+            F.sum("bw").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    total = per_bucket.agg(F.sum("bw").alias("tw"))
+    cum = (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "cum",
+            F.col("offset")
+            + F.sum("w").over(
+                Window.partitionBy("bucket")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("step", F.expr(f"tw div {PPS_SAMPLE_N}"))
+    )
+    hits = F.expr("(cum div step) - ((cum - w) div step)")
+    return (
+        cum.withColumn("n_hits", hits.cast("bigint"))
+        .filter(F.col("n_hits") >= 1)
+        .select("doc_id", F.col("w").cast("bigint").alias("w"),
+                F.col("cum").cast("bigint").alias("cum_end"), "n_hits")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

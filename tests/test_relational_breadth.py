@@ -1001,3 +1001,29 @@ def test_theta_overlap_exact_regime_and_disjoint_sets(spark, tmp_path):
     assert a["union_est"] == 15.0 and a["inter_est"] == 5.0
     assert b["true_inter"] == 0 and b["inter_est"] == 0.0
     assert b["union_est"] == 10.0
+
+
+def test_pps_heavy_item_multiplicity_and_expected_size(spark, tmp_path):
+    """A document heavier than the stride is hit multiple times
+    (replication count = its weight share); total hits == PPS_SAMPLE_N
+    exactly when step divides W cleanly."""
+    from ocr_spark.operators.relational import (
+        PPS_SAMPLE_N,
+        pps_systematic_sample,
+    )
+
+    d = str(tmp_path)
+    # 100 docs of weight 10 + one whale of weight 1000 => W = 2000,
+    # step = 2000/50 = 40; whale interval covers 1000/40 = 25 stride
+    # points; light docs (10 < 40) are hit 0-or-1 times.
+    rows = [(i, "t", "en", "s", 10) for i in range(100)]
+    rows.append((100, "t", "en", "s", 1000))
+    _write(
+        spark, d, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = pps_systematic_sample(spark, d).collect()
+    hits = {r["doc_id"]: r["n_hits"] for r in got}
+    assert hits[100] == 25
+    assert sum(hits.values()) == PPS_SAMPLE_N
+    assert all(h == 1 for k, h in hits.items() if k != 100)
