@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_weekly_rollup": relational.kmv_weekly_rollup,
         "theta_sketch_overlap": relational.theta_sketch_overlap,
         "pps_systematic_sample": relational.pps_systematic_sample,
+        "hybrid_rrf_search": text_analysis.hybrid_rrf_search,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4330,6 +4331,68 @@ select doc_id, cast(w as bigint) as w, cast(cum as bigint) as cum_end,
 from s
 where (cum // step) - ((cum - w) // step) >= 1
 order by doc_id
+"""
+    # Hybrid truth: the bm25 and brute-cosine oracles verbatim as CTEs,
+    # ranked, full-outer fused with integer-ppb RRF contributions.
+    sql["hybrid_rrf_search"] = f"""
+with d as (
+  select doc_id, string_split(lower(text), ' ') as ws from documents
+), base as (
+  select doc_id, len(ws) as dl, unnest(ws) as t from d
+), hits as (
+  select * from base
+  where t in {text_analysis.BM25_QUERY!r}
+), tf as (
+  select doc_id, t, count(*) as tf, min(dl) as dl
+  from hits group by 1, 2
+), dfx as (
+  select t, count(distinct doc_id) as df from hits group by t
+), stats as (
+  select count(*) as n, avg(len(ws)) as avgdl from d
+), scored as (
+  select tf.doc_id,
+         ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+           * (tf.tf * ({text_analysis.BM25_K1} + 1))
+           / (tf.tf + {text_analysis.BM25_K1}
+              * (1 - {text_analysis.BM25_B}
+                 + {text_analysis.BM25_B} * tf.dl / stats.avgdl)) as part
+  from tf join dfx using (t) cross join stats
+), bm as (
+  select doc_id, round(sum(part), 4) as score
+  from scored group by doc_id
+  order by score desc, doc_id limit {text_analysis.BM25_TOP}
+), lex as (
+  select doc_id,
+         row_number() over (order by score desc, doc_id) as lex_rank
+  from bm
+), sem0 as (
+  select e.vec_id as doc_id, {_DUCK_COS} as cos
+  from embeddings e,
+       (select embedding as q from embeddings where vec_id = 0) q
+  where e.vec_id <> 0
+  order by cos desc, e.vec_id limit {similarity.TOP_K}
+), sem as (
+  select doc_id,
+         row_number() over (order by cos desc, doc_id) as sem_rank
+  from sem0
+), fused as (
+  select coalesce(l.doc_id, s.doc_id) as doc_id,
+         coalesce(l.lex_rank, 0) as lex_rank,
+         coalesce(s.sem_rank, 0) as sem_rank,
+         (case when l.lex_rank is not null
+               then {text_analysis.RRF_SCALE} // ({text_analysis.RRF_K} + l.lex_rank)
+               else 0 end
+          + case when s.sem_rank is not null
+                 then {text_analysis.RRF_SCALE} // ({text_analysis.RRF_K} + s.sem_rank)
+                 else 0 end) as rrf_ppb
+  from lex l full outer join sem s on l.doc_id = s.doc_id
+)
+select cast(row_number() over (order by rrf_ppb desc, doc_id) as bigint)
+         as rank,
+       doc_id, cast(lex_rank as bigint) as lex_rank,
+       cast(sem_rank as bigint) as sem_rank,
+       cast(rrf_ppb as bigint) as rrf_ppb
+from fused order by rrf_ppb desc, doc_id limit {text_analysis.HYBRID_TOP}
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

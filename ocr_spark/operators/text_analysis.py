@@ -1664,3 +1664,79 @@ def paragraph_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense ANN fused with reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al., SIGIR'09)
+RRF_SCALE = 1_000_000_000  # contributions in integer parts-per-billion
+HYBRID_TOP = 10
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID search — the modern retrieval default: the lexical BM25
+    list and the dense cosine list fused by reciprocal-rank fusion,
+    ``rrf(d) = Σ_lists 1/(k + rank_d)`` (Cormack et al., SIGIR'09),
+    which needs NO score calibration between the incomparable BM25 and
+    cosine scales — only ranks.  ``embeddings.vec_id`` indexes the same
+    corpus as ``documents.doc_id`` (vec i is doc i's embedding), so the
+    fusion key is the document id.
+
+    Contributions are exact integers (``RRF_SCALE div (k + rank)``), so
+    the fused ordering is engine-exact; documents found by only one
+    retriever fuse with the other contribution = 0 (full outer join).
+
+    Scale shape: both inputs are ALREADY top-k lists (BM25_TOP=50 and
+    TOP_K=10 rows) — the fusion itself is sketch-sized work on two
+    broadcastable lists; all corpus-sized effort lives inside the two
+    retrievers, each already scale-shaped (query-vocab-filtered posting
+    aggregate; broadcast-query brute scan with TakeOrdered)."""
+    from ocr_spark.operators.similarity import brute_topk
+
+    lex = bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    sem = brute_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), "vec_id"))
+        .cast("bigint")
+        .alias("sem_rank"),
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).alias("sem_rank"),
+            (
+                F.when(
+                    F.col("lex_rank").isNotNull(),
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rank)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("sem_rank").isNotNull(),
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + sem_rank)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("rrf_ppb"),
+        )
+    )
+    top = fused.orderBy(F.desc("rrf_ppb"), "doc_id").limit(HYBRID_TOP)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf_ppb"), "doc_id"))
+        .cast("bigint")
+        .alias("rank"),
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        "rrf_ppb",
+    )

@@ -508,3 +508,56 @@ def test_paragraph_dedup_survivor_agg_is_partial(spark):
         spark, "/root/testdata/sf0.001"
     )._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_rrf_fusion_rules(spark, tmp_path):
+    """RRF needs no score calibration: a doc ranked 1st lexically and
+    absent semantically fuses with sem contribution 0; a doc present in
+    both lists beats a same-rank single-list doc."""
+    # Crafted corpus: doc 0 is the embedding query anchor (vec 0 is
+    # excluded from sem results); docs 1..3 get distinct BM25 scores via
+    # term frequency; embeddings give docs 1,2 the top cosine ranks.
+    import numpy as np
+
+    from ocr_spark.operators.text_analysis import (
+        RRF_K,
+        RRF_SCALE,
+        hybrid_rrf_search,
+    )
+
+    d = str(tmp_path)
+    docs = [
+        (0, "nothing relevant here at all", "en", "s", 1),
+        (1, "spark join filter spark join filter", "en", "s", 1),  # lex 1
+        (2, "spark join other words here now", "en", "s", 1),      # lex 2
+        (3, "spark alone word word word word", "en", "s", 1),      # lex 3
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rng = np.random.RandomState(7)
+    base = rng.randn(64).astype("float32")
+    far = rng.randn(4, 64).astype("float32")
+    vecs = [
+        (0, [float(x) for x in base], 0),
+        (1, [float(x) for x in base * 0.9], 0),           # sem 1
+        (2, [float(x) for x in base + far[0] * 0.2], 0),  # sem 2 (closeish)
+        (3, [float(x) for x in far[1]], 0),               # sem far
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    got = {r["doc_id"]: r for r in hybrid_rrf_search(spark, d).collect()}
+    r1 = got[1]
+    assert r1["lex_rank"] == 1 and r1["sem_rank"] == 1
+    assert r1["rrf_ppb"] == 2 * (RRF_SCALE // (RRF_K + 1))
+    assert got[1]["rank"] == 1  # both-lists doc wins
+    # every contribution is the exact integer rule
+    for r in got.values():
+        want = 0
+        if r["lex_rank"]:
+            want += RRF_SCALE // (RRF_K + r["lex_rank"])
+        if r["sem_rank"]:
+            want += RRF_SCALE // (RRF_K + r["sem_rank"])
+        assert r["rrf_ppb"] == want
