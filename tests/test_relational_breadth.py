@@ -1027,3 +1027,51 @@ def test_pps_heavy_item_multiplicity_and_expected_size(spark, tmp_path):
     assert hits[100] == 25
     assert sum(hits.values()) == PPS_SAMPLE_N
     assert all(h == 1 for k, h in hits.items() if k != 100)
+
+
+def test_kanon_flags_exactly_subk_classes(spark, tmp_path):
+    """A class of size k-1 violates; size k does not; the boundary is
+    strict <."""
+    from ocr_spark.operators.relational import KANON_K, k_anonymity_audit
+
+    d = str(tmp_path)
+    rows = []
+    ck = 0
+    for _ in range(KANON_K):       # class A: exactly k -> ok
+        rows.append((ck, "n", 1, 10.0, "AUTO")); ck += 1
+    for _ in range(KANON_K - 1):   # class B: k-1 -> violates
+        rows.append((ck, "n", 2, 10.0, "AUTO")); ck += 1
+    _write(
+        spark, d, "customer", rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    got = {r["nation"]: r for r in k_anonymity_audit(spark, d).collect()}
+    assert not got[1]["violates_k"] and got[1]["class_size"] == KANON_K
+    assert got[2]["violates_k"] and got[2]["class_size"] == KANON_K - 1
+
+
+def test_cusum_peaks_at_level_shift(spark, tmp_path):
+    """A series that steps from 10/day to 30/day peaks |cusum| exactly at
+    the last low day (the classic CUSUM change-point property)."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import cusum_changepoint
+
+    d = str(tmp_path)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(10):
+        n = 10 if day < 5 else 30
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(days=day), 1, "c", 1.0, "{}"))
+            eid += 1
+    _write(
+        spark, d, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = cusum_changepoint(spark, d).collect()
+    peaks = [r["day"].day for r in got if r["is_peak"]]
+    assert peaks == [5]  # last low day (days 1-5 low, mean=20, cusum=-50)
