@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_search": text_analysis.hybrid_rrf_search,
         "k_anonymity_audit": relational.k_anonymity_audit,
         "cusum_changepoint": relational.cusum_changepoint,
+        "pit_join_events_scd2": relational.pit_join_events_scd2,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4422,6 +4423,27 @@ c as (
 select day, cast(n as bigint) as n_events, cast(cusum as bigint) as cusum,
        abs(cusum) = max(abs(cusum)) over () as is_peak
 from c order by day
+"""
+    # PIT truth: the interval formulation the as-of encoding replaces —
+    # max valid_from <= ts, version ties to max o_orderkey.
+    sql["pit_join_events_scd2"] = """
+with dim as (
+  select o_custkey as k, o_orderkey, o_orderstatus, o_orderdate as vf
+  from orders
+), ev as (
+  select event_id, user_id, ts from events
+), j as (
+  select ev.event_id, dim.o_orderkey, dim.o_orderstatus,
+         row_number() over (partition by ev.event_id
+                            order by dim.vf desc, dim.o_orderkey desc) as rn
+  from ev join dim on dim.k = ev.user_id and dim.vf <= ev.ts
+)
+select e.event_id, e.user_id,
+       floor(epoch(e.ts))::bigint as event_epoch,
+       j.o_orderkey as version_key, j.o_orderstatus as version_status
+from ev e left join (select * from j where rn = 1) j
+  on e.event_id = j.event_id
+order by e.event_id
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

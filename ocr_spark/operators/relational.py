@@ -2832,3 +2832,74 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join against the SCD-2 dimension (as-of encoding)
+# ---------------------------------------------------------------------------
+
+
+def pit_join_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME enrichment — the query half of the SCD-2 pattern
+    (`scd2_intervals` is the build half): every event picks the
+    dimension VERSION that was valid at its event time (max
+    valid_from ≤ ts; interval semantics [valid_from, valid_to)), the
+    lookup every feature-store and audit pipeline needs to avoid
+    temporal leakage.
+
+    NOT an interval join: the naive ``ts between valid_from and
+    valid_to`` range join explodes at scale.  The same union-window
+    as-of encoding as ``asof_join_order_events``: tag version rows
+    before event rows at equal timestamps (events AT valid_from see the
+    new version), one shuffle on the business key, and
+    ``last(ignorenulls)`` carries the in-force version forward —
+    O(n log n), zero pair blow-up.  Version ties at one timestamp
+    resolve to max o_orderkey (the SCD2 build's own tie rule),
+    deterministic in both engines.
+
+    Events whose key has no version yet (or no dimension rows at all)
+    survive with a null version — pinned semantics, not an accident."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("tag"),
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    evu = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        "event_id",
+    )
+    win = (
+        Window.partitionBy("k")
+        .orderBy("t", "tag", "o_orderkey", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = dim.unionByName(evu).select(
+        "*",
+        F.last("o_orderkey", ignorenulls=True).over(win).alias(
+            "version_key"
+        ),
+        F.last("o_orderstatus", ignorenulls=True).over(win).alias(
+            "version_status"
+        ),
+    )
+    return (
+        u.filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.unix_timestamp("t").cast("bigint").alias("event_epoch"),
+            "version_key",
+            "version_status",
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_id")
+    )

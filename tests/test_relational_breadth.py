@@ -1075,3 +1075,42 @@ def test_cusum_peaks_at_level_shift(spark, tmp_path):
     got = cusum_changepoint(spark, d).collect()
     peaks = [r["day"].day for r in got if r["is_peak"]]
     assert peaks == [5]  # last low day (days 1-5 low, mean=20, cusum=-50)
+
+
+def test_pit_join_version_boundaries(spark, tmp_path):
+    """An event exactly AT a version's valid_from sees THAT version
+    (interval [from, to)); before any version -> null; same-timestamp
+    version ties resolve to max o_orderkey."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import pit_join_events_scd2
+
+    d = str(tmp_path)
+    t0 = dt.datetime(2024, 1, 10)
+    t1 = dt.datetime(2024, 1, 20)
+    _write(
+        spark, d, "orders",
+        [
+            (100, 1, "O", 1.0, t0, "P"),   # version 1 @ t0
+            (101, 1, "F", 1.0, t1, "P"),   # tie pair @ t1 ...
+            (102, 1, "X", 1.0, t1, "P"),   # ... max key 102 wins
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _write(
+        spark, d, "events",
+        [
+            (0, t0 - dt.timedelta(days=1), 1, "c", 1.0, "{}"),  # before all
+            (1, t0, 1, "c", 1.0, "{}"),                          # at v1 start
+            (2, t1 + dt.timedelta(days=1), 1, "c", 1.0, "{}"),   # after tie
+            (3, t0, 99, "c", 1.0, "{}"),                         # keyless
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["event_id"]: r for r in pit_join_events_scd2(spark, d).collect()}
+    assert got[0]["version_key"] is None
+    assert got[1]["version_key"] == 100 and got[1]["version_status"] == "O"
+    assert got[2]["version_key"] == 102 and got[2]["version_status"] == "X"
+    assert got[3]["version_key"] is None
