@@ -4326,7 +4326,8 @@ c as (
   from w
 ), t as (select sum(w) as tw from w),
 s as (
-  select c.doc_id, c.w, c.cum, t.tw // {relational.PPS_SAMPLE_N} as step
+  select c.doc_id, c.w, c.cum,
+         greatest(t.tw // {relational.PPS_SAMPLE_N}, 1) as step
   from c cross join t
 )
 select doc_id, cast(w as bigint) as w, cast(cum as bigint) as cum_end,

@@ -115,6 +115,10 @@ def main() -> int:
         "span_splice",
         "shipping_priority",
         "interval_ship_demand",
+        "paragraph_dedup_rebuild",
+        "ann_ivfpq_topk",
+        "hybrid_rrf_search",
+        "theta_sketch_overlap",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -2721,7 +2721,12 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .crossJoin(F.broadcast(total))
-        .withColumn("step", F.expr(f"tw div {PPS_SAMPLE_N}"))
+        # Degenerate regime: total weight below the sample size would
+        # give step 0 (integer div) and a null hit count — clamp to 1,
+        # which selects EVERY document (stride hits every unit).
+        .withColumn(
+            "step", F.expr(f"greatest(tw div {PPS_SAMPLE_N}, 1)")
+        )
     )
     hits = F.expr("(cum div step) - ((cum - w) div step)")
     return (
@@ -2747,9 +2752,9 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     account-balance sign) and flag every equivalence class smaller than
     ``KANON_K`` — records in those classes are re-identifiable by the
     quasi-identifiers alone (Sweeney'02 k-anonymity), and a release
-    pipeline must suppress or generalize them.  Reports per-class size,
-    the violation flag, and the headline suppression cost (rows lost if
-    sub-k classes are dropped) via a grand-total grouping set.
+    pipeline must suppress or generalize them.  Reports per-class size
+    and the violation flag; the suppression cost of dropping sub-k
+    classes is ``sum(class_size) where violates_k`` over this output.
 
     Scale shape: ONE partial-agg groupBy over the quasi-identifier key
     (map-side combine; class count is bounded by the QI domain, not the

@@ -736,6 +736,47 @@ PQ_TOPK = 10
 PQ_MICRO = 1_000_000  # fixed-point: micro-units => all-integer distances
 
 
+def _sql_round(v: float) -> int:
+    """SQL round semantics (half AWAY from zero), NOT python's
+    half-even: every driver-side micro-unit literal must match what the
+    engines compute for ``round(cast(x as double) * MICRO)``.  One
+    definition shared by every codebook/anchor builder — a divergent
+    copy would silently desynchronize codes from the engines."""
+    import math
+
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
+# The micro-unit encode of a float embedding column, shared verbatim by
+# pq_topk / ivfpq_topk and their tests (double-cast BEFORE the multiply:
+# a float32 multiply would round differently from the oracle).
+MICRO_ENCODE_EXPR = (
+    "transform(embedding, x -> cast(round(cast(x as double)"
+    f" * {PQ_MICRO}) as bigint))"
+)
+
+
+def _adc_expr(src_col: str, cents, m: int) -> str:
+    """ADC-table expression: integer squared-L2 from subspace ``m`` of
+    the micro array ``src_col`` to EVERY centroid, as an array indexed
+    by centroid id — shared by pq_topk (query frame) and ivfpq_topk
+    (per-list residual frame) so the distance fold can never diverge
+    between the two."""
+    return (
+        "transform(array({items}), c -> aggregate(zip_with("
+        "slice({src}, {off}, {w}), c, (x, h) -> (x - h) * (x - h)),"
+        " 0L, (acc, v) -> acc + v))".format(
+            items=",".join(
+                "array(" + ",".join(f"{v}L" for v in vec) + ")"
+                for vec in cents
+            ),
+            src=src_col,
+            off=m * PQ_SUB + 1,
+            w=PQ_SUB,
+        )
+    )
+
+
 @lru_cache(maxsize=None)
 def _pq_codebook(sf_dir: str) -> tuple[tuple[tuple[int, ...], ...], ...]:
     """codebook[m][k] = centroid k of subspace m, in integer micro-units.
@@ -743,16 +784,9 @@ def _pq_codebook(sf_dir: str) -> tuple[tuple[tuple[int, ...], ...], ...]:
     deterministic, so the DuckDB oracle rebuilds the identical codebook
     from the same parquet (real systems train them with k-means; the
     encode/ADC machinery is identical either way)."""
-    import math
-
     import pyarrow.parquet as pq
 
-    def r(v: float) -> int:
-        # SQL round semantics (half away from zero), NOT python's
-        # half-even — the codebook literals must match what the
-        # engines compute for round(cast(x as double) * MICRO).
-        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
-
+    r = _sql_round
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -811,12 +845,14 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     cb = _pq_codebook(sf_dir)
+    out_schema = "rank bigint, vec_id bigint, approx_d bigint"
+    if not cb or not cb[0]:
+        # empty corpus => empty codebook: a typeless array() literal
+        # would not even analyze, so short-circuit to an empty frame
+        # (the repo-wide empty-input invariant).
+        return spark.createDataFrame([], out_schema)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, x -> cast(round(cast(x as double)"
-            f" * {PQ_MICRO}) as bigint))"
-        ).alias("e"),
+        "vec_id", F.expr(MICRO_ENCODE_EXPR).alias("e")
     )
     coded = emb.select(
         "vec_id",
@@ -828,18 +864,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-query ADC table: distance from the query's m-th subvector to
     # every centroid of subspace m, as an array indexed by centroid id.
     adc_cols = [
-        F.expr(
-            "transform(array({items}), c -> aggregate(zip_with("
-            "slice(e, {off}, {w}), c, (x, h) -> (x - h) * (x - h)),"
-            " 0L, (acc, v) -> acc + v))".format(
-                items=",".join(
-                    "array(" + ",".join(f"{v}L" for v in vec) + ")"
-                    for vec in cb[m]
-                ),
-                off=m * PQ_SUB + 1,
-                w=PQ_SUB,
-            )
-        ).alias(f"adc{m}")
+        F.expr(_adc_expr("e", cb[m], m)).alias(f"adc{m}")
         for m in range(PQ_M)
     ]
     query = emb.filter(F.col("vec_id") == 0).select(*adc_cols)
@@ -874,11 +899,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _anchor_micro_rows(sf_dir: str) -> tuple[tuple[int, tuple[int, ...]], ...]:
     """(aid, anchor vector in integer micro-units) — the same SQL round
     semantics as the PQ codebook so residual arithmetic is engine-exact."""
-    import math
-
-    def r(v: float) -> int:
-        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
-
+    r = _sql_round
     return tuple(
         (aid, tuple(r(float(x) * PQ_MICRO) for x in vec))
         for aid, vec in _anchor_rows(sf_dir, DEFAULT_ANCHORS)
@@ -895,13 +916,9 @@ def _ivfpq_codebook(sf_dir: str) -> tuple[tuple[tuple[int, ...], ...], ...]:
     the residual ball, which is why IVFPQ beats flat PQ at equal code
     size.  Assignment here replicates the engines' argmin exactly
     (round-6 L2², ties to lower aid — same fold order)."""
-    import math
-
     import pyarrow.parquet as pq
 
-    def r(v: float) -> int:
-        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
-
+    r = _sql_round
     anchors = _anchor_rows(sf_dir, DEFAULT_ANCHORS)
     a_aa = [(aid, vec, sum(x * x for x in vec)) for aid, vec in anchors]
     t = pq.read_table(
@@ -956,6 +973,13 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     anchors = _anchor_rows(sf_dir, DEFAULT_ANCHORS)
     cb = _ivfpq_codebook(sf_dir)
+    if not anchors or not cb or not cb[0]:
+        # corpus smaller than the anchor/codebook training slice: a
+        # typeless array() literal would not analyze — empty frame
+        # (repo-wide empty-input invariant).
+        return spark.createDataFrame(
+            [], "rank bigint, vec_id bigint, list_id int, approx_d bigint"
+        )
     amicro = spark.createDataFrame(
         [(aid, list(vec)) for aid, vec in _anchor_micro_rows(sf_dir)],
         "list_id int, amicro array<bigint>",
@@ -964,10 +988,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select(
             "vec_id",
-            F.expr(
-                f"transform(embedding, x -> cast(round(cast(x as double)"
-                f" * {PQ_MICRO}) as bigint))"
-            ).alias("e"),
+            F.expr(MICRO_ENCODE_EXPR).alias("e"),
             F.array_min(_l2_struct_array("embedding", anchors))["aid"]
             .cast("int")
             .alias("list_id"),
@@ -1014,21 +1035,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_l",
             *[
-                F.expr(
-                    "transform(array({items}), c -> aggregate(zip_with("
-                    "slice(qr, {off}, {w}), c,"
-                    " (x, h) -> (x - h) * (x - h)),"
-                    " 0L, (acc, v) -> acc + v))".format(
-                        items=",".join(
-                            "array("
-                            + ",".join(f"{v}L" for v in vec)
-                            + ")"
-                            for vec in cb[m]
-                        ),
-                        off=m * PQ_SUB + 1,
-                        w=PQ_SUB,
-                    )
-                ).alias(f"adc{m}")
+                F.expr(_adc_expr("qr", cb[m], m)).alias(f"adc{m}")
                 for m in range(PQ_M)
             ],
         )

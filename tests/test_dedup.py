@@ -313,10 +313,7 @@ def test_pq_centroids_encode_to_themselves(spark, sf_dir):
     cb = sim._pq_codebook(sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
-        F.expr(
-            f"transform(embedding, x -> cast(round(cast(x as double)"
-            f" * {sim.PQ_MICRO}) as bigint))"
-        ).alias("e"),
+        F.expr(sim.MICRO_ENCODE_EXPR).alias("e"),
     )
     coded = emb.select(
         "vec_id",
@@ -431,10 +428,7 @@ def test_ivfpq_residual_codebook_and_probe_cut(spark, sf_dir):
         )
         .select(
             "vec_id",
-            F.expr(
-                f"transform(embedding, x -> cast(round(cast(x as double)"
-                f" * {sim.PQ_MICRO}) as bigint))"
-            ).alias("e"),
+            F.expr(sim.MICRO_ENCODE_EXPR).alias("e"),
             F.array_min(
                 sim._l2_struct_array("embedding", sim._anchor_rows(
                     sf_dir, sim.DEFAULT_ANCHORS))

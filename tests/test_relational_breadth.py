@@ -841,12 +841,71 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         {
             "doc_id": pa.array([], pa.int64()),
             "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "c_nationkey": pa.array([], pa.int32()),
+            "c_acctbal": pa.array([], pa.float64()),
+            "c_mktsegment": pa.array([], pa.string()),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderstatus": pa.array([], pa.string()),
+            "o_totalprice": pa.array([], pa.float64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_orderpriority": pa.array([], pa.string()),
+        }
+    )
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "l_partkey": pa.array([], pa.int64()),
+            "l_suppkey": pa.array([], pa.int64()),
+            "l_linenumber": pa.array([], pa.int32()),
+            "l_quantity": pa.array([], pa.float64()),
+            "l_extendedprice": pa.array([], pa.float64()),
+            "l_discount": pa.array([], pa.float64()),
+            "l_tax": pa.array([], pa.float64()),
+            "l_returnflag": pa.array([], pa.string()),
+            "l_linestatus": pa.array([], pa.string()),
+            "l_shipdate": pa.array([], pa.timestamp("us")),
+        }
+    )
+    emb = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32()),
         }
     )
     pq.write_table(ev, f"{d}/events.parquet")
     pq.write_table(doc, f"{d}/documents.parquet")
+    pq.write_table(cust, f"{d}/customer.parquet")
+    pq.write_table(orders, f"{d}/orders.parquet")
+    pq.write_table(li, f"{d}/lineitem.parquet")
+    pq.write_table(emb, f"{d}/embeddings.parquet")
+
+    from ocr_spark.operators import dedup as D
+    from ocr_spark.operators import similarity as S
 
     empty_ok = [
+        R.kmv_weekly_rollup, R.unpivot_measures, R.theta_sketch_overlap,
+        R.pps_systematic_sample, R.k_anonymity_audit, R.cusum_changepoint,
+        R.pit_join_events_scd2,
+        T.pareto_frontier_docs, T.paragraph_dedup_rebuild,
+        T.hybrid_rrf_search,
+        W.bfs_hop_distance,
+        D.containment_pairs,
+        S.pq_topk, S.ivfpq_topk,
         R.triangle_count, R.incremental_agg_merge,
         R.connected_components_labels, R.two_hop_neighbors,
         R.cohort_retention, R.cdc_apply, R.half_life_engagement,
@@ -893,24 +952,47 @@ def test_pareto_frontier_dominance_rules(spark, tmp_path):
 
 
 def test_bfs_min_hop_and_frontier_isolation(spark, tmp_path):
-    """A node reachable at hop 1 AND hop 3 reports 1 (anti-join keeps the
-    first discovery); nodes outside the 3-hop ball are absent."""
+    """True multi-hop BFS against an independent python BFS on the same
+    synthesized graph: a node reachable at several hop levels reports the
+    MINIMUM (anti-join keeps the first discovery), deeper levels exist,
+    and nodes outside the 3-hop ball are absent."""
+    from collections import deque
+
     from ocr_spark.operators import web_extract as wx
 
     d = str(tmp_path)
-    # Build a corpus sized so the synthesized graph is known: n=4 docs,
-    # seeds = {0} (BFS_SEED_MOD=50 -> only doc 0).  Edges from doc i:
-    # (7i+1, 13i+2, 31i+3) mod 4 minus self-loops.
+    # n=37 (prime, not a multiple of the edge strides) gives a sparse
+    # graph whose 3-hop ball from seed {0} is strictly layered.
+    n = 37
     _write(
         spark, d, "documents",
-        [(i, "t", "en", "s", 1) for i in range(4)],
+        [(i, "t", "en", "s", 1) for i in range(n)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    rows = {r["doc_id"]: r["hop"] for r in wx.bfs_hop_distance(spark, d).collect()}
-    # doc0 -> {1, 2, 3}; every other node reaches the rest, so all 4
-    # nodes are in the 1-hop ball.
-    assert rows[0] == 0
-    assert all(rows[i] == 1 for i in (1, 2, 3))
+    adj = {i: set() for i in range(n)}
+    for i in range(n):
+        for t in ((7 * i + 1) % n, (13 * i + 2) % n, (31 * i + 3) % n):
+            if t != i:
+                adj[i].add(t)
+    want, q = {0: 0}, deque([0])
+    while q:
+        u = q.popleft()
+        if want[u] >= wx.BFS_MAX_HOP:
+            continue
+        for v in sorted(adj[u]):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    got = {
+        r["doc_id"]: r["hop"]
+        for r in wx.bfs_hop_distance(spark, d).collect()
+    }
+    assert got == want
+    # the fixture genuinely exercises depth: some node is at hop 3, and
+    # some node with multiple discovery paths still reports the minimum
+    assert 3 in got.values()
+    multi = [v for u in want for v in adj[u] if want.get(v, 9) < want[u]]
+    assert multi, "fixture must contain a back/cross edge"
 
 
 def test_kmv_weekly_merge_equals_direct_weekly_sketch(spark, tmp_path):
