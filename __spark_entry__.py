@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_audit": relational.k_anonymity_audit,
         "cusum_changepoint": relational.cusum_changepoint,
         "pit_join_events_scd2": relational.pit_join_events_scd2,
+        "training_manifest": text_analysis.training_manifest,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4446,6 +4447,39 @@ from ev e left join (select * from j where rn = 1) j
   on e.event_id = j.event_id
 order by e.event_id
 """
+    # Manifest truth: the curation and near-dup oracles verbatim as
+    # CTEs + the packing arithmetic over the filtered stream.
+    sql["training_manifest"] = """
+with k as ({K}),
+nd as ({ND}),
+d as (
+  select doc_id, source,
+         len(string_split(text, ' ')) as n_tokens
+  from documents
+),
+ship as (
+  select d.source, d.doc_id, d.n_tokens
+  from d
+  join k on d.doc_id = k.doc_id
+  join nd on d.doc_id = nd.doc_id
+  where k.keep = 1 and nd.is_survivor = 1
+),
+packed as (
+  select source, doc_id, n_tokens,
+         sum(n_tokens) over (partition by source order by doc_id
+           rows between unbounded preceding and current row) as cum_end
+  from ship
+)
+select source, doc_id, cast(n_tokens as bigint) as n_tokens,
+       cast(cum_end - n_tokens as bigint) as start_tok,
+       cast((cum_end - n_tokens) // {L} as bigint) as first_seq,
+       cast((cum_end - 1) // {L} as bigint) as last_seq
+from packed order by source, doc_id
+""".format(
+        K=sql["curation_decision"],
+        ND=sql["near_dup_clusters"],
+        L=text_analysis.SEQ_LEN,
+    )
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """
 with long as (

@@ -1740,3 +1740,72 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sem_rank",
         "rrf_ppb",
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training manifest: curate -> dedup -> pack, one declarative plan
+# ---------------------------------------------------------------------------
+
+
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one declarative plan — what a user
+    of this engine actually ships nightly: quality gates
+    (`curation_decision`), near-dup survivor selection
+    (`near_dup_clusters`), and GPT-style sequence packing
+    (`sequence_pack`'s arithmetic) composed into a single DataFrame DAG
+    whose output is the per-document training-shard manifest (which
+    fixed-length sequences each surviving document occupies).
+
+    Because every stage is declarative, Catalyst sees the WHOLE
+    pipeline: the packing cumsum runs only over documents that passed
+    both gates, scans are shared, and no intermediate corpus is
+    materialized — the composition argument for building curation on a
+    relational engine instead of chained batch scripts.
+
+    Scale shape: the gate inputs are per-doc single-row tables (their
+    own docstrings cover their shuffles); the fusion is two
+    co-partitioned doc_id joins of collapsed rows; packing re-windows
+    per source shard over the FILTERED stream (smaller than the corpus
+    by the keep x survivor rate).  The oracle composes the component
+    oracles verbatim as CTEs, so the end-to-end answer can never drift
+    from the audited parts."""
+    from ocr_spark.operators.dedup import near_dup_clusters
+
+    keep = curation_decision(spark, sf_dir).select("doc_id", "keep")
+    surv = near_dup_clusters(spark, sf_dir).select(
+        "doc_id", "is_survivor"
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    shipped = (
+        docs.join(keep, "doc_id")
+        .join(surv, "doc_id")
+        .filter((F.col("keep") == 1) & (F.col("is_survivor") == 1))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = shipped.withColumn("cum_end", F.sum("n_tokens").over(w))
+    return (
+        packed.select(
+            "source",
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("cum_end") - F.col("n_tokens"))
+            .cast("bigint")
+            .alias("start_tok"),
+            F.expr(f"(cum_end - n_tokens) div {SEQ_LEN}")
+            .cast("bigint")
+            .alias("first_seq"),
+            F.expr(f"(cum_end - 1) div {SEQ_LEN}")
+            .cast("bigint")
+            .alias("last_seq"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("source", "doc_id")
+    )

@@ -561,3 +561,32 @@ def test_rrf_fusion_rules(spark, tmp_path):
         if r["sem_rank"]:
             want += RRF_SCALE // (RRF_K + r["sem_rank"])
         assert r["rrf_ppb"] == want
+
+
+def test_training_manifest_composes_gates(spark, sf_dir):
+    """The end-to-end manifest ships exactly the keep∩survivor set, and
+    packing offsets are contiguous within each source shard."""
+    from ocr_spark.operators.dedup import near_dup_clusters
+    from ocr_spark.operators.text_analysis import (
+        curation_decision,
+        training_manifest,
+    )
+
+    man = training_manifest(spark, sf_dir).collect()
+    kept = {
+        r["doc_id"]
+        for r in curation_decision(spark, sf_dir).collect()
+        if r["keep"] == 1
+    }
+    surv = {
+        r["doc_id"]
+        for r in near_dup_clusters(spark, sf_dir).collect()
+        if r["is_survivor"] == 1
+    }
+    assert {r["doc_id"] for r in man} == kept & surv
+    by_src = {}
+    for r in sorted(man, key=lambda r: (r["source"], r["doc_id"])):
+        prev = by_src.get(r["source"], 0)
+        assert r["start_tok"] == prev  # contiguous: no gaps in the stream
+        by_src[r["source"]] = r["start_tok"] + r["n_tokens"]
+        assert r["first_seq"] == r["start_tok"] // 128
