@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": relational.cusum_changepoint,
         "pit_join_events_scd2": relational.pit_join_events_scd2,
         "training_manifest": text_analysis.training_manifest,
+        "mad_outliers": relational.mad_outliers,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4480,6 +4481,51 @@ from packed order by source, doc_id
         ND=sql["near_dup_clusters"],
         L=text_analysis.SEQ_LEN,
     )
+    # MAD truth: same doubled-order-statistic medians and the exact
+    # integer comparison dev*10000 > mad4*22239.
+    sql["mad_outliers"] = f"""
+with ev as (
+  select event_id, event_type,
+         cast(round(value*100) as bigint) as cents
+  from events
+),
+r as (
+  select *, row_number() over (partition by event_type
+              order by cents, event_id) as rn,
+         count(*) over (partition by event_type) as n
+  from ev
+),
+med as (
+  select event_type,
+         sum(cents) * (case when max(n) % 2 = 1 then 2 else 1 end) as med2
+  from r where rn = (n+1)//2 or rn = (n+2)//2
+  group by event_type
+),
+dev as (
+  select e.event_id, e.event_type, e.cents, m.med2,
+         abs(e.cents*2 - m.med2) as dev
+  from ev e join med m using (event_type)
+),
+dr as (
+  select *, row_number() over (partition by event_type
+              order by dev, event_id) as rn,
+         count(*) over (partition by event_type) as n
+  from dev
+),
+mad as (
+  select event_type,
+         sum(dev) * (case when max(n) % 2 = 1 then 2 else 1 end) as mad4
+  from dr where rn = (n+1)//2 or rn = (n+2)//2
+  group by event_type
+)
+select d.event_id, d.event_type, d.cents,
+       cast(d.med2 as bigint) as med2, cast(mad.mad4 as bigint) as mad4,
+       (d.dev * {relational.MAD_DEN} > mad.mad4 * {relational.MAD_NUM})
+         as is_outlier
+from dev d join mad using (event_type)
+where d.dev * {relational.MAD_DEN} > mad.mad4 * {relational.MAD_NUM}
+order by d.event_id
+"""
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """
 with long as (

@@ -2908,3 +2908,99 @@ def pit_join_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median absolute deviation (MAD), all-integer
+# ---------------------------------------------------------------------------
+
+# 3 * 1.4826 (the normal-consistency constant) as the exact rational
+# 44478/10000, folded into the integer comparison below.
+MAD_NUM = 22239  # = 44478 / 2, see derivation in mad_outliers
+MAD_DEN = 10000
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection — median absolute deviation instead of
+    mean/stddev (a single whale corrupts the mean AND inflates sigma,
+    hiding itself; the median/MAD breakdown point is 50%).  Flags
+    events where ``|x − median| > 3 · 1.4826 · MAD`` per event type.
+
+    All-integer: cents; ``med2`` = 2x the exact median (sum of the two
+    middle order statistics, doubling the single middle when n is odd);
+    ``dev = |2·cents − med2|`` (= 2|x−med|); ``mad4`` = 2x the median
+    of dev (= 4·MAD).  The flag compares
+    ``dev · 10000 > mad4 · 22239`` — both sides exact bigints, derived
+    from D > (44478/10000)·M with D = dev/2, M = mad4/4 — so the
+    decision is engine-exact with no float anywhere.
+
+    Scale shape: two ranked passes per group (median of x, median of
+    dev) — windows within the event-type key; at 100 TB the documented
+    swap is ``approx_percentile`` for both medians (same call shape as
+    percentile_profile's swap), keeping the flag rule unchanged."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wn = Window.partitionBy("event_type")
+    wr = wn.orderBy("cents", "event_id")
+    ranked = ev.select(
+        "*",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    med = mid.groupBy("event_type").agg(
+        (
+            F.sum("cents")
+            * F.when(F.max("n") % 2 == 1, F.lit(2)).otherwise(F.lit(1))
+        ).alias("med2")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "cents",
+        "med2",
+        F.abs(F.col("cents") * 2 - F.col("med2")).alias("dev"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    dranked = dev.select(
+        "*",
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mad = (
+        dranked.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum("dev")
+                * F.when(F.max("n") % 2 == 1, F.lit(2)).otherwise(
+                    F.lit(1)
+                )
+            ).alias("mad4")
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            F.col("med2").cast("bigint").alias("med2"),
+            F.col("mad4").cast("bigint").alias("mad4"),
+            (
+                F.col("dev") * MAD_DEN > F.col("mad4") * MAD_NUM
+            ).alias("is_outlier"),
+        )
+        .filter(F.col("is_outlier"))
+        .repartition(1)
+        .sortWithinPartitions("event_id")
+    )

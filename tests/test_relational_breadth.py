@@ -1196,3 +1196,30 @@ def test_pit_join_version_boundaries(spark, tmp_path):
     assert got[1]["version_key"] == 100 and got[1]["version_status"] == "O"
     assert got[2]["version_key"] == 102 and got[2]["version_status"] == "X"
     assert got[3]["version_key"] is None
+
+
+def test_mad_outlier_robust_to_whale(spark, tmp_path):
+    """The whale itself is flagged, and its presence does NOT drag the
+    median/MAD enough to flag normal points — the robustness property a
+    mean/stddev z-score lacks.  Odd/even median doubling is exact."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import mad_outliers
+
+    d = str(tmp_path)
+    base = dt.datetime(2024, 1, 1)
+    # 20 values spread 10.00..10.19 + one 10000.00 whale
+    rows = [
+        (i, base, 1, "t", 10.0 + i / 100.0, "{}") for i in range(20)
+    ]
+    rows.append((20, base, 1, "t", 10000.0, "{}"))
+    _write(
+        spark, d, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["event_id"]: r for r in mad_outliers(spark, d).collect()}
+    assert 20 in got                      # whale flagged
+    assert set(got) == {20}               # nothing normal flagged
+    # med2 = 2 * median(cents): n=21 odd -> middle = 10.10 -> 2020
+    assert got[20]["med2"] == 2020
