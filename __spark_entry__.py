@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join_events_scd2": relational.pit_join_events_scd2,
         "training_manifest": text_analysis.training_manifest,
         "mad_outliers": relational.mad_outliers,
+        "source_template_paragraphs": text_analysis.source_template_paragraphs,
+        "train_val_test_split": text_analysis.train_val_test_split,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4525,6 +4527,57 @@ select d.event_id, d.event_type, d.cents,
 from dev d join mad using (event_type)
 where d.dev * {relational.MAD_DEN} > mad.mad4 * {relational.MAD_NUM}
 order by d.event_id
+"""
+    # Template truth: same chunking, per-doc-distinct coverage counts,
+    # (count desc, chunk) top-k per source, ppm coverage.
+    sql["source_template_paragraphs"] = f"""
+with t as (
+  select doc_id, source, string_split(text, ' ') as toks from documents
+), ch as (
+  select distinct doc_id, source,
+         array_to_string(
+           toks[i*{text_analysis.PARA_W}+1 : i*{text_analysis.PARA_W}+{text_analysis.PARA_W}],
+           ' ') as chunk
+  from t, unnest(range(0,
+           (length(toks)+{text_analysis.PARA_W}-1)//{text_analysis.PARA_W}))
+         as u(i)
+), nsrc as (select source, count(*) as n_docs from documents group by source),
+freq as (
+  select source, chunk, count(*) as n_docs_with
+  from ch group by source, chunk
+  having count(*) >= {text_analysis.TEMPLATE_MIN_DOCS}
+),
+rk as (
+  select source, chunk, n_docs_with,
+         row_number() over (partition by source
+           order by n_docs_with desc, chunk) as rank
+  from freq
+)
+select rk.source, cast(rank as int) as rank, chunk, n_docs_with,
+       cast((n_docs_with * 1000000) // n_docs as bigint) as coverage_ppm
+from rk join nsrc on rk.source = nsrc.source
+where rank <= {text_analysis.TEMPLATE_TOP}
+order by rk.source, rank
+"""
+    # Split truth: hash-ordered rank per source, floor-division cuts.
+    sql["train_val_test_split"] = f"""
+with d as (
+  select doc_id, source,
+         (doc_id * {relational.KMV_HASH_A}) % {relational.KMV_HASH_M} as h
+  from documents
+), r as (
+  select doc_id, source,
+         row_number() over (partition by source order by h, doc_id) as rk,
+         count(*) over (partition by source) as n
+  from d
+)
+select doc_id, source,
+       case when rk <= (n * {text_analysis.SPLIT_TRAIN_PCT}) // 100
+              then 'train'
+            when rk <= (n * {text_analysis.SPLIT_TRAIN_PCT + text_analysis.SPLIT_VAL_PCT}) // 100
+              then 'val'
+            else 'test' end as split
+from r order by doc_id
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

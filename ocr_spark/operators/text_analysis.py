@@ -1809,3 +1809,118 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Site-template mining: most frequent paragraphs per source
+# ---------------------------------------------------------------------------
+
+TEMPLATE_TOP = 3
+TEMPLATE_MIN_DOCS = 2
+
+
+def source_template_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPLATE MINING — the discovery step behind boilerplate removal:
+    per source (site), the paragraphs that repeat across the most
+    documents (nav bars, footers, cookie banners all surface here), with
+    their document-coverage in exact ppm.  Production pipelines mine
+    this table periodically and feed the top rows to the line/paragraph
+    strip stage; `paragraph_dedup_rebuild` then removes them globally.
+
+    Scale shape: chunking is the same map-side posexplode as
+    paragraph_dedup_rebuild; the frequency table is ONE partial-agg
+    groupBy on (source, chunk-hash) — the hot template paragraph
+    collapses map-side — and the top-k window runs over the collapsed
+    (source, hash) table, orders of magnitude smaller than the corpus."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(PARA_W)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * PARA_W + 1, PARA_W), " "),
+    )
+    chunks = docs.select(
+        "doc_id", "source", F.explode(chunk_arr).alias("chunk")
+    )
+    per_src_docs = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs")
+    )
+    freq = (
+        chunks.select("source", "doc_id", "chunk")
+        .distinct()  # coverage counts documents, not occurrences
+        .groupBy("source", "chunk")
+        .agg(F.count("*").alias("n_docs_with"))
+        .filter(F.col("n_docs_with") >= TEMPLATE_MIN_DOCS)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_docs_with"), "chunk"
+    )
+    return (
+        freq.join(F.broadcast(per_src_docs), "source")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TEMPLATE_TOP)
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            "chunk",
+            "n_docs_with",
+            F.expr("(n_docs_with * 1000000) div n_docs").alias(
+                "coverage_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("source", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-proportion train/val/test split
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test = remainder
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic three-way split with EXACT per-source proportions —
+    what a hash gate cannot give (hash splits only converge to 80/10/10
+    in expectation; contractual splits need ranks): documents are
+    ranked within their source by the portable multiplicative hash
+    (pseudorandom but reproducible order), and the first 80% of ranks
+    go to train, next 10% to val, rest to test — sizes exact to the
+    floor-division boundary, stable across reruns and engines.
+
+    Scale shape: one window rank per source shard (the shard is the
+    parallel unit, same as sequence_pack) plus a broadcast of per-source
+    counts; no global sort.  At 10^12 docs per-shard ranks are the
+    two-pass bucketed cumsum if a single shard outgrows a task."""
+    from ocr_spark.operators.relational import KMV_HASH_A, KMV_HASH_M
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    h = F.pmod(F.col("doc_id") * F.lit(KMV_HASH_A), F.lit(KMV_HASH_M))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    ranked = docs.withColumn("rk", F.row_number().over(w)).join(
+        F.broadcast(counts), "source"
+    )
+    split = (
+        F.when(
+            F.col("rk") <= F.expr(f"(n * {SPLIT_TRAIN_PCT}) div 100"),
+            F.lit("train"),
+        )
+        .when(
+            F.col("rk")
+            <= F.expr(
+                f"(n * {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}) div 100"
+            ),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ranked.select(
+            "doc_id", "source", split.alias("split")
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

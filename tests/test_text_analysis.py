@@ -590,3 +590,60 @@ def test_training_manifest_composes_gates(spark, sf_dir):
         assert r["start_tok"] == prev  # contiguous: no gaps in the stream
         by_src[r["source"]] = r["start_tok"] + r["n_tokens"]
         assert r["first_seq"] == r["start_tok"] // 128
+
+
+def test_template_mining_finds_planted_boilerplate(spark, tmp_path):
+    """A paragraph planted in most docs of one source tops that source's
+    template list with exact ppm coverage; occurrence count is per-DOC
+    (a doc repeating the template twice counts once)."""
+    from ocr_spark.operators.text_analysis import (
+        PARA_W,
+        source_template_paragraphs,
+    )
+
+    tmpl = " ".join(f"b{i}" for i in range(PARA_W))
+    rows = []
+    for i in range(8):  # 8 docs on site A, 6 carry the template (twice!)
+        body = " ".join(f"u{i}w{j}" for j in range(PARA_W))
+        t = (tmpl + " " + tmpl + " " + body) if i < 6 else body
+        rows.append((i, t, "en", "siteA", len(t)))
+    rows.append((8, "solo words only here now", "en", "siteB", 10))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = source_template_paragraphs(spark, d).collect()
+    top = [r for r in got if r["source"] == "siteA" and r["rank"] == 1][0]
+    assert top["chunk"] == tmpl
+    assert top["n_docs_with"] == 6
+    assert top["coverage_ppm"] == 6 * 1_000_000 // 8
+    assert not any(r["source"] == "siteB" for r in got)
+
+
+def test_split_proportions_exact_and_stable(spark, sf_dir):
+    """Per-source split sizes hit the floor-division boundary EXACTLY
+    (hash splits only do so in expectation), and rerunning yields the
+    identical assignment."""
+    from collections import Counter
+
+    from ocr_spark.operators.text_analysis import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        train_val_test_split,
+    )
+
+    a = train_val_test_split(spark, sf_dir).collect()
+    b = train_val_test_split(spark, sf_dir).collect()
+    assert [(r["doc_id"], r["split"]) for r in a] == [
+        (r["doc_id"], r["split"]) for r in b
+    ]
+    per_src = {}
+    for r in a:
+        per_src.setdefault(r["source"], Counter())[r["split"]] += 1
+    for src, c in per_src.items():
+        n = sum(c.values())
+        assert c["train"] == n * SPLIT_TRAIN_PCT // 100
+        assert c["train"] + c["val"] == (
+            n * (SPLIT_TRAIN_PCT + SPLIT_VAL_PCT) // 100
+        )
