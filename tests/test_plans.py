@@ -862,3 +862,82 @@ def test_new_analytics_plans_stay_keyed(spark):
         plan = plan_of(q(spark, SF))
         assert "CartesianProduct" not in plan, q.__name__
         assert "partial_count" in plan or "partial_sum" in plan, q.__name__
+
+
+def test_pareto_two_pass_broadcast(spark):
+    """Skyline must be the collapsed-frontier two-pass: corpus side
+    broadcast-joins the tiny per-q table (no corpus shuffle on q, no
+    cartesian)."""
+    from ocr_spark.operators.text_analysis import pareto_frontier_docs
+
+    simple = plan_of(pareto_frontier_docs(spark, SF), "simple")
+    assert "BroadcastHashJoin" in simple
+    assert "CartesianProduct" not in simple
+
+
+def test_theta_overlap_partial_agg_and_broadcast(spark):
+    """Theta sketch: the (type, period, hash) distinct partial-aggregates
+    before its shuffle; the exact twin joins by broadcast."""
+    from ocr_spark.operators.relational import theta_sketch_overlap
+
+    simple = plan_of(theta_sketch_overlap(spark, SF), "simple")
+    assert simple.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in simple
+    assert "CartesianProduct" not in simple
+
+
+def test_containment_posting_equi_join(spark):
+    """Containment pairs join postings on the shingle KEY — an equi-join
+    (SortMerge or ShuffledHash), never a nested-loop/cartesian pair
+    enumeration."""
+    from ocr_spark.operators.dedup import containment_pairs
+
+    simple = plan_of(containment_pairs(spark, SF), "simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    # equi-join on the shingle key; AQE may pick broadcast at this tiny
+    # SF — any HASH-KEYED strategy passes, pair enumeration never does
+    assert (
+        "SortMergeJoin" in simple
+        or "ShuffledHashJoin" in simple
+        or "BroadcastHashJoin" in simple
+    )
+
+
+def test_paragraph_rebuild_partial_min_survivor(spark):
+    """The survivor groupBy's min-struct must partial-aggregate map-side
+    (hot boilerplate collapses before the exchange)."""
+    from ocr_spark.operators.text_analysis import paragraph_dedup_rebuild
+
+    formatted = plan_of(paragraph_dedup_rebuild(spark, SF), "formatted")
+    assert "partial_min" in formatted
+
+
+def test_mad_broadcasts_sketch_tables(spark):
+    """MAD joins the per-type median/mad tables back by BROADCAST — the
+    fact table never shuffles against sketch-sized state."""
+    from ocr_spark.operators.relational import mad_outliers
+
+    simple = plan_of(mad_outliers(spark, SF), "simple")
+    assert "BroadcastHashJoin" in simple
+    assert "CartesianProduct" not in simple
+
+
+def test_split_single_window_per_source(spark):
+    """The split is one rank window per source shard + a broadcast of
+    per-source counts — no global sort, no second corpus shuffle."""
+    from ocr_spark.operators.text_analysis import train_val_test_split
+
+    simple = plan_of(train_val_test_split(spark, SF), "simple")
+    assert "BroadcastHashJoin" in simple
+    assert "CartesianProduct" not in simple
+
+
+def test_pit_join_single_key_shuffle(spark):
+    """The PIT join is the union-window encoding: NO join node at all —
+    one shuffle on the business key and a window carry."""
+    from ocr_spark.operators.relational import pit_join_events_scd2
+
+    simple = plan_of(pit_join_events_scd2(spark, SF), "simple")
+    assert "Join" not in simple
+    assert "Window" in simple
