@@ -303,6 +303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": relational.mad_outliers,
         "source_template_paragraphs": text_analysis.source_template_paragraphs,
         "train_val_test_split": text_analysis.train_val_test_split,
+        "sequence_pack_incremental": text_analysis.sequence_pack_incremental,
+        "budget_allocation": text_analysis.budget_allocation,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4578,6 +4580,57 @@ select doc_id, source,
               then 'val'
             else 'test' end as split
 from r order by doc_id
+"""
+    # Incremental-pack truth: the FULL re-pack restricted to the batch —
+    # the oracle IS the append-stability invariant.
+    sql["sequence_pack_incremental"] = f"""
+with d as (
+  select doc_id, source,
+         len(string_split(text, ' ')) as n_tokens
+  from documents
+), nn as (select count(*) as n from documents),
+full_pack as (
+  select doc_id, source, n_tokens,
+         sum(n_tokens) over (partition by source order by doc_id
+           rows between unbounded preceding and current row) as cum_end
+  from d
+)
+select source, doc_id, cast(n_tokens as bigint) as n_tokens,
+       cast(cum_end - n_tokens as bigint) as start_tok,
+       cast((cum_end - n_tokens) // {text_analysis.SEQ_LEN} as bigint)
+         as first_seq,
+       cast((cum_end - 1) // {text_analysis.SEQ_LEN} as bigint) as last_seq
+from full_pack cross join nn
+where doc_id >= n - n // {text_analysis.PACK_BATCH_SPLIT_FRAC}
+order by source, doc_id
+"""
+    # Apportionment truth: same floor + largest-remainder arithmetic.
+    sql["budget_allocation"] = f"""
+with d as (
+  select source, len(string_split(text, ' ')) as n_tokens from documents
+), per as (select source, sum(n_tokens) as tok from d group by source),
+tot as (select sum(tok) as total from per),
+base as (
+  select source, tok,
+         ({text_analysis.BUDGET_TOTAL} * tok) // total as floor_alloc,
+         ({text_analysis.BUDGET_TOTAL} * tok) % total as rem
+  from per cross join tot
+),
+lo as (
+  select {text_analysis.BUDGET_TOTAL} - sum(floor_alloc) as leftover
+  from base
+),
+rk as (
+  select source, tok, floor_alloc,
+         row_number() over (order by rem desc, source) as rem_rank
+  from base
+)
+select source, cast(tok as bigint) as tok,
+       cast(floor_alloc
+            + case when rem_rank <= leftover then 1 else 0 end
+         as bigint) as alloc
+from rk cross join lo
+order by source
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

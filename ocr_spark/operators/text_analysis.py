@@ -1924,3 +1924,134 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental sequence packing (append-only continuation of shard streams)
+# ---------------------------------------------------------------------------
+
+PACK_BATCH_SPLIT_FRAC = 4  # batch = the last 1/4 of doc_ids
+
+
+def sequence_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-ONLY packing — the nightly-ingest property ``sequence_pack``
+    alone doesn't give you: tonight's batch continues each shard's token
+    stream from a tiny persisted state (per-shard total tokens so far)
+    instead of re-packing the historical corpus.  Invariant (the whole
+    point, pinned in tests and by the oracle): the incremental result
+    equals the full re-pack restricted to the batch — offsets are
+    append-stable, so yesterday's already-written training sequences
+    never change.
+
+    Corpus split is deterministic for the oracle: "history" = the first
+    3/4 of doc_ids, "batch" = the rest.
+
+    Scale shape: state is one row per shard (sum of token counts — a
+    partial-agg over history at state-build time, O(shards) forever
+    after); the nightly run windows ONLY the batch (cost O(batch), not
+    O(corpus)) and broadcast-joins the state row."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    n = docs.count()
+    split_id = n - n // PACK_BATCH_SPLIT_FRAC
+    state = (
+        docs.filter(F.col("doc_id") < split_id)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("state_end"))
+    )
+    batch = docs.filter(F.col("doc_id") >= split_id)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        batch.join(F.broadcast(state), "source", "left")
+        .withColumn(
+            "cum_end",
+            F.coalesce("state_end", F.lit(0))
+            + F.sum("n_tokens").over(w),
+        )
+    )
+    return (
+        packed.select(
+            "source",
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("cum_end") - F.col("n_tokens"))
+            .cast("bigint")
+            .alias("start_tok"),
+            F.expr(f"(cum_end - n_tokens) div {SEQ_LEN}")
+            .cast("bigint")
+            .alias("first_seq"),
+            F.expr(f"(cum_end - 1) div {SEQ_LEN}")
+            .cast("bigint")
+            .alias("last_seq"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("source", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Budget allocation: largest-remainder (Hamilton) apportionment
+# ---------------------------------------------------------------------------
+
+BUDGET_TOTAL = 10_000  # crawl/token budget units to apportion
+
+
+def budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT budget apportionment across sources — the largest-remainder
+    (Hamilton) method: each source gets ``floor(budget · share)`` seats,
+    then the leftover seats go to the largest fractional remainders
+    (ties to the smaller source name, deterministic).  This is how a
+    fixed crawl/token budget is split proportionally so the per-source
+    integers SUM EXACTLY to the budget — naive rounding over- or
+    under-shoots, and a float share drifts between engines; remainders
+    here are exact integers (``budget·tokens mod total``).
+
+    Scale shape: one partial-agg groupBy to collapse the corpus to one
+    row per source; everything after runs on the O(sources) table —
+    the window ranking remainders touches sketch-sized data only."""
+    docs = _docs(spark, sf_dir).select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_tokens").alias("tok")
+    )
+    tot = per_src.agg(F.sum("tok").alias("total"))
+    base = (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tok",
+            F.expr(f"({BUDGET_TOTAL} * tok) div total").alias("floor_alloc"),
+            F.expr(f"({BUDGET_TOTAL} * tok) % total").alias("rem"),
+        )
+    )
+    leftover = F.lit(BUDGET_TOTAL) - F.sum("floor_alloc").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    ranked = base.withColumn(
+        "rem_rank",
+        F.row_number().over(Window.orderBy(F.desc("rem"), "source")),
+    ).withColumn("leftover", leftover)
+    return (
+        ranked.select(
+            "source",
+            F.col("tok").cast("bigint").alias("tok"),
+            (
+                F.col("floor_alloc")
+                + (F.col("rem_rank") <= F.col("leftover")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("source")
+    )

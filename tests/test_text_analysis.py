@@ -647,3 +647,53 @@ def test_split_proportions_exact_and_stable(spark, sf_dir):
         assert c["train"] + c["val"] == (
             n * (SPLIT_TRAIN_PCT + SPLIT_VAL_PCT) // 100
         )
+
+
+def test_incremental_pack_append_stability(spark, sf_dir):
+    """The incremental pack must equal the full re-pack restricted to
+    the batch rows — offsets continue, history sequences never move."""
+    from ocr_spark.operators.text_analysis import (
+        PACK_BATCH_SPLIT_FRAC,
+        sequence_pack,
+        sequence_pack_incremental,
+    )
+
+    inc = {
+        r["doc_id"]: (r["start_tok"], r["first_seq"], r["last_seq"])
+        for r in sequence_pack_incremental(spark, sf_dir).collect()
+    }
+    full = sequence_pack(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    split_id = n - n // PACK_BATCH_SPLIT_FRAC
+    want = {
+        r["doc_id"]: (r["start_tok"], r["first_seq"], r["last_seq"])
+        for r in full
+        if r["doc_id"] >= split_id
+    }
+    assert inc == want and len(inc) > 0
+
+
+def test_budget_allocation_sums_exactly(spark, tmp_path):
+    """Hamilton apportionment: allocations sum EXACTLY to the budget,
+    each within 1 of the exact proportional share, remainders break the
+    tie deterministically."""
+    from ocr_spark.operators.text_analysis import (
+        BUDGET_TOTAL,
+        budget_allocation,
+    )
+
+    rows = [
+        (0, " ".join(["a"] * 7), "en", "s1", 1),
+        (1, " ".join(["a"] * 7), "en", "s2", 1),
+        (2, " ".join(["a"] * 7), "en", "s3", 1),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r["source"]: r["alloc"] for r in budget_allocation(spark, d).collect()}
+    # 10000 over 3 equal sources: floor 3333 each + 1 leftover ->
+    # equal remainders, tie to smaller name => s1 gets the extra seat
+    assert sum(got.values()) == BUDGET_TOTAL
+    assert got == {"s1": 3334, "s2": 3333, "s3": 3333}
