@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": text_analysis.train_val_test_split,
         "sequence_pack_incremental": text_analysis.sequence_pack_incremental,
         "budget_allocation": text_analysis.budget_allocation,
+        "personalized_pagerank": web_extract.personalized_pagerank,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4631,6 +4632,72 @@ select source, cast(tok as bigint) as tok,
          as bigint) as alloc
 from rk cross join lo
 order by source
+"""
+    # PPR truth: global-PR arithmetic with the teleport restricted to
+    # the seed set; same floor-division damping, three unrolled rounds.
+    sql["personalized_pagerank"] = f"""
+with n as (
+  select count(*) as nn,
+         greatest(1, (count(*) + {web_extract.PPR_SEED_MOD} - 1)
+                     // {web_extract.PPR_SEED_MOD}) as ns
+  from documents
+),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as (select distinct src, dst from e0 where src != dst),
+outd as (select src, count(*) as out_deg from edges group by src),
+pr0 as (
+  select doc_id as v,
+         case when doc_id % {web_extract.PPR_SEED_MOD} = 0
+              then {web_extract.PR_SCALE} // ns else 0 end as pr
+  from documents, n
+),
+c1 as (
+  select e.dst as v, sum((85 * p.pr) // (100 * o.out_deg)) as s
+  from edges e join pr0 p on e.src = p.v join outd o on e.src = o.src
+  group by e.dst
+),
+it1 as (
+  select d.doc_id as v,
+         (case when d.doc_id % {web_extract.PPR_SEED_MOD} = 0
+               then 150000000 // ns else 0 end)
+           + coalesce(c1.s, 0) as pr
+  from documents d cross join n left join c1 on c1.v = d.doc_id
+),
+c2 as (
+  select e.dst as v, sum((85 * p.pr) // (100 * o.out_deg)) as s
+  from edges e join it1 p on e.src = p.v join outd o on e.src = o.src
+  group by e.dst
+),
+it2 as (
+  select d.doc_id as v,
+         (case when d.doc_id % {web_extract.PPR_SEED_MOD} = 0
+               then 150000000 // ns else 0 end)
+           + coalesce(c2.s, 0) as pr
+  from documents d cross join n left join c2 on c2.v = d.doc_id
+),
+c3 as (
+  select e.dst as v, sum((85 * p.pr) // (100 * o.out_deg)) as s
+  from edges e join it2 p on e.src = p.v join outd o on e.src = o.src
+  group by e.dst
+),
+it3 as (
+  select d.doc_id as v,
+         (case when d.doc_id % {web_extract.PPR_SEED_MOD} = 0
+               then 150000000 // ns else 0 end)
+           + coalesce(c3.s, 0) as pr
+  from documents d cross join n left join c3 on c3.v = d.doc_id
+)
+select d.doc_id, cast(it3.pr as bigint) as ppr_ppb,
+       d.doc_id % {web_extract.PPR_SEED_MOD} = 0 as is_seed
+from documents d join it3 on it3.v = d.doc_id
+where it3.pr > 0
+order by d.doc_id
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

@@ -575,3 +575,78 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seed-teleport) — crawl prioritization
+# ---------------------------------------------------------------------------
+
+PPR_ITERS = 3
+PPR_SEED_MOD = 50  # same seed set as bfs_hop_distance
+
+
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-personalized PageRank — the crawl-prioritization score
+    (rank pages by authority AS SEEN FROM the curated seed list, not
+    globally): identical iterated join+groupBy shape to
+    ``link_graph_pagerank``, but the teleport mass returns ONLY to the
+    seed set (every ``PPR_SEED_MOD``-th doc), so rank concentrates in
+    the seeds' neighborhood — the standard frontier-scoring companion
+    to ``bfs_hop_distance`` (which gives distance; this weighs it by
+    link structure).
+
+    Integer ppb arithmetic with floor division (same engine-exactness
+    argument as global PageRank: integer sums are associative, float
+    rank would drift in the last ulp).  Mass leaks at floors and at
+    zero-out-degree nodes, identically in both engines.
+
+    Scale shape: per iteration one edges-with-rank join on src
+    (pre-partitioned once, reusable layout) and one dst groupBy with
+    map-side partial sums — O(edges) work, O(nodes) state; the only
+    difference from global PR is the teleport vector, which is a
+    map-side predicate, not data."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    n_seeds = max(1, (n + PPR_SEED_MOD - 1) // PPR_SEED_MOD)
+    edges = _link_edges(docs, n)
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    k = F.col("doc_id")
+    is_seed = (k % PPR_SEED_MOD == 0).cast("bigint")
+    seed_base = 150_000_000 // n_seeds
+    pr = docs.select(
+        k.alias("v"),
+        (is_seed * F.lit(PR_SCALE // n_seeds)).alias("pr"),
+    )
+    for _ in range(PPR_ITERS):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["v"])
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("v"),
+                F.expr("(85 * pr) div (100 * out_deg)").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        pr = docs.select(
+            k.alias("v"),
+            ((k % PPR_SEED_MOD == 0).cast("bigint") * seed_base).alias(
+                "base"
+            ),
+        ).join(sums, "v", "left").select(
+            "v",
+            (F.col("base") + F.coalesce("s", F.lit(0)))
+            .cast("bigint")
+            .alias("pr"),
+        )
+    return (
+        docs.select(k.alias("doc_id"))
+        .join(pr, k == pr["v"], "left")
+        .select(
+            "doc_id",
+            F.col("pr").alias("ppr_ppb"),
+            (F.col("doc_id") % PPR_SEED_MOD == 0).alias("is_seed"),
+        )
+        .filter(F.col("ppr_ppb") > 0)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

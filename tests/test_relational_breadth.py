@@ -1223,3 +1223,29 @@ def test_mad_outlier_robust_to_whale(spark, tmp_path):
     assert set(got) == {20}               # nothing normal flagged
     # med2 = 2 * median(cents): n=21 odd -> middle = 10.10 -> 2020
     assert got[20]["med2"] == 2020
+
+
+def test_ppr_localizes_to_seed_neighborhood(spark, tmp_path):
+    """PPR mass lives only in the seeds' out-neighborhood (positive rank
+    set == BFS 3-hop ball + seeds) and concentrates near seeds: total
+    seed mass exceeds any non-seed's rank; nodes outside get no row."""
+    from ocr_spark.operators import web_extract as wx
+
+    d = str(tmp_path)
+    n = 149  # prime, sparse ball from seeds {0, 50, 100}
+    _write(
+        spark, d, "documents",
+        [(i, "t", "en", "s", 1) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ppr = {r["doc_id"]: r for r in wx.personalized_pagerank(spark, d).collect()}
+    bfs = {r["doc_id"] for r in wx.bfs_hop_distance(spark, d).collect()}
+    assert set(ppr) == bfs  # support == reachable ball (iters == max hop)
+    seeds = {i for i in ppr if ppr[i]["is_seed"]}
+    assert seeds == {0, 50, 100}
+    max_nonseed = max(
+        (r["ppr_ppb"] for i, r in ppr.items() if i not in seeds),
+        default=0,
+    )
+    assert min(ppr[s]["ppr_ppb"] for s in seeds) > 0
+    assert sum(ppr[s]["ppr_ppb"] for s in seeds) > max_nonseed
