@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack_incremental": text_analysis.sequence_pack_incremental,
         "budget_allocation": text_analysis.budget_allocation,
         "personalized_pagerank": web_extract.personalized_pagerank,
+        "redirect_resolution": web_extract.redirect_resolution,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4698,6 +4699,30 @@ select d.doc_id, cast(it3.pr as bigint) as ppr_ppb,
 from documents d join it3 on it3.v = d.doc_id
 where it3.pr > 0
 order by d.doc_id
+"""
+    # Redirect truth: sequential recursive walk to the terminal — the
+    # O(L)-round formulation the pointer doubling replaces.
+    sql["redirect_resolution"] = """
+with recursive f as (
+  select doc_id as u,
+         case when doc_id % 10 != 0 then doc_id - 1 else doc_id end as nxt
+  from documents
+),
+walk(u, cur, hops) as (
+  select u, u, 0 from f
+  union all
+  select w.u, f.nxt, w.hops + 1
+  from walk w join f on f.u = w.cur
+  where f.nxt != w.cur
+),
+fin as (
+  select u, cur, hops,
+         row_number() over (partition by u order by hops desc) as rn
+  from walk
+)
+select u as doc_id, cast(cur as bigint) as final_id,
+       cast(hops as bigint) as chain_len
+from fin where rn = 1 order by u
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

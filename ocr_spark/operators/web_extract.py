@@ -650,3 +650,62 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Redirect-chain resolution via pointer jumping (log-step doubling)
+# ---------------------------------------------------------------------------
+
+REDIR_ITERS = 4  # 2^4 = 16 >= the synthesized max chain length (9)
+
+
+def redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect chains resolved by POINTER JUMPING — the log-step
+    doubling primitive (Wyllie's list ranking): every URL points at its
+    redirect target; each round replaces ``next`` with ``next(next)``
+    and accumulates the hop count, so a chain of length L resolves in
+    ``ceil(log2 L)`` rounds instead of L sequential walks.  This is how
+    a crawler collapses redirect graphs (and how Iceberg-style manifest
+    chains or workflow parent links are flattened) at 10^12 edges —
+    the per-hop iterative join BFS uses would take L rounds; doubling
+    takes 4 for L ≤ 16.
+
+    Redirect map is synthesized deterministically (url i redirects to
+    i−1 unless i ≡ 0 mod 10, which is terminal → chains of length 0–9),
+    so the DuckDB oracle rebuilds the identical graph and walks it
+    recursively.
+
+    Scale shape: each round is ONE self-equi-join on the pointer key
+    (co-partitionable: both sides hash on the same key domain) over
+    O(urls) state; terminals are self-loops so the join never loses
+    rows and converged rows are fixpoints.  Four rounds total — the
+    round count is a constant of the max chain length, not of the
+    corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    f = docs.select(
+        F.col("doc_id").alias("u"),
+        F.when(F.col("doc_id") % 10 != 0, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+        .cast("bigint")
+        .alias("nxt"),
+        F.when(F.col("doc_id") % 10 != 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("hops"),
+    )
+    for _ in range(REDIR_ITERS):
+        a, b = f.alias("a"), f.alias("b")
+        f = a.join(b, F.col("a.nxt") == F.col("b.u")).select(
+            F.col("a.u").alias("u"),
+            F.col("b.nxt").alias("nxt"),
+            (F.col("a.hops") + F.col("b.hops")).alias("hops"),
+        )
+    return (
+        f.select(
+            F.col("u").alias("doc_id"),
+            F.col("nxt").alias("final_id"),
+            F.col("hops").alias("chain_len"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

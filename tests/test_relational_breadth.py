@@ -1249,3 +1249,23 @@ def test_ppr_localizes_to_seed_neighborhood(spark, tmp_path):
     )
     assert min(ppr[s]["ppr_ppb"] for s in seeds) > 0
     assert sum(ppr[s]["ppr_ppb"] for s in seeds) > max_nonseed
+
+
+def test_pointer_jumping_resolves_in_log_rounds(spark, tmp_path):
+    """A length-9 chain resolves with 4 doubling rounds (2^4 >= 9); every
+    url lands on its decade terminal with the exact chain length."""
+    from ocr_spark.operators import web_extract as wx
+
+    d = str(tmp_path)
+    _write(
+        spark, d, "documents",
+        [(i, "t", "en", "s", 1) for i in range(25)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["final_id"], r["chain_len"])
+        for r in wx.redirect_resolution(spark, d).collect()
+    }
+    assert len(got) == 25
+    for i in range(25):
+        assert got[i] == (i - i % 10, i % 10), i
