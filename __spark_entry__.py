@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_allocation": text_analysis.budget_allocation,
         "personalized_pagerank": web_extract.personalized_pagerank,
         "redirect_resolution": web_extract.redirect_resolution,
+        "purchase_paths": relational.purchase_paths,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4723,6 +4724,36 @@ fin as (
 select u as doc_id, cast(cur as bigint) as final_id,
        cast(hops as bigint) as chain_len
 from fin where rn = 1 order by u
+"""
+    # Path truth: same first-purchase cutoff, ordered string_agg paths.
+    sql["purchase_paths"] = f"""
+with r as (
+  select user_id, ts, event_id, event_type,
+         sum(case when event_type = 'purchase' then 1 else 0 end)
+           over (partition by user_id order by ts, event_id
+                 rows between unbounded preceding and current row) as np
+  from events
+),
+conv as (
+  select distinct user_id from events where event_type = 'purchase'
+),
+pre as (
+  select r.* from r join conv using (user_id)
+  where np = 0 or (np = 1 and event_type = 'purchase')
+),
+paths as (
+  select user_id,
+         string_agg(event_type, '>' order by ts, event_id) as path
+  from pre group by user_id
+),
+freq as (select path, count(*) as n_users from paths group by path),
+rk as (
+  select path, n_users,
+         row_number() over (order by n_users desc, path) as rank
+  from freq
+)
+select cast(rank as int) as rank, path, cast(n_users as bigint) as n_users
+from rk where rank <= {relational.PATH_TOP} order by rank
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

@@ -3004,3 +3004,81 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Path-to-purchase: frequent event paths of converting users
+# ---------------------------------------------------------------------------
+
+PATH_TOP = 10
+
+
+def purchase_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining lite — the conversion-path report: for
+    every user who purchased, the ordered event-type path UP TO their
+    first purchase (inclusive), and the most common paths ranked with
+    exact user counts.  The "what journeys end in a purchase" question
+    every growth team asks; full PrefixSpan generalizes this, but the
+    exact-path frequency table is the production report.
+
+    Determinism: events order by (ts, event_id) — total and identical
+    in both engines; the first-purchase cutoff is the min (ts, event_id)
+    purchase row per user.
+
+    Scale shape: one user-key shuffle; the path build is an ordered
+    collect_list WITHIN each user's partition slice (bounded by that
+    user's pre-purchase history); the frequency rollup collapses to one
+    row per distinct path — a partial-agg groupBy — and top-k runs on
+    the collapsed table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .over(w)
+        .alias("n_purch_so_far"),
+    )
+    # keep rows up to and including the FIRST purchase
+    pre = marked.filter(
+        (F.col("n_purch_so_far") == 0)
+        | (
+            (F.col("n_purch_so_far") == 1)
+            & (F.col("event_type") == "purchase")
+        )
+    )
+    converting = marked.filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id").distinct()
+    paths = (
+        pre.join(converting, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    freq = paths.groupBy("path").agg(F.count("*").alias("n_users"))
+    wtop = Window.orderBy(F.desc("n_users"), "path")
+    return (
+        freq.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= PATH_TOP)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "path",
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("rank")
+    )

@@ -1269,3 +1269,34 @@ def test_pointer_jumping_resolves_in_log_rounds(spark, tmp_path):
     assert len(got) == 25
     for i in range(25):
         assert got[i] == (i - i % 10, i % 10), i
+
+
+def test_purchase_path_cutoff_semantics(spark, tmp_path):
+    """The path stops at the FIRST purchase (inclusive); post-purchase
+    events and second purchases never appear; non-converters are absent."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import purchase_paths
+
+    d = str(tmp_path)
+    base = dt.datetime(2024, 1, 1)
+
+    def e(eid, mins, uid, et):
+        return (eid, base + dt.timedelta(minutes=mins), uid, et, 1.0, "{}")
+
+    rows = [
+        # user 1: click > view > purchase, then noise after
+        e(0, 0, 1, "click"), e(1, 1, 1, "view"), e(2, 2, 1, "purchase"),
+        e(3, 3, 1, "click"), e(4, 4, 1, "purchase"),
+        # user 2: same pre-purchase journey
+        e(5, 0, 2, "click"), e(6, 1, 2, "view"), e(7, 2, 2, "purchase"),
+        # user 3: never converts
+        e(8, 0, 3, "click"), e(9, 1, 3, "view"),
+    ]
+    _write(
+        spark, d, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["path"]: r["n_users"] for r in purchase_paths(spark, d).collect()}
+    assert got == {"click>view>purchase": 2}
