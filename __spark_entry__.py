@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": web_extract.personalized_pagerank,
         "redirect_resolution": web_extract.redirect_resolution,
         "purchase_paths": relational.purchase_paths,
+        "psi_drift": relational.psi_drift,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4754,6 +4755,55 @@ rk as (
 )
 select cast(rank as int) as rank, path, cast(n_users as bigint) as n_users
 from rk where rank <= {relational.PATH_TOP} order by rank
+"""
+    # PSI truth: reference-period decile edges via order statistics,
+    # fold-bucketing, add-one smoothed (p−q)·ln(p/q) per bucket.
+    sql["psi_drift"] = f"""
+with ev as (
+  select date_diff('day', date '2024-01-01', cast(ts as date))
+           // {relational.THETA_PERIOD_DAYS} as p,
+         cast(round(value*100) as bigint) as cents, event_id
+  from events
+  where date_diff('day', date '2024-01-01', cast(ts as date))
+          // {relational.THETA_PERIOD_DAYS} <= 1
+),
+ref as (select cents, event_id from ev where p = 0),
+nn as (select count(*) as n0 from ref),
+rk as (
+  select cents,
+         row_number() over (order by cents, event_id) as rn
+  from ref
+),
+edges as (
+  select list(cents order by cents) as edges
+  from rk cross join nn
+  where rn in (
+    select (n0 * k + {relational.PSI_BUCKETS} - 1)
+             // {relational.PSI_BUCKETS}
+    from nn, unnest(range(1, {relational.PSI_BUCKETS})) as u(k)
+  )
+),
+b as (
+  select p,
+         len(list_filter(edges.edges, e -> e < ev.cents)) as bucket
+  from ev cross join edges
+),
+c as (
+  select bucket,
+         sum(case when p = 0 then 1 else 0 end) as n_ref,
+         sum(case when p = 1 then 1 else 0 end) as n_cur
+  from b group by bucket
+),
+n1t as (select count(*) as n1 from ev where p = 1)
+select cast(bucket as int) as bucket,
+       cast(n_ref as bigint) as n_ref, cast(n_cur as bigint) as n_cur,
+       round(((n_ref+1)/(n0+{relational.PSI_BUCKETS}.0)
+              - (n_cur+1)/(n1+{relational.PSI_BUCKETS}.0))
+             * ln(((n_ref+1)/(n0+{relational.PSI_BUCKETS}.0))
+                  / ((n_cur+1)/(n1+{relational.PSI_BUCKETS}.0))), 6)
+         as psi_contrib
+from c cross join nn cross join n1t
+order by bucket
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

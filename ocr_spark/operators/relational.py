@@ -3082,3 +3082,78 @@ def purchase_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift (population stability index)
+# ---------------------------------------------------------------------------
+
+PSI_BUCKETS = 10
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift, the ML-monitoring standard: the POPULATION
+    STABILITY INDEX of the event-value distribution between the month's
+    first and second half — decile edges fit on the REFERENCE period
+    (exact order statistics, engine-exact ints), both periods bucketed
+    by those edges, ``PSI = Σ (p−q)·ln(p/q)`` with add-one smoothing
+    (no ln(0) on empty buckets).  Read: <0.1 stable, 0.1–0.25 shifting,
+    >0.25 drifted — the gate that catches a crawler/source change
+    CUSUM's volume series can't see (same volume, different values).
+
+    Scale shape: edges are 9 numbers (window over the reference period
+    collapses to a broadcast row); bucketing is a map-side fold over
+    that literal-sized array; per-bucket counts are one partial-agg
+    groupBy of ≤ 2·PSI_BUCKETS groups.  ln contributions round to 6
+    (ln-based oracle precedent: bm25/lm_perplexity)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr(
+            f"datediff(to_date(ts), date'2024-01-01')"
+            f" div {THETA_PERIOD_DAYS}"
+        ).alias("p"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_id",
+    ).filter(F.col("p") <= 1)
+    ref = ev.filter(F.col("p") == 0)
+    n0 = ref.count()
+    wr = Window.orderBy("cents", "event_id")
+    edge_ranks = [
+        (n0 * k + PSI_BUCKETS - 1) // PSI_BUCKETS
+        for k in range(1, PSI_BUCKETS)
+    ]
+    edges_row = (
+        ref.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn").isin(edge_ranks))
+        .agg(F.sort_array(F.collect_list("cents")).alias("edges"))
+    )
+    bucketed = ev.crossJoin(F.broadcast(edges_row)).select(
+        "p",
+        F.expr(
+            "aggregate(edges, 0, (acc, e) ->"
+            " acc + if(e < cents, 1, 0))"
+        ).alias("bucket"),
+    )
+    counts = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum((F.col("p") == 0).cast("bigint")).alias("n_ref"),
+            F.sum((F.col("p") == 1).cast("bigint")).alias("n_cur"),
+        )
+    )
+    n1 = ev.filter(F.col("p") == 1).count()
+    d0 = float(n0 + PSI_BUCKETS)
+    d1 = float(n1 + PSI_BUCKETS)
+    pcol = (F.col("n_ref") + 1) / F.lit(d0)
+    qcol = (F.col("n_cur") + 1) / F.lit(d1)
+    return (
+        counts.select(
+            "bucket",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.round((pcol - qcol) * F.log(pcol / qcol), 6).alias(
+                "psi_contrib"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bucket")
+    )

@@ -1300,3 +1300,36 @@ def test_purchase_path_cutoff_semantics(spark, tmp_path):
     )
     got = {r["path"]: r["n_users"] for r in purchase_paths(spark, d).collect()}
     assert got == {"click>view>purchase": 2}
+
+
+def test_psi_zero_when_stable_and_positive_on_shift(spark, tmp_path):
+    """Identical period distributions give total PSI ≈ 0 (only smoothing
+    residue); a planted mean shift pushes total PSI past the 0.25
+    'drifted' bar with mass moving to the top buckets."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import psi_drift
+
+    base = dt.datetime(2024, 1, 1)
+
+    def build(d, shift):
+        rows = []
+        eid = 0
+        for rep in range(5):
+            for v in range(100):
+                rows.append((eid, base + dt.timedelta(days=v % 15),
+                             1, "x", float(v), "{}")); eid += 1
+                rows.append((eid, base + dt.timedelta(days=15 + v % 15),
+                             1, "x", float(v + shift), "{}")); eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    d1 = str(tmp_path / "stable"); build(d1, 0)
+    stable = sum(r["psi_contrib"] for r in psi_drift(spark, d1).collect())
+    d2 = str(tmp_path / "shift"); build(d2, 60)
+    drifted = sum(r["psi_contrib"] for r in psi_drift(spark, d2).collect())
+    assert abs(stable) < 0.01
+    assert drifted > 0.25
