@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolution": web_extract.redirect_resolution,
         "purchase_paths": relational.purchase_paths,
         "psi_drift": relational.psi_drift,
+        "homoglyph_dedup": dedup.homoglyph_dedup,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4804,6 +4805,29 @@ select cast(bucket as int) as bucket,
          as psi_contrib
 from c cross join nn cross join n1t
 order by bucket
+"""
+    # Homoglyph truth: same spoof synthesis + confusable translate.
+    sql["homoglyph_dedup"] = f"""
+with named as (
+  select s_suppkey,
+         unnest([s_name,
+                 case when s_suppkey % 3 = 1
+                      then translate(s_name, 'ae', 'ае')
+                      else s_name end]) as display_name
+  from supplier
+), sk as (
+  select s_suppkey, display_name,
+         lower(translate(display_name,
+               '{dedup.HOMOGLYPH_FROM}', '{dedup.HOMOGLYPH_TO}'))
+           as skeleton
+  from named
+)
+select skeleton, count(*) as n_names,
+       count(distinct display_name) as n_raw_variants,
+       cast(min(s_suppkey) as bigint) as canonical_key
+from sk group by skeleton
+having count(distinct display_name) > 1
+order by skeleton
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

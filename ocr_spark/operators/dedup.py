@@ -1037,3 +1037,58 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Homoglyph-skeleton dedup (confusable-spoof detection)
+# ---------------------------------------------------------------------------
+
+# Cyrillic/Greek characters confusable with Latin (the UTS#39 skeleton
+# idea, restricted to a deterministic table both engines apply verbatim).
+HOMOGLYPH_FROM = "аеорсхіАЕОРСХ"
+HOMOGLYPH_TO = "aeopcxiAEOPCX"
+
+
+def homoglyph_skeleton(col: Column) -> Column:
+    """Confusable skeleton: lowercase + Latin-ize the confusable table.
+    Two strings with the same skeleton render near-identically but
+    compare unequal byte-wise — the phishing/spoof-dup case exact dedup
+    misses entirely."""
+    return F.lower(F.translate(col, HOMOGLYPH_FROM, HOMOGLYPH_TO))
+
+
+def homoglyph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spoof-duplicate detection via the UTS#39-style confusable
+    skeleton: supplier names are deterministically "spoofed" (every
+    third key renders its 'a'/'e' as the Cyrillic look-alike — same
+    expression in the oracle, so the fixture is engine-identical), then
+    grouped by skeleton.  Groups whose members differ RAW but collide
+    on skeleton are exactly the spoof pairs byte-exact dedup can never
+    see — the dedup/abuse gate every UGC or crawl pipeline needs.
+
+    Scale shape: the skeleton is one map-side translate (scan speed);
+    the only shuffle is the skeleton-key groupBy with map-side partial
+    aggregation — identical cost to exact dedup."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    spoofed = F.when(
+        F.col("s_suppkey") % 3 == 1,
+        F.translate(F.col("s_name"), "ae", "ае"),
+    ).otherwise(F.col("s_name"))
+    # the crawl saw both renderings: raw row + (possibly spoofed) row
+    named = sup.select(
+        "s_suppkey",
+        F.explode(F.array(F.col("s_name"), spoofed)).alias(
+            "display_name"
+        ),
+    ).withColumn("skeleton", homoglyph_skeleton(F.col("display_name")))
+    return (
+        named.groupBy("skeleton")
+        .agg(
+            F.count("*").alias("n_names"),
+            F.countDistinct("display_name").alias("n_raw_variants"),
+            F.min("s_suppkey").alias("canonical_key"),
+        )
+        .filter(F.col("n_raw_variants") > 1)
+        .repartition(1)
+        .sortWithinPartitions("skeleton")
+    )

@@ -448,3 +448,26 @@ def test_ivfpq_residual_codebook_and_probe_cut(spark, sf_dir):
     for r in coded:
         want = r["vec_id"] - sim.PQ_K
         assert all(r[f"c{m}"] == want for m in range(sim.PQ_M)), r
+
+
+def test_homoglyph_skeleton_collides_spoofs_only(spark, tmp_path):
+    """Cyrillic look-alike renderings collide on skeleton (flagged);
+    genuinely different names never do; byte-exact duplicates are not
+    flagged (n_raw_variants is DISTINCT raw strings)."""
+    from ocr_spark.operators.dedup import homoglyph_dedup
+
+    d = str(tmp_path)
+    rows = [
+        (1, "Acme Metals", 1, "x", 0.0),    # %3==1 -> spoofed variant
+        (2, "Basalt Corp", 1, "x", 0.0),    # %3==2 -> identical pair
+        (3, "Carbon Ltd", 1, "x", 0.0),     # %3==0 -> identical pair
+    ]
+    spark.createDataFrame(
+        rows,
+        "s_suppkey long, s_name string, s_nationkey int, s_phone string, "
+        "s_acctbal double",
+    ).write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+    got = {r["skeleton"]: r for r in homoglyph_dedup(spark, d).collect()}
+    assert set(got) == {"acme metals"}
+    assert got["acme metals"]["n_raw_variants"] == 2
+    assert got["acme metals"]["canonical_key"] == 1
