@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_paths": relational.purchase_paths,
         "psi_drift": relational.psi_drift,
         "homoglyph_dedup": dedup.homoglyph_dedup,
+        "kcore_peel": web_extract.kcore_peel,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4828,6 +4829,39 @@ select skeleton, count(*) as n_names,
 from sk group by skeleton
 having count(distinct display_name) > 1
 order by skeleton
+"""
+    # k-core truth: three unrolled peel rounds over the undirected graph.
+    sql["kcore_peel"] = f"""
+with n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as (select distinct src, dst from e0 where src != dst),
+und as (
+  select src, dst from edges
+  union
+  select dst, src from edges
+),
+d1 as (select src, count(*) as deg from und group by src),
+a1 as (select src as v from d1 where deg >= {web_extract.KCORE_K}),
+d2 as (
+  select u.src, count(*) as deg from und u
+  where u.src in (select v from a1) and u.dst in (select v from a1)
+  group by u.src
+),
+a2 as (select src as v from d2 where deg >= {web_extract.KCORE_K}),
+d3 as (
+  select u.src, count(*) as deg from und u
+  where u.src in (select v from a2) and u.dst in (select v from a2)
+  group by u.src
+)
+select src as doc_id, cast(deg as bigint) as residual_degree
+from d3 where deg >= {web_extract.KCORE_K}
+order by src
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

@@ -709,3 +709,59 @@ def redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peel (link-graph cleaning)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph cleaning by ITERATED k-core peeling: drop nodes with
+    undirected degree < ``KCORE_K``, recompute degrees, repeat
+    ``KCORE_ROUNDS`` times — each round removes the link-farm fringe
+    whose support was itself fringe (spam tendrils, orphaned redirects);
+    the fixed round count keeps the operator deterministic and its cost
+    bounded (full k-core = run until no change; every round is the same
+    plan, so production loops it with a tiny fixed-point check on the
+    O(1) dropped-count aggregate).
+
+    Output: every surviving node with its residual degree (as of the
+    final round's recount) — all integers, engine-exact.
+
+    Scale shape: per round ONE semi-join of the edge list against the
+    surviving-node set (broadcast when the survivor set is small, hash
+    otherwise) and one degree groupBy with map-side partial counts —
+    O(edges) per round, O(nodes) state, the same iterated-join budget
+    as PageRank."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    directed = _link_edges(docs, n)
+    edges = (
+        directed.select("src", "dst")
+        .union(directed.select(F.col("dst"), F.col("src")))
+        .distinct()
+    )
+    alive = docs.select(F.col("doc_id").alias("v"))
+    deg = None
+    for _ in range(KCORE_ROUNDS):
+        live_edges = (
+            edges.join(alive, edges["src"] == alive["v"], "left_semi")
+            .join(alive, edges["dst"] == alive["v"], "left_semi")
+        )
+        deg = live_edges.groupBy("src").agg(F.count("*").alias("deg"))
+        alive = deg.filter(F.col("deg") >= KCORE_K).select(
+            F.col("src").alias("v")
+        )
+    return (
+        deg.filter(F.col("deg") >= KCORE_K)
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("deg").cast("bigint").alias("residual_degree"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -1333,3 +1333,38 @@ def test_psi_zero_when_stable_and_positive_on_shift(spark, tmp_path):
     drifted = sum(r["psi_contrib"] for r in psi_drift(spark, d2).collect())
     assert abs(stable) < 0.01
     assert drifted > 0.25
+
+
+def test_kcore_peel_matches_python_reference(spark, tmp_path):
+    """Three peel rounds vs an independent python peel on the same
+    synthesized graph — fringe nodes (n=37 drops one) disappear and
+    every residual degree matches."""
+    from ocr_spark.operators import web_extract as wx
+
+    n = 37
+    d = str(tmp_path)
+    _write(
+        spark, d, "documents",
+        [(i, "t", "en", "s", 1) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    edges = set()
+    for i in range(n):
+        for t in ((7 * i + 1) % n, (13 * i + 2) % n, (31 * i + 3) % n):
+            if t != i:
+                edges.add((i, t)); edges.add((t, i))
+    alive = set(range(n))
+    deg = {}
+    for _ in range(wx.KCORE_ROUNDS):
+        deg = {v: 0 for v in alive}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] += 1
+        alive = {v for v in alive if deg[v] >= wx.KCORE_K}
+    want = {v: deg[v] for v in alive}
+    got = {
+        r["doc_id"]: r["residual_degree"]
+        for r in wx.kcore_peel(spark, d).collect()
+    }
+    assert got == want
+    assert len(got) < n  # the fixture genuinely peels something
