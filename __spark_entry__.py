@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": relational.psi_drift,
         "homoglyph_dedup": dedup.homoglyph_dedup,
         "kcore_peel": web_extract.kcore_peel,
+        "km_churn_survival": relational.km_churn_survival,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4862,6 +4863,39 @@ d3 as (
 select src as doc_id, cast(deg as bigint) as residual_degree
 from d3 where deg >= {web_extract.KCORE_K}
 order by src
+"""
+    # KM truth: same lifetimes/censoring, cumulative exp-sum-ln product.
+    sql["km_churn_survival"] = """
+with last as (
+  select user_id, max(cast(ts as date)) as last_day
+  from events group by user_id
+),
+mx as (select max(last_day) as mxd from last),
+lt as (
+  select user_id, last_day,
+         case when last_day < mxd then 1 else 0 end as churned
+  from last cross join mx
+),
+per as (
+  select last_day, count(*) as n_leaving, sum(churned) as d_churned
+  from lt group by last_day
+),
+tot as (select count(*) as total from lt),
+risk as (
+  select last_day, d_churned,
+         total - coalesce(sum(n_leaving) over (order by last_day
+           rows between unbounded preceding and 1 preceding), 0)
+           as n_at_risk
+  from per cross join tot
+),
+steps as (select * from risk where d_churned > 0)
+select last_day as day, cast(d_churned as bigint) as d_churned,
+       cast(n_at_risk as bigint) as n_at_risk,
+       round(exp(sum(ln(1.0 - d_churned / n_at_risk::double))
+             over (order by last_day
+                   rows between unbounded preceding and current row)), 6)
+         as survival
+from steps order by day
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

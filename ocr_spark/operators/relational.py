@@ -3157,3 +3157,74 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier churn survival curve
+# ---------------------------------------------------------------------------
+
+
+def km_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn SURVIVAL analysis — the Kaplan-Meier estimator over user
+    lifetimes: a user's churn day is their last event day; users whose
+    last day is the corpus's final day are CENSORED (still alive when
+    observation ended — the distinction naive churn rates get wrong:
+    counting the censored as churned biases retention down).  At each
+    churn day t: d = churns, n = users still at risk (last_day ≥ t);
+    ``S(t) = Π_{s≤t} (1 − d_s/n_s)``.
+
+    The cumulative product is computed as exp(Σ ln(1 − d/n)) in BOTH
+    engines (identical float path), rounded to 6 — the ln-based-oracle
+    precedent (bm25, lm_perplexity).
+
+    Scale shape: ONE user-key shuffle collapses events to per-user
+    lifetimes; everything after (churn counts per day, at-risk counts
+    via a cumulative sum, the KM product) runs on the calendar-sized
+    daily table — at 10^12 events the curve costs one aggregate more
+    than a daily count."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    last = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day")
+    )
+    max_day = last.agg(F.max("last_day").alias("mx"))
+    lifetimes = last.crossJoin(F.broadcast(max_day)).select(
+        "user_id",
+        "last_day",
+        (F.col("last_day") < F.col("mx")).cast("int").alias("churned"),
+    )
+    per_day = lifetimes.groupBy("last_day").agg(
+        F.count("*").alias("n_leaving"),
+        F.sum("churned").alias("d_churned"),
+    )
+    total = lifetimes.count()
+    wcum = Window.orderBy("last_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = per_day.withColumn(
+        "n_at_risk",
+        F.lit(total) - F.coalesce(F.sum("n_leaving").over(wcum), F.lit(0)),
+    )
+    steps = risk.filter(F.col("d_churned") > 0)
+    wkm = Window.orderBy("last_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        steps.select(
+            F.col("last_day").alias("day"),
+            F.col("d_churned").cast("bigint").alias("d_churned"),
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            1.0
+                            - F.col("d_churned") / F.col("n_at_risk")
+                        )
+                    ).over(wkm)
+                ),
+                6,
+            ).alias("survival"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("day")
+    )

@@ -1368,3 +1368,35 @@ def test_kcore_peel_matches_python_reference(spark, tmp_path):
     }
     assert got == want
     assert len(got) < n  # the fixture genuinely peels something
+
+
+def test_km_censoring_and_product(spark, tmp_path):
+    """Textbook KM hand-check: censored users reduce the risk set but
+    never the numerator; survival multiplies only at churn days."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import km_churn_survival
+
+    d = str(tmp_path)
+    day = lambda k: dt.datetime(2024, 1, 1 + k)  # noqa: E731
+    rows = []
+    eid = 0
+    # 10 users; churns: u0,u1 last seen day 2; u2 last seen day 5;
+    # everyone else runs to day 9 (censored).
+    for u in range(10):
+        last = 2 if u < 2 else (5 if u == 2 else 9)
+        for k in range(last + 1):
+            rows.append((eid, day(k), u, "c", 1.0, "{}")); eid += 1
+    _write(
+        spark, d, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["day"].day: r for r in km_churn_survival(spark, d).collect()}
+    # day 3 (index 2): d=2, n=10 -> S = 0.8
+    # day 6 (index 5): d=1, n=8  -> S = 0.8 * 7/8 = 0.7
+    assert set(got) == {3, 6}
+    assert (got[3]["d_churned"], got[3]["n_at_risk"]) == (2, 10)
+    assert got[3]["survival"] == 0.8
+    assert (got[6]["d_churned"], got[6]["n_at_risk"]) == (1, 8)
+    assert got[6]["survival"] == 0.7
