@@ -312,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "homoglyph_dedup": dedup.homoglyph_dedup,
         "kcore_peel": web_extract.kcore_peel,
         "km_churn_survival": relational.km_churn_survival,
+        "benford_audit": relational.benford_audit,
+        "heaps_vocab_growth": text_analysis.heaps_vocab_growth,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4896,6 +4898,56 @@ select last_day as day, cast(d_churned as bigint) as d_churned,
                    rows between unbounded preceding and current row)), 6)
          as survival
 from steps order by day
+"""
+    # Benford truth: identical literal expectations, ppm arithmetic.
+    _benford_case = " ".join(
+        f"when {d} then {p}" for d, p in relational.BENFORD_PPM.items()
+    )
+    sql["benford_audit"] = f"""
+with c0 as (
+  select cast(substr(cast(cast(floor(o_totalprice) as bigint) as varchar), 1, 1)
+              as int) as digit
+  from orders
+),
+c as (
+  select digit, count(*) as n from c0
+  where digit between 1 and 9 group by digit
+),
+t as (select sum(n) as tot from c)
+select digit, cast(n as bigint) as n,
+       cast((n * 1000000) // tot as bigint) as obs_ppm,
+       cast(case digit {_benford_case} end as bigint) as benford_ppm,
+       cast(abs((n * 1000000) // tot
+                - case digit {_benford_case} end) as bigint)
+         as abs_dev_ppm
+from c cross join t order by digit
+"""
+    # Heaps truth: same deterministic token stream, min-seq first
+    # occurrences, correlated checkpoint counts.
+    sql["heaps_vocab_growth"] = f"""
+with d as (
+  select doc_id, string_split(text, ' ') as toks from documents
+),
+cnt as (select doc_id, len(toks) as n_tok from d),
+off as (
+  select doc_id,
+         coalesce(sum(n_tok) over (order by doc_id
+           rows between unbounded preceding and 1 preceding), 0) as off
+  from cnt
+),
+tk as (
+  select off.off + u.i as seq, d.toks[u.i] as term
+  from d join off using (doc_id),
+       unnest(range(1, len(d.toks) + 1)) as u(i)
+),
+first as (select term, min(seq) as fs from tk group by term),
+cp as (
+  select unnest({list(text_analysis.HEAPS_CHECKPOINTS)}) as checkpoint
+)
+select cast(checkpoint as bigint) as checkpoint,
+       cast((select count(*) from first where fs <= checkpoint)
+            as bigint) as distinct_terms
+from cp order by checkpoint
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

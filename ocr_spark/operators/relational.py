@@ -3228,3 +3228,60 @@ def km_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# Benford expectation log10(1 + 1/d) in exact ppm literals — shared with
+# the oracle so no engine computes a log.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud / data-quality screening via BENFORD'S LAW: naturally
+    occurring amounts lead with digit 1 ~30.1% of the time; fabricated
+    or truncated feeds don't.  Per first digit of the order total:
+    observed share vs the Benford expectation (both exact ppm) and the
+    absolute deviation — the audit row a finance/ingest QA dashboard
+    ranks by.  Expectations are plan-time integer literals, so the
+    whole audit is integer arithmetic end to end.
+
+    Scale shape: first-digit extraction is a map-side string op; the
+    rollup is a ≤9-group partial-agg groupBy — single scan at any
+    volume."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # explicit floor: a bare double->bigint cast TRUNCATES in Spark but
+    # ROUNDS in DuckDB — floor first makes both exact.
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    bexp = F.create_map(
+        *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("(n * 1000000) div tot").alias("obs_ppm"),
+            bexp[F.col("digit")].cast("bigint").alias("benford_ppm"),
+        )
+        .withColumn(
+            "abs_dev_ppm",
+            F.abs(F.col("obs_ppm") - F.col("benford_ppm")),
+        )
+        .repartition(1)
+        .sortWithinPartitions("digit")
+    )

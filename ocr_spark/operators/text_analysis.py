@@ -2055,3 +2055,63 @@ def budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+HEAPS_CHECKPOINTS = (1000, 2000, 5000, 10000, 20000, 50000)
+
+
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law): distinct terms seen after
+    the first N tokens of the corpus stream, at fixed checkpoints — the
+    corpus-linguistics diagnostic behind tokenizer sizing ("how much
+    more vocab does 10x data buy") and dedup health (a flattening curve
+    flags boilerplate flooding).
+
+    Token stream order is deterministic: documents by doc_id, tokens by
+    position; a term's FIRST-OCCURRENCE sequence number is
+    ``min(global_seq)``; distinct-at-N is then a count of first
+    occurrences ≤ N — exact integers, no windows over the token stream.
+
+    Scale shape: the global token sequence uses per-document offsets
+    (one tiny cumulative pass over doc token counts — the
+    sequence_pack shape), so tokens get their seq MAP-SIDE; the only
+    token-volume shuffle is the min-per-term partial agg, and the
+    checkpoint rollup runs on the vocabulary-sized table."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+    )
+    counts = docs.select(
+        "doc_id", F.size("toks").alias("n_tok")
+    )
+    woff = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "doc_id",
+        F.coalesce(F.sum("n_tok").over(woff), F.lit(0)).alias("off"),
+    )
+    toks = (
+        docs.join(offsets, "doc_id")
+        .select(
+            "off", F.posexplode("toks").alias("pos", "term")
+        )
+        .select((F.col("off") + F.col("pos") + 1).alias("seq"), "term")
+    )
+    first = toks.groupBy("term").agg(F.min("seq").alias("first_seq"))
+    cps = spark.createDataFrame(
+        [(c,) for c in HEAPS_CHECKPOINTS], "checkpoint bigint"
+    )
+    return (
+        cps.join(
+            first, F.col("first_seq") <= F.col("checkpoint"), "left"
+        )
+        .groupBy("checkpoint")
+        .agg(F.count("term").alias("distinct_terms"))
+        .repartition(1)
+        .sortWithinPartitions("checkpoint")
+    )

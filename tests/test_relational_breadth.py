@@ -1400,3 +1400,32 @@ def test_km_censoring_and_product(spark, tmp_path):
     assert got[3]["survival"] == 0.8
     assert (got[6]["d_churned"], got[6]["n_at_risk"]) == (1, 8)
     assert got[6]["survival"] == 0.7
+
+
+def test_benford_constants_and_shares(spark, tmp_path):
+    """Digit shares are exact ppm of the digit-1..9 population; the
+    expectation literals are the true log10(1+1/d) ppm roundings and
+    sum to ~1e6."""
+    import datetime as dt
+    import math
+
+    from ocr_spark.operators.relational import BENFORD_PPM, benford_audit
+
+    for d_, ppm in BENFORD_PPM.items():
+        assert ppm == round(math.log10(1 + 1 / d_) * 1_000_000)
+    assert abs(sum(BENFORD_PPM.values()) - 1_000_000) <= 2
+
+    d = str(tmp_path)
+    rows = [
+        (i, 1, "O", float(v), dt.datetime(2024, 1, 1), "p")
+        for i, v in enumerate([19.9, 150.0, 1999.0, 2500.0, 999.5])
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = {r["digit"]: r for r in benford_audit(spark, d).collect()}
+    # 19.9->1, 150->1, 1999->1, 2500->2, 999.5->9 (floor, not round)
+    assert got[1]["n"] == 3 and got[2]["n"] == 1 and got[9]["n"] == 1
+    assert got[1]["obs_ppm"] == 600000

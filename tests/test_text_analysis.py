@@ -697,3 +697,32 @@ def test_budget_allocation_sums_exactly(spark, tmp_path):
     # equal remainders, tie to smaller name => s1 gets the extra seat
     assert sum(got.values()) == BUDGET_TOTAL
     assert got == {"s1": 3334, "s2": 3333, "s3": 3333}
+
+
+def test_heaps_growth_monotone_and_exact_on_crafted_stream(spark, tmp_path):
+    """Distinct-at-N counts the first-occurrence positions exactly: a
+    crafted stream with known new-term positions reproduces by hand;
+    the curve is monotone non-decreasing."""
+    from ocr_spark.operators.text_analysis import heaps_vocab_growth
+
+    d = str(tmp_path)
+    # doc 0: 600 tokens alternating a b  -> 2 terms, both first <= 1000
+    # doc 1: 600 tokens of c only        -> term c first at position 601
+    # doc 2: 900 tokens d e f repeated   -> d,e,f first at 1201..1203
+    texts = [
+        " ".join(["a", "b"] * 300),
+        " ".join(["c"] * 600),
+        " ".join(["d", "e", "f"] * 300),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r["checkpoint"]: r["distinct_terms"]
+        for r in heaps_vocab_growth(spark, d).collect()
+    }
+    assert got[1000] == 3   # a, b, c
+    assert got[2000] == 6   # + d, e, f at 1201-1203
+    vals = [got[c] for c in sorted(got)]
+    assert vals == sorted(vals)
