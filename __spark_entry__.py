@@ -314,6 +314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_churn_survival": relational.km_churn_survival,
         "benford_audit": relational.benford_audit,
         "heaps_vocab_growth": text_analysis.heaps_vocab_growth,
+        "weekday_seasonality": relational.weekday_seasonality,
+        "gini_concentration": relational.gini_concentration,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4948,6 +4950,46 @@ select cast(checkpoint as bigint) as checkpoint,
        cast((select count(*) from first where fs <= checkpoint)
             as bigint) as distinct_terms
 from cp order by checkpoint
+"""
+    # Seasonality truth: ISO-independent dayofweek (Sun=1 in both via
+    # dayofweek/dow+1), 7-group ppm shares.
+    sql["weekday_seasonality"] = """
+with per as (
+  select dayofweek(ts) + 1 as weekday, count(*) as n_events,
+         sum(cast(round(value * 100) as bigint)) as sum_cents
+  from events group by 1
+),
+tot as (select sum(n_events) as tn, sum(sum_cents) as tc from per)
+select weekday, cast(n_events as bigint) as n_events,
+       cast(sum_cents as bigint) as sum_cents,
+       cast((n_events * 1000000) // tn as bigint) as volume_ppm,
+       cast((sum_cents * 1000000) // tc as bigint) as value_ppm
+from per cross join tot order by weekday
+"""
+    # Gini truth: same ascending (cents, user_id) ranks and floor-div
+    # ppm definition.
+    sql["gini_concentration"] = """
+with u as (
+  select user_id, sum(cast(round(value * 100) as bigint)) as cents
+  from events group by user_id
+),
+r as (
+  select user_id, cents,
+         row_number() over (order by cents, user_id) as rk
+  from u
+),
+t as (select count(*) as n, sum(cents) as s0 from u)
+select cast(t.n as bigint) as n_users, cast(t.s0 as bigint) as total_cents,
+       cast((2 * sum(rk * cents) * 1000000) // (t.n * t.s0)
+            - ((t.n + 1) * 1000000) // t.n as bigint) as gini_ppm,
+       cast((sum(case when rk > t.n - greatest(t.n // 100, 1)
+                      then cents else 0 end) * 1000000) // t.s0
+            as bigint) as top1_share_ppm,
+       cast((sum(case when rk > t.n - greatest(t.n // 10, 1)
+                      then cents else 0 end) * 1000000) // t.s0
+            as bigint) as top10_share_ppm
+from r cross join t
+group by t.n, t.s0
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

@@ -3285,3 +3285,117 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality profile
+# ---------------------------------------------------------------------------
+
+
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: per weekday, event volume and value
+    with each day's share of the week in exact ppm — the baseline
+    pattern every anomaly/capacity system subtracts before judging a
+    day (CUSUM and the volume gate flag level shifts; this is the
+    expected SHAPE they compare against).
+
+    Scale shape: a 7-group partial-agg rollup — one scan, map-side
+    combine, constant-size result at any volume."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = (
+        ev.select(
+            F.dayofweek("ts").alias("weekday"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("weekday")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_events").alias("tn"), F.sum("sum_cents").alias("tc")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "weekday",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+            F.expr("(n_events * 1000000) div tn").alias("volume_ppm"),
+            F.expr("(sum_cents * 1000000) div tc").alias("value_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("weekday")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer value
+# ---------------------------------------------------------------------------
+
+
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration measurement — the GINI coefficient of
+    per-user event value (0 = perfectly even, →1 = one whale is the
+    business): ``G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n`` over users sorted
+    ascending by value.  Reported in exact ppm via integer floor
+    division (the metric DEFINITION here is the floor-div form, so the
+    number is engine- and partition-order-exact); the whale-share
+    columns (top-1% and top-10% value share) ride along because that's
+    what the Gini gets acted on.
+
+    Scale shape: one user-key shuffle collapses events to per-user
+    totals; ranks use one window over the collapsed table (at 10^12
+    users: the two-pass bucketed rank, global_rank_two_pass) and the
+    final sums are a single aggregate row."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("cents", "user_id")
+    ranked = users.withColumn("rk", F.row_number().over(w))
+    base = ranked.crossJoin(
+        F.broadcast(
+            ranked.agg(
+                F.count("*").alias("n"), F.sum("cents").alias("s0")
+            )
+        )
+    )
+    shares = base.agg(
+        F.max("n").alias("n"),
+        F.max("s0").alias("s0"),
+        F.sum(F.col("rk") * F.col("cents")).alias("s1"),
+        F.sum(
+            F.when(
+                F.col("rk") > F.col("n") - F.greatest(
+                    F.expr("n div 100"), F.lit(1)
+                ),
+                F.col("cents"),
+            ).otherwise(F.lit(0))
+        ).alias("top1_cents"),
+        F.sum(
+            F.when(
+                F.col("rk") > F.col("n") - F.greatest(
+                    F.expr("n div 10"), F.lit(1)
+                ),
+                F.col("cents"),
+            ).otherwise(F.lit(0))
+        ).alias("top10_cents"),
+    )
+    return shares.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("s0").cast("bigint").alias("total_cents"),
+        F.expr(
+            "(2 * s1 * 1000000) div (n * s0)"
+            " - ((n + 1) * 1000000) div n"
+        )
+        .cast("bigint")
+        .alias("gini_ppm"),
+        F.expr("(top1_cents * 1000000) div s0").alias("top1_share_ppm"),
+        F.expr("(top10_cents * 1000000) div s0").alias(
+            "top10_share_ppm"
+        ),
+    )

@@ -1429,3 +1429,34 @@ def test_benford_constants_and_shares(spark, tmp_path):
     # 19.9->1, 150->1, 1999->1, 2500->2, 999.5->9 (floor, not round)
     assert got[1]["n"] == 3 and got[2]["n"] == 1 and got[9]["n"] == 1
     assert got[1]["obs_ppm"] == 600000
+
+
+def test_gini_bounds_and_whale(spark, tmp_path):
+    """Equal values give Gini ≈ 0; one whale owning ~everything pushes
+    Gini near 1 and top-1% share captures it."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import gini_concentration
+
+    base = dt.datetime(2024, 1, 1)
+
+    def build(d, vals):
+        rows = [
+            (i, base, u, "c", float(v), "{}")
+            for i, (u, v) in enumerate(vals)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    d1 = str(tmp_path / "even")
+    build(d1, [(u, 10.0) for u in range(100)])
+    even = gini_concentration(spark, d1).collect()[0]
+    assert abs(even["gini_ppm"]) < 20000  # ~0 up to floor-div residue
+    d2 = str(tmp_path / "whale")
+    build(d2, [(u, 0.01) for u in range(99)] + [(99, 100000.0)])
+    whale = gini_concentration(spark, d2).collect()[0]
+    assert whale["gini_ppm"] > 950000
+    assert whale["top1_share_ppm"] > 990000
