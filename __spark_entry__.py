@@ -316,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_vocab_growth": text_analysis.heaps_vocab_growth,
         "weekday_seasonality": relational.weekday_seasonality,
         "gini_concentration": relational.gini_concentration,
+        "source_entropy": text_analysis.source_entropy,
+        "url_path_rollup": text_analysis.url_path_rollup,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -4990,6 +4992,42 @@ select cast(t.n as bigint) as n_users, cast(t.s0 as bigint) as total_cents,
             as bigint) as top10_share_ppm
 from r cross join t
 group by t.n, t.s0
+"""
+    # Entropy truth: identical -p·ln(p) fold over source shares.
+    sql["source_entropy"] = """
+with per as (select source, count(*) as n from documents group by source),
+tot as (select sum(n) as tn, count(*) as k from per),
+terms as (
+  select k, -(n::double / tn) * ln(n::double / tn) as term
+  from per cross join tot
+)
+select cast(k as bigint) as n_sources,
+       round(sum(term), 6) as entropy_nats,
+       round(sum(term) / ln(k::double), 6) as entropy_normalized
+from terms group by k
+"""
+    # Path truth: same synthesized 3-level paths, prefix counts.
+    sql["url_path_rollup"] = f"""
+with p as (
+  select doc_id,
+         '/cat' || (doc_id % 5)::varchar as cat
+  from documents
+), full_ as (
+  select doc_id, cat,
+         cat || '/sub' || (doc_id % 20)::varchar as sub
+  from p
+), pref as (
+  select 1 as depth, cat as prefix from full_
+  union all
+  select 2, sub from full_
+  union all
+  select 3, sub || '/page' || doc_id::varchar from full_
+)
+select cast(depth as int) as depth, prefix,
+       cast(count(*) as bigint) as n_pages
+from pref group by depth, prefix
+having count(*) >= {text_analysis.PATH_MIN_DOCS}
+order by depth, prefix
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

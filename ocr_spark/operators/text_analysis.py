@@ -2115,3 +2115,85 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("checkpoint")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-mix Shannon entropy
+# ---------------------------------------------------------------------------
+
+
+def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity of the corpus source mix — Shannon entropy of the
+    per-source document shares plus the normalized form H/ln(k) in
+    [0,1]: the one-number answer to "is tonight's crawl still balanced
+    or did one feed flood us", read next to `source_mix_rebalance`
+    (which enforces a target mix) and `gini_concentration` (the value
+    analog).  Single ln per source over the collapsed k-row table,
+    round-6 (ln-oracle precedent).
+
+    Scale shape: one partial-agg groupBy to k source rows; the entropy
+    fold is over k numbers."""
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("source").agg(F.count("*").alias("n"))
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.count("*").alias("k")
+    )
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "k",
+        (
+            -(F.col("n") / F.col("tn"))
+            * F.log(F.col("n") / F.col("tn"))
+        ).alias("term"),
+    )
+    return terms.groupBy("k").agg(
+        F.round(F.sum("term"), 6).alias("entropy_nats"),
+        F.round(
+            F.sum("term") / F.log(F.col("k").cast("double")), 6
+        ).alias("entropy_normalized"),
+    ).select(
+        F.col("k").cast("bigint").alias("n_sources"),
+        "entropy_nats",
+        "entropy_normalized",
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL path-tree rollup
+# ---------------------------------------------------------------------------
+
+PATH_MIN_DOCS = 2
+
+
+def url_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-structure rollup: page counts at every URL path PREFIX
+    (the /section → /section/sub tree a crawl planner reads to budget
+    depth).  Paths are synthesized deterministically from doc_id
+    (`/cat{id%5}/sub{id%20}/page{id}` — same expression in the oracle);
+    each page contributes one count to each of its ancestors.
+
+    Scale shape: the prefix explode is map-side (depth is bounded by
+    URL structure, ~3-10); the count is one partial-agg groupBy on the
+    prefix key — hot prefixes (the root sections) collapse map-side."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    cat = F.concat(F.lit("/cat"), (F.col("doc_id") % 5).cast("string"))
+    sub = F.concat(
+        cat, F.lit("/sub"), (F.col("doc_id") % 20).cast("string")
+    )
+    page = F.concat(
+        sub, F.lit("/page"), F.col("doc_id").cast("string")
+    )
+    prefixes = docs.select(
+        F.posexplode(F.array(cat, sub, page)).alias("d", "prefix")
+    ).select((F.col("d") + 1).alias("depth"), "prefix")
+    return (
+        prefixes.groupBy("depth", "prefix")
+        .agg(F.count("*").alias("n_pages"))
+        .filter(F.col("n_pages") >= PATH_MIN_DOCS)
+        .select(
+            F.col("depth").cast("int").alias("depth"),
+            "prefix",
+            F.col("n_pages").cast("bigint").alias("n_pages"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("depth", "prefix")
+    )

@@ -726,3 +726,45 @@ def test_heaps_growth_monotone_and_exact_on_crafted_stream(spark, tmp_path):
     assert got[2000] == 6   # + d, e, f at 1201-1203
     vals = [got[c] for c in sorted(got)]
     assert vals == sorted(vals)
+
+
+def test_source_entropy_bounds(spark, tmp_path):
+    """Uniform mix gives normalized entropy 1.0; a fully skewed mix
+    (all but two docs in one source) drives it toward 0."""
+    from ocr_spark.operators.text_analysis import source_entropy
+
+    def build(d, srcs):
+        spark.createDataFrame(
+            [(i, "t", "en", s, 1) for i, s in enumerate(srcs)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    d1 = str(tmp_path / "uniform")
+    build(d1, ["a"] * 50 + ["b"] * 50)
+    r1 = source_entropy(spark, d1).collect()[0]
+    assert r1["entropy_normalized"] == 1.0
+    d2 = str(tmp_path / "skewed")
+    build(d2, ["a"] * 98 + ["b"] * 2)
+    r2 = source_entropy(spark, d2).collect()[0]
+    assert r2["entropy_normalized"] < 0.2
+
+
+def test_url_path_rollup_tree_counts(spark, tmp_path):
+    """Every page counts once at each ancestor: 100 docs -> each of 5
+    categories holds 20, each of 20 (cat,sub) pairs holds 5; leaf pages
+    (count 1) are below the min-docs cut."""
+    from ocr_spark.operators.text_analysis import url_path_rollup
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = url_path_rollup(spark, d).collect()
+    d1 = [r for r in got if r["depth"] == 1]
+    d2 = [r for r in got if r["depth"] == 2]
+    d3 = [r for r in got if r["depth"] == 3]
+    assert len(d1) == 5 and all(r["n_pages"] == 20 for r in d1)
+    assert len(d2) == 20 and all(r["n_pages"] == 5 for r in d2)
+    assert d3 == []
