@@ -4794,7 +4794,8 @@ edges as (
 ),
 b as (
   select p,
-         len(list_filter(edges.edges, e -> e < ev.cents)) as bucket
+         len(list_filter(coalesce(edges.edges, []),
+                         e -> e < ev.cents)) as bucket
   from ev cross join edges
 ),
 c as (
@@ -5003,7 +5004,8 @@ terms as (
 )
 select cast(k as bigint) as n_sources,
        round(sum(term), 6) as entropy_nats,
-       round(sum(term) / ln(k::double), 6) as entropy_normalized
+       case when k > 1 then round(sum(term) / ln(k::double), 6)
+            else 0.0 end as entropy_normalized
 from terms group by k
 """
     # Path truth: same synthesized 3-level paths, prefix counts.

@@ -2920,6 +2920,30 @@ MAD_NUM = 22239  # = 44478 / 2, see derivation in mad_outliers
 MAD_DEN = 10000
 
 
+def _median2x(df: DataFrame, col: str, order_tiebreak: str) -> DataFrame:
+    """2x the exact per-event_type median of ``col`` via doubled order
+    statistics: the two middle rank positions summed, with the single
+    middle doubled when n is odd — shared by the two mad_outliers
+    passes so the median rule cannot drift between them."""
+    wr = Window.partitionBy("event_type").orderBy(col, order_tiebreak)
+    wn = Window.partitionBy("event_type")
+    ranked = df.select(
+        "*",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return mid.groupBy("event_type").agg(
+        (
+            F.sum(col)
+            * F.when(F.max("n") % 2 == 1, F.lit(2)).otherwise(F.lit(1))
+        ).alias(f"{col}_med2")
+    )
+
+
 def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROBUST outlier detection — median absolute deviation instead of
     mean/stddev (a single whale corrupts the mean AND inflates sigma,
@@ -2943,22 +2967,8 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    wn = Window.partitionBy("event_type")
-    wr = wn.orderBy("cents", "event_id")
-    ranked = ev.select(
-        "*",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
-    mid = ranked.filter(
-        (F.col("rn") == F.expr("(n + 1) div 2"))
-        | (F.col("rn") == F.expr("(n + 2) div 2"))
-    )
-    med = mid.groupBy("event_type").agg(
-        (
-            F.sum("cents")
-            * F.when(F.max("n") % 2 == 1, F.lit(2)).otherwise(F.lit(1))
-        ).alias("med2")
+    med = _median2x(ev, "cents", "event_id").withColumnRenamed(
+        "cents_med2", "med2"
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_id",
@@ -2967,26 +2977,8 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med2",
         F.abs(F.col("cents") * 2 - F.col("med2")).alias("dev"),
     )
-    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
-    dranked = dev.select(
-        "*",
-        F.row_number().over(wd).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
-    mad = (
-        dranked.filter(
-            (F.col("rn") == F.expr("(n + 1) div 2"))
-            | (F.col("rn") == F.expr("(n + 2) div 2"))
-        )
-        .groupBy("event_type")
-        .agg(
-            (
-                F.sum("dev")
-                * F.when(F.max("n") % 2 == 1, F.lit(2)).otherwise(
-                    F.lit(1)
-                )
-            ).alias("mad4")
-        )
+    mad = _median2x(dev, "dev", "event_id").withColumnRenamed(
+        "dev_med2", "mad4"
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -3115,7 +3107,12 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     ).filter(F.col("p") <= 1)
     ref = ev.filter(F.col("p") == 0)
-    n0 = ref.count()
+    pc = {
+        r["p"]: r["count"]
+        for r in ev.groupBy("p").count().collect()
+    }
+    n0 = int(pc.get(0, 0))
+    n1 = int(pc.get(1, 0))
     wr = Window.orderBy("cents", "event_id")
     edge_ranks = [
         (n0 * k + PSI_BUCKETS - 1) // PSI_BUCKETS
@@ -3140,7 +3137,6 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("p") == 1).cast("bigint")).alias("n_cur"),
         )
     )
-    n1 = ev.filter(F.col("p") == 1).count()
     d0 = float(n0 + PSI_BUCKETS)
     d1 = float(n1 + PSI_BUCKETS)
     pcol = (F.col("n_ref") + 1) / F.lit(d0)
@@ -3388,8 +3384,12 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shares.select(
         F.col("n").cast("bigint").alias("n_users"),
         F.col("s0").cast("bigint").alias("total_cents"),
+        # decimal(38,0): 2*s1*1e6 overflows int64 ~10x past the bench
+        # corpus (s1 grows ~n^2); DuckDB sums already promote to
+        # HUGEINT, so widening Spark keeps both engines exact
         F.expr(
-            "(2 * s1 * 1000000) div (n * s0)"
+            "(2 * cast(s1 as decimal(38,0)) * 1000000)"
+            " div (cast(n as decimal(38,0)) * cast(s0 as decimal(38,0)))"
             " - ((n + 1) * 1000000) div n"
         )
         .cast("bigint")

@@ -531,6 +531,30 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEQ_LEN = 128  # tokens per packed training sequence
 
 
+def _pack_projection() -> list:
+    """The packed-sequence projection shared VERBATIM by sequence_pack,
+    training_manifest, and sequence_pack_incremental (and mirrored by
+    their three oracle SQL blocks): a doc whose token stream occupies
+    [cum_end - n_tokens, cum_end) lands in sequences
+    start div L .. (end-1) div L.  One definition so the three
+    operators can never drift on the packing arithmetic."""
+    return [
+        "source",
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("cum_end") - F.col("n_tokens"))
+        .cast("bigint")
+        .alias("start_tok"),
+        F.expr(f"(cum_end - n_tokens) div {SEQ_LEN}")
+        .cast("bigint")
+        .alias("first_seq"),
+        F.expr(f"(cum_end - 1) div {SEQ_LEN}")
+        .cast("bigint")
+        .alias("last_seq"),
+    ]
+
+
+
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: concatenate documents in a
     deterministic order and split the token stream into fixed
@@ -563,16 +587,8 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "source", "doc_id", n_tok.alias("n_tokens")
     ).withColumn("cum_end", F.sum("n_tokens").over(w))
-    L = SEQ_LEN
     return (
-        base.select(
-            "source",
-            "doc_id",
-            "n_tokens",
-            (F.col("cum_end") - F.col("n_tokens")).alias("start_tok"),
-            F.expr(f"(cum_end - n_tokens) div {L}").alias("first_seq"),
-            F.expr(f"(cum_end - 1) div {L}").alias("last_seq"),
-        )
+        base.select(*_pack_projection())
         .withColumn(
             "n_seqs_spanned", F.col("last_seq") - F.col("first_seq") + 1
         )
@@ -1792,20 +1808,7 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = shipped.withColumn("cum_end", F.sum("n_tokens").over(w))
     return (
-        packed.select(
-            "source",
-            "doc_id",
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            (F.col("cum_end") - F.col("n_tokens"))
-            .cast("bigint")
-            .alias("start_tok"),
-            F.expr(f"(cum_end - n_tokens) div {SEQ_LEN}")
-            .cast("bigint")
-            .alias("first_seq"),
-            F.expr(f"(cum_end - 1) div {SEQ_LEN}")
-            .cast("bigint")
-            .alias("last_seq"),
-        )
+        packed.select(*_pack_projection())
         .repartition(1)
         .sortWithinPartitions("source", "doc_id")
     )
@@ -1977,20 +1980,7 @@ def sequence_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        packed.select(
-            "source",
-            "doc_id",
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            (F.col("cum_end") - F.col("n_tokens"))
-            .cast("bigint")
-            .alias("start_tok"),
-            F.expr(f"(cum_end - n_tokens) div {SEQ_LEN}")
-            .cast("bigint")
-            .alias("first_seq"),
-            F.expr(f"(cum_end - 1) div {SEQ_LEN}")
-            .cast("bigint")
-            .alias("last_seq"),
-        )
+        packed.select(*_pack_projection())
         .repartition(1)
         .sortWithinPartitions("source", "doc_id")
     )
@@ -2147,9 +2137,14 @@ def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return terms.groupBy("k").agg(
         F.round(F.sum("term"), 6).alias("entropy_nats"),
-        F.round(
-            F.sum("term") / F.log(F.col("k").cast("double")), 6
-        ).alias("entropy_normalized"),
+        # k=1 => ln(k)=0: define normalized entropy of a single-source
+        # mix as 0.0 (no diversity) instead of 0/0
+        F.when(
+            F.col("k") > 1,
+            F.round(
+                F.sum("term") / F.log(F.col("k").cast("double")), 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("entropy_normalized"),
     ).select(
         F.col("k").cast("bigint").alias("n_sources"),
         "entropy_nats",

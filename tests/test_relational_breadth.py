@@ -1460,3 +1460,25 @@ def test_gini_bounds_and_whale(spark, tmp_path):
     whale = gini_concentration(spark, d2).collect()[0]
     assert whale["gini_ppm"] > 950000
     assert whale["top1_share_ppm"] > 990000
+
+
+def test_psi_empty_reference_period(spark, tmp_path):
+    """A feed with NO reference-period events (brand-new source) must
+    not throw and buckets everything into bucket 0 on both engines."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import psi_drift
+
+    d = str(tmp_path)
+    rows = [
+        (i, dt.datetime(2024, 1, 20), 1, "x", float(i), "{}")
+        for i in range(20)
+    ]
+    _write(
+        spark, d, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = psi_drift(spark, d).collect()
+    assert len(got) == 1 and got[0]["bucket"] == 0
+    assert got[0]["n_ref"] == 0 and got[0]["n_cur"] == 20

@@ -768,3 +768,19 @@ def test_url_path_rollup_tree_counts(spark, tmp_path):
     assert len(d1) == 5 and all(r["n_pages"] == 20 for r in d1)
     assert len(d2) == 20 and all(r["n_pages"] == 5 for r in d2)
     assert d3 == []
+
+
+def test_source_entropy_single_source(spark, tmp_path):
+    """One source: entropy 0 and normalized entropy DEFINED as 0.0
+    (k=1 would otherwise divide by ln(1)=0 under ANSI mode)."""
+    from ocr_spark.operators.text_analysis import source_entropy
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, "t", "en", "only", 1) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    r = source_entropy(spark, d).collect()[0]
+    assert r["n_sources"] == 1
+    assert r["entropy_nats"] == 0.0
+    assert r["entropy_normalized"] == 0.0
