@@ -893,6 +893,16 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
     pq.write_table(orders, f"{d}/orders.parquet")
     pq.write_table(li, f"{d}/lineitem.parquet")
     pq.write_table(emb, f"{d}/embeddings.parquet")
+    sup = pa.table(
+        {
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "s_nationkey": pa.array([], pa.int32()),
+            "s_phone": pa.array([], pa.string()),
+            "s_acctbal": pa.array([], pa.float64()),
+        }
+    )
+    pq.write_table(sup, f"{d}/supplier.parquet")
 
     from ocr_spark.operators import dedup as D
     from ocr_spark.operators import similarity as S
@@ -900,11 +910,17 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
     empty_ok = [
         R.kmv_weekly_rollup, R.unpivot_measures, R.theta_sketch_overlap,
         R.pps_systematic_sample, R.k_anonymity_audit, R.cusum_changepoint,
-        R.pit_join_events_scd2,
+        R.pit_join_events_scd2, R.mad_outliers, R.purchase_paths,
+        R.psi_drift, R.km_churn_survival, R.benford_audit,
+        R.weekday_seasonality,
         T.pareto_frontier_docs, T.paragraph_dedup_rebuild,
-        T.hybrid_rrf_search,
-        W.bfs_hop_distance,
-        D.containment_pairs,
+        T.hybrid_rrf_search, T.training_manifest,
+        T.source_template_paragraphs, T.train_val_test_split,
+        T.sequence_pack_incremental, T.budget_allocation,
+        T.source_entropy, T.url_path_rollup,
+        W.bfs_hop_distance, W.personalized_pagerank,
+        W.redirect_resolution, W.kcore_peel,
+        D.containment_pairs, D.homoglyph_dedup,
         S.pq_topk, S.ivfpq_topk,
         R.triangle_count, R.incremental_agg_merge,
         R.connected_components_labels, R.two_hop_neighbors,
@@ -918,8 +934,14 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
     ]
     for fn in empty_ok:
         assert fn(spark, d).count() == 0, fn.__name__
-    # the estimator emits its one report row even over nothing
+    # global-aggregate report operators emit their one row even over
+    # nothing (degenerate values, never a throw)
     assert R.join_size_estimate(spark, d).count() == 1
+    g = R.gini_concentration(spark, d).collect()
+    assert len(g) == 1 and (g[0]["n_users"] or 0) == 0
+    h = T.heaps_vocab_growth(spark, d).collect()
+    assert len(h) == len(T.HEAPS_CHECKPOINTS)
+    assert all(r["distinct_terms"] == 0 for r in h)
 
 
 def test_pareto_frontier_dominance_rules(spark, tmp_path):
