@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_concentration": relational.gini_concentration,
         "source_entropy": text_analysis.source_entropy,
         "url_path_rollup": text_analysis.url_path_rollup,
+        "quantile_normalize_length": text_analysis.quantile_normalize_length,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
         "unpivot_measures": relational.unpivot_measures,
@@ -5030,6 +5031,30 @@ select cast(depth as int) as depth, prefix,
 from pref group by depth, prefix
 having count(*) >= {text_analysis.PATH_MIN_DOCS}
 order by depth, prefix
+"""
+    # Quantile-norm truth: identical rank mapping r -> ceil(r·N/n_s).
+    sql["quantile_normalize_length"] = """
+with d as (select doc_id, source, n_chars from documents),
+nt as (select count(*) as n from d),
+cs as (select source, count(*) as n_s from d group by source),
+r as (
+  select d.doc_id, d.source, d.n_chars,
+         row_number() over (partition by d.source
+                            order by d.n_chars, d.doc_id) as rk
+  from d
+),
+g as (
+  select row_number() over (order by n_chars, doc_id) as grank,
+         n_chars as norm_chars
+  from d
+)
+select r.doc_id, r.source, r.n_chars,
+       cast(g.norm_chars as bigint) as norm_chars
+from r
+join cs on r.source = cs.source
+cross join nt
+join g on g.grank = (r.rk * nt.n + cs.n_s - 1) // cs.n_s
+order by r.doc_id
 """
     # Unpivot truth: the UNION ALL the stack() expansion replaces.
     sql["unpivot_measures"] = """

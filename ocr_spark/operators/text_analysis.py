@@ -2192,3 +2192,54 @@ def url_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("depth", "prefix")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (batch-effect removal)
+# ---------------------------------------------------------------------------
+
+
+def quantile_normalize_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION of a per-document metric across sources —
+    the batch-effect removal trick (ubiquitous in bioinformatics, and
+    the right fix when one crawl source systematically inflates a
+    signal): each document's length is replaced by the GLOBAL value at
+    its within-source quantile, so every source ends up with the same
+    marginal distribution and cross-source thresholds become fair.
+
+    All-integer and engine-exact: within-source rank r of n_s maps to
+    the global order statistic at rank ``ceil(r·N / n_s)`` (ties broken
+    by doc_id on both sides).
+
+    Scale shape: one rank window per source shard + one global rank —
+    at 10^12 docs the global rank swaps to the two-pass bucketed cumsum
+    (``global_rank_two_pass``), same contract; the mapping join is on
+    the computed rank key, uniform by construction."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    n_total = docs.count()
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wg = Window.orderBy("n_chars", "doc_id")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    ranked = (
+        docs.withColumn("r", F.row_number().over(ws))
+        .join(F.broadcast(counts), "source")
+        .withColumn(
+            "g_target",
+            F.expr(f"(r * {n_total} + n_s - 1) div n_s"),
+        )
+    )
+    glob = docs.select(
+        F.row_number().over(wg).alias("g"),
+        F.col("n_chars").alias("norm_chars"),
+    )
+    return (
+        ranked.join(glob, ranked["g_target"] == glob["g"])
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("norm_chars").cast("bigint").alias("norm_chars"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -784,3 +784,30 @@ def test_source_entropy_single_source(spark, tmp_path):
     assert r["n_sources"] == 1
     assert r["entropy_nats"] == 0.0
     assert r["entropy_normalized"] == 0.0
+
+
+def test_quantile_normalization_equalizes_marginals(spark, tmp_path):
+    """After normalization every source has (approximately) the same
+    multiset of values drawn from the global distribution; max ranks map
+    to the global max; a shifted source loses its shift."""
+    from ocr_spark.operators.text_analysis import quantile_normalize_length
+
+    d = str(tmp_path)
+    # source A: lengths 1..50; source B: same shape shifted +1000
+    rows = [(i, "t", "en", "A", i + 1) for i in range(50)]
+    rows += [(100 + i, "t", "en", "B", 1001 + i) for i in range(50)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = quantile_normalize_length(spark, d).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["norm_chars"])
+    a = sorted(by_src["A"]); b = sorted(by_src["B"])
+    # each source's within-rank k maps to global rank 2k: the EVEN order
+    # statistics of the pooled distribution — identical for both sources
+    assert a == b
+    assert max(a) == 1050  # top of the global distribution
+    # B's shift is gone: its normalized values now include small globals
+    assert min(b) < 50
