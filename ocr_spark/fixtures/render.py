@@ -83,6 +83,10 @@ class RenderedPage:
     rot_k: int = 0  # image was rotated by rot_k * 90deg CCW from canonical
     scale: int = 1
     skew_deg: int = 0  # small-angle scatter-rotation stressor (+-2..5 deg)
+    # canvas padding applied before the skew rotation: line boxes in the
+    # DESKEW-RECOVERED frame sit at (x + pad, y + pad) — consumed by the
+    # end-to-end eval harness's ground-truth builder (write_gt_lines)
+    pad: int = 0
 
 
 def _rng(key: str) -> np.random.Generator:
@@ -269,6 +273,7 @@ def _rasterize(
     # inverts exactly.  Scale >= 2 only — the deskew denoise contracts
     # (robust unit-scale gcd) assume super-pixel glyphs.
     skew_deg = 0
+    pad = 0
     # n_rows >= 4: the projection-profile skew estimate needs several text
     # lines to discriminate integer angles (a 1-2 row crop is ambiguous —
     # as for any real deskewer).  _SKEW_PROB is an experiment knob only
@@ -280,14 +285,19 @@ def _rasterize(
         # corner displacement at 5 deg is <= r*theta ~ 0.031*(h+w); 0.035
         # plus slack keeps every ink pixel on-canvas without inflating the
         # page (deskew cost scales with canvas area)
-        p = int(0.035 * (img.shape[0] + img.shape[1])) + 4
+        pad = int(0.035 * (img.shape[0] + img.shape[1])) + 4
         canvas = np.full(
-            (img.shape[0] + 2 * p, img.shape[1] + 2 * p, 3), 255, np.uint8
+            (img.shape[0] + 2 * pad, img.shape[1] + 2 * pad, 3), 255, np.uint8
         )
-        canvas[p:-p, p:-p] = img
+        canvas[pad:-pad, pad:-pad] = img
         img = rotate_scatter(canvas, float(skew_deg))
     return RenderedPage(
-        image=img, lines=lines, rot_k=rot_k, scale=scale, skew_deg=skew_deg
+        image=img,
+        lines=lines,
+        rot_k=rot_k,
+        scale=scale,
+        skew_deg=skew_deg,
+        pad=pad,
     )
 
 

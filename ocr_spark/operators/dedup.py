@@ -450,48 +450,47 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_all_pairs(
     spark: SparkSession, sf_dir: str, tau: float = 0.2
 ) -> DataFrame:
-    """EXACT n-gram Jaccard over ALL pairs above ``tau`` via a shingle
-    inverted index — the scale-correct form of the bucketed verifier
-    below: complete (any pair with J ≥ τ > 0 shares ≥1 shingle, so the
-    posting self-join generates it) with no quadratic corpus term.
+    """EXACT n-gram Jaccard over ALL pairs above ``tau``, PREFIX-FILTERED
+    (Chaudhuri/Bayardo SSJoin/AllPairs): candidate pairs come from the
+    posting self-join restricted to each doc's RARITY PREFIX (the first
+    n − ⌈τ·n⌉ + 1 shingles in global df-ascending order, via
+    ``prefix_candidates``), then every candidate is verified exactly
+    against the full shingle sets.  Complete: J(A,B) ≥ τ forces
+    |A∩B| ≥ ⌈τ·max(n_a, n_b)⌉, so the intersection cannot hide entirely
+    in either suffix — the prefixes must share a shingle.
 
-    Scale shape: postings explode to O(total shingles) rows; the
-    self-join shuffles on the SHINGLE key, so pair work is
-    sum_s df(s)^2 over shingle document-frequencies — the cost of real
-    overlap, not of the corpus.  Per-doc shingle counts ride along with
-    each posting (n is a function of doc_id), so the Jaccard denominator
-    |A|+|B|−shared needs no extra join.  Hot shingles (boilerplate
-    n-grams) are the skew axis: AQE skew-split handles the shuffle, and
-    the standard exact refinement (prefix filtering on a global shingle
-    frequency order) drops the most common shingles from candidate
-    generation without losing any pair above τ."""
+    Scale shape: hot boilerplate shingles (maximal df) land at the END
+    of the rarity order and drop OUT of candidate generation — the
+    Σ_s df(s)² term of the naive full posting join loses exactly its
+    quadratic boilerplate spike (pinned: candidate count drops on a
+    boilerplate-heavy corpus, test_dedup) — while verification is two
+    doc-keyed equi-joins of the candidate list (sized by real overlap)
+    against the shingle arrays.  Shared-count ``c`` is array-side, so
+    the Jaccard denominator |A|+|B|−c needs no extra shuffle."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", word_shingles(F.col("text")).alias("sh")
     )
-    posting = docs.select(
-        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    cand = prefix_candidates(spark, sf_dir, tau)
+    va = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.size("sh").alias("na"),
     )
-    a, b = posting.alias("a"), posting.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .agg(F.count("*").alias("c"))
+    vb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.size("sh").alias("nb"),
     )
-    jac = F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6)
+    c = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(c / (F.col("na") + F.col("nb") - c), 6)
     return (
-        shared.withColumn("jaccard", jac)
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -528,7 +527,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             "jaccard",
         )
-        .orderBy("doc_a", "doc_b")
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -979,7 +979,8 @@ def prefix_filter_jaccard(
         )
         .filter(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 

@@ -485,17 +485,20 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Share is integer parts-per-million (count * 1e6 div total) — exact
     in both engines.  Scale shape: one partial-agg groupBy on the key,
-    then a top-K over the aggregated (already tiny) key-count table;
-    the raw table is never sorted."""
+    then the top-K rides ``orderBy().limit()`` — Spark's distributed
+    TakeOrderedAndProject heap (per-partition top-K, K-row merge on
+    the driver) — so the key-count table is NEVER globally sorted even
+    at 10^9 distinct users; the rank window runs on the K survivors."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     total = ev.count()
     counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
     from pyspark.sql.window import Window
 
+    top = counts.orderBy(F.desc("n"), "user_id").limit(HH_TOP_K)
+    # tiny-window: ≤ HH_TOP_K rows survive the TakeOrdered heap
     w = Window.orderBy(F.desc("n"), "user_id")
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= HH_TOP_K)
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             "rank",
             "user_id",
@@ -1187,6 +1190,7 @@ def revenue_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(cents).alias("rev_cents"),
     )
+    # tiny-window: calendar-sized series (ISO weeks), never the table
     w = Window.orderBy("week")
     return (
         weekly.withColumn("prev_cents", F.lag("rev_cents").over(w))
@@ -1458,6 +1462,7 @@ def global_rank_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             "offset",
             F.coalesce(
                 F.sum("cnt").over(
+                    # tiny-window: O(RANK_BUCKETS) offset rows, never the table
                     Window.orderBy("bucket").rowsBetween(
                         Window.unboundedPreceding, -1
                     )
@@ -1477,6 +1482,127 @@ def global_rank_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "global_rank")
         .repartition(1)
         .sortWithinPartitions("o_orderkey")
+    )
+
+
+def _grid_buckets(df: DataFrame, value_col: str, n_buckets: int) -> DataFrame:
+    """Pass 1 of the two-pass rank/cumsum family: tag each row with its
+    position in a FIXED equal-width grid over [min, max] of the integral
+    column ``value_col``.  The min/max pair is a tiny driver-read
+    aggregate (the repo's tiny-stats policy — same as
+    ``exact_quantile_refine``'s histogram); no sampling, so the
+    bucketing is reproducible across runs and cluster sizes, unlike
+    ``repartitionByRange``.  Equal values ALWAYS share a bucket, which
+    is what makes within-bucket ranking + per-bucket offsets reproduce
+    a global (value, tie) order exactly."""
+    row = df.agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    ).first()
+    lo = 0 if row["lo"] is None else int(row["lo"])
+    hi = lo if row["hi"] is None else int(row["hi"])
+    width = max((hi - lo) // n_buckets + 1, 1)
+    return df.withColumn(
+        "_rb", F.expr(f"cast((({value_col}) - ({lo})) div {width} as int)")
+    )
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    descending: bool = False,
+    n_buckets: int = RANK_BUCKETS,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """``row_number() over (order by value [desc], tie)`` WITHOUT a
+    single-partition sort — the value-ordered sibling of
+    ``global_rank_two_pass`` (which ranks by a hash): grid-bucket the
+    value domain, cumulate per-bucket counts into start offsets (the
+    only unpartitioned window touches O(n_buckets) rows, never the
+    table), broadcast the offsets back, and rank WITHIN each bucket.
+    The big table shuffles exactly once (on the bucket key); at 100 TB
+    raise ``n_buckets`` so a bucket fits one task.  Ties never straddle
+    buckets (equal values share a bucket by construction), so the
+    result is bit-equal to the naive global window at any scale."""
+    keyed = _grid_buckets(df, value_col, n_buckets)
+    border = F.desc("_rb") if descending else F.asc("_rb")
+    offs = (
+        keyed.groupBy("_rb")
+        .agg(F.count("*").alias("_rc"))
+        .withColumn(
+            "_ro",
+            F.coalesce(
+                F.sum("_rc").over(
+                    # tiny-window: O(n_buckets) offset rows, never the table
+                    Window.orderBy(border).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_rb", "_ro")
+    )
+    w = Window.partitionBy("_rb").orderBy(
+        F.desc(value_col) if descending else F.asc(value_col),
+        F.asc(tie_col),
+    )
+    return (
+        keyed.join(F.broadcast(offs), "_rb")
+        .withColumn(
+            rank_col, (F.col("_ro") + F.row_number().over(w)).cast("bigint")
+        )
+        .drop("_rb", "_ro")
+    )
+
+
+def bucketed_exclusive_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    n_buckets: int = RANK_BUCKETS,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in ``order_col`` order
+    (``sum(value) over (order by k rows unbounded preceding to -1)``)
+    without a single-partition sort — same two-pass shape as
+    ``bucketed_global_rank``: per-bucket sums cumulate into bucket
+    offsets (tiny), the within-bucket running sum is a window
+    partitioned BY bucket.  ``order_col`` must be unique (it is the
+    sort key); at 10^12 rows this is the sequence_pack offset shape."""
+    keyed = _grid_buckets(df, order_col, n_buckets)
+    offs = (
+        keyed.groupBy("_rb")
+        .agg(F.sum(value_col).alias("_rc"))
+        .withColumn(
+            "_ro",
+            F.coalesce(
+                F.sum("_rc").over(
+                    # tiny-window: O(n_buckets) offset rows, never the table
+                    Window.orderBy("_rb").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_rb", "_ro")
+    )
+    w = (
+        Window.partitionBy("_rb")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        keyed.join(F.broadcast(offs), "_rb")
+        .withColumn(
+            out_col,
+            (
+                F.col("_ro")
+                + F.coalesce(F.sum(value_col).over(w), F.lit(0))
+            ).cast("bigint"),
+        )
+        .drop("_rb", "_ro")
     )
 
 
@@ -2331,6 +2457,7 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = ev.groupBy("day").agg(F.count("*").alias("n"))
     w = (
+        # tiny-window: calendar-sized daily series, never the table
         Window.orderBy("day")
         .rowsBetween(-ANOMALY_TRAIL_DAYS, -1)
     )
@@ -2368,8 +2495,9 @@ def ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue'.
 
     Shape: the heavy work is ONE user-keyed sum over events; the decile
-    rank is a window over the AGGREGATED user table (users << events;
-    at 10^9 users swap in global_rank_two_pass, same result), and the
+    rank is the two-pass bucketed rank (``bucketed_global_rank``) over
+    the aggregated user table — bit-equal to a global window but never
+    a single-partition sort, so the plan survives 10^9 users — and the
     decile rollup is 10 rows."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id",
@@ -2377,8 +2505,9 @@ def ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ltv = ev.groupBy("user_id").agg(F.sum("cents").alias("ltv_cents"))
     n_total = ltv.count()
-    w = Window.orderBy(F.desc("ltv_cents"), "user_id")
-    ranked = ltv.withColumn("rk", F.row_number().over(w)).withColumn(
+    ranked = bucketed_global_rank(
+        ltv, "ltv_cents", "user_id", descending=True
+    ).withColumn(
         "decile",
         F.expr(f"((rk - 1) * {LTV_DECILES}) div {n_total}"),
     )
@@ -2701,6 +2830,7 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.coalesce(
             F.sum("bw").over(
+                # tiny-window: O(QUANTILE_BUCKETS) histogram rows
                 Window.orderBy("bucket").rowsBetween(
                     Window.unboundedPreceding, -1
                 )
@@ -2812,6 +2942,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cusum",
             F.sum(F.col("n") - F.col("mean_n")).over(
+                # tiny-window: calendar-sized daily series
                 Window.orderBy("day").rowsBetween(
                     Window.unboundedPreceding, 0
                 )
@@ -3062,10 +3193,11 @@ def purchase_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     freq = paths.groupBy("path").agg(F.count("*").alias("n_users"))
+    top = freq.orderBy(F.desc("n_users"), "path").limit(PATH_TOP)
+    # tiny-window: ≤ PATH_TOP rows survive the TakeOrdered heap
     wtop = Window.orderBy(F.desc("n_users"), "path")
     return (
-        freq.withColumn("rank", F.row_number().over(wtop))
-        .filter(F.col("rank") <= PATH_TOP)
+        top.withColumn("rank", F.row_number().over(wtop))
         .select(
             F.col("rank").cast("int").alias("rank"),
             "path",
@@ -3093,11 +3225,13 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     >0.25 drifted — the gate that catches a crawler/source change
     CUSUM's volume series can't see (same volume, different values).
 
-    Scale shape: edges are 9 numbers (window over the reference period
-    collapses to a broadcast row); bucketing is a map-side fold over
-    that literal-sized array; per-bucket counts are one partial-agg
-    groupBy of ≤ 2·PSI_BUCKETS groups.  ln contributions round to 6
-    (ln-based oracle precedent: bm25/lm_perplexity)."""
+    Scale shape: edge RANKS come from the two-pass bucketed rank over
+    the reference period (``bucketed_global_rank`` — one grid-bucket
+    shuffle, never a single-partition sort of the reference events),
+    then collapse to a 9-number broadcast row; bucketing is a map-side
+    fold over that literal-sized array; per-bucket counts are one
+    partial-agg groupBy of ≤ 2·PSI_BUCKETS groups.  ln contributions
+    round to 6 (ln-based oracle precedent: bm25/lm_perplexity)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.expr(
             f"datediff(to_date(ts), date'2024-01-01')"
@@ -3113,13 +3247,12 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     n0 = int(pc.get(0, 0))
     n1 = int(pc.get(1, 0))
-    wr = Window.orderBy("cents", "event_id")
     edge_ranks = [
         (n0 * k + PSI_BUCKETS - 1) // PSI_BUCKETS
         for k in range(1, PSI_BUCKETS)
     ]
     edges_row = (
-        ref.withColumn("rn", F.row_number().over(wr))
+        bucketed_global_rank(ref, "cents", "event_id", rank_col="rn")
         .filter(F.col("rn").isin(edge_ranks))
         .agg(F.sort_array(F.collect_list("cents")).alias("edges"))
     )
@@ -3193,6 +3326,7 @@ def km_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("churned").alias("d_churned"),
     )
     total = lifetimes.count()
+    # tiny-window: calendar-sized daily table (one row per churn day)
     wcum = Window.orderBy("last_day").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -3201,6 +3335,7 @@ def km_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(total) - F.coalesce(F.sum("n_leaving").over(wcum), F.lit(0)),
     )
     steps = risk.filter(F.col("d_churned") > 0)
+    # tiny-window: calendar-sized daily table (one row per churn day)
     wkm = Window.orderBy("last_day").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -3342,17 +3477,17 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the Gini gets acted on.
 
     Scale shape: one user-key shuffle collapses events to per-user
-    totals; ranks use one window over the collapsed table (at 10^12
-    users: the two-pass bucketed rank, global_rank_two_pass) and the
-    final sums are a single aggregate row."""
+    totals; ranks use the two-pass bucketed rank
+    (``bucketed_global_rank`` — bit-equal to a global window, no
+    single-partition sort at 10^12 users) and the final sums are a
+    single aggregate row."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     users = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
             "cents"
         )
     )
-    w = Window.orderBy("cents", "user_id")
-    ranked = users.withColumn("rk", F.row_number().over(w))
+    ranked = bucketed_global_rank(users, "cents", "user_id")
     base = ranked.crossJoin(
         F.broadcast(
             ranked.agg(

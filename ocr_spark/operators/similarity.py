@@ -158,9 +158,27 @@ def anchors_for_corpus(n_vectors: int) -> int:
     return max(1, int(math.isqrt(max(n_vectors, 1))))
 
 
-@lru_cache(maxsize=None)
+def _emb_sig(sf_dir: str) -> tuple[int, int]:
+    """(mtime_ns, size) of embeddings.parquet — the extra cache-key
+    component for every driver-side codebook/anchor cache below, so a
+    REWRITE at the same path invalidates the cached literals instead of
+    silently desynchronizing them from the fresh DataFrame-side reads
+    (ADVICE r3: the caches were keyed on the path string alone)."""
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    return (st.st_mtime_ns, st.st_size)
+
+
 def _anchor_rows(
     sf_dir: str, n_anchors: int = DEFAULT_ANCHORS
+) -> tuple[tuple[int, tuple[float, ...]], ...]:
+    return _anchor_rows_cached(sf_dir, n_anchors, _emb_sig(sf_dir))
+
+
+@lru_cache(maxsize=None)
+def _anchor_rows_cached(
+    sf_dir: str, n_anchors: int, _sig: tuple[int, int]
 ) -> tuple[tuple[int, tuple[float, ...]], ...]:
     """The anchor vectors, read ONCE driver-side at plan-build time and
     embedded as literals (centroids are always broadcast state in IVF —
@@ -777,8 +795,14 @@ def _adc_expr(src_col: str, cents, m: int) -> str:
     )
 
 
-@lru_cache(maxsize=None)
 def _pq_codebook(sf_dir: str) -> tuple[tuple[tuple[int, ...], ...], ...]:
+    return _pq_codebook_cached(sf_dir, _emb_sig(sf_dir))
+
+
+@lru_cache(maxsize=None)
+def _pq_codebook_cached(
+    sf_dir: str, _sig: tuple[int, int]
+) -> tuple[tuple[tuple[int, ...], ...], ...]:
     """codebook[m][k] = centroid k of subspace m, in integer micro-units.
     Centroids are the subvectors of the first ``PQ_K`` corpus vectors —
     deterministic, so the DuckDB oracle rebuilds the identical codebook
@@ -882,6 +906,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy("approx_d", "vec_id").limit(PQ_TOPK)
     return top.select(
         F.row_number()
+        # tiny-window: ≤ PQ_TOPK rows post-TakeOrdered
         .over(Window.orderBy("approx_d", "vec_id"))
         .cast("bigint")
         .alias("rank"),
@@ -895,8 +920,14 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@lru_cache(maxsize=None)
 def _anchor_micro_rows(sf_dir: str) -> tuple[tuple[int, tuple[int, ...]], ...]:
+    return _anchor_micro_rows_cached(sf_dir, _emb_sig(sf_dir))
+
+
+@lru_cache(maxsize=None)
+def _anchor_micro_rows_cached(
+    sf_dir: str, _sig: tuple[int, int]
+) -> tuple[tuple[int, tuple[int, ...]], ...]:
     """(aid, anchor vector in integer micro-units) — the same SQL round
     semantics as the PQ codebook so residual arithmetic is engine-exact."""
     r = _sql_round
@@ -906,8 +937,14 @@ def _anchor_micro_rows(sf_dir: str) -> tuple[tuple[int, tuple[int, ...]], ...]:
     )
 
 
-@lru_cache(maxsize=None)
 def _ivfpq_codebook(sf_dir: str) -> tuple[tuple[tuple[int, ...], ...], ...]:
+    return _ivfpq_codebook_cached(sf_dir, _emb_sig(sf_dir))
+
+
+@lru_cache(maxsize=None)
+def _ivfpq_codebook_cached(
+    sf_dir: str, _sig: tuple[int, int]
+) -> tuple[tuple[tuple[int, ...], ...], ...]:
     """Residual codebook: centroid k of subspace m = the RESIDUAL
     (vector − its assigned IVF anchor, in integer micros) of corpus
     vector ``PQ_K + k``.  Trained on residuals, not raw vectors — the
@@ -932,10 +969,19 @@ def _ivfpq_codebook(sf_dir: str) -> tuple[tuple[tuple[int, ...], ...], ...]:
     cents: list[list[tuple[int, ...]]] = [[] for _ in range(PQ_M)]
     for _vid, vec in rows:
         xx = sum(x * x for x in vec)
+        # round-6 via _sql_round (half AWAY from zero), matching the
+        # engines' SQL round at line ~211 — python's builtin round is
+        # half-EVEN and would flip assignments landing on a
+        # binary-representable 6-dp midpoint (ADVICE r3)
         best = min(
             (
-                round(
-                    xx - 2 * sum(x * a for x, a in zip(vec, avec)) + aa, 6
+                r(
+                    (
+                        xx
+                        - 2 * sum(x * a for x, a in zip(vec, avec))
+                        + aa
+                    )
+                    * 1e6
                 ),
                 aid,
             )
@@ -1058,6 +1104,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy("approx_d", "vec_id").limit(PQ_TOPK)
     return top.select(
         F.row_number()
+        # tiny-window: ≤ PQ_TOPK rows post-TakeOrdered
         .over(Window.orderBy("approx_d", "vec_id"))
         .cast("bigint")
         .alias("rank"),

@@ -1204,11 +1204,11 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens?' before training a tokenizer.
 
     Scale shape: ONE (word) count shuffle over the token stream (map-
-    side partial agg), then the rank/cumsum window runs on the
-    AGGREGATED vocabulary table — vocab-sized, not corpus-sized, so the
-    single-partition window is bounded by |vocab| (≤ millions) no matter
-    the corpus; at true scale swap in the two-pass global rank
-    (global_rank_two_pass) for the same result."""
+    side partial agg), then the top-V rides ``orderBy().limit()`` —
+    the distributed TakeOrderedAndProject heap — so the vocabulary
+    table is never globally sorted; the rank/cumsum window runs on the
+    V survivors only (coverage at rank r sums rows above r, all of
+    which survive the cut)."""
     docs = _docs(spark, sf_dir)
     uni = (
         docs.select(
@@ -1218,16 +1218,19 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     total = uni.agg(F.sum("cnt").alias("tot"))
+    top = uni.orderBy(F.desc("cnt"), "word").limit(VOCAB_TOP)
+    # tiny-window: ≤ VOCAB_TOP rows survive the TakeOrdered heap; the
+    # cumulative coverage at rank r only sums rows ABOVE r, all of
+    # which survive the limit, so the cumsum is unchanged
     w = Window.orderBy(F.desc("cnt"), "word")
     ranked = (
-        uni.withColumn("rnk", F.row_number().over(w))
+        top.withColumn("rnk", F.row_number().over(w))
         .withColumn(
             "cum",
             F.sum("cnt").over(
                 w.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-        .filter(F.col("rnk") <= VOCAB_TOP)
     )
     return (
         ranked.crossJoin(F.broadcast(total))
@@ -1466,13 +1469,15 @@ def bigram_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     heads = (
         cxy.groupBy("w1")
         .agg(F.sum("c_xy").alias("c_head"))
+        .orderBy(F.desc("c_head"), "w1")
+        .limit(NEXT_TOKEN_HEADS)
         .withColumn(
             "head_rank",
             F.row_number().over(
+                # tiny-window: ≤ NEXT_TOKEN_HEADS rows post-TakeOrdered
                 Window.orderBy(F.desc("c_head"), "w1")
             ),
         )
-        .filter(F.col("head_rank") <= NEXT_TOKEN_HEADS)
     )
     ranked = (
         cxy.join(F.broadcast(heads), "w1")
@@ -1577,6 +1582,7 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_q = scored.groupBy("q").agg(F.max("len").alias("max_len"))
     w = (
+        # tiny-window: per-q collapsed table, bounded by |vocab| sizes
         Window.orderBy(F.desc("q"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -1714,6 +1720,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = bm25_topk(spark, sf_dir).select(
         "doc_id",
         F.row_number()
+        # tiny-window: ≤ BM25_TOP rows (bm25_topk ends in limit())
         .over(Window.orderBy(F.desc("score"), "doc_id"))
         .cast("bigint")
         .alias("lex_rank"),
@@ -1721,6 +1728,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = brute_topk(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"),
         F.row_number()
+        # tiny-window: ≤ TOP_K rows (brute_topk ends in limit())
         .over(Window.orderBy(F.desc("cos"), "vec_id"))
         .cast("bigint")
         .alias("sem_rank"),
@@ -1748,6 +1756,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = fused.orderBy(F.desc("rrf_ppb"), "doc_id").limit(HYBRID_TOP)
     return top.select(
         F.row_number()
+        # tiny-window: ≤ HYBRID_TOP rows post-TakeOrdered
         .over(Window.orderBy(F.desc("rrf_ppb"), "doc_id"))
         .cast("bigint")
         .alias("rank"),
@@ -2029,6 +2038,7 @@ def budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = base.withColumn(
         "rem_rank",
+        # tiny-window: one row per source (k sources), never the corpus
         F.row_number().over(Window.orderBy(F.desc("rem"), "source")),
     ).withColumn("leftover", leftover)
     return (
@@ -2067,8 +2077,9 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences ≤ N — exact integers, no windows over the token stream.
 
     Scale shape: the global token sequence uses per-document offsets
-    (one tiny cumulative pass over doc token counts — the
-    sequence_pack shape), so tokens get their seq MAP-SIDE; the only
+    from the two-pass bucketed cumsum (``bucketed_exclusive_cumsum`` —
+    one grid-bucket shuffle over per-doc counts, never a
+    single-partition sort), so tokens get their seq MAP-SIDE; the only
     token-volume shuffle is the min-per-term partial agg, and the
     checkpoint rollup runs on the vocabulary-sized table."""
     docs = _docs(spark, sf_dir).select(
@@ -2078,13 +2089,11 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = docs.select(
         "doc_id", F.size("toks").alias("n_tok")
     )
-    woff = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "doc_id",
-        F.coalesce(F.sum("n_tok").over(woff), F.lit(0)).alias("off"),
-    )
+    from ocr_spark.operators.relational import bucketed_exclusive_cumsum
+
+    offsets = bucketed_exclusive_cumsum(
+        counts, "doc_id", "n_tok", "off"
+    ).select("doc_id", "off")
     toks = (
         docs.join(offsets, "doc_id")
         .select(
@@ -2211,14 +2220,14 @@ def quantile_normalize_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global order statistic at rank ``ceil(r·N / n_s)`` (ties broken
     by doc_id on both sides).
 
-    Scale shape: one rank window per source shard + one global rank —
-    at 10^12 docs the global rank swaps to the two-pass bucketed cumsum
-    (``global_rank_two_pass``), same contract; the mapping join is on
-    the computed rank key, uniform by construction."""
+    Scale shape: one rank window per source shard + the two-pass
+    bucketed global rank (``bucketed_global_rank`` — bit-equal to a
+    global window, no single-partition sort at 10^12 docs); the
+    mapping join is on the computed rank key, uniform by
+    construction."""
     docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
     n_total = docs.count()
     ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    wg = Window.orderBy("n_chars", "doc_id")
     counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
     ranked = (
         docs.withColumn("r", F.row_number().over(ws))
@@ -2228,10 +2237,11 @@ def quantile_normalize_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(r * {n_total} + n_s - 1) div n_s"),
         )
     )
-    glob = docs.select(
-        F.row_number().over(wg).alias("g"),
-        F.col("n_chars").alias("norm_chars"),
-    )
+    from ocr_spark.operators.relational import bucketed_global_rank
+
+    glob = bucketed_global_rank(
+        docs, "n_chars", "doc_id", rank_col="g"
+    ).select("g", F.col("n_chars").alias("norm_chars"))
     return (
         ranked.join(glob, ranked["g_target"] == glob["g"])
         .select(

@@ -767,12 +767,26 @@ def stream_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir(spark, "stream_upsert", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     in_dir, st_dir, ck_dir = f"{base}/in", f"{base}/state", f"{base}/ck"
-    ev = (
+    from ocr_spark.operators.relational import bucketed_global_rank
+
+    raw = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select("event_id", "ts", "user_id", "event_type", "value")
+        # TIMESTAMP_NTZ: order key via epoch micros through a UTC cast
         .withColumn(
-            "_q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+            "_tsu",
+            F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")),
         )
+    )
+    n_ev = raw.count()
+    # quartile assignment via the two-pass bucketed rank (no
+    # single-partition ntile sort); the upsert oracle (arg-max per
+    # user) is invariant to the exact cut as long as batches stay
+    # time-ordered, which rank order guarantees
+    ev = (
+        bucketed_global_rank(raw, "_tsu", "event_id", rank_col="_rk")
+        .withColumn("_q", F.expr(f"((_rk - 1) * 4) div {max(n_ev, 1)} + 1"))
+        .drop("_tsu", "_rk")
     )
     for i in range(1, 5):  # one time-ordered file per quartile
         (

@@ -471,3 +471,87 @@ def test_homoglyph_skeleton_collides_spoofs_only(spark, tmp_path):
     assert set(got) == {"acme metals"}
     assert got["acme metals"]["n_raw_variants"] == 2
     assert got["acme metals"]["canonical_key"] == 1
+
+
+def test_prefix_filter_kills_boilerplate_skew(spark, tmp_path):
+    """Round-4 gate: on a boilerplate-heavy corpus (every doc shares a
+    hot footer, so the full posting join is quadratic in the corpus)
+    prefix filtering must (a) still return the exact Jaccard result and
+    (b) generate strictly fewer candidate pairs than the full posting
+    join — the hot shingles sit at the END of the rarity order and drop
+    out of candidate generation."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.dedup import (
+        ngram_jaccard_all_pairs,
+        prefix_candidates,
+        word_shingles,
+    )
+
+    boiler = "all rights reserved contact us terms of service apply"
+    rows = []
+    # body long enough that the prefix cut (ceil(tau*n) - 1 shingles)
+    # swallows the 7 all-docs footer shingles: n ~ 47 => 9 dropped
+    for i in range(24):
+        body = " ".join(f"w{i}x{j}" for j in range(40))
+        rows.append((i, f"{body} {boiler}", "en", "s", 99))
+    # one true near-dup pair sharing most body shingles
+    rows.append((100, rows[0][1].replace("w0x39", "zz"), "en", "s", 99))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_all_pairs(spark, d).collect()
+    }
+    assert (0, 100) in got and got[(0, 100)] >= 0.2
+
+    # exact-result check vs the naive full posting join
+    docs = spark.read.parquet(f"{d}/documents.parquet").select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    naive = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in naive.collect()
+    }
+    assert got == want
+
+    # pruning: hot boilerplate shingles must not generate candidates
+    posting = docs.select("doc_id", F.explode("sh").alias("s"))
+    pa, pb = posting.alias("a"), posting.alias("b")
+    n_full = (
+        pa.join(
+            pb,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    n_pref = prefix_candidates(spark, d).count()
+    # every doc pair shares the footer => full candidates ~ C(25,2);
+    # prefixes are boilerplate-free => candidates collapse to real dups
+    assert n_full >= 250
+    assert n_pref < n_full / 10, (n_pref, n_full)

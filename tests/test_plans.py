@@ -941,3 +941,138 @@ def test_pit_join_single_key_shuffle(spark):
     simple = plan_of(pit_join_events_scd2(spark, SF), "simple")
     assert "Join" not in simple
     assert "Window" in simple
+
+
+def test_rank_migrations_window_per_bucket(spark):
+    """Round-4 gate: the six formerly-global-window operators must rank
+    through the two-pass bucketed rank — in the analyzed plan the ONLY
+    unpartitioned window spec allowed is the O(n_buckets) offset
+    cumulation, whose spec orders by the bucket column itself (_rb)."""
+    import re
+
+    from ocr_spark.operators.relational import (
+        gini_concentration,
+        ltv_deciles,
+        psi_drift,
+    )
+    from ocr_spark.operators.text_analysis import (
+        heaps_vocab_growth,
+        quantile_normalize_length,
+    )
+
+    for fn in (
+        ltv_deciles,
+        gini_concentration,
+        psi_drift,
+        quantile_normalize_length,
+        heaps_vocab_growth,
+    ):
+        ext = plan_of(fn(spark, SF), "extended")
+        unpart = re.findall(
+            r"windowspecdefinition\((\w+)#\d+L? (?:ASC|DESC)", ext
+        )
+        assert unpart and all(c == "_rb" for c in unpart), (
+            fn.__name__,
+            unpart,
+        )
+
+
+def test_topk_migrations_use_take_ordered(spark):
+    """heavy_hitters / purchase_paths / vocab_coverage top-K must ride
+    the distributed TakeOrderedAndProject heap (orderBy().limit()), and
+    their only window may run on the ≤K survivors of that limit."""
+    from ocr_spark.operators.relational import heavy_hitters, purchase_paths
+    from ocr_spark.operators.text_analysis import vocab_coverage
+
+    for fn in (heavy_hitters, purchase_paths, vocab_coverage):
+        simple = plan_of(fn(spark, SF), "simple")
+        assert "TakeOrderedAndProject" in simple, fn.__name__
+
+
+def test_no_unannotated_global_window_sources():
+    """Source-level guard for the scale-shape convention: every
+    ``Window.orderBy(`` site in the package (an unpartitioned window)
+    must carry a ``# tiny-window:`` annotation within the three
+    preceding lines stating why its input is bounded (calendar /
+    bucket-count / post-limit / per-source cardinality).  Windows over
+    corpus-cardinality input must use bucketed_global_rank /
+    bucketed_exclusive_cumsum instead."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "ocr_spark"
+    bad = []
+    for path in sorted(root.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if "Window.orderBy(" not in line:
+                continue
+            ctx = lines[max(0, i - 3) : i + 1]
+            if not any("# tiny-window:" in c for c in ctx):
+                bad.append(f"{path.name}:{i + 1}")
+    assert not bad, (
+        "unannotated unpartitioned Window.orderBy sites "
+        f"(use bucketed_global_rank or annotate # tiny-window:): {bad}"
+    )
+
+
+def test_bucketed_rank_matches_global_window(spark):
+    """Property gate: bucketed_global_rank / bucketed_exclusive_cumsum
+    are bit-equal to the naive single-partition window on a crafted
+    table with heavy value ties and negative values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ocr_spark.operators.relational import (
+        bucketed_exclusive_cumsum,
+        bucketed_global_rank,
+    )
+
+    rows = [(i, (i * 37) % 11 - 5, (i * 13) % 7) for i in range(257)]
+    df = spark.createDataFrame(rows, "id long, v long, amt long")
+    got = {
+        r["id"]: r["rk"]
+        for r in bucketed_global_rank(df, "v", "id").collect()
+    }
+    # tiny-window: 257-row crafted test table
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+    got_d = {
+        r["id"]: r["rk"]
+        for r in bucketed_global_rank(
+            df, "v", "id", descending=True
+        ).collect()
+    }
+    # tiny-window: 257-row crafted test table
+    wd = Window.orderBy(F.desc("v"), "id")
+    want_d = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(wd)).collect()
+    }
+    assert got_d == want_d
+
+    got_c = {
+        r["id"]: r["off"]
+        for r in bucketed_exclusive_cumsum(df, "id", "amt", "off").collect()
+    }
+    # tiny-window: 257-row crafted test table
+    wc = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want_c = {
+        r["id"]: r["off"]
+        for r in df.select(
+            "id",
+            F.coalesce(F.sum("amt").over(wc), F.lit(0)).alias("off"),
+        ).collect()
+    }
+    assert got_c == want_c
+
+    # empty input must not throw (repo-wide invariant)
+    empty = spark.createDataFrame([], "id long, v long, amt long")
+    assert bucketed_global_rank(empty, "v", "id").count() == 0
+    assert (
+        bucketed_exclusive_cumsum(empty, "id", "amt", "off").count() == 0
+    )
