@@ -71,6 +71,47 @@ def _corpus_docs_for(sf_dir: str) -> int:
     return 2000
 
 
+EVAL_GT_DOCS = 80  # eval corpora cap: render-side gt is fixture-scale
+
+
+def _eval_gt_path(sf_dir: str) -> str:
+    """Ground-truth line table for the end-to-end eval harness, derived
+    from the SAME cached corpus the OCR queries read (capped — gt lines
+    are rendered driver-side, affordable at fixture scale only; at
+    production scale ground truth arrives as a labeled table)."""
+    n = min(_corpus_docs_for(sf_dir), EVAL_GT_DOCS)
+    corpus = _corpus_path(n)
+    path = f"/tmp/ocr_spark_eval_gt_{_CORPUS_SEED}_{n}_v1.parquet"
+    if not os.path.exists(path):
+        from ocr_spark.fixtures.corpus import write_gt_lines
+
+        write_gt_lines(corpus, path)
+    return path
+
+
+def _q_eval_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled metric-machinery query: deterministic perturbed
+    predictions vs the persisted gt-line table (operators/evalmetrics)."""
+    from ocr_spark.operators.evalmetrics import eval_end2end
+
+    return eval_end2end(spark, _eval_gt_path(sf_dir))
+
+
+def _q_eval_end2end_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL graded metric: live page-ladder predictions (boxes +
+    texts from ocr_page_state) scored against the layout ground truth —
+    the reference's eval_end2end.py harness as one DataFrame plan.
+    Rows-only check: the pixel pipeline cannot run inside DuckDB."""
+    from ocr_spark.operators.evalmetrics import (
+        eval_end2end,
+        pipeline_predictions,
+    )
+
+    n = min(_corpus_docs_for(sf_dir), EVAL_GT_DOCS)
+    pred = pipeline_predictions(spark, _corpus_path(n))
+    return eval_end2end(spark, _eval_gt_path(sf_dir), pred=pred)
+
+
 def _ocr_summary(out: DataFrame) -> DataFrame:
     """Stable, deterministic projection of the pipeline output for the
     driver's rows-only check: per-doc digest of the full span sequence.
@@ -127,6 +168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "invoice_fill_rates": invoice_fill_rates,
         # -- save-crop debug sink (label routing vs layout ground truth) --
         "save_crops": _save_crops_query,
+        # -- end-to-end eval metrics (reference tools/end2end harness) --
+        "eval_end2end": _q_eval_end2end,
+        "eval_end2end_pipeline": _q_eval_end2end_pipeline,
         # -- span algebra (SQL twins of the pipeline's span handling) --
         "span_explode": spans.span_explode,
         "span_splice": spans.span_splice,
@@ -5072,4 +5116,128 @@ select measure, count(*) as n_rows,
        cast(max(cast(round(val * 100) as bigint)) as bigint) as max_cents
 from long group by measure order by measure
 """
+    # End-to-end eval metrics: the gt parquet is the SAME file the Spark
+    # query reads; predictions are re-synthesized with identical md5
+    # arithmetic; greedy IoU matching replays via a recursive CTE in
+    # (iou_ppb desc, gt_id, dt_id) order — bit-equal to the Spark
+    # applyInPandas greedy loop (operators/evalmetrics.py).
+    sql["eval_end2end"] = _eval_end2end_oracle()
     return sql
+
+
+def _eval_end2end_oracle() -> str:
+    from ocr_spark.operators.evalmetrics import (
+        PERT_CORRUPT_PCT,
+        PERT_DROP_PCT,
+        PERT_SPUR_MOD,
+    )
+
+    gt_path = _eval_gt_path("sf0.01-oracle-default")
+    return f"""
+with recursive gt as (
+  select * from read_parquet('{gt_path}')
+),
+baseu as (
+  select *,
+    (('0x' || substr(md5(page_id || ':' || gt_id::varchar), 1, 8))::bigint)
+      as h1,
+    (('0x' || substr(md5(page_id || ':' || gt_id::varchar), 1, 8))::bigint)
+      % 100 as u
+  from gt
+),
+pred as (
+  select page_id, gt_id as dt_id,
+         x + h1 % 7 - 3 as x,
+         y + (h1 // 7) % 5 - 2 as y,
+         w - h1 % 3 as w,
+         h,
+         case when u >= {PERT_CORRUPT_PCT} then text || 'x' else text end
+           as text
+  from baseu where u >= {PERT_DROP_PCT}
+  union all
+  select page_id, gt_id + 100000, x + 100000, y, 40, 10, 'spurious'
+  from baseu where u % {PERT_SPUR_MOD} = 0
+),
+cand as (
+  select page_id, gt_id, dt_id,
+         (inter * 1000000000) // (areas - inter) as iou_ppb
+  from (
+    select g.page_id, g.gt_id, p.dt_id,
+           greatest(0, least(p.x + p.w, g.x + g.w) - greatest(p.x, g.x))
+         * greatest(0, least(p.y + p.h, g.y + g.h) - greatest(p.y, g.y))
+           as inter,
+           p.w * p.h + g.w * g.h as areas
+    from gt g join pred p using (page_id)
+  ) where 2 * inter >= areas - inter
+),
+ranked as (
+  select *, row_number() over (partition by page_id
+             order by iou_ppb desc, gt_id, dt_id) as r
+  from cand
+),
+sel as (
+  select page_id, 0::bigint as r,
+         cast([] as bigint[]) as gts, cast([] as bigint[]) as dts
+  from (select distinct page_id from ranked)
+  union all
+  select k.page_id, k.r::bigint,
+         case when list_contains(s.gts, k.gt_id)
+                or list_contains(s.dts, k.dt_id)
+              then s.gts else list_append(s.gts, k.gt_id) end,
+         case when list_contains(s.gts, k.gt_id)
+                or list_contains(s.dts, k.dt_id)
+              then s.dts else list_append(s.dts, k.dt_id) end
+  from sel s join ranked k on k.page_id = s.page_id and k.r = s.r + 1
+),
+matched as (
+  select k.page_id, k.gt_id, k.dt_id
+  from ranked k join sel s on s.page_id = k.page_id and s.r = k.r - 1
+  where not list_contains(s.gts, k.gt_id)
+    and not list_contains(s.dts, k.dt_id)
+),
+m as (
+  select coalesce(sum((g.text = p.text)::bigint), 0) as hit,
+         coalesce(sum(levenshtein(g.text, p.text)), 0) as ed_m,
+         coalesce(sum(length(g.text)), 0) as chars_m,
+         count(*) as n_matched
+  from matched mm
+  join gt g on g.page_id = mm.page_id and g.gt_id = mm.gt_id
+  join pred p on p.page_id = mm.page_id and p.dt_id = mm.dt_id
+  where g.ign = 0
+),
+udt as (
+  select coalesce(sum(length(p.text)), 0) as ed_udt, count(*) as n_udt
+  from pred p
+  where not exists (select 1 from matched mm
+                    where mm.page_id = p.page_id and mm.dt_id = p.dt_id)
+),
+ugt as (
+  select coalesce(sum(length(g.text)), 0) as ed_ugt, count(*) as n_ugt
+  from gt g
+  where g.ign = 0
+    and not exists (select 1 from matched mm
+                    where mm.page_id = g.page_id and mm.gt_id = g.gt_id)
+),
+pg as (select count(distinct page_id) as n_pages from gt),
+tot as (
+  select pg.n_pages::bigint as n_pages,
+         m.hit::bigint as hit,
+         (m.n_matched + udt.n_udt)::bigint as dt_count,
+         (m.n_matched + ugt.n_ugt)::bigint as gt_count,
+         (m.ed_m + udt.ed_udt + ugt.ed_ugt)::bigint as ed_sum,
+         (m.chars_m + ugt.ed_ugt)::bigint as num_gt_chars
+  from m, udt, ugt, pg
+)
+select *,
+       (hit * 1000000) // greatest(dt_count, 1) as precision_ppm,
+       (hit * 1000000) // greatest(gt_count, 1) as recall_ppm,
+       (2 * ((hit * 1000000) // greatest(dt_count, 1))
+          * ((hit * 1000000) // greatest(gt_count, 1)))
+        // greatest((hit * 1000000) // greatest(dt_count, 1)
+                  + (hit * 1000000) // greatest(gt_count, 1), 1)
+         as fmeasure_ppm,
+       1000000 - (ed_sum * 1000000) // greatest(num_gt_chars, 1)
+         as char_acc_ppm,
+       (ed_sum * 1000000) // greatest(n_pages, 1) as avg_ed_img_ppm
+from tot
+"""

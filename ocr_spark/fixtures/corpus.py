@@ -139,3 +139,85 @@ def write_corpus(path: str, n_docs: int, seed: int = 42, **kw) -> str:
     table = build_corpus(n_docs, seed=seed, **kw)
     pq.write_table(table, path)
     return path
+
+
+def write_gt_lines(corpus_path: str, out_path: str) -> str:
+    """Reading-order ROW ground truth for every renderable media page of
+    a corpus parquet — the gt side of the end-to-end eval harness
+    (operators/evalmetrics.py, mirroring the reference's per-image gt
+    files, tools/end2end/eval_end2end.py:81-97):
+
+        page_id, gt_id, x, y, w, h, text, ign
+
+    Rows are built with the SAME reading-order machinery the pipeline
+    emits predictions in (sorted_boxes + group_rows union bbox, joined
+    texts) so the graded metric compares row to row; boxes are in the
+    DESKEW-RECOVERED frame (canonical coords plus the skew-canvas pad),
+    the frame ocr_page_state's row_boxes live in.  ``ign`` marks ~5% of
+    rows ignored (md5-derived, deterministic) to exercise the
+    reference's ignore-mask accounting.  Fixture-scale builder: at
+    production scale ground truth arrives as a labeled table."""
+    import hashlib
+
+    from ..core.reading_order import group_rows, sorted_boxes
+    from .render import render
+
+    t = pq.read_table(corpus_path, columns=["spans"])
+    refs: list[str] = []
+    seen: set[str] = set()
+    for spans in t["spans"].to_pylist():
+        for s in spans:
+            ref = s["media_ref"]
+            if s["kind"] != "media" or "#err" in ref or ref in seen:
+                continue
+            seen.add(ref)
+            refs.append(ref)
+    rows = []
+    for ref in refs:
+        for p, page in enumerate(render(ref)):
+            page_id = f"{ref}/p{p}"
+            xywh = [(ln.x, ln.y, ln.w, ln.h) for ln in page.lines]
+            order = sorted_boxes(xywh)
+            for i, grp in enumerate(group_rows(xywh, order)):
+                x0 = min(xywh[j][0] for j in grp)
+                y0 = min(xywh[j][1] for j in grp)
+                x1 = max(xywh[j][0] + xywh[j][2] for j in grp)
+                y1 = max(xywh[j][1] + xywh[j][3] for j in grp)
+                text = " ".join(page.lines[j].text for j in grp)
+                ign = int(
+                    int(
+                        hashlib.md5(
+                            f"{page_id}#{i}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % 20
+                    == 0
+                )
+                rows.append(
+                    (
+                        page_id,
+                        i,
+                        x0 + page.pad,
+                        y0 + page.pad,
+                        x1 - x0,
+                        y1 - y0,
+                        text,
+                        ign,
+                    )
+                )
+    cols = list(zip(*rows)) if rows else [[]] * 8
+    table = pa.table(
+        {
+            "page_id": pa.array(cols[0], pa.string()),
+            "gt_id": pa.array(cols[1], pa.int64()),
+            "x": pa.array(cols[2], pa.int64()),
+            "y": pa.array(cols[3], pa.int64()),
+            "w": pa.array(cols[4], pa.int64()),
+            "h": pa.array(cols[5], pa.int64()),
+            "text": pa.array(cols[6], pa.string()),
+            "ign": pa.array(cols[7], pa.int64()),
+        }
+    )
+    pq.write_table(table, out_path)
+    return out_path

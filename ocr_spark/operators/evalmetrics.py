@@ -1,0 +1,361 @@
+"""End-to-end OCR quality metrics — the GRADED evaluation harness.
+
+Mirrors the reference's ``tools/end2end/eval_end2end.py:71-183``: per
+page, predicted boxes greedy-match ground-truth boxes by descending
+IoU at threshold 0.5 (each side matched at most once); matched
+non-ignored pairs score a hit when the texts are equal exactly and
+accumulate character edit distance; unmatched predictions and
+unmatched non-ignored truths accumulate their full text length as
+edit distance.  Emits precision / recall / F-measure and
+character-level accuracy — the drift monitor a production pipeline
+runs on real (non-fixture) documents, where the repo's span-EQUALITY
+gates are too strict to be informative.
+
+Engine-exactness: boxes are integer rectangles (the reference's
+shapely convex hull of a 4-point axis-aligned quad IS the rectangle),
+so the IoU threshold is the integer test ``2*inter >= union`` and the
+greedy order key is integer ``iou_ppb = inter*1e9 div union`` with
+(gt_id, dt_id) tie-breaks — no floats anywhere, and DuckDB replays the
+identical matching via a recursive CTE.  Edit distance is plain
+Levenshtein (reference uses ``editdistance.eval``), built into BOTH
+engines (Spark ``levenshtein``, DuckDB ``levenshtein``).  The
+reference's strQ2B full-width fold is the identity on the fixture
+alphabet and therefore elided.
+
+Scale shape: the pair generator is a page-keyed equi-join (per-page
+line counts are layout-bounded, so per-page pair work is O(lines²) of
+a PAGE, never of the corpus); greedy matching runs per page group via
+``applyInPandas`` (per-group state is page-sized); every rollup after
+that is one partial-agg pass.  At 10^12 pages nothing here holds more
+than one page in memory at a time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+IOU_PPB = 1_000_000_000
+
+# Deterministic perturbation knobs for the oracled board query: the
+# prediction side is synthesized FROM the ground truth inside the SQL of
+# both engines (drop / shift / shrink / corrupt / inject), so the metric
+# machinery — pairing, greedy matching, P/R/F, char accuracy — is
+# value-checked end-to-end without running the pixel pipeline.
+PERT_DROP_PCT = 10  # u < 10: prediction missing (unmatched gt)
+PERT_CORRUPT_PCT = 85  # u >= 85: one-char text corruption (miss, ed=1)
+PERT_SPUR_MOD = 9  # u % 9 == 0: inject a far-away spurious box
+
+
+def _rect_cols(prefix: str):
+    x = F.col(f"{prefix}_x")
+    y = F.col(f"{prefix}_y")
+    w = F.col(f"{prefix}_w")
+    h = F.col(f"{prefix}_h")
+    return x, y, w, h
+
+
+def _pair_candidates(pred: DataFrame, gt: DataFrame) -> DataFrame:
+    """(page_id, gt_id, dt_id, iou_ppb) for every pair with IoU >= 0.5.
+
+    Page-keyed equi-join; the IoU gate is the exact integer test
+    2*inter >= union (threshold 0.5 of eval_end2end.py:73)."""
+    p = pred.select(
+        "page_id",
+        F.col("dt_id"),
+        F.col("x").alias("d_x"),
+        F.col("y").alias("d_y"),
+        F.col("w").alias("d_w"),
+        F.col("h").alias("d_h"),
+    )
+    g = gt.select(
+        "page_id",
+        F.col("gt_id"),
+        F.col("x").alias("g_x"),
+        F.col("y").alias("g_y"),
+        F.col("w").alias("g_w"),
+        F.col("h").alias("g_h"),
+    )
+    dx, dy, dw, dh = _rect_cols("d")
+    gx, gy, gw, gh = _rect_cols("g")
+    ix = F.greatest(
+        F.lit(0), F.least(dx + dw, gx + gw) - F.greatest(dx, gx)
+    )
+    iy = F.greatest(
+        F.lit(0), F.least(dy + dh, gy + gh) - F.greatest(dy, gy)
+    )
+    inter = ix * iy
+    union = dw * dh + gw * gh - inter
+    return (
+        g.join(p, "page_id")
+        .withColumn("inter", inter)
+        .withColumn("uni", union)
+        .filter(2 * F.col("inter") >= F.col("uni"))
+        .select(
+            "page_id",
+            "gt_id",
+            "dt_id",
+            F.expr(f"(inter * {IOU_PPB}) div uni").alias("iou_ppb"),
+        )
+    )
+
+
+_MATCH_SCHEMA = "page_id string, gt_id long, dt_id long"
+
+
+def _greedy_match_page(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy 1-1 matching of one page's candidate pairs in descending
+    IoU order (ties: gt_id, dt_id — the reference's stable sort over
+    gt-major enumeration, eval_end2end.py:127-136).  Page-sized state."""
+    pdf = pdf.sort_values(
+        ["iou_ppb", "gt_id", "dt_id"], ascending=[False, True, True]
+    )
+    used_gt: set[int] = set()
+    used_dt: set[int] = set()
+    out = []
+    for page_id, gt_id, dt_id in zip(
+        pdf["page_id"], pdf["gt_id"], pdf["dt_id"]
+    ):
+        if gt_id in used_gt or dt_id in used_dt:
+            continue
+        used_gt.add(gt_id)
+        used_dt.add(dt_id)
+        out.append((page_id, gt_id, dt_id))
+    return pd.DataFrame(out, columns=["page_id", "gt_id", "dt_id"])
+
+
+def greedy_matches(pairs: DataFrame) -> DataFrame:
+    """Distributed greedy matching: one shuffle on page_id, then the
+    per-page greedy loop over that page's (already IoU-gated) pairs."""
+    return pairs.groupBy("page_id").applyInPandas(
+        lambda pdf: _greedy_match_page(pdf), schema=_MATCH_SCHEMA
+    )
+
+
+def e2e_metrics(pred: DataFrame, gt: DataFrame) -> DataFrame:
+    """The metric rollup, one output row (all integer / ppm columns).
+
+    pred: (page_id, dt_id, x, y, w, h, text)
+    gt:   (page_id, gt_id, x, y, w, h, text, ign)
+
+    Accounting mirrors eval_end2end.py:131-166 exactly, including its
+    subtlety that a prediction matched to an IGNORED truth is consumed
+    by the match (it is neither counted as a hit nor as an unmatched
+    prediction)."""
+    matches = greedy_matches(_pair_candidates(pred, gt))
+    gt_side = gt.select(
+        "page_id",
+        "gt_id",
+        F.col("text").alias("gt_text"),
+        "ign",
+    )
+    pred_side = pred.select(
+        "page_id", "dt_id", F.col("text").alias("dt_text")
+    )
+    m = (
+        matches.join(gt_side, ["page_id", "gt_id"])
+        .join(pred_side, ["page_id", "dt_id"])
+        .filter(F.col("ign") == 0)
+        .select(
+            (F.col("gt_text") == F.col("dt_text")).cast("bigint").alias("hit"),
+            F.levenshtein("gt_text", "dt_text").cast("bigint").alias("ed"),
+            F.length("gt_text").cast("bigint").alias("chars"),
+        )
+        .agg(
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("hit"),
+            F.coalesce(F.sum("ed"), F.lit(0)).alias("ed_m"),
+            F.coalesce(F.sum("chars"), F.lit(0)).alias("chars_m"),
+            F.coalesce(F.count("*"), F.lit(0)).alias("n_matched"),
+        )
+    )
+    un_dt = (
+        pred_side.join(
+            matches.select("page_id", "dt_id"), ["page_id", "dt_id"], "anti"
+        )
+        .agg(
+            F.coalesce(F.sum(F.length("dt_text")), F.lit(0))
+            .cast("bigint")
+            .alias("ed_udt"),
+            F.count("*").alias("n_udt"),
+        )
+    )
+    un_gt = (
+        gt_side.join(
+            matches.select("page_id", "gt_id"), ["page_id", "gt_id"], "anti"
+        )
+        .filter(F.col("ign") == 0)
+        .agg(
+            F.coalesce(F.sum(F.length("gt_text")), F.lit(0))
+            .cast("bigint")
+            .alias("ed_ugt"),
+            F.count("*").alias("n_ugt"),
+        )
+    )
+    pages = gt.agg(F.countDistinct("page_id").alias("n_pages"))
+    return (
+        m.crossJoin(F.broadcast(un_dt))
+        .crossJoin(F.broadcast(un_gt))
+        .crossJoin(F.broadcast(pages))
+        .select(
+            F.col("n_pages").cast("bigint").alias("n_pages"),
+            F.col("hit").cast("bigint").alias("hit"),
+            (F.col("n_matched") + F.col("n_udt"))
+            .cast("bigint")
+            .alias("dt_count"),
+            (F.col("n_matched") + F.col("n_ugt"))
+            .cast("bigint")
+            .alias("gt_count"),
+            (F.col("ed_m") + F.col("ed_udt") + F.col("ed_ugt"))
+            .cast("bigint")
+            .alias("ed_sum"),
+            (F.col("chars_m") + F.col("ed_ugt"))
+            .cast("bigint")
+            .alias("num_gt_chars"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "(hit * 1000000) div greatest(dt_count, 1)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "(hit * 1000000) div greatest(gt_count, 1)"
+            ).alias("recall_ppm"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "(2 * precision_ppm * recall_ppm)"
+                " div greatest(precision_ppm + recall_ppm, 1)"
+            ).alias("fmeasure_ppm"),
+            F.expr(
+                "1000000 - (ed_sum * 1000000) div greatest(num_gt_chars, 1)"
+            ).alias("char_acc_ppm"),
+            F.expr(
+                "(ed_sum * 1000000) div greatest(n_pages, 1)"
+            ).alias("avg_ed_img_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracled board query: deterministic perturbed predictions from the GT table
+# ---------------------------------------------------------------------------
+
+# NOTE on num_gt_chars of unmatched gts: the reference adds len(gt) to both
+# ed_sum and num_gt_chars for unmatched non-ignored truths
+# (eval_end2end.py:160-166); ed_ugt doubles as that char count above.
+
+
+def synthetic_predictions(gt: DataFrame) -> DataFrame:
+    """Deterministic perturbation of the ground truth — the prediction
+    side of the ORACLED eval query, expressed in the same md5-derived
+    arithmetic in both engines (portable _h32 idiom): ~10%% of lines are
+    dropped, the rest are shifted/shrunk a few pixels (small boxes fall
+    below IoU 0.5 and become honest misses), ~15%% get a one-character
+    text corruption, and every 9th line injects a far-away spurious box."""
+    h = F.expr(
+        "conv(substring(md5(concat(page_id, ':', cast(gt_id as string))),"
+        " 1, 8), 16, 10)"
+    ).cast("bigint")
+    base = gt.withColumn("h1", h).withColumn("u", F.col("h1") % 100)
+    kept = base.filter(F.col("u") >= PERT_DROP_PCT).select(
+        "page_id",
+        F.col("gt_id").alias("dt_id"),
+        (F.col("x") + F.col("h1") % 7 - 3).alias("x"),
+        (F.col("y") + F.expr("(h1 div 7) % 5") - 2).alias("y"),
+        (F.col("w") - F.col("h1") % 3).alias("w"),
+        F.col("h").alias("h"),
+        F.when(
+            F.col("u") >= PERT_CORRUPT_PCT,
+            F.concat(F.col("text"), F.lit("x")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spurious = base.filter(F.col("u") % PERT_SPUR_MOD == 0).select(
+        "page_id",
+        (F.col("gt_id") + 100000).alias("dt_id"),
+        (F.col("x") + 100000).alias("x"),
+        F.col("y").alias("y"),
+        F.lit(40).alias("w"),
+        F.lit(10).alias("h"),
+        F.lit("spurious").alias("text"),
+    )
+    return kept.unionByName(spurious)
+
+
+def eval_end2end(
+    spark: SparkSession, gt_path: str, pred: DataFrame | None = None
+) -> DataFrame:
+    """Board-query entry: metrics of (pipeline or synthetic) predictions
+    against the persisted fixture ground-truth line table."""
+    gt = spark.read.parquet(gt_path)
+    if pred is None:
+        pred = synthetic_predictions(gt)
+    return e2e_metrics(pred, gt)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-backed predictions: the REAL graded metric over the fixtures
+# ---------------------------------------------------------------------------
+
+_PRED_SCHEMA = (
+    "page_id string, dt_id long, x long, y long, w long, h long,"
+    " text string"
+)
+
+
+def _predict_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: media_ref -> per-row (box, text) predictions
+    from the live page ladder (ocr_page_state row_boxes are in the
+    deskew-recovered frame — the same frame write_gt_lines persists)."""
+    from ocr_spark.core.extract import ocr_page_state
+    from ocr_spark.fixtures.render import render
+
+    for pdf in it:
+        rows = []
+        for ref in pdf["media_ref"]:
+            try:
+                pages = render(ref)
+            except ValueError:
+                continue  # synthetic decode failure: no predictions
+            for p, page in enumerate(pages):
+                st = ocr_page_state(page.image)
+                for i, (box, text) in enumerate(
+                    zip(st.row_boxes, st.rows)
+                ):
+                    rows.append(
+                        (f"{ref}/p{p}", i, *(int(v) for v in box), text)
+                    )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "page_id", "dt_id", "x", "y", "w", "h", "text",
+            ],
+        )
+
+
+def pipeline_predictions(
+    spark: SparkSession, corpus_path: str, partitions: int | None = None
+) -> DataFrame:
+    """Run the live extraction ladder over every renderable media ref of
+    a corpus parquet, emitting per-row predicted boxes + texts.  Same
+    skew story as the flagship: refs round-robin so a heavy document
+    spreads across the cluster."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
+    refs = (
+        spark.read.parquet(corpus_path)
+        .select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    return refs.repartition(partitions).mapInPandas(
+        _predict_batches, schema=_PRED_SCHEMA
+    )

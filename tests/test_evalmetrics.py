@@ -1,0 +1,192 @@
+"""End-to-end eval-metric harness gates (operators/evalmetrics.py vs
+reference tools/end2end/eval_end2end.py:71-183): greedy IoU matching,
+ignore-mask accounting, the exact integer IoU threshold, and the
+pipeline-backed graded metric on fixtures where span equality holds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401
+
+
+def _gt(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "page_id string, gt_id long, x long, y long, w long, h long,"
+        " text string, ign long",
+    )
+
+
+def _pred(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "page_id string, dt_id long, x long, y long, w long, h long,"
+        " text string",
+    )
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+def test_partial_overlap_threshold_is_exact(spark):
+    """IoU exactly 0.5 matches (reference: iou >= iou_thresh); just
+    under does not.  Crafted: equal 10x10 boxes shifted so inter/union
+    is exactly 1/2 vs slightly less."""
+    from ocr_spark.operators.evalmetrics import e2e_metrics
+
+    # box A 30x10 at x=0; pred 20x10 at x=0 -> inter 200, union 300:
+    # iou=2/3 matches.  box B 30x10 at x=100; pred 20x10 at x=115 ->
+    # inter 15*10=150, union 300+... compute: union 200+300-150=350,
+    # 2*150=300 < 350 -> no match.  box C: pred such that 2*inter==union:
+    # gt 20x10 at x=200, pred 20x10 at x=200+? inter=(20-s)*10,
+    # union=400-... equal boxes shifted s: inter=(20-s)*10,
+    # union=2*200-inter; 2*inter>=union <=> 3*inter>=400 <=> s<=6.66 ->
+    # s=6: inter=140, union=260, 2*140=280>=260 match (iou .538);
+    # s=7: inter=130, union=270, 260<270 -> miss.
+    gt = _gt(
+        spark,
+        [
+            ("p", 0, 0, 0, 30, 10, "aaa", 0),
+            ("p", 1, 100, 0, 30, 10, "bbb", 0),
+            ("p", 2, 200, 0, 20, 10, "ccc", 0),
+            ("p", 3, 300, 0, 20, 10, "ddd", 0),
+        ],
+    )
+    pred = _pred(
+        spark,
+        [
+            ("p", 0, 0, 0, 20, 10, "aaa"),
+            ("p", 1, 115, 0, 20, 10, "bbb"),
+            ("p", 2, 206, 0, 20, 10, "ccc"),
+            ("p", 3, 307, 0, 20, 10, "ddd"),
+        ],
+    )
+    m = _one(e2e_metrics(pred, gt))
+    # matched: gt0 (iou 2/3), gt2 (iou .538); missed: gt1, gt3
+    assert m["hit"] == 2
+    assert m["gt_count"] == 4 and m["dt_count"] == 4
+    # ed_sum: matched exact (0) + unmatched dt 'bbb','ddd' (3+3) +
+    # unmatched gt 'bbb','ddd' (3+3)
+    assert m["ed_sum"] == 12
+    assert m["precision_ppm"] == 500000 and m["recall_ppm"] == 500000
+
+
+def test_greedy_prefers_higher_iou(spark):
+    """Two predictions overlap one gt: the higher-IoU one wins the
+    match, the other counts as an unmatched (spurious) prediction."""
+    from ocr_spark.operators.evalmetrics import e2e_metrics
+
+    gt = _gt(spark, [("p", 0, 0, 0, 100, 10, "hello world", 0)])
+    pred = _pred(
+        spark,
+        [
+            ("p", 0, 0, 0, 90, 10, "hello world"),  # iou 0.9
+            ("p", 1, 0, 0, 60, 10, "hello"),  # iou 0.6, loses greedy
+        ],
+    )
+    m = _one(e2e_metrics(pred, gt))
+    assert m["hit"] == 1 and m["gt_count"] == 1 and m["dt_count"] == 2
+    # unmatched dt 'hello' adds its length as edit distance
+    assert m["ed_sum"] == 5
+    assert m["precision_ppm"] == 500000 and m["recall_ppm"] == 1000000
+
+
+def test_ignored_gt_consumes_its_match(spark):
+    """Reference subtlety (eval_end2end.py:131-149): a prediction
+    matched to an IGNORED gt is consumed — not a hit, not an unmatched
+    prediction, absent from every count."""
+    from ocr_spark.operators.evalmetrics import e2e_metrics
+
+    gt = _gt(
+        spark,
+        [
+            ("p", 0, 0, 0, 50, 10, "keep", 0),
+            ("p", 1, 100, 0, 50, 10, "skip", 1),
+        ],
+    )
+    pred = _pred(
+        spark,
+        [
+            ("p", 0, 0, 0, 50, 10, "keep"),
+            ("p", 1, 100, 0, 50, 10, "skip"),
+        ],
+    )
+    m = _one(e2e_metrics(pred, gt))
+    assert m["hit"] == 1
+    assert m["dt_count"] == 1 and m["gt_count"] == 1
+    assert m["ed_sum"] == 0 and m["num_gt_chars"] == 4
+    assert m["precision_ppm"] == 1000000 and m["recall_ppm"] == 1000000
+
+
+def test_char_accuracy_accumulates_edits(spark):
+    """Matched-but-wrong text accumulates its Levenshtein distance;
+    unmatched gt adds its full length to BOTH ed_sum and num_gt_chars
+    (eval_end2end.py:160-166)."""
+    from ocr_spark.operators.evalmetrics import e2e_metrics
+
+    gt = _gt(
+        spark,
+        [
+            ("p", 0, 0, 0, 50, 10, "abcdef", 0),
+            ("p", 1, 100, 0, 50, 10, "wxyz", 0),
+        ],
+    )
+    pred = _pred(spark, [("p", 0, 0, 0, 50, 10, "abcdxf")])
+    m = _one(e2e_metrics(pred, gt))
+    assert m["hit"] == 0
+    assert m["ed_sum"] == 1 + 4  # 1 substitution + missed 'wxyz'
+    assert m["num_gt_chars"] == 6 + 4
+    assert m["char_acc_ppm"] == 1000000 - (5 * 1000000) // 10
+
+
+def test_empty_inputs_do_not_throw(spark):
+    """Repo-wide empty-input invariant."""
+    from ocr_spark.operators.evalmetrics import e2e_metrics
+
+    gt = _gt(spark, [])
+    pred = _pred(spark, [])
+    m = _one(e2e_metrics(pred, gt))
+    assert m["hit"] == 0 and m["dt_count"] == 0 and m["gt_count"] == 0
+    assert m["precision_ppm"] == 0 and m["fmeasure_ppm"] == 0
+
+
+def test_pipeline_metric_is_perfect_on_fixtures(spark, corpus_path, tmp_path):
+    """The live pipeline scores P=R=F=1.0 and char_acc=1.0 on a fixture
+    slice — the graded harness agrees with the span-equality gates
+    (smaller corpus than the board query: this runs per-push)."""
+    from ocr_spark.fixtures.corpus import write_corpus, write_gt_lines
+    from ocr_spark.operators.evalmetrics import (
+        e2e_metrics,
+        pipeline_predictions,
+    )
+
+    cp = str(tmp_path / "c.parquet")
+    gp = str(tmp_path / "gt.parquet")
+    write_corpus(cp, 16, seed=5)
+    write_gt_lines(cp, gp)
+    pred = pipeline_predictions(spark, cp)
+    gt = spark.read.parquet(gp)
+    m = _one(e2e_metrics(pred, gt))
+    assert m["gt_count"] > 0
+    assert m["precision_ppm"] == 1000000, m
+    assert m["recall_ppm"] == 1000000, m
+    assert m["char_acc_ppm"] == 1000000, m
+
+
+def test_synthetic_predictions_are_graded(spark, tmp_path):
+    """The oracled board query's perturbation produces a strictly
+    graded result (0 < P,R < 1) — drops, misses and corruptions all
+    present — so the metric arithmetic is exercised end to end."""
+    from ocr_spark.fixtures.corpus import write_corpus, write_gt_lines
+    from ocr_spark.operators.evalmetrics import eval_end2end
+
+    cp = str(tmp_path / "c.parquet")
+    gp = str(tmp_path / "gt.parquet")
+    write_corpus(cp, 12, seed=9)
+    write_gt_lines(cp, gp)
+    m = _one(eval_end2end(spark, gp))
+    assert 0 < m["precision_ppm"] < 1000000
+    assert 0 < m["recall_ppm"] < 1000000
+    assert 0 < m["char_acc_ppm"] < 1000000
