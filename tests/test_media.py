@@ -32,9 +32,31 @@ def test_resize_contract():
     assert resize_max_side(small, 64) is small  # no upscale
 
 
-def test_video_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_video_container_roundtrip_and_sampling():
+    """The NVID1 codec is real byte parsing: encode/decode round-trips,
+    a 500ms container sampled at 1000ms keeps every other frame with
+    renumbered sample indices, and corrupt/truncated containers raise."""
+    from ocr_spark.operators.media import encode_video, synth_frame_bytes
+
+    payload = encode_video("vid://t", n_frames=4, frame_ms=1000)
+    frames = decode_video_frames(payload, 1000)
+    assert [(i, ts) for i, ts, _ in frames] == [
+        (0, 0), (1, 1000), (2, 2000), (3, 3000)
+    ]
+    assert frames[2][2] == synth_frame_bytes("vid://t", 2)
+
+    dense = encode_video("vid://t", n_frames=8, frame_ms=500)
+    sampled = decode_video_frames(dense, 1000)
+    assert [(i, ts) for i, ts, _ in sampled] == [
+        (0, 0), (1, 1000), (2, 2000), (3, 3000)
+    ]
+    # sample 1 at ts=1000 is CONTAINER frame 2 of the 500ms stream
+    assert sampled[1][2] == synth_frame_bytes("vid://t", 2)
+
+    with pytest.raises(ValueError):
         decode_video_frames(b"x", 1000)
+    with pytest.raises(ValueError):
+        decode_video_frames(payload[:-5], 1000)  # truncated payload
 
 
 def test_media_metadata_spark(spark):
