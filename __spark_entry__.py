@@ -4884,6 +4884,25 @@ having count(distinct display_name) > 1
 order by skeleton
 """
     # k-core truth: three unrolled peel rounds over the undirected graph.
+    # k-core: KCORE_MAX_ROUNDS unrolled peels == the fixed point at any
+    # convergence depth (peeling is idempotent once converged; Spark
+    # stops at the first zero-drop round, capped at the same constant).
+    _kc_rounds = []
+    _kc_rounds.append(
+        "d1 as materialized"
+        " (select src, count(*) as deg from und group by src)"
+    )
+    for _i in range(2, web_extract.KCORE_MAX_ROUNDS + 1):
+        _kc_rounds.append(
+            f"a{_i - 1} as materialized (select src as v from d{_i - 1}"
+            f" where deg >= {web_extract.KCORE_K})"
+        )
+        _kc_rounds.append(
+            f"d{_i} as materialized"
+            f" (select u.src, count(*) as deg from und u"
+            f" where u.src in (select v from a{_i - 1})"
+            f" and u.dst in (select v from a{_i - 1}) group by u.src)"
+        )
     sql["kcore_peel"] = f"""
 with n as (select count(*) as nn from documents),
 e0 as (
@@ -4894,26 +4913,14 @@ e0 as (
   select doc_id, (doc_id * 31 + 3) % nn from documents, n
 ),
 edges as (select distinct src, dst from e0 where src != dst),
-und as (
+und as materialized (
   select src, dst from edges
   union
   select dst, src from edges
 ),
-d1 as (select src, count(*) as deg from und group by src),
-a1 as (select src as v from d1 where deg >= {web_extract.KCORE_K}),
-d2 as (
-  select u.src, count(*) as deg from und u
-  where u.src in (select v from a1) and u.dst in (select v from a1)
-  group by u.src
-),
-a2 as (select src as v from d2 where deg >= {web_extract.KCORE_K}),
-d3 as (
-  select u.src, count(*) as deg from und u
-  where u.src in (select v from a2) and u.dst in (select v from a2)
-  group by u.src
-)
+{",".join(_kc_rounds)}
 select src as doc_id, cast(deg as bigint) as residual_degree
-from d3 where deg >= {web_extract.KCORE_K}
+from d{web_extract.KCORE_MAX_ROUNDS} where deg >= {web_extract.KCORE_K}
 order by src
 """
     # KM truth: same lifetimes/censoring, cumulative exp-sum-ln product.

@@ -716,27 +716,74 @@ def redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 KCORE_K = 3
-KCORE_ROUNDS = 3
+# Fixed-point round cap: a backstop against pathological graphs (a
+# length-L tendril peels in ~L rounds), NOT the normal exit — the loop
+# stops when a round drops zero vertices.  The oracle unrolls exactly
+# this many rounds; peeling is idempotent after convergence, so the two
+# agree at every convergence depth <= the cap, and agree trivially at
+# the cap when convergence is deeper.
+KCORE_MAX_ROUNDS = 16
+
+
+def kcore_fixed_point(
+    edges: DataFrame,
+    alive: DataFrame,
+    k: int = KCORE_K,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+) -> tuple[DataFrame, int]:
+    """PRODUCTION k-core peeling (round 4: the fixed round count is
+    gone): drop nodes with undirected degree < ``k``, recompute, repeat
+    UNTIL A ROUND DROPS NOTHING — the fixed-point check is one O(1)
+    survivor-count aggregate per round — with ``max_rounds`` as a
+    pathological-graph backstop.  Survivor state is localCheckpoint'ed
+    (eager) between rounds so lineage stays one round deep instead of
+    accumulating the whole peel history (the iterated-join discipline
+    PageRank already follows).
+
+    ``edges`` must be the symmetric (src, dst) edge list; ``alive`` the
+    initial vertex set as column ``v``.  Returns (final degree frame,
+    rounds executed)."""
+    prev = alive.count()
+    deg = alive.sparkSession.createDataFrame([], "src long, deg long")
+    rounds = 0
+    for _ in range(max_rounds):
+        live_edges = (
+            edges.join(alive, edges["src"] == alive["v"], "left_semi")
+            .join(alive, edges["dst"] == alive["v"], "left_semi")
+        )
+        deg = live_edges.groupBy("src").agg(F.count("*").alias("deg"))
+        survivors = deg.filter(F.col("deg") >= k).select(
+            F.col("src").alias("v")
+        )
+        # truncate lineage: each round's survivor set is materialized,
+        # so round r+1 plans against a leaf, not r joins deep
+        alive = survivors.localCheckpoint(eager=True)
+        rounds += 1
+        cnt = alive.count()  # the O(1) dropped-count fixed-point gate
+        if cnt == prev:
+            break
+        prev = cnt
+    return deg, rounds
 
 
 def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link-graph cleaning by ITERATED k-core peeling: drop nodes with
-    undirected degree < ``KCORE_K``, recompute degrees, repeat
-    ``KCORE_ROUNDS`` times — each round removes the link-farm fringe
-    whose support was itself fringe (spam tendrils, orphaned redirects);
-    the fixed round count keeps the operator deterministic and its cost
-    bounded (full k-core = run until no change; every round is the same
-    plan, so production loops it with a tiny fixed-point check on the
-    O(1) dropped-count aggregate).
+    """Link-graph cleaning by k-core peeling TO THE FIXED POINT: drop
+    nodes with undirected degree < ``KCORE_K``, recompute degrees,
+    repeat until a round removes nothing (kcore_fixed_point) — spam
+    tendrils peel layer by layer however long they are, which a fixed
+    round count cannot guarantee (convergence gate pinned on a crafted
+    tendril graph in tests/test_web_extract.py).
 
     Output: every surviving node with its residual degree (as of the
-    final round's recount) — all integers, engine-exact.
+    converged round's recount) — all integers, engine-exact; the DuckDB
+    oracle unrolls KCORE_MAX_ROUNDS peels, which equals the fixed point
+    at any convergence depth (peeling is idempotent once converged).
 
     Scale shape: per round ONE semi-join of the edge list against the
     surviving-node set (broadcast when the survivor set is small, hash
     otherwise) and one degree groupBy with map-side partial counts —
-    O(edges) per round, O(nodes) state, the same iterated-join budget
-    as PageRank."""
+    O(edges) per round, O(nodes) state, lineage kept one round deep via
+    eager localCheckpoint, the same iterated-join budget as PageRank."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     n = docs.count()
     directed = _link_edges(docs, n)
@@ -746,16 +793,7 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     alive = docs.select(F.col("doc_id").alias("v"))
-    deg = None
-    for _ in range(KCORE_ROUNDS):
-        live_edges = (
-            edges.join(alive, edges["src"] == alive["v"], "left_semi")
-            .join(alive, edges["dst"] == alive["v"], "left_semi")
-        )
-        deg = live_edges.groupBy("src").agg(F.count("*").alias("deg"))
-        alive = deg.filter(F.col("deg") >= KCORE_K).select(
-            F.col("src").alias("v")
-        )
+    deg, _rounds = kcore_fixed_point(edges, alive)
     return (
         deg.filter(F.col("deg") >= KCORE_K)
         .select(

@@ -270,3 +270,63 @@ def test_robots_gate_longest_prefix_semantics(spark, sf_dir):
             assert (r.verdict, r.matched_prefix) == ("deny", "/path/3")
         else:
             assert (r.verdict, r.matched_prefix) == ("allow", "/")
+
+
+def test_kcore_fixed_point_peels_long_tendril(spark):
+    """Convergence gate for the round-4 fixed-point k-core: a triangle
+    core (the true 2-core) with a 6-node tendril hanging off it.  At
+    k=2 the tendril peels ONE layer per round — 6 rounds, double the
+    old fixed KCORE_ROUNDS=3, which would have left half the tendril in
+    the 'core' — and the loop must stop at the drop-free round with
+    exactly the triangle surviving at residual degree 2."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.web_extract import kcore_fixed_point
+
+    # triangle 0-1-2; tendril 2-3-4-5-6-7-8 (path)
+    directed = [(0, 1), (1, 2), (2, 0)] + [
+        (i, i + 1) for i in range(2, 8)
+    ]
+    e = spark.createDataFrame(directed, "src long, dst long")
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    alive = spark.createDataFrame(
+        [(i,) for i in range(9)], "v long"
+    )
+    deg, rounds = kcore_fixed_point(edges, alive, k=2)
+    core = {
+        r["src"]: r["deg"] for r in deg.filter(F.col("deg") >= 2).collect()
+    }
+    assert core == {0: 2, 1: 2, 2: 2}
+    # one tendril layer per round + the final drop-free confirm round
+    assert rounds == 7
+
+
+def test_kcore_fixed_point_stops_immediately_on_stable_graph(spark):
+    """A clique is its own k-core: the fixed-point loop must confirm in
+    ONE round (first round drops nothing), not burn a fixed budget."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.web_extract import kcore_fixed_point
+
+    nodes = list(range(5))
+    directed = [(a, b) for a in nodes for b in nodes if a < b]
+    e = spark.createDataFrame(directed, "src long, dst long")
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    alive = spark.createDataFrame([(i,) for i in nodes], "v long")
+    deg, rounds = kcore_fixed_point(edges, alive, k=3)
+    assert rounds == 1
+    assert deg.filter(F.col("deg") >= 3).count() == 5
+
+
+def test_kcore_fixed_point_empty_graph(spark):
+    """Empty-input invariant: no vertices, no throw, zero core."""
+    from ocr_spark.operators.web_extract import kcore_fixed_point
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    alive = spark.createDataFrame([], "v long")
+    deg, rounds = kcore_fixed_point(edges, alive, k=2)
+    assert deg.count() == 0 and rounds == 1
