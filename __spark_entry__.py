@@ -149,6 +149,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return extract_documents(df, mode="exploded")
 
 
+def _q_invoice_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.fields import invoice_stress_extract
+
+    return invoice_stress_extract(spark, sf_dir)
+
+
 def _q_ocr(mode: str) -> Callable[[SparkSession, str], DataFrame]:
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = _corpus_docs_for(sf_dir)
@@ -165,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_fused": _q_ocr("fused"),
         # -- detector-chain field extraction (rows-only + pytest gate) --
         "invoice_field_extract": invoice_field_extract,
+        "invoice_stress_extract": _q_invoice_stress,
         "invoice_fill_rates": invoice_fill_rates,
         # -- save-crop debug sink (label routing vs layout ground truth) --
         "save_crops": _save_crops_query,
@@ -1008,6 +1015,37 @@ def _crop_expected_path() -> str:
     return path
 
 
+def _invoice_stress_expected_path() -> str:
+    """Expected records for the composed hard-axis slice (STRESS_REFS),
+    computed from layout ground truth through the pure-Python normalizer
+    twins — never through the Spark stage under test."""
+    path = "/tmp/ocr_spark_invoice_stress_expected_v1.parquet"
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_spark.fixtures.invoice import expected_multi_records
+        from ocr_spark.operators.fields import STRESS_REFS
+
+        recs = []
+        for r in STRESS_REFS:
+            recs.extend(expected_multi_records(r))
+        cols = list(recs[0].keys())
+        pq.write_table(
+            pa.table(
+                {
+                    c: pa.array(
+                        [r[c] for r in recs],
+                        pa.int32() if c == "region_idx" else pa.string(),
+                    )
+                    for c in cols
+                }
+            ),
+            path,
+        )
+    return path
+
+
 def _invoice_expected_path() -> str:
     """Expected invoice_field_extract records for the sf0.01 ref set,
     computed from layout ground truth through the pure-Python normalizer
@@ -1204,6 +1242,10 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_fused": ocr_oracle,
         "invoice_field_extract": f"""
 select * from read_parquet('{_invoice_expected_path()}') order by media_ref, region_idx
+""",
+        "invoice_stress_extract": f"""
+select * from read_parquet('{_invoice_stress_expected_path()}')
+order by media_ref, region_idx
 """,
         "invoice_fill_rates": f"""
 with e as (select * from read_parquet('{_invoice_expected_path()}'))

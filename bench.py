@@ -88,6 +88,7 @@ def main() -> int:
         "ocr_extract_exploded",
         "ocr_extract_fused",
         "invoice_field_extract",
+        "invoice_stress_extract",
         "minhash_signatures",
         "lsh_near_dup",
         "simhash64",

@@ -393,6 +393,40 @@ def invoice_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round-4 composed-stressor slice: six batch-scanned sheets on which ALL
+# hard axes co-occur BY SEARCH (pinned in tests/test_fields.py for the
+# first key): sheet-level ±2-5° scan skew, a family mix containing both
+# vat and stock_v2 regions, an underexposed low-contrast QR patch on a
+# vat region (enhancement retry ladder), and at least one 180°-flipped
+# line (per-line classifier).  The bench records the flagship number on
+# this slice next to the mixed-difficulty refs, so a perf win that only
+# holds on easy pages cannot hide.
+STRESS_REFS = (
+    "inv://stress234#multi",
+    "inv://stress267#multi",
+    "inv://stress357#multi",
+    "inv://stress432#multi",
+    "inv://stress829#multi",
+    "inv://stress876#multi",
+)
+
+
+def invoice_stress_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: the detector-chain stage over the composed
+    hard-axis slice (STRESS_REFS) — deskew-before-region-crop, region
+    counting, QR enhancement ladder, and per-line flip rescue all fire
+    on every sheet.  Value-oracled against layout-side expected records
+    (fixtures/invoice.expected_multi_records)."""
+    df = spark.createDataFrame(
+        [(r,) for r in STRESS_REFS], "media_ref string"
+    )
+    return (
+        extract_invoice_fields(df)
+        .repartition(1)
+        .sortWithinPartitions("media_ref", "region_idx")
+    )
+
+
 FILL_FIELDS = (
     "invoice_number", "billing_date", "total_amount", "check_code",
     "buy_bank",

@@ -315,3 +315,53 @@ def test_save_crop_sink_writes_sidecar(spark, tmp_path):
     assert (
         len({k for k in by_ref if k[0] == "inv://s0#multi"}) == n_regions
     )
+
+
+def test_mixed_hard_axis_stress_sheet(spark):
+    """Round-4 composed stressor (VERDICT r3 #8): ONE batch-scanned
+    sheet carrying every hard axis at once — sheet-level skew -5°, a
+    stock_v1 + vat + stock_v2 region mix (stock_v2's widened line
+    regions), an UNDERexposed low-contrast QR patch on the vat region
+    (enhancement retry ladder), and a 180°-flipped line (per-line
+    classifier) — and the extractor must still equal the layout-side
+    expected records bit for bit.  The key was searched so all axes
+    genuinely co-occur; the assertions below pin that, so a fixture
+    change cannot silently de-stress this case."""
+    from ocr_spark.fixtures.invoice import (
+        _QR_LOW_CONTRAST_PROB,
+        expected_multi_records,
+        family_of,
+        ground_truth,
+        multi_sub_refs,
+        render_invoice,
+        render_multi,
+    )
+    from ocr_spark.fixtures.render import _rng
+    from ocr_spark.operators.fields import extract_invoice_fields
+
+    ref = "inv://stress234#multi"
+    subs = multi_sub_refs(ref)
+    fams = [family_of(s) for s in subs]
+    assert "stock_v2" in fams and "vat" in fams  # axis: family mix
+    assert render_multi(ref)[2] == -5  # axis: sheet skew
+    has_dim_qr = False
+    has_flip = False
+    for s in subs:
+        if "qrcode" in ground_truth(s):
+            qrng = _rng("qrpatch:" + s)
+            if qrng.random() < _QR_LOW_CONTRAST_PROB:
+                has_dim_qr = True
+        if any(ln.flipped for ln in render_invoice(s).lines):
+            has_flip = True
+    assert has_dim_qr  # axis: underexposed QR
+    assert has_flip  # axis: per-line 180° flip
+
+    df = spark.createDataFrame([(ref,)], "media_ref string")
+    got = {
+        (r["media_ref"], r["region_idx"]): r.asDict()
+        for r in extract_invoice_fields(df).collect()
+    }
+    exp = expected_multi_records(ref)
+    assert len(got) == len(exp) == len(subs)
+    for rec in exp:
+        assert got[(ref, rec["region_idx"])] == rec, rec["region_idx"]
