@@ -36,6 +36,27 @@ def iceberg_configs(warehouse: str, catalog: str = "ice") -> dict[str, str]:
     }
 
 
+def iceberg_runtime_available() -> bool:
+    """True when an iceberg-spark-runtime jar is reachable in THIS
+    environment: either ``$SPARK_GRAFT_ICEBERG_JAR`` points at one, or
+    one already sits in pyspark's bundled jars directory.  The live
+    read/write round-trip test (tests/test_session.py) keys on this —
+    skip-if-absent today, auto-enabled the moment a jar lands."""
+    env = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if env and os.path.exists(env):
+        return True
+    try:
+        import pyspark
+
+        jars_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        return any(
+            n.startswith("iceberg-spark-runtime") and n.endswith(".jar")
+            for n in os.listdir(jars_dir)
+        )
+    except OSError:
+        return False
+
+
 def get_spark(
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
@@ -91,4 +112,11 @@ def get_spark(
     if iceberg_warehouse:
         for k, v in iceberg_configs(iceberg_warehouse).items():
             builder = builder.config(k, v)
+        # opportunistic jar wiring: when the environment provides the
+        # runtime jar via $SPARK_GRAFT_ICEBERG_JAR, ship it to the JVM so
+        # the catalog path goes LIVE (fresh JVM required — spark.jars and
+        # spark.sql.extensions are static confs; see README quickstart)
+        jar = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+        if jar and os.path.exists(jar):
+            builder = builder.config("spark.jars", jar)
     return builder.getOrCreate()

@@ -38,3 +38,50 @@ def test_get_spark_applies_iceberg_catalog_confs(spark):
     )
     assert s.conf.get("spark.sql.catalog.ice.type") == "hadoop"
     assert s.conf.get("spark.sql.catalog.ice.warehouse") == "/tmp/ice_wh_test"
+
+
+def test_iceberg_live_roundtrip_when_jar_present(tmp_path):
+    """LIVE Iceberg write/read round-trip — auto-enabled the moment the
+    environment provides an iceberg-spark-runtime jar (via pyspark's
+    jars dir or $SPARK_GRAFT_ICEBERG_JAR), skipped cleanly until then.
+    Runs in a SUBPROCESS because spark.sql.extensions / spark.jars are
+    static confs needing a fresh JVM."""
+    import subprocess
+    import sys
+    import textwrap
+
+    import pytest
+
+    from ocr_spark.session import iceberg_runtime_available
+
+    if not iceberg_runtime_available():
+        pytest.skip("iceberg-spark-runtime jar absent in this environment")
+
+    script = textwrap.dedent(
+        f"""
+        from ocr_spark.session import get_spark
+
+        spark = get_spark(
+            cores=2, app_name="ice-rt", iceberg_warehouse="{tmp_path}/wh"
+        )
+        spark.sql(
+            "create table ice.db.t (doc_id string, n int) using iceberg"
+        )
+        spark.sql("insert into ice.db.t values ('a', 1), ('b', 2)")
+        rows = sorted(
+            (r["doc_id"], r["n"])
+            for r in spark.read.format("iceberg").load("ice.db.t").collect()
+        )
+        assert rows == [("a", 1), ("b", 2)], rows
+        print("ICEBERG_ROUNDTRIP_OK")
+        spark.stop()
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert "ICEBERG_ROUNDTRIP_OK" in out.stdout, out.stderr[-2000:]
