@@ -1076,3 +1076,15 @@ def test_bucketed_rank_matches_global_window(spark):
     assert (
         bucketed_exclusive_cumsum(empty, "id", "amt", "off").count() == 0
     )
+
+
+def test_hybrid_rrf_windows_ride_take_ordered_lists(spark):
+    """Both retrieval signals feeding the RRF fusion must be bounded
+    top-K lists BEFORE any rank window: the plan carries (at least) the
+    BM25 TakeOrdered heap, the brute-cosine TakeOrdered heap, and the
+    final fused-ranking heap — so no window ever spans the scored
+    corpus."""
+    from ocr_spark.operators.text_analysis import hybrid_rrf_search
+
+    simple = plan_of(hybrid_rrf_search(spark, SF), "simple")
+    assert simple.count("TakeOrderedAndProject") >= 3, simple

@@ -1359,9 +1359,9 @@ def test_psi_zero_when_stable_and_positive_on_shift(spark, tmp_path):
 
 
 def test_kcore_peel_matches_python_reference(spark, tmp_path):
-    """Three peel rounds vs an independent python peel on the same
-    synthesized graph — fringe nodes (n=37 drops one) disappear and
-    every residual degree matches."""
+    """Fixed-point peel vs an independent python peel-to-convergence on
+    the same synthesized graph — fringe nodes (n=37 drops one)
+    disappear and every residual degree matches."""
     from ocr_spark.operators import web_extract as wx
 
     n = 37
@@ -1378,12 +1378,15 @@ def test_kcore_peel_matches_python_reference(spark, tmp_path):
                 edges.add((i, t)); edges.add((t, i))
     alive = set(range(n))
     deg = {}
-    for _ in range(wx.KCORE_ROUNDS):
+    while True:  # python twin of the fixed-point loop
         deg = {v: 0 for v in alive}
         for a, b in edges:
             if a in alive and b in alive:
                 deg[a] += 1
-        alive = {v for v in alive if deg[v] >= wx.KCORE_K}
+        survivors = {v for v in alive if deg[v] >= wx.KCORE_K}
+        if survivors == alive:
+            break
+        alive = survivors
     want = {v: deg[v] for v in alive}
     got = {
         r["doc_id"]: r["residual_degree"]

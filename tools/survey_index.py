@@ -21,7 +21,13 @@ def main() -> int:
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     qs, osql = m.queries(), m.oracle_sql()
-    assert set(qs) == set(osql), sorted(set(qs) ^ set(osql))
+    # rows-only queries (driver records the weaker check): allowed only
+    # for genuinely non-SQL-expressible ops — the pixel pipeline cannot
+    # run inside DuckDB (eval_end2end_pipeline scores LIVE predictions).
+    ROWS_ONLY = {"eval_end2end_pipeline"}
+    assert set(qs) - set(osql) == ROWS_ONLY, sorted(
+        (set(qs) ^ set(osql)) - ROWS_ONLY
+    )
 
     rows = []
     for k in sorted(qs):
@@ -35,7 +41,8 @@ def main() -> int:
             line = inspect.getsourcelines(f)[1]
         except (TypeError, OSError):
             src, line = "__spark_entry__.py", "?"
-        rows.append(f"| `{k}` | `{src}:{line}` | O |")
+        mark = "R (rows-only)" if k in ROWS_ONLY else "O"
+        rows.append(f"| `{k}` | `{src}:{line}` | {mark} |")
 
     with open("SURVEY.md") as fh:
         head = fh.read().split(MARK)[0].rstrip() + "\n"
@@ -46,10 +53,11 @@ def main() -> int:
             "",
             "Derived by `tools/survey_index.py`; \"O\" = DuckDB value"
             " oracle in",
-            "`oracle_sql()` (all keys are oracled; media/OCR expecteds"
-            " are persisted",
-            "fixture ground truth, same gate).  Regenerate after moving"
-            " operators.",
+            "`oracle_sql()` (media/OCR expecteds are persisted fixture"
+            " ground truth,",
+            "same gate); \"R\" = rows-only by design (the live pixel"
+            " pipeline cannot",
+            "run inside DuckDB).  Regenerate after moving operators.",
             "",
             f"{len(rows)} queries on the board.",
             "",
