@@ -145,6 +145,12 @@ def e2e_metrics(pred: DataFrame, gt: DataFrame) -> DataFrame:
     subtlety that a prediction matched to an IGNORED truth is consumed
     by the match (it is neither counted as a hit nor as an unmatched
     prediction)."""
+    # Reference fidelity: eval_end2end.py iterates GT files and reads
+    # the same-named prediction file — predictions for pages with no
+    # ground truth are never seen, so gate pred to gt pages first.
+    pred = pred.join(
+        gt.select("page_id").distinct(), "page_id", "left_semi"
+    )
     matches = greedy_matches(_pair_candidates(pred, gt))
     gt_side = gt.select(
         "page_id",

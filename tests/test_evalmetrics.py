@@ -190,3 +190,22 @@ def test_synthetic_predictions_are_graded(spark, tmp_path):
     assert 0 < m["precision_ppm"] < 1000000
     assert 0 < m["recall_ppm"] < 1000000
     assert 0 < m["char_acc_ppm"] < 1000000
+
+
+def test_predictions_on_gtless_pages_are_ignored(spark):
+    """Reference fidelity: the harness iterates GT files — a prediction
+    on a page with no ground truth is never seen (neither matched nor
+    counted as spurious)."""
+    from ocr_spark.operators.evalmetrics import e2e_metrics
+
+    gt = _gt(spark, [("p", 0, 0, 0, 50, 10, "keep", 0)])
+    pred = _pred(
+        spark,
+        [
+            ("p", 0, 0, 0, 50, 10, "keep"),
+            ("qqq", 0, 0, 0, 50, 10, "phantom"),
+        ],
+    )
+    m = _one(e2e_metrics(pred, gt))
+    assert m["dt_count"] == 1 and m["gt_count"] == 1 and m["hit"] == 1
+    assert m["ed_sum"] == 0 and m["precision_ppm"] == 1000000
