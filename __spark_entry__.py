@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_thumbnails": media.media_thumbnails,
         "media_dhash_dedup": media.media_dhash_dedup,
         "frame_sample": media.frame_sample,
+        "audio_features": media.audio_features,
         # -- table structure (row x col interval geometry) --
         "table_cells": table.table_cells,
         "table_det_assign": table.table_det_assign,
@@ -1285,6 +1286,34 @@ select * from read_parquet('{_media_expected_path("thumb")}') order by media_ref
         "frame_sample": f"""
 select * from read_parquet('{_media_expected_path("frames")}')
 order by media_ref, frame_idx
+""",
+        # audio features: fully ANALYTIC oracle — DuckDB regenerates the
+        # NAUD1 fixture waveform from the shared integer formula and
+        # recomputes every window feature; the Spark side decodes real
+        # container bytes, so the two computations share no code path.
+        "audio_features": """
+with refs as (
+  select 'aud://' || c_custkey as media_ref,
+         (c_custkey * 2654435761) % 2147483647 as seed
+  from customer where c_custkey % 50 = 0
+), samp as (
+  select media_ref, i,
+         ((seed + i * 104729) % 65536) - 32768 as s
+  from refs, range(2048) t(i)
+), w as (
+  select media_ref, i, s, i // 256 as win_idx,
+         lag(s) over (partition by media_ref order by i) as prev
+  from samp
+)
+select media_ref,
+       cast(win_idx as int) as win_idx,
+       cast(count(*) as int) as n_samples,
+       cast(sum(abs(s)) as bigint) as sum_abs,
+       cast(sum(s * s) as bigint) as energy,
+       cast(max(abs(s)) as int) as peak,
+       cast(sum(case when i % 256 <> 0 and ((prev < 0) <> (s < 0))
+                     then 1 else 0 end) as int) as zero_cross
+from w group by media_ref, win_idx order by media_ref, win_idx
 """,
         # -- span algebra --
         "span_explode": """

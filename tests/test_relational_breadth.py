@@ -905,9 +905,11 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
     pq.write_table(sup, f"{d}/supplier.parquet")
 
     from ocr_spark.operators import dedup as D
+    from ocr_spark.operators import media as M
     from ocr_spark.operators import similarity as S
 
     empty_ok = [
+        M.audio_features,
         R.kmv_weekly_rollup, R.unpivot_measures, R.theta_sketch_overlap,
         R.pps_systematic_sample, R.k_anonymity_audit, R.cusum_changepoint,
         R.pit_join_events_scd2, R.mad_outliers, R.purchase_paths,
