@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": relational.funnel_counts,
         "gap_fill_daily": relational.gap_fill_daily,
         "kmeans_clusters": similarity.kmeans_clusters,
+        "semdedup_prune": similarity.semdedup_prune,
         "price_histogram": relational.price_histogram,
         "snapshot_diff": relational.snapshot_diff,
         "window_tumbling_stats": relational.window_tumbling_stats,
@@ -1232,6 +1233,50 @@ def _media_expected_path(which: str) -> str:
                 )
         pq.write_table(table, path)
     return path
+
+
+def _kmeans_cte_chain() -> tuple[str, str]:
+    """(distance expr, CTE chain text) for the unrolled fixed-point
+    Lloyd iterations — shared by the kmeans_clusters and semdedup_prune
+    oracles so the assignment derivation cannot drift between them."""
+    dist = (
+        "list_sum(list_transform(range(1, len(e.xi) + 1),"
+        " i -> (e.xi[i] - c.cv[i]) * (e.xi[i] - c.cv[i])))"
+    )
+    parts = [
+        f"""
+e as (
+  select vec_id,
+         list_transform(embedding,
+           x -> round(x::double * {similarity.KMEANS_SCALE})::bigint)
+           as xi
+  from embeddings
+),
+c0 as (select vec_id as cid, xi as cv from e
+       where vec_id < {similarity.KMEANS_K})"""
+    ]
+    for i in range(1, similarity.KMEANS_ITERS + 1):
+        parts.append(f"""
+a{i} as (
+  select vec_id, xi, cid from (
+    select e.vec_id, e.xi, c.cid, {dist} as d
+    from e cross join c{i - 1} c
+  ) t qualify row_number() over (partition by vec_id
+                                 order by d, cid) = 1
+),
+s{i} as (
+  select cid, pos, sum(x) as s, count(*) as n
+  from (select cid, unnest(xi) as x,
+               unnest(range(1, len(xi) + 1)) as pos from a{i})
+  group by cid, pos
+),
+c{i} as (
+  select cid, list(s // n order by pos) as cv from s{i} group by cid
+  union all
+  select cid, cv from c{i - 1}
+  where cid not in (select cid from s{i})
+)""")
+    return dist, ",".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2973,53 +3018,51 @@ order by g.user_id, day
 """
     # Lloyd's k-means, KMEANS_ITERS unrolled iterations in fixed-point
     # integer arithmetic (micro-units, truncating `//` means) — the same
-    # derivation as the Spark driver loop, bit-exact.
-    _dist = (
-        "list_sum(list_transform(range(1, len(e.xi) + 1),"
-        " i -> (e.xi[i] - c.cv[i]) * (e.xi[i] - c.cv[i])))"
-    )
-    _parts = [
-        f"""
-e as (
-  select vec_id,
-         list_transform(embedding,
-           x -> round(x::double * {similarity.KMEANS_SCALE})::bigint)
-           as xi
-  from embeddings
-),
-c0 as (select vec_id as cid, xi as cv from e
-       where vec_id < {similarity.KMEANS_K})"""
-    ]
-    for i in range(1, similarity.KMEANS_ITERS + 1):
-        _parts.append(f"""
-a{i} as (
-  select vec_id, xi, cid from (
-    select e.vec_id, e.xi, c.cid, {_dist} as d
-    from e cross join c{i - 1} c
-  ) t qualify row_number() over (partition by vec_id
-                                 order by d, cid) = 1
-),
-s{i} as (
-  select cid, pos, sum(x) as s, count(*) as n
-  from (select cid, unnest(xi) as x,
-               unnest(range(1, len(xi) + 1)) as pos from a{i})
-  group by cid, pos
-),
-c{i} as (
-  select cid, list(s // n order by pos) as cv from s{i} group by cid
-  union all
-  select cid, cv from c{i - 1}
-  where cid not in (select cid from s{i})
-)""")
+    # derivation as the Spark driver loop, bit-exact.  The CTE chain is
+    # shared with the SemDeDup oracle below.
+    _dist, _kmeans_ctes = _kmeans_cte_chain()
     _n = similarity.KMEANS_ITERS
     sql["kmeans_clusters"] = (
-        "with " + ",".join(_parts) + f"""
+        "with " + _kmeans_ctes + f"""
 select vec_id, cluster, dist_sq_micro from (
   select e.vec_id, c.cid as cluster, ({_dist})::bigint as dist_sq_micro
   from e cross join c{_n} c
 ) t qualify row_number() over (partition by vec_id
                                order by dist_sq_micro, cluster) = 1
 order by vec_id
+"""
+    )
+    # SemDeDup: the SAME unrolled k-means assignment, then exact
+    # within-cluster cosine (double, round-4 — the embedding_near_dup
+    # convention) against every lower-id cluster-mate.
+    _sd_cos = (
+        "round(list_dot_product(x.emb, y.emb) /"
+        " (sqrt(list_dot_product(x.emb, x.emb)) *"
+        " sqrt(list_dot_product(y.emb, y.emb))), 4)"
+    )
+    sql["semdedup_prune"] = (
+        "with " + _kmeans_ctes + f""",
+asg as (
+  select vec_id, cluster from (
+    select e.vec_id, c.cid as cluster, {_dist} as d
+    from e cross join c{_n} c
+  ) t qualify row_number() over (partition by vec_id
+                                 order by d, cluster) = 1
+),
+v as (
+  select a.vec_id, a.cluster, emb.embedding::double[] as emb
+  from asg a join embeddings emb using (vec_id)
+),
+p as (
+  select x.vec_id as vec_b, min(y.vec_id) as pruned_by
+  from v x join v y on x.cluster = y.cluster and y.vec_id < x.vec_id
+  where {_sd_cos} >= {similarity.SEMDEDUP_TAU}
+  group by x.vec_id
+)
+select a.vec_id, cast(a.cluster as int) as cluster,
+       cast(p.pruned_by is null as int) as is_kept, p.pruned_by
+from asg a left join p on a.vec_id = p.vec_b
+order by a.vec_id
 """
     )
     # Equi-width histogram in integer cents (truncating div, both

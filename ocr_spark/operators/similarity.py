@@ -562,6 +562,40 @@ def _assign_expr(cents: list[list[int]]) -> Column:
     )
 
 
+def _kmeans_fit(
+    spark: SparkSession, sf_dir: str, k: int, iters: int
+) -> tuple[DataFrame, list[list[int]]]:
+    """The Lloyd loop shared by kmeans_clusters and semdedup_prune:
+    returns (fixed-point embedding frame, final centroids).  Centroids
+    are driver state (k x dim ints); each iteration is one map-side
+    argmin plus one (cluster, dim) partial-agg shuffle."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", _emb_fixedpoint(F.col("embedding")).alias("xi"))
+    )
+    init = emb.filter(F.col("vec_id") < k).collect()
+    cents = [
+        list(r["xi"]) for r in sorted(init, key=lambda r: r["vec_id"])
+    ]
+    if not cents:  # empty corpus: nothing to iterate (callers handle [])
+        return emb, cents
+    for _ in range(iters):
+        a = emb.withColumn("c", _assign_expr(cents)).select(
+            "vec_id", F.col("c")["cid"].alias("cid"), "xi"
+        )
+        sums = (
+            a.select("cid", F.posexplode("xi").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]  # emptied cluster keeps centroid
+        for r in sums:
+            nxt[r["cid"]][r["pos"]] = _tdiv(int(r["s"]), int(r["n"]))
+        cents = nxt
+    return emb, cents
+
+
 def kmeans_clusters(
     spark: SparkSession,
     sf_dir: str,
@@ -581,34 +615,96 @@ def kmeans_clusters(
     iterations are bit-exact across engines AND partition orders.
     Init = the first k vectors; an emptied cluster keeps its previous
     centroid (deterministic rule, same in the oracle)."""
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", _emb_fixedpoint(F.col("embedding")).alias("xi"))
-    )
-    init = emb.filter(F.col("vec_id") < k).collect()
-    cents = [
-        list(r["xi"]) for r in sorted(init, key=lambda r: r["vec_id"])
-    ]
-    for _ in range(iters):
-        a = emb.withColumn("c", _assign_expr(cents)).select(
-            "vec_id", F.col("c")["cid"].alias("cid"), "xi"
-        )
-        sums = (
-            a.select("cid", F.posexplode("xi").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
-        nxt = [list(c) for c in cents]  # emptied cluster keeps centroid
-        for r in sums:
-            nxt[r["cid"]][r["pos"]] = _tdiv(int(r["s"]), int(r["n"]))
-        cents = nxt
+    emb, cents = _kmeans_fit(spark, sf_dir, k, iters)
     final = emb.withColumn("c", _assign_expr(cents))
     return (
         final.select(
             "vec_id",
             F.col("c")["cid"].alias("cluster"),
             F.col("c")["d"].alias("dist_sq_micro"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("vec_id")
+    )
+
+
+SEMDEDUP_TAU = 0.4
+
+
+def semdedup_prune(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv 2303.09540): semantic dedup by
+    k-means clustering then EXACT within-cluster cosine pruning — the
+    operator the knn_graph/kmeans primitives exist for.  A vector is
+    pruned when ANY cluster-mate with a LOWER vec_id has cosine >= tau
+    (the paper's keep-lowest-index rule, applied against all lower-id
+    mates whether or not those mates are themselves pruned — pruning is
+    a per-item dominance test, not a transitive closure; that is what
+    makes it one join, not an iteration).  Emits every vector with its
+    cluster, is_kept, and pruned_by = the smallest qualifying mate id.
+
+    Scale shape: the Lloyd loop is the kmeans_clusters shape (driver
+    centroids, map-side argmin, one partial-agg shuffle per iteration);
+    the prune is ONE self-equi-join keyed on cluster.  Within-cluster
+    pair work is the SemDeDup design point: k scales with the corpus
+    (k ~ n / target_cluster_size, e.g. 100k clusters for 10^9 vectors)
+    so per-cluster candidates stay bounded; AQE skew-split covers hot
+    clusters.  Cosine is rounded to 4dp before the threshold, the
+    engine-agreement convention of embedding_near_dup."""
+    emb_xi, cents = _kmeans_fit(spark, sf_dir, k, iters)
+    out_schema = "vec_id long, cluster int, is_kept int, pruned_by long"
+    if not cents:  # empty corpus: no centroids, nothing to assign
+        return spark.createDataFrame([], out_schema)
+    assign = emb_xi.withColumn("c", _assign_expr(cents)).select(
+        "vec_id", F.col("c")["cid"].alias("cluster")
+    )
+    vecs = assign.join(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        ),
+        "vec_id",
+    ).withColumn("nrm", _norm(F.col("embedding")))
+    a = vecs.select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = vecs.select(
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pruned = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                4,
+            ),
+        )
+        .filter(F.col("cos") >= tau)
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("pruned_by"))
+    )
+    return (
+        assign.join(pruned, assign["vec_id"] == pruned["vec_b"], "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("pruned_by").isNull(), 1)
+            .otherwise(0)
+            .alias("is_kept"),
+            "pruned_by",
         )
         .repartition(1)
         .sortWithinPartitions("vec_id")

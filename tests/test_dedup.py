@@ -555,3 +555,82 @@ def test_prefix_filter_kills_boilerplate_skew(spark, tmp_path):
     # prefixes are boilerplate-free => candidates collapse to real dups
     assert n_full >= 250
     assert n_pref < n_full / 10, (n_pref, n_full)
+
+
+def test_semdedup_prune_dominance_rule(spark, tmp_path):
+    """SemDeDup keep/prune semantics on a crafted single-cluster corpus:
+    b is pruned by a (cos 1.0); c is pruned by b (cos ~0.93 >= tau) even
+    though b is itself pruned — dominance against ALL lower-id mates,
+    not a transitive closure; d (orthogonal-ish) survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.operators.similarity import semdedup_prune
+
+    vecs = [
+        (0, [1.0, 0.0]),        # a: kept (lowest id)
+        (1, [1.0, 0.0]),        # b: pruned by a (cos 1.0)
+        (2, [0.3846, 0.9231]),  # c: cos(c,a)=0.3846 < tau, but pruned
+                                #    via... (see below)
+        (3, [0.0, 1.0]),        # d: cos(d,a)=0, cos(d,b)=0
+    ]
+    # make c qualify against b only: replace b with a 45-degree vector
+    vecs[1] = (1, [0.7071, 0.7071])
+    # now cos(b,a)=0.7071 >= tau(0.5)? use explicit tau below.
+    t = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * 4, pa.int32()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(t, f"{d}/embeddings.parquet")
+    # k=1 -> one cluster; tau=0.9: cos(b,a)=.7071 (b kept),
+    # cos(c,a)=.272+.653=.925?? compute: c=[0.3846,0.9231]
+    #   cos(c,a)=0.3846 -> < .9 ; cos(c,b)=(0.3846+0.9231)*.7071/1
+    #   = .9245 >= .9 -> c pruned BY b although b itself is kept here.
+    out = {
+        r["vec_id"]: r
+        for r in semdedup_prune(spark, d, k=1, iters=1, tau=0.9).collect()
+    }
+    assert len(out) == 4
+    assert out[0]["is_kept"] == 1 and out[0]["pruned_by"] is None
+    assert out[1]["is_kept"] == 1  # cos(b,a)=0.7071 < 0.9
+    # c pruned by b (cos 0.9247) even though cos(c,a)=0.3846 < tau
+    assert out[2]["is_kept"] == 0 and out[2]["pruned_by"] == 1
+    # d pruned by c (cos 0.9231) even though c is itself pruned —
+    # dominance against ALL lower-id mates, not a transitive closure
+    assert out[3]["is_kept"] == 0 and out[3]["pruned_by"] == 2
+
+    # tau=0.7: b now pruned by a; d's minimum qualifying lower-id mate
+    # becomes b (cos(d,b)=0.7071 >= tau) — min over qualifiers, not max
+    out2 = {
+        r["vec_id"]: r
+        for r in semdedup_prune(spark, d, k=1, iters=1, tau=0.7).collect()
+    }
+    assert out2[1]["is_kept"] == 0 and out2[1]["pruned_by"] == 0
+    assert out2[2]["is_kept"] == 0 and out2[2]["pruned_by"] == 1
+    assert out2[3]["is_kept"] == 0 and out2[3]["pruned_by"] == 1
+
+
+def test_semdedup_prune_fixture_sanity(spark, sf_dir):
+    """On the fixture corpus: every vector appears exactly once, kept
+    vectors dominate (lowest id per near-dup set survives), pruned_by is
+    always a lower id in the same cluster, and runs are deterministic."""
+    from ocr_spark.operators.similarity import semdedup_prune
+
+    rows = semdedup_prune(spark, sf_dir).collect()
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_emb
+    cluster_of = {r["vec_id"]: r["cluster"] for r in rows}
+    for r in rows:
+        if r["is_kept"] == 0:
+            assert r["pruned_by"] is not None
+            assert r["pruned_by"] < r["vec_id"]
+            assert cluster_of[r["pruned_by"]] == r["cluster"]
+        else:
+            assert r["pruned_by"] is None
+    assert rows == semdedup_prune(spark, sf_dir).collect()
