@@ -1088,3 +1088,34 @@ def test_hybrid_rrf_windows_ride_take_ordered_lists(spark):
 
     simple = plan_of(hybrid_rrf_search(spark, SF), "simple")
     assert simple.count("TakeOrderedAndProject") >= 3, simple
+
+
+def test_semdedup_prune_cluster_equi_join(spark):
+    """SemDeDup's prune stage must be ONE cluster-keyed equi-join (no
+    cartesian / nested-loop pair generation), with a partial min
+    before the pruned-by aggregation's shuffle."""
+    from ocr_spark.operators.similarity import semdedup_prune
+
+    plan = plan_of(semdedup_prune(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the self-join runs on the cluster key (hashpartitioning or a
+    # broadcast of one side at fixture scale — never an all-pairs loop)
+    assert "cluster" in plan
+    assert "partial_min" in plan_of(semdedup_prune(spark, SF), "simple")
+
+
+def test_audio_features_map_side_only(spark):
+    """Audio decode + windowed features are map-side mapInPandas; the
+    only exchange in the plan is the deterministic check-gate sort
+    (round-robin partitioning), never a hash shuffle of PCM payloads."""
+    from ocr_spark.operators.media import audio_features
+
+    plan = plan_of(audio_features(spark, SF), "simple")
+    assert plan.count("MapInPandas") == 2  # encode fixture + features
+    assert "hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    # filter reaches the scan; only round-robin + check-gate exchanges
+    fmt = plan_of(audio_features(spark, SF), "formatted")
+    assert "PushedFilters: [IsNotNull(c_custkey)]" in fmt
+    assert fmt.count("Exchange") <= 4  # 2 nodes x (tree + detail)
