@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigram_lift": text_analysis.pmi_bigram_lift,
         "dsir_importance_weights": text_analysis.dsir_importance_weights,
         "sequence_pack": text_analysis.sequence_pack,
+        "bpe_merges": text_analysis.bpe_merges,
         # -- HTML main-content extraction (boilerplate strip, pure
         # Catalyst: regexp blocks + densometric classification) --
         "html_block_classify": web_extract.html_block_classify,
@@ -1277,6 +1278,51 @@ c{i} as (
   where cid not in (select cid from s{i})
 )""")
     return dist, ",".join(parts)
+
+
+def _bpe_oracle() -> str:
+    """BPE merge training replayed round by round in SQL: the same
+    delimiter-framed symbol strings, pair counting via lockstep unnest
+    of the array against its own 1-shift, argmax with the (count desc,
+    left, right) tie-break, and the literal non-overlapping replace —
+    one CTE trio per unrolled round (the kmeans-oracle pattern)."""
+    parts = [
+        r"""
+w0 as materialized (
+  select count(*) as wc, regexp_replace(word, '(.)', '|\1|', 'g') as s
+  from (select unnest(string_split(text, ' ')) as word from documents)
+  where word <> '' group by word
+)"""
+    ]
+    for i in range(1, text_analysis.BPE_ROUNDS + 1):
+        parts.append(f"""
+p{i} as materialized (
+  select l, r2, sum(wc) as cnt from (
+    select wc,
+           unnest(syms[1:len(syms) - 1]) as l,
+           unnest(syms[2:len(syms)]) as r2
+    from (select wc,
+                 string_split(substring(s, 2, length(s) - 2), '||') as syms
+          from w{i - 1})
+  ) group by l, r2
+),
+m{i} as materialized (
+  select cast({i} as int) as round, l as left_sym, r2 as right_sym,
+         l || r2 as merged, cast(cnt as bigint) as pair_count
+  from p{i} order by cnt desc, l, r2 limit 1
+),
+w{i} as materialized (
+  select w.wc,
+         replace(w.s, '|' || m.left_sym || '||' || m.right_sym || '|',
+                 '|' || m.merged || '|') as s
+  from w{i - 1} w cross join m{i} m
+)""")
+    union = " union all ".join(
+        f"select * from m{i}" for i in range(1, text_analysis.BPE_ROUNDS + 1)
+    )
+    return "with " + ",".join(parts) + f"""
+select * from ({union}) order by round
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3065,6 +3111,7 @@ from asg a left join p on a.vec_id = p.vec_b
 order by a.vec_id
 """
     )
+    sql["bpe_merges"] = _bpe_oracle()
     # Equi-width histogram in integer cents (truncating div, both
     # operands non-negative -> identical in both engines).
     sql["price_histogram"] = f"""

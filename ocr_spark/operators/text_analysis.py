@@ -2253,3 +2253,96 @@ def quantile_normalize_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge training
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 6
+
+
+def bpe_merges(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al., ACL 2016),
+    distributed: the tokenizer-training step of an LLM data pipeline.
+    Each round counts adjacent symbol pairs across the corpus (weighted
+    by word frequency), picks the most frequent pair (ties to the
+    lexicographically smallest), and merges it everywhere; the output
+    is the ordered merge table — the artifact a tokenizer ships.
+
+    Execution shape (the kmeans_clusters pattern): the distinct-word
+    frequency table is built once (one groupBy shuffle) and persisted;
+    the per-round symbol state lives in a COLUMN EXPRESSION stack over
+    it (each merge is one literal ``replace``), so a round costs one
+    map-side pass plus one pair-count partial agg, and the winning pair
+    travels through ``orderBy().limit(1)`` (TakeOrdered, distributed)
+    into bounded driver state — never a corpus collect, never a global
+    window.
+
+    Symbol sequences are delimiter-framed strings (``|c|`` per symbol,
+    so a pair boundary is ``||``): merging pair (a,b) is the literal
+    non-overlapping left-to-right ``replace('|a||b|' -> '|ab|')``,
+    which is exactly greedy BPE merge order — and exactly what the
+    DuckDB oracle replays round by round (fold-vs-replace equivalence
+    is pinned in tests).  Safe because the corpus alphabet cannot
+    contain the frame char (whitespace-split words; fixture text is
+    [a-zA-Z0-9])."""
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .withColumn("s", F.regexp_replace("word", "(.)", r"|$1|"))
+        .select("wc", "s")
+        .persist()
+    )
+    out_schema = (
+        "round int, left_sym string, right_sym string, merged string, "
+        "pair_count long"
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    s_expr = F.col("s")
+    syms = (
+        "split(substring(cur, 2, length(cur) - 2), '\\\\|\\\\|')"
+    )
+    for rnd in range(1, rounds + 1):
+        cur = words.select("wc", s_expr.alias("cur"))
+        # adjacent pairs = zip of the array with its own 1-shift (slice
+        # lengths clamp to 0 for single-symbol words — no index access)
+        pairs = cur.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    f"zip_with("
+                    f"slice({syms}, 1, greatest(size({syms}) - 1, 0)),"
+                    f"slice({syms}, 2, greatest(size({syms}) - 1, 0)),"
+                    f"(a, b) -> struct(a as l, b as r))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(
+                F.col("p.l").alias("left_sym"),
+                F.col("p.r").alias("right_sym"),
+            )
+            .agg(F.sum("wc").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # every word fully merged: nothing left to count
+        l, r = top[0]["left_sym"], top[0]["right_sym"]
+        merges.append((rnd, l, r, l + r, int(top[0]["pair_count"])))
+        s_expr = F.replace(
+            s_expr, F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|")
+        )
+    words.unpersist()
+    return (
+        spark.createDataFrame(merges, out_schema)
+        .repartition(1)
+        .sortWithinPartitions("round")
+    )

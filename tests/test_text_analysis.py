@@ -811,3 +811,91 @@ def test_quantile_normalization_equalizes_marginals(spark, tmp_path):
     assert max(a) == 1050  # top of the global distribution
     # B's shift is gone: its normalized values now include small globals
     assert min(b) < 50
+
+
+def _py_bpe(words: dict[str, int], rounds: int):
+    """Independent reference BPE (Sennrich-style greedy merges)."""
+    seqs = {w: [c for c in w] for w in words}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + words[w]
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rnd, l, r, l + r, c))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_merges_against_python_reference(spark, tmp_path):
+    """The distributed fold/replace merge must equal a plain greedy
+    python BPE on a crafted corpus that exercises overlapping pairs
+    (aaaa -> [aa][aa]), second-order merges (merged symbol as the left
+    element), and frequency ties (lexicographic tie-break)."""
+    from ocr_spark.operators.text_analysis import bpe_merges
+
+    corpus = {
+        "aaaa": 3,       # overlapping self-pair
+        "banana": 4,     # an/na interleave
+        "bandana": 2,
+        "cabana": 2,
+        "zz": 5,         # tie pressure against (a,n)
+    }
+    rows = []
+    did = 0
+    for w, n in corpus.items():
+        for _ in range(n):
+            rows.append((did, w, "en", "s", len(w)))
+            did += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["merged"],
+         r["pair_count"])
+        for r in bpe_merges(spark, d, rounds=5).collect()
+    ]
+    want = _py_bpe(corpus, 5)
+    assert got == want, (got, want)
+    # sanity on the crafted dynamics: 'an' wins round 1
+    # (banana 2x4 + bandana 2x2 + cabana 1x2 = 14)
+    assert got[0][3] == "an" and got[0][4] == 14
+
+
+def test_bpe_merges_exhausted_corpus_stops_early(spark, tmp_path):
+    """A corpus of single-char words has no pairs at all: the trainer
+    emits zero merges instead of throwing or emitting null rounds."""
+    from ocr_spark.operators.text_analysis import bpe_merges
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "a b c", "en", "s", 5), (1, "a c", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    assert bpe_merges(spark, d).count() == 0
+
+    # and a corpus that merges to single symbols mid-run stops there
+    spark.createDataFrame(
+        [(0, "ab ab ab", "en", "s", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = bpe_merges(spark, d).collect()
+    assert len(got) == 1  # (a,b) merges round 1; nothing left round 2
+    assert got[0]["merged"] == "ab" and got[0]["pair_count"] == 3
