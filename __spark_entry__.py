@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": text_analysis.dsir_importance_weights,
         "sequence_pack": text_analysis.sequence_pack,
         "bpe_merges": text_analysis.bpe_merges,
+        "bpe_tokenize": text_analysis.bpe_tokenize,
         # -- HTML main-content extraction (boilerplate strip, pure
         # Catalyst: regexp blocks + densometric classification) --
         "html_block_classify": web_extract.html_block_classify,
@@ -1280,12 +1281,9 @@ c{i} as (
     return dist, ",".join(parts)
 
 
-def _bpe_oracle() -> str:
-    """BPE merge training replayed round by round in SQL: the same
-    delimiter-framed symbol strings, pair counting via lockstep unnest
-    of the array against its own 1-shift, argmax with the (count desc,
-    left, right) tie-break, and the literal non-overlapping replace —
-    one CTE trio per unrolled round (the kmeans-oracle pattern)."""
+def _bpe_cte_parts() -> list[str]:
+    """The unrolled BPE-training CTE chain (w0 + one p/m/w trio per
+    round) shared by the bpe_merges and bpe_tokenize oracles."""
     parts = [
         r"""
 w0 as materialized (
@@ -1317,11 +1315,58 @@ w{i} as materialized (
                  '|' || m.merged || '|') as s
   from w{i - 1} w cross join m{i} m
 )""")
+    return parts
+
+
+def _bpe_oracle() -> str:
+    """BPE merge training replayed round by round in SQL: the same
+    delimiter-framed symbol strings, pair counting via lockstep unnest
+    of the array against its own 1-shift, argmax with the (count desc,
+    left, right) tie-break, and the literal non-overlapping replace —
+    one CTE trio per unrolled round (the kmeans-oracle pattern)."""
     union = " union all ".join(
         f"select * from m{i}" for i in range(1, text_analysis.BPE_ROUNDS + 1)
     )
-    return "with " + ",".join(parts) + f"""
+    return "with " + ",".join(_bpe_cte_parts()) + f"""
 select * from ({union}) order by round
+"""
+
+
+def _bpe_tokenize_oracle() -> str:
+    """Tokenizer application: the SAME training chain, then the framed
+    per-(doc, word) strings pushed through each round's merge in order
+    (left join on true + coalesce so an early-stopped round is a
+    no-op, matching the Spark side's shorter merge list), token count
+    read off the frame-char count."""
+    parts = _bpe_cte_parts()
+    parts.append(r"""
+d0 as materialized (
+  select doc_id, regexp_replace(word, '(.)', '|\1|', 'g') as s,
+         length(word) as wl
+  from (select doc_id, unnest(string_split(text, ' ')) as word
+        from documents)
+  where word <> ''
+)""")
+    for i in range(1, text_analysis.BPE_ROUNDS + 1):
+        parts.append(f"""
+d{i} as materialized (
+  select d.doc_id,
+         coalesce(replace(d.s,
+                          '|' || m.left_sym || '||' || m.right_sym || '|',
+                          '|' || m.merged || '|'), d.s) as s,
+         d.wl
+  from d{i - 1} d left join m{i} m on true
+)""")
+    _n = text_analysis.BPE_ROUNDS
+    return "with " + ",".join(parts) + f"""
+select doc_id,
+       count(*) as n_words,
+       sum(wl)::bigint as n_chars,
+       sum((length(s) - length(replace(s, '|', ''))) // 2)::bigint
+         as n_tokens,
+       (sum((length(s) - length(replace(s, '|', ''))) // 2) * 1000)
+         // sum(wl) as tokens_per_kchar
+from d{_n} group by doc_id order by doc_id
 """
 
 
@@ -3112,6 +3157,7 @@ order by a.vec_id
 """
     )
     sql["bpe_merges"] = _bpe_oracle()
+    sql["bpe_tokenize"] = _bpe_tokenize_oracle()
     # Equi-width histogram in integer cents (truncating div, both
     # operands non-negative -> identical in both engines).
     sql["price_histogram"] = f"""

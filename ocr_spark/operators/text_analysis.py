@@ -2346,3 +2346,54 @@ def bpe_merges(
         .repartition(1)
         .sortWithinPartitions("round")
     )
+
+
+def bpe_tokenize(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus: per document, the
+    whitespace word count, char mass, post-merge token count, and the
+    tokens-per-kchar compression — the number a pipeline watches to
+    budget sequence packing and to spot tokenizer/corpus drift.
+
+    The merge table is bpe_merges' bounded output (R rows, collected —
+    the same driver-state shape as k-means centroids); applying it is R
+    literal ``replace`` steps in merge order folded into ONE map-side
+    expression stack over the exploded words, then a single per-doc
+    aggregation shuffle.  Token count per word is read off the framed
+    string arithmetically (each symbol contributes two frame chars) —
+    no arrays materialized.  All integer; ppm with truncating div."""
+    merges = [
+        (r["left_sym"], r["right_sym"], r["merged"])
+        for r in bpe_merges(spark, sf_dir, rounds=rounds).collect()
+    ]
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    s = F.regexp_replace("word", "(.)", r"|$1|")
+    for l, r, m in merges:
+        s = F.replace(s, F.lit(f"|{l}||{r}|"), F.lit(f"|{m}|"))
+    n_syms = (
+        (F.length(s) - F.length(F.replace(s, F.lit("|"), F.lit(""))))
+        / 2
+    ).cast("long")
+    return (
+        w.select(
+            "doc_id",
+            F.length("word").alias("wl"),
+            n_syms.alias("n_syms"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("wl").alias("n_chars"),
+            F.sum("n_syms").alias("n_tokens"),
+        )
+        .withColumn(
+            "tokens_per_kchar",
+            F.expr("(n_tokens * 1000) div n_chars"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

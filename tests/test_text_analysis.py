@@ -899,3 +899,52 @@ def test_bpe_merges_exhausted_corpus_stops_early(spark, tmp_path):
     got = bpe_merges(spark, d).collect()
     assert len(got) == 1  # (a,b) merges round 1; nothing left round 2
     assert got[0]["merged"] == "ab" and got[0]["pair_count"] == 3
+
+
+def test_bpe_tokenize_against_python_reference(spark, tmp_path):
+    """Applying the trained merges must reproduce an independent python
+    encode: per-doc token counts on a corpus where merges cascade
+    (banana -> b,an,an,a -> ...) and where some words never merge."""
+    from ocr_spark.operators.text_analysis import bpe_merges, bpe_tokenize
+
+    texts = {
+        0: "banana bandana",
+        1: "aaaa zz zz",
+        2: "cabana q",
+    }
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_merges(spark, d, rounds=4).collect()
+    ]
+
+    def encode(word: str) -> list[str]:
+        syms = list(word)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r["doc_id"]: r for r in bpe_tokenize(spark, d, rounds=4).collect()}
+    for did, text in texts.items():
+        words = [w for w in text.split(" ") if w]
+        n_tok = sum(len(encode(w)) for w in words)
+        n_chars = sum(len(w) for w in words)
+        assert got[did]["n_words"] == len(words)
+        assert got[did]["n_chars"] == n_chars
+        assert got[did]["n_tokens"] == n_tok, (did, merges)
+        assert got[did]["tokens_per_kchar"] == n_tok * 1000 // n_chars
+    # compression really happened somewhere
+    assert any(r["n_tokens"] < r["n_chars"] for r in got.values())
