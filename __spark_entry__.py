@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_to_spans": web_extract.html_to_spans,
         "robots_gate": web_extract.robots_gate,
         "link_graph_pagerank": web_extract.link_graph_pagerank,
+        "hits_hubs_authorities": web_extract.hits_hubs_authorities,
         # -- container sources --
         "ofd_extract": _q_ofd,
         # -- multimodal media plumbing (value oracles over driver-side
@@ -5089,6 +5090,57 @@ select skeleton, count(*) as n_names,
 from sk group by skeleton
 having count(distinct display_name) > 1
 order by skeleton
+"""
+    # HITS truth: HITS_ITERS unrolled (authority, hub) half-steps, each
+    # renormalized by its round max via hugeint floor division — the
+    # same integer-exact rule as the Spark side's decimal(38,0) div.
+    _hits_rounds = []
+    _prev_hub = "h0"
+    for _i in range(1, web_extract.HITS_ITERS + 1):
+        _hits_rounds.append(
+            f"a{_i}r as materialized (select e.dst as v, sum(h.hub) as s"
+            f" from edges e join {_prev_hub} h on e.src = h.v"
+            f" group by e.dst)"
+        )
+        _hits_rounds.append(f"a{_i}m as (select max(s) as mx from a{_i}r)")
+        _hits_rounds.append(
+            f"a{_i} as materialized (select v, cast(s::hugeint *"
+            f" {web_extract.HITS_SCALE} // mx as bigint) as auth"
+            f" from a{_i}r, a{_i}m)"
+        )
+        _hits_rounds.append(
+            f"h{_i}r as materialized (select e.src as v, sum(a.auth) as s"
+            f" from edges e join a{_i} a on e.dst = a.v"
+            f" group by e.src)"
+        )
+        _hits_rounds.append(f"h{_i}m as (select max(s) as mx from h{_i}r)")
+        _hits_rounds.append(
+            f"h{_i} as materialized (select v, cast(s::hugeint *"
+            f" {web_extract.HITS_SCALE} // mx as bigint) as hub"
+            f" from h{_i}r, h{_i}m)"
+        )
+        _prev_hub = f"h{_i}"
+    _hits_last = web_extract.HITS_ITERS
+    sql["hits_hubs_authorities"] = f"""
+with n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as materialized (select distinct src, dst from e0 where src != dst),
+h0 as (select doc_id as v, cast({web_extract.HITS_SCALE} as bigint) as hub
+       from documents),
+{",".join(_hits_rounds)}
+select d.doc_id,
+       cast(coalesce(h.hub, 0) as bigint) as hub_ppm,
+       cast(coalesce(a.auth, 0) as bigint) as auth_ppm
+from documents d
+left join h{_hits_last} h on d.doc_id = h.v
+left join a{_hits_last} a on d.doc_id = a.v
+order by d.doc_id
 """
     # k-core truth: three unrolled peel rounds over the undirected graph.
     # k-core: KCORE_MAX_ROUNDS unrolled peels == the fixed point at any

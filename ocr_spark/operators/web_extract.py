@@ -653,6 +653,84 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HITS hubs & authorities — the other classic link-analysis score
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3
+HITS_SCALE = 1_000_000  # hub/authority mass carried as integer ppm
+
+
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg, JACM 1999) over the shared deterministic link
+    graph: authority(v) = sum of hub over in-links, hub(u) = sum of
+    authority over out-links, alternating for ``HITS_ITERS`` rounds —
+    the directory-page / cited-page decomposition every crawler ranks
+    with next to PageRank (reference has no link analysis; this is the
+    web-scale curation companion to ``link_graph_pagerank``).
+
+    Engine-exact iteration: scores are integer parts-per-million.
+    Each half-step sums bigint mass, then renormalizes by the round's
+    MAX via floor division — ``(score * SCALE) div max`` — instead of
+    the classic L2 norm (a square root would leave integers).  The
+    product is widened to decimal(38,0) before the multiply so a
+    10^9-node in-degree sum cannot overflow bigint at 100 TB; integer
+    sums and a deterministic max make the result bit-identical across
+    partition orders and engines.
+
+    Scale shape: per half-step one join of edges with the score vector
+    (edges pre-partitionable by src/dst once, the PageRank layout) and
+    one groupBy with map-side partial sums — O(edges) work, O(nodes)
+    state; the normalizing max is a 1-row broadcast, never a shuffle
+    of the corpus.  No unpartitioned windows anywhere."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    edges = _link_edges(docs, n)
+    k = F.col("doc_id")
+
+    def _normalize(scores: DataFrame, col: str) -> DataFrame:
+        mx = scores.agg(F.max(col).alias("mx"))
+        return scores.crossJoin(F.broadcast(mx)).select(
+            "v",
+            F.expr(
+                f"cast(cast({col} as decimal(38,0)) * {HITS_SCALE}"
+                f" div mx as bigint)"
+            ).alias(col),
+        )
+
+    hub = docs.select(
+        k.alias("v"), F.lit(HITS_SCALE).cast("bigint").alias("hub")
+    )
+    auth = None
+    for _ in range(HITS_ITERS):
+        auth = _normalize(
+            edges.join(hub, edges["src"] == hub["v"])
+            .groupBy(edges["dst"].alias("v"))
+            .agg(F.sum("hub").alias("auth")),
+            "auth",
+        )
+        hub = _normalize(
+            edges.join(auth, edges["dst"] == auth["v"])
+            .groupBy(edges["src"].alias("v"))
+            .agg(F.sum("auth").alias("hub")),
+            "hub",
+        )
+    return (
+        docs.select(k.alias("doc_id"))
+        .join(hub, k == hub["v"], "left")
+        .drop("v")
+        .join(auth, k == auth["v"], "left")
+        .drop("v")
+        .select(
+            "doc_id",
+            F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub_ppm"),
+            F.coalesce("auth", F.lit(0)).cast("bigint").alias("auth_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Redirect-chain resolution via pointer jumping (log-step doubling)
 # ---------------------------------------------------------------------------
 

@@ -934,7 +934,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         T.span_corruption_mask, T.bm25_topk, T.term_drift,
         T.conjunctive_search, T.bigram_next_token, T.rendezvous_shard,
         T.bpe_merges, T.bpe_tokenize,
-        W.html_to_spans, W.robots_gate,
+        W.html_to_spans, W.robots_gate, W.hits_hubs_authorities,
     ]
     for fn in empty_ok:
         assert fn(spark, d).count() == 0, fn.__name__

@@ -106,6 +106,49 @@ def test_pagerank_matches_python_twin(spark, sf_dir):
     assert sum(pr.values()) <= 10**9
 
 
+def test_hits_matches_python_twin(spark, sf_dir):
+    """Exact integer-ppm HITS against an independent pure-python twin
+    on the same deterministic graph (same max-renormalized floor-div
+    rule), plus the normalization invariants: every score in
+    [0, SCALE], and each final half-step's max is exactly SCALE."""
+    from ocr_spark.operators.web_extract import (
+        HITS_ITERS,
+        HITS_SCALE,
+        hits_hubs_authorities,
+    )
+
+    rows = hits_hubs_authorities(spark, sf_dir).collect()
+    n = len(rows)
+    edges = set()
+    for i in range(n):
+        for a, b in ((7, 1), (13, 2), (31, 3)):
+            t = (i * a + b) % n
+            if t != i:
+                edges.add((i, t))
+    hub = {v: HITS_SCALE for v in range(n)}
+    auth = {}
+    for _ in range(HITS_ITERS):
+        raw = {}
+        for s, d in edges:
+            if s in hub:
+                raw[d] = raw.get(d, 0) + hub[s]
+        mx = max(raw.values())
+        auth = {v: (x * HITS_SCALE) // mx for v, x in raw.items()}
+        raw = {}
+        for s, d in edges:
+            if d in auth:
+                raw[s] = raw.get(s, 0) + auth[d]
+        mx = max(raw.values())
+        hub = {v: (x * HITS_SCALE) // mx for v, x in raw.items()}
+    for r in rows:
+        assert r["hub_ppm"] == hub.get(r["doc_id"], 0), r
+        assert r["auth_ppm"] == auth.get(r["doc_id"], 0), r
+        assert 0 <= r["hub_ppm"] <= HITS_SCALE
+        assert 0 <= r["auth_ppm"] <= HITS_SCALE
+    assert max(r["hub_ppm"] for r in rows) == HITS_SCALE
+    assert max(r["auth_ppm"] for r in rows) == HITS_SCALE
+
+
 def test_url_canonicalize_crafted(spark, tmp_path):
     """Hand-checked canonical forms: tracking params dropped, query
     sorted, fragment dropped, default port + www + trailing slash
