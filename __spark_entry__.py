@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_frequency": relational.cms_user_frequency,
         "group_hash_sample": text_analysis.group_hash_sample,
         "text_normalize": text_analysis.text_normalize,
+        "encoding_repair": text_analysis.encoding_repair,
         "bloom_semi_prune": relational.bloom_semi_prune,
         "shard_pack_manifest": text_analysis.shard_pack_manifest,
         "rendezvous_shard": text_analysis.rendezvous_shard,
@@ -3494,6 +3495,46 @@ select doc_id, n_raw, length(norm) as n_norm,
        substring(norm, 1, 40) as norm_head,
        substring(norm, greatest(length(norm) - 11, 1), 12) as norm_tail
 from norm order by doc_id
+"""
+    # Mojibake truth: identical chr()-built corruption + ordered
+    # replace chain; per-pair counts from char-length deltas.
+    sql["encoding_repair"] = """
+with bad as (
+  select chr(226) || chr(8364) || chr(8482) as sq,
+         chr(226) || chr(8364) || chr(339)  as dq,
+         chr(226) || chr(8364) || chr(8221) as em,
+         chr(195) || chr(169)               as ea,
+         chr(8217) as sq_g, chr(8220) as dq_g,
+         chr(8212) as em_g, chr(233) as ea_g
+),
+c0 as (
+  select doc_id, length(text) as base_len,
+         text || case when doc_id % 4 = 0
+                        then ' caf' || ea || ' r' || ea || 'sum' || ea
+                      when doc_id % 4 = 1
+                        then ' don' || sq || 't ' || em || ' wait'
+                      when doc_id % 4 = 2
+                        then ' ' || dq || 'quoted' || sq
+                      else '' end as c
+  from documents, bad
+),
+r as (
+  select doc_id, base_len, c,
+         ((length(c) - length(replace(c, sq, ''))) // 3
+          + (length(c) - length(replace(c, dq, ''))) // 3
+          + (length(c) - length(replace(c, em, ''))) // 3
+          + (length(c) - length(replace(c, ea, ''))) // 2) as n_moj,
+         replace(replace(replace(replace(c, sq, sq_g),
+                                 dq, dq_g), em, em_g), ea, ea_g) as fx
+  from c0, bad
+)
+select doc_id,
+       cast(n_moj as bigint) as n_mojibake,
+       n_moj > 0 as was_corrupted,
+       length(c) as n_chars_bad,
+       length(fx) as n_chars_fixed,
+       substr(fx, base_len + 1, 40) as fixed_tail
+from r order by doc_id
 """
     # HRW truth: per-(doc, s) hash rows, argmax by (hv desc, s desc) —
     # identical tie rule to the Spark sort_array(desc) pick.

@@ -932,6 +932,80 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mojibake repair table: UTF-8 bytes of the good char mis-decoded as
+# cp1252 (the classic double-encoding corruption) -> the intended char.
+# Applied in this order on both engines; the 3-char 'â€x' sequences and
+# 'Ã©' cannot overlap each other or ASCII base text, so the chain is
+# confluent.
+MOJIBAKE_PAIRS = (
+    ("â€™", "’"),  # â€™ -> ' (right single quote)
+    ("â€œ", "“"),  # â€œ -> " (left double quote)
+    ("â€”", "—"),  # â€” -> — (em dash)
+    ("Ã©", "é"),        # Ã©  -> é
+)
+
+
+def encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake detection + repair — the encoding-hygiene pass (ftfy's
+    core case) every web-scale text pipeline runs before dedup: text
+    that was UTF-8 encoded but decoded as cp1252 shows the classic
+    'Ã©' / 'â€™' double-encoding artifacts, which poison shingles,
+    tokenizers, and near-dup signals until repaired.
+
+    The corpus is ASCII, so corrupted inputs are SYNTHESIZED
+    deterministically (same rule in the DuckDB oracle): by doc_id
+    residue a mojibake suffix is appended (3x Ã©, a â€™/â€” pair, a
+    â€œ/â€™ pair, or nothing), then the operator repairs via the fixed
+    ``MOJIBAKE_PAIRS`` chain and counts per-pair occurrences from char
+    lengths — all integers, engine-exact.
+
+    Scale shape: a single map-side projection of chained ``replace``
+    expressions — native Catalyst, no UDF, no shuffle (except the
+    check-gate sort); at 10^12 documents this runs at parquet-scan
+    speed with the text column pruned straight from the scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corrupt = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" cafÃ© rÃ©sumÃ©"))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.lit(" donâ€™t â€” wait"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit(" â€œquotedâ€™"),
+        )
+        .otherwise(F.lit("")),
+    )
+    out = docs.select(
+        "doc_id", F.length("text").alias("base_len"), corrupt.alias("c")
+    )
+    n_hits = F.lit(0).cast("bigint")
+    repaired = F.col("c")
+    for bad, good in MOJIBAKE_PAIRS:
+        n_hits = n_hits + F.floor(
+            (F.length("c") - F.length(F.replace(F.col("c"), F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        ).cast("bigint")
+        repaired = F.replace(repaired, F.lit(bad), F.lit(good))
+    return (
+        out.select(
+            "doc_id",
+            n_hits.alias("n_mojibake"),
+            (n_hits > 0).alias("was_corrupted"),
+            F.length("c").alias("n_chars_bad"),
+            F.length(repaired).alias("n_chars_fixed"),
+            # the appended (now repaired) suffix, positionally — avoids
+            # engine-divergent negative-start substring on short docs
+            F.substring(
+                repaired, F.col("base_len") + 1, F.lit(40)
+            ).alias("fixed_tail"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 GROUP_SAMPLE_K = 5
 
 

@@ -770,6 +770,40 @@ def test_url_path_rollup_tree_counts(spark, tmp_path):
     assert d3 == []
 
 
+def test_encoding_repair_crafted(spark, tmp_path):
+    """Hand-checked mojibake repair: per-residue synthesized suffixes
+    count and repair exactly; mojibake already present in the BASE text
+    is counted and repaired too (the repair chain sees the whole
+    string, not just the synthesized tail)."""
+    from ocr_spark.operators.text_analysis import encoding_repair
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, "plain", "en", "s", 5),       # +3x Ã© suffix
+            (1, "plain", "en", "s", 5),       # +â€™ and â€” suffix
+            (2, "plain", "en", "s", 5),       # +â€œ and â€™ suffix
+            (3, "plain", "en", "s", 5),       # clean
+            (7, "pre Ã© bad", "en", "s", 9),  # mojibake in base
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r for r in encoding_repair(spark, d).collect()}
+    assert got[0]["n_mojibake"] == 3
+    assert got[0]["fixed_tail"] == " café résumé"
+    assert got[1]["n_mojibake"] == 2
+    assert got[1]["fixed_tail"] == " don’t — wait"
+    assert got[2]["n_mojibake"] == 2
+    assert got[2]["fixed_tail"] == " “quoted’"
+    assert got[3]["n_mojibake"] == 0 and not got[3]["was_corrupted"]
+    assert got[3]["fixed_tail"] == ""
+    assert got[3]["n_chars_bad"] == got[3]["n_chars_fixed"] == 5
+    # doc 7: residue 3 adds no suffix, but the base 'Ã©' still repairs
+    assert got[7]["n_mojibake"] == 1
+    assert got[7]["n_chars_fixed"] == got[7]["n_chars_bad"] - 1
+    assert got[7]["fixed_tail"] == ""
+
+
 def test_source_entropy_single_source(spark, tmp_path):
     """One source: entropy 0 and normalized entropy DEFINED as 0.0
     (k=1 would otherwise divide by ln(1)=0 under ANSI mode)."""
