@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_hash_sample": text_analysis.group_hash_sample,
         "text_normalize": text_analysis.text_normalize,
         "encoding_repair": text_analysis.encoding_repair,
+        "kneser_ney_bigram": text_analysis.kneser_ney_bigram,
         "bloom_semi_prune": relational.bloom_semi_prune,
         "shard_pack_manifest": text_analysis.shard_pack_manifest,
         "rendezvous_shard": text_analysis.rendezvous_shard,
@@ -3495,6 +3496,39 @@ select doc_id, n_raw, length(norm) as n_norm,
        substring(norm, 1, 40) as norm_head,
        substring(norm, greatest(length(norm) - 11, 1), 12) as norm_tail
 from norm order by doc_id
+"""
+    # KN truth: one bigram count, marginals, the same two-floor ppb
+    # arithmetic with hugeint widening.
+    sql["kneser_ney_bigram"] = """
+with t as (
+  select string_split(lower(text), ' ') as toks from documents
+),
+b as (
+  select unnest(toks[1:len(toks)-1]) as w1,
+         unnest(toks[2:len(toks)]) as w2
+  from t
+),
+cxy as materialized (
+  select w1, w2, count(*) as c_xy from b group by w1, w2
+),
+l as (
+  select w1, sum(c_xy) as c_head, count(*) as n1p_left
+  from cxy group by w1
+),
+r as (
+  select w2, count(*) as n1p_right from cxy group by w2
+),
+ty as (select count(*) as n_types from cxy)
+select cxy.w1, cxy.w2, c_xy,
+       cast(c_head as bigint) as c_head,
+       cast(n1p_left as bigint) as n1p_left,
+       cast(n1p_right as bigint) as n1p_right,
+       cast(greatest(c_xy * 1000 - 750, 0)::hugeint * 1000000 // c_head
+            + (750000000::hugeint * n1p_left * n1p_right)
+              // (c_head * n_types)
+            as bigint) as p_kn_ppb
+from cxy join l on cxy.w1 = l.w1 join r on cxy.w2 = r.w2, ty
+order by cxy.w1, cxy.w2
 """
     # Mojibake truth: identical chr()-built corruption + ordered
     # replace chain; per-pair counts from char-length deltas.

@@ -1580,6 +1580,83 @@ def bigram_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KN_DISCOUNT_MILLI = 750  # the standard 0.75 absolute discount, milli-counts
+
+
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (Kneser & Ney,
+    ICASSP 1995; Chen & Goodman, 1998) — the smoothing every
+    count-based LM quality filter actually ships, because raw MLE
+    bigrams assign zero to unseen continuations and over-trust
+    boilerplate:
+
+        P_KN(w2|w1) = max(c(w1,w2) - D, 0) / c(w1·)
+                      + (D · N1+(w1·) / c(w1·)) · N1+(·w2) / N1+(··)
+
+    with D = 0.75.  The continuation weight N1+(·w2) (how many DISTINCT
+    heads precede w2) is what separates KN from plain backoff —
+    'Francisco' is frequent but only ever follows 'San', so its continuation mass
+    is tiny.  All arithmetic is integer fixed-point: counts in
+    milli-units against ``KN_DISCOUNT_MILLI``, each of the two terms
+    floor-divided to ppb separately (documented two-floor convention,
+    identical in both engines), products widened to decimal(38,0) /
+    hugeint so 10^12-scale counts cannot overflow bigint.  c(w1·) is
+    the bigram-sum marginal (standard for interpolated KN), so the
+    whole table derives from ONE bigram count.
+
+    Scale shape: one (w1,w2) count shuffle (the same plan as
+    pmi_bigram_lift / bigram_next_token), two vocabulary-sized
+    marginal aggregates joined back on their keys, and a 1-row
+    broadcast for the type total — nothing corpus-sized past the first
+    aggregate, no windows at all."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), " ")
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    cxy = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    left = cxy.groupBy("w1").agg(
+        F.sum("c_xy").alias("c_head"),
+        F.count("*").alias("n1p_left"),
+    )
+    right = cxy.groupBy("w2").agg(F.count("*").alias("n1p_right"))
+    types = cxy.agg(F.count("*").alias("n_types"))
+    d = KN_DISCOUNT_MILLI
+    return (
+        cxy.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.col("c_head").cast("bigint").alias("c_head"),
+            F.col("n1p_left").cast("bigint").alias("n1p_left"),
+            F.col("n1p_right").cast("bigint").alias("n1p_right"),
+            (
+                F.expr(
+                    f"cast(greatest(c_xy * 1000 - {d}, 0) as decimal(38,0))"
+                    " * 1000000 div c_head"
+                )
+                + F.expr(
+                    f"cast({d} as decimal(38,0)) * 1000000 * n1p_left"
+                    " * n1p_right div (c_head * n_types)"
+                )
+            )
+            .cast("bigint")
+            .alias("p_kn_ppb"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("w1", "w2")
+    )
+
+
 CALIB_BUCKETS = 10
 
 

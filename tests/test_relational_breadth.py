@@ -934,6 +934,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         T.span_corruption_mask, T.bm25_topk, T.term_drift,
         T.conjunctive_search, T.bigram_next_token, T.rendezvous_shard,
         T.bpe_merges, T.bpe_tokenize, T.encoding_repair,
+        T.kneser_ney_bigram,
         W.html_to_spans, W.robots_gate, W.hits_hubs_authorities,
     ]
     for fn in empty_ok:

@@ -770,6 +770,78 @@ def test_url_path_rollup_tree_counts(spark, tmp_path):
     assert d3 == []
 
 
+def test_kneser_ney_matches_python_twin(spark, tmp_path):
+    """Exact integer-ppb interpolated KN against an independent pure
+    python twin on a crafted corpus, plus the two semantic invariants:
+    per-head probabilities sum to ~1e9 (floor losses only), and a
+    low-continuation word ('francisco', always after 'san') gets less
+    smoothing mass than an equally-frequent high-continuation word."""
+    from ocr_spark.operators.text_analysis import kneser_ney_bigram
+
+    d = str(tmp_path)
+    texts = [
+        "san francisco is big",
+        "san francisco is old",
+        "the city is big",
+        "a city is old",
+        "san jose is near san francisco",
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = kneser_ney_bigram(spark, d).collect()
+
+    cxy: dict = {}
+    for t in texts:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            cxy[(a, b)] = cxy.get((a, b), 0) + 1
+    c_head: dict = {}
+    n1p_left: dict = {}
+    n1p_right: dict = {}
+    for (a, b), c in cxy.items():
+        c_head[a] = c_head.get(a, 0) + c
+        n1p_left[a] = n1p_left.get(a, 0) + 1
+        n1p_right[b] = n1p_right.get(b, 0) + 1
+    n_types = len(cxy)
+
+    def p_kn(a, b):
+        disc = max(cxy[(a, b)] * 1000 - 750, 0) * 1_000_000 // c_head[a]
+        lam = (750_000_000 * n1p_left[a] * n1p_right[b]) // (
+            c_head[a] * n_types
+        )
+        return disc + lam
+
+    assert len(rows) == n_types
+    sums: dict = {}
+    for r in rows:
+        assert r["p_kn_ppb"] == p_kn(r["w1"], r["w2"]), r
+        sums[r["w1"]] = sums.get(r["w1"], 0) + r["p_kn_ppb"]
+    # interpolated KN is a proper distribution per head over the FULL
+    # vocabulary (observed bigrams carry discounted MLE + smoothing;
+    # unseen continuations carry lambda * Pcont alone).  Completing the
+    # observed sum with the unseen lambda terms must recover ~1e9 ppb,
+    # short only by floor losses (< 1 ppb per divided term).
+    vocab = sorted(n1p_right)
+    for w1, s in sums.items():
+        unseen = sum(
+            (750_000_000 * n1p_left[w1] * n1p_right[w2])
+            // (c_head[w1] * n_types)
+            for w2 in vocab
+            if (w1, w2) not in cxy
+        )
+        total = s + unseen
+        assert total <= 1_000_000_000
+        assert total > 1_000_000_000 - (n1p_left[w1] + len(vocab) + 1)
+    # continuation semantics: 'is' (follows francisco/city/jose, 3
+    # distinct heads) carries more unseen-continuation mass than
+    # 'francisco' (only ever after 'san')
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    assert got[("san", "francisco")]["n1p_right"] == 1
+    assert got[("city", "is")]["n1p_right"] == 3
+
+
 def test_encoding_repair_crafted(spark, tmp_path):
     """Hand-checked mojibake repair: per-residue synthesized suffixes
     count and repair exactly; mojibake already present in the BASE text
