@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_systematic_sample": relational.pps_systematic_sample,
         "hybrid_rrf_search": text_analysis.hybrid_rrf_search,
         "k_anonymity_audit": relational.k_anonymity_audit,
+        "l_diversity_audit": relational.l_diversity_audit,
         "cusum_changepoint": relational.cusum_changepoint,
         "pit_join_events_scd2": relational.pit_join_events_scd2,
         "training_manifest": text_analysis.training_manifest,
@@ -4751,6 +4752,18 @@ select c_nationkey as nation, c_mktsegment as segment,
        c_acctbal >= 0 as bal_nonneg,
        count(*) as class_size,
        count(*) < {relational.KANON_K} as violates_k
+from customer
+group by 1, 2, 3
+order by nation, segment, bal_nonneg
+"""
+    sql["l_diversity_audit"] = f"""
+select c_nationkey as nation, c_mktsegment as segment,
+       c_acctbal >= 0 as bal_nonneg,
+       count(*) as class_size,
+       count(distinct cast(floor(c_acctbal / 1000.0) as bigint))
+         as distinct_sensitive,
+       count(distinct cast(floor(c_acctbal / 1000.0) as bigint))
+         < {relational.LDIV_L} as violates_l
 from customer
 group by 1, 2, 3
 order by nation, segment, bal_nonneg

@@ -2913,6 +2913,59 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LDIV_L = 3  # minimum distinct sensitive values per equivalence class
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companion privacy gate to ``k_anonymity_audit``: k-anonymity
+    alone is defeated by a HOMOGENEOUS class (everyone in the class
+    shares the sensitive value, so membership discloses it).
+    l-diversity (Machanavajjhala et al., ICDE'06) additionally requires
+    every quasi-identifier equivalence class to contain at least ``l``
+    DISTINCT sensitive values.  Same QI tuple as the k-audit (nation,
+    segment, balance sign); the sensitive attribute is the
+    1000-unit account-balance band — ``floor(bal / 1000)``, identical
+    IEEE double floor in both engines.
+
+    Reports per-class size, distinct-sensitive count, and the
+    violates_l flag; a release pipeline generalizes or suppresses the
+    flagged classes before publishing.
+
+    Scale shape: ONE groupBy over the QI key with a distinct-count —
+    Spark plans count(distinct) as the standard two-phase expand
+    (partial per sensitive value, then merge), so no row set larger
+    than (QI domain x sensitive domain) ever shuffles; the audit stays
+    a single scan at any table size."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    classes = (
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            (F.col("c_acctbal") >= 0).alias("bal_nonneg"),
+            F.floor(F.col("c_acctbal") / 1000.0)
+            .cast("bigint")
+            .alias("bal_band"),
+        )
+        .groupBy("nation", "segment", "bal_nonneg")
+        .agg(
+            F.count("*").alias("class_size"),
+            F.countDistinct("bal_band").alias("distinct_sensitive"),
+        )
+    )
+    return (
+        classes.select(
+            "nation",
+            "segment",
+            "bal_nonneg",
+            "class_size",
+            "distinct_sensitive",
+            (F.col("distinct_sensitive") < LDIV_L).alias("violates_l"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("nation", "segment", "bal_nonneg")
+    )
+
+
 # ---------------------------------------------------------------------------
 # CUSUM change-point detection on the daily event series
 # ---------------------------------------------------------------------------

@@ -814,6 +814,44 @@ def test_ltv_deciles_partition_and_share(spark, tmp_path):
     assert mins == sorted(mins, reverse=True)
 
 
+def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
+    """The defining case: a class can be k-anonymous (large) yet
+    l-violating (every member shares the sensitive band) — and a small
+    diverse class passes l while it would fail k."""
+    from ocr_spark.operators.relational import l_diversity_audit
+
+    rows = []
+    # class A: nation 1 / BUILDING / nonneg — 10 members, ALL in band 0
+    for i in range(10):
+        rows.append((i, f"c{i}", 1, 500.0 + i, "BUILDING"))
+    # class B: nation 2 / AUTO / nonneg — 3 members in 3 distinct bands
+    rows.append((100, "b0", 2, 500.0, "AUTO"))
+    rows.append((101, "b1", 2, 1500.0, "AUTO"))
+    rows.append((102, "b2", 2, 2500.0, "AUTO"))
+    # class C: nation 3 / AUTO / negative — bands -1 and -2 (floor of
+    # negative balances), only 2 distinct -> violates
+    rows.append((200, "n0", 3, -500.0, "AUTO"))
+    rows.append((201, "n1", 3, -1500.0, "AUTO"))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    got = {
+        (r["nation"], r["segment"], r["bal_nonneg"]): r
+        for r in l_diversity_audit(spark, d).collect()
+    }
+    a = got[(1, "BUILDING", True)]
+    assert a["class_size"] == 10
+    assert a["distinct_sensitive"] == 1 and a["violates_l"]
+    b = got[(2, "AUTO", True)]
+    assert b["class_size"] == 3
+    assert b["distinct_sensitive"] == 3 and not b["violates_l"]
+    c = got[(3, "AUTO", False)]
+    assert c["distinct_sensitive"] == 2 and c["violates_l"]
+
+
 def test_operators_are_empty_input_safe(spark, tmp_path):
     """Every derived-table operator must yield an empty (or degenerate
     single-report-row) result on EMPTY input tables — never throw: at
@@ -913,6 +951,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.kmv_weekly_rollup, R.unpivot_measures, R.theta_sketch_overlap,
         R.pps_systematic_sample, R.k_anonymity_audit, R.cusum_changepoint,
         R.pit_join_events_scd2, R.mad_outliers, R.purchase_paths,
+        R.l_diversity_audit,
         R.psi_drift, R.km_churn_survival, R.benford_audit,
         R.weekday_seasonality,
         T.pareto_frontier_docs, T.paragraph_dedup_rebuild,
