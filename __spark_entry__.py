@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash_dedup": media.media_dhash_dedup,
         "frame_sample": media.frame_sample,
         "audio_features": media.audio_features,
+        "caption_consistency": media.caption_consistency,
         # -- table structure (row x col interval geometry) --
         "table_cells": table.table_cells,
         "table_det_assign": table.table_det_assign,
@@ -1172,6 +1173,39 @@ def _media_expected_path(which: str) -> str:
                     ),
                 }
             )
+        elif which == "caption":
+            from ocr_spark.fixtures.render import render
+            from ocr_spark.operators.media import (
+                CAPTION_CORRUPT_MOD,
+                _image_stats,
+            )
+
+            recs = []
+            for k in ks:
+                if k % 20 == 0:
+                    ref = f"img://m{k}/0#crop"
+                    w, h, ink = _image_stats(render(ref)[0].image)
+                    cw = w + 7 if k % CAPTION_CORRUPT_MOD == 0 else w
+                    recs.append(
+                        (ref, w, h, ink, cw, h, ink, int(cw == w))
+                    )
+            recs.sort(key=lambda r: r[0])
+            table = pa.table(
+                {
+                    "media_ref": pa.array([r[0] for r in recs]),
+                    "width": pa.array([r[1] for r in recs], pa.int32()),
+                    "height": pa.array([r[2] for r in recs], pa.int32()),
+                    "ink_ppm": pa.array([r[3] for r in recs], pa.int64()),
+                    "claimed_w": pa.array([r[4] for r in recs], pa.int32()),
+                    "claimed_h": pa.array([r[5] for r in recs], pa.int32()),
+                    "claimed_ink_ppm": pa.array(
+                        [r[6] for r in recs], pa.int64()
+                    ),
+                    "is_consistent": pa.array(
+                        [r[7] for r in recs], pa.int32()
+                    ),
+                }
+            )
         else:
             from ocr_spark.fixtures.render import render
             from ocr_spark.operators.media import (
@@ -1426,6 +1460,10 @@ select * from read_parquet('{_media_expected_path("thumb")}') order by media_ref
         "frame_sample": f"""
 select * from read_parquet('{_media_expected_path("frames")}')
 order by media_ref, frame_idx
+""",
+        "caption_consistency": f"""
+select * from read_parquet('{_media_expected_path("caption")}')
+order by media_ref
 """,
         # audio features: fully ANALYTIC oracle — DuckDB regenerates the
         # NAUD1 fixture waveform from the shared integer formula and

@@ -101,6 +101,122 @@ def media_binary(spark: SparkSession, sf_dir: str, mod: int = 20) -> DataFrame:
     )
 
 
+CAPTION_CORRUPT_MOD = 100  # sampled keys are %20==0; every 5th is corrupted
+CAPTION_SCHEMA = (
+    "media_ref string, width int, height int, ink_ppm bigint, "
+    "claimed_w int, claimed_h int, claimed_ink_ppm bigint, "
+    "is_consistent int"
+)
+
+
+def _image_stats(img: np.ndarray) -> tuple[int, int, int]:
+    """(width, height, ink_ppm): ink is the fraction of sub-128 channel
+    values in parts-per-million — integer-exact and shared verbatim by
+    the caption fixture and the checking kernel."""
+    h, w = img.shape[:2]
+    ink_ppm = int((img < 128).sum()) * 1_000_000 // int(img.size)
+    return w, h, ink_ppm
+
+
+def captioned_binary(
+    spark: SparkSession, sf_dir: str, mod: int = 20
+) -> DataFrame:
+    """(media_ref, payload, caption) — the captioned-image pair table of
+    an image-text training corpus.  Captions are synthesized from the
+    rendered image's TRUE stats ('scan WxH ink Pppm'); every
+    ``CAPTION_CORRUPT_MOD``-th key claims a wrong width, giving the
+    consistency checker a known planted defect rate."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    refs = cust.filter(k % mod == 0).select(
+        k.cast("long").alias("key"),
+        F.concat(
+            F.lit("img://m"), k.cast("string"), F.lit("/0#"),
+            F.when(k % 2 == 0, F.lit("crop")).otherwise(F.lit("page")),
+        ).alias("media_ref"),
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.fixtures.render import render
+
+        for pdf in batches:
+            payloads, captions = [], []
+            for key, ref in zip(pdf["key"], pdf["media_ref"]):
+                img = render(ref)[0].image
+                payloads.append(encode_image(img))
+                w, h, ink = _image_stats(img)
+                if int(key) % CAPTION_CORRUPT_MOD == 0:
+                    w += 7
+                captions.append(f"scan {w}x{h} ink {ink}ppm")
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "payload": payloads,
+                    "caption": captions,
+                }
+            )
+
+    return refs.repartition(_default_partitions(spark)).mapInPandas(
+        _encode, schema="media_ref string, payload binary, caption string"
+    )
+
+
+def caption_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-caption consistency check — the multimodal curation gate a
+    captioned-image corpus runs before training (a caption that
+    contradicts its image teaches the model to hallucinate): decode the
+    REAL npy payload, recompute (width, height, ink density) from the
+    pixels, parse the caption's claimed stats, and flag rows where any
+    claim disagrees.  The planted fixture defect (wrong width on every
+    ``CAPTION_CORRUPT_MOD``-th key) must be exactly the flagged set.
+
+    Scale shape: decode + check are map-side (one mapInPandas over
+    Arrow batches carrying the binary and string columns together — the
+    canonical multimodal-row layout); no shuffle except the check-gate
+    sort.  A CLIP-style learned alignment scorer slots in behind the
+    same (payload, caption) -> score contract; the stats check is the
+    deterministic stand-in the sandbox can verify bit-exactly."""
+    import re
+
+    binary = captioned_binary(spark, sf_dir)
+    cap_re = re.compile(r"^scan (\d+)x(\d+) ink (\d+)ppm$")
+
+    def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload, cap in zip(
+                pdf["media_ref"], pdf["payload"], pdf["caption"]
+            ):
+                img = decode_image(bytes(payload))
+                w, h, ink = _image_stats(img)
+                m = cap_re.match(cap)
+                cw, ch, cink = (
+                    (int(m.group(1)), int(m.group(2)), int(m.group(3)))
+                    if m
+                    else (-1, -1, -1)
+                )
+                rows.append(
+                    (
+                        ref, w, h, ink, cw, ch, cink,
+                        int((w, h, ink) == (cw, ch, cink)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "width", "height", "ink_ppm",
+                    "claimed_w", "claimed_h", "claimed_ink_ppm",
+                    "is_consistent",
+                ],
+            )
+
+    return (
+        binary.mapInPandas(_check, schema=CAPTION_SCHEMA)
+        .repartition(1)
+        .sortWithinPartitions("media_ref")
+    )
+
+
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode the binary payloads and emit typed metadata — the canonical
     'image column' scan stage."""

@@ -92,6 +92,32 @@ def test_frame_sample_spark(spark):
     assert rows == rows2
 
 
+def test_caption_consistency_flags_exactly_planted_defects(spark):
+    from ocr_spark.operators.media import (
+        CAPTION_CORRUPT_MOD,
+        _image_stats,
+        caption_consistency,
+    )
+
+    rows = caption_consistency(spark, SF).collect()
+    assert rows
+    for r in rows:
+        import re as _re
+
+        key = int(_re.search(r"m(\d+)/", r["media_ref"]).group(1))
+        planted = key % CAPTION_CORRUPT_MOD == 0
+        assert r["is_consistent"] == int(not planted), r
+        # independent recompute: pixel stats from a fresh render
+        w, h, ink = _image_stats(render(r["media_ref"])[0].image)
+        assert (r["width"], r["height"], r["ink_ppm"]) == (w, h, ink)
+        if planted:
+            assert r["claimed_w"] == r["width"] + 7
+            # height and ink are never corrupted: only width disagrees
+            assert r["claimed_h"] == r["height"]
+            assert r["claimed_ink_ppm"] == r["ink_ppm"]
+    assert any(r["is_consistent"] == 0 for r in rows)
+
+
 def test_audio_container_roundtrip_and_corruption():
     """The NAUD1 codec is real byte parsing: encode/decode round-trips
     the header and the int16-LE PCM payload, and corrupt/truncated
