@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": web_extract.robots_gate,
         "link_graph_pagerank": web_extract.link_graph_pagerank,
         "hits_hubs_authorities": web_extract.hits_hubs_authorities,
+        "anchor_text_aggregation": web_extract.anchor_text_aggregation,
         # -- container sources --
         "ofd_extract": _q_ofd,
         # -- multimodal media plumbing (value oracles over driver-side
@@ -5267,6 +5268,39 @@ from documents d
 left join h{_hits_last} h on d.doc_id = h.v
 left join a{_hits_last} a on d.doc_id = a.v
 order by d.doc_id
+"""
+    # Anchor truth: same graph + leading-token anchors; the window's
+    # (cnt desc, term desc) pick equals Spark's max(struct(cnt, term)).
+    sql["anchor_text_aggregation"] = f"""
+with n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as materialized (select distinct src, dst from e0 where src != dst),
+a as (
+  select e.dst,
+         unnest(string_split(lower(d.text), ' ')
+                [1:{web_extract.ANCHOR_TOKENS}]) as term
+  from edges e join documents d on e.src = d.doc_id
+),
+c as (select dst, term, count(*) as cnt from a group by dst, term),
+inl as (select dst, count(*) as n_inlinks from edges group by dst),
+top as (
+  select dst, term, cnt,
+         row_number() over (partition by dst
+                            order by cnt desc, term desc) as rn,
+         count(*) over (partition by dst) as n_terms
+  from c
+)
+select t.dst as doc_id, t.term as top_term, t.cnt as top_cnt,
+       cast(i.n_inlinks as bigint) as n_inlinks,
+       cast(t.n_terms as bigint) as n_terms
+from top t join inl i on t.dst = i.dst
+where rn = 1 order by doc_id
 """
     # k-core truth: three unrolled peel rounds over the undirected graph.
     # k-core: KCORE_MAX_ROUNDS unrolled peels == the fixed point at any

@@ -881,3 +881,60 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation — what the web says a page is about
+# ---------------------------------------------------------------------------
+
+ANCHOR_TOKENS = 3  # leading tokens of the linking page stand in for anchor text
+
+
+def anchor_text_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profile over the shared deterministic
+    link graph: every inbound link contributes the linking page's
+    leading ``ANCHOR_TOKENS`` tokens (the fixture stand-in for the <a>
+    anchor string), and each target reports its most-frequent anchor
+    term — the classic external-description signal web search and
+    corpus curation rank with (anchor text describes the TARGET better
+    than the target describes itself).
+
+    Deterministic tie-break: at equal count the lexicographically
+    LARGEST term wins (max of (cnt, term), identical rule in the
+    DuckDB oracle's window order).
+
+    Scale shape: one edges-with-docs equi-join on src (the reusable
+    PageRank layout), a map-side token explode bounded by
+    ANCHOR_TOKENS x edges, one (dst, term) count shuffle, then a
+    per-dst window — PARTITIONED by target, so no single-task global
+    sort at any corpus size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.select("doc_id").count()
+    edges = _link_edges(docs.select("doc_id"), n)
+    anchors = edges.join(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.slice(F.split(F.lower("text"), " "), 1, ANCHOR_TOKENS).alias(
+                "anchor_toks"
+            ),
+        ),
+        "src",
+    ).select("dst", F.explode("anchor_toks").alias("term"))
+    counts = anchors.groupBy("dst", "term").agg(F.count("*").alias("cnt"))
+    inlinks = edges.groupBy("dst").agg(F.count("*").alias("n_inlinks"))
+    per_dst = counts.groupBy("dst").agg(
+        F.count("*").alias("n_terms"),
+        F.max(F.struct("cnt", "term")).alias("top"),
+    )
+    return (
+        per_dst.join(inlinks, "dst")
+        .select(
+            F.col("dst").alias("doc_id"),
+            F.col("top.term").alias("top_term"),
+            F.col("top.cnt").alias("top_cnt"),
+            F.col("n_inlinks").cast("bigint").alias("n_inlinks"),
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -149,6 +149,41 @@ def test_hits_matches_python_twin(spark, sf_dir):
     assert max(r["auth_ppm"] for r in rows) == HITS_SCALE
 
 
+def test_anchor_text_aggregation_crafted(spark, tmp_path):
+    """Hand-checked anchor profile on a tiny graph: counts aggregate
+    across multiple in-links, the tie-break picks the lexicographically
+    largest term at equal count, and n_inlinks matches the synthesized
+    edge list."""
+    from ocr_spark.operators.web_extract import anchor_text_aggregation
+
+    d = str(tmp_path)
+    # n=4: edges from doc i to (7i+1, 13i+2, 31i+3) mod 4, minus selfs
+    n = 4
+    texts = ["alpha beta gamma x", "beta beta gamma", "zeta alpha", "q"]
+    spark.createDataFrame(
+        [(i, texts[i], "en", "s", 1) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    edges = set()
+    for i in range(n):
+        for a, b in ((7, 1), (13, 2), (31, 3)):
+            t = (i * a + b) % n
+            if t != i:
+                edges.add((i, t))
+    counts: dict = {}
+    for s, t in edges:
+        for term in texts[s].lower().split(" ")[:3]:
+            counts[(t, term)] = counts.get((t, term), 0) + 1
+    got = {r["doc_id"]: r for r in anchor_text_aggregation(spark, d).collect()}
+    for dst in {t for _, t in edges}:
+        terms = {tm: c for (t2, tm), c in counts.items() if t2 == dst}
+        best = max(terms.items(), key=lambda kv: (kv[1], kv[0]))
+        assert got[dst]["top_term"] == best[0], (dst, terms, got[dst])
+        assert got[dst]["top_cnt"] == best[1]
+        assert got[dst]["n_terms"] == len(terms)
+        assert got[dst]["n_inlinks"] == sum(1 for s, t in edges if t == dst)
+
+
 def test_url_canonicalize_crafted(spark, tmp_path):
     """Hand-checked canonical forms: tracking params dropped, query
     sorted, fragment dropped, default port + www + trailing slash
