@@ -1119,3 +1119,64 @@ def test_audio_features_map_side_only(spark):
     fmt = plan_of(audio_features(spark, SF), "formatted")
     assert "PushedFilters: [IsNotNull(c_custkey)]" in fmt
     assert fmt.count("Exchange") <= 4  # 2 nodes x (tree + detail)
+
+
+def test_caption_consistency_map_side_only(spark):
+    """Caption fixture + checker are two mapInPandas stages carrying
+    the (binary, string) multimodal row — no hash shuffle of payloads;
+    the only exchanges are round-robin spread + the check-gate sort."""
+    from ocr_spark.operators.media import caption_consistency
+
+    plan = plan_of(caption_consistency(spark, SF), "simple")
+    assert plan.count("MapInPandas") == 2  # captioned fixture + checker
+    assert "hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kneser_ney_partial_agg_and_broadcast_total(spark):
+    """KN rides ONE (w1,w2) count with a map-side partial; the type
+    total is a 1-row broadcast (never a shuffle), and no window
+    appears anywhere in the plan."""
+    from ocr_spark.operators.text_analysis import kneser_ney_bigram
+
+    plan = plan_of(kneser_ney_bigram(spark, SF), "simple")
+    assert "partial_count" in plan
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hits_normalization_broadcasts_max(spark):
+    """Every HITS half-step's renormalizing max is a 1-row broadcast
+    join; the score joins stay keyed (no nested-loop pair blowup) and
+    no window appears."""
+    from ocr_spark.operators.web_extract import hits_hubs_authorities
+
+    plan = plan_of(hits_hubs_authorities(spark, SF), "simple")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_anchor_text_window_is_per_target(spark):
+    """The anchor-profile argmax is a per-dst aggregate (max of
+    (cnt, term) struct) — no unpartitioned window, no cartesian."""
+    from ocr_spark.operators.web_extract import anchor_text_aggregation
+
+    plan = plan_of(anchor_text_aggregation(spark, SF), "simple")
+    assert "Window" not in plan  # pure groupBy/agg formulation
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_encoding_repair_is_single_projection(spark):
+    """Mojibake repair is one map-side projection over the scan: no
+    joins, no aggregates, no UDFs — the only exchange is the
+    check-gate sort."""
+    from ocr_spark.operators.text_analysis import encoding_repair
+
+    plan = plan_of(encoding_repair(spark, SF), "simple")
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1  # repartition(1) gate only
