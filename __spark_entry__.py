@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_pagerank": web_extract.link_graph_pagerank,
         "hits_hubs_authorities": web_extract.hits_hubs_authorities,
         "anchor_text_aggregation": web_extract.anchor_text_aggregation,
+        "cocitation_pairs": web_extract.cocitation_pairs,
         # -- container sources --
         "ofd_extract": _q_ofd,
         # -- multimodal media plumbing (value oracles over driver-side
@@ -5301,6 +5302,31 @@ select t.dst as doc_id, t.term as top_term, t.cnt as top_cnt,
        cast(t.n_terms as bigint) as n_terms
 from top t join inl i on t.dst = i.dst
 where rn = 1 order by doc_id
+"""
+    # Co-citation truth: same graph, src self-join, ppm squared cosine.
+    sql["cocitation_pairs"] = """
+with n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as materialized (select distinct src, dst from e0 where src != dst),
+p as (
+  select e1.dst as a, e2.dst as b, count(*) as cocite_cnt
+  from edges e1 join edges e2 on e1.src = e2.src and e1.dst < e2.dst
+  group by e1.dst, e2.dst
+),
+ind as (select dst, count(*) as indeg from edges group by dst)
+select p.a as doc_a, p.b as doc_b, cocite_cnt,
+       cast(ia.indeg as bigint) as indeg_a,
+       cast(ib.indeg as bigint) as indeg_b,
+       cocite_cnt * cocite_cnt * 1000000 // (ia.indeg * ib.indeg)
+         as cos2_ppm
+from p join ind ia on p.a = ia.dst join ind ib on p.b = ib.dst
+order by doc_a, doc_b
 """
     # k-core truth: three unrolled peel rounds over the undirected graph.
     # k-core: KCORE_MAX_ROUNDS unrolled peels == the fixed point at any

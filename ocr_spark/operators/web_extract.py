@@ -938,3 +938,51 @@ def anchor_text_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+def cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation similarity (Small, JASIS 1973): two pages are
+    related when the same third page links to BOTH — the link-level
+    relatedness signal next to anchor text, used to expand curated
+    seed sets ('pages co-cited with known-good pages').
+
+    One self-equi-join of the edge list on src generates the candidate
+    pairs, so pair work per linking page is C(out_degree, 2) — bounded
+    by the synthesized out-degree (<= 3), and at web scale by the
+    standard out-degree cap a crawler enforces at ingest, never by the
+    corpus.  Normalized strength is the SQUARED cosine in integer ppm:
+    ``cnt^2 * 1e6 div (indeg_a * indeg_b)`` — exact integers, no sqrt,
+    identical in both engines.
+
+    Scale shape: one src equi-join (co-partitionable with the PageRank
+    layout), one (a, b) pair-count shuffle, two small in-degree joins.
+    No windows, no cartesian."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    edges = _link_edges(docs, n)
+    e1 = edges.select(F.col("src"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src"), F.col("dst").alias("b"))
+    pairs = (
+        e1.join(e2, "src")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cocite_cnt"))
+    )
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
+    return (
+        pairs.join(indeg.select(F.col("dst").alias("a"), F.col("indeg").alias("indeg_a")), "a")
+        .join(indeg.select(F.col("dst").alias("b"), F.col("indeg").alias("indeg_b")), "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "cocite_cnt",
+            F.col("indeg_a").cast("bigint").alias("indeg_a"),
+            F.col("indeg_b").cast("bigint").alias("indeg_b"),
+            F.expr(
+                "cocite_cnt * cocite_cnt * 1000000"
+                " div (indeg_a * indeg_b)"
+            ).alias("cos2_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
+    )

@@ -1180,3 +1180,16 @@ def test_encoding_repair_is_single_projection(spark):
     assert "Aggregate" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") == 1  # repartition(1) gate only
+
+
+def test_cocitation_self_join_stays_keyed(spark):
+    """Pair generation is an equi-join on the citing src (plus the
+    a < b post-filter) — never a cartesian/nested-loop blowup — and
+    no window appears anywhere."""
+    from ocr_spark.operators.web_extract import cocitation_pairs
+
+    plan = plan_of(cocitation_pairs(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan

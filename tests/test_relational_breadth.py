@@ -975,7 +975,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         T.bpe_merges, T.bpe_tokenize, T.encoding_repair,
         T.kneser_ney_bigram,
         W.html_to_spans, W.robots_gate, W.hits_hubs_authorities,
-        W.anchor_text_aggregation,
+        W.anchor_text_aggregation, W.cocitation_pairs,
     ]
     for fn in empty_ok:
         assert fn(spark, d).count() == 0, fn.__name__

@@ -1054,3 +1054,38 @@ def test_bpe_tokenize_against_python_reference(spark, tmp_path):
         assert got[did]["tokens_per_kchar"] == n_tok * 1000 // n_chars
     # compression really happened somewhere
     assert any(r["n_tokens"] < r["n_chars"] for r in got.values())
+
+
+def test_encoding_repair_roundtrip_property(spark):
+    """Property (hypothesis): for ANY ascii base text, corrupting with
+    the inverse map then repairing restores the intended string, and
+    mojibake-free text passes through unchanged with zero hits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_spark.operators.text_analysis import MOJIBAKE_PAIRS
+
+    ascii_text = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=60,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(ascii_text, st.integers(0, len(MOJIBAKE_PAIRS) * 3))
+    def prop(base: str, n_inject: int) -> None:
+        # plant n_inject mojibake sequences at deterministic positions
+        intended, corrupt = base, base
+        for i in range(n_inject):
+            bad, good = MOJIBAKE_PAIRS[i % len(MOJIBAKE_PAIRS)]
+            intended += " " + good
+            corrupt += " " + bad
+        repaired, hits = corrupt, 0
+        for bad, good in MOJIBAKE_PAIRS:
+            hits += (len(repaired) - len(repaired.replace(bad, ""))) // len(
+                bad
+            )
+            repaired = repaired.replace(bad, good)
+        assert repaired == intended
+        assert hits == n_inject
+
+    prop()

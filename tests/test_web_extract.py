@@ -184,6 +184,51 @@ def test_anchor_text_aggregation_crafted(spark, tmp_path):
         assert got[dst]["n_inlinks"] == sum(1 for s, t in edges if t == dst)
 
 
+def test_cocitation_matches_python_twin(spark, tmp_path):
+    """Co-citation pairs and ppm squared cosine against an independent
+    python twin on a small graph; pair domain is exactly the dst-pairs
+    sharing a citing src, each pair once (a < b)."""
+    from ocr_spark.operators.web_extract import cocitation_pairs
+
+    d = str(tmp_path)
+    n = 23
+    spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    edges = set()
+    for i in range(n):
+        for a, b in ((7, 1), (13, 2), (31, 3)):
+            t = (i * a + b) % n
+            if t != i:
+                edges.add((i, t))
+    by_src: dict = {}
+    for s, t in edges:
+        by_src.setdefault(s, []).append(t)
+    cnt: dict = {}
+    for outs in by_src.values():
+        outs = sorted(outs)
+        for i in range(len(outs)):
+            for j in range(i + 1, len(outs)):
+                cnt[(outs[i], outs[j])] = cnt.get((outs[i], outs[j]), 0) + 1
+    indeg: dict = {}
+    for _, t in edges:
+        indeg[t] = indeg.get(t, 0) + 1
+    rows = cocitation_pairs(spark, d).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == set(cnt)
+    for r in rows:
+        key = (r["doc_a"], r["doc_b"])
+        assert r["cocite_cnt"] == cnt[key]
+        assert r["indeg_a"] == indeg[r["doc_a"]]
+        assert r["indeg_b"] == indeg[r["doc_b"]]
+        expect = (
+            cnt[key] * cnt[key] * 1_000_000
+            // (indeg[r["doc_a"]] * indeg[r["doc_b"]])
+        )
+        assert r["cos2_ppm"] == expect
+        assert r["cos2_ppm"] <= 1_000_000  # cnt <= min(indeg_a, indeg_b)
+
+
 def test_url_canonicalize_crafted(spark, tmp_path):
     """Hand-checked canonical forms: tracking params dropped, query
     sorted, fragment dropped, default port + www + trailing slash
