@@ -126,6 +126,14 @@ def main() -> int:
         "bpe_merges",
         "bpe_tokenize",
         "audio_features",
+        # round-4 second wave
+        "hits_hubs_authorities",
+        "anchor_text_aggregation",
+        "cocitation_pairs",
+        "kneser_ney_bigram",
+        "encoding_repair",
+        "caption_consistency",
+        "l_diversity_audit",
     ]
     if only:
         headline = [q for q in headline if q in only]
