@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_search": text_analysis.hybrid_rrf_search,
         "k_anonymity_audit": relational.k_anonymity_audit,
         "l_diversity_audit": relational.l_diversity_audit,
+        "t_closeness_audit": relational.t_closeness_audit,
         "cusum_changepoint": relational.cusum_changepoint,
         "pit_join_events_scd2": relational.pit_join_events_scd2,
         "training_manifest": text_analysis.training_manifest,
@@ -4807,6 +4808,58 @@ select c_nationkey as nation, c_mktsegment as segment,
 from customer
 group by 1, 2, 3
 order by nation, segment, bal_nonneg
+"""
+    # t-closeness truth: ordered-metric EMD as integer cumulative
+    # deviations (hugeint — products reach table^2) and exact rational
+    # half-away ppb rounding, mirroring the decimal div on the Spark
+    # side.
+    sql["t_closeness_audit"] = f"""
+with sens as (
+  select c_nationkey as nation, c_mktsegment as segment,
+         c_acctbal >= 0 as bal_nonneg,
+         cast(floor(c_acctbal / 1000.0) as bigint) as bal_band
+  from customer
+), gb as (
+  select bal_band, count(*) as tot from sens group by 1
+), t as (
+  select sum(tot) as n_total, count(*) as m_bands from gb
+), cs as (
+  select nation, segment, bal_nonneg, count(*) as class_size
+  from sens group by 1, 2, 3
+), cb as (
+  select nation, segment, bal_nonneg, bal_band, count(*) as cnt
+  from sens group by 1, 2, 3, 4
+), grid as (
+  select cs.nation, cs.segment, cs.bal_nonneg, cs.class_size,
+         gb.bal_band, gb.tot, coalesce(cb.cnt, 0) as cnt,
+         t.n_total, t.m_bands
+  from cs cross join gb cross join t
+  left join cb on cb.nation = cs.nation and cb.segment = cs.segment
+              and cb.bal_nonneg = cs.bal_nonneg
+              and cb.bal_band = gb.bal_band
+), cum as (
+  select nation, segment, bal_nonneg, class_size, n_total, m_bands,
+         sum(cnt::hugeint * n_total - tot::hugeint * class_size) over (
+           partition by nation, segment, bal_nonneg order by bal_band
+           rows between unbounded preceding and current row) as cum_diff
+  from grid
+), emd as (
+  select nation, segment, bal_nonneg, class_size, n_total, m_bands,
+         sum(abs(cum_diff)) as abs_sum
+  from cum group by 1, 2, 3, 4, 5, 6
+), scored as (
+  select nation, segment, bal_nonneg, class_size,
+         case when m_bands <= 1 then 0
+              else cast((2 * abs_sum * 1000000000
+                         + class_size::hugeint * n_total * (m_bands - 1))
+                        // (2 * class_size::hugeint * n_total
+                            * (m_bands - 1)) as bigint)
+         end as emd_ppb
+  from emd
+)
+select nation, segment, bal_nonneg, class_size, emd_ppb,
+       emd_ppb > {relational.TCLOSE_T_PPB} as violates_t
+from scored order by nation, segment, bal_nonneg
 """
     # CUSUM truth: daily counts, floor-div mean, running deviation sum,
     # global-max |cusum| peak flag.

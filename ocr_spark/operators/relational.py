@@ -2966,6 +2966,105 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TCLOSE_T_PPB = 250_000_000  # t = 0.25 in parts-per-billion
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third privacy gate: l-diversity is defeated by a class whose
+    sensitive values are distinct but SKEWED relative to the population
+    (e.g. a class where 90% of balances sit in the top band still leaks
+    "this member is probably rich").  t-closeness (Li et al., ICDE'07)
+    requires the Earth Mover's Distance between each equivalence
+    class's sensitive-value distribution and the GLOBAL distribution to
+    stay <= t.  Same QI tuple as the k/l audits (nation, segment,
+    balance sign); sensitive attribute is the ordered 1000-unit balance
+    band, so EMD under the equal-step ground metric has the closed form
+    ``sum_i |cumsum_i(p - q)| / (m - 1)`` over the m ordered bands.
+
+    Exactness: the cumulative deviation is kept as the INTEGER
+    ``sum(cnt_band*N_total - tot_band*class_size)`` (decimal(38,0) —
+    products reach table^2 cardinality and overflow int64 at scale),
+    and emd_ppb = round-half-away(1e9 * sum|cum| / (Nc*N*(m-1))) is the
+    exact rational ``(2*numer + denom) div (2*denom)`` — the quotient
+    (<= 1e9) fits the bigint that Spark's decimal ``div`` returns, and
+    DuckDB mirrors it with hugeint floor division.
+
+    Scale shape: two partial-agg groupBys (QI key; QI x band key) plus
+    a band-domain global aggregate; the scored grid is |QI domain| x
+    |band domain| — bounded by attribute domains, NOT table
+    cardinality — so the per-class cumsum window is tiny and the whole
+    audit is one scan at any scale."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sens = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_acctbal") >= 0).alias("bal_nonneg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    )
+    bands = sens.groupBy("bal_band").agg(F.count("*").alias("tot"))
+    totals = bands.agg(
+        F.sum("tot").alias("n_total"), F.count("*").alias("m_bands")
+    )
+    class_sizes = sens.groupBy("nation", "segment", "bal_nonneg").agg(
+        F.count("*").alias("class_size")
+    )
+    class_bands = sens.groupBy(
+        "nation", "segment", "bal_nonneg", "bal_band"
+    ).agg(F.count("*").alias("cnt"))
+    grid = (
+        class_sizes.crossJoin(F.broadcast(bands))
+        .join(
+            class_bands,
+            ["nation", "segment", "bal_nonneg", "bal_band"],
+            "left",
+        )
+        .na.fill({"cnt": 0})
+        .crossJoin(F.broadcast(totals))
+    )
+    cum = grid.withColumn(
+        "cum_diff",
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("n_total")
+            - F.col("tot").cast("decimal(38,0)") * F.col("class_size")
+        ).over(
+            # tiny-window: band-domain-sized slice per QI class
+            Window.partitionBy("nation", "segment", "bal_nonneg")
+            .orderBy("bal_band")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    emd = (
+        cum.groupBy(
+            "nation", "segment", "bal_nonneg", "class_size",
+            "n_total", "m_bands",
+        )
+        .agg(F.sum(F.abs(F.col("cum_diff"))).alias("abs_sum"))
+        .withColumn(
+            "emd_ppb",
+            F.when(F.col("m_bands") <= 1, F.lit(0).cast("bigint")).otherwise(
+                F.expr(
+                    "(2 * abs_sum * 1000000000 +"
+                    " cast(class_size as decimal(38,0)) * n_total * (m_bands - 1))"
+                    " div (2 * cast(class_size as decimal(38,0)) * n_total"
+                    " * (m_bands - 1))"
+                )
+            ),
+        )
+    )
+    return (
+        emd.select(
+            "nation",
+            "segment",
+            "bal_nonneg",
+            "class_size",
+            "emd_ppb",
+            (F.col("emd_ppb") > TCLOSE_T_PPB).alias("violates_t"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("nation", "segment", "bal_nonneg")
+    )
+
+
 # ---------------------------------------------------------------------------
 # CUSUM change-point detection on the daily event series
 # ---------------------------------------------------------------------------

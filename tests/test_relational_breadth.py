@@ -852,6 +852,64 @@ def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
     assert c["distinct_sensitive"] == 2 and c["violates_l"]
 
 
+def test_t_closeness_flags_skewed_class(spark, tmp_path):
+    """The defining t-closeness case: a class can be l-diverse (bands
+    distinct) yet SKEWED vs the population.  Hand-checked EMD on a
+    two-band population: global = 50/50, skewed class = 9 band-0 / 1
+    band-1 -> |cum p-q| = 0.4, m-1 = 1 -> emd = 0.4 > t=0.25; the
+    balanced class (5/5) matches the global mix exactly -> emd 0."""
+    from ocr_spark.operators.relational import t_closeness_audit
+
+    rows = []
+    # class A: 9 in band 0, 1 in band 1 (skewed)
+    for i in range(9):
+        rows.append((i, f"a{i}", 1, 500.0, "BUILDING"))
+    rows.append((9, "a9", 1, 1500.0, "BUILDING"))
+    # class B: 5 in band 0, 5 in band 1 (mirrors the global mix? no —
+    # global is 14 band-0 / 6 band-1; B is 5/5, emd = |5*20-10*14| +
+    # cum...  computed below from first principles)
+    for i in range(5):
+        rows.append((100 + i, f"b{i}", 2, 500.0, "AUTO"))
+    for i in range(5):
+        rows.append((105 + i, f"b{i+5}", 2, 1500.0, "AUTO"))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    got = {
+        (r["nation"], r["segment"], r["bal_nonneg"]): r
+        for r in t_closeness_audit(spark, d).collect()
+    }
+    # global: N=20, band0 tot=14, band1 tot=6, m=2 (m-1 = 1)
+    # class A (Nc=10): cum at band0 = 9*20 - 14*10 = 40
+    #   -> emd = 40 / (10*20*1) = 0.2 -> 200_000_000 ppb, no violation
+    a = got[(1, "BUILDING", True)]
+    assert a["class_size"] == 10 and a["emd_ppb"] == 200_000_000
+    assert not a["violates_t"]
+    # class B (Nc=10): cum at band0 = 5*20 - 14*10 = -40 -> same 0.2
+    b = got[(2, "AUTO", True)]
+    assert b["emd_ppb"] == 200_000_000 and not b["violates_t"]
+    # extreme class: add a 3rd class fully in band 1 and re-run
+    rows.append((300, "x0", 3, 1500.0, "MACHINERY"))
+    rows.append((301, "x1", 3, 1500.0, "MACHINERY"))
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    got2 = {
+        (r["nation"], r["segment"], r["bal_nonneg"]): r
+        for r in t_closeness_audit(spark, d).collect()
+    }
+    # global now N=22, band0=14, band1=8; class X (Nc=2, all band 1):
+    # cum band0 = 0*22 - 14*2 = -28 -> emd = 28/(2*22*1) = 0.636..
+    x = got2[(3, "MACHINERY", True)]
+    # round-half-away(1e9 * 28 / 44) = 636_363_636
+    assert x["emd_ppb"] == 636_363_636 and x["violates_t"]
+
+
 def test_operators_are_empty_input_safe(spark, tmp_path):
     """Every derived-table operator must yield an empty (or degenerate
     single-report-row) result on EMPTY input tables — never throw: at
@@ -951,7 +1009,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.kmv_weekly_rollup, R.unpivot_measures, R.theta_sketch_overlap,
         R.pps_systematic_sample, R.k_anonymity_audit, R.cusum_changepoint,
         R.pit_join_events_scd2, R.mad_outliers, R.purchase_paths,
-        R.l_diversity_audit,
+        R.l_diversity_audit, R.t_closeness_audit,
         R.psi_drift, R.km_churn_survival, R.benford_audit,
         R.weekday_seasonality,
         T.pareto_frontier_docs, T.paragraph_dedup_rebuild,
