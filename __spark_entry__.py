@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_audit": relational.k_anonymity_audit,
         "l_diversity_audit": relational.l_diversity_audit,
         "t_closeness_audit": relational.t_closeness_audit,
+        "dp_noisy_counts": relational.dp_noisy_counts,
         "cusum_changepoint": relational.cusum_changepoint,
         "pit_join_events_scd2": relational.pit_join_events_scd2,
         "training_manifest": text_analysis.training_manifest,
@@ -4860,6 +4861,28 @@ with sens as (
 select nation, segment, bal_nonneg, class_size, emd_ppb,
        emd_ppb > {relational.TCLOSE_T_PPB} as violates_t
 from scored order by nation, segment, bal_nonneg
+"""
+    # DP-release truth: identical md5-driven uniform, identical literal
+    # noise-interval table (exact Fraction CDF, generated once and
+    # shared by both engines).
+    _dp_rows = ", ".join(
+        f"({k}, {lo}, {hi})" for k, lo, hi in relational._dp_noise_intervals()
+    )
+    sql["dp_noisy_counts"] = f"""
+with counts as (
+  select c_nationkey as nation, c_mktsegment as segment,
+         count(*) as exact_count
+  from customer group by 1, 2
+), keyed as (
+  select *, ('0x' || substr(md5('dpn:' || nation || ':' || segment),
+                            1, 10))::bigint as u
+  from counts
+), iv(noise, lo, hi) as (values {_dp_rows})
+select nation, segment, exact_count,
+       cast(noise as bigint) as noise,
+       greatest(0, exact_count + noise)::bigint as released_count
+from keyed join iv on keyed.u >= iv.lo and keyed.u < iv.hi
+order by nation, segment
 """
     # CUSUM truth: daily counts, floor-div mean, running deviation sum,
     # global-max |cusum| peak flag.

@@ -3065,6 +3065,96 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DP_ALPHA = (368, 1000)  # rational stand-in for e^-eps at eps = 1
+DP_KMAX = 32  # alpha^33 < 2^-47: both tails are far below one u-tick
+DP_UBITS = 40  # uniform driver: top 40 bits of md5(release key)
+
+
+def _dp_noise_intervals() -> list:
+    """(noise, lo, hi) rows partitioning [0, 2^40): the EXACT integer
+    inverse-CDF of the two-sided geometric (discrete Laplace)
+    distribution pmf(k) = (1-a)/(1+a) * a^|k| (Ghosh-Roughgarden-
+    Sundararajan's universally-optimal geometric mechanism for
+    counting queries).  Thresholds are floor(CDF(k) * 2^40) computed
+    with Fraction arithmetic — pure integers, so the Spark job and the
+    DuckDB oracle share the literal table and can never diverge on a
+    libm ulp.  The sub--KMAX and super-+KMAX tails (each < 2^-47) are
+    absorbed into the extreme intervals."""
+    from fractions import Fraction
+
+    a = Fraction(*DP_ALPHA)
+    scale = (1 - a) / (1 + a)
+    m = 1 << DP_UBITS
+    cum = scale * a ** (DP_KMAX + 1) / (1 - a)  # lower tail
+    out = []
+    lo = 0
+    for k in range(-DP_KMAX, DP_KMAX + 1):
+        cum += scale * a ** abs(k)
+        hi = m if k == DP_KMAX else int(cum * m)
+        if hi > lo:
+            out.append((k, lo, hi))
+        lo = hi
+    return out
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the per-(nation, segment)
+    customer counts via the geometric mechanism (sensitivity-1
+    counting query, eps = -ln(alpha) ~ 1): each released count gets
+    two-sided geometric noise drawn DETERMINISTICALLY by inverting the
+    exact integer CDF at a 40-bit md5 hash of the release key — the
+    fleet-reproducibility requirement (re-running the release job must
+    publish the same table) that a `rand()` draw cannot meet.  The
+    exact_count column is emitted for the audit/oracle only; a real
+    release drops it and publishes released_count = max(0, exact +
+    noise) (post-processing clamp, DP-safe).
+
+    Scale shape: ONE partial-agg groupBy over the release key (output
+    is release-domain-sized), then a broadcast interval join against
+    the 65-row noise table (BroadcastNestedLoopJoin over a constant —
+    O(1) comparisons per released row at any scale)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    counts = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count("*").alias("exact_count"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("dpn"), F.col("nation"), F.col("segment")
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    iv = spark.createDataFrame(
+        _dp_noise_intervals(), "noise int, lo bigint, hi bigint"
+    )
+    return (
+        counts.withColumn("u", u)
+        .join(
+            F.broadcast(iv),
+            (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+        )
+        .select(
+            "nation",
+            "segment",
+            "exact_count",
+            F.col("noise").cast("bigint").alias("noise"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.col("exact_count") + F.col("noise"),
+            ).alias("released_count"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("nation", "segment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # CUSUM change-point detection on the daily event series
 # ---------------------------------------------------------------------------

@@ -910,6 +910,65 @@ def test_t_closeness_flags_skewed_class(spark, tmp_path):
     assert x["emd_ppb"] == 636_363_636 and x["violates_t"]
 
 
+def test_dp_noise_intervals_exact_partition():
+    """The noise table must partition [0, 2^40) with no gap or overlap
+    (every hash maps to exactly one noise value), be symmetric in
+    probability mass around 0, and put the most mass on 0."""
+    from fractions import Fraction
+
+    from ocr_spark.operators.relational import (
+        DP_ALPHA,
+        DP_UBITS,
+        _dp_noise_intervals,
+    )
+
+    iv = _dp_noise_intervals()
+    assert iv[0][1] == 0 and iv[-1][2] == 1 << DP_UBITS
+    for (_, _, hi_prev), (_, lo, _) in zip(iv, iv[1:]):
+        assert lo == hi_prev
+    mass = {k: hi - lo for k, lo, hi in iv}
+    assert max(mass, key=mass.get) == 0
+    # +/-k intervals carry (floor-)equal mass up to 1 tick
+    for k in range(1, 5):
+        assert abs(mass[k] - mass[-k]) <= 1
+    # mass(1)/mass(0) ~ alpha
+    a = Fraction(*DP_ALPHA)
+    ratio = Fraction(mass[1], mass[0])
+    assert abs(float(ratio - a)) < 1e-9
+
+
+def test_dp_noisy_counts_deterministic_and_clamped(spark, tmp_path):
+    """Noise is the inverse-CDF of the key hash (recomputed here from
+    first principles) and the release clamps at zero."""
+    import hashlib
+
+    from ocr_spark.operators.relational import (
+        _dp_noise_intervals,
+        dp_noisy_counts,
+    )
+
+    d = str(tmp_path)
+    rows = [(0, "c0", 1, 10.0, "AUTO")]  # one class of size 1
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    out = dp_noisy_counts(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    u = int(hashlib.md5(b"dpn:1:AUTO").hexdigest()[:10], 16)
+    expect = next(
+        k for k, lo, hi in _dp_noise_intervals() if lo <= u < hi
+    )
+    assert r["noise"] == expect
+    assert r["exact_count"] == 1
+    assert r["released_count"] == max(0, 1 + expect)
+    # re-run: identical release (determinism is the point)
+    again = dp_noisy_counts(spark, d).collect()[0]
+    assert again == r
+
+
 def test_operators_are_empty_input_safe(spark, tmp_path):
     """Every derived-table operator must yield an empty (or degenerate
     single-report-row) result on EMPTY input tables — never throw: at
@@ -1009,7 +1068,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.kmv_weekly_rollup, R.unpivot_measures, R.theta_sketch_overlap,
         R.pps_systematic_sample, R.k_anonymity_audit, R.cusum_changepoint,
         R.pit_join_events_scd2, R.mad_outliers, R.purchase_paths,
-        R.l_diversity_audit, R.t_closeness_audit,
+        R.l_diversity_audit, R.t_closeness_audit, R.dp_noisy_counts,
         R.psi_drift, R.km_churn_survival, R.benford_audit,
         R.weekday_seasonality,
         T.pareto_frontier_docs, T.paragraph_dedup_rebuild,
