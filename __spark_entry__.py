@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.operators import (
     dedup,
+    evalmetrics,
     media,
     relational,
     similarity,
@@ -178,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- end-to-end eval metrics (reference tools/end2end harness) --
         "eval_end2end": _q_eval_end2end,
         "eval_end2end_pipeline": _q_eval_end2end_pipeline,
+        "bleu_eval": evalmetrics.bleu_eval,
         # -- span algebra (SQL twins of the pipeline's span handling) --
         "span_explode": spans.span_explode,
         "span_splice": spans.span_splice,
@@ -5650,6 +5652,60 @@ from long group by measure order by measure
     # (iou_ppb desc, gt_id, dt_id) order — bit-equal to the Spark
     # applyInPandas greedy loop (operators/evalmetrics.py).
     sql["eval_end2end"] = _eval_end2end_oracle()
+    # BLEU-components truth: identical deterministic candidate synthesis
+    # (drop %7, UNK %5 on the doc_id-shifted 0-based position), identical
+    # array-side n-gram windows, clipped counts, exact rational ppm.
+    sql["bleu_eval"] = f"""
+with base as (
+  select doc_id, string_split(text, ' ') as ref_toks from documents
+), cand as (
+  select doc_id, ref_toks,
+         list_transform(
+           list_filter(generate_series(1, len(ref_toks)),
+                       i -> ((i - 1) + doc_id) % {evalmetrics.BLEU_DROP_MOD}
+                            <> 0),
+           i -> case when ((i - 1) + doc_id) % {evalmetrics.BLEU_UNK_MOD} = 0
+                     then 'UNK' else ref_toks[i] end) as cand_toks
+  from base
+), ns as (
+  select unnest(generate_series(1, {evalmetrics.BLEU_MAX_N})) as n
+), cpos as (
+  select doc_id, cand_toks, n,
+         unnest(generate_series(1, len(cand_toks) - n + 1)) as i
+  from cand cross join ns where len(cand_toks) >= n
+), cc as (
+  select doc_id, n, array_to_string(cand_toks[i : i + n - 1], ' ') as gram,
+         count(*) as c_cnt
+  from cpos group by 1, 2, 3
+), rpos as (
+  select doc_id, ref_toks, n,
+         unnest(generate_series(1, len(ref_toks) - n + 1)) as i
+  from cand cross join ns where len(ref_toks) >= n
+), rc as (
+  select doc_id, n, array_to_string(ref_toks[i : i + n - 1], ' ') as gram,
+         count(*) as r_cnt
+  from rpos group by 1, 2, 3
+), clip as (
+  select cc.n,
+         sum(least(cc.c_cnt, coalesce(rc.r_cnt, 0))) as clipped_matches,
+         sum(cc.c_cnt) as cand_ngrams
+  from cc left join rc
+    on cc.doc_id = rc.doc_id and cc.n = rc.n and cc.gram = rc.gram
+  group by 1
+), lens as (
+  select sum(len(cand_toks)) as cand_len, sum(len(ref_toks)) as ref_len
+  from cand
+)
+select n, cast(clipped_matches as bigint) as clipped_matches,
+       cast(cand_ngrams as bigint) as cand_ngrams,
+       cast((2 * clipped_matches::hugeint * 1000000 + cand_ngrams)
+            // (2 * cand_ngrams) as bigint) as precision_ppm,
+       cast(cand_len as bigint) as cand_len,
+       cast(ref_len as bigint) as ref_len,
+       cast((2 * cand_len::hugeint * 1000000 + ref_len)
+            // (2 * ref_len) as bigint) as length_ratio_ppm
+from clip cross join lens order by n
+"""
     return sql
 
 

@@ -365,3 +365,117 @@ def pipeline_predictions(
     return refs.repartition(partitions).mapInPandas(
         _predict_batches, schema=_PRED_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus BLEU components — the graded TEXT-quality eval
+# ---------------------------------------------------------------------------
+
+BLEU_MAX_N = 4
+BLEU_UNK_MOD = 5  # token i (0-based, doc_id-shifted) -> 'UNK'
+BLEU_DROP_MOD = 7  # token i dropped entirely
+
+
+def bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU components (Papineni et al., ACL'02) between a
+    candidate corpus and its reference: per n in 1..4, the CLIPPED
+    modified n-gram match count, the candidate n-gram total, and the
+    exact precision_ppm, plus the corpus length ratio behind the
+    brevity penalty.  This is the graded companion to the exact-match
+    gates: a distillation / OCR / MT / repair stage is monitored by
+    how far these drop, not by a boolean.
+
+    The geometric mean + exp of real BLEU is deliberately NOT taken:
+    the components are the integer sufficient statistics (a driver can
+    combine them in one line), and keeping them integer keeps the
+    cross-engine contract exact — no libm exp/log anywhere.
+
+    The candidate corpus is SYNTHESIZED deterministically from the
+    reference (same rule in the DuckDB oracle, the `encoding_repair`
+    pattern): token i of doc d is dropped when (i + d) % 7 == 0 and
+    replaced by 'UNK' when (i + d) % 5 == 0 — a fixed, position-aware
+    degradation standing in for the model output a production run
+    would feed in.
+
+    Scale shape: n-grams are built ARRAY-side per doc (slice windows —
+    no positional self-join), counted per (doc, n, gram) with map-side
+    partial aggs, clipped via one keyed equi-join against the
+    reference counts, and rolled up to exactly BLEU_MAX_N rows; corpus
+    totals are single partial-agg scalars broadcast onto the output.
+    Nothing after the two groupBys exceeds n-gram-key cardinality."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", toks.alias("ref_toks"))
+    cand_toks = F.expr(
+        f"""
+        transform(
+          filter(
+            transform(ref_toks, (t, i) -> struct(t as t, i as i)),
+            s -> (s.i + doc_id) % {BLEU_DROP_MOD} != 0),
+          s -> case when (s.i + doc_id) % {BLEU_UNK_MOD} = 0
+                    then 'UNK' else s.t end)
+        """
+    )
+    both = base.select("doc_id", "ref_toks", cand_toks.alias("cand_toks"))
+
+    def grams(col: str):
+        # all 1..4-gram (n, gram) structs of one token array, array-side
+        arrs = []
+        for n in range(1, BLEU_MAX_N + 1):
+            arrs.append(
+                F.when(
+                    F.size(F.col(col)) >= n,
+                    F.expr(
+                        f"transform(sequence(1, size({col}) - {n} + 1),"
+                        f" i -> struct({n} as n,"
+                        f" concat_ws(' ', slice({col}, i, {n})) as gram))"
+                    ),
+                ).otherwise(F.expr("array()").cast(
+                    "array<struct<n:int,gram:string>>"
+                ))
+            )
+        return F.flatten(F.array(*arrs))
+
+    cand_counts = (
+        both.select("doc_id", F.explode(grams("cand_toks")).alias("g"))
+        .groupBy("doc_id", "g.n", "g.gram")
+        .agg(F.count("*").alias("c_cnt"))
+    )
+    ref_counts = (
+        both.select("doc_id", F.explode(grams("ref_toks")).alias("g"))
+        .groupBy("doc_id", "g.n", "g.gram")
+        .agg(F.count("*").alias("r_cnt"))
+    )
+    clipped = (
+        cand_counts.join(ref_counts, ["doc_id", "n", "gram"], "left")
+        .na.fill({"r_cnt": 0})
+        .groupBy("n")
+        .agg(
+            F.sum(F.least("c_cnt", "r_cnt")).alias("clipped_matches"),
+            F.sum("c_cnt").alias("cand_ngrams"),
+        )
+    )
+    lens = both.agg(
+        F.sum(F.size("cand_toks")).alias("cand_len"),
+        F.sum(F.size("ref_toks")).alias("ref_len"),
+    )
+    return (
+        clipped.crossJoin(F.broadcast(lens))
+        .select(
+            "n",
+            "clipped_matches",
+            "cand_ngrams",
+            F.expr(
+                "(2 * cast(clipped_matches as decimal(38,0)) * 1000000"
+                " + cand_ngrams) div (2 * cand_ngrams)"
+            ).alias("precision_ppm"),
+            "cand_len",
+            "ref_len",
+            F.expr(
+                "(2 * cast(cand_len as decimal(38,0)) * 1000000"
+                " + ref_len) div (2 * ref_len)"
+            ).alias("length_ratio_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("n")
+    )

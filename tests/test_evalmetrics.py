@@ -209,3 +209,36 @@ def test_predictions_on_gtless_pages_are_ignored(spark):
     m = _one(e2e_metrics(pred, gt))
     assert m["dt_count"] == 1 and m["gt_count"] == 1 and m["hit"] == 1
     assert m["ed_sum"] == 0 and m["precision_ppm"] == 1000000
+
+
+def test_bleu_components_hand_computed(spark, tmp_path):
+    """One 6-token doc, every clipped count worked by hand.
+
+    ref = [a b a b c a] (doc 0); candidate drops i%7==0 (i=0) and UNKs
+    i%5==0 (i=5) -> cand = [b a b c UNK]:
+      1-grams 4/5, 2-grams 3/4, 3-grams 2/3, 4-grams 1/2,
+      lengths 5 vs 6."""
+    from ocr_spark.operators.evalmetrics import bleu_eval
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "a b a b c a", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["n"]: r for r in bleu_eval(spark, d).collect()}
+    assert rows[1]["clipped_matches"] == 4 and rows[1]["cand_ngrams"] == 5
+    assert rows[1]["precision_ppm"] == 800_000
+    assert rows[2]["clipped_matches"] == 3 and rows[2]["cand_ngrams"] == 4
+    assert rows[2]["precision_ppm"] == 750_000
+    assert rows[3]["clipped_matches"] == 2 and rows[3]["cand_ngrams"] == 3
+    assert rows[3]["precision_ppm"] == 666_667  # half-away on 2/3
+    assert rows[4]["clipped_matches"] == 1 and rows[4]["cand_ngrams"] == 2
+    assert rows[4]["precision_ppm"] == 500_000
+    assert rows[1]["cand_len"] == 5 and rows[1]["ref_len"] == 6
+    assert rows[1]["length_ratio_ppm"] == 833_333
+    # identity candidate scores a perfect 1.0 on every n: doc_id far
+    # from the degradation residues via a doc whose positions never hit
+    # them is impractical — instead check monotonicity: clipping means
+    # precision never exceeds 1e6
+    assert all(r["precision_ppm"] <= 1_000_000 for r in rows.values())

@@ -1060,10 +1060,12 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
     pq.write_table(sup, f"{d}/supplier.parquet")
 
     from ocr_spark.operators import dedup as D
+    from ocr_spark.operators import evalmetrics as E
     from ocr_spark.operators import media as M
     from ocr_spark.operators import similarity as S
 
     empty_ok = [
+        E.bleu_eval,
         M.audio_features, M.caption_consistency,
         R.kmv_weekly_rollup, R.unpivot_measures, R.theta_sketch_overlap,
         R.pps_systematic_sample, R.k_anonymity_audit, R.cusum_changepoint,
