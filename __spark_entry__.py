@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": text_analysis.token_stats,
         "quality_score": text_analysis.quality_score,
         "lang_id": text_analysis.lang_id,
+        "hashed_ngram_classify": text_analysis.hashed_ngram_classify,
         "fingerprint": text_analysis.fingerprint,
         "repetition_stats": text_analysis.repetition_stats,
         "contamination_check": text_analysis.contamination_check,
@@ -5652,6 +5653,48 @@ from long group by measure order by measure
     # (iou_ppb desc, gt_id, dt_id) order — bit-equal to the Spark
     # applyInPandas greedy loop (operators/evalmetrics.py).
     sql["eval_end2end"] = _eval_end2end_oracle()
+    # Hashed-classifier truth: identical md5 feature hash + md5-derived
+    # weight matrix, identical argmax tie-break (smallest class id).
+    _ngc_w = (
+        "((('0x' || substr(md5('ngw:' || b || ':{c}'), 1, 8))::bigint"
+        f" % {text_analysis.NGC_WRANGE}) - 1000)"
+    )
+    _ngc_sums = ",\n         ".join(
+        f"sum({_ngc_w.format(c=c)}) as score_{c}"
+        for c in range(text_analysis.NGC_CLASSES)
+    )
+    sql["hashed_ngram_classify"] = f"""
+with toks as (
+  select doc_id, string_split(lower(text), ' ') as ws from documents
+), uni as (
+  select doc_id, unnest(ws) as g from toks
+), bi as (
+  select doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) as g
+  from toks where len(ws) >= 2
+), grams as (
+  select * from uni union all select * from bi
+), bucketed as (
+  select doc_id,
+         ('0x' || substr(md5('ngc:' || g), 1, 8))::bigint
+           % {text_analysis.NGC_BUCKETS} as b
+  from grams
+), agg as (
+  select doc_id,
+         {_ngc_sums}
+  from bucketed group by doc_id
+)
+select doc_id, score_0, score_1, score_2, score_3,
+       cast(case when score_0 >= score_1 and score_0 >= score_2
+                  and score_0 >= score_3 then 0
+                 when score_1 >= score_2 and score_1 >= score_3 then 1
+                 when score_2 >= score_3 then 2
+                 else 3 end as int) as predicted_class,
+       list_sort([score_0, score_1, score_2, score_3])[4]
+         - list_sort([score_0, score_1, score_2, score_3])[3] as margin
+from agg order by doc_id
+"""
     # BLEU-components truth: identical deterministic candidate synthesis
     # (drop %7, UNK %5 on the doc_id-shifted 0-based position), identical
     # array-side n-gram windows, clipped counts, exact rational ppm.

@@ -2548,3 +2548,108 @@ def bpe_tokenize(
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed n-gram linear classifier inference (fastText-style)
+# ---------------------------------------------------------------------------
+
+NGC_BUCKETS = 1024  # feature-hash buckets (fastText's `-bucket`)
+NGC_CLASSES = 4  # fixture label space
+NGC_WRANGE = 2001  # weights uniform in [-1000, 1000]
+
+
+def _ngc_weight(bucket, cls: int):
+    """Weight of (bucket, class): md5-derived integer in [-1000, 1000].
+    A REAL deployment broadcasts trained weights; deriving them from
+    the same hash family keeps the fixture model engine-exact while
+    exercising the identical inference plan."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ngw:"),
+                        bucket.cast("string"),
+                        F.lit(f":{cls}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % NGC_WRANGE
+        - 1000
+    )
+
+
+def hashed_ngram_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style (Joulin et al., EACL'17) linear text classifier
+    INFERENCE at corpus scale: every word unigram and adjacent bigram
+    is feature-hashed into NGC_BUCKETS buckets, each bucket carries an
+    integer weight per class, and a document's class scores are the
+    sums of its grams' weights — argmax wins, ties to the smallest
+    class id.  This is the model-inference-as-dataflow primitive a
+    100 TB curation run uses for topic / quality / language routing:
+    no Python in the loop, no weight table shuffled — scoring is pure
+    map-side Catalyst expression work.
+
+    The weight matrix here is the md5-derived fixture of `_ngc_weight`
+    (deterministic, engine-exact); a production run swaps in trained
+    weights via a broadcast join on `bucket` without touching the
+    plan's shape.
+
+    Scale shape: grams are built array-side (zip of two slices for the
+    bigrams — no positional self-join), exploded, scored map-side, and
+    collapsed by ONE partial-agg groupBy(doc_id) carrying the 4 class
+    sums; the argmax + margin are projection-only.  One shuffle total,
+    keyed on doc_id."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = docs.select(
+        "doc_id", F.explode(F.concat(toks, bigrams)).alias("g")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ngc:"), F.col("g"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % NGC_BUCKETS
+    )
+    scored = grams.select("doc_id", bucket.alias("b"))
+    agg = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(_ngc_weight(F.col("b"), c)).alias(f"score_{c}")
+            for c in range(NGC_CLASSES)
+        ]
+    )
+    s = [F.col(f"score_{c}") for c in range(NGC_CLASSES)]
+    predicted = (
+        F.when((s[0] >= s[1]) & (s[0] >= s[2]) & (s[0] >= s[3]), 0)
+        .when((s[1] >= s[2]) & (s[1] >= s[3]), 1)
+        .when(s[2] >= s[3], 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    ranked = F.array_sort(F.array(*s))
+    return (
+        agg.select(
+            "doc_id",
+            *[f"score_{c}" for c in range(NGC_CLASSES)],
+            predicted.alias("predicted_class"),
+            (
+                F.element_at(ranked, NGC_CLASSES)
+                - F.element_at(ranked, NGC_CLASSES - 1)
+            ).alias("margin"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -1089,3 +1089,47 @@ def test_encoding_repair_roundtrip_property(spark):
         assert hits == n_inject
 
     prop()
+
+
+def test_hashed_ngram_classify_matches_python_model(spark, tmp_path):
+    """Scores replayed from first principles in pure Python (hashlib):
+    unigrams + adjacent bigrams, md5 bucket, md5 weight, argmax with
+    smallest-id tie-break; a 1-token doc contributes no bigrams."""
+    import hashlib
+
+    from ocr_spark.operators.text_analysis import (
+        NGC_BUCKETS,
+        NGC_CLASSES,
+        NGC_WRANGE,
+        hashed_ngram_classify,
+    )
+
+    d = str(tmp_path)
+    texts = {0: "spark table merge spark", 1: "solo"}
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def score(text: str) -> list:
+        ws = text.split(" ")
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        out = [0] * NGC_CLASSES
+        for g in grams:
+            b = h32(f"ngc:{g}") % NGC_BUCKETS
+            for c in range(NGC_CLASSES):
+                out[c] += h32(f"ngw:{b}:{c}") % NGC_WRANGE - 1000
+        return out
+
+    rows = {r["doc_id"]: r for r in hashed_ngram_classify(spark, d).collect()}
+    for i, t in texts.items():
+        exp = score(t)
+        got = [rows[i][f"score_{c}"] for c in range(NGC_CLASSES)]
+        assert got == exp, (i, got, exp)
+        best = max(exp)
+        assert rows[i]["predicted_class"] == exp.index(best)
+        assert rows[i]["margin"] == best - sorted(exp)[-2]
