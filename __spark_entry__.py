@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ivf_topk,
         "ann_ivf_indexed_topk": similarity.ivf_indexed_topk,
         "knn_graph": similarity.knn_graph,
+        "bitext_mining": similarity.bitext_mining,
         # -- text analysis --
         "token_stats": text_analysis.token_stats,
         "quality_score": text_analysis.quality_score,
@@ -5653,6 +5654,52 @@ from long group by measure order by measure
     # (iou_ppb desc, gt_id, dt_id) order — bit-equal to the Spark
     # applyInPandas greedy loop (operators/evalmetrics.py).
     sql["eval_end2end"] = _eval_end2end_oracle()
+    # Bitext-mining truth: identical rounded-cosine integerization,
+    # identical (cos desc, partner) neighborhood top-K, exact rational
+    # margin, same best-per-probe tie-break.
+    sql["bitext_mining"] = f"""
+with e as (
+  select vec_id, embedding,
+         sqrt(list_dot_product(embedding::double[],
+                               embedding::double[])) as nrm
+  from embeddings
+), src as (
+  select vec_id as src_id, embedding as es, nrm as ns from e
+  where vec_id % 2 = 0 and vec_id < {2 * similarity.BITEXT_PROBES}
+), tgt as (
+  select vec_id as tgt_id, embedding as et, nrm as nt from e
+  where vec_id % 2 = 1
+), pairs as (
+  select src_id, tgt_id,
+         cast(round(list_dot_product(es::double[], et::double[])
+                    / (ns * nt) * 10000, 0) as bigint) as cos_x1e4
+  from src cross join tgt
+), ranked as (
+  select *,
+         row_number() over (partition by src_id
+                            order by cos_x1e4 desc, tgt_id) as rx,
+         row_number() over (partition by tgt_id
+                            order by cos_x1e4 desc, src_id) as ry
+  from pairs
+), nx as (
+  select src_id, sum(cos_x1e4) as sx, count(*) as cx
+  from ranked where rx <= {similarity.BITEXT_K} group by 1
+), ny as (
+  select tgt_id, sum(cos_x1e4) as sy, count(*) as cy
+  from ranked where ry <= {similarity.BITEXT_K} group by 1
+), cand as (
+  select p.src_id, p.tgt_id, p.cos_x1e4,
+         (2 * (cx + cy) * cos_x1e4 * 1000000000 + (sx + sy))
+           // (2 * (sx + sy)) as margin_ppb
+  from pairs p join nx using (src_id) join ny using (tgt_id)
+  where cos_x1e4 > 0 and sx + sy > 0
+)
+select src_id, tgt_id, cos_x1e4, cast(margin_ppb as bigint) as margin_ppb
+from cand where margin_ppb > {similarity.BITEXT_MARGIN_MIN_PPB}
+qualify row_number() over (partition by src_id
+                           order by margin_ppb desc, tgt_id) = 1
+order by src_id
+"""
     # Hashed-classifier truth: identical md5 feature hash + md5-derived
     # weight matrix, identical argmax tie-break (smallest class id).
     _ngc_w = (

@@ -1208,3 +1208,109 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("list_id").cast("int").alias("list_id"),
         F.col("approx_d").cast("bigint").alias("approx_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (cross-source embedding alignment)
+# ---------------------------------------------------------------------------
+
+BITEXT_PROBES = 64  # mined batch: first 64 even vec_ids
+BITEXT_K = 4  # neighborhood size in the margin denominator
+BITEXT_MARGIN_MIN_PPB = 1_000_000_000  # margin > 1.0: closer than avg
+
+
+def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk, ACL'19 —
+    the LASER/CCMatrix recipe): across two corpora embedded in one
+    space, a pair (x, y) is mined when its cosine stands out from BOTH
+    neighborhoods — margin = cos(x,y) / mean(kNN(x) ∪ kNN(y)) > 1 —
+    which kills the hubness false-positives a raw cosine threshold
+    admits.  The two "languages" here are the even/odd vec_id halves
+    of the embeddings table; the mined batch is the first
+    BITEXT_PROBES even vectors (production mines in exactly such
+    batches, feeding candidate pairs from the ANN primitives below
+    instead of the in-batch brute force).
+
+    Exactness: cosines are rounded to 4 dp ONCE (the shared
+    convention), then everything is integer — neighborhood sums over
+    the top-K rows of (cos desc, partner-id) windows, and
+    margin_ppb = round-half-away(1e9 * (cx+cy)*cos / (sx+sy)) as the
+    exact rational (2n+d) div (2d); pairs qualify only when cos > 0
+    and the denominator is positive, and each probe emits its single
+    best-margin target above BITEXT_MARGIN_MIN_PPB.
+
+    Scale shape: the probe batch (64 rows) broadcasts onto the target
+    side — the corpus never shuffles; the per-probe and per-target
+    windows rank only batch-bounded candidate sets (at 100 TB the
+    candidate generator is the IVF/LSH join, keeping every partition
+    ANN-candidate-sized, with this margin stage unchanged)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    src = emb.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * BITEXT_PROBES)
+    ).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("es"),
+        F.col("nrm").alias("ns"),
+    )
+    tgt = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("embedding").alias("et"),
+        F.col("nrm").alias("nt"),
+    )
+    pairs = tgt.join(F.broadcast(src)).select(
+        "src_id",
+        "tgt_id",
+        F.round(
+            _dot(F.col("es"), F.col("et"))
+            / (F.col("ns") * F.col("nt"))
+            * 10000,
+            0,
+        )
+        .cast("bigint")
+        .alias("cos_x1e4"),
+    )
+    from pyspark.sql.window import Window
+
+    # Neighborhood stats as WINDOW aggregates over one lineage (not
+    # groupBy+join-back): the rank and its top-K sum share one exchange
+    # per key, so the whole margin computation is one scan pass and two
+    # shuffles (src key, tgt key).
+    wx = Window.partitionBy("src_id").orderBy(F.desc("cos_x1e4"), "tgt_id")
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos_x1e4"), "src_id")
+    px = Window.partitionBy("src_id")
+    py = Window.partitionBy("tgt_id")
+    topk_x = F.when(F.col("rx") <= BITEXT_K, F.col("cos_x1e4"))
+    topk_y = F.when(F.col("ry") <= BITEXT_K, F.col("cos_x1e4"))
+    stats = (
+        pairs.withColumn("rx", F.row_number().over(wx))
+        .withColumn("sx", F.sum(topk_x).over(px))
+        .withColumn("cx", F.count(topk_x).over(px))
+        .withColumn("ry", F.row_number().over(wy))
+        .withColumn("sy", F.sum(topk_y).over(py))
+        .withColumn("cy", F.count(topk_y).over(py))
+    )
+    cand = (
+        stats.filter(
+            (F.col("cos_x1e4") > 0) & (F.col("sx") + F.col("sy") > 0)
+        )
+        .withColumn(
+            "margin_ppb",
+            F.expr(
+                "(2 * (cx + cy) * cos_x1e4 * 1000000000 + (sx + sy))"
+                " div (2 * (sx + sy))"
+            ),
+        )
+        .filter(F.col("margin_ppb") > BITEXT_MARGIN_MIN_PPB)
+    )
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_ppb"), "tgt_id"
+    )
+    return (
+        cand.withColumn("best", F.row_number().over(wbest))
+        .filter(F.col("best") == 1)
+        .select("src_id", "tgt_id", "cos_x1e4", "margin_ppb")
+        .repartition(1)
+        .sortWithinPartitions("src_id")
+    )

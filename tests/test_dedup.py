@@ -634,3 +634,35 @@ def test_semdedup_prune_fixture_sanity(spark, sf_dir):
         else:
             assert r["pruned_by"] is None
     assert rows == semdedup_prune(spark, sf_dir).collect()
+
+
+def test_bitext_mining_hand_computed_margins(spark, tmp_path):
+    """2-D fixture where every cosine, neighborhood sum, and margin is
+    worked by hand: probe 0=(1,0), probe 2=(0,1); targets 1=(1,0),
+    3=(0.6,0.8), 5=(-1,0).  cos table (x1e4): (0,1)=10000 (0,3)=6000
+    (0,5)=-10000 (2,1)=0 (2,3)=8000 (2,5)=0.  With only 3 targets and
+    2 probes, cx=3 and cy=2 everywhere:
+      sx(0)=6000 sx(2)=8000; sy(1)=10000 sy(3)=14000 sy(5)=-10000.
+      margin(0,1)=5*10000/16000=3.125 -> 3_125_000_000 (best for 0)
+      margin(2,3)=5*8000/22000 -> 1_818_181_818 (best for 2; (2,1) and
+      (2,5) are cos<=0, excluded)."""
+    from ocr_spark.operators.similarity import bitext_mining
+
+    d = str(tmp_path)
+    vecs = {
+        0: [1.0, 0.0],
+        2: [0.0, 1.0],
+        1: [1.0, 0.0],
+        3: [0.6, 0.8],
+        5: [-1.0, 0.0],
+    }
+    spark.createDataFrame(
+        [(k, v, 0) for k, v in sorted(vecs.items())],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    rows = {r["src_id"]: r for r in bitext_mining(spark, d).collect()}
+    assert set(rows) == {0, 2}
+    assert rows[0]["tgt_id"] == 1 and rows[0]["cos_x1e4"] == 10000
+    assert rows[0]["margin_ppb"] == 3_125_000_000
+    assert rows[2]["tgt_id"] == 3 and rows[2]["cos_x1e4"] == 8000
+    assert rows[2]["margin_ppb"] == 1_818_181_818

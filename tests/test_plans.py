@@ -1193,3 +1193,61 @@ def test_cocitation_self_join_stays_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
     assert "partial_count" in plan
+
+
+def test_bitext_probe_side_broadcasts(spark):
+    """Pair generation broadcasts the 64-row probe batch onto the
+    target corpus — the corpus itself never shuffles for scoring; the
+    only exchanges are the neighborhood-window/groupBy keys."""
+    from ocr_spark.operators.similarity import bitext_mining
+
+    plan = plan_of(bitext_mining(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # one lineage: scoring + neighborhoods are window aggs, no
+    # join-back of the pair table — exactly the src + tgt scans
+    assert plan.count("FileScan") == 2
+
+
+def test_hashed_ngram_classify_single_shuffle(spark):
+    """Scoring is map-side expression work collapsed by ONE partial-agg
+    groupBy(doc_id): no joins, no windows, no weight-table exchange."""
+    from ocr_spark.operators.text_analysis import hashed_ngram_classify
+
+    plan = plan_of(hashed_ngram_classify(spark, SF), "simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan
+
+
+def test_t_closeness_grid_is_domain_bounded(spark):
+    """The EMD grid builds from broadcast band/total aggregates (QI
+    domain x band domain) — no corpus-cardinality join or global
+    window."""
+    from ocr_spark.operators.relational import t_closeness_audit
+
+    plan = plan_of(t_closeness_audit(spark, SF), "simple")
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan
+
+
+def test_dp_noisy_counts_broadcast_interval_join(spark):
+    """The 65-row noise table joins as a broadcast nested loop over the
+    release-domain aggregate — constant work per released row."""
+    from ocr_spark.operators.relational import dp_noisy_counts
+
+    plan = plan_of(dp_noisy_counts(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_bleu_eval_single_corpus_scan_keyed_join(spark):
+    """Candidate and reference n-gram counts flow through partial aggs
+    and ONE keyed equi-join on (doc_id, n, gram) — no cartesian, no
+    window."""
+    from ocr_spark.operators.evalmetrics import bleu_eval
+
+    plan = plan_of(bleu_eval(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
