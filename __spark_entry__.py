@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "containment_pairs": dedup.containment_pairs,
         "ngram_jaccard_all_pairs": dedup.ngram_jaccard_all_pairs,
+        "dedup_sketch_eval": dedup.dedup_sketch_eval,
         "prefix_filter_jaccard": dedup.prefix_filter_jaccard,
         "duplicate_substring_spans": dedup.duplicate_substring_spans,
         "simhash_near_dup": dedup.simhash_near_dup,
@@ -857,6 +858,66 @@ order by batch_doc, corpus_doc
     sh=_SHINGLES,
     cols=",\n".join("    " + _mh_col(j) for j in range(dedup.N_MINHASH)),
     nbands=dedup.LSH_BANDS,
+    band_cases="\n".join(
+        f"           when {b} then md5(mh{b * (dedup.N_MINHASH // dedup.LSH_BANDS)}::varchar"
+        + "".join(
+            f" || ',' || mh{b * (dedup.N_MINHASH // dedup.LSH_BANDS) + r}::varchar"
+            for r in range(1, dedup.N_MINHASH // dedup.LSH_BANDS)
+        )
+        + ")"
+        for b in range(dedup.LSH_BANDS)
+    ),
+)
+
+
+# Sketch-quality eval: candidates from the SAME banding CTEs, truth
+# from the exact all-pairs jaccard (the quadratic form is fine in the
+# oracle — completeness of the Spark side's prefix filter is
+# pytest-pinned separately), hits = set intersection.
+_SKETCH_EVAL_ORACLE = """
+with sh as materialized (
+  select doc_id, {sh} as shingles from documents
+), sigs as (
+  select doc_id, shingles,
+{cols}
+  from sh
+), bands as (
+  select doc_id, b.band,
+         case b.band
+{band_cases}
+         end as bucket
+  from sigs, (select unnest(range(0, {nbands})) as band) b
+), cand as materialized (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b on a.band = b.band and a.bucket = b.bucket
+   and a.doc_id < b.doc_id
+), truth as materialized (
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from sh a join sh b on a.doc_id < b.doc_id
+  where round(len(list_intersect(a.shingles, b.shingles))::double
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))),
+              6) >= {tau}
+), h as materialized (
+  select * from cand intersect select * from truth
+), c as (
+  select (select count(*) from truth) as n_truth,
+         (select count(*) from cand) as n_candidates,
+         (select count(*) from h) as n_hits
+)
+select n_truth, n_candidates, n_hits,
+       case when n_truth = 0 then cast(1000000 as bigint)
+            else cast((2 * n_hits::hugeint * 1000000 + n_truth)
+                      // (2 * n_truth) as bigint) end as recall_ppm,
+       case when n_candidates = 0 then cast(1000000 as bigint)
+            else cast((2 * n_hits::hugeint * 1000000 + n_candidates)
+                      // (2 * n_candidates) as bigint) end as precision_ppm
+from c
+""".format(
+    sh=_SHINGLES,
+    cols=",\n".join("    " + _mh_col(j) for j in range(dedup.N_MINHASH)),
+    nbands=dedup.LSH_BANDS,
+    tau=dedup.SKETCH_EVAL_TAU,
     band_cases="\n".join(
         f"           when {b} then md5(mh{b * (dedup.N_MINHASH // dedup.LSH_BANDS)}::varchar"
         + "".join(
@@ -1828,6 +1889,7 @@ select doc_id, md5(text) as digest,
 from documents order by doc_id
 """,
         "minhash_signatures": _MINHASH_ORACLE,
+        "dedup_sketch_eval": _SKETCH_EVAL_ORACLE,
         "lsh_near_dup": _LSH_ORACLE,
         "incremental_near_dup": _INCR_LSH_ORACLE,
         # connected components as a recursive reachability closure over

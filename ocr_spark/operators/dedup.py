@@ -137,17 +137,13 @@ def band_buckets(sigs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: docs sharing any (band, bucket) are candidate pairs;
-    verified with exact shingle-set Jaccard >= 0.5. Output: verified pairs.
-
-    At scale the self-join is bucket-local (equi-join on band+bucket), so
-    Catalyst shuffles both sides once on the bucket key; AQE handles hot
-    buckets via skew-join splitting.
-    """
-    sigs = minhash_signatures(spark, sf_dir)
-    bands = band_buckets(sigs)
-    pairs = (
+def band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-verify LSH candidate pairs: docs sharing any (band, bucket),
+    deduped, a < b.  The bucket-local equi-join shuffles both sides
+    once on the bucket key; AQE splits hot buckets.  Exposed separately
+    so the sketch-quality eval can grade the candidate stage."""
+    bands = band_buckets(minhash_signatures(spark, sf_dir))
+    return (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -160,6 +156,17 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any (band, bucket) are candidate pairs;
+    verified with exact shingle-set Jaccard >= 0.5. Output: verified pairs.
+
+    At scale the self-join is bucket-local (equi-join on band+bucket), so
+    Catalyst shuffles both sides once on the bucket key; AQE handles hot
+    buckets via skew-join splitting.
+    """
+    pairs = band_pairs(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", word_shingles(F.col("text")).alias("sh")
     )
@@ -1092,4 +1099,60 @@ def homoglyph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_raw_variants") > 1)
         .repartition(1)
         .sortWithinPartitions("skeleton")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-quality meta-eval: LSH banding vs exact Jaccard ground truth
+# ---------------------------------------------------------------------------
+
+SKETCH_EVAL_TAU = 0.5  # same threshold the LSH verify stage uses
+
+
+def dedup_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grade the MinHash-LSH candidate generator against EXACT ground
+    truth — the monitoring query a production dedup runs on a sampled
+    slice before trusting the sketch at full scale: truth is every pair
+    with exact shingle Jaccard >= tau (complete via the prefix-filtered
+    AllPairs join, `ngram_jaccard_all_pairs`), candidates are the
+    band-bucket pairs, and because the verify stage applies the SAME
+    exact-Jaccard test, hits == candidates INTERSECT truth.  Reports
+    one row: the three counts plus recall_ppm (what the banding
+    misses: true near-dups whose signatures never collide) and
+    precision_ppm (candidate efficiency: how much of the verify work
+    is wasted on sub-tau pairs).
+
+    Exactness: counts are integers and both ratios are the exact
+    rational (2n+d) div (2d) half-away ppm; empty denominators report
+    the vacuous 1.0.
+
+    Scale shape: three bounded aggregates — the truth side is the
+    prefix-filtered AllPairs join (pair work ∝ real overlap), the
+    candidate side is the bucket-local equi-join, and the hit count is
+    one keyed equi-join between them; each collapses to a 1-row
+    partial-agg count before the final broadcast cross of the three
+    scalars.  On a 100 TB corpus this runs on a hash-sampled slice
+    (compose with `hash_sample`) — the ratios are the point, not the
+    absolute counts."""
+    truth = ngram_jaccard_all_pairs(spark, sf_dir, tau=SKETCH_EVAL_TAU)
+    cand = band_pairs(spark, sf_dir)
+    hits = cand.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_hits = hits.agg(F.count("*").alias("n_hits"))
+    ppm = (
+        "case when {d} = 0 then 1000000 else"
+        " (2 * cast(n_hits as decimal(38,0)) * 1000000 + {d})"
+        " div (2 * {d}) end"
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.expr(ppm.format(d="n_truth")).alias("recall_ppm"),
+            F.expr(ppm.format(d="n_candidates")).alias("precision_ppm"),
+        )
     )

@@ -666,3 +666,33 @@ def test_bitext_mining_hand_computed_margins(spark, tmp_path):
     assert rows[0]["margin_ppb"] == 3_125_000_000
     assert rows[2]["tgt_id"] == 3 and rows[2]["cos_x1e4"] == 8000
     assert rows[2]["margin_ppb"] == 1_818_181_818
+
+
+def test_dedup_sketch_eval_invariants_and_perfect_case(spark, tmp_path):
+    """Identical docs MUST collide in every band (signatures equal), so
+    with truth = exact J>=0.5 pairs the report shows perfect recall;
+    counts obey hits <= min(truth, candidates) and hits equals the
+    verified-pair count by construction."""
+    from ocr_spark.operators.dedup import (
+        dedup_sketch_eval,
+        lsh_candidates,
+    )
+
+    d = str(tmp_path)
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s", 30),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 30),  # dup of 0
+        (2, "one two three four five six seven", "en", "s", 30),
+        (3, "totally different words entirely here now", "en", "s", 30),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    r = dedup_sketch_eval(spark, d).collect()[0]
+    assert r["n_truth"] == 1  # only the identical pair reaches J>=0.5
+    assert r["n_hits"] == 1 and r["recall_ppm"] == 1_000_000
+    assert r["n_hits"] <= r["n_candidates"]
+    assert r["n_hits"] == lsh_candidates(spark, d).count()
+    assert 0 < r["precision_ppm"] <= 1_000_000

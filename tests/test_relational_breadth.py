@@ -1101,6 +1101,9 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
     # global-aggregate report operators emit their one row even over
     # nothing (degenerate values, never a throw)
     assert R.join_size_estimate(spark, d).count() == 1
+    se = D.dedup_sketch_eval(spark, d).collect()
+    assert len(se) == 1 and se[0]["n_truth"] == 0
+    assert se[0]["recall_ppm"] == 1_000_000  # vacuous truth -> perfect
     g = R.gini_concentration(spark, d).collect()
     assert len(g) == 1 and (g[0]["n_users"] or 0) == 0
     h = T.heaps_vocab_growth(spark, d).collect()
