@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": text_analysis.sequence_pack,
         "bpe_merges": text_analysis.bpe_merges,
         "bpe_tokenize": text_analysis.bpe_tokenize,
+        "bpe_fertility": text_analysis.bpe_fertility,
         # -- HTML main-content extraction (boilerplate strip, pure
         # Catalyst: regexp blocks + densometric classification) --
         "html_block_classify": web_extract.html_block_classify,
@@ -3270,6 +3271,22 @@ order by a.vec_id
     )
     sql["bpe_merges"] = _bpe_oracle()
     sql["bpe_tokenize"] = _bpe_tokenize_oracle()
+    # Fertility truth: the tokenize oracle as a CTE, rolled up by
+    # (source, lang) with the same exact rationals.
+    sql["bpe_fertility"] = f"""
+with bt as ({sql["bpe_tokenize"]})
+select d.source, d.lang,
+       count(*) as n_docs,
+       sum(bt.n_words)::bigint as n_words,
+       sum(bt.n_chars)::bigint as n_chars,
+       sum(bt.n_tokens)::bigint as n_tokens,
+       cast((2 * sum(bt.n_tokens)::hugeint * 1000000 + sum(bt.n_words))
+            // (2 * sum(bt.n_words)) as bigint) as fertility_ppm,
+       cast((sum(bt.n_tokens)::hugeint * 1000) // sum(bt.n_chars)
+            as bigint) as tokens_per_kchar
+from bt join documents d using (doc_id)
+group by 1, 2 order by 1, 2
+"""
     # Equi-width histogram in integer cents (truncating div, both
     # operands non-negative -> identical in both engines).
     sql["price_histogram"] = f"""

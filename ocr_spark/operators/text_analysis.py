@@ -2653,3 +2653,54 @@ def hashed_ngram_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+def bpe_fertility(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """Tokenizer fertility per (source, lang): tokens-per-word (the
+    'fertility' a multilingual pipeline watches — sources the tokenizer
+    fragments badly burn sequence budget and under-train) and
+    tokens-per-kchar, rolled up from the per-doc bpe_tokenize output.
+    A source whose fertility_ppm drifts up between snapshots signals
+    corpus contamination or tokenizer mismatch before loss curves do.
+
+    Exactness: sums are integers; fertility_ppm is the exact rational
+    (2n+d) div (2d) half-away; tokens_per_kchar keeps bpe_tokenize's
+    truncating-div convention.
+
+    Scale shape: bpe_tokenize's one expression-stack pass + per-doc
+    shuffle, one doc_id equi-join against the (doc_id, source, lang)
+    projection, then ONE partial-agg groupBy whose output is
+    (source x lang)-domain-sized."""
+    per_doc = bpe_tokenize(spark, sf_dir, rounds=rounds).select(
+        "doc_id", "n_words", "n_chars", "n_tokens"
+    )
+    meta = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    return (
+        per_doc.join(meta, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr(
+                "(2 * cast(n_tokens as decimal(38,0)) * 1000000 + n_words)"
+                " div (2 * n_words)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "(cast(n_tokens as decimal(38,0)) * 1000) div n_chars"
+            ).alias("tokens_per_kchar"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("source", "lang")
+    )

@@ -1133,3 +1133,31 @@ def test_hashed_ngram_classify_matches_python_model(spark, tmp_path):
         best = max(exp)
         assert rows[i]["predicted_class"] == exp.index(best)
         assert rows[i]["margin"] == best - sorted(exp)[-2]
+
+
+def test_bpe_fertility_rolls_up_tokenize(spark, tmp_path):
+    """Group sums equal the per-doc bpe_tokenize sums and the exact
+    rational ppm is the half-away rounding of tokens/words."""
+    from ocr_spark.operators.text_analysis import bpe_fertility, bpe_tokenize
+
+    d = str(tmp_path)
+    rows = [
+        (0, "aa ab aa ab ra", "en", "web", 14),
+        (1, "aa ab aa", "en", "web", 8),
+        (2, "zz zz zz zz", "de", "pdf", 11),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    per_doc = {r["doc_id"]: r for r in bpe_tokenize(spark, d).collect()}
+    out = {(r["source"], r["lang"]): r for r in bpe_fertility(spark, d).collect()}
+    web = out[("web", "en")]
+    assert web["n_docs"] == 2
+    assert web["n_words"] == per_doc[0]["n_words"] + per_doc[1]["n_words"]
+    assert web["n_tokens"] == per_doc[0]["n_tokens"] + per_doc[1]["n_tokens"]
+    t, w = web["n_tokens"], web["n_words"]
+    assert web["fertility_ppm"] == (2 * t * 1_000_000 + w) // (2 * w)
+    pdf = out[("pdf", "de")]
+    assert pdf["n_docs"] == 1 and pdf["n_words"] == 4
