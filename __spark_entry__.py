@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed_topk": similarity.ivf_indexed_topk,
         "knn_graph": similarity.knn_graph,
         "bitext_mining": similarity.bitext_mining,
+        "knn_label_propagation": similarity.knn_label_propagation,
         # -- text analysis --
         "token_stats": text_analysis.token_stats,
         "quality_score": text_analysis.quality_score,
@@ -5733,6 +5734,41 @@ from long group by measure order by measure
     # (iou_ppb desc, gt_id, dt_id) order — bit-equal to the Spark
     # applyInPandas greedy loop (operators/evalmetrics.py).
     sql["eval_end2end"] = _eval_end2end_oracle()
+    # Label-propagation truth: the knn_graph oracle as a CTE, seeds by
+    # vec_id residue, two unrolled vote rounds with the identical
+    # (count desc, label asc) argmax.
+    sql["knn_label_propagation"] = f"""
+with knn as materialized ({sql["knn_graph"]}),
+seeds as materialized (
+  select vec_id,
+         case when vec_id % {similarity.LP_SEED_MOD} = 0 then label end
+           as lbl
+  from embeddings
+), v1 as (
+  select k.src, s.lbl as nl, count(*) as c
+  from knn k join seeds s on k.dst = s.vec_id
+  where s.lbl is not null group by 1, 2
+), p1 as (
+  select src, nl from v1
+  qualify row_number() over (partition by src order by c desc, nl) = 1
+), l1 as (
+  select s.vec_id, coalesce(s.lbl, p1.nl) as lbl
+  from seeds s left join p1 on s.vec_id = p1.src
+), v2 as (
+  select k.src, s.lbl as nl, count(*) as c
+  from knn k join l1 s on k.dst = s.vec_id
+  where s.lbl is not null group by 1, 2
+), p2 as (
+  select src, nl from v2
+  qualify row_number() over (partition by src order by c desc, nl) = 1
+), l2 as (
+  select s.vec_id, coalesce(s.lbl, p2.nl) as lbl
+  from seeds s left join p2 on s.vec_id = p2.src
+)
+select vec_id, cast(lbl as int) as label,
+       vec_id % {similarity.LP_SEED_MOD} = 0 as is_seed
+from l2 order by vec_id
+"""
     # Bitext-mining truth: identical rounded-cosine integerization,
     # identical (cos desc, partner) neighborhood top-K, exact rational
     # margin, same best-per-probe tie-break.

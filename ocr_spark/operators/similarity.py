@@ -1314,3 +1314,85 @@ def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("src_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label propagation over the kNN graph
+# ---------------------------------------------------------------------------
+
+LP_SEED_MOD = 3  # vec_id % 3 == 0 keeps its gold label as a seed
+LP_ROUNDS = 2  # fixed unrolled rounds (oracle mirrors each round)
+
+
+def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised classification by neighbor vote (Zhu &
+    Ghahramani'02 label propagation, hard-label variant): a third of
+    the corpus keeps its gold label (seeds); every other vector takes,
+    per round, the MAJORITY label of its labeled kNN-graph neighbors
+    (ties to the smallest label id), for LP_ROUNDS rounds — the cheap
+    way to stretch a small labeled slice over a 100 TB embedding
+    corpus before training a classifier on the result.
+
+    Determinism: the vote argmax is max(struct(count, -label)) — the
+    same (count desc, label asc) order the oracle's row_number uses;
+    seeds never change; non-seeds are recomputed from scratch each
+    round, so the fixed unroll is engine-exact.
+
+    Scale shape: the kNN graph is the IVF-bounded knn_graph (k rows
+    per vector), localCheckpoint'ed ONCE so the per-round lineage does
+    not re-score pairs; each round is one dst-keyed equi-join against
+    the current (vec_id, label) state plus one partial-agg vote
+    groupBy — O(k·N) work per round, label-domain-bounded vote rows."""
+    if not _anchor_rows(sf_dir):
+        # empty corpus: no IVF anchors, nothing to propagate — the
+        # repo-wide empty-input invariant (knn_graph's anchor literals
+        # would not even analyze)
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, is_seed boolean"
+        )
+    knn = (
+        knn_graph(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % LP_SEED_MOD == 0, F.col("label")).alias(
+            "lbl"
+        ),
+    )
+    cur = seeds
+    for _ in range(LP_ROUNDS):
+        votes = (
+            knn.join(
+                cur.select(
+                    F.col("vec_id").alias("dst"), F.col("lbl").alias("nl")
+                ),
+                "dst",
+            )
+            .filter(F.col("nl").isNotNull())
+            .groupBy("src", "nl")
+            .agg(F.count("*").alias("c"))
+        )
+        prop = votes.groupBy("src").agg(
+            F.max(
+                F.struct(
+                    F.col("c"),
+                    (-F.col("nl")).alias("neg"),
+                    F.col("nl").alias("l"),
+                )
+            ).alias("m")
+        ).select(F.col("src").alias("vec_id"), F.col("m.l").alias("prop"))
+        cur = seeds.join(prop, "vec_id", "left").select(
+            "vec_id", F.coalesce(F.col("lbl"), F.col("prop")).alias("lbl")
+        )
+    return (
+        cur.select(
+            "vec_id",
+            F.col("lbl").alias("label"),
+            (F.col("vec_id") % LP_SEED_MOD == 0).alias("is_seed"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("vec_id")
+    )

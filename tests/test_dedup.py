@@ -696,3 +696,35 @@ def test_dedup_sketch_eval_invariants_and_perfect_case(spark, tmp_path):
     assert r["n_hits"] <= r["n_candidates"]
     assert r["n_hits"] == lsh_candidates(spark, d).count()
     assert 0 < r["precision_ppm"] <= 1_000_000
+
+
+def test_knn_label_propagation_spreads_seed_labels(spark, tmp_path):
+    """18-vector fixture: anchors 0..15 are their own IVF lists; vec 16
+    lands in seed-0's list and inherits its label, vec 17 in seed-3's
+    list; unlabeled singleton anchors stay null; seeds never change."""
+    from ocr_spark.operators.similarity import knn_label_propagation
+
+    d = str(tmp_path)
+    vecs = {}
+    for j in range(16):
+        vecs[j] = [-10.0 - j, -10.0]  # far-apart singleton anchors
+    vecs[0] = [1.0, 0.0]
+    vecs[3] = [0.0, 1.0]
+    vecs[16] = [0.9, 0.1]  # nearest anchor: 0 (a seed, 0 % 3 == 0)
+    vecs[17] = [0.1, 0.9]  # nearest anchor: 3 (a seed)
+    spark.createDataFrame(
+        [(k, v, 100 + k) for k, v in sorted(vecs.items())],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    rows = {
+        r["vec_id"]: r for r in knn_label_propagation(spark, d).collect()
+    }
+    assert len(rows) == 18
+    # seeds keep their gold labels
+    for s in (0, 3, 6, 9, 12, 15):
+        assert rows[s]["is_seed"] and rows[s]["label"] == 100 + s
+    # propagation along the shared IVF lists
+    assert not rows[16]["is_seed"] and rows[16]["label"] == 100
+    assert not rows[17]["is_seed"] and rows[17]["label"] == 103
+    # unlabeled singleton anchors have no labeled neighbors -> null
+    assert rows[1]["label"] is None and rows[2]["label"] is None
