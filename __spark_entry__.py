@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": text_analysis.bpe_merges,
         "bpe_tokenize": text_analysis.bpe_tokenize,
         "bpe_fertility": text_analysis.bpe_fertility,
+        "doremi_mixture": text_analysis.doremi_mixture,
         # -- HTML main-content extraction (boilerplate strip, pure
         # Catalyst: regexp blocks + densometric classification) --
         "html_block_classify": web_extract.html_block_classify,
@@ -5734,6 +5735,40 @@ from long group by measure order by measure
     # (iou_ppb desc, gt_id, dt_id) order — bit-equal to the Spark
     # applyInPandas greedy loop (operators/evalmetrics.py).
     sql["eval_end2end"] = _eval_end2end_oracle()
+    # DoReMi-mixture truth: same integer MW rounds unrolled as CTEs.
+    _dm_parts = [
+        """stats as (
+  select source, sum(n_chars) // count(*) as stat from documents group by 1
+), rng as (
+  select min(stat) as lo, max(stat) as hi, count(*) as n_src from stats
+), r0 as (
+  select source,
+         ((stat - lo) * 1000000) // greatest(hi - lo, 1) as excess_ppm,
+         1000000 // n_src as w
+  from stats cross join rng
+)"""
+    ]
+    for _t in range(1, text_analysis.DOREMI_ROUNDS + 1):
+        _dm_parts.append(
+            f"""v{_t} as materialized (
+  select source, excess_ppm,
+         w * (1000000 + ({text_analysis.DOREMI_ETA_PPM} * excess_ppm)
+              // 1000000) as v
+  from r{_t - 1}
+), r{_t} as (
+  select source, excess_ppm,
+         (v * 1000000) // (select sum(v) from v{_t}) as w
+  from v{_t}
+)"""
+        )
+    sql["doremi_mixture"] = (
+        "with "
+        + ",\n".join(_dm_parts)
+        + f"""
+select source, excess_ppm, w as weight_ppm
+from r{text_analysis.DOREMI_ROUNDS} order by source
+"""
+    )
     # Label-propagation truth: the knn_graph oracle as a CTE, seeds by
     # vec_id residue, two unrolled vote rounds with the identical
     # (count desc, label asc) argmax.

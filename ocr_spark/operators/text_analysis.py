@@ -2704,3 +2704,70 @@ def bpe_fertility(
         .repartition(1)
         .sortWithinPartitions("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain mixture reweighting (multiplicative weights)
+# ---------------------------------------------------------------------------
+
+DOREMI_ETA_PPM = 200_000  # MW step size 0.2
+DOREMI_ROUNDS = 4
+
+
+def doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture optimization in the DoReMi shape (Xie et al.,
+    NeurIPS'23): per source domain, an excess-loss signal drives
+    multiplicative-weights updates w <- w * (1 + eta * excess),
+    renormalized each round, producing the sampling mixture the next
+    training run uses.  The excess signal here is the deterministic
+    corpus proxy ``(mean_chars - min) / (max - min)`` per source (a
+    real run plugs per-domain proxy-vs-reference eval losses into the
+    same column); the linearized MW update keeps every quantity an
+    exact integer — no exp/log.
+
+    Exactness: integer ppm weights throughout — uniform start
+    ``1e6 div n_sources``, per-round multiplier ``1e6 + (eta_ppm *
+    excess_ppm) div 1e6``, renormalization ``(v * 1e6) div sum(v)``
+    (truncating div both engines); DOREMI_ROUNDS fixed rounds unrolled
+    identically in the oracle.
+
+    Scale shape: ONE corpus scan collapses to the source-domain stats
+    table (partial-agg groupBy); every MW round is arithmetic on that
+    tiny table plus a 1-row broadcast sum — the optimization loop costs
+    nothing at any corpus size, the scan is the only data-sized term."""
+    docs = _docs(spark, sf_dir)
+    stats = docs.groupBy("source").agg(
+        F.expr("sum(n_chars) div count(*)").alias("stat")
+    )
+    rng = stats.agg(
+        F.min("stat").alias("lo"),
+        F.max("stat").alias("hi"),
+        F.count("*").alias("n_src"),
+    )
+    cur = (
+        stats.crossJoin(F.broadcast(rng))
+        .select(
+            "source",
+            F.expr(
+                "((stat - lo) * 1000000) div greatest(hi - lo, 1)"
+            ).alias("excess_ppm"),
+            F.expr("1000000 div n_src").alias("w"),
+        )
+    )
+    mult = f"(1000000 + ({DOREMI_ETA_PPM} * excess_ppm) div 1000000)"
+    for _ in range(DOREMI_ROUNDS):
+        v = cur.withColumn("v", F.expr(f"w * {mult}"))
+        tot = v.agg(F.sum("v").alias("tv"))
+        cur = (
+            v.crossJoin(F.broadcast(tot))
+            .select(
+                "source",
+                "excess_ppm",
+                F.expr("(v * 1000000) div tv").alias("w"),
+            )
+        )
+    return (
+        cur.select("source", "excess_ppm", F.col("w").alias("weight_ppm"))
+        .repartition(1)
+        .sortWithinPartitions("source")
+    )

@@ -1161,3 +1161,44 @@ def test_bpe_fertility_rolls_up_tokenize(spark, tmp_path):
     assert web["fertility_ppm"] == (2 * t * 1_000_000 + w) // (2 * w)
     pdf = out[("pdf", "de")]
     assert pdf["n_docs"] == 1 and pdf["n_words"] == 4
+
+
+def test_doremi_mixture_mw_rounds_by_hand(spark, tmp_path):
+    """Two sources, excess 0 vs 1e6: replay the integer MW recurrence
+    in Python and check the weights tilt toward the high-excess domain
+    while summing to ~1e6 (truncating renormalization)."""
+    from ocr_spark.operators.text_analysis import (
+        DOREMI_ETA_PPM,
+        DOREMI_ROUNDS,
+        doremi_mixture,
+    )
+
+    d = str(tmp_path)
+    rows = [
+        (0, "a a", "en", "low", 10),
+        (1, "b b", "en", "low", 10),
+        (2, "c c", "en", "high", 30),
+        (3, "d d", "en", "high", 30),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["source"]: r for r in doremi_mixture(spark, d).collect()}
+    assert out["low"]["excess_ppm"] == 0
+    assert out["high"]["excess_ppm"] == 1_000_000
+
+    w = {"low": 1_000_000 // 2, "high": 1_000_000 // 2}
+    ex = {"low": 0, "high": 1_000_000}
+    for _ in range(DOREMI_ROUNDS):
+        v = {
+            s: w[s] * (1_000_000 + (DOREMI_ETA_PPM * ex[s]) // 1_000_000)
+            for s in w
+        }
+        tv = sum(v.values())
+        w = {s: (v[s] * 1_000_000) // tv for s in w}
+    assert out["low"]["weight_ppm"] == w["low"]
+    assert out["high"]["weight_ppm"] == w["high"]
+    assert w["high"] > w["low"]
+    assert 999_990 <= w["low"] + w["high"] <= 1_000_000
