@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_audit": relational.l_diversity_audit,
         "t_closeness_audit": relational.t_closeness_audit,
         "dp_noisy_counts": relational.dp_noisy_counts,
+        "weighted_sample_aes": relational.weighted_sample_aes,
         "cusum_changepoint": relational.cusum_changepoint,
         "pit_join_events_scd2": relational.pit_join_events_scd2,
         "training_manifest": text_analysis.training_manifest,
@@ -5735,6 +5736,22 @@ from long group by measure order by measure
     # (iou_ppb desc, gt_id, dt_id) order — bit-equal to the Spark
     # applyInPandas greedy loop (operators/evalmetrics.py).
     sql["eval_end2end"] = _eval_end2end_oracle()
+    # A-ES weighted-sample truth: identical md5 uniform, identical
+    # ln(u)/w e12 integer key, TakeOrdered-equivalent limit.
+    sql["weighted_sample_aes"] = f"""
+with keyed as (
+  select doc_id, n_chars as weight,
+         cast(round(ln((('0x' || substr(md5('aes:' || doc_id), 1, 10))::bigint
+                        + 1) / {float(1 << relational.AES_UBITS)})
+                    / n_chars * 1e12, 0) as bigint) as key_e12
+  from documents
+), top as (
+  select * from keyed order by key_e12 desc, doc_id limit {relational.AES_K}
+)
+select cast(row_number() over (order by key_e12 desc, doc_id) as int) as rank,
+       doc_id, weight, key_e12
+from top order by rank
+"""
     # DoReMi-mixture truth: same integer MW rounds unrolled as CTEs.
     _dm_parts = [
         """stats as (

@@ -3776,3 +3776,66 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top10_share_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+AES_K = 50  # sample size
+AES_UBITS = 40
+
+
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis, IPL'06 algorithm A-ES): each document gets
+    key = u^(1/w) for a uniform u and weight w, and the sample is the
+    top-K keys — provably equivalent to sequential weighted draws, yet
+    embarrassingly parallel: one map-side key computation and ONE
+    TakeOrderedAndProject.  Weights here are n_chars (content-mass
+    sampling: long docs proportionally more likely).
+
+    Determinism + exactness: u = ((md5-40bit('aes:'||doc_id)) + 1) /
+    2^40 in (0, 1], and the ORDER key is the monotone transform
+    ln(u)/w, scaled to integer e12 via SQL round — ln is evaluated by
+    the same libm double in both engines (the lm_perplexity precedent)
+    and the round-half-away kills ulp sensitivity; ties break on
+    doc_id.  Top-K by key DESC (ln(u)/w is negative; maximizing
+    u^(1/w) == maximizing ln(u)/w).
+
+    Scale shape: map-side key projection, then orderBy().limit(K) —
+    Spark plans TakeOrderedAndProject (per-partition heaps + K-row
+    driver merge), never a global sort; the final rank window runs
+    over the K-row result."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(float(1 << AES_UBITS))
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        F.round(F.log(u) / F.col("n_chars") * 1e12, 0)
+        .cast("bigint")
+        .alias("key_e12"),
+    )
+    top = keyed.orderBy(F.desc("key_e12"), "doc_id").limit(AES_K)
+    return top.select(
+        F.row_number()
+        .over(
+            # tiny-window: AES_K-row sample
+            Window.orderBy(F.desc("key_e12"), "doc_id")
+        )
+        .alias("rank"),
+        "doc_id",
+        "weight",
+        "key_e12",
+    )

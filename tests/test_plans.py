@@ -1251,3 +1251,12 @@ def test_bleu_eval_single_corpus_scan_keyed_join(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """The sample must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global sort of the corpus."""
+    from ocr_spark.operators.relational import weighted_sample_aes
+
+    plan = plan_of(weighted_sample_aes(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan

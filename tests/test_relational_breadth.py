@@ -1071,6 +1071,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.pps_systematic_sample, R.k_anonymity_audit, R.cusum_changepoint,
         R.pit_join_events_scd2, R.mad_outliers, R.purchase_paths,
         R.l_diversity_audit, R.t_closeness_audit, R.dp_noisy_counts,
+        R.weighted_sample_aes,
         R.psi_drift, R.km_churn_survival, R.benford_audit,
         R.weekday_seasonality,
         T.pareto_frontier_docs, T.paragraph_dedup_rebuild,
@@ -1676,3 +1677,48 @@ def test_psi_empty_reference_period(spark, tmp_path):
     got = psi_drift(spark, d).collect()
     assert len(got) == 1 and got[0]["bucket"] == 0
     assert got[0]["n_ref"] == 0 and got[0]["n_cur"] == 20
+
+
+def test_weighted_sample_aes_matches_python_replay(spark, tmp_path):
+    """Keys replayed in pure Python (hashlib + math.log): identical
+    top-K membership, order, and e12 integer keys."""
+    import hashlib
+    import math
+
+    from ocr_spark.operators.relational import (
+        AES_K,
+        AES_UBITS,
+        weighted_sample_aes,
+    )
+
+    d = str(tmp_path)
+    rows = [
+        (i, "w " * (i + 1), "en", "s", 10 + 37 * ((i * i) % 11))
+        for i in range(120)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    def key(i, w):
+        h = int(hashlib.md5(f"aes:{i}".encode()).hexdigest()[:10], 16)
+        u = (h + 1) / float(1 << AES_UBITS)
+        v = math.log(u) / w * 1e12
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    expect = sorted(
+        ((key(i, w), i, w) for i, _, _, _, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:AES_K]
+    got = weighted_sample_aes(spark, d).collect()
+    assert len(got) == AES_K
+    for rank, (k, i, w) in enumerate(expect, start=1):
+        r = got[rank - 1]
+        assert (r["rank"], r["doc_id"], r["weight"], r["key_e12"]) == (
+            rank,
+            i,
+            w,
+            k,
+        )
