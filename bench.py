@@ -134,6 +134,17 @@ def main() -> int:
         "encoding_repair",
         "caption_consistency",
         "l_diversity_audit",
+        # round-4 third wave
+        "t_closeness_audit",
+        "dp_noisy_counts",
+        "bleu_eval",
+        "hashed_ngram_classify",
+        "bitext_mining",
+        "dedup_sketch_eval",
+        "bpe_fertility",
+        "knn_label_propagation",
+        "doremi_mixture",
+        "weighted_sample_aes",
     ]
     if only:
         headline = [q for q in headline if q in only]
