@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": text_analysis.bpe_tokenize,
         "bpe_fertility": text_analysis.bpe_fertility,
         "doremi_mixture": text_analysis.doremi_mixture,
+        "gopher_rules": text_analysis.gopher_rules,
         # -- HTML main-content extraction (boilerplate strip, pure
         # Catalyst: regexp blocks + densometric classification) --
         "html_block_classify": web_extract.html_block_classify,
@@ -3289,6 +3290,51 @@ select d.source, d.lang,
             as bigint) as tokens_per_kchar
 from bt join documents d using (doc_id)
 group by 1, 2 order by 1, 2
+"""
+    # Gopher rule-battery truth: the same integer-ppm rules over the
+    # identical token arrays (all operands positive, so DuckDB // ==
+    # Spark div).
+    _gstop = ",".join(f"'{w}'" for w in text_analysis.GOPHER_STOPLIST)
+    sql["gopher_rules"] = f"""
+with t as (
+  select doc_id, string_split(text, ' ') as sp from documents
+), m as (
+  select doc_id,
+         len(sp)::bigint as n_words,
+         list_sum(list_transform(sp, w -> len(w)))::bigint as sum_len,
+         list_max(list_transform(list_distinct(sp),
+             d -> len(list_filter(sp, t -> t = d))))::bigint as top_cnt,
+         len(list_filter(list_distinct(sp),
+             t -> list_contains([{_gstop}], t)))::bigint as stop_distinct,
+         len(list_filter(sp,
+             t -> regexp_matches(t, '^[a-z]+$')))::bigint as alpha_cnt
+  from t
+), p as (
+  select doc_id, n_words,
+         (sum_len * 1000000) // n_words as meanlen_ppm,
+         (top_cnt * 1000000) // n_words as top_token_ppm,
+         stop_distinct,
+         (alpha_cnt * 1000000) // n_words as alpha_ppm
+  from m
+)
+select *,
+       (r_words and r_meanlen and r_toptoken and r_stop and r_alpha)
+         as keep
+from (
+  select doc_id, n_words, meanlen_ppm, top_token_ppm, stop_distinct,
+         alpha_ppm,
+         n_words between {text_analysis.GOPHER_WORDS_MIN}
+                     and {text_analysis.GOPHER_WORDS_MAX} as r_words,
+         meanlen_ppm between {text_analysis.GOPHER_MEANLEN_MIN_PPM}
+                         and {text_analysis.GOPHER_MEANLEN_MAX_PPM}
+           as r_meanlen,
+         top_token_ppm <= {text_analysis.GOPHER_TOPTOKEN_MAX_PPM}
+           as r_toptoken,
+         stop_distinct >= {text_analysis.GOPHER_STOP_MIN} as r_stop,
+         alpha_ppm >= {text_analysis.GOPHER_ALPHA_MIN_PPM} as r_alpha
+  from p
+)
+order by doc_id
 """
     # Equi-width histogram in integer cents (truncating div, both
     # operands non-negative -> identical in both engines).

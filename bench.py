@@ -145,6 +145,8 @@ def main() -> int:
         "knn_label_propagation",
         "doremi_mixture",
         "weighted_sample_aes",
+        # round-4 fourth wave
+        "gopher_rules",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -2771,3 +2771,100 @@ def doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("source")
     )
+
+
+# Gopher rule battery (Rae et al., arXiv:2112.11446, Appendix A /
+# MassiveText quality filters), thresholds re-centered on this corpus
+# so the gate produces a real pass/fail mix.
+GOPHER_WORDS_MIN = 20
+GOPHER_WORDS_MAX = 80
+GOPHER_MEANLEN_MIN_PPM = 3_000_000  # mean word length in [3, 10]
+GOPHER_MEANLEN_MAX_PPM = 10_000_000
+GOPHER_TOPTOKEN_MAX_PPM = 120_000  # most-common token <= 12% of tokens
+GOPHER_STOP_MIN = 2  # >= 2 distinct stopwords present
+GOPHER_ALPHA_MIN_PPM = 800_000  # >= 80% purely alphabetic tokens
+GOPHER_STOPLIST = ("a", "and", "of", "that", "the", "to", "with")
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style per-document quality-rule battery
+    (Rae et al. 2021, Appendix A): named boolean rules — word-count
+    band, mean-word-length band, most-common-token concentration,
+    distinct-stopword floor, alphabetic-token floor — plus the AND of
+    all of them as the keep gate.  Unlike ``quality_score`` (one scalar
+    for ranking) this is the FILTER surface: each rule is reported
+    separately so a curation run can attribute exactly why a document
+    fell out, per the reference pipeline's per-field fail reasons
+    (reference analog: obj_det gate predicates, `core/fields.py:36`).
+
+    Exactness: every ratio is integer parts-per-million with floor
+    division — no doubles anywhere, so the value-hash gate holds.
+
+    Scale shape: 100% map-side — one parquet scan, per-row array ops
+    (split / filter / transform / aggregate), zero shuffles and zero
+    Python.  The top-token count deliberately avoids an explode +
+    groupBy(doc_id, token) shuffle: it scans the (bounded-length)
+    token array per distinct token map-side instead, which is O(L^2)
+    in document length but O(0) in cluster communication — at 100 TB
+    the network, not the per-row CPU, is the binding constraint."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    # `div` = exact integral floor division (a double quotient could
+    # round across an integer boundary and disagree with the oracle)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+    )
+    stop_distinct = F.size(
+        F.filter(
+            F.array_distinct(toks), lambda t: t.isin(*GOPHER_STOPLIST)
+        )
+    )
+    alpha_cnt = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    raw = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        sum_len.cast("bigint").alias("sum_len"),
+        top_cnt.cast("bigint").alias("top_cnt"),
+        stop_distinct.cast("bigint").alias("stop_distinct"),
+        alpha_cnt.cast("bigint").alias("alpha_cnt"),
+    )
+    out = raw.select(
+        "doc_id",
+        "n_words",
+        F.expr("(sum_len * 1000000) div n_words").alias("meanlen_ppm"),
+        F.expr("(top_cnt * 1000000) div n_words").alias("top_token_ppm"),
+        "stop_distinct",
+        F.expr("(alpha_cnt * 1000000) div n_words").alias("alpha_ppm"),
+    ).select(
+        "*",
+        F.col("n_words").between(GOPHER_WORDS_MIN, GOPHER_WORDS_MAX)
+        .alias("r_words"),
+        F.col("meanlen_ppm").between(
+            GOPHER_MEANLEN_MIN_PPM, GOPHER_MEANLEN_MAX_PPM
+        ).alias("r_meanlen"),
+        (F.col("top_token_ppm") <= GOPHER_TOPTOKEN_MAX_PPM)
+        .alias("r_toptoken"),
+        (F.col("stop_distinct") >= GOPHER_STOP_MIN).alias("r_stop"),
+        (F.col("alpha_ppm") >= GOPHER_ALPHA_MIN_PPM).alias("r_alpha"),
+    )
+    keep = (
+        F.col("r_words")
+        & F.col("r_meanlen")
+        & F.col("r_toptoken")
+        & F.col("r_stop")
+        & F.col("r_alpha")
+    )
+    return (
+        out.withColumn("keep", keep)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -1095,7 +1095,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         T.conjunctive_search, T.bigram_next_token, T.rendezvous_shard,
         T.bpe_merges, T.bpe_tokenize, T.encoding_repair,
         T.kneser_ney_bigram, T.hashed_ngram_classify, T.bpe_fertility,
-        T.doremi_mixture,
+        T.doremi_mixture, T.gopher_rules,
         W.html_to_spans, W.robots_gate, W.hits_hubs_authorities,
         W.anchor_text_aggregation, W.cocitation_pairs,
     ]

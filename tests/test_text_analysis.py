@@ -1202,3 +1202,43 @@ def test_doremi_mixture_mw_rounds_by_hand(spark, tmp_path):
     assert out["high"]["weight_ppm"] == w["high"]
     assert w["high"] > w["low"]
     assert 999_990 <= w["low"] + w["high"] <= 1_000_000
+
+
+def test_gopher_rules_per_rule_attribution(spark, tmp_path):
+    """Each rule fires independently on a crafted violator; the clean
+    doc keeps; ppm arithmetic is exact floor division."""
+    from ocr_spark.operators.text_analysis import gopher_rules
+
+    d = str(tmp_path)
+    clean = "the quick brown fox jumps over a lazy dog near the " + " ".join(
+        "word" + chr(ord("a") + i) for i in range(15)
+    )  # 26 words, has 'the'+'a', varied tokens, all alpha
+    rows = [
+        (0, clean, "en", "s", len(clean)),
+        (1, "the a short doc", "en", "s", 15),  # < 20 words
+        (2, "the " * 25 + "a end", "en", "s", 100),  # top token 25/27
+        (3, " ".join(f"tok{i}" for i in range(30)), "en", "s", 99),  # no stop
+        (
+            4,
+            "the a " + " ".join("x9!" for _ in range(28)),
+            "en",
+            "s",
+            90,
+        ),  # 28/30 non-alpha
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in gopher_rules(spark, d).collect()}
+    assert out[0]["keep"] and all(
+        out[0][k] for k in ("r_words", "r_meanlen", "r_toptoken", "r_stop",
+                            "r_alpha")
+    )
+    assert not out[1]["r_words"] and not out[1]["keep"]
+    assert not out[2]["r_toptoken"]
+    assert out[2]["top_token_ppm"] == 25 * 1_000_000 // 27
+    assert not out[3]["r_stop"] and out[3]["stop_distinct"] == 0
+    assert not out[4]["r_alpha"]
+    assert out[4]["alpha_ppm"] == 2 * 1_000_000 // 30
