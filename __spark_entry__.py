@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_near_dup": dedup.lsh_candidates,
+        "split_leakage_audit": dedup.split_leakage_audit,
         "incremental_near_dup": dedup.incremental_near_dup,
         "near_dup_clusters": dedup.near_dup_clusters,
         "simhash64": dedup.simhash64,
@@ -6008,6 +6009,25 @@ select n, cast(clipped_matches as bigint) as clipped_matches,
        cast((2 * cand_len::hugeint * 1000000 + ref_len)
             // (2 * ref_len) as bigint) as length_ratio_ppm
 from clip cross join lens order by n
+"""
+    # Leakage-audit truth: the verified-pair and split oracles composed
+    # as materialized CTEs, rolled up by unordered split pair.
+    sql["split_leakage_audit"] = f"""
+with pairs as materialized ({sql["lsh_near_dup"]}),
+sp as materialized ({sql["train_val_test_split"]}),
+j as (
+  select least(a.split, b.split) as split_lo,
+         greatest(a.split, b.split) as split_hi
+  from pairs p
+  join sp a on p.doc_a = a.doc_id
+  join sp b on p.doc_b = b.doc_id
+), g as (
+  select split_lo, split_hi, count(*)::bigint as n_pairs
+  from j group by 1, 2
+), t as (select sum(n_pairs) as tot from g)
+select split_lo, split_hi, split_lo <> split_hi as leaked, n_pairs,
+       cast((n_pairs * 1000000) // tot as bigint) as share_ppm
+from g cross join t order by split_lo, split_hi
 """
     return sql
 

@@ -147,6 +147,7 @@ def main() -> int:
         "weighted_sample_aes",
         # round-4 fourth wave
         "gopher_rules",
+        "split_leakage_audit",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -1156,3 +1156,63 @@ def dedup_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(ppm.format(d="n_candidates")).alias("precision_ppm"),
         )
     )
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity audit: how many VERIFIED near-duplicate pairs
+    (the ``lsh_candidates`` output — banded MinHash candidates verified
+    at exact Jaccard >= 0.5) straddle the train/val/test boundary of
+    ``train_val_test_split``.  A near-dup of a training document
+    sitting in the test split is leakage: the eval score is partly
+    memorization (the contamination axis of Lee et al. ACL'22 §6 and
+    the GPT-3 paper's overlap appendix), so a curation pipeline gates
+    on this number before a split ships.
+
+    Output: one row per unordered split pair (least, greatest) with the
+    pair count, a leaked flag (split_lo <> split_hi) and the exact
+    integer share_ppm of all verified pairs.
+
+    Scale shape: the pair table (already bounded by banding + verify)
+    joins the split assignment twice on doc_id — plain equi-joins that
+    co-shuffle on the key; the rollup is a map-side partial agg to at
+    most 6 rows, and the share division joins a broadcast 1-row total.
+    Nothing here scans the corpus beyond what the two reused operators
+    already do."""
+    from ocr_spark.operators.text_analysis import train_val_test_split
+
+    pairs = lsh_candidates(spark, sf_dir)
+    split = train_val_test_split(spark, sf_dir).select("doc_id", "split")
+    j = (
+        pairs.join(
+            split.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "split", "split_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            split.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "split", "split_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+    )
+    g = j.groupBy("split_lo", "split_hi").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    tot = g.agg(F.sum("n_pairs").alias("tot"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "split_lo",
+            "split_hi",
+            (F.col("split_lo") != F.col("split_hi")).alias("leaked"),
+            "n_pairs",
+            F.expr("(n_pairs * 1000000) div tot").alias("share_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("split_lo", "split_hi")
+    )

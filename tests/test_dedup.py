@@ -728,3 +728,48 @@ def test_knn_label_propagation_spreads_seed_labels(spark, tmp_path):
     assert not rows[17]["is_seed"] and rows[17]["label"] == 103
     # unlabeled singleton anchors have no labeled neighbors -> null
     assert rows[1]["label"] is None and rows[2]["label"] is None
+
+
+def test_split_leakage_audit_counts_cross_split_pairs(spark, tmp_path):
+    """Five identical-text pairs; split membership replayed from the
+    multiplicative-hash rank; leaked counts must match the replay."""
+    from ocr_spark.operators.dedup import split_leakage_audit
+    from ocr_spark.operators.relational import KMV_HASH_A, KMV_HASH_M
+    from ocr_spark.operators.text_analysis import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    d = str(tmp_path)
+    texts = [
+        " ".join(f"w{i // 2}x{j}" for j in range(6)) for i in range(10)
+    ]  # identical within a pair, zero shared shingles across pairs
+    rows = [(i, texts[i], "en", "s0", len(texts[i])) for i in range(10)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    n = 10
+    order = sorted(range(n), key=lambda i: ((i * KMV_HASH_A) % KMV_HASH_M, i))
+    split = {}
+    for rk, i in enumerate(order, start=1):
+        if rk <= n * SPLIT_TRAIN_PCT // 100:
+            split[i] = "train"
+        elif rk <= n * (SPLIT_TRAIN_PCT + SPLIT_VAL_PCT) // 100:
+            split[i] = "val"
+        else:
+            split[i] = "test"
+    expect = {}
+    for a in range(0, 10, 2):
+        key = tuple(sorted((split[a], split[a + 1])))
+        expect[key] = expect.get(key, 0) + 1
+
+    got = {
+        (r["split_lo"], r["split_hi"]): r
+    for r in split_leakage_audit(spark, d).collect()}
+    assert {k: r["n_pairs"] for k, r in got.items()} == expect
+    for (lo, hi), r in got.items():
+        assert r["leaked"] == (lo != hi)
+        assert r["share_ppm"] == r["n_pairs"] * 1_000_000 // 5

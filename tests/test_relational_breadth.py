@@ -1082,7 +1082,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         T.quantile_normalize_length,
         W.bfs_hop_distance, W.personalized_pagerank,
         W.redirect_resolution, W.kcore_peel,
-        D.containment_pairs, D.homoglyph_dedup,
+        D.containment_pairs, D.homoglyph_dedup, D.split_leakage_audit,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation,
         R.triangle_count, R.incremental_agg_merge,
