@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": relational.psi_drift,
         "homoglyph_dedup": dedup.homoglyph_dedup,
         "kcore_peel": web_extract.kcore_peel,
+        "lpa_communities": web_extract.lpa_communities,
         "km_churn_survival": relational.km_churn_survival,
         "benford_audit": relational.benford_audit,
         "heaps_vocab_growth": text_analysis.heaps_vocab_growth,
@@ -6029,6 +6030,49 @@ select split_lo, split_hi, split_lo <> split_hi as leaked, n_pairs,
        cast((n_pairs * 1000000) // tot as bigint) as share_ppm
 from g cross join t order by split_lo, split_hi
 """
+    # LPA truth: identical synthesized link graph, symmetrized, with
+    # LPA_ROUNDS synchronous vote rounds unrolled as CTEs and the same
+    # (count desc, label asc) argmax.
+    _lpa_parts = [
+        """n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as (select distinct src, dst from e0 where src != dst),
+und as materialized (
+  select src, dst from edges union select dst, src from edges
+),
+l0 as (select doc_id as node, doc_id as label from documents)"""
+    ]
+    for _t in range(1, web_extract.LPA_ROUNDS + 1):
+        _lpa_parts.append(
+            f"""v{_t} as (
+  select u.src, l.label as nl, count(*) as c
+  from und u join l{_t - 1} l on u.dst = l.node group by 1, 2
+), p{_t} as (
+  select src, nl from v{_t}
+  qualify row_number() over (partition by src order by c desc, nl) = 1
+), l{_t} as materialized (
+  select l.node, coalesce(p.nl, l.label) as label
+  from l{_t - 1} l left join p{_t} p on l.node = p.src
+)"""
+        )
+    _lf = f"l{web_extract.LPA_ROUNDS}"
+    sql["lpa_communities"] = (
+        "with "
+        + ",\n".join(_lpa_parts)
+        + f""",
+cs as (select label, count(*)::bigint as community_size
+       from {_lf} group by 1)
+select l.node as doc_id, cast(l.label as bigint) as community,
+       cs.community_size
+from {_lf} l join cs using (label) order by doc_id
+"""
+    )
     return sql
 
 

@@ -148,6 +148,7 @@ def main() -> int:
         # round-4 fourth wave
         "gopher_rules",
         "split_leakage_audit",
+        "lpa_communities",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -986,3 +986,80 @@ def cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_a", "doc_b")
     )
+
+
+LPA_ROUNDS = 3
+
+
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al., Phys. Rev. E 76, 2007) over the UNDIRECTED link graph —
+    the unsupervised sibling of ``knn_label_propagation`` (which
+    spreads a seeded label set over the kNN graph): every node starts
+    as its own community and adopts, each round, the most common label
+    among its neighbors with the deterministic (count desc, label asc)
+    tie-break, so both engines converge identically — vanilla LPA's
+    random tie-breaking would never value-hash.
+
+    ``LPA_ROUNDS`` synchronous rounds (bounded, not to convergence:
+    sync LPA can 2-cycle on bipartite structures, so a fixed even/odd
+    round budget IS the standard determinization).
+
+    Scale shape: per round one equi-join of the edge list with the
+    O(nodes) label vector on dst plus one (src, label) partial-agg
+    count — the PageRank budget exactly; the argmax window partitions
+    by src (key-partitioned, never global).  Edges and each round's
+    labels are eagerly localCheckpoint'ed so lineage stays O(1) in
+    rounds, per the k-core convention."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    n = docs.count()
+    e = _link_edges(docs, n)
+    und = (
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"),
+        F.col("doc_id").cast("bigint").alias("label"),
+    )
+    for _ in range(LPA_ROUNDS):
+        votes = und.join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("label").alias("nl")
+            ),
+            "dst",
+        ).groupBy("src", "nl").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("nl"))
+        pick = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                F.col("src").alias("node"), F.col("nl").alias("new_label")
+            )
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("community"),
+            "community_size",
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -453,3 +453,45 @@ def test_kcore_fixed_point_empty_graph(spark):
     alive = spark.createDataFrame([], "v long")
     deg, rounds = kcore_fixed_point(edges, alive, k=2)
     assert deg.count() == 0 and rounds == 1
+
+
+def test_lpa_communities_matches_pure_python_replay(spark, tmp_path):
+    """LPA on the synthesized 12-node graph, replayed exactly in pure
+    Python (same symmetrized edges, same (count desc, label asc)
+    argmax, same round budget)."""
+    from collections import Counter
+
+    from ocr_spark.operators.web_extract import LPA_ROUNDS, lpa_communities
+
+    d = str(tmp_path)
+    n = 12
+    rows = [(i, f"t{i}", "en", "s", 10) for i in range(n)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    edges = set()
+    for i in range(n):
+        for dst in ((7 * i + 1) % n, (13 * i + 2) % n, (31 * i + 3) % n):
+            if dst != i:
+                edges.add((i, dst))
+    und = edges | {(b, a) for a, b in edges}
+    labels = {i: i for i in range(n)}
+    for _ in range(LPA_ROUNDS):
+        new = {}
+        for v in range(n):
+            votes = Counter(labels[dst] for (s, dst) in und if s == v)
+            if votes:
+                new[v] = min(votes, key=lambda l: (-votes[l], l))
+            else:
+                new[v] = labels[v]
+        labels = new
+    sizes = Counter(labels.values())
+
+    got = {r["doc_id"]: r for r in lpa_communities(spark, d).collect()}
+    assert len(got) == n
+    for v in range(n):
+        assert got[v]["community"] == labels[v], v
+        assert got[v]["community_size"] == sizes[labels[v]]
