@@ -378,6 +378,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": relational.mad_outliers,
         "source_template_paragraphs": text_analysis.source_template_paragraphs,
         "train_val_test_split": text_analysis.train_val_test_split,
+        "corpus_shuffle_shards": text_analysis.corpus_shuffle_shards,
+        "boilerplate_prune": text_analysis.boilerplate_prune,
+        "temperature_sampling_budget": (
+            text_analysis.temperature_sampling_budget
+        ),
         "sequence_pack_incremental": text_analysis.sequence_pack_incremental,
         "budget_allocation": text_analysis.budget_allocation,
         "personalized_pagerank": web_extract.personalized_pagerank,
@@ -5184,6 +5189,91 @@ select doc_id, source,
               then 'val'
             else 'test' end as split
 from r order by doc_id
+"""
+    # Epoch-shuffle truth: the naive global window the two-pass rank is
+    # bit-equal to (the multiplicative hash is the same on both sides).
+    sql["corpus_shuffle_shards"] = f"""
+with k as (
+  select doc_id,
+         (doc_id * {relational.KMV_HASH_A}) % {relational.KMV_HASH_M}
+           as shuffle_key
+  from documents
+), r as (
+  select doc_id, shuffle_key,
+         row_number() over (order by shuffle_key, doc_id) - 1 as global_pos
+  from k
+)
+select doc_id, shuffle_key, global_pos,
+       global_pos // {text_analysis.SHUFFLE_SHARD_DOCS} as shard_id,
+       global_pos % {text_analysis.SHUFFLE_SHARD_DOCS} as pos_in_shard
+from r order by doc_id
+"""
+    # CCNet frequency-rule truth: doc-frequency per chunk hash, drop
+    # chunks at nd >= threshold from EVERY document (no keep-first).
+    sql["boilerplate_prune"] = f"""
+with t as (
+  select doc_id, string_split(text, ' ') as toks from documents
+), ch as (
+  select doc_id, cast(i as bigint) as chunk_idx,
+         array_to_string(
+           toks[i*{text_analysis.PARA_W}+1 : i*{text_analysis.PARA_W}+{text_analysis.PARA_W}],
+           ' ') as chunk
+  from t, unnest(range(0, (length(toks)+{text_analysis.PARA_W}-1)//{text_analysis.PARA_W})) as u(i)
+), df as (
+  select md5(chunk) as h, count(distinct doc_id) as nd
+  from ch group by h
+), marked as (
+  select c.doc_id, c.chunk_idx, c.chunk,
+         (f.nd >= {text_analysis.BOILER_MIN_DOCS}) as is_boiler
+  from ch c join df f on md5(c.chunk) = f.h
+)
+select doc_id,
+       count(*) as n_chunks,
+       cast(sum(case when is_boiler then 1 else 0 end) as bigint) as n_boiler,
+       coalesce(array_to_string(
+         list(case when not is_boiler then chunk end order by chunk_idx)
+           filter (where not is_boiler), ' '), '') as text_kept
+from marked group by doc_id order by doc_id
+"""
+    # Temperature-sampling truth: exact isqrt weights, floor shares,
+    # largest-remainder seats (ties to the first language).
+    sql["temperature_sampling_budget"] = f"""
+with c as (
+  select lang, count(*) as cnt from documents group by lang
+), s as (
+  select lang, cnt,
+         cast(floor(sqrt(cast(cnt as double))) as bigint) as s0
+  from c
+), w as (
+  select lang, cnt,
+         s0 + (case when (s0+1)*(s0+1) <= cnt then 1 else 0 end)
+            - (case when s0*s0 > cnt then 1 else 0 end) as w
+  from s
+), t as (
+  select sum(w) as wsum, sum(cnt) as total from w
+), b as (
+  select lang, cnt, w, total,
+         ({text_analysis.TEMP_TOTAL_BUDGET} * w) // wsum as base,
+         ({text_analysis.TEMP_TOTAL_BUDGET} * w) % wsum as rem
+  from w, t
+), sp as (
+  select sum(base) as spent from b
+), r as (
+  select b.*,
+         row_number() over (order by rem desc, lang) as seat_rank
+  from b
+), g as (
+  select lang, cnt, w, total,
+         cast(base + (case when seat_rank <=
+             {text_analysis.TEMP_TOTAL_BUDGET} - sp.spent
+           then 1 else 0 end) as bigint) as budget
+  from r, sp
+)
+select lang, cnt, w, budget,
+       (cnt * 1000000) // total as natural_ppm,
+       (budget * 1000000) // {text_analysis.TEMP_TOTAL_BUDGET}
+         as sampled_ppm
+from g order by lang
 """
     # Incremental-pack truth: the FULL re-pack restricted to the batch —
     # the oracle IS the append-stability invariant.

@@ -149,6 +149,10 @@ def main() -> int:
         "gopher_rules",
         "split_leakage_audit",
         "lpa_communities",
+        # round-4 fifth wave
+        "corpus_shuffle_shards",
+        "boilerplate_prune",
+        "temperature_sampling_budget",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -2868,3 +2868,210 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training-order shuffle (epoch shard assignment)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SHARD_DOCS = 64  # docs per training shard; at scale, size to shard bytes
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pre-training epoch shuffle: assign every document a
+    reproducible pseudo-random position in a GLOBAL training order and
+    cut that order into fixed-size shards — what a trainer's data
+    loader consumes.  The permutation key is the portable
+    multiplicative hash (doc_id * A mod 2^32; A odd, so the map is a
+    bijection below 2^32 — collisions only via the doc_id tie-break),
+    which makes the shuffle deterministic across reruns, engines, and
+    cluster sizes — unlike ``DataFrame.orderBy(rand())``, which is
+    neither reproducible nor retry-stable.
+
+    Scale shape: the global position comes from ``bucketed_global_rank``
+    (grid-bucketed two-pass rank), so the corpus shuffles exactly once
+    on the bucket key and NO single task ever sorts the whole input;
+    shard_id / pos_in_shard are pure map-side arithmetic on the rank.
+    At 10^12 docs raise RANK_BUCKETS so one bucket fits a task."""
+    from ocr_spark.operators.relational import (
+        KMV_HASH_A,
+        KMV_HASH_M,
+        bucketed_global_rank,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    keyed = docs.withColumn(
+        "shuffle_key",
+        F.pmod(F.col("doc_id") * F.lit(KMV_HASH_A), F.lit(KMV_HASH_M)),
+    )
+    ranked = bucketed_global_rank(
+        keyed, "shuffle_key", "doc_id", rank_col="rk"
+    )
+    pos = F.col("rk") - 1
+    return (
+        ranked.select(
+            "doc_id",
+            "shuffle_key",
+            pos.alias("global_pos"),
+            F.expr(f"(rk - 1) div {SHUFFLE_SHARD_DOCS}").alias("shard_id"),
+            (pos % SHUFFLE_SHARD_DOCS).alias("pos_in_shard"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style cross-corpus boilerplate chunk removal
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DOCS = 3  # a chunk repeated across >= this many docs is boilerplate
+
+
+def boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-threshold boilerplate removal (the CCNet line-dedup
+    rule, Wenzek et al. LREC'20): a chunk that recurs across
+    ``BOILER_MIN_DOCS`` or more DISTINCT documents is template noise
+    (headers, footers, cookie banners) and is dropped from EVERY
+    document — including its first occurrence, which is what separates
+    this from ``paragraph_dedup_rebuild``'s keep-first rule: keep-first
+    preserves one copy of the boilerplate; the frequency rule removes
+    the template entirely while leaving genuinely rare text untouched.
+
+    Scale shape: chunking is a map-side posexplode (the
+    ``paragraph_dedup_rebuild`` chunker); the doc-frequency table is a
+    two-level aggregate — distinct (hash, doc_id) first, so the hot
+    boilerplate hash partially aggregates map-side, then a count per
+    hash; the boiler mark rejoins on the hash equi-join (AQE skew-split
+    absorbs the residual hot keys) and reassembly is one doc_id
+    regroup.  No windows, O(corpus words) total work."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(PARA_W)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * PARA_W + 1, PARA_W), " "
+        ),
+    )
+    chunks = docs.select(
+        "doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk",
+        F.md5("chunk").alias("h"),
+    )
+    freq = (
+        chunks.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+    )
+    boiler = freq.filter(F.col("nd") >= BOILER_MIN_DOCS).select(
+        "h", F.lit(True).alias("is_boiler")
+    )
+    marked = chunks.join(boiler, "h", "left").select(
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+        F.coalesce(F.col("is_boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("is_boiler").cast("bigint")).alias("n_boiler"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_boiler"),
+                                F.struct("chunk_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_kept"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Alpha-temperature language sampling budgets (XLM-R style)
+# ---------------------------------------------------------------------------
+
+TEMP_TOTAL_BUDGET = 100000  # docs drawn per epoch across all languages
+
+
+def temperature_sampling_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multilingual temperature sampling at alpha = 0.5 (the XLM-R /
+    mT5 recipe, Conneau et al. ACL'20): per-language draw probability
+    p_l proportional to c_l^alpha, flattening the natural distribution so
+    low-resource languages are upsampled relative to their share.  The
+    weight c^0.5 is the EXACT integer square root (floor-sqrt with a
+    +/-1 correction, so no dependence on libm rounding), and the fixed
+    epoch budget is apportioned by largest remainder (Hamilton) —
+    floor shares first, the leftover seats to the largest fractional
+    remainders, ties to the lexicographically first language — so the
+    budgets sum to TEMP_TOTAL_BUDGET exactly and are engine-exact.
+
+    Scale shape: one per-language count aggregate (map-side partial,
+    O(languages) rows out), then all arithmetic on the tiny language
+    table; the two windows rank O(languages) rows.  The corpus is
+    touched once and never shuffled."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    s0 = F.floor(F.sqrt(F.col("cnt").cast("double"))).cast("bigint")
+    w = (
+        s0
+        + F.when((s0 + 1) * (s0 + 1) <= F.col("cnt"), 1).otherwise(0)
+        - F.when(s0 * s0 > F.col("cnt"), 1).otherwise(0)
+    )
+    weighted = counts.select("lang", "cnt", w.alias("w"))
+    tot = weighted.agg(
+        F.sum("w").alias("wsum"), F.sum("cnt").alias("total")
+    )
+    base = weighted.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "cnt",
+        "w",
+        "total",
+        F.expr(f"({TEMP_TOTAL_BUDGET} * w) div wsum").alias("base"),
+        F.expr(f"({TEMP_TOTAL_BUDGET} * w) % wsum").alias("rem"),
+    )
+    spent = base.agg(F.sum("base").alias("spent"))
+    ranked = base.crossJoin(F.broadcast(spent)).withColumn(
+        "seat_rank",
+        F.row_number().over(
+            # tiny-window: O(languages) rows, never the corpus
+            Window.orderBy(F.desc("rem"), F.asc("lang"))
+        ),
+    )
+    budget = F.col("base") + F.when(
+        F.col("seat_rank")
+        <= F.lit(TEMP_TOTAL_BUDGET) - F.coalesce(F.col("spent"), F.lit(0)),
+        1,
+    ).otherwise(0)
+    return (
+        ranked.withColumn("budget", budget.cast("bigint"))
+        .select(
+            "lang",
+            "cnt",
+            "w",
+            "budget",
+            F.expr("(cnt * 1000000) div total").alias("natural_ppm"),
+            F.expr(f"(budget * 1000000) div {TEMP_TOTAL_BUDGET}").alias(
+                "sampled_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("lang")
+    )

@@ -956,6 +956,7 @@ def test_rank_migrations_window_per_bucket(spark):
         psi_drift,
     )
     from ocr_spark.operators.text_analysis import (
+        corpus_shuffle_shards,
         heaps_vocab_growth,
         quantile_normalize_length,
     )
@@ -966,6 +967,7 @@ def test_rank_migrations_window_per_bucket(spark):
         psi_drift,
         quantile_normalize_length,
         heaps_vocab_growth,
+        corpus_shuffle_shards,
     ):
         ext = plan_of(fn(spark, SF), "extended")
         unpart = re.findall(

@@ -1078,6 +1078,8 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         T.hybrid_rrf_search, T.training_manifest,
         T.source_template_paragraphs, T.train_val_test_split,
         T.sequence_pack_incremental, T.budget_allocation,
+        T.corpus_shuffle_shards, T.boilerplate_prune,
+        T.temperature_sampling_budget,
         T.source_entropy, T.url_path_rollup,
         T.quantile_normalize_length,
         W.bfs_hop_distance, W.personalized_pagerank,

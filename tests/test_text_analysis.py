@@ -1242,3 +1242,114 @@ def test_gopher_rules_per_rule_attribution(spark, tmp_path):
     assert not out[3]["r_stop"] and out[3]["stop_distinct"] == 0
     assert not out[4]["r_alpha"]
     assert out[4]["alpha_ppm"] == 2 * 1_000_000 // 30
+
+
+def test_corpus_shuffle_is_exact_deterministic_permutation(spark, tmp_path):
+    """global_pos must be the exact rank of the multiplicative-hash key
+    (tie: doc_id) — a permutation of 0..n-1 — and the shard arithmetic
+    must be consistent; a rerun yields the identical assignment."""
+    from ocr_spark.operators.relational import KMV_HASH_A, KMV_HASH_M
+    from ocr_spark.operators.text_analysis import (
+        SHUFFLE_SHARD_DOCS,
+        corpus_shuffle_shards,
+    )
+
+    d = str(tmp_path)
+    n = 257  # deliberately not a multiple of the shard size
+    rows = [(i, "t", "en", "src0", 1) for i in range(n)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r.asDict() for r in
+           corpus_shuffle_shards(spark, d).collect()}
+    order = sorted(range(n), key=lambda i: ((i * KMV_HASH_A) % KMV_HASH_M, i))
+    for pos, doc in enumerate(order):
+        g = got[doc]
+        assert g["global_pos"] == pos
+        assert g["shuffle_key"] == (doc * KMV_HASH_A) % KMV_HASH_M
+        assert g["shard_id"] == pos // SHUFFLE_SHARD_DOCS
+        assert g["pos_in_shard"] == pos % SHUFFLE_SHARD_DOCS
+    assert sorted(g["global_pos"] for g in got.values()) == list(range(n))
+    again = {r["doc_id"]: r.asDict() for r in
+             corpus_shuffle_shards(spark, d).collect()}
+    assert again == got
+
+
+def test_boilerplate_prune_drops_all_copies_keeps_rare_dups(spark, tmp_path):
+    """The frequency rule removes a >=BOILER_MIN_DOCS-doc chunk from
+    EVERY document (no surviving first copy — the difference from
+    paragraph_dedup_rebuild), while a chunk shared by only two docs
+    survives in BOTH."""
+    from ocr_spark.operators.text_analysis import (
+        BOILER_MIN_DOCS,
+        PARA_W,
+        boilerplate_prune,
+    )
+
+    assert BOILER_MIN_DOCS == 3  # the crafted corpus encodes this
+    boiler = " ".join(f"b{i}" for i in range(PARA_W))
+    pair = " ".join(f"p{i}" for i in range(PARA_W))
+    uniq = [" ".join(f"u{d}x{i}" for i in range(PARA_W)) for d in range(4)]
+    rows = [
+        (0, f"{boiler} {uniq[0]}"),
+        (1, f"{uniq[1]} {boiler}"),
+        (2, f"{boiler} {pair}"),
+        (3, f"{pair} {uniq[3]}"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r.asDict() for r in
+           boilerplate_prune(spark, d).collect()}
+    assert got[0] == {"doc_id": 0, "n_chunks": 2, "n_boiler": 1,
+                      "text_kept": uniq[0]}
+    assert got[1]["text_kept"] == uniq[1]  # boiler gone even mid-doc
+    # the 2-doc chunk survives in BOTH documents
+    assert got[2] == {"doc_id": 2, "n_chunks": 2, "n_boiler": 1,
+                      "text_kept": pair}
+    assert got[3] == {"doc_id": 3, "n_chunks": 2, "n_boiler": 0,
+                      "text_kept": f"{pair} {uniq[3]}"}
+
+
+def test_temperature_budget_exact_hamilton_and_flattening(spark, tmp_path):
+    """isqrt weights are exact (not libm-dependent), floor shares plus
+    largest-remainder seats sum to the budget EXACTLY, and the
+    low-resource language is upsampled (sampled share > natural)."""
+    from ocr_spark.operators.text_analysis import (
+        TEMP_TOTAL_BUDGET,
+        temperature_sampling_budget,
+    )
+
+    d = str(tmp_path)
+    counts = {"en": 80, "de": 2}  # isqrt: 8 and 1; wsum 9 -> remainders
+    rows = []
+    i = 0
+    for lang, c in counts.items():
+        for _ in range(c):
+            rows.append((i, "t", lang, "src0", 1))
+            i += 1
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {r["lang"]: r.asDict() for r in
+           temperature_sampling_budget(spark, d).collect()}
+    assert got["en"]["w"] == 8 and got["de"]["w"] == 1
+    base_en = TEMP_TOTAL_BUDGET * 8 // 9
+    base_de = TEMP_TOTAL_BUDGET * 1 // 9
+    # one leftover seat; en has the larger remainder (8 > 1)
+    assert got["en"]["budget"] == base_en + 1
+    assert got["de"]["budget"] == base_de
+    assert got["en"]["budget"] + got["de"]["budget"] == TEMP_TOTAL_BUDGET
+    # temperature flattening: de holds 2/82 naturally but 1/9 of draws
+    assert got["de"]["sampled_ppm"] > got["de"]["natural_ppm"]
+    assert got["en"]["sampled_ppm"] < got["en"]["natural_ppm"]
