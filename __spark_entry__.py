@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ivf_topk,
         "ann_ivf_indexed_topk": similarity.ivf_indexed_topk,
         "knn_graph": similarity.knn_graph,
+        "ann_recall_eval": similarity.ann_recall_eval,
         "bitext_mining": similarity.bitext_mining,
         "knn_label_propagation": similarity.knn_label_propagation,
         # -- text analysis --
@@ -2108,6 +2109,63 @@ select e.vec_id, e.label, {_DUCK_COS} as cos
 from assign e, (select embedding as q from embeddings where vec_id = 0) q
 where e.vec_id <> 0 and e.list_id in (select aid from probes)
 order by cos desc, e.vec_id limit {similarity.TOP_K}
+""",
+        # ANN recall truth: both cuts from ONE scored relation (same
+        # 4-dp cosine, same (cos desc, vec_id) tie) — recall isolates
+        # probe-set coverage exactly as the Spark side does.
+        "ann_recall_eval": f"""
+with a as (
+  select vec_id as aid, embedding as avec,
+         list_dot_product(embedding::double[], embedding::double[]) as aa
+  from embeddings where vec_id < {similarity.DEFAULT_ANCHORS}
+), v as (
+  select vec_id, embedding,
+         list_dot_product(embedding::double[], embedding::double[]) as xx
+  from embeddings
+), dist as (
+  select v.vec_id, v.embedding, v.xx, a.aid,
+         round(v.xx
+               - 2 * list_dot_product(v.embedding::double[], a.avec::double[])
+               + a.aa, 6) as d
+  from v cross join a
+), assign as (
+  select vec_id, embedding, xx, aid as list_id from dist
+  qualify row_number() over (partition by vec_id order by d, aid) = 1
+), qpanel as (
+  select vec_id as qid, embedding as qv, xx as qxx from v
+  where vec_id % {similarity.QUERY_PANEL_MOD} = 0
+), probes as (
+  select vec_id as qid, aid from dist
+  where vec_id % {similarity.QUERY_PANEL_MOD} = 0
+  qualify row_number() over (partition by vec_id order by d, aid)
+    <= {similarity.DEFAULT_PROBE}
+), scored as (
+  select q.qid, e.vec_id, e.list_id,
+         round(list_dot_product(e.embedding::double[], q.qv::double[]) /
+               (sqrt(e.xx) * sqrt(q.qxx)), 4) as cos
+  from assign e join qpanel q on e.vec_id <> q.qid
+), truth as (
+  select qid, vec_id from scored
+  qualify row_number() over (partition by qid order by cos desc, vec_id)
+    <= {similarity.TOP_K}
+), cand as (
+  select s.qid, s.vec_id, s.cos
+  from scored s join probes p on s.qid = p.qid and s.list_id = p.aid
+), ivf as (
+  select qid, vec_id from cand
+  qualify row_number() over (partition by qid order by cos desc, vec_id)
+    <= {similarity.TOP_K}
+), hit as (
+  select t.qid, count(*) as n_hit
+  from truth t join ivf i on t.qid = i.qid and t.vec_id = i.vec_id
+  group by t.qid
+)
+select q.qid, {similarity.TOP_K} as k,
+       cast(coalesce(h.n_hit, 0) as bigint) as n_hit,
+       (cast(coalesce(h.n_hit, 0) as bigint) * 1000000)
+         // {similarity.TOP_K} as recall_ppm
+from qpanel q left join hit h on q.qid = h.qid
+order by q.qid
 """,
         # -- text analysis --
         "token_stats": r"""

@@ -153,6 +153,7 @@ def main() -> int:
         "corpus_shuffle_shards",
         "boilerplate_prune",
         "temperature_sampling_budget",
+        "ann_recall_eval",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -1396,3 +1396,119 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality meta-eval: recall@k of the IVF path vs exact cosine truth
+# ---------------------------------------------------------------------------
+
+QUERY_PANEL_MOD = 25  # every 25th vector joins the recall panel
+RECALL_SALT = 8  # phase-1 fanout of the salted per-query top-K
+
+
+def ann_recall_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    n_anchors: int = DEFAULT_ANCHORS,
+    n_probe: int = DEFAULT_PROBE,
+) -> DataFrame:
+    """Graded ANN quality metric — recall@k of the IVF candidate path
+    against the exact cosine truth, per query of a sampled panel: the
+    number a production index is TUNED by (probe count vs recall
+    trade-off), where the single-query ann_* board entries only pin
+    individual result sets.  Both rankings derive from ONE scored
+    relation, so recall measures candidate coverage (which lists the
+    probe set missed), never float drift between two scorers.
+
+    Scale shape: the query panel is bounded (a deterministic
+    1/QUERY_PANEL_MOD id sample; a fixed eval panel in production) and
+    broadcasts against the corpus — the corpus is scanned once, scored
+    map-side, and never shuffled; each per-query top-K is the salted
+    two-phase cut (phase-1 windows see a 1/RECALL_SALT slice of one
+    query's candidates, phase 2 ranks only K x RECALL_SALT survivors),
+    so no window partition is corpus-sized; the final recall join is
+    K-bounded per query."""
+    from pyspark.sql.window import Window
+
+    anchors = _anchor_rows(sf_dir, n_anchors)
+    if not anchors:
+        # corpus smaller than the anchor training slice: a typeless
+        # array() literal would not analyze — empty frame (repo-wide
+        # empty-input invariant).
+        return spark.createDataFrame(
+            [], "qid bigint, k int, n_hit bigint, recall_ppm bigint"
+        )
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .withColumn(
+            "list_id",
+            F.array_min(_l2_struct_array("embedding", anchors))["aid"],
+        )
+    )
+    queries = emb.filter(
+        F.col("vec_id") % QUERY_PANEL_MOD == 0
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q"),
+        F.col("nrm").alias("qn"),
+        F.transform(
+            F.slice(
+                F.array_sort(_l2_struct_array("embedding", anchors)),
+                1,
+                n_probe,
+            ),
+            lambda s: s["aid"],
+        ).alias("probes"),
+    )
+    scored = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        "list_id",
+        "probes",
+        F.round(
+            _dot(F.col("embedding"), F.col("q"))
+            / (F.col("nrm") * F.col("qn")),
+            4,
+        ).alias("cos"),
+    )
+
+    def _topk(df: DataFrame) -> DataFrame:
+        w1 = Window.partitionBy("qid", "_salt").orderBy(
+            F.desc("cos"), F.asc("vec_id")
+        )
+        w2 = Window.partitionBy("qid").orderBy(
+            F.desc("cos"), F.asc("vec_id")
+        )
+        return (
+            df.withColumn("_salt", F.pmod(F.col("vec_id"), F.lit(RECALL_SALT)))
+            .withColumn("_rk", F.row_number().over(w1))
+            .filter(F.col("_rk") <= TOP_K)
+            .withColumn("_gk", F.row_number().over(w2))
+            .filter(F.col("_gk") <= TOP_K)
+            .select("qid", "vec_id")
+        )
+
+    truth = _topk(scored)
+    ivf = _topk(scored.filter(F.expr("array_contains(probes, list_id)")))
+    n_hit = (
+        truth.join(ivf, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        queries.select("qid")
+        .join(n_hit, "qid", "left")
+        .select(
+            "qid",
+            F.lit(TOP_K).alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.expr(
+                f"(coalesce(n_hit, 0) * 1000000) div {TOP_K}"
+            ).alias("recall_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("qid")
+    )

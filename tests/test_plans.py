@@ -1262,3 +1262,21 @@ def test_weighted_sample_is_take_ordered(spark):
 
     plan = plan_of(weighted_sample_aes(spark, SF), "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_recall_eval_windows_partitioned_and_panel_broadcast(spark):
+    """The recall eval must broadcast the bounded query panel against
+    the corpus (never shuffle the corpus for scoring) and every window
+    spec must lead with the qid partition key — no corpus-wide sort."""
+    import re
+
+    from ocr_spark.operators.similarity import ann_recall_eval
+
+    df = ann_recall_eval(spark, SF)
+    simple = plan_of(df, "simple")
+    assert "BroadcastNestedLoopJoin" in simple or (
+        "BroadcastHashJoin" in simple
+    )
+    ext = plan_of(df, "extended")
+    specs = re.findall(r"windowspecdefinition\((\w+)#", ext)
+    assert specs and all(c == "qid" for c in specs), specs

@@ -210,3 +210,71 @@ def test_containment_matches_bruteforce(spark, tmp_path, seed):
         for r in containment_pairs(spark, d).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_ann_recall_eval_matches_bruteforce(spark, tmp_path, seed):
+    """Third-implementation check: replay anchor assignment, probe
+    selection, both top-K cuts and the recall join in plain python
+    (sequential float64 folds + SQL half-away rounding, mirroring the
+    engine arithmetic exactly) on a random float32 corpus."""
+    import math
+
+    from ocr_spark.operators.similarity import (
+        DEFAULT_ANCHORS,
+        DEFAULT_PROBE,
+        QUERY_PANEL_MOD,
+        TOP_K,
+        ann_recall_eval,
+    )
+
+    def sqlround(x, nd):
+        s = 10**nd
+        return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    rng = np.random.RandomState(seed)
+    n, dim = 60, 8
+    vecs = rng.randn(n, dim).astype(np.float32)
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    xx = [dot(v, v) for v in vecs]
+    anchors = list(range(DEFAULT_ANCHORS))
+    def l2(i, a):
+        return sqlround(xx[i] - 2.0 * dot(vecs[i], vecs[a]) + xx[a], 6)
+    assign = {
+        i: min(anchors, key=lambda a: (l2(i, a), a)) for i in range(n)
+    }
+    qids = [i for i in range(n) if i % QUERY_PANEL_MOD == 0]
+    want = {}
+    for q in qids:
+        probes = sorted(anchors, key=lambda a: (l2(q, a), a))[:DEFAULT_PROBE]
+        cos = {
+            i: sqlround(
+                dot(vecs[i], vecs[q])
+                / (math.sqrt(xx[i]) * math.sqrt(xx[q])),
+                4,
+            )
+            for i in range(n)
+            if i != q
+        }
+        order = sorted(cos, key=lambda i: (-cos[i], i))
+        truth = set(order[:TOP_K])
+        cand = [i for i in order if assign[i] in probes]
+        ivf = set(cand[:TOP_K])
+        want[q] = len(truth & ivf)
+
+    got = {r["qid"]: r for r in ann_recall_eval(spark, d).collect()}
+    assert set(got) == set(qids)
+    for q in qids:
+        assert got[q]["n_hit"] == want[q], (q, got[q], want[q])
+        assert got[q]["recall_ppm"] == want[q] * 1_000_000 // TOP_K
