@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_thumbnails": media.media_thumbnails,
         "media_dhash_dedup": media.media_dhash_dedup,
         "frame_sample": media.frame_sample,
+        "video_near_dup": media.video_near_dup,
         "audio_features": media.audio_features,
         "caption_consistency": media.caption_consistency,
         # -- table structure (row x col interval geometry) --
@@ -1546,6 +1547,32 @@ order by media_ref, frame_idx
         "caption_consistency": f"""
 select * from read_parquet('{_media_expected_path("caption")}')
 order by media_ref
+""",
+        # video near-dup: fully ANALYTIC oracle — DuckDB recomputes the
+        # fixture frame fingerprints (sha256 of the shared content key,
+        # bit-identical to hashlib) and replays the inverted-index pair
+        # join; the Spark side decodes real NVID1 container bytes.
+        "video_near_dup": f"""
+with refs as (
+  select 'vid://' || c_custkey as media_ref,
+         c_custkey // {50 * media.VIDEO_DUP_GROUP} as g,
+         (c_custkey // 50) % 2 as off
+  from customer where c_custkey % 50 = 0
+), fr as (
+  select media_ref,
+         sha256('frame:vgrp://' || g || ':' || (off + i)) as h
+  from refs, range(4) t(i)
+), p as (
+  select a.media_ref as ref_a, b.media_ref as ref_b,
+         count(*) as shared
+  from fr a join fr b on a.h = b.h and a.media_ref < b.media_ref
+  group by 1, 2
+)
+select ref_a, ref_b, shared,
+       (shared * 1000000) // (8 - shared) as jaccard_ppm
+from p
+where (shared * 1000000) // (8 - shared) >= {media.VIDEO_DUP_MIN_PPM}
+order by ref_a, ref_b
 """,
         # audio features: fully ANALYTIC oracle — DuckDB regenerates the
         # NAUD1 fixture waveform from the shared integer formula and

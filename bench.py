@@ -154,6 +154,7 @@ def main() -> int:
         "boilerplate_prune",
         "temperature_sampling_budget",
         "ann_recall_eval",
+        "video_near_dup",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -311,14 +311,24 @@ def synth_frame_bytes(media_ref: str, idx: int) -> bytes:
 
 
 def encode_video(
-    media_ref: str, n_frames: int = 4, frame_ms: int = 1000
+    media_ref: str,
+    n_frames: int = 4,
+    frame_ms: int = 1000,
+    frame_ids: list[tuple[str, int]] | None = None,
 ) -> bytes:
-    """media_ref -> NVID1 container bytes (the opaque video payload)."""
+    """media_ref -> NVID1 container bytes (the opaque video payload).
+    ``frame_ids`` overrides the per-frame content keys (ref, idx) so a
+    fixture can emit videos that SHARE frames (re-upload simulation)
+    while the container itself stays byte-honest."""
     import struct
 
     parts = [VIDEO_MAGIC, struct.pack("<HI", n_frames, frame_ms)]
     for i in range(n_frames):
-        fb = synth_frame_bytes(media_ref, i)
+        fb = (
+            synth_frame_bytes(media_ref, i)
+            if frame_ids is None
+            else synth_frame_bytes(*frame_ids[i])
+        )
         parts.append(struct.pack("<I", len(fb)))
         parts.append(fb)
     return b"".join(parts)
@@ -642,4 +652,100 @@ def media_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1)
         .sortWithinPartitions("media_ref")
+    )
+
+
+# --------------------------------------------------------------------------
+# Video near-dup: re-upload detection via frame-fingerprint Jaccard
+# --------------------------------------------------------------------------
+
+VIDEO_DUP_GROUP = 3  # sampled videos per shared-content group (fixture)
+VIDEO_DUP_MIN_PPM = 500_000  # pair ships at frame-Jaccard >= 0.5
+
+
+def video_near_dup(
+    spark: SparkSession, sf_dir: str, mod: int = 50, n_frames: int = 4
+) -> DataFrame:
+    """Re-upload / near-duplicate detection over the video modality: two
+    videos are near-dups when their FRAME fingerprint sets overlap (the
+    standard video-dedup shape — hash keyframes, join on the hash,
+    score pair overlap), which catches re-encodes, trims and off-by-one
+    frame shifts that a whole-file digest misses.  The fixture corpus
+    encodes content groups (VIDEO_DUP_GROUP sampled customers share a
+    group; alternate members start one frame later), so the output
+    contains exact re-uploads (Jaccard 1.0) AND shifted near-dups
+    (3 shared of 4) — both above VIDEO_DUP_MIN_PPM — while unrelated
+    videos never pair at all.
+
+    Scale shape: container decode is a mapInPandas kernel over real
+    NVID1 bytes; the pair search is an inverted-index equi-join on the
+    frame hash (identical to the LSH band-bucket join — work
+    proportional to true overlap, never all-pairs), with AQE skew-split
+    absorbing any viral frame; the Jaccard arithmetic is integer ppm on
+    the fixed per-container frame count."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    refs = cust.filter(k % mod == 0).select(
+        k.alias("c_custkey"),
+        F.concat(F.lit("vid://"), k.cast("string")).alias("media_ref"),
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for ck in pdf["c_custkey"]:
+                g = int(ck) // (mod * VIDEO_DUP_GROUP)
+                off = (int(ck) // mod) % 2
+                ids = [
+                    (f"vgrp://{g}", off + i) for i in range(n_frames)
+                ]
+                payloads.append(
+                    encode_video(
+                        f"vid://{ck}", n_frames=n_frames, frame_ids=ids
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_ref": pdf["media_ref"], "payload": payloads}
+            )
+
+    binary = refs.repartition(_default_partitions(spark)).mapInPandas(
+        _encode, schema="media_ref string, payload binary"
+    )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                for _i, _ts, fb in decode_video_frames(
+                    bytes(payload), every_ms=1
+                ):
+                    rows.append((ref, fb.hex()))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "frame_hex"]
+            )
+
+    frames = binary.mapInPandas(
+        _frames, schema="media_ref string, frame_hex string"
+    )
+    a, b = frames.alias("a"), frames.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.frame_hex") == F.col("b.frame_hex"))
+            & (F.col("a.media_ref") < F.col("b.media_ref")),
+        )
+        .groupBy(
+            F.col("a.media_ref").alias("ref_a"),
+            F.col("b.media_ref").alias("ref_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard_ppm",
+            F.expr(f"(shared * 1000000) div ({2 * n_frames} - shared)"),
+        )
+        .filter(F.col("jaccard_ppm") >= VIDEO_DUP_MIN_PPM)
+        .repartition(1)
+        .sortWithinPartitions("ref_a", "ref_b")
     )

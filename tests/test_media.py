@@ -210,3 +210,44 @@ def test_dhash_is_resize_invariant_and_discriminative():
     half = resize_to(img_a, img_a.shape[1] // 2, img_a.shape[0] // 2)
     assert ham(h_a, dhash64(half)) <= 8
     assert ham(h_a, dhash64(img_b)) > 12
+
+
+def test_video_near_dup_pair_classes(spark, tmp_path):
+    """Crafted six-customer corpus: within a content group the
+    same-offset pair is an exact re-upload (Jaccard 1.0), the shifted
+    pair shares 3 of 4 frames (0.6); across groups NO pair row exists.
+    The containers are real NVID1 bytes decoded by the kernel."""
+    from ocr_spark.operators.media import (
+        VIDEO_DUP_MIN_PPM,
+        decode_video_frames,
+        encode_video,
+        video_near_dup,
+    )
+
+    d = str(tmp_path)
+    keys = [0, 50, 100, 150, 200, 250]  # groups {0,50,100} and {150,200,250}
+    spark.createDataFrame(
+        [(k, f"c{k}", 0, 0.0, "SEG") for k in keys],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+
+    got = {(r["ref_a"], r["ref_b"]): r.asDict()
+           for r in video_near_dup(spark, d).collect()}
+    # exact re-upload: offsets (k//50)%2 equal -> identical frame sets
+    assert got[("vid://0", "vid://100")]["jaccard_ppm"] == 1_000_000
+    assert got[("vid://150", "vid://250")]["jaccard_ppm"] == 1_000_000
+    # one-frame shift: 3 shared of 4 -> 3/5
+    assert got[("vid://0", "vid://50")]["jaccard_ppm"] == 600_000
+    assert got[("vid://100", "vid://50")]["shared"] == 3
+    # no cross-group pair ever appears
+    assert all(
+        (a.split("//")[1] in {"0", "50", "100"})
+        == (b.split("//")[1] in {"0", "50", "100"})
+        for a, b in got
+    )
+    assert all(r["jaccard_ppm"] >= VIDEO_DUP_MIN_PPM for r in got.values())
+    # the frame_ids override still yields a valid, parseable container
+    payload = encode_video("vid://x", frame_ids=[("vgrp://9", i) for i in range(4)])
+    frames = decode_video_frames(payload, every_ms=1)
+    assert len(frames) == 4

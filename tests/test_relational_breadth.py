@@ -1066,7 +1066,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
 
     empty_ok = [
         E.bleu_eval,
-        M.audio_features, M.caption_consistency,
+        M.audio_features, M.caption_consistency, M.video_near_dup,
         R.kmv_weekly_rollup, R.unpivot_measures, R.theta_sketch_overlap,
         R.pps_systematic_sample, R.k_anonymity_audit, R.cusum_changepoint,
         R.pit_join_events_scd2, R.mad_outliers, R.purchase_paths,
