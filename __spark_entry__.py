@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "homoglyph_dedup": dedup.homoglyph_dedup,
         "kcore_peel": web_extract.kcore_peel,
         "lpa_communities": web_extract.lpa_communities,
+        "triangle_count": web_extract.triangle_count,
         "km_churn_survival": relational.km_churn_survival,
         "benford_audit": relational.benford_audit,
         "heaps_vocab_growth": text_analysis.heaps_vocab_growth,
@@ -4662,6 +4663,38 @@ select doc_id,
 from marked group by doc_id order by doc_id
 """
     # BFS truth: recursive reachability with a hop counter; min(hop)
+    # Triangle truth: id-ordered closed-wedge join over the canonical
+    # undirected edges — every triangle appears once as a < b < c, the
+    # same set the degree-ordered Spark orientation finds.
+    sql["triangle_count"] = """
+with n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+ed as (
+  select distinct least(src, dst) as s, greatest(src, dst) as t
+  from e0 where src <> dst
+),
+tri as (
+  select e1.s as a, e1.t as b, e2.t as c
+  from ed e1
+  join ed e2 on e2.s = e1.t
+  join ed e3 on e3.s = e1.s and e3.t = e2.t
+),
+nodes as (
+  select unnest([a, b, c]) as doc_id from tri
+),
+cnt as (
+  select doc_id, count(*) as n_triangles from nodes group by doc_id
+)
+select d.doc_id, cast(coalesce(c.n_triangles, 0) as bigint) as n_triangles
+from documents d left join cnt c using (doc_id)
+order by d.doc_id
+"""
     # collapses multi-path discoveries to the true BFS distance.
     sql["bfs_hop_distance"] = f"""
 with recursive n as (select count(*) as nn from documents),

@@ -155,6 +155,7 @@ def main() -> int:
         "temperature_sampling_budget",
         "ann_recall_eval",
         "video_near_dup",
+        "triangle_count",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -1063,3 +1063,86 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts over the undirected link graph by
+    degree-ordered edge orientation (the MapReduce-canonical
+    formulation, Suri & Vassilvitskii WWW'11 / Cohen CiSE'09):
+    triangle density is the standard link-spam / community-cohesion
+    signal (spam farms are triangle-dense, and the count is the
+    numerator of the local clustering coefficient).
+
+    Each undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher, so every wedge is generated at its
+    lowest-rank vertex and each triangle is found EXACTLY once; the
+    wedge fan-out per vertex is bounded by the oriented out-degree
+    (O(sqrt(m)) for any graph), which is what kills the hub-skew that
+    makes naive id-ordered wedge joins explode on web graphs.
+
+    Scale shape: degree table = one partial-agg count; orientation =
+    two equi-joins of the edge list against the O(nodes) degree
+    vector; wedges = one self-equi-join on the apex; closure = one
+    equi-join on the (v, w) arc — all equi-joins, AQE skew-split
+    absorbs residual hot apexes, no windows anywhere."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    n = docs.count()
+    e = _link_edges(docs, n)
+    und = e.select(
+        F.least("src", "dst").alias("s"),
+        F.greatest("src", "dst").alias("t"),
+    ).distinct()
+    deg = (
+        und.select(F.col("s").alias("node"))
+        .union(und.select(F.col("t").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("node", "s"), "s")
+        .withColumnRenamed("deg", "ds")
+        .join(
+            deg.withColumnRenamed("node", "t").withColumnRenamed(
+                "deg", "dt"
+            ),
+            "t",
+        )
+    )
+    fwd = F.struct("ds", "s") < F.struct("dt", "t")
+    arcs = ranked.select(
+        F.when(fwd, F.col("s")).otherwise(F.col("t")).alias("u"),
+        F.when(fwd, F.col("t")).otherwise(F.col("s")).alias("v"),
+        F.when(fwd, F.col("dt")).otherwise(F.col("ds")).alias("dv"),
+    )
+    a1 = arcs.select(
+        F.col("u"), F.col("v"), F.col("dv")
+    )
+    a2 = arcs.select(
+        F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw")
+    )
+    wedges = a1.join(a2, "u").filter(
+        F.struct("dv", "v") < F.struct("dw", "w")
+    )
+    closing = arcs.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    nodes = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("doc_id")
+    )
+    cnt = nodes.groupBy("doc_id").agg(
+        F.count("*").alias("n_triangles")
+    )
+    return (
+        docs.join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -1280,3 +1280,16 @@ def test_ann_recall_eval_windows_partitioned_and_panel_broadcast(spark):
     ext = plan_of(df, "extended")
     specs = re.findall(r"windowspecdefinition\((\w+)#", ext)
     assert specs and all(c == "qid" for c in specs), specs
+
+
+def test_triangle_count_all_equi_joins_no_window(spark):
+    """Triangle counting must stay on hash equi-joins (degree-ordered
+    wedge + closure) — no nested-loop/cartesian pair expansion and no
+    window anywhere in the plan."""
+    from ocr_spark.operators.web_extract import triangle_count
+
+    df = triangle_count(spark, SF)
+    simple = plan_of(df, "simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "Window" not in simple

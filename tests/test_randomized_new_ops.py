@@ -278,3 +278,36 @@ def test_ann_recall_eval_matches_bruteforce(spark, tmp_path, seed):
     for q in qids:
         assert got[q]["n_hit"] == want[q], (q, got[q], want[q])
         assert got[q]["recall_ppm"] == want[q] * 1_000_000 // TOP_K
+
+
+@pytest.mark.parametrize("n", [20, 37])
+def test_triangle_count_matches_bruteforce(spark, tmp_path, n):
+    """Brute-force enumeration of the fixture link graph's triangles in
+    plain python vs the degree-ordered oriented wedge join."""
+    from itertools import combinations
+
+    from ocr_spark.operators.web_extract import triangle_count
+
+    d = str(tmp_path)
+    _docs(spark, d, [(i, "t", "en", "s", 1) for i in range(n)])
+
+    edges = set()
+    for i in range(n):
+        for dst in ((i * 7 + 1) % n, (i * 13 + 2) % n, (i * 31 + 3) % n):
+            if dst != i:
+                edges.add((min(i, dst), max(i, dst)))
+    adj = {i: set() for i in range(n)}
+    for s, t in edges:
+        adj[s].add(t)
+        adj[t].add(s)
+    want = {i: 0 for i in range(n)}
+    for a, b, c in combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+
+    got = {r["doc_id"]: r["n_triangles"]
+           for r in triangle_count(spark, d).collect()}
+    assert got == want
+    assert sum(want.values()) % 3 == 0  # sanity: each triangle counted 3x

@@ -1099,7 +1099,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         T.kneser_ney_bigram, T.hashed_ngram_classify, T.bpe_fertility,
         T.doremi_mixture, T.gopher_rules,
         W.html_to_spans, W.robots_gate, W.hits_hubs_authorities,
-        W.lpa_communities,
+        W.lpa_communities, W.triangle_count,
         W.anchor_text_aggregation, W.cocitation_pairs,
     ]
     for fn in empty_ok:
