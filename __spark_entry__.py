@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel": web_extract.kcore_peel,
         "lpa_communities": web_extract.lpa_communities,
         "triangle_count": web_extract.triangle_count,
+        "zorder_layout": relational.zorder_layout,
         "km_churn_survival": relational.km_churn_survival,
         "benford_audit": relational.benford_audit,
         "heaps_vocab_growth": text_analysis.heaps_vocab_growth,
@@ -4694,6 +4695,34 @@ cnt as (
 select d.doc_id, cast(coalesce(c.n_triangles, 0) as bigint) as n_triangles
 from documents d left join cnt c using (doc_id)
 order by d.doc_id
+"""
+    # Z-order truth: the SAME generated arithmetic interleave (only the
+    # integer-div token differs by dialect) over the same normalized grid.
+    _zgrid = 1 << relational.ZORDER_BITS
+    _zx = relational._morton_terms(
+        f"(((cust - lo_c) * {_zgrid}) // (hi_c - lo_c + 1))", 0, "//"
+    )
+    _zy = relational._morton_terms(
+        f"(((day - lo_d) * {_zgrid}) // (hi_d - lo_d + 1))", 1, "//"
+    )
+    _zw = (1 << (2 * relational.ZORDER_BITS)) // relational.ZORDER_BUCKETS
+    sql["zorder_layout"] = f"""
+with o as (
+  select o_custkey::bigint as cust,
+         date_diff('day', DATE '1995-01-01', o_orderdate)::bigint as day
+  from orders
+), st as (
+  select min(cust) as lo_c, max(cust) as hi_c,
+         min(day) as lo_d, max(day) as hi_d
+  from o
+), z as (
+  select cust, day, (({_zx}) + ({_zy})) // {_zw} as bucket_id
+  from o, st
+)
+select bucket_id, count(*) as n_rows,
+       min(cust) as min_cust, max(cust) as max_cust,
+       min(day) as min_day, max(day) as max_day
+from z group by bucket_id order by bucket_id
 """
     # collapses multi-path discoveries to the true BFS distance.
     sql["bfs_hop_distance"] = f"""

@@ -156,6 +156,7 @@ def main() -> int:
         "ann_recall_eval",
         "video_near_dup",
         "triangle_count",
+        "zorder_layout",
     ]
     if only:
         headline = [q for q in headline if q in only]

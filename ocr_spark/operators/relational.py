@@ -3839,3 +3839,79 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         "key_e12",
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) multi-dimensional layout
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16  # per-dimension grid resolution (range-normalized)
+ZORDER_BUCKETS = 64  # target file/bucket count of the layout
+
+
+def _morton_terms(col: str, offset: int, div: str) -> str:
+    """Portable bit-interleave as PURE ARITHMETIC — ``(x div 2^i) % 2``
+    selects bit i, ``* 2^(2i+offset)`` spreads it to interleaved
+    position — so Spark (``div``) and DuckDB (``//``) evaluate the
+    LITERALLY same generated formula with no engine bit-op dialect."""
+    return " + ".join(
+        f"((({col}) {div} {1 << i}) % 2) * {1 << (2 * i + offset)}"
+        for i in range(ZORDER_BITS)
+    )
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering of the orders table on
+    (customer, order-day) — the standard multi-dimensional layout for
+    data skipping at 100 TB (Delta/Iceberg OPTIMIZE ZORDER): a linear
+    sort on either key lets min/max file stats prune only THAT key's
+    predicates, while Z-ordering bounds EVERY populated bucket in BOTH
+    dimensions, so a scan filtered on either (or both) keys skips most
+    buckets.  The emitted per-bucket stats table IS the skipping
+    manifest: (bucket, row count, min/max of each dimension).
+
+    Scale shape: the Morton code is one map-side arithmetic projection
+    (32 integer terms, whole-stage-codegen'd — no UDF); the manifest is
+    one partial-aggregable groupBy on the bucket key.  The bucket id is
+    a fixed Z-range split (top bits of the code), so the layout is
+    deterministic across engines and cluster sizes — in production the
+    write path would ``repartitionByRange(zcode)`` into files using the
+    same code."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").cast("bigint").alias("cust"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day"),
+    )
+    # range-normalize each dimension onto the 2^ZORDER_BITS grid (what
+    # OPTIMIZE ZORDER does): the min/max pair is a broadcast 1-row
+    # aggregate, the same tiny-stats policy as _grid_buckets
+    stats = orders.agg(
+        F.min("cust").alias("lo_c"),
+        F.max("cust").alias("hi_c"),
+        F.min("day").alias("lo_d"),
+        F.max("day").alias("hi_d"),
+    )
+    grid = 1 << ZORDER_BITS
+    gx = f"(((cust - lo_c) * {grid}) div (hi_c - lo_c + 1))"
+    gy = f"(((day - lo_d) * {grid}) div (hi_d - lo_d + 1))"
+    zx = _morton_terms(gx, 0, "div")
+    zy = _morton_terms(gy, 1, "div")
+    width = (1 << (2 * ZORDER_BITS)) // ZORDER_BUCKETS
+    coded = orders.crossJoin(F.broadcast(stats)).withColumn(
+        "bucket_id", F.expr(f"(({zx}) + ({zy})) div {width}")
+    )
+    return (
+        coded.groupBy("bucket_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cust").alias("min_cust"),
+            F.max("cust").alias("max_cust"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bucket_id")
+    )

@@ -1073,6 +1073,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.l_diversity_audit, R.t_closeness_audit, R.dp_noisy_counts,
         R.weighted_sample_aes,
         R.psi_drift, R.km_churn_survival, R.benford_audit,
+        R.zorder_layout,
         R.weekday_seasonality,
         T.pareto_frontier_docs, T.paragraph_dedup_rebuild,
         T.hybrid_rrf_search, T.training_manifest,
@@ -1725,3 +1726,28 @@ def test_weighted_sample_aes_matches_python_replay(spark, tmp_path):
             w,
             k,
         )
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The point of the Z-layout: EVERY populated bucket's min/max box
+    is small in BOTH dimensions (here the 64-bucket split of a 16-bit
+    interleave = an 8x8 grid, so each span <= ~1/8 of its range + one
+    grid cell), which a single-dimension sort cannot achieve."""
+    from ocr_spark.operators.relational import zorder_layout
+
+    rows = zorder_layout(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 8
+    lo_c = min(r["min_cust"] for r in rows)
+    hi_c = max(r["max_cust"] for r in rows)
+    lo_d = min(r["min_day"] for r in rows)
+    hi_d = max(r["max_day"] for r in rows)
+    # 8x8 grid: one cell is 1/8 of the normalized range; allow one
+    # extra cell of slack for grid-boundary rounding
+    max_c = (hi_c - lo_c + 1) // 8 + (hi_c - lo_c + 1) // 16 + 1
+    max_d = (hi_d - lo_d + 1) // 8 + (hi_d - lo_d + 1) // 16 + 1
+    for r in rows:
+        assert r["max_cust"] - r["min_cust"] <= max_c, r
+        assert r["max_day"] - r["min_day"] <= max_d, r
+    assert sum(r["n_rows"] for r in rows) == spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).count()
