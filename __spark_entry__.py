@@ -396,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": web_extract.lpa_communities,
         "triangle_count": web_extract.triangle_count,
         "zorder_layout": relational.zorder_layout,
+        "countmin_heavy_hitters": relational.countmin_heavy_hitters,
+        "phrase_search": text_analysis.phrase_search,
         "km_churn_survival": relational.km_churn_survival,
         "benford_audit": relational.benford_audit,
         "heaps_vocab_growth": text_analysis.heaps_vocab_growth,
@@ -4723,6 +4725,54 @@ select bucket_id, count(*) as n_rows,
        min(cust) as min_cust, max(cust) as max_cust,
        min(day) as min_day, max(day) as max_day
 from z group by bucket_id order by bucket_id
+"""
+    # Count-Min truth: same fixed hash coefficients, same d x w grid.
+    _cm_cells = " union all ".join(
+        f"select {j} as j, (user_id * {relational.CM_HASH_A[j]}"
+        f" + {relational.CM_HASH_B[j]}) % {relational.CM_PRIME}"
+        f" % {relational.CM_WIDTH} as cell, user_id from ev"
+        for j in range(relational.CM_DEPTH)
+    )
+    sql["countmin_heavy_hitters"] = f"""
+with ev as (select user_id from events),
+cells as ({_cm_cells}),
+sketch as (select j, cell, count(*) as c from cells group by j, cell),
+top as (
+  select user_id, count(*) as n from ev
+  group by user_id order by n desc, user_id limit {relational.HH_TOP_K}
+),
+probes as (
+  select t.user_id, t.n, s.j, s.cell
+  from top t join (select distinct j, cell, user_id from cells) s
+    using (user_id)
+),
+est as (
+  select p.user_id, p.n, min(k.c) as est
+  from probes p join sketch k using (j, cell)
+  group by p.user_id, p.n
+)
+select cast(row_number() over (order by n desc, user_id) as int) as rank,
+       user_id, n, est, est - n as overcount
+from est order by rank
+"""
+    # Phrase truth: positional posting lists joined on (doc, start).
+    sql["phrase_search"] = f"""
+with t as (
+  select doc_id, string_split(lower(text), ' ') as toks from documents
+), p as (
+  select doc_id, i as pos, toks[i+1] as tok
+  from t, unnest(range(len(toks))) u(i)
+),
+q0 as (select doc_id, pos - 0 as start from p
+       where tok = '{text_analysis.PHRASE_QUERY[0]}'),
+q1 as (select doc_id, pos - 1 as start from p
+       where tok = '{text_analysis.PHRASE_QUERY[1]}'),
+q2 as (select doc_id, pos - 2 as start from p
+       where tok = '{text_analysis.PHRASE_QUERY[2]}')
+select doc_id, count(*) as n_matches,
+       cast(min(start) as bigint) as first_pos
+from q0 join q1 using (doc_id, start) join q2 using (doc_id, start)
+group by doc_id order by doc_id
 """
     # collapses multi-path discoveries to the true BFS distance.
     sql["bfs_hop_distance"] = f"""

@@ -157,6 +157,8 @@ def main() -> int:
         "video_near_dup",
         "triangle_count",
         "zorder_layout",
+        "countmin_heavy_hitters",
+        "phrase_search",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -3915,3 +3915,107 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("bucket_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (bounded-state frequency estimation)
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 64  # cells per row (undersized vs the key domain ON PURPOSE:
+# the graded overcount must be nonzero for the meta-eval to measure
+# anything; production sizes w ~ e/eps for the tolerated overcount)
+CM_PRIME = 2_147_483_647
+# fixed pairwise-independent hash coefficients (one (a, b) per row)
+CM_HASH_A = (2_654_435_761, 40_503, 2_246_822_519, 3_266_489_917)
+CM_HASH_B = (97, 1_013, 30_011, 999_983)
+
+
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimation graded against exact truth — the
+    bounded-state alternative to a full per-key count when the key
+    domain itself does not fit anywhere (10^9+ users): the sketch is a
+    CM_DEPTH x CM_WIDTH integer matrix built in ONE partial-aggregable
+    pass, the estimate for any key is the min over its CM_DEPTH cells
+    (Cormode & Muthukrishnan '05; always >= truth, over by at most the
+    collision mass).  Emitted per exact-top-K key: exact count, sketch
+    estimate, and the overcount — the meta-eval that tells an operator
+    whether the configured width absorbs the corpus's collision mass
+    (the dedup_sketch_eval pattern applied to counting).
+
+    Scale shape: the sketch build maps each event to CM_DEPTH (row,
+    cell) pairs and partial-aggregates to <= CM_DEPTH*CM_WIDTH rows —
+    broadcast state, corpus shuffled once at O(events) -> O(d*w); the
+    exact side rides the heavy_hitters TakeOrdered plan and exists only
+    to grade the sketch."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            (
+                                F.col("user_id") * CM_HASH_A[j]
+                                + CM_HASH_B[j]
+                            )
+                            % CM_PRIME
+                            % CM_WIDTH
+                        ).alias("cell"),
+                    )
+                    for j in range(CM_DEPTH)
+                ]
+            )
+        ).alias("s")
+    ).select("s.j", "s.cell")
+    sketch = cells.groupBy("j", "cell").agg(F.count("*").alias("c"))
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(HH_TOP_K)
+    )
+    probes = top.select(
+        "user_id",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            (
+                                F.col("user_id") * CM_HASH_A[j]
+                                + CM_HASH_B[j]
+                            )
+                            % CM_PRIME
+                            % CM_WIDTH
+                        ).alias("cell"),
+                    )
+                    for j in range(CM_DEPTH)
+                ]
+            ).alias("s")
+        ).alias("s"),
+    ).select("user_id", "n", "s.j", "s.cell")
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("est"))
+    )
+    # tiny-window: <= HH_TOP_K graded rows
+    w = Window.orderBy(F.desc("n"), "user_id")
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "user_id",
+            "n",
+            "est",
+            (F.col("est") - F.col("n")).alias("overcount"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("rank")
+    )

@@ -3075,3 +3075,49 @@ def temperature_sampling_budget(
         .repartition(1)
         .sortWithinPartitions("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search over the inverted index
+# ---------------------------------------------------------------------------
+
+PHRASE_QUERY = ("slow", "hash", "batch")  # the fixed 3-term test phrase
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval via positional posting-list joins — the
+    inverted-index primitive BM25 cannot express (bag-of-words scoring
+    finds co-occurrence; a phrase needs POSITIONS): term i of the
+    phrase must appear at position p+i of the same document.  Emits one
+    row per matching document with its occurrence count and first
+    match position.
+
+    Scale shape: the token posexplode is filtered to the query
+    vocabulary BEFORE any shuffle (the bm25_topk convention — posting
+    rows exist only for the 3 query terms, so the joined relations are
+    query-sized, not corpus-sized), then two equi-joins on
+    (doc_id, adjusted position) stitch adjacent terms.  No windows, no
+    corpus shuffle."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), " ")
+    posting = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    ).filter(F.col("tok").isin(*PHRASE_QUERY))
+    parts = [
+        posting.filter(F.col("tok") == term).select(
+            "doc_id", (F.col("pos") - i).alias("start")
+        )
+        for i, term in enumerate(PHRASE_QUERY)
+    ]
+    matches = parts[0]
+    for nxt in parts[1:]:
+        matches = matches.join(nxt, ["doc_id", "start"])
+    return (
+        matches.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("start").cast("bigint").alias("first_pos"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

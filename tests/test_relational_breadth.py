@@ -1073,7 +1073,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.l_diversity_audit, R.t_closeness_audit, R.dp_noisy_counts,
         R.weighted_sample_aes,
         R.psi_drift, R.km_churn_survival, R.benford_audit,
-        R.zorder_layout,
+        R.zorder_layout, R.countmin_heavy_hitters, T.phrase_search,
         R.weekday_seasonality,
         T.pareto_frontier_docs, T.paragraph_dedup_rebuild,
         T.hybrid_rrf_search, T.training_manifest,
@@ -1751,3 +1751,49 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     assert sum(r["n_rows"] for r in rows) == spark.read.parquet(
         "/root/testdata/sf0.001/orders.parquet"
     ).count()
+
+
+def test_countmin_estimate_replayed_by_hand(spark, tmp_path):
+    """Replay the sketch in python on a crafted skewed event table:
+    est must equal the hand-computed min-over-rows cell count and
+    never undercount."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import (
+        CM_DEPTH,
+        CM_HASH_A,
+        CM_HASH_B,
+        CM_PRIME,
+        CM_WIDTH,
+        countmin_heavy_hitters,
+    )
+
+    d = str(tmp_path)
+    # 40 users, user u fires (u % 7) + 1 events -> ties + spread
+    users = [u for u in range(40) for _ in range((u % 7) + 1)]
+    rows = [
+        (i, dt.datetime(2024, 1, 1), u, "click", 1.0, "{}")
+        for i, u in enumerate(users)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    cell = lambda u, j: (u * CM_HASH_A[j] + CM_HASH_B[j]) % CM_PRIME % CM_WIDTH
+    sketch = {}
+    for u in users:
+        for j in range(CM_DEPTH):
+            k = (j, cell(u, j))
+            sketch[k] = sketch.get(k, 0) + 1
+    truth = {u: users.count(u) for u in set(users)}
+
+    got = countmin_heavy_hitters(spark, d).collect()
+    assert len(got) == 20
+    for r in got:
+        u = r["user_id"]
+        want_est = min(sketch[(j, cell(u, j))] for j in range(CM_DEPTH))
+        assert r["n"] == truth[u]
+        assert r["est"] == want_est
+        assert r["overcount"] == want_est - truth[u] >= 0

@@ -1353,3 +1353,29 @@ def test_temperature_budget_exact_hamilton_and_flattening(spark, tmp_path):
     # temperature flattening: de holds 2/82 naturally but 1/9 of draws
     assert got["de"]["sampled_ppm"] > got["de"]["natural_ppm"]
     assert got["en"]["sampled_ppm"] < got["en"]["natural_ppm"]
+
+
+def test_phrase_search_counts_overlapping_occurrences(spark, tmp_path):
+    """Positional semantics: overlapping matches count separately, word
+    order matters (reversed phrase does not match), and case folds."""
+    from ocr_spark.operators.text_analysis import phrase_search
+
+    d = str(tmp_path)
+    rows = [
+        (0, "slow hash batch tail", "en", "s", 1),       # one match at 0
+        (1, "x slow hash batch y slow hash batch", "en", "s", 1),  # two
+        (2, "batch hash slow", "en", "s", 1),            # reversed: none
+        (3, "SLOW HASH BATCH", "en", "s", 1),            # case-folded
+        (4, "slow hash", "en", "s", 1),                  # incomplete
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r.asDict() for r in phrase_search(spark, d).collect()}
+    assert set(got) == {0, 1, 3}
+    assert got[0] == {"doc_id": 0, "n_matches": 1, "first_pos": 0}
+    assert got[1] == {"doc_id": 1, "n_matches": 2, "first_pos": 1}
+    assert got[3]["n_matches"] == 1
