@@ -1293,3 +1293,33 @@ def test_triangle_count_all_equi_joins_no_window(spark):
     assert "CartesianProduct" not in simple
     assert "BroadcastNestedLoopJoin" not in simple
     assert "Window" not in simple
+
+
+def test_no_cartesian_product_anywhere_on_the_board(spark):
+    """Board-wide plan lint: NO batch query may plan a CartesianProduct
+    — every pair-expansion on the board must ride an equi-join
+    (inverted index / band bucket / salt) or an explicit broadcast
+    (which plans as BroadcastNestedLoopJoin, allowed for 1-row/tiny
+    sides that are individually plan-pinned).  Streaming and the
+    pipeline/eval queries are exercised by their own pinned tests."""
+    import __spark_entry__ as entrymod
+
+    skip_prefixes = ("stream_", "ocr_", "invoice_", "eval_", "save_")
+    qs = {
+        k: fn
+        for k, fn in entrymod.queries().items()
+        if not k.startswith(skip_prefixes)
+    }
+    assert len(qs) > 150
+    offenders, errors = [], []
+    for name, fn in sorted(qs.items()):
+        try:
+            tree = plan_of(fn(spark, SF), "simple")
+        except Exception as exc:  # pragma: no cover - lint visibility
+            errors.append(f"{name}: {type(exc).__name__}")
+            continue
+        if "CartesianProduct" in tree:
+            offenders.append(name)
+    assert not offenders, offenders
+    # every query must at least BUILD its plan at sf0.001
+    assert not errors, errors
