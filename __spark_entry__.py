@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": web_extract.triangle_count,
         "zorder_layout": relational.zorder_layout,
         "countmin_heavy_hitters": relational.countmin_heavy_hitters,
+        "feature_correlation": relational.feature_correlation,
         "phrase_search": text_analysis.phrase_search,
         "km_churn_survival": relational.km_churn_survival,
         "benford_audit": relational.benford_audit,
@@ -4754,6 +4755,39 @@ est as (
 select cast(row_number() over (order by n desc, user_id) as int) as rank,
        user_id, n, est, est - n as overcount
 from est order by rank
+"""
+    # Correlation truth: the same generated sign-decomposed integer
+    # formula (only the div token differs); DuckDB's hugeint sums equal
+    # the int64 sums wherever the documented bound holds.
+    _corr_feats = relational.CORR_FEATURES
+    _corr_pairs = [
+        (a, b)
+        for i, a in enumerate(_corr_feats)
+        for b in _corr_feats[i + 1 :]
+    ]
+    _corr_sums = ", ".join(
+        [f"sum({f}) as sx_{f}, sum({f} * {f}) as sxx_{f}" for f in _corr_feats]
+        + [f"sum({a} * {b}) as sxy_{a}_{b}" for a, b in _corr_pairs]
+    )
+    _corr_rows = "\n  union all\n".join(
+        f"select '{a}' as feat_a, '{b}' as feat_b, n as n_users,"
+        f" cast({relational._corr_expr(a, b, '//')} as bigint) as corr_ppm"
+        " from st"
+        for a, b in _corr_pairs
+    )
+    sql["feature_correlation"] = f"""
+with uf as (
+  select user_id, count(*) as n_events,
+         sum(cast(floor(value) as bigint)) as value_units,
+         count(distinct event_type) as n_types,
+         count(distinct cast(ts as date)) as n_days
+  from events group by user_id
+), st as (
+  select count(*) as n, {_corr_sums} from uf
+)
+select * from (
+{_corr_rows}
+) order by feat_a, feat_b
 """
     # Phrase truth: positional posting lists joined on (doc, start).
     sql["phrase_search"] = f"""

@@ -159,6 +159,7 @@ def main() -> int:
         "zorder_layout",
         "countmin_heavy_hitters",
         "phrase_search",
+        "feature_correlation",
     ]
     if only:
         headline = [q for q in headline if q in only]

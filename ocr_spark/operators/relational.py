@@ -4019,3 +4019,99 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact integer Pearson correlation between behavioral features
+# ---------------------------------------------------------------------------
+
+CORR_FEATURES = ("n_events", "value_units", "n_types", "n_days")
+
+
+def _corr_expr(a: str, b: str, div: str) -> str:
+    """Pearson corr in exact integer parts-per-million, as a portable
+    generated formula (the ``_morton_terms`` pattern): numerator and
+    the two variance terms are exact int64 sums; each variance takes
+    the EXACT integer sqrt (floor-sqrt with the ±1 correction, no libm
+    dependence), and the final division is sign-decomposed because
+    Spark ``div`` truncates toward zero while DuckDB ``//`` floors —
+    on a negative numerator they would differ by one ulp otherwise."""
+    num = f"(n * sxy_{a}_{b} - sx_{a} * sx_{b})"
+    isq = (
+        "(cast(floor(sqrt(cast({d} as double))) as bigint)"
+        " + (case when (cast(floor(sqrt(cast({d} as double))) as bigint) + 1)"
+        "         * (cast(floor(sqrt(cast({d} as double))) as bigint) + 1)"
+        "         <= {d} then 1 else 0 end)"
+        " - (case when cast(floor(sqrt(cast({d} as double))) as bigint)"
+        "         * cast(floor(sqrt(cast({d} as double))) as bigint)"
+        "         > {d} then 1 else 0 end))"
+    )
+    dv1 = f"(n * sxx_{a} - sx_{a} * sx_{a})"
+    dv2 = f"(n * sxx_{b} - sx_{b} * sx_{b})"
+    d1 = isq.format(d=dv1)
+    d2 = isq.format(d=dv2)
+    # zero-variance feature (constant column): corr undefined -> 0,
+    # guarded identically in both dialects (Spark ANSI x/0 throws,
+    # DuckDB yields NULL — neither is wanted)
+    return (
+        f"(case when {dv1} <= 0 or {dv2} <= 0 then 0 else "
+        f"(case when {num} < 0 then -1 else 1 end)"
+        f" * ((1000000 * abs({num})) {div} ({d1} * {d2})) end)"
+    )
+
+
+def feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between per-user behavioral
+    features (event count, value volume, event-type breadth, active
+    days) — the redundancy screen a curation pipeline runs before
+    treating signals as independent quality features (two signals at
+    corr ~1 are one signal counted twice).  All six pairs, exact
+    integer ppm via ``_corr_expr``.
+
+    Scale shape: one per-user aggregate (the only corpus shuffle), one
+    global 1-row sum aggregate (map-side partial) carrying the 4 sums,
+    4 squares, and 6 cross products, then the six output rows are a
+    map-side explode of literal expressions over that single row.  At
+    10^12 events the int64 sums lift to decimal(38,0) — the bound is
+    documented, not hidden (n * sum(x^2) must stay under 2^63)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uf = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.expr("cast(floor(value) as bigint)")).alias(
+            "value_units"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(F.expr("cast(ts as date)")).alias("n_days"),
+    )
+    aggs = [F.count("*").alias("n")]
+    for f in CORR_FEATURES:
+        aggs.append(F.sum(f).alias(f"sx_{f}"))
+        aggs.append(F.sum(F.expr(f"{f} * {f}")).alias(f"sxx_{f}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_FEATURES)
+        for b in CORR_FEATURES[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.expr(f"{a} * {b}")).alias(f"sxy_{a}_{b}"))
+    stats = uf.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("feat_a"),
+                F.lit(b).alias("feat_b"),
+                F.expr(_corr_expr(a, b, "div"))
+                .cast("bigint")
+                .alias("corr_ppm"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        stats.filter(F.col("n") > 0)  # empty-input invariant: no users,
+        # no correlation rows (the global agg still emits its 1 row)
+        .select("n", F.explode(rows).alias("r"))
+        .select("r.feat_a", "r.feat_b", F.col("n").alias("n_users"), "r.corr_ppm")
+        .repartition(1)
+        .sortWithinPartitions("feat_a", "feat_b")
+    )

@@ -1074,6 +1074,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.weighted_sample_aes,
         R.psi_drift, R.km_churn_survival, R.benford_audit,
         R.zorder_layout, R.countmin_heavy_hitters, T.phrase_search,
+        R.feature_correlation,
         R.weekday_seasonality,
         T.pareto_frontier_docs, T.paragraph_dedup_rebuild,
         T.hybrid_rrf_search, T.training_manifest,
@@ -1797,3 +1798,60 @@ def test_countmin_estimate_replayed_by_hand(spark, tmp_path):
         assert r["n"] == truth[u]
         assert r["est"] == want_est
         assert r["overcount"] == want_est - truth[u] >= 0
+
+
+def test_feature_correlation_hand_replayed(spark, tmp_path):
+    """Crafted users where event count anti-correlates with value and
+    one feature is constant: replay the exact integer formula (isqrt,
+    sign-decomposed truncating division) in python."""
+    import datetime as dt
+    import math
+
+    from ocr_spark.operators.relational import feature_correlation
+
+    d = str(tmp_path)
+    rows = []
+    eid = 0
+    # user u: one event of value (100 - 10*u) plus u zero-value events
+    # -> n_events strictly up, value_units strictly down (negative
+    # corr), n_types and n_days constant (zero variance -> corr 0)
+    for u in range(5):
+        values = [float(100 - 10 * u)] + [0.0] * u
+        for v in values:
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1), u, "click", v, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    def isqrt_exact(v):
+        s = int(math.floor(math.sqrt(float(v))))
+        if (s + 1) * (s + 1) <= v:
+            s += 1
+        if s * s > v:
+            s -= 1
+        return s
+
+    x = [u + 1 for u in range(5)]              # n_events
+    y = [100 - 10 * u for u in range(5)]       # value_units
+    n = 5
+    num = n * sum(a * b for a, b in zip(x, y)) - sum(x) * sum(y)
+    d1 = n * sum(a * a for a in x) - sum(x) ** 2
+    d2 = n * sum(b * b for b in y) - sum(y) ** 2
+    want = (-1 if num < 0 else 1) * (
+        (1_000_000 * abs(num)) // (isqrt_exact(d1) * isqrt_exact(d2))
+    )
+
+    got = {(r["feat_a"], r["feat_b"]): r["corr_ppm"]
+           for r in feature_correlation(spark, d).collect()}
+    assert len(got) == 6
+    assert got[("n_events", "value_units")] == want
+    assert want < 0  # the crafted anti-correlation is real
+    # constant features -> zero variance -> defined as 0
+    assert got[("n_events", "n_types")] == 0
+    assert got[("n_events", "n_days")] == 0
+    assert got[("n_types", "n_days")] == 0
