@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed_topk": similarity.ivf_indexed_topk,
         "knn_graph": similarity.knn_graph,
         "ann_recall_eval": similarity.ann_recall_eval,
+        "hard_negative_mining": similarity.hard_negative_mining,
         "bitext_mining": similarity.bitext_mining,
         "knn_label_propagation": similarity.knn_label_propagation,
         # -- text analysis --
@@ -6157,6 +6158,29 @@ from r{text_analysis.DOREMI_ROUNDS} order by source
     )
     # Label-propagation truth: the knn_graph oracle as a CTE, seeds by
     # vec_id residue, two unrolled vote rounds with the identical
+    # Hard-negative truth: the kNN and near-dup oracles composed as
+    # materialized CTEs; exclusion via NOT EXISTS on the canonical pair.
+    sql["hard_negative_mining"] = f"""
+with knn as materialized ({sql["knn_graph"]}),
+dup as materialized ({sql["embedding_near_dup"]}),
+kept as (
+  select k.src, k.dst, k.cos from knn k
+  where not exists (
+    select 1 from dup d
+    where d.vec_a = least(k.src, k.dst)
+      and d.vec_b = greatest(k.src, k.dst)
+  )
+), r as (
+  select src, dst, cos,
+         cast(row_number() over (partition by src
+                                 order by cos desc, dst) as int)
+           as neg_rank
+  from kept
+)
+select src, neg_rank, dst, cos from r
+where neg_rank <= {similarity.HARD_NEG_K}
+order by src, neg_rank
+"""
     # (count desc, label asc) argmax.
     sql["knn_label_propagation"] = f"""
 with knn as materialized ({sql["knn_graph"]}),

@@ -160,6 +160,7 @@ def main() -> int:
         "countmin_heavy_hitters",
         "phrase_search",
         "feature_correlation",
+        "hard_negative_mining",
     ]
     if only:
         headline = [q for q in headline if q in only]

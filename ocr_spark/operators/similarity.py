@@ -1512,3 +1512,54 @@ def ann_recall_eval(
         .repartition(1)
         .sortWithinPartitions("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+HARD_NEG_K = 2  # negatives kept per anchor (mined from the KNN_K list)
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for every anchor, its
+    nearest neighbors that are verified NOT near-duplicates — the
+    E5/GTE-style mining recipe (ANN-retrieve, exclude positives and
+    duplicates, keep the hardest survivors).  The exclusion is the
+    whole point: an undetected near-dup ranked as a 'negative' is a
+    false negative that actively poisons an InfoNCE loss, so the mined
+    set composes the kNN graph WITH the dedup verdict instead of
+    trusting raw similarity.
+
+    Scale shape: both inputs are already scale-shaped (IVF-bounded kNN
+    graph; banded multi-table LSH + exact verify), the exclusion is one
+    LEFT ANTI equi-join on the canonical (lo, hi) pair key, and the
+    re-rank window partitions by anchor over <= KNN_K survivor rows."""
+    from pyspark.sql.window import Window
+
+    from ocr_spark.operators.dedup import embedding_near_dup
+
+    if not _anchor_rows(sf_dir, DEFAULT_ANCHORS):
+        # corpus smaller than the anchor slice (repo empty-input
+        # invariant): no kNN graph, no negatives
+        return spark.createDataFrame(
+            [], "src bigint, neg_rank int, dst bigint, cos double"
+        )
+    knn = knn_graph(spark, sf_dir)
+    dup = embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    pairs = knn.select(
+        "src",
+        "dst",
+        "cos",
+        F.least("src", "dst").alias("vec_a"),
+        F.greatest("src", "dst").alias("vec_b"),
+    )
+    kept = pairs.join(dup, ["vec_a", "vec_b"], "left_anti")
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    return (
+        kept.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= HARD_NEG_K)
+        .select("src", "neg_rank", "dst", "cos")
+        .repartition(1)
+        .sortWithinPartitions("src", "neg_rank")
+    )

@@ -773,3 +773,53 @@ def test_split_leakage_audit_counts_cross_split_pairs(spark, tmp_path):
     for (lo, hi), r in got.items():
         assert r["leaked"] == (lo != hi)
         assert r["share_ppm"] == r["n_pairs"] * 1_000_000 // 5
+
+
+def test_hard_negative_mining_excludes_near_dups(spark, tmp_path):
+    """Crafted cluster sharing one IVF list: vec 21 is a near-duplicate
+    of vec 20 (cos ~1) and tops its raw kNN list, but must NOT appear
+    among 20's mined negatives; the mutually-orthogonal cluster mates
+    (cos ~0 < the 0.4 dup threshold) survive as the hard negatives."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import (
+        HARD_NEG_K,
+        hard_negative_mining,
+        knn_graph,
+    )
+
+    dim, n = 64, 24
+    vecs = np.zeros((n, dim), dtype=np.float32)
+    # anchors 1..15: far-away unit basis directions
+    for i in range(1, 16):
+        vecs[i, 32 + i] = 1.0
+    # anchor 0: tiny uniform vector — the cluster's nearest anchor
+    vecs[0, :] = 0.01
+    # members 16..23: small mutually-orthogonal vectors near anchor 0
+    for j in range(16, 24):
+        vecs[j, j - 16] = 0.05
+    # make 21 a near-duplicate of 20 (cos ~0.9998, same direction)
+    vecs[21, :] = vecs[20, :]
+    vecs[21, 10] = 0.001
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    knn = {(r["src"], r["rank"]): r["dst"]
+           for r in knn_graph(spark, d).collect()}
+    assert knn[(20, 1)] == 21  # raw similarity ranks the dup first
+    assert knn[(21, 1)] == 20
+
+    negs = {}
+    for r in hard_negative_mining(spark, d).collect():
+        negs.setdefault(r["src"], []).append(r["dst"])
+    # the near-dup pair is excluded in BOTH directions
+    assert 21 not in negs.get(20, [])
+    assert 20 not in negs.get(21, [])
+    # both anchors still mine a full negative set from the cluster
+    assert len(negs[20]) == HARD_NEG_K
+    assert len(negs[21]) == HARD_NEG_K
+    assert all(x in range(16, 24) or x == 0 for x in negs[20])

@@ -1089,6 +1089,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         D.containment_pairs, D.homoglyph_dedup, D.split_leakage_audit,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval,
+        S.hard_negative_mining,
         R.triangle_count, R.incremental_agg_merge,
         R.connected_components_labels, R.two_hop_neighbors,
         R.cohort_retention, R.cdc_apply, R.half_life_engagement,
