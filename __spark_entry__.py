@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sampling_budget": (
             text_analysis.temperature_sampling_budget
         ),
+        "span_corruption_plan": text_analysis.span_corruption_plan,
         "sequence_pack_incremental": text_analysis.sequence_pack_incremental,
         "budget_allocation": text_analysis.budget_allocation,
         "personalized_pagerank": web_extract.personalized_pagerank,
@@ -5506,6 +5507,60 @@ select lang, cnt, w, budget,
        (budget * 1000000) // {text_analysis.TEMP_TOTAL_BUDGET}
          as sampled_ppm
 from g order by lang
+"""
+    # Span-corruption truth: per-block explode + ordered string_agg
+    # rebuild, same hashed in-block offsets.
+    sql["span_corruption_plan"] = f"""
+with t as (
+  select doc_id, text, string_split(text, ' ') as toks,
+         len(string_split(text, ' ')) as n
+  from documents
+), bl as (
+  select doc_id, toks, n, cast(u.b as bigint) as b,
+         (doc_id * {text_analysis.CORRUPT_OFF_A}
+          + u.b * {text_analysis.CORRUPT_OFF_B})
+           % {text_analysis.CORRUPT_BLOCK - text_analysis.CORRUPT_SPAN + 1}
+           as off
+  from t, unnest(range(n // {text_analysis.CORRUPT_BLOCK})) u(b)
+), pc as (
+  select doc_id, b,
+         array_to_string(list_filter([
+           array_to_string(toks[b*{text_analysis.CORRUPT_BLOCK}+1 :
+                                b*{text_analysis.CORRUPT_BLOCK}+off], ' '),
+           '<extra_id_' || b || '>',
+           array_to_string(toks[b*{text_analysis.CORRUPT_BLOCK}+off+{text_analysis.CORRUPT_SPAN}+1 :
+                                (b+1)*{text_analysis.CORRUPT_BLOCK}], ' ')
+         ], x -> x <> ''), ' ') as piece,
+         '<extra_id_' || b || '> ' ||
+           array_to_string(toks[b*{text_analysis.CORRUPT_BLOCK}+off+1 :
+                                b*{text_analysis.CORRUPT_BLOCK}+off+{text_analysis.CORRUPT_SPAN}], ' ')
+           as tgt
+  from bl
+), agg as (
+  select doc_id,
+         string_agg(piece, ' ' order by b) as body,
+         string_agg(tgt, ' ' order by b) as target,
+         count(*) as n_blocks
+  from pc group by doc_id
+)
+select t.doc_id,
+       cast(t.n as bigint) as n_tokens,
+       cast(coalesce(a.n_blocks, 0) as bigint) as n_blocks,
+       cast(coalesce(a.n_blocks, 0) * {text_analysis.CORRUPT_SPAN} as bigint)
+         as n_masked,
+       case when t.n > 0
+            then (coalesce(a.n_blocks, 0) * {text_analysis.CORRUPT_SPAN}
+                  * 1000000) // t.n
+            else 0 end as masked_ppm,
+       case when coalesce(a.n_blocks, 0) > 0 then
+         array_to_string(list_filter([a.body,
+           array_to_string(toks[a.n_blocks*{text_analysis.CORRUPT_BLOCK}+1 : t.n], ' ')
+         ], x -> x <> ''), ' ')
+       else t.text end as corrupted,
+       case when coalesce(a.n_blocks, 0) > 0 then a.target else '' end
+         as target
+from t left join agg a using (doc_id)
+order by t.doc_id
 """
     # Incremental-pack truth: the FULL re-pack restricted to the batch —
     # the oracle IS the append-stability invariant.

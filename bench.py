@@ -161,6 +161,7 @@ def main() -> int:
         "phrase_search",
         "feature_correlation",
         "hard_negative_mining",
+        "span_corruption_plan",
     ]
     if only:
         headline = [q for q in headline if q in only]

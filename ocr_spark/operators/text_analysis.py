@@ -3121,3 +3121,87 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption masking plan
+# ---------------------------------------------------------------------------
+
+CORRUPT_BLOCK = 20  # tokens per masking block
+CORRUPT_SPAN = 3  # masked span length (T5 mean span)
+CORRUPT_OFF_A = 2654435761  # per-(doc, block) offset hash
+CORRUPT_OFF_B = 40503
+
+
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic span-corruption masking (the T5 denoising
+    objective, Raffel et al. JMLR'20): ~15% of tokens masked in
+    mean-length-``CORRUPT_SPAN`` spans, each span replaced by a
+    sentinel in the encoder input and emitted after its sentinel in
+    the decoder target.  The T5 recipe samples spans randomly; at
+    pipeline scale the mask must be a pure FUNCTION of (doc, position)
+    — retry-stable, append-stable, engine-replayable — so each
+    ``CORRUPT_BLOCK``-token block masks one span at a hashed in-block
+    offset (one span per 20 tokens = the 15% rate), and the trailing
+    partial block stays unmasked.
+
+    Scale shape: entirely map-side string/array work on each document
+    row (HOF transforms, no UDF, no shuffle but the check-gate sort);
+    the mask plan never materializes positions — the corrupted input
+    and target rebuild directly from slices."""
+    docs = _docs(spark, sf_dir)
+    a, b_, blk, spn = (
+        CORRUPT_OFF_A,
+        CORRUPT_OFF_B,
+        CORRUPT_BLOCK,
+        CORRUPT_SPAN,
+    )
+    off_max = blk - spn + 1
+    toks = "split(text, ' ')"
+    n = f"size({toks})"
+    n_blocks = f"({n} div {blk})"
+    off = f"((doc_id * {a} + b * {b_}) % {off_max})"
+    pre = f"array_join(slice({toks}, b * {blk} + 1, {off}), ' ')"
+    post = (
+        f"array_join(slice({toks}, b * {blk} + {off} + {spn} + 1,"
+        f" {blk} - {off} - {spn}), ' ')"
+    )
+    sentinel = "concat('<extra_id_', cast(b as string), '>')"
+    block_piece = (
+        f"array_join(filter(array({pre}, {sentinel}, {post}),"
+        " x -> x != ''), ' ')"
+    )
+    remainder = (
+        f"array_join(slice({toks}, {n_blocks} * {blk} + 1,"
+        f" {n} - {n_blocks} * {blk}), ' ')"
+    )
+    corrupted = (
+        "array_join(filter(concat(transform(sequence(0,"
+        f" {n_blocks} - 1), b -> {block_piece}), array({remainder})),"
+        " x -> x != ''), ' ')"
+    )
+    masked_span = (
+        f"array_join(slice({toks}, b * {blk} + {off} + 1, {spn}), ' ')"
+    )
+    target = (
+        f"array_join(transform(sequence(0, {n_blocks} - 1),"
+        f" b -> concat({sentinel}, ' ', {masked_span})), ' ')"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(n).cast("bigint").alias("n_tokens"),
+            F.expr(n_blocks).cast("bigint").alias("n_blocks"),
+            F.expr(f"{n_blocks} * {spn}").cast("bigint").alias("n_masked"),
+            F.expr(
+                f"case when {n} > 0 then ({n_blocks} * {spn} * 1000000)"
+                f" div {n} else 0 end"
+            ).alias("masked_ppm"),
+            F.expr(f"case when {n_blocks} > 0 then {corrupted}"
+                   " else text end").alias("corrupted"),
+            F.expr(f"case when {n_blocks} > 0 then {target}"
+                   " else '' end").alias("target"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

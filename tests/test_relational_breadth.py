@@ -1081,7 +1081,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         T.source_template_paragraphs, T.train_val_test_split,
         T.sequence_pack_incremental, T.budget_allocation,
         T.corpus_shuffle_shards, T.boilerplate_prune,
-        T.temperature_sampling_budget,
+        T.temperature_sampling_budget, T.span_corruption_plan,
         T.source_entropy, T.url_path_rollup,
         T.quantile_normalize_length,
         W.bfs_hop_distance, W.personalized_pagerank,

@@ -1379,3 +1379,61 @@ def test_phrase_search_counts_overlapping_occurrences(spark, tmp_path):
     assert got[0] == {"doc_id": 0, "n_matches": 1, "first_pos": 0}
     assert got[1] == {"doc_id": 1, "n_matches": 2, "first_pos": 1}
     assert got[3]["n_matches"] == 1
+
+
+def test_span_corruption_exact_rebuild(spark, tmp_path):
+    """Hand-replay the masking plan on a crafted 45-token doc: two full
+    blocks mask one 3-span each at the hashed offset, the 5-token tail
+    stays unmasked, and a short doc passes through untouched."""
+    from ocr_spark.operators.text_analysis import (
+        CORRUPT_BLOCK,
+        CORRUPT_OFF_A,
+        CORRUPT_OFF_B,
+        CORRUPT_SPAN,
+        span_corruption_plan,
+    )
+
+    d = str(tmp_path)
+    toks = [f"w{i}" for i in range(45)]
+    rows = [
+        (7, " ".join(toks), "en", "s", 1),
+        (8, "a b c", "en", "s", 1),  # < one block: untouched
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r.asDict()
+           for r in span_corruption_plan(spark, d).collect()}
+
+    # replay doc 7
+    pieces, tgts = [], []
+    for b in range(45 // CORRUPT_BLOCK):
+        off = (7 * CORRUPT_OFF_A + b * CORRUPT_OFF_B) % (
+            CORRUPT_BLOCK - CORRUPT_SPAN + 1
+        )
+        lo = b * CORRUPT_BLOCK
+        pre = toks[lo : lo + off]
+        span = toks[lo + off : lo + off + CORRUPT_SPAN]
+        post = toks[lo + off + CORRUPT_SPAN : lo + CORRUPT_BLOCK]
+        pieces.append(
+            " ".join([p for p in [" ".join(pre), f"<extra_id_{b}>",
+                                  " ".join(post)] if p])
+        )
+        tgts.append(f"<extra_id_{b}> " + " ".join(span))
+    tail = " ".join(toks[40:])
+    want_corrupted = " ".join(pieces + [tail])
+    assert got[7]["corrupted"] == want_corrupted
+    assert got[7]["target"] == " ".join(tgts)
+    assert got[7]["n_masked"] == 6
+    assert got[7]["masked_ppm"] == 6 * 1_000_000 // 45
+    # masked tokens are genuinely absent from the corrupted input
+    for b in range(2):
+        for t in tgts[b].split()[1:]:
+            assert t not in got[7]["corrupted"].split()
+    assert got[8] == {
+        "doc_id": 8, "n_tokens": 3, "n_blocks": 0, "n_masked": 0,
+        "masked_ppm": 0, "corrupted": "a b c", "target": "",
+    }
