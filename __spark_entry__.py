@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": relational.zorder_layout,
         "countmin_heavy_hitters": relational.countmin_heavy_hitters,
         "feature_correlation": relational.feature_correlation,
+        "snapshot_diff": relational.snapshot_diff,
         "phrase_search": text_analysis.phrase_search,
         "km_churn_survival": relational.km_churn_survival,
         "benford_audit": relational.benford_audit,
@@ -4790,6 +4791,27 @@ with uf as (
 select * from (
 {_corr_rows}
 ) order by feat_a, feat_b
+"""
+    # Snapshot-diff truth: the same derived versions, digest compare.
+    sql["snapshot_diff"] = f"""
+with d as (select doc_id, text from documents),
+a as (
+  select doc_id, md5(text) as dig_a from d
+  where doc_id % {relational.DIFF_MISS_A} <> 0
+),
+b as (
+  select doc_id,
+         md5(case when doc_id % {relational.DIFF_EDIT_B} = 0
+                  then text || ' v2' else text end) as dig_b
+  from d where doc_id % {relational.DIFF_MISS_B} <> 0
+)
+select doc_id,
+       case when a.dig_a is null then 'added'
+            when b.dig_b is null then 'removed'
+            when a.dig_a <> b.dig_b then 'changed'
+            else 'unchanged' end as status
+from a full outer join b using (doc_id)
+order by doc_id
 """
     # Phrase truth: positional posting lists joined on (doc, start).
     sql["phrase_search"] = f"""

@@ -162,6 +162,7 @@ def main() -> int:
         "feature_correlation",
         "hard_negative_mining",
         "span_corruption_plan",
+        "snapshot_diff",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -4115,3 +4115,56 @@ def feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("feat_a", "feat_b")
     )
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC detect between two table versions)
+# ---------------------------------------------------------------------------
+
+DIFF_MISS_A = 7  # doc_id % 7 == 0 absent from snapshot A
+DIFF_MISS_B = 11  # doc_id % 11 == 0 absent from snapshot B
+DIFF_EDIT_B = 5  # doc_id % 5 == 0 edited in snapshot B
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture DETECTION between two table snapshots — the
+    diff a lakehouse runs when upstream republishes a full dump with no
+    changelog: rows present only in the new snapshot are ``added``,
+    rows that vanished are ``removed``, rows whose content digest moved
+    are ``changed``, the rest ``unchanged``.  (``scd2_intervals``
+    consumes such a change set downstream — this operator PRODUCES it.)
+    The two versions derive deterministically from the documents table:
+    snapshot A drops every ``DIFF_MISS_A``-th id, snapshot B drops
+    every ``DIFF_MISS_B``-th and rewrites every ``DIFF_EDIT_B``-th
+    text.
+
+    Scale shape: one full-outer equi-join on the primary key — both
+    sides shuffle once on the same key — with the md5 content digest
+    computed map-side BEFORE the join, so wide rows never move twice;
+    the verdict is a pure projection.  At 100 TB the digest column is
+    what a pipeline persists per snapshot to diff without re-reading
+    content."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    snap_a = docs.filter(
+        F.col("doc_id") % DIFF_MISS_A != 0
+    ).select("doc_id", F.md5("text").alias("dig_a"))
+    new_text = F.when(
+        F.col("doc_id") % DIFF_EDIT_B == 0,
+        F.concat(F.col("text"), F.lit(" v2")),
+    ).otherwise(F.col("text"))
+    snap_b = docs.filter(
+        F.col("doc_id") % DIFF_MISS_B != 0
+    ).select("doc_id", F.md5(new_text).alias("dig_b"))
+    verdict = (
+        F.when(F.col("dig_a").isNull(), F.lit("added"))
+        .when(F.col("dig_b").isNull(), F.lit("removed"))
+        .when(F.col("dig_a") != F.col("dig_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        snap_a.join(snap_b, "doc_id", "full_outer")
+        .select("doc_id", verdict.alias("status"))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -1074,7 +1074,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.weighted_sample_aes,
         R.psi_drift, R.km_churn_survival, R.benford_audit,
         R.zorder_layout, R.countmin_heavy_hitters, T.phrase_search,
-        R.feature_correlation,
+        R.feature_correlation, R.snapshot_diff,
         R.weekday_seasonality,
         T.pareto_frontier_docs, T.paragraph_dedup_rebuild,
         T.hybrid_rrf_search, T.training_manifest,
@@ -1856,3 +1856,24 @@ def test_feature_correlation_hand_replayed(spark, tmp_path):
     assert got[("n_events", "n_types")] == 0
     assert got[("n_events", "n_days")] == 0
     assert got[("n_types", "n_days")] == 0
+
+
+def test_snapshot_diff_statuses_exact(spark, tmp_path):
+    """Crafted ids hitting every modulus combination: 35 (7·5) exists
+    only in B -> added; 55 (5·11) exists only in A -> removed; 77
+    (7·11) exists in neither -> NO row; 10 edited -> changed; 3 ->
+    unchanged."""
+    from ocr_spark.operators.relational import snapshot_diff
+
+    d = str(tmp_path)
+    ids = [3, 10, 35, 55, 77]
+    spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 1) for i in ids],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(spark, d).collect()}
+    assert got == {3: "unchanged", 10: "changed",
+                   35: "added", 55: "removed"}
