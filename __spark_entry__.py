@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_end2end": _q_eval_end2end,
         "eval_end2end_pipeline": _q_eval_end2end_pipeline,
         "bleu_eval": evalmetrics.bleu_eval,
+        "rouge_l_eval": evalmetrics.rouge_l_eval,
         # -- span algebra (SQL twins of the pipeline's span handling) --
         "span_explode": spans.span_explode,
         "span_splice": spans.span_splice,
@@ -4791,6 +4792,39 @@ with uf as (
 select * from (
 {_corr_rows}
 ) order by feat_a, feat_b
+"""
+    # ROUGE-L truth: closed form — the degraded candidate preserves
+    # reference order, so the LCS is exactly the kept-and-unsubstituted
+    # count; the Spark kernel runs the GENERAL numpy DP instead (two
+    # unrelated computations that must agree).
+    sql["rouge_l_eval"] = f"""
+with t as (
+  select doc_id, len(string_split(text, ' ')) as n from documents
+), c as (
+  select t.doc_id, t.n,
+         sum(case when (i + doc_id) % {evalmetrics.BLEU_DROP_MOD} <> 0
+                  then 1 else 0 end) as cand_len,
+         sum(case when (i + doc_id) % {evalmetrics.BLEU_DROP_MOD} <> 0
+                   and (i + doc_id) % {evalmetrics.BLEU_UNK_MOD} <> 0
+                  then 1 else 0 end) as lcs_len
+  from t, unnest(range(t.n)) u(i)
+  group by t.doc_id, t.n
+), m as (
+  select doc_id, cast(n as bigint) as ref_len,
+         cast(cand_len as bigint) as cand_len,
+         cast(lcs_len as bigint) as lcs_len,
+         case when cand_len > 0
+              then (lcs_len * 1000000) // cand_len else 0 end as p,
+         case when n > 0
+              then (lcs_len * 1000000) // n else 0 end as r
+  from c
+)
+select doc_id, ref_len, cand_len, lcs_len,
+       cast(p as bigint) as rouge_p_ppm,
+       cast(r as bigint) as rouge_r_ppm,
+       cast(case when p + r > 0 then (2 * p * r) // (p + r)
+                 else 0 end as bigint) as rouge_f_ppm
+from m order by doc_id
 """
     # Snapshot-diff truth: the same derived versions, digest compare.
     sql["snapshot_diff"] = f"""

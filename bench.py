@@ -163,6 +163,7 @@ def main() -> int:
         "hard_negative_mining",
         "span_corruption_plan",
         "snapshot_diff",
+        "rouge_l_eval",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -242,3 +242,37 @@ def test_bleu_components_hand_computed(spark, tmp_path):
     # them is impractical — instead check monotonicity: clipping means
     # precision never exceeds 1e6
     assert all(r["precision_ppm"] <= 1_000_000 for r in rows.values())
+
+
+def test_lcs_len_matches_classic_dp_on_random_sequences():
+    """The vectorized row-scan LCS must equal the textbook O(nm) DP on
+    arbitrary sequences — including shuffles, repeats, and empties,
+    where the oracle's closed form does not apply."""
+    import numpy as np
+
+    from ocr_spark.operators.evalmetrics import lcs_len
+
+    def classic(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = (
+                    dp[i - 1][j - 1] + 1
+                    if a[i - 1] == b[j - 1]
+                    else max(dp[i - 1][j], dp[i][j - 1])
+                )
+        return dp[-1][-1]
+
+    rng = np.random.RandomState(17)
+    vocab = [f"t{k}" for k in range(6)]  # small vocab -> many repeats
+    for _ in range(40):
+        a = [vocab[i] for i in rng.randint(0, 6, rng.randint(0, 15))]
+        b = [vocab[i] for i in rng.randint(0, 6, rng.randint(0, 15))]
+        assert lcs_len(a, b) == classic(a, b), (a, b)
+    assert lcs_len([], ["x"]) == 0
+    assert lcs_len(["x"], []) == 0
+    # order sensitivity: a reversed candidate with identical bag of
+    # distinct tokens scores LCS 1, not n
+    seq = [f"w{i}" for i in range(8)]
+    assert lcs_len(seq, seq) == 8
+    assert lcs_len(seq, seq[::-1]) == 1
