@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_end2end_pipeline": _q_eval_end2end_pipeline,
         "bleu_eval": evalmetrics.bleu_eval,
         "rouge_l_eval": evalmetrics.rouge_l_eval,
+        "chrf_eval": evalmetrics.chrf_eval,
         # -- span algebra (SQL twins of the pipeline's span handling) --
         "span_explode": spans.span_explode,
         "span_splice": spans.span_splice,
@@ -6466,6 +6467,66 @@ select n, cast(clipped_matches as bigint) as clipped_matches,
        cast((2 * cand_len::hugeint * 1000000 + ref_len)
             // (2 * ref_len) as bigint) as length_ratio_ppm
 from clip cross join lens order by n
+"""
+    # chrF truth: the bleu_eval degradation re-joined without spaces,
+    # char n-grams via substr windows, clipped via a per-doc full join.
+    sql["chrf_eval"] = f"""
+with base as (
+  select doc_id, string_split(text, ' ') as ref_toks from documents
+), cand as (
+  select doc_id,
+         array_to_string(ref_toks, '') as ref_chars,
+         array_to_string(list_transform(
+           list_filter(generate_series(1, len(ref_toks)),
+                       i -> ((i - 1) + doc_id) % {evalmetrics.BLEU_DROP_MOD}
+                            <> 0),
+           i -> case when ((i - 1) + doc_id) % {evalmetrics.BLEU_UNK_MOD} = 0
+                     then 'UNK' else ref_toks[i] end), '') as cand_chars
+  from base
+), ns as (
+  select unnest(generate_series(1, {evalmetrics.CHRF_MAX_N})) as n
+), cc as (
+  select doc_id, n, substr(cand_chars, i, n) as gram, count(*) as c_cnt
+  from (select doc_id, cand_chars, n,
+               unnest(generate_series(1, len(cand_chars) - n + 1)) as i
+        from cand cross join ns where len(cand_chars) >= n)
+  group by 1, 2, 3
+), rc as (
+  select doc_id, n, substr(ref_chars, i, n) as gram, count(*) as r_cnt
+  from (select doc_id, ref_chars, n,
+               unnest(generate_series(1, len(ref_chars) - n + 1)) as i
+        from cand cross join ns where len(ref_chars) >= n)
+  group by 1, 2, 3
+), clip as (
+  select coalesce(cc.n, rc.n) as n,
+         sum(least(coalesce(cc.c_cnt, 0), coalesce(rc.r_cnt, 0)))
+           as clipped_matches,
+         sum(coalesce(cc.c_cnt, 0)) as cand_ngrams,
+         sum(coalesce(rc.r_cnt, 0)) as ref_ngrams
+  from cc full join rc
+    on cc.doc_id = rc.doc_id and cc.n = rc.n and cc.gram = rc.gram
+  group by 1
+), pr as (
+  select n, cast(clipped_matches as bigint) as clipped_matches,
+         cast(cand_ngrams as bigint) as cand_ngrams,
+         cast(ref_ngrams as bigint) as ref_ngrams,
+         cast(case when cand_ngrams = 0 then 0 else
+              (2 * clipped_matches::hugeint * 1000000 + cand_ngrams)
+              // (2 * cand_ngrams) end as bigint) as chrp_ppm,
+         cast(case when ref_ngrams = 0 then 0 else
+              (2 * clipped_matches::hugeint * 1000000 + ref_ngrams)
+              // (2 * ref_ngrams) end as bigint) as chrr_ppm
+  from clip
+)
+select n, clipped_matches, cand_ngrams, ref_ngrams, chrp_ppm, chrr_ppm,
+       cast(case when {evalmetrics.CHRF_BETA2} * chrp_ppm + chrr_ppm = 0
+                 then 0 else
+            (2 * (1 + {evalmetrics.CHRF_BETA2}) * chrp_ppm::hugeint
+             * chrr_ppm
+             + ({evalmetrics.CHRF_BETA2} * chrp_ppm + chrr_ppm))
+            // (2 * ({evalmetrics.CHRF_BETA2} * chrp_ppm + chrr_ppm))
+            end as bigint) as chrf2_ppm
+from pr order by n
 """
     # Leakage-audit truth: the verified-pair and split oracles composed
     # as materialized CTEs, rolled up by unordered split pair.

@@ -164,6 +164,7 @@ def main() -> int:
         "span_corruption_plan",
         "snapshot_diff",
         "rouge_l_eval",
+        "chrf_eval",
     ]
     if only:
         headline = [q for q in headline if q in only]

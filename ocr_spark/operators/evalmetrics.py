@@ -566,3 +566,123 @@ def rouge_l_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# chrF (character n-gram F-score)
+# ---------------------------------------------------------------------------
+
+CHRF_MAX_N = 6  # standard chrF character-n-gram order (Popovic, WMT'15)
+CHRF_BETA2 = 4  # beta = 2 -> beta^2 = 4 (recall weighted 2x)
+
+
+def chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF components (Popovic, WMT'15) between the reference corpus
+    and the SAME deterministic degradation bleu_eval / rouge_l_eval
+    grade — the tokenization-free graded metric next to them: character
+    n-grams (spaces removed, the standard) are robust to word-boundary
+    noise that zeroes word-level BLEU n-grams, which is exactly the
+    failure mode of OCR output ('ra te' vs 'rate').  Emits, per n in
+    1..CHRF_MAX_N, the corpus clipped match count, candidate and
+    reference n-gram totals, and integer-ppm chrP / chrR / chrF2
+    (beta=2: recall weighted double, the published default).
+
+    The candidate corpus is the bleu_eval degradation (token i of doc d
+    dropped when (i+d) % BLEU_DROP_MOD == 0, replaced by 'UNK' when
+    (i+d) % BLEU_UNK_MOD == 0), re-joined WITHOUT spaces per the chrF
+    space-removal convention; the DuckDB oracle replays the identical
+    rule.
+
+    Scale shape: char n-grams are built ARRAY-side per doc (substring
+    windows — no positional self-join), counted per (doc, n, gram) with
+    map-side partial aggs, clipped via one keyed equi-join of candidate
+    vs reference counts, and rolled up to exactly CHRF_MAX_N rows;
+    per-doc n-gram cardinality is O(chars * CHRF_MAX_N), so nothing
+    after the two groupBys exceeds n-gram-key cardinality."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", toks.alias("ref_toks"))
+    cand_toks = F.expr(
+        f"""
+        transform(
+          filter(
+            transform(ref_toks, (t, i) -> struct(t as t, i as i)),
+            s -> (s.i + doc_id) % {BLEU_DROP_MOD} != 0),
+          s -> case when (s.i + doc_id) % {BLEU_UNK_MOD} = 0
+                    then 'UNK' else s.t end)
+        """
+    )
+    both = base.select(
+        "doc_id",
+        F.array_join("ref_toks", "").alias("ref_chars"),
+        F.array_join(cand_toks, "").alias("cand_chars"),
+    )
+
+    def grams(col: str):
+        # all 1..CHRF_MAX_N char n-gram (n, gram) structs, array-side
+        arrs = []
+        for n in range(1, CHRF_MAX_N + 1):
+            arrs.append(
+                F.when(
+                    F.length(F.col(col)) >= n,
+                    F.expr(
+                        f"transform(sequence(1, length({col}) - {n} + 1),"
+                        f" i -> struct({n} as n,"
+                        f" substring({col}, i, {n}) as gram))"
+                    ),
+                ).otherwise(F.expr("array()").cast(
+                    "array<struct<n:int,gram:string>>"
+                ))
+            )
+        return F.flatten(F.array(*arrs))
+
+    cand_counts = (
+        both.select("doc_id", F.explode(grams("cand_chars")).alias("g"))
+        .groupBy("doc_id", "g.n", "g.gram")
+        .agg(F.count("*").alias("c_cnt"))
+    )
+    ref_counts = (
+        both.select("doc_id", F.explode(grams("ref_chars")).alias("g"))
+        .groupBy("doc_id", "g.n", "g.gram")
+        .agg(F.count("*").alias("r_cnt"))
+    )
+    clipped = (
+        cand_counts.join(ref_counts, ["doc_id", "n", "gram"], "full")
+        .na.fill({"r_cnt": 0, "c_cnt": 0})
+        .groupBy("n")
+        .agg(
+            F.sum(F.least("c_cnt", "r_cnt")).alias("clipped_matches"),
+            F.sum("c_cnt").alias("cand_ngrams"),
+            F.sum("r_cnt").alias("ref_ngrams"),
+        )
+    )
+    b2 = CHRF_BETA2
+    return (
+        clipped.select(
+            "n",
+            "clipped_matches",
+            "cand_ngrams",
+            "ref_ngrams",
+            F.expr(
+                "case when cand_ngrams = 0 then 0 else"
+                " (2 * cast(clipped_matches as decimal(38,0)) * 1000000"
+                " + cand_ngrams) div (2 * cand_ngrams) end"
+            ).cast("bigint").alias("chrp_ppm"),
+            F.expr(
+                "case when ref_ngrams = 0 then 0 else"
+                " (2 * cast(clipped_matches as decimal(38,0)) * 1000000"
+                " + ref_ngrams) div (2 * ref_ngrams) end"
+            ).cast("bigint").alias("chrr_ppm"),
+        )
+        .withColumn(
+            "chrf2_ppm",
+            F.expr(
+                f"case when {b2} * chrp_ppm + chrr_ppm = 0 then 0 else"
+                f" (2 * (1 + {b2}) * cast(chrp_ppm as decimal(38,0))"
+                f" * chrr_ppm + ({b2} * chrp_ppm + chrr_ppm))"
+                f" div (2 * ({b2} * chrp_ppm + chrr_ppm)) end"
+            ).cast("bigint"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("n")
+    )

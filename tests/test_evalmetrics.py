@@ -276,3 +276,44 @@ def test_lcs_len_matches_classic_dp_on_random_sequences():
     seq = [f"w{i}" for i in range(8)]
     assert lcs_len(seq, seq) == 8
     assert lcs_len(seq, seq[::-1]) == 1
+
+
+def test_chrf_components_hand_computed(spark, tmp_path):
+    """One 2-token doc, every char-n-gram count worked by hand.
+
+    ref = [ab, ba] (doc 0) -> ref_chars 'abba'; candidate drops i%7==0
+    (i=0) -> cand = [ba] -> cand_chars 'ba'.
+      n=1: ref {a:2,b:2}, cand {b:1,a:1} -> clipped 2/2, recall 2/4
+      n=2: ref {ab,bb,ba}, cand {ba} -> clipped 1/1, recall 1/3
+      n=3: cand too short -> P guarded to 0; n=5,6 absent entirely."""
+    from ocr_spark.operators.evalmetrics import chrf_eval
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "ab ba", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["n"]: r for r in chrf_eval(spark, d).collect()}
+    assert rows[1]["clipped_matches"] == 2
+    assert rows[1]["cand_ngrams"] == 2 and rows[1]["ref_ngrams"] == 4
+    assert rows[1]["chrp_ppm"] == 1_000_000
+    assert rows[1]["chrr_ppm"] == 500_000
+    # F2 = 5PR/(4P+R) = 5e5*5e12/4.5e6 -> 555555.55 -> half-away 555556
+    assert rows[1]["chrf2_ppm"] == 555_556
+    assert rows[2]["clipped_matches"] == 1
+    assert rows[2]["cand_ngrams"] == 1 and rows[2]["ref_ngrams"] == 3
+    assert rows[2]["chrp_ppm"] == 1_000_000
+    assert rows[2]["chrr_ppm"] == 333_333  # 1/3 half-away
+    p, r = 1_000_000, 333_333
+    den = 4 * p + r
+    assert rows[2]["chrf2_ppm"] == (2 * 5 * p * r + den) // (2 * den)
+    # n=3: ref has 'abb','bba' but cand 'ba' is too short -> guarded
+    assert rows[3]["cand_ngrams"] == 0 and rows[3]["ref_ngrams"] == 2
+    assert rows[3]["chrp_ppm"] == 0 and rows[3]["chrr_ppm"] == 0
+    assert rows[3]["chrf2_ppm"] == 0
+    # n=4: ref 'abba' exactly one gram, cand none
+    assert rows[4]["ref_ngrams"] == 1 and rows[4]["cand_ngrams"] == 0
+    # n=5,6: neither side long enough -> no group rows at all
+    assert 5 not in rows and 6 not in rows
+    assert all(v["chrp_ppm"] <= 1_000_000 for v in rows.values())
