@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "containment_pairs": dedup.containment_pairs,
         "ngram_jaccard_all_pairs": dedup.ngram_jaccard_all_pairs,
+        "winnowing_near_dup": dedup.winnowing_near_dup,
         "dedup_sketch_eval": dedup.dedup_sketch_eval,
         "prefix_filter_jaccard": dedup.prefix_filter_jaccard,
         "duplicate_substring_spans": dedup.duplicate_substring_spans,
@@ -4956,6 +4957,48 @@ select doc_a, doc_b, c as shared_shingles,
 from shared
 where round(c::double / na, 6) >= {dedup.CONTAIN_TAU}
    or round(c::double / nb, 6) >= {dedup.CONTAIN_TAU}
+order by doc_a, doc_b
+"""
+    # Winnowing truth: same md5-32 k-gram hashes, window minima via
+    # inclusive list slices, the MAXDF boilerplate gate, posting-list
+    # self-join, half-away containment ppm.
+    sql["winnowing_near_dup"] = f"""
+with d0 as (
+  select doc_id, replace(text, ' ', '') as s from documents
+  where length(replace(text, ' ', '')) >= {dedup.WINNOW_K}
+), hv as (
+  select doc_id, length(s) - {dedup.WINNOW_K} + 1 as n_kg,
+         list_transform(generate_series(1, length(s) - {dedup.WINNOW_K} + 1),
+           i -> ('0x' || substr(md5(substr(s, i, {dedup.WINNOW_K})),
+                                1, 8))::bigint) as hashes
+  from d0
+), win as (
+  select doc_id, hashes, least({dedup.WINNOW_W}, n_kg) as wl,
+         n_kg - least({dedup.WINNOW_W}, n_kg) + 1 as n_win
+  from hv
+), fpx as (
+  select distinct doc_id, fp from (
+    select doc_id, list_min(hashes[j : j + wl - 1]) as fp
+    from (select doc_id, hashes, wl,
+                 unnest(generate_series(1, n_win)) as j from win))
+), kept as (
+  select fp from fpx group by fp having count(*) <= {dedup.WINNOW_MAXDF}
+), inf as (
+  select fpx.doc_id, fpx.fp from fpx join kept using (fp)
+), sz as (
+  select doc_id, count(*) as n_fp from inf group by 1
+), pairs as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as shared_fps
+  from inf a join inf b on a.fp = b.fp and a.doc_id < b.doc_id
+  group by 1, 2 having count(*) >= {dedup.WINNOW_MIN_SHARED}
+)
+select doc_a, doc_b, cast(shared_fps as bigint) as shared_fps,
+       cast(sa.n_fp as bigint) as fp_a, cast(sb.n_fp as bigint) as fp_b,
+       cast((2 * shared_fps::hugeint * 1000000
+             + least(sa.n_fp, sb.n_fp))
+            // (2 * least(sa.n_fp, sb.n_fp)) as bigint) as containment_ppm
+from pairs join sz sa on pairs.doc_a = sa.doc_id
+           join sz sb on pairs.doc_b = sb.doc_id
 order by doc_a, doc_b
 """
     # PQ truth: identical codebook (subvectors of vec_id < K in integer

@@ -165,6 +165,7 @@ def main() -> int:
         "snapshot_diff",
         "rouge_l_eval",
         "chrf_eval",
+        "winnowing_near_dup",
     ]
     if only:
         headline = [q for q in headline if q in only]

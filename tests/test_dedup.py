@@ -823,3 +823,53 @@ def test_hard_negative_mining_excludes_near_dups(spark, tmp_path):
     assert len(negs[20]) == HARD_NEG_K
     assert len(negs[21]) == HARD_NEG_K
     assert all(x in range(16, 24) or x == 0 for x in negs[20])
+
+
+def test_winnowing_near_dup_python_replay_and_guarantee(spark, tmp_path):
+    """The Spark winnowing output must equal a from-scratch hashlib
+    replay of Schleimer et al.'s algorithm, and the published
+    guarantee must hold: docs sharing a substring of length
+    >= K + W - 1 share at least one fingerprint, disjoint docs none."""
+    import hashlib
+
+    from ocr_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+        winnowing_near_dup,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    t0 = "PREFIX0 " + shared + " SUFFIX0 alpha beta gamma delta epsilon"
+    t1 = "other1 " + shared + " trailer1 zeta eta theta iota kappa xyz"
+    t2 = " ".join(f"unique{i}word" for i in range(20))  # no shared 16-gram
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, t0, "en", "s", len(t0)), (1, t1, "en", "s", len(t1)),
+         (2, t2, "en", "s", len(t2))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    def fps(text):
+        s = text.replace(" ", "")
+        hs = [
+            int(hashlib.md5(s[i : i + WINNOW_K].encode()).hexdigest()[:8], 16)
+            for i in range(len(s) - WINNOW_K + 1)
+        ]
+        wl = min(WINNOW_W, len(hs))
+        return {min(hs[j : j + wl]) for j in range(len(hs) - wl + 1)}
+
+    f0, f1, f2 = fps(t0), fps(t1), fps(t2)
+    exp_shared = len(f0 & f1)
+    # guarantee: shared substring len 52 >= K+W-1=23 -> >= 1 shared print
+    assert exp_shared >= WINNOW_MIN_SHARED
+    assert not (f0 & f2) and not (f1 & f2)
+
+    rows = {(r["doc_a"], r["doc_b"]): r
+            for r in winnowing_near_dup(spark, d).collect()}
+    assert set(rows) == {(0, 1)}
+    r = rows[(0, 1)]
+    assert r["shared_fps"] == exp_shared
+    assert r["fp_a"] == len(f0) and r["fp_b"] == len(f1)
+    m = min(len(f0), len(f1))
+    assert r["containment_ppm"] == (2 * exp_shared * 10**6 + m) // (2 * m)

@@ -1087,6 +1087,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         W.bfs_hop_distance, W.personalized_pagerank,
         W.redirect_resolution, W.kcore_peel,
         D.containment_pairs, D.homoglyph_dedup, D.split_leakage_audit,
+        D.winnowing_near_dup,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval,
         S.hard_negative_mining,
