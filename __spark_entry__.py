@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_match": dedup.fuzzy_name_match,
         "doc_chunk_overlap": text_analysis.doc_chunk_overlap,
         "kmv_distinct_users": relational.kmv_distinct_users,
+        "hll_distinct_users": relational.hll_distinct_users,
         "hash_sample": text_analysis.hash_sample,
         "cms_user_frequency": relational.cms_user_frequency,
         "group_hash_sample": text_analysis.group_hash_sample,
@@ -3627,8 +3628,56 @@ cross join unnest(generate_series(0, greatest(length(text) - 1, 0), 192))
   as t(o)
 order by doc_id, chunk_id
 """
+    # HLL truth: md5-32 buckets/ranks via integer bit-length, integer
+    # 2^(Q-M) register sums, the published alpha_32 fixed in ppm — the
+    # whole estimate is integer, so even this sketch IS reproducible.
+    sql["hll_distinct_users"] = f"""
+with h as (
+  select event_type,
+         ('0x' || substr(md5(user_id::varchar), 1, 8))::bigint as hv
+  from events
+), br as (
+  select event_type, hv // {1 << (32 - relational.HLL_P)} as bucket,
+         case when hv % {1 << (32 - relational.HLL_P)} = 0
+              then {relational.HLL_Q}
+              else {relational.HLL_Q}
+                   - length(bin(hv % {1 << (32 - relational.HLL_P)}))
+         end as rank
+  from h
+), reg as (
+  select event_type, bucket, max(rank) as m from br group by 1, 2
+), regs as (
+  select * from reg
+  union all
+  select 'ALL' as event_type, bucket, max(m) from reg group by 2
+), est as (
+  select event_type, count(*) as registers_set,
+         sum((1::bigint << ({relational.HLL_Q} - m)))
+         + ({relational.HLL_M} - count(*))
+           * (1::bigint << {relational.HLL_Q}) as s_inv
+  from regs group by 1
+), est2 as (
+  select event_type, cast(registers_set as bigint) as registers_set,
+         cast((2 * {relational.HLL_ALPHA_PPM}::hugeint
+               * {relational.HLL_M * relational.HLL_M}
+               * (1::bigint << {relational.HLL_Q}) + s_inv * 1000000)
+              // (2 * s_inv::hugeint * 1000000) as bigint) as hll_estimate
+  from est
+), exact as (
+  select event_type, count(distinct user_id) as exact_users from events
+  group by 1
+  union all
+  select 'ALL', count(distinct user_id) from events
+)
+select e.event_type, registers_set, hll_estimate,
+       cast(exact_users as bigint) as exact_users,
+       cast((2 * abs(hll_estimate - exact_users)::hugeint * 1000000
+             + exact_users) // (2 * exact_users) as bigint) as err_ppm
+from est2 e join exact x on e.event_type = x.event_type
+order by e.event_type
+"""
     # KMV sketch: the portable multiplicative hash makes the ESTIMATE
-    # itself reproducible cross-engine (HLL/xxhash sketches never are).
+    # itself reproducible cross-engine (xxhash sketches never are).
     # (k-1)*2^32 = 63*4294967296 = 270582939648.
     sql["kmv_distinct_users"] = """
 with h as (

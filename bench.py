@@ -166,6 +166,7 @@ def main() -> int:
         "rouge_l_eval",
         "chrf_eval",
         "winnowing_near_dup",
+        "hll_distinct_users",
     ]
     if only:
         headline = [q for q in headline if q in only]

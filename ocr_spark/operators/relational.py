@@ -4168,3 +4168,102 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al., AofA'07)
+# ---------------------------------------------------------------------------
+
+HLL_P = 5  # 2^P = 32 registers; relative error ~ 1.04/sqrt(32) ~ 18%
+HLL_M = 1 << HLL_P
+HLL_Q = 32 - HLL_P + 1  # max register rank (leading-zero count + 1)
+HLL_ALPHA_PPM = 697_000  # published alpha_32 bias constant, exact in ppm
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type PLUS the
+    register-max merged 'ALL' row (Flajolet, Fusy, Gandouet & Meunier,
+    AofA'07) — the third sketch family next to KMV (order statistics)
+    and theta (sampled set): HLL keeps only 2^P max-leading-zero-rank
+    registers, and two sketches MERGE by elementwise register max,
+    which is the entire 100 TB story — per-partition register partials
+    combine associatively, so a 10^12-row union costs one tiny shuffle
+    of (group, bucket, rank) rows and the merged estimate never
+    re-touches raw data.  Each group emits the estimate, the exact
+    distinct count (the fixture-scale meta-eval, dedup_sketch_eval
+    pattern), and err_ppm.
+
+    Engine-exactness: the hash is the portable md5-32 (repo
+    convention); bucket = top P bits, rank = leading zeros of the
+    remaining 27 bits + 1 via integer bit-length (no log2 floats); the
+    raw-estimate sum(2^-M_j) is held as the INTEGER sum of 2^(Q-M_j)
+    over all M registers (empty register => 2^Q), so the estimate
+    alpha_m * m^2 * 2^Q / S is one exact half-away integer division
+    with the published alpha_32 fixed in ppm.  Group cardinalities here
+    exceed 2.5*m, the validity floor of the raw estimate, so the
+    small-range linear-counting branch (which needs libm ln) is
+    documented out of the contract rather than approximated.
+
+    Scale shape: one map-side pass computes (bucket, rank); registers
+    are two partial-agg groupBys (per-group, then the ALL merge on the
+    32-row-per-group register table — NOT on raw events); the exact
+    side is one distinct agg kept only as the fixture-scale truth."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = (
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 8),"
+        " 16, 10) as bigint)"
+    )
+    br = ev.select(
+        "event_type",
+        F.expr(f"{h} div {1 << (32 - HLL_P)}").alias("bucket"),
+        F.expr(
+            f"case when {h} % {1 << (32 - HLL_P)} = 0 then {HLL_Q}"
+            f" else {HLL_Q} - length(bin({h} % {1 << (32 - HLL_P)})) end"
+        ).alias("rank"),
+    )
+    reg = br.groupBy("event_type", "bucket").agg(F.max("rank").alias("m"))
+    reg_all = (
+        reg.groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("ALL").alias("event_type"), "bucket", "m")
+    )
+    regs = reg.unionByName(reg_all)
+    est = regs.groupBy("event_type").agg(
+        F.count("*").alias("registers_set"),
+        F.expr(
+            f"sum(shiftleft(cast(1 as bigint), {HLL_Q} - m))"
+            f" + ({HLL_M} - count(*))"
+            f" * shiftleft(cast(1 as bigint), {HLL_Q})"
+        ).alias("s_inv"),
+    )
+    est = est.select(
+        "event_type",
+        "registers_set",
+        F.expr(
+            f"(2 * cast({HLL_ALPHA_PPM} as bigint) * {HLL_M * HLL_M}"
+            f" * shiftleft(cast(1 as bigint), {HLL_Q}) + s_inv * 1000000)"
+            f" div (2 * s_inv * 1000000)"
+        ).alias("hll_estimate"),
+    )
+    ex_t = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    ex_all = ev.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    ).select(F.lit("ALL").alias("event_type"), "exact_users")
+    exact = ex_t.unionByName(ex_all)
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "registers_set",
+            "hll_estimate",
+            "exact_users",
+            F.expr(
+                "(2 * abs(hll_estimate - exact_users) * 1000000"
+                " + exact_users) div (2 * exact_users)"
+            ).alias("err_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )

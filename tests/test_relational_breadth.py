@@ -1068,6 +1068,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         E.bleu_eval, E.rouge_l_eval, E.chrf_eval,
         M.audio_features, M.caption_consistency, M.video_near_dup,
         R.kmv_weekly_rollup, R.unpivot_measures, R.theta_sketch_overlap,
+        R.hll_distinct_users,
         R.pps_systematic_sample, R.k_anonymity_audit, R.cusum_changepoint,
         R.pit_join_events_scd2, R.mad_outliers, R.purchase_paths,
         R.l_diversity_audit, R.t_closeness_audit, R.dp_noisy_counts,
@@ -1878,3 +1879,64 @@ def test_snapshot_diff_statuses_exact(spark, tmp_path):
            for r in snapshot_diff(spark, d).collect()}
     assert got == {3: "unchanged", 10: "changed",
                    35: "added", 55: "removed"}
+
+
+def test_hll_python_replay_and_register_max_merge(spark, tmp_path):
+    """The Spark HLL must equal a from-scratch hashlib replay of
+    Flajolet et al.'s raw estimator, and the ALL row must equal the
+    estimate of the elementwise register MAX of the per-group
+    registers — the merge rule that makes the sketch distributable."""
+    import datetime
+    import hashlib
+
+    from ocr_spark.operators.relational import (
+        HLL_ALPHA_PPM,
+        HLL_M,
+        HLL_P,
+        HLL_Q,
+        hll_distinct_users,
+    )
+
+    # two groups with disjoint user sets (so ALL is a true union)
+    rows = []
+    ts = datetime.datetime(2024, 1, 1)
+    for u in range(200):
+        rows.append((u, ts, u, "click", 1.0, "{}"))
+    for u in range(200, 350):
+        rows.append((u, ts, u, "view", 1.0, "{}"))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    def regs(users):
+        r = {}
+        for u in users:
+            h = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+            b, rem = h >> (32 - HLL_P), h % (1 << (32 - HLL_P))
+            rank = HLL_Q if rem == 0 else HLL_Q - rem.bit_length()
+            r[b] = max(r.get(b, 0), rank)
+        return r
+
+    def est(r):
+        s = sum(1 << (HLL_Q - m) for m in r.values())
+        s += (HLL_M - len(r)) * (1 << HLL_Q)
+        num = 2 * HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << HLL_Q) + s * 10**6
+        return num // (2 * s * 10**6)
+
+    r_click, r_view = regs(range(200)), regs(range(200, 350))
+    merged = {
+        b: max(r_click.get(b, 0), r_view.get(b, 0))
+        for b in set(r_click) | set(r_view)
+    }
+    out = {r["event_type"]: r for r in hll_distinct_users(spark, d).collect()}
+    assert out["click"]["hll_estimate"] == est(r_click)
+    assert out["click"]["registers_set"] == len(r_click)
+    assert out["view"]["hll_estimate"] == est(r_view)
+    assert out["ALL"]["hll_estimate"] == est(merged)
+    assert out["ALL"]["exact_users"] == 350
+    # raw-estimate regime sanity: within 3 sigma (1.04/sqrt(32) ~ 18%)
+    for k, n in [("click", 200), ("view", 150), ("ALL", 350)]:
+        assert abs(out[k]["hll_estimate"] - n) <= 0.56 * n
