@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": text_analysis.pii_scrub,
         "stratified_sample": text_analysis.stratified_sample,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
+        "rake_keywords": text_analysis.rake_keywords,
         "inverted_index_postings": text_analysis.inverted_index_postings,
         "pmi_bigram_lift": text_analysis.pmi_bigram_lift,
         "dsir_importance_weights": text_analysis.dsir_importance_weights,
@@ -2065,6 +2066,71 @@ from documents d
 left join tot t using (doc_id)
 left join per p using (doc_id)
 order by d.doc_id
+""",
+        # RAKE truth: same generated stoplist (freq desc, token asc
+        # limit N), per-doc is_stop cumsum segmentation via
+        # generate_subscripts positions, half-away word ppm, (score
+        # desc, phrase) top-K per doc.
+        "rake_keywords": f"""
+with tok as (
+  select doc_id,
+         generate_subscripts(regexp_extract_all(lower(text),
+           '[a-z0-9]+|[^a-z0-9 ]+'), 1) as pos,
+         unnest(regexp_extract_all(lower(text),
+           '[a-z0-9]+|[^a-z0-9 ]+')) as tok
+  from documents
+), gen_stop as (
+  select tok from (
+    select tok, count(*) as freq from tok
+    where regexp_full_match(tok, '[a-z0-9]+') group by 1
+    order by freq desc, tok limit {text_analysis.RAKE_STOP_N})
+), flagged as (
+  select t.doc_id, t.pos, t.tok,
+         (g.tok is not null
+          or not regexp_full_match(t.tok, '[a-z0-9]+')
+          or t.tok in ({",".join(
+              "'" + w + "'" for w in text_analysis.STOPWORDS["en"])}))
+           as is_stop
+  from tok t left join gen_stop g on t.tok = g.tok
+), seg as (
+  select doc_id, pos, tok, is_stop,
+         sum(case when is_stop then 1 else 0 end)
+           over (partition by doc_id order by pos) as seg_id
+  from flagged
+), phr0 as (
+  select doc_id, seg_id, list(tok order by pos) as words
+  from seg where not is_stop group by 1, 2
+), phr as (
+  select doc_id, words from phr0
+  where len(words) between 1 and {text_analysis.RAKE_MAX_PHRASE}
+), occ as (
+  select doc_id, len(words) as plen, unnest(words) as w from phr
+), ws as (
+  select doc_id, w,
+         cast((2 * sum(plen)::hugeint * 1000000 + count(*))
+              // (2 * count(*)) as bigint) as w_ppm
+  from occ group by 1, 2
+), cand as (
+  select distinct doc_id, array_to_string(words, ' ') as phrase, words
+  from phr
+), candw as (
+  select doc_id, phrase, len(words) as n_words, unnest(words) as w
+  from cand
+), scored as (
+  select c.doc_id, c.phrase, c.n_words,
+         cast(sum(ws.w_ppm) as bigint) as score_ppm
+  from candw c join ws on c.doc_id = ws.doc_id and c.w = ws.w
+  group by 1, 2, 3
+), ranked as (
+  select doc_id, phrase, n_words, score_ppm,
+         row_number() over (partition by doc_id
+                            order by score_ppm desc, phrase) as rank
+  from scored
+)
+select doc_id, cast(rank as int) as rank, phrase,
+       cast(n_words as int) as n_words, score_ppm
+from ranked where rank <= {text_analysis.RAKE_TOP_K}
+order by doc_id, rank
 """,
         "tfidf_top_terms": f"""
 with t as (

@@ -167,6 +167,7 @@ def main() -> int:
         "chrf_eval",
         "winnowing_near_dup",
         "hll_distinct_users",
+        "rake_keywords",
     ]
     if only:
         headline = [q for q in headline if q in only]

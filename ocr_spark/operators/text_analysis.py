@@ -3205,3 +3205,123 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose, Engel, Cramer & Cowley, 2010)
+# ---------------------------------------------------------------------------
+
+RAKE_MAX_PHRASE = 4  # candidate phrases longer than this are discarded
+RAKE_TOP_K = 3  # keywords emitted per document
+RAKE_STOP_N = 10  # generated stoplist: top-N corpus tokens by frequency
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE — Rapid Automatic Keyword Extraction (Rose et al., in
+    'Text Mining: Applications and Theory', 2010) with the paper's
+    GENERATED stoplist (its §1.2.3: on corpora whose function words
+    are not English's, the delimiter list is built from the corpus
+    itself): delimiters are the RAKE_STOP_N most frequent word tokens
+    (freq desc, token asc ties) plus the static en stopwords plus every
+    punctuation run; candidate phrases are the maximal delimiter-free
+    token runs; each word scores deg(w)/freq(w) per document (freq =
+    occurrences in that doc's candidates, deg = sum of the lengths of
+    the phrases those occurrences sit in, self included); a phrase
+    scores the sum of its word scores and each document keeps its
+    RAKE_TOP_K best (score desc, phrase asc).
+
+    Engine-exactness: word scores are half-away integer ppm, phrase
+    scores sum those rounded ppms, and the stoplist cut is a fully
+    ordered TakeOrdered — integral everywhere, deterministic ties.
+
+    Scale shape: pass 1 (stoplist) is one partial-agg token count and
+    a distributed orderBy().limit(N) — a TakeOrderedAndProject, never
+    a single-task window — whose N-row result BROADCASTS onto the
+    token stream; pass 2 segments runs with a per-DOCUMENT window
+    cumsum over is_stop (partition cardinality = doc length, bounded),
+    then freq/deg is a (doc, word) partial-agg groupBy, the phrase
+    score one (doc, word) equi-join back, and top-K a per-document
+    window.  No corpus-cardinality sort anywhere."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "regexp_extract_all(lower(text),"
+                " '[a-z0-9]+|[^a-z0-9 ]+', 0)"
+            )
+        ).alias("pos", "tok"),
+    )
+    is_word = F.col("tok").rlike("^[a-z0-9]+$")
+    gen_stop = (
+        tok.where(is_word)
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(RAKE_STOP_N)
+        .select("tok", F.lit(True).alias("gen_stop"))
+    )
+    static_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    flagged = tok.join(F.broadcast(gen_stop), "tok", "left").select(
+        "doc_id",
+        "pos",
+        "tok",
+        (
+            F.coalesce(F.col("gen_stop"), F.lit(False))
+            | ~is_word
+            | F.array_contains(static_stop, F.col("tok"))
+        ).alias("is_stop"),
+    )
+    wseg = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seg = flagged.withColumn(
+        "seg_id", F.sum(F.col("is_stop").cast("int")).over(wseg)
+    )
+    phr = (
+        seg.where(~F.col("is_stop"))
+        .groupBy("doc_id", "seg_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ).alias("words")
+        )
+        .where(F.size("words").between(1, RAKE_MAX_PHRASE))
+        .select("doc_id", "words")
+    )
+    occ = phr.select(
+        "doc_id", F.size("words").alias("plen"),
+        F.explode("words").alias("w"),
+    )
+    wscore = occ.groupBy("doc_id", "w").agg(
+        F.expr(
+            "(2 * sum(plen) * cast(1000000 as bigint) + count(*))"
+            " div (2 * count(*))"
+        ).alias("w_ppm")
+    )
+    cand = (
+        phr.select(
+            "doc_id", F.array_join("words", " ").alias("phrase"), "words"
+        )
+        .dropDuplicates(["doc_id", "phrase"])
+        .select(
+            "doc_id", "phrase", F.size("words").alias("n_words"),
+            F.explode("words").alias("w"),
+        )
+    )
+    scored = (
+        cand.join(wscore, ["doc_id", "w"])
+        .groupBy("doc_id", "phrase", "n_words")
+        .agg(F.sum("w_ppm").alias("score_ppm"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("phrase")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= RAKE_TOP_K)
+        .select("doc_id", "rank", "phrase", "n_words", "score_ppm")
+        .repartition(1)
+        .sortWithinPartitions("doc_id", "rank")
+    )

@@ -1437,3 +1437,34 @@ def test_span_corruption_exact_rebuild(spark, tmp_path):
         "doc_id": 8, "n_tokens": 3, "n_blocks": 0, "n_masked": 0,
         "masked_ppm": 0, "corrupted": "a b c", "target": "",
     }
+
+
+def test_rake_keywords_hand_computed(spark, tmp_path):
+    """RAKE scores on a crafted doc, every deg/freq worked by hand.
+
+    Delimiters d0..d9 dominate corpus frequency (the generated
+    stoplist); doc 0's candidate runs are [quick brown], [quick],
+    [lazy dog fox tree]:
+      quick: freq 2, deg 2+1=3 -> 1.5e6;  brown: 1/2 -> 2e6;
+      lazy/dog/fox/tree: 1/4 -> 4e6 each.
+    Phrase scores 16e6 > 3.5e6 > 1.5e6."""
+    from ocr_spark.operators.text_analysis import rake_keywords
+
+    delims = " ".join(f"d{i}" for i in range(10))
+    t0 = "d0 quick brown d1 quick d2 lazy dog fox tree d3"
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, t0, "en", "s", len(t0)),
+         (1, delims, "en", "s", len(delims)),
+         (2, delims, "en", "s", len(delims))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = [
+        (r["rank"], r["phrase"], r["n_words"], r["score_ppm"])
+        for r in rake_keywords(spark, d).collect()
+    ]
+    assert rows == [
+        (1, "lazy dog fox tree", 4, 16_000_000),
+        (2, "quick brown", 2, 3_500_000),
+        (3, "quick", 1, 1_500_000),
+    ]
