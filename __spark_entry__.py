@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": relational.psi_drift,
         "homoglyph_dedup": dedup.homoglyph_dedup,
         "kcore_peel": web_extract.kcore_peel,
+        "ktruss_edges": web_extract.ktruss_edges,
         "lpa_communities": web_extract.lpa_communities,
         "triangle_count": web_extract.triangle_count,
         "zorder_layout": relational.zorder_layout,
@@ -6134,6 +6135,42 @@ order by doc_a, doc_b
     # k-core: KCORE_MAX_ROUNDS unrolled peels == the fixed point at any
     # convergence depth (peeling is idempotent once converged; Spark
     # stops at the first zero-drop round, capped at the same constant).
+    # k-truss: unrolled support-peel rounds over the canonical (a < b)
+    # edge list — same idempotence argument as the k-core unroll.
+    _kt_rounds = []
+    for _i in range(1, web_extract.TRUSS_MAX_ROUNDS + 1):
+        _kt_rounds.append(
+            f"t{_i} as materialized ("
+            f" select e1.a as x, e1.b as y, e2.b as z from te{_i - 1} e1"
+            f" join te{_i - 1} e2 on e1.b = e2.a"
+            f" join te{_i - 1} e3 on e3.a = e1.a and e3.b = e2.b)"
+        )
+        _kt_rounds.append(
+            f"te{_i} as materialized ("
+            f" select a, b, count(*) as sup from ("
+            f"  select x as a, y as b from t{_i}"
+            f"  union all select y, z from t{_i}"
+            f"  union all select x, z from t{_i}) group by 1, 2"
+            f" having count(*) >= {web_extract.TRUSS_K - 2})"
+        )
+    sql["ktruss_edges"] = f"""
+with n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+te0 as materialized (
+  select distinct least(src, dst) as a, greatest(src, dst) as b
+  from e0 where src != dst
+),
+{",".join(_kt_rounds)}
+select a, b, cast(sup as bigint) as support
+from te{web_extract.TRUSS_MAX_ROUNDS}
+order by a, b
+"""
     _kc_rounds = []
     _kc_rounds.append(
         "d1 as materialized"

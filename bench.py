@@ -168,6 +168,7 @@ def main() -> int:
         "winnowing_near_dup",
         "hll_distinct_users",
         "rake_keywords",
+        "ktruss_edges",
     ]
     if only:
         headline = [q for q in headline if q in only]

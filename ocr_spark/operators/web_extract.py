@@ -1146,3 +1146,96 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss decomposition (Cohen, 2008) — the edge-level core next to k-core
+# ---------------------------------------------------------------------------
+
+TRUSS_K = 3  # every surviving edge sits in >= K-2 triangles of the truss
+# Same backstop discipline as KCORE_MAX_ROUNDS: the loop exits on the
+# O(1) dropped-count gate; the oracle unrolls exactly this many rounds
+# (idempotent after convergence, so both agree at any depth <= cap).
+TRUSS_MAX_ROUNDS = 8
+
+
+def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss of the shared link graph (Cohen, NSA TR 2008): peel
+    edges whose SUPPORT — the number of triangles of the current
+    subgraph containing them — is below TRUSS_K - 2, recompute, repeat
+    to the fixed point.  The edge-level community core: k-core keeps a
+    node for having k neighbors of any quality, the k-truss demands
+    the neighbors interlock in triangles, which is why truss peeling
+    is the standard spam-farm filter (link farms have degree, organic
+    communities have triangles).
+
+    Edges are canonical (a < b) undirected pairs of the deterministic
+    link graph shared with kcore_peel / link_graph_pagerank; triangles
+    x < y < z are enumerated once each via the two-wedge + closing-edge
+    join on canonical order, and each contributes support to its three
+    edges.  Output: the surviving edges with their converged support —
+    all integers, engine-exact; the DuckDB oracle unrolls
+    TRUSS_MAX_ROUNDS peels.
+
+    Scale shape: per round, triangle enumeration is two equi-joins on
+    node keys over the canonical edge list (the a < b orientation
+    bounds wedge fan-out the same way triangle_count's degree ordering
+    does on power-law graphs — at 10^12 edges swap in that (deg, id)
+    orientation, same join shape), one 3-way explode + partial-agg
+    count per edge, and an O(1) survivor-count gate; survivor state is
+    localCheckpoint'ed eagerly so lineage stays one round deep."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    directed = _link_edges(docs, n)
+    edges = (
+        directed.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .withColumn("sup", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    prev = edges.count()
+    for _ in range(TRUSS_MAX_ROUNDS):
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+            .join(
+                e3,
+                (F.col("e3.a") == F.col("e1.a"))
+                & (F.col("e3.b") == F.col("e2.b")),
+            )
+            .select(
+                F.col("e1.a").alias("x"),
+                F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"),
+            )
+        )
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                        F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                        F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .groupBy("e.a", "e.b")
+            .agg(F.count("*").alias("sup"))
+        )
+        edges = (
+            sup.where(F.col("sup") >= TRUSS_K - 2)
+            .select("a", "b", "sup")
+            .localCheckpoint(eager=True)
+        )
+        cnt = edges.count()  # the O(1) fixed-point gate
+        if cnt == prev:
+            break
+        prev = cnt
+    return (
+        edges.select("a", "b", F.col("sup").cast("bigint").alias("support"))
+        .repartition(1)
+        .sortWithinPartitions("a", "b")
+    )

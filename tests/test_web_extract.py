@@ -495,3 +495,52 @@ def test_lpa_communities_matches_pure_python_replay(spark, tmp_path):
     for v in range(n):
         assert got[v]["community"] == labels[v], v
         assert got[v]["community_size"] == sizes[labels[v]]
+
+
+def test_ktruss_python_replay_and_truss_invariant(spark, tmp_path):
+    """ktruss_edges must equal a from-scratch set-based peel of the
+    same deterministic graph, every surviving edge must sit in >=
+    TRUSS_K-2 triangles OF THE SURVIVOR SET, and peeling the survivor
+    set once more must change nothing (fixed point)."""
+    from ocr_spark.operators.web_extract import TRUSS_K, ktruss_edges
+
+    n = 30
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    edges = set()
+    for i in range(n):
+        for t in ((7 * i + 1) % n, (13 * i + 2) % n, (31 * i + 3) % n):
+            if t != i:
+                edges.add((min(i, t), max(i, t)))
+
+    def peel_round(es):
+        sup = {}
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for a, b in es:
+            c = adj.get(a, set()) & adj.get(b, set())
+            if c:
+                sup[(a, b)] = len(c)
+        return {e: s for e, s in sup.items() if s >= TRUSS_K - 2}
+
+    cur = {e: 0 for e in edges}
+    while True:
+        nxt = peel_round(set(cur))
+        if set(nxt) == set(cur):
+            cur = nxt
+            break
+        cur = nxt
+        if not cur:
+            break
+
+    got = {(r["a"], r["b"]): r["support"]
+           for r in ktruss_edges(spark, d).collect()}
+    assert got == cur
+    # invariant + idempotence, independent of the replay
+    assert peel_round(set(got)) == got or (not got)
