@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_ship_demand": relational.interval_ship_demand,
         "revenue_wow_change": relational.revenue_wow_change,
         "fuzzy_name_match": dedup.fuzzy_name_match,
+        "record_linkage_fs": relational.record_linkage_fs,
         "doc_chunk_overlap": text_analysis.doc_chunk_overlap,
         "kmv_distinct_users": relational.kmv_distinct_users,
         "hll_distinct_users": relational.hll_distinct_users,
@@ -3668,6 +3669,47 @@ from weekly order by week_epoch
     # exactly 1 IFF the short string is a one-deletion of the long one —
     # the oracle states the edit-distance contract literally, the Spark
     # side answers it with the deletion-variant equi-join.
+    # Fellegi-Sunter truth: identical dirty-copy synthesis, nationkey
+    # blocking, the same integer centibit weights and two thresholds.
+    sql["record_linkage_fs"] = f"""
+with clean as (
+  select c_custkey as key_a, c_nationkey as nk, c_name as name_a,
+         c_mktsegment as seg_a,
+         cast(round(c_acctbal * 100) as bigint) as bal_a
+  from customer
+), dirty as (
+  select c_custkey as key_b, c_nationkey as nk,
+         case when c_custkey % 3 = 0
+              then 'Custmoer' || substr(c_name, 9)
+              else c_name end as name_b,
+         case when c_custkey % 5 = 0 then c_mktsegment || 'X'
+              else c_mktsegment end as seg_b,
+         case when c_custkey % 7 = 0
+              then cast(round(c_acctbal * 100) as bigint) + 1
+              else cast(round(c_acctbal * 100) as bigint) end as bal_b
+  from customer
+), scored as (
+  select key_a, key_b,
+         (name_a = name_b)::int as name_agree,
+         (seg_a = seg_b)::int as seg_agree,
+         (bal_a = bal_b)::int as bal_agree
+  from clean join dirty using (nk)
+), s2 as (
+  select *,
+         cast(case when name_agree = 1 then {relational.FS_NAME_WA}
+                   else {relational.FS_NAME_WD} end
+            + case when seg_agree = 1 then {relational.FS_SEG_WA}
+                   else {relational.FS_SEG_WD} end
+            + case when bal_agree = 1 then {relational.FS_BAL_WA}
+                   else {relational.FS_BAL_WD} end as bigint) as score_cbits
+  from scored
+)
+select key_a, key_b, name_agree, seg_agree, bal_agree, score_cbits,
+       case when score_cbits >= {relational.FS_LINK_T} then 'link'
+            else 'possible' end as verdict
+from s2 where score_cbits >= {relational.FS_NON_T}
+order by key_a, key_b
+"""
     sql["fuzzy_name_match"] = """
 with noisy as (
   select p_partkey as src_partkey,

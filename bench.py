@@ -169,6 +169,7 @@ def main() -> int:
         "hll_distinct_users",
         "rake_keywords",
         "ktruss_edges",
+        "record_linkage_fs",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -4267,3 +4267,105 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (JASA 1969)
+# ---------------------------------------------------------------------------
+
+# Per-field agreement / disagreement weights in integer CENTIBITS,
+# precomputed from fixed published-style (m, u) probabilities so the
+# runtime is pure integer addition (no libm log anywhere):
+#   name: m=.90, u=.01  -> wa = 100*log2(.90/.01) = 649, wd = 100*log2(.10/.99) = -331
+#   seg:  m=.80, u=.20  -> wa = 100*log2(4)       = 200, wd = 100*log2(.20/.80) = -200
+#   bal:  m=.85, u=.01  -> wa = 100*log2(85)      = 641, wd = 100*log2(.15/.99) = -272
+# The integer constants ARE the contract; the float derivation above is
+# documentation.
+FS_NAME_WA, FS_NAME_WD = 649, -331
+FS_SEG_WA, FS_SEG_WD = 200, -200
+FS_BAL_WA, FS_BAL_WD = 641, -272
+FS_LINK_T = 800  # score >= T      -> link
+FS_NON_T = -200  # score <  NON_T  -> non-link (dropped from output)
+
+
+def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 64:1183,
+    1969) between the customer table and a deterministically DIRTIED
+    copy of itself (the bleu_eval degradation pattern — key i gets a
+    name typo when i%3==0, a wrong segment when i%5==0, an off-by-one
+    balance when i%7==0): candidate pairs come from BLOCKING on the
+    assumed-clean nationkey, each pair scores the sum of per-field
+    agreement/disagreement log-likelihood weights (integer centibits,
+    constants above), and the decision rule is the classic two
+    thresholds — link / possible / non-link, non-links dropped.
+    The textbook dedup/linkage machinery for entity resolution where
+    no field alone is trustworthy; fuzzy_name_match is the
+    single-field edit-distance cousin.
+
+    Note the honest failure modes the fixture exercises: a key hit by
+    all three perturbations scores below the link threshold (a missed
+    match surfaced as 'possible'), while name-agreeing pairs with two
+    disagreements land between the thresholds — exactly the clerical
+    review band the 1969 paper defines.
+
+    Scale shape: the dirty side is a map-side projection (no second
+    scan at 10^12 rows — linkage inputs arrive as two tables keyed the
+    same way); candidate generation is ONE equi-join on the blocking
+    key (block skew is an AQE skew-split, and the blocking key bounds
+    pair work to sum of block^2, never corpus^2); scoring is pure
+    map-side integer arithmetic and the verdict filter prunes before
+    any output shuffle."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    clean = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_a"),
+    )
+    dirty = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.expr(
+            "case when c_custkey % 3 = 0"
+            " then concat('Custmoer', substring(c_name, 9))"
+            " else c_name end"
+        ).alias("name_b"),
+        F.expr(
+            "case when c_custkey % 5 = 0 then concat(c_mktsegment, 'X')"
+            " else c_mktsegment end"
+        ).alias("seg_b"),
+        F.expr(
+            "case when c_custkey % 7 = 0"
+            " then cast(round(c_acctbal * 100) as bigint) + 1"
+            " else cast(round(c_acctbal * 100) as bigint) end"
+        ).alias("bal_b"),
+    )
+    pairs = clean.join(dirty, "nk")
+    scored = pairs.select(
+        "key_a",
+        "key_b",
+        (F.col("name_a") == F.col("name_b")).cast("int").alias("name_agree"),
+        (F.col("seg_a") == F.col("seg_b")).cast("int").alias("seg_agree"),
+        (F.col("bal_a") == F.col("bal_b")).cast("int").alias("bal_agree"),
+    ).withColumn(
+        "score_cbits",
+        F.expr(
+            f"cast(case when name_agree = 1 then {FS_NAME_WA}"
+            f" else {FS_NAME_WD} end"
+            f" + case when seg_agree = 1 then {FS_SEG_WA}"
+            f" else {FS_SEG_WD} end"
+            f" + case when bal_agree = 1 then {FS_BAL_WA}"
+            f" else {FS_BAL_WD} end as bigint)"
+        ),
+    )
+    return (
+        scored.where(F.col("score_cbits") >= FS_NON_T)
+        .withColumn(
+            "verdict",
+            F.when(F.col("score_cbits") >= FS_LINK_T, F.lit("link"))
+            .otherwise(F.lit("possible")),
+        )
+        .repartition(1)
+        .sortWithinPartitions("key_a", "key_b")
+    )

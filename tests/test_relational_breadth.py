@@ -1075,7 +1075,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.weighted_sample_aes,
         R.psi_drift, R.km_churn_survival, R.benford_audit,
         R.zorder_layout, R.countmin_heavy_hitters, T.phrase_search,
-        R.feature_correlation, R.snapshot_diff,
+        R.feature_correlation, R.snapshot_diff, R.record_linkage_fs,
         R.weekday_seasonality,
         T.pareto_frontier_docs, T.paragraph_dedup_rebuild,
         T.hybrid_rrf_search, T.training_manifest,
@@ -1941,3 +1941,31 @@ def test_hll_python_replay_and_register_max_merge(spark, tmp_path):
     # raw-estimate regime sanity: within 3 sigma (1.04/sqrt(32) ~ 18%)
     for k, n in [("click", 200), ("view", 150), ("ALL", 350)]:
         assert abs(out[k]["hll_estimate"] - n) <= 0.56 * n
+
+
+def test_record_linkage_fs_hand_computed_verdicts(spark, tmp_path):
+    """Every Fellegi-Sunter verdict class on crafted keys: 1 = clean
+    (649+200+641=1490 link), 5 = segment typo (1090 link), 7 = balance
+    off (577 possible), 3 = name typo (510 possible), 21 = name+bal
+    (-403 dropped), 105 = all three (-803 dropped); cross pairs
+    disagree everywhere (-803) and never surface."""
+    from ocr_spark.operators.relational import record_linkage_fs
+
+    rows = [
+        (k, f"Customer#{k:09d}", 0, 100.0 + k, f"SEG{k}")
+        for k in (1, 3, 5, 7, 21, 105)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    out = {(r["key_a"], r["key_b"]): (r["score_cbits"], r["verdict"])
+           for r in record_linkage_fs(spark, d).collect()}
+    assert out == {
+        (1, 1): (1490, "link"),
+        (5, 5): (1090, "link"),
+        (7, 7): (577, "possible"),
+        (3, 3): (510, "possible"),
+    }
