@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": text_analysis.stratified_sample,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "rake_keywords": text_analysis.rake_keywords,
+        "texttiling_segments": text_analysis.texttiling_segments,
         "inverted_index_postings": text_analysis.inverted_index_postings,
         "pmi_bigram_lift": text_analysis.pmi_bigram_lift,
         "dsir_importance_weights": text_analysis.dsir_importance_weights,
@@ -2068,6 +2069,61 @@ from documents d
 left join tot t using (doc_id)
 left join per p using (doc_id)
 order by d.doc_id
+""",
+        # TextTiling truth: same block counts, array-side gap fan-out,
+        # integer cos^2 ppb, lag/lead depth, fixed LC cutoff.
+        "texttiling_segments": f"""
+with tok as (
+  select doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 as pos,
+         unnest(string_split(text, ' ')) as term
+  from documents
+), blk as (
+  select doc_id, pos // {text_analysis.TS_BLOCK} as b, term,
+         count(*) as cnt
+  from tok group by 1, 2, 3
+), nbk as (select doc_id, max(b) + 1 as nblk from blk group by 1),
+lft as (
+  select doc_id, unnest(generate_series(b + 1, b + {text_analysis.TS_WIN}))
+           as g, term, cnt from blk
+), rgt as (
+  select doc_id, unnest(generate_series(b - {text_analysis.TS_WIN} + 1, b))
+           as g, term, cnt from blk
+), lv as (select doc_id, g, term, sum(cnt) as lc from lft group by 1, 2, 3),
+rv as (select doc_id, g, term, sum(cnt) as rc from rgt group by 1, 2, 3),
+valid as (
+  select doc_id,
+         unnest(generate_series({text_analysis.TS_WIN},
+                                nblk - {text_analysis.TS_WIN})) as g
+  from nbk where nblk >= {2 * text_analysis.TS_WIN}
+), na as (select doc_id, g, sum(lc * lc) as na from lv group by 1, 2),
+nbb as (select doc_id, g, sum(rc * rc) as nb from rv group by 1, 2),
+dt as (
+  select lv.doc_id, lv.g, sum(lc * rc) as dot
+  from lv join rv on lv.doc_id = rv.doc_id and lv.g = rv.g
+                 and lv.term = rv.term
+  group by 1, 2
+), c as (
+  select v.doc_id, v.g,
+         cast((2 * coalesce(dot, 0) * coalesce(dot, 0) * 1000000000
+               + na.na * nbb.nb) // (2 * na.na * nbb.nb) as bigint)
+           as cos2_ppb
+  from valid v
+  join na on v.doc_id = na.doc_id and v.g = na.g
+  join nbb on v.doc_id = nbb.doc_id and v.g = nbb.g
+  left join dt on v.doc_id = dt.doc_id and v.g = dt.g
+), dep as (
+  select doc_id, g, cos2_ppb,
+         (coalesce(lag(cos2_ppb) over w, cos2_ppb) - cos2_ppb)
+         + (coalesce(lead(cos2_ppb) over w, cos2_ppb) - cos2_ppb)
+           as depth_ppb
+  from c window w as (partition by doc_id order by g)
+)
+select doc_id, cast(g as int) as gap, cos2_ppb,
+       cast(depth_ppb as bigint) as depth_ppb,
+       case when depth_ppb >= {text_analysis.TS_CUT_PPB} then 1 else 0 end
+         as is_boundary
+from dep order by doc_id, gap
 """,
         # RAKE truth: same generated stoplist (freq desc, token asc
         # limit N), per-doc is_stop cumsum segmentation via

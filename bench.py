@@ -170,6 +170,7 @@ def main() -> int:
         "rake_keywords",
         "ktruss_edges",
         "record_linkage_fs",
+        "texttiling_segments",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -3325,3 +3325,118 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# TextTiling topic segmentation (Hearst, CL 23(1), 1997)
+# ---------------------------------------------------------------------------
+
+TS_BLOCK = 10  # tokens per pseudo-sentence block (paper's w)
+TS_WIN = 2  # blocks per comparison window each side (paper's k)
+TS_CUT_PPB = 200_000_000  # fixed depth cutoff (the paper's LC variant)
+
+
+def texttiling_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic-boundary detection (Hearst, Computational
+    Linguistics 23(1), 1997): tokens group into TS_BLOCK-token
+    pseudo-sentence blocks; every gap g between blocks compares the
+    term vectors of the TS_WIN blocks before vs after via cosine; a
+    gap's DEPTH is how far its similarity dips below both neighbors;
+    gaps deeper than a cutoff are topic boundaries — the lexical-
+    cohesion segmenter a chunking / RAG pipeline runs before packing
+    (doc_chunk_overlap cuts by length; this cuts where the TOPIC
+    changes).
+
+    Two documented deviations keep the contract integer-exact: the
+    similarity is cosine SQUARED in half-away ppb (dot^2 * 1e9 /
+    (|l|^2 |r|^2) — no sqrt; squaring is monotone on [0,1] so peak
+    structure is preserved), and depth uses the immediate lag/lead
+    neighbors with a FIXED cutoff (the paper's LC low-cut variant)
+    instead of the hill-climb + mean-sigma rule, which needs sqrt
+    again.
+
+    Scale shape: block counts are one map-side posexplode + partial
+    agg; each block fans out to its <= 2*TS_WIN gap memberships
+    ARRAY-side (an equi-join key, never a range join); dot/norms are
+    (doc, gap, term) partial aggs; lag/lead run in windows partitioned
+    BY DOCUMENT — per-partition cardinality is the doc's gap count,
+    never the corpus."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+    )
+    blk = (
+        tok.select(
+            "doc_id", F.expr(f"pos div {TS_BLOCK}").alias("b"), "term"
+        )
+        .groupBy("doc_id", "b", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    nblk = blk.groupBy("doc_id").agg((F.max("b") + 1).alias("nblk"))
+    lft = blk.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(b + 1, b + {TS_WIN})")).alias("g"),
+        "term",
+        "cnt",
+    )
+    rgt = blk.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(b - {TS_WIN} + 1, b)")).alias("g"),
+        "term",
+        "cnt",
+    )
+    lv = lft.groupBy("doc_id", "g", "term").agg(F.sum("cnt").alias("lc"))
+    rv = rgt.groupBy("doc_id", "g", "term").agg(F.sum("cnt").alias("rc"))
+    valid = nblk.where(F.col("nblk") >= 2 * TS_WIN).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence({TS_WIN}, nblk - {TS_WIN})")
+        ).alias("g"),
+    )
+    na = lv.groupBy("doc_id", "g").agg(
+        F.sum(F.col("lc") * F.col("lc")).alias("na")
+    )
+    nb = rv.groupBy("doc_id", "g").agg(
+        F.sum(F.col("rc") * F.col("rc")).alias("nb")
+    )
+    dot = (
+        lv.join(rv, ["doc_id", "g", "term"])
+        .groupBy("doc_id", "g")
+        .agg(F.sum(F.col("lc") * F.col("rc")).alias("dot"))
+    )
+    c = (
+        valid.join(na, ["doc_id", "g"])
+        .join(nb, ["doc_id", "g"])
+        .join(dot, ["doc_id", "g"], "left")
+        .select(
+            "doc_id",
+            "g",
+            F.expr(
+                "(2 * coalesce(dot, 0) * coalesce(dot, 0) * 1000000000"
+                " + na * nb) div (2 * na * nb)"
+            ).alias("cos2_ppb"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("g")
+    depth = (
+        F.coalesce(F.lag("cos2_ppb").over(w), F.col("cos2_ppb"))
+        - F.col("cos2_ppb")
+    ) + (
+        F.coalesce(F.lead("cos2_ppb").over(w), F.col("cos2_ppb"))
+        - F.col("cos2_ppb")
+    )
+    return (
+        c.withColumn("depth_ppb", depth)
+        .select(
+            "doc_id",
+            F.col("g").cast("int").alias("gap"),
+            "cos2_ppb",
+            "depth_ppb",
+            (F.col("depth_ppb") >= TS_CUT_PPB).cast("int").alias(
+                "is_boundary"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id", "gap")
+    )

@@ -1468,3 +1468,28 @@ def test_rake_keywords_hand_computed(spark, tmp_path):
         (2, "quick brown", 2, 3_500_000),
         (3, "quick", 1, 1_500_000),
     ]
+
+
+def test_texttiling_boundary_at_topic_break(spark, tmp_path):
+    """30 'aa' tokens then 30 'bb' tokens: blocks 0-2 are topic A,
+    3-5 topic B.  Hand-worked gaps: g2 and g4 mix one pure and one
+    half-and-half window (cos^2 = 0.5 -> 5e8 ppb), g3 compares pure A
+    to pure B (cos^2 = 0, depth 1e9) — the only boundary, exactly at
+    the topic break."""
+    from ocr_spark.operators.text_analysis import texttiling_segments
+
+    text = " ".join(["aa"] * 30 + ["bb"] * 30)
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = [
+        (r["gap"], r["cos2_ppb"], r["depth_ppb"], r["is_boundary"])
+        for r in texttiling_segments(spark, d).collect()
+    ]
+    assert rows == [
+        (2, 500_000_000, -500_000_000, 0),
+        (3, 0, 1_000_000_000, 1),
+        (4, 500_000_000, -500_000_000, 0),
+    ]
