@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_overlap": text_analysis.doc_chunk_overlap,
         "kmv_distinct_users": relational.kmv_distinct_users,
         "hll_distinct_users": relational.hll_distinct_users,
+        "auc_rank_eval": relational.auc_rank_eval,
         "hash_sample": text_analysis.hash_sample,
         "cms_user_frequency": relational.cms_user_frequency,
         "group_hash_sample": text_analysis.group_hash_sample,
@@ -3792,6 +3793,31 @@ from documents
 cross join unnest(generate_series(0, greatest(length(text) - 1, 0), 192))
   as t(o)
 order by doc_id, chunk_id
+"""
+    # AUC truth: distinct-score group counts, naive exclusive-cumsum
+    # window (DuckDB needs no two-pass), same tie-exact U2 identity.
+    sql["auc_rank_eval"] = """
+with per_score as (
+  select cast(round(value * 100) as bigint) as score,
+         sum(case when event_type = 'purchase' then 1 else 0 end) as n1_s,
+         sum(case when event_type = 'purchase' then 0 else 1 end) as n0_s
+  from events group by 1
+), wb as (
+  select *, coalesce(sum(n0_s) over (order by score
+             rows between unbounded preceding and 1 preceding), 0)
+           as n0_below
+  from per_score
+), a as (
+  select sum(n1_s) as n_pos, sum(n0_s) as n_neg,
+         sum(n1_s * (2 * n0_below + n0_s)) as u2
+  from wb
+)
+select cast(n_pos as bigint) as n_pos, cast(n_neg as bigint) as n_neg,
+       cast(u2 as bigint) as u2,
+       cast(case when n_pos * n_neg = 0 then 0 else
+            (2 * u2::hugeint * 1000000 + 2 * n_pos * n_neg)
+            // (4 * n_pos::hugeint * n_neg) end as bigint) as auc_ppm
+from a where n_pos is not null
 """
     # HLL truth: md5-32 buckets/ranks via integer bit-length, integer
     # 2^(Q-M) register sums, the published alpha_32 fixed in ppm — the

@@ -171,6 +171,7 @@ def main() -> int:
         "ktruss_edges",
         "record_linkage_fs",
         "texttiling_segments",
+        "auc_rank_eval",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -4369,3 +4369,66 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("key_a", "key_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-based ROC AUC (Mann-Whitney U with tie credit)
+# ---------------------------------------------------------------------------
+
+
+def auc_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of a score against a binary label via the
+    Mann-Whitney U identity (AUC = P(score_pos > score_neg) + 0.5 *
+    P(tie) — Hanley & McNeil, Radiology 1982): here the event value
+    (in exact cents) scoring whether the event is a purchase — the
+    threshold-free companion to quality_calibration's binned
+    reliability table, and the standard acceptance gate for any
+    quality / spam / toxicity scorer before it filters a corpus.
+
+    Tie-exact integer formulation: group rows by DISTINCT score s with
+    per-score positive/negative counts (n1_s, n0_s); then
+    U2 = sum_s n1_s * (2 * N0_below(s) + n0_s) counts concordant pairs
+    double and tied pairs once, and AUC = U2 / (2 * n1 * n0) exactly —
+    no per-row midranks, no floats, half-away ppm at the end.
+
+    Scale shape: one partial-agg groupBy collapses the corpus to its
+    distinct-score table; N0_below is an EXCLUSIVE CUMSUM in score
+    order computed by bucketed_exclusive_cumsum (two-pass grid — the
+    only unpartitioned window touches O(n_buckets) offset rows, never
+    the table); the rollup after that is a scalar aggregate.  The same
+    shape survives 10^12 events because the heavy table shuffles once,
+    on the grid key."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_score = (
+        ev.select(
+            F.expr("cast(round(value * 100) as bigint)").alias("score"),
+            F.expr(
+                "case when event_type = 'purchase' then 1 else 0 end"
+            ).alias("pos"),
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("pos").alias("n1_s"),
+            F.sum(F.expr("1 - pos")).alias("n0_s"),
+        )
+    )
+    with_below = bucketed_exclusive_cumsum(
+        per_score, "score", "n0_s", "n0_below"
+    )
+    agg = with_below.agg(
+        F.sum("n1_s").alias("n_pos"),
+        F.sum("n0_s").alias("n_neg"),
+        F.sum(
+            F.col("n1_s") * (2 * F.col("n0_below") + F.col("n0_s"))
+        ).alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr(
+            "case when n_pos * n_neg = 0 then 0 else"
+            " (2 * u2 * cast(1000000 as bigint) + 2 * n_pos * n_neg)"
+            " div (2 * 2 * n_pos * n_neg) end"
+        ).alias("auc_ppm"),
+    ).where(F.col("n_pos").isNotNull())  # empty input -> zero rows

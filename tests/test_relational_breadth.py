@@ -1068,7 +1068,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         E.bleu_eval, E.rouge_l_eval, E.chrf_eval,
         M.audio_features, M.caption_consistency, M.video_near_dup,
         R.kmv_weekly_rollup, R.unpivot_measures, R.theta_sketch_overlap,
-        R.hll_distinct_users,
+        R.hll_distinct_users, R.auc_rank_eval,
         R.pps_systematic_sample, R.k_anonymity_audit, R.cusum_changepoint,
         R.pit_join_events_scd2, R.mad_outliers, R.purchase_paths,
         R.l_diversity_audit, R.t_closeness_audit, R.dp_noisy_counts,
@@ -1969,3 +1969,38 @@ def test_record_linkage_fs_hand_computed_verdicts(spark, tmp_path):
         (7, 7): (577, "possible"),
         (3, 3): (510, "possible"),
     }
+
+
+def test_auc_rank_eval_matches_sklearn_style_replay(spark, tmp_path):
+    """The tie-exact U2 identity must reproduce a brute-force pairwise
+    AUC (concordant + half-ties) on a crafted score/label set with
+    heavy ties, plus the degenerate perfect-separation case."""
+    import datetime
+
+    from ocr_spark.operators.relational import auc_rank_eval
+
+    ts = datetime.datetime(2024, 1, 1)
+    # scores in cents; ties across and within labels
+    data = [(1.00, 1), (1.00, 0), (2.00, 1), (2.00, 1), (0.50, 0),
+            (3.00, 0), (3.00, 1), (0.50, 1), (2.00, 0), (9.99, 1)]
+    rows = [
+        (i, ts, i, "purchase" if y else "view", v, "{}")
+        for i, (v, y) in enumerate(data)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    pos = [v for v, y in data if y]
+    neg = [v for v, y in data if not y]
+    u2 = sum(
+        2 if p > q else (1 if p == q else 0) for p in pos for q in neg
+    )
+    out = auc_rank_eval(spark, d).collect()[0]
+    assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
+    assert out["u2"] == u2
+    den = 2 * len(pos) * len(neg)
+    assert out["auc_ppm"] == (2 * u2 * 10**6 + den) // (2 * den)
