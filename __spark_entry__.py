@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_eval": evalmetrics.bleu_eval,
         "rouge_l_eval": evalmetrics.rouge_l_eval,
         "chrf_eval": evalmetrics.chrf_eval,
+        "cohen_kappa": evalmetrics.cohen_kappa,
         # -- span algebra (SQL twins of the pipeline's span handling) --
         "span_explode": spans.span_explode,
         "span_splice": spans.span_splice,
@@ -6786,6 +6787,39 @@ select n, cast(clipped_matches as bigint) as clipped_matches,
        cast((2 * cand_len::hugeint * 1000000 + ref_len)
             // (2 * ref_len) as bigint) as length_ratio_ppm
 from clip cross join lens order by n
+"""
+    # Kappa truth: same 2x2 cells, same exact rational with
+    # sign-decomposed half-away ppm.
+    sql["cohen_kappa"] = f"""
+with bits as (
+  select case when n_chars >= {evalmetrics.KAPPA_LEN_T} then 1 else 0 end
+           as ra,
+         case when len(string_split(text, ' ')) >= {evalmetrics.KAPPA_TOK_T}
+              then 1 else 0 end as rb
+  from documents
+), a as (
+  select count(*) as n,
+         sum(ra * rb) as n11, sum(ra * (1 - rb)) as n10,
+         sum((1 - ra) * rb) as n01, sum((1 - ra) * (1 - rb)) as n00
+  from bits
+), k as (
+  select cast(n as bigint) as n, cast(n11 as bigint) as n11,
+         cast(n10 as bigint) as n10, cast(n01 as bigint) as n01,
+         cast(n00 as bigint) as n00,
+         (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10) as pe_num
+  from a
+)
+select n, n11, n10, n01, n00,
+       cast((2 * (n11 + n00)::hugeint * 1000000 + n) // (2 * n) as bigint)
+         as po_ppm,
+       cast((2 * pe_num::hugeint * 1000000 + n * n) // (2 * n * n)
+            as bigint) as pe_ppm,
+       cast(case when n * n = pe_num then 1000000 else
+            (case when n * (n11 + n00) < pe_num then -1 else 1 end)
+            * ((2 * abs(n * (n11 + n00) - pe_num)::hugeint * 1000000
+                + (n * n - pe_num)) // (2 * (n * n - pe_num))) end
+            as bigint) as kappa_ppm
+from k where n > 0
 """
     # chrF truth: the bleu_eval degradation re-joined without spaces,
     # char n-grams via substr windows, clipped via a per-doc full join.

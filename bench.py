@@ -172,6 +172,7 @@ def main() -> int:
         "record_linkage_fs",
         "texttiling_segments",
         "auc_rank_eval",
+        "cohen_kappa",
     ]
     if only:
         headline = [q for q in headline if q in only]

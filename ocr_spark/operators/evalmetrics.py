@@ -686,3 +686,81 @@ def chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa — inter-rater agreement (Cohen, 1960)
+# ---------------------------------------------------------------------------
+
+KAPPA_LEN_T = 200  # rater A: keep iff n_chars >= this
+KAPPA_TOK_T = 40  # rater B: keep iff whitespace tokens >= this
+
+
+def cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Educ. Psychol. Meas. 20:37, 1960) between two
+    deterministic binary document raters — a char-length gate and a
+    token-count gate — the chance-corrected agreement statistic every
+    LLM-judge / human-label pipeline reports before trusting a rater
+    pair (raw agreement is inflated whenever both raters mostly say
+    'keep'; kappa subtracts exactly that).
+
+    Exact rational form on the 2x2 contingency counts: with marginals
+    a1 = n11+n10, b1 = n11+n01 over n docs,
+      kappa = (n*(n11+n00) - (a1*b1 + a0*b0))
+            / (n*n       - (a1*b1 + a0*b0))
+    — a single half-away ppm division, no floats.  po/pe are emitted
+    in ppm alongside the raw cells so a reader can audit the
+    correction.
+
+    Scale shape: one map-side projection to the two rater bits, one
+    partial-agg scalar aggregate (four conditional counts), driver-free
+    arithmetic on the 1-row result.  Nothing shuffles more than the
+    four counters."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bits = docs.select(
+        F.expr(
+            f"case when n_chars >= {KAPPA_LEN_T} then 1 else 0 end"
+        ).alias("ra"),
+        F.expr(
+            f"case when size(split(text, ' ')) >= {KAPPA_TOK_T}"
+            " then 1 else 0 end"
+        ).alias("rb"),
+    )
+    agg = bits.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("ra * rb")).alias("n11"),
+        F.sum(F.expr("ra * (1 - rb)")).alias("n10"),
+        F.sum(F.expr("(1 - ra) * rb")).alias("n01"),
+        F.sum(F.expr("(1 - ra) * (1 - rb)")).alias("n00"),
+    )
+    return (
+        agg.select(
+            "n", "n11", "n10", "n01", "n00",
+            F.expr(
+                "(2 * (n11 + n00) * cast(1000000 as bigint) + n)"
+                " div (2 * n)"
+            ).alias("po_ppm"),
+            F.expr(
+                "(2 * ((n11 + n10) * (n11 + n01)"
+                " + (n00 + n01) * (n00 + n10))"
+                " * cast(1000000 as bigint) + n * n) div (2 * n * n)"
+            ).alias("pe_ppm"),
+            # sign-decomposed half-away division: kappa can be negative
+            # and Spark div truncates where DuckDB // floors — rounding
+            # |num| and re-applying the sign makes both engines agree
+            F.expr(
+                "case when n * n = (n11 + n10) * (n11 + n01)"
+                " + (n00 + n01) * (n00 + n10) then 1000000 else"
+                " (case when n * (n11 + n00) < (n11 + n10) * (n11 + n01)"
+                " + (n00 + n01) * (n00 + n10) then -1 else 1 end)"
+                " * ((2 * abs(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)"
+                " + (n00 + n01) * (n00 + n10)))"
+                " * cast(1000000 as bigint)"
+                " + (n * n - ((n11 + n10) * (n11 + n01)"
+                " + (n00 + n01) * (n00 + n10))))"
+                " div (2 * (n * n - ((n11 + n10) * (n11 + n01)"
+                " + (n00 + n01) * (n00 + n10))))) end"
+            ).alias("kappa_ppm"),
+        )
+        .where(F.col("n").isNotNull() & (F.col("n") > 0))
+    )

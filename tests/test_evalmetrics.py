@@ -317,3 +317,56 @@ def test_chrf_components_hand_computed(spark, tmp_path):
     # n=5,6: neither side long enough -> no group rows at all
     assert 5 not in rows and 6 not in rows
     assert all(v["chrp_ppm"] <= 1_000_000 for v in rows.values())
+
+
+def test_cohen_kappa_hand_computed_including_negative(spark, tmp_path):
+    """Kappa on a crafted 2x2 table worked by hand, including a
+    NEGATIVE-kappa corpus (raters systematically disagree) to pin the
+    sign-decomposed rounding both engines must share."""
+    from ocr_spark.operators.evalmetrics import (
+        KAPPA_LEN_T,
+        KAPPA_TOK_T,
+        cohen_kappa,
+    )
+
+    long_txt = " ".join(["w"] * KAPPA_TOK_T)  # rb=1
+    short_txt = "w"  # rb=0
+
+    def doc(i, ra, rb):
+        return (
+            i,
+            long_txt if rb else short_txt,
+            "en",
+            "s",
+            KAPPA_LEN_T if ra else 0,
+        )
+
+    # n11=4 n00=4 n10=1 n01=1 -> n=10, po=.8, pe=.5, kappa=.6
+    rows = (
+        [doc(i, 1, 1) for i in range(4)]
+        + [doc(4 + i, 0, 0) for i in range(4)]
+        + [doc(8, 1, 0), doc(9, 0, 1)]
+    )
+    d = str(tmp_path)
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    out = cohen_kappa(spark, d).collect()[0]
+    assert (out["n11"], out["n10"], out["n01"], out["n00"]) == (4, 1, 1, 4)
+    assert out["po_ppm"] == 800_000
+    assert out["pe_ppm"] == 500_000
+    assert out["kappa_ppm"] == 600_000
+
+    # anti-correlated raters: n10=3 n01=3 -> po=0, pe=.5, kappa=-1
+    rows = [doc(i, 1, 0) for i in range(3)] + [
+        doc(3 + i, 0, 1) for i in range(3)
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    out = cohen_kappa(spark, d).collect()[0]
+    assert out["po_ppm"] == 0 and out["pe_ppm"] == 500_000
+    assert out["kappa_ppm"] == -1_000_000

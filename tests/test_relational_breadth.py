@@ -1065,7 +1065,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
     from ocr_spark.operators import similarity as S
 
     empty_ok = [
-        E.bleu_eval, E.rouge_l_eval, E.chrf_eval,
+        E.bleu_eval, E.rouge_l_eval, E.chrf_eval, E.cohen_kappa,
         M.audio_features, M.caption_consistency, M.video_near_dup,
         R.kmv_weekly_rollup, R.unpivot_measures, R.theta_sketch_overlap,
         R.hll_distinct_users, R.auc_rank_eval,
