@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "rake_keywords": text_analysis.rake_keywords,
         "texttiling_segments": text_analysis.texttiling_segments,
+        "good_turing_bigrams": text_analysis.good_turing_bigrams,
         "inverted_index_postings": text_analysis.inverted_index_postings,
         "pmi_bigram_lift": text_analysis.pmi_bigram_lift,
         "dsir_importance_weights": text_analysis.dsir_importance_weights,
@@ -2071,6 +2072,28 @@ from documents d
 left join tot t using (doc_id)
 left join per p using (doc_id)
 order by d.doc_id
+""",
+        # Good-Turing truth: same bigram spectrum, spectrum self-join,
+        # half-away (r+1) N_(r+1) / N_r ppm with the N_(r+1)=0 -> 0 rule.
+        "good_turing_bigrams": """
+with toks as (
+  select string_split(text, ' ') as t from documents
+), grams as (
+  select t[i] || ' ' || t[i + 1] as gram
+  from (select t, unnest(generate_series(1, len(t) - 1)) as i
+        from toks where len(t) >= 2)
+), counts as (
+  select gram, count(*) as r from grams group by 1
+), nr as (
+  select r, count(*) as n_r from counts group by 1
+)
+select a.r, cast(a.n_r as bigint) as n_r,
+       cast(coalesce(b.n_r, 0) as bigint) as n_r1,
+       cast(case when coalesce(b.n_r, 0) = 0 then 0 else
+            (2 * (a.r + 1)::hugeint * b.n_r * 1000000 + a.n_r)
+            // (2 * a.n_r) end as bigint) as r_star_ppm
+from nr a left join nr b on b.r = a.r + 1
+order by a.r
 """,
         # TextTiling truth: same block counts, array-side gap fan-out,
         # integer cos^2 ppb, lag/lead depth, fixed LC cutoff.

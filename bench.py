@@ -173,6 +173,7 @@ def main() -> int:
         "texttiling_segments",
         "auc_rank_eval",
         "cohen_kappa",
+        "good_turing_bigrams",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -3440,3 +3440,58 @@ def texttiling_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id", "gap")
     )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency smoothing (Good, Biometrika 1953)
+# ---------------------------------------------------------------------------
+
+
+def good_turing_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good-Turing counts-of-counts over corpus bigrams (Good,
+    Biometrika 40:237, 1953): for every observed frequency r, N_r =
+    how many distinct bigrams occur exactly r times, and the adjusted
+    count r* = (r+1) * N_(r+1) / N_r — the estimator Katz backoff and
+    the unseen-mass bound (p_unseen = N_1 / N) are built on, and the
+    third smoothing view next to kneser_ney_bigram (continuation
+    counts) and lm_perplexity (add-k).  Emitted in half-away ppm;
+    where N_(r+1) = 0 the simple estimator is undefined and r*_ppm is
+    emitted as 0 (the paper's smoothed-N_r refinement needs a log-log
+    regression, out of the integer contract — documented, not faked).
+
+    Scale shape: bigrams build ARRAY-side per doc (slice windows, no
+    positional self-join); gram counts are one partial-agg groupBy
+    (the only corpus-sized shuffle); counts-of-counts collapses that
+    to O(distinct r) rows, and the N_(r+1) lookup is a self equi-join
+    on the tiny spectrum table."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                # sequence(1, 0) DESCENDS in Spark, so short docs need
+                # an explicit empty-array branch, not a clamped bound
+                "case when size(split(text, ' ')) >= 2 then"
+                " transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+                " else cast(array() as array<string>) end"
+            )
+        ).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("r"))
+    nr = counts.groupBy("r").agg(F.count("*").alias("n_r"))
+    nr1 = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        nr.join(nr1, "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.coalesce("n_r1", F.lit(0)).alias("n_r1"),
+            F.expr(
+                "case when n_r1 is null or n_r1 = 0 then 0 else"
+                " (2 * (r + 1) * n_r1 * cast(1000000 as bigint) + n_r)"
+                " div (2 * n_r) end"
+            ).alias("r_star_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("r")
+    )

@@ -1493,3 +1493,21 @@ def test_texttiling_boundary_at_topic_break(spark, tmp_path):
         (3, 0, 1_000_000_000, 1),
         (4, 500_000_000, -500_000_000, 0),
     ]
+
+
+def test_good_turing_hand_computed_spectrum(spark, tmp_path):
+    """'a b a b a c': bigrams {ab:2, ba:2, ac:1} -> N_1=1, N_2=2;
+    r*=1 -> (1+1)*N_2/N_1 = 4.0; r=2 has N_3=0 -> emitted 0."""
+    from ocr_spark.operators.text_analysis import good_turing_bigrams
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "a b a b a c", "en", "s", 11), (1, "x", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = [
+        (r["r"], r["n_r"], r["n_r1"], r["r_star_ppm"])
+        for r in good_turing_bigrams(spark, d).collect()
+    ]
+    # the one-token doc contributes no bigrams (sequence-guard case)
+    assert rows == [(1, 1, 2, 4_000_000), (2, 2, 0, 0)]
