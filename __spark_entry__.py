@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": dedup.embedding_near_dup,
         # -- similarity search --
         "ann_brute_topk": similarity.brute_topk,
+        "ndcg_eval": similarity.ndcg_eval,
         "ann_filtered_topk": similarity.filtered_topk,
         "embedding_quantize_int8": similarity.embedding_quantize_int8,
         "ann_int8_topk": similarity.ann_int8_topk,
@@ -2238,6 +2239,42 @@ from r where rank <= {text_analysis.TFIDF_K}
 order by doc_id, rank
 """,
         # -- similarity --
+        # nDCG truth: same round-4 cosine, circular label relevance,
+        # (1<<rel)-1 gains, identical ppb discount literals.
+        "ndcg_eval": f"""
+with q as (
+  select vec_id as qid, label as qlabel, embedding as q from embeddings
+  where vec_id < {similarity.NDCG_NQ}
+), cands as (
+  select q.qid, e.vec_id, {_DUCK_COS} as cos,
+         greatest(0, 3 - least((e.label - q.qlabel + 10) % 10,
+                               (q.qlabel - e.label + 10) % 10)) as rel
+  from embeddings e, q where e.vec_id <> q.qid
+), ranked as (
+  select qid, rel,
+         row_number() over (partition by qid
+                            order by cos desc, vec_id) as p_cos,
+         row_number() over (partition by qid
+                            order by rel desc, vec_id) as p_rel
+  from cands
+), disc(p, d) as (
+  values {", ".join(f"({i + 1}, {v})"
+                    for i, v in enumerate(similarity.NDCG_DISC_PPB))}
+), dcg as (
+  select qid, sum(((1::bigint << rel) - 1) * d) as dcg_ppb
+  from ranked join disc on p_cos = p group by 1
+), idcg as (
+  select qid, sum(((1::bigint << rel) - 1) * d) as idcg_ppb
+  from ranked join disc on p_rel = p group by 1
+)
+select dcg.qid, cast(dcg_ppb as bigint) as dcg_ppb,
+       cast(idcg_ppb as bigint) as idcg_ppb,
+       cast(case when idcg_ppb = 0 then 0 else
+            (2 * dcg_ppb::hugeint * 1000000 + idcg_ppb)
+            // (2 * idcg_ppb) end as bigint) as ndcg_ppm
+from dcg join idcg on dcg.qid = idcg.qid
+order by dcg.qid
+""",
         "ann_brute_topk": f"""
 select e.vec_id, e.label, {_DUCK_COS} as cos
 from embeddings e, (select embedding as q from embeddings where vec_id = 0) q

@@ -174,6 +174,7 @@ def main() -> int:
         "auc_rank_eval",
         "cohen_kappa",
         "good_turing_bigrams",
+        "ndcg_eval",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -29,6 +29,7 @@ from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 TOP_K = 10
 # Defaults only — every entry point takes (n_planes, n_tables) so bucket
@@ -1562,4 +1563,106 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "neg_rank", "dst", "cos")
         .repartition(1)
         .sortWithinPartitions("src", "neg_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@K ranking quality (Järvelin & Kekäläinen, TOIS 2002)
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+NDCG_NQ = 10  # vec_id < NDCG_NQ are the query set
+# round(1e9 / log2(pos + 1)) for pos 1..NDCG_K — the discount curve as
+# integer ppb literals (the FS-weight trick: floats at derivation time,
+# integers in the contract), so DCG is pure integer arithmetic.
+NDCG_DISC_PPB = (
+    1_000_000_000, 630_929_754, 500_000_000, 430_676_558, 386_852_807,
+    356_207_187, 333_333_333, 315_464_877, 301_029_996, 289_064_826,
+)
+
+
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@K of the exact-cosine retrieval against a graded label
+    relevance (Järvelin & Kekäläinen, TOIS 20(4), 2002) — the graded
+    ranking metric next to ann_recall_eval's set-overlap recall: each
+    of the NDCG_NQ query vectors retrieves its top-K neighbors by
+    cosine, a candidate's relevance is 3 minus its circular label
+    distance to the query (floored at 0 — same label 3, adjacent 2,
+    ...), gains are the standard 2^rel - 1, and positions discount by
+    1/log2(pos+1) as integer ppb constants.  nDCG divides by the IDEAL
+    DCG — the top-K of the same candidate pool ordered by relevance —
+    so a perfect ranker scores exactly 1e6 ppm.
+
+    Engine-exactness: cosine is the repo's round-4 double (the ann
+    oracle convention); everything after the two row_numbers is
+    integer (gain, ppb discounts, half-away ppm at the end);
+    tie-breaks (cos desc, vec_id) and (rel desc, vec_id) pin both
+    orders.
+
+    Scale shape: the NDCG_NQ query rows broadcast onto one corpus
+    scan; both the retrieved and the ideal rankings are row_number
+    windows partitioned BY QUERY (per-partition cardinality = corpus /
+    per-query candidates, sharded across queries — at 10^9 candidates
+    swap the window for the per-query orderBy().limit() TakeOrdered,
+    same result); the discount lookup is an O(K) literal array."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < NDCG_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("q"),
+        F.col("nrm").alias("qn"),
+    )
+    cands = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("q"))
+            / (F.col("nrm") * F.col("qn")),
+            4,
+        ).alias("cos"),
+        F.expr(
+            "greatest(0, 3 - least((label - qlabel + 10) % 10,"
+            " (qlabel - label + 10) % 10))"
+        ).alias("rel"),
+    )
+    disc = F.array(*[F.lit(v) for v in NDCG_DISC_PPB])
+    w_cos = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    w_rel = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
+    ranked = cands.select(
+        "qid",
+        "rel",
+        F.row_number().over(w_cos).alias("p_cos"),
+        F.row_number().over(w_rel).alias("p_rel"),
+    )
+    gain = F.expr("cast(pow(2, rel) as bigint) - 1")
+    dcg = (
+        ranked.where(F.col("p_cos") <= NDCG_K)
+        .select("qid", (gain * disc[F.col("p_cos") - 1]).alias("g"))
+        .groupBy("qid")
+        .agg(F.sum("g").alias("dcg_ppb"))
+    )
+    idcg = (
+        ranked.where(F.col("p_rel") <= NDCG_K)
+        .select("qid", (gain * disc[F.col("p_rel") - 1]).alias("g"))
+        .groupBy("qid")
+        .agg(F.sum("g").alias("idcg_ppb"))
+    )
+    return (
+        dcg.join(idcg, "qid")
+        .select(
+            "qid",
+            "dcg_ppb",
+            "idcg_ppb",
+            F.expr(
+                "case when idcg_ppb = 0 then 0 else"
+                " (2 * dcg_ppb * cast(1000000 as bigint) + idcg_ppb)"
+                " div (2 * idcg_ppb) end"
+            ).alias("ndcg_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("qid")
     )

@@ -1090,7 +1090,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         D.containment_pairs, D.homoglyph_dedup, D.split_leakage_audit,
         D.winnowing_near_dup,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
-        S.knn_label_propagation, S.ann_recall_eval,
+        S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
         S.hard_negative_mining,
         R.triangle_count, R.incremental_agg_merge,
         R.connected_components_labels, R.two_hop_neighbors,
@@ -2004,3 +2004,28 @@ def test_auc_rank_eval_matches_sklearn_style_replay(spark, tmp_path):
     assert out["u2"] == u2
     den = 2 * len(pos) * len(neg)
     assert out["auc_ppm"] == (2 * u2 * 10**6 + den) // (2 * den)
+
+
+def test_ndcg_eval_hand_computed(spark, tmp_path):
+    """One query (vec 0, label 0) and three candidates with
+    hand-worked cosine order 10 > 11 > 12 and relevances 3/0/2:
+    DCG = 7*disc1 + 0 + 3*disc3, IDCG reorders 12 before 11."""
+    from ocr_spark.operators.similarity import NDCG_DISC_PPB, ndcg_eval
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (10, [1.0, 0.1], 0),   # rel 3, cos ~.9950
+            (11, [1.0, 1.0], 5),   # rel 0, cos ~.7071
+            (12, [0.0, 1.0], 1),   # rel 2, cos 0
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {r["qid"]: r for r in ndcg_eval(spark, d).collect()}
+    dcg = 7 * NDCG_DISC_PPB[0] + 0 * NDCG_DISC_PPB[1] + 3 * NDCG_DISC_PPB[2]
+    idcg = 7 * NDCG_DISC_PPB[0] + 3 * NDCG_DISC_PPB[1] + 0 * NDCG_DISC_PPB[2]
+    assert out[0]["dcg_ppb"] == dcg
+    assert out[0]["idcg_ppb"] == idcg
+    assert out[0]["ndcg_ppm"] == (2 * dcg * 10**6 + idcg) // (2 * idcg)
+    assert out[0]["ndcg_ppm"] < 1_000_000  # misranked pair costs
