@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "homoglyph_dedup": dedup.homoglyph_dedup,
         "kcore_peel": web_extract.kcore_peel,
         "ktruss_edges": web_extract.ktruss_edges,
+        "link_prediction_jaccard": web_extract.link_prediction_jaccard,
         "lpa_communities": web_extract.lpa_communities,
         "triangle_count": web_extract.triangle_count,
         "zorder_layout": relational.zorder_layout,
@@ -6320,6 +6321,42 @@ order by doc_a, doc_b
     # k-core: KCORE_MAX_ROUNDS unrolled peels == the fixed point at any
     # convergence depth (peeling is idempotent once converged; Spark
     # stops at the first zero-drop round, capped at the same constant).
+    # Link-prediction truth: same wedge candidates, inclusion-exclusion
+    # union, anti-join against canonical edges, half-away ppm.
+    sql["link_prediction_jaccard"] = f"""
+with n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as (select distinct src, dst from e0 where src != dst),
+und as materialized (
+  select src, dst from edges union select dst, src from edges
+),
+deg as (select src, count(*) as deg from und group by 1),
+cn as (
+  select a.src as u, b.src as v, count(*) as cn
+  from und a join und b on a.dst = b.dst and a.src < b.src
+  group by 1, 2 having count(*) >= {web_extract.LP_MIN_CN}
+),
+nonedges as (
+  select cn.* from cn
+  left join (select src as u, dst as v from und where src < dst) e
+    on cn.u = e.u and cn.v = e.v
+  where e.u is null
+)
+select ne.u, ne.v, cast(ne.cn as bigint) as cn,
+       cast(du.deg as bigint) as deg_u, cast(dv.deg as bigint) as deg_v,
+       cast((2 * ne.cn::hugeint * 1000000 + (du.deg + dv.deg - ne.cn))
+            // (2 * (du.deg + dv.deg - ne.cn)) as bigint) as jaccard_ppm
+from nonedges ne
+join deg du on ne.u = du.src
+join deg dv on ne.v = dv.src
+order by ne.u, ne.v
+"""
     # k-truss: unrolled support-peel rounds over the canonical (a < b)
     # edge list — same idempotence argument as the k-core unroll.
     _kt_rounds = []

@@ -175,6 +175,7 @@ def main() -> int:
         "cohen_kappa",
         "good_turing_bigrams",
         "ndcg_eval",
+        "link_prediction_jaccard",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -544,3 +544,46 @@ def test_ktruss_python_replay_and_truss_invariant(spark, tmp_path):
     assert got == cur
     # invariant + idempotence, independent of the replay
     assert peel_round(set(got)) == got or (not got)
+
+
+def test_link_prediction_jaccard_hand_graph(spark, tmp_path):
+    """Python-replayed neighborhood Jaccard on the deterministic n=20
+    graph: every emitted pair must be a TRUE non-edge with the exact
+    cn / degree / union arithmetic, and every non-edge with >= 2
+    common neighbors must be present."""
+    from ocr_spark.operators.web_extract import (
+        LP_MIN_CN,
+        link_prediction_jaccard,
+    )
+
+    n = 20
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    adj = {i: set() for i in range(n)}
+    for i in range(n):
+        for t in ((7 * i + 1) % n, (13 * i + 2) % n, (31 * i + 3) % n):
+            if t != i:
+                adj[i].add(t)
+                adj[t].add(i)
+    expected = {}
+    for u in range(n):
+        for v in range(u + 1, n):
+            if v in adj[u]:
+                continue
+            cn = len(adj[u] & adj[v])
+            if cn >= LP_MIN_CN:
+                uni = len(adj[u]) + len(adj[v]) - cn
+                expected[(u, v)] = (
+                    cn, len(adj[u]), len(adj[v]),
+                    (2 * cn * 10**6 + uni) // (2 * uni),
+                )
+    got = {
+        (r["u"], r["v"]): (r["cn"], r["deg_u"], r["deg_v"],
+                           r["jaccard_ppm"])
+        for r in link_prediction_jaccard(spark, d).collect()
+    }
+    assert got == expected and expected  # non-vacuous
