@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel": web_extract.kcore_peel,
         "ktruss_edges": web_extract.ktruss_edges,
         "link_prediction_jaccard": web_extract.link_prediction_jaccard,
+        "degree_assortativity": web_extract.degree_assortativity,
         "lpa_communities": web_extract.lpa_communities,
         "triangle_count": web_extract.triangle_count,
         "zorder_layout": relational.zorder_layout,
@@ -6321,6 +6322,36 @@ order by doc_a, doc_b
     # k-core: KCORE_MAX_ROUNDS unrolled peels == the fixed point at any
     # convergence depth (peeling is idempotent once converged; Spark
     # stops at the first zero-drop round, capped at the same constant).
+    # Assortativity truth: same symmetric edge list, same generated
+    # exact-Pearson formula with DuckDB's // division.
+    sql["degree_assortativity"] = f"""
+with n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as (select distinct src, dst from e0 where src != dst),
+und as materialized (
+  select src, dst from edges union select dst, src from edges
+),
+deg as (select src, count(*) as deg from und group by 1),
+stats as (
+  select count(*) as n,
+         sum(du.deg) as sx_du, sum(du.deg * du.deg) as sxx_du,
+         sum(dv.deg) as sx_dv, sum(dv.deg * dv.deg) as sxx_dv,
+         sum(du.deg * dv.deg) as sxy_du_dv
+  from und
+  join deg du on und.src = du.src
+  join deg dv on und.dst = dv.src
+)
+select cast(n as bigint) as n_directed_edges,
+       cast({relational._corr_expr("du", "dv", "//")} as bigint)
+         as assortativity_ppm
+from stats where n > 0
+"""
     # Link-prediction truth: same wedge candidates, inclusion-exclusion
     # union, anti-join against canonical edges, half-away ppm.
     sql["link_prediction_jaccard"] = f"""

