@@ -244,16 +244,28 @@ def main() -> int:
     # (~2k chars) and json-parses the last line.  Round 2 lost its bench
     # record because per-run lists pushed the line past that window — so
     # the machine line stays compact (min-of-N per query only) and the
-    # per-run evidence goes to a side file, BENCH_RUNS.json.
+    # per-run evidence goes to a side file, BENCH_RUNS.json.  The
+    # headline list has since outgrown even that: ~86 one-per-query
+    # entries are ~2.6 kB of JSON, so the LINE carries only the most
+    # expensive queries (cost-desc, name ties) until it fits, plus the
+    # suite total and the full query count — the COMPLETE per-query
+    # record (all of them, with per-run lists) is always in
+    # BENCH_RUNS*.json next to this file.
     result = {
         "metric": "suite sec (flagship docs/sec: see docs_per_sec)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_total": len(timings),
         "sf": sf if sf is not None else sf_dir,
         "cpus": int(cpus) if str(cpus).isdigit() else cpus,
         **extra,
     }
+    by_cost = sorted(timings, key=lambda q: (-timings[q], q))
+    while len(json.dumps(result)) >= 1750 and by_cost:
+        by_cost = by_cost[: len(by_cost) - 1]
+        result["queries"] = {q: timings[q] for q in by_cost}
+        result["queries_shown"] = len(by_cost)
     # Only a FULL-suite run AT THE DEFAULT SF may land as the artifact:
     # a --only subset or an sf0.001 smoke run overwriting BENCH_RUNS.json
     # silently breaks the BASELINE.md "quoted from the same recorded
@@ -279,6 +291,10 @@ def main() -> int:
                 " documented in BASELINE.md); spreads here are the noise"
                 " evidence",
                 **result,
+                # the machine line may truncate `queries` to fit the
+                # driver tail — the side file always carries ALL of them
+                "queries": timings,
+                "queries_shown": len(timings),
             },
             fh,
             indent=1,
