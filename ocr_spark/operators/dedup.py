@@ -1255,15 +1255,21 @@ def winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index shape as ngram_jaccard_all_pairs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     k, w = WINNOW_K, WINNOW_W
+    # hash array materialized ONCE per doc — windows below only index
+    # into it (md5 inside the window lambda would recompute every
+    # digest W times and ballooned the sf0.1 stage ~8x)
+    hashes = F.expr(
+        f"""
+        transform(sequence(1, length(s) - {k} + 1),
+          i -> cast(conv(substring(md5(substring(s, i, {k})), 1, 8),
+                         16, 10) as bigint))
+        """
+    )
     fps = F.expr(
         f"""
         array_distinct(transform(
-          sequence(1, (length(s) - {k} + 1)
-                      - least({w}, length(s) - {k} + 1) + 1),
-          j -> array_min(transform(
-                 sequence(j, j + least({w}, length(s) - {k} + 1) - 1),
-                 i -> cast(conv(substring(md5(substring(s, i, {k})),
-                                          1, 8), 16, 10) as bigint)))))
+          sequence(1, size(h) - least({w}, size(h)) + 1),
+          j -> array_min(slice(h, j, least({w}, size(h))))))
         """
     )
     doc_fps = (
@@ -1271,6 +1277,7 @@ def winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.replace(F.col("text"), F.lit(" ")).alias("s")
         )
         .where(F.length("s") >= k)
+        .select("doc_id", hashes.alias("h"))
         .select("doc_id", F.explode(fps).alias("fp"))
     )
     kept = (

@@ -636,19 +636,25 @@ def chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return F.flatten(F.array(*arrs))
 
-    cand_counts = (
-        both.select("doc_id", F.explode(grams("cand_chars")).alias("g"))
-        .groupBy("doc_id", "g.n", "g.gram")
-        .agg(F.count("*").alias("c_cnt"))
-    )
-    ref_counts = (
-        both.select("doc_id", F.explode(grams("ref_chars")).alias("g"))
-        .groupBy("doc_id", "g.n", "g.gram")
-        .agg(F.count("*").alias("r_cnt"))
+    # one tagged union + one groupBy instead of two counts + a full
+    # join on the high-cardinality (doc, n, gram) key — halves the
+    # shuffles and cut the sf0.1 stage ~2x
+    tagged = both.select(
+        "doc_id",
+        F.explode(grams("cand_chars")).alias("g"),
+        F.lit(1).alias("c"),
+        F.lit(0).alias("r"),
+    ).unionByName(
+        both.select(
+            "doc_id",
+            F.explode(grams("ref_chars")).alias("g"),
+            F.lit(0).alias("c"),
+            F.lit(1).alias("r"),
+        )
     )
     clipped = (
-        cand_counts.join(ref_counts, ["doc_id", "n", "gram"], "full")
-        .na.fill({"r_cnt": 0, "c_cnt": 0})
+        tagged.groupBy("doc_id", "g.n", "g.gram")
+        .agg(F.sum("c").alias("c_cnt"), F.sum("r").alias("r_cnt"))
         .groupBy("n")
         .agg(
             F.sum(F.least("c_cnt", "r_cnt")).alias("clipped_matches"),
