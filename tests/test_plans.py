@@ -1323,3 +1323,79 @@ def test_no_cartesian_product_anywhere_on_the_board(spark):
     assert not offenders, offenders
     # every query must at least BUILD its plan at sf0.001
     assert not errors, errors
+
+
+def test_sixth_wave_plans_stay_keyed(spark):
+    """The sixth-wave operators must all run on keyed hash joins and
+    map-side partial aggregation — no CartesianProduct anywhere, and
+    (except nDCG's deliberate tiny-broadcast query fan-out) no
+    nested-loop join either."""
+    from ocr_spark.operators.dedup import winnowing_near_dup
+    from ocr_spark.operators.evalmetrics import chrf_eval, cohen_kappa
+    from ocr_spark.operators.relational import (
+        auc_rank_eval,
+        hll_distinct_users,
+        record_linkage_fs,
+    )
+    from ocr_spark.operators.text_analysis import (
+        good_turing_bigrams,
+        rake_keywords,
+        texttiling_segments,
+    )
+    from ocr_spark.operators.web_extract import (
+        degree_assortativity,
+        link_prediction_jaccard,
+    )
+
+    keyed_only = (
+        chrf_eval, winnowing_near_dup, hll_distinct_users, rake_keywords,
+        texttiling_segments, record_linkage_fs, auc_rank_eval,
+        cohen_kappa, good_turing_bigrams, link_prediction_jaccard,
+        degree_assortativity,
+    )
+    for q in keyed_only:
+        plan = plan_of(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        if q is not record_linkage_fs:  # FS scoring is pure map-side:
+            # one blocked equi-join, no aggregation stage at all
+            assert (
+                "partial_count" in plan or "partial_sum" in plan
+            ), q.__name__
+
+
+def test_ndcg_query_fanout_is_broadcast(spark):
+    """nDCG fans the corpus out over the tiny query set via a BROADCAST
+    nested loop (queries are O(NDCG_NQ) rows) — never a shuffled
+    cartesian — and both rankings are windows partitioned by query."""
+    from ocr_spark.operators.similarity import ndcg_eval
+
+    plan = plan_of(ndcg_eval(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_rake_stoplist_is_take_ordered_not_window(spark):
+    """RAKE's generated stoplist must be the distributed TakeOrdered
+    (orderBy().limit(N)), not a corpus-cardinality rank window."""
+    from ocr_spark.operators.text_analysis import rake_keywords
+
+    plan = plan_of(rake_keywords(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winnowing_fingerprints_one_mapside_pass():
+    """Winnowing's hash array must be materialized ONCE per doc and the
+    window lambda must only index into it — md5 inside the nested
+    window lambda recomputed every digest W times (the 51 s -> 9.6 s
+    sf0.1 regression this pins).  Source-scan: exactly one md5 call
+    site in the operator, and it is NOT inside the window-min
+    transform."""
+    import inspect
+
+    from ocr_spark.operators.dedup import winnowing_near_dup
+
+    src = inspect.getsource(winnowing_near_dup)
+    assert src.count("md5(") == 1
+    win_lambda = src[src.index("array_min") :]
+    assert "md5" not in win_lambda.split('"""')[0]
