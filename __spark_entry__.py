@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": text_analysis.rake_keywords,
         "texttiling_segments": text_analysis.texttiling_segments,
         "good_turing_bigrams": text_analysis.good_turing_bigrams,
+        "chi2_feature_selection": text_analysis.chi2_feature_selection,
         "inverted_index_postings": text_analysis.inverted_index_postings,
         "pmi_bigram_lift": text_analysis.pmi_bigram_lift,
         "dsir_importance_weights": text_analysis.dsir_importance_weights,
@@ -2075,6 +2076,42 @@ from documents d
 left join tot t using (doc_id)
 left join per p using (doc_id)
 order by d.doc_id
+""",
+        # Chi2 truth: same presence marginals, integer milli chi2 (the
+        # scalar n is a cross-joined 1-row CTE, not a Python literal).
+        "chi2_feature_selection": f"""
+with pres as (
+  select lang, unnest(list_distinct(string_split(text, ' '))) as term
+  from documents
+), a_tab as (
+  select lang, term, count(*) as a from pres group by 1, 2
+), tw as (select term, count(*) as tw from pres group by 1),
+gd as (select lang, count(*) as gd from documents group by 1),
+nn as (select count(*) as n from documents),
+cells as (
+  select gd.lang, tw.term, coalesce(a, 0) as a,
+         tw - coalesce(a, 0) as b, gd - coalesce(a, 0) as c,
+         n - gd - (tw - coalesce(a, 0)) as d
+  from tw cross join gd
+  left join a_tab on a_tab.lang = gd.lang and a_tab.term = tw.term
+  cross join nn
+), chi2 as (
+  select lang, term, cast(a as bigint) as df_in_class,
+         cast(case when (a+b) * (c+d) * (a+c) * (b+d) = 0 then 0 else
+              (2 * (select n from nn) * (a*d - b*c)::hugeint
+               * (a*d - b*c) * 1000 + (a+b) * (c+d) * (a+c) * (b+d))
+              // (2 * (a+b)::hugeint * (c+d) * (a+c) * (b+d)) end
+              as bigint) as chi2_milli
+  from cells
+), ranked as (
+  select lang, term, df_in_class, chi2_milli,
+         row_number() over (partition by lang
+                            order by chi2_milli desc, term) as rank
+  from chi2
+)
+select lang, cast(rank as int) as rank, term, df_in_class, chi2_milli
+from ranked where rank <= {text_analysis.CHI2_TOP_K}
+order by lang, rank
 """,
         # Good-Turing truth: same bigram spectrum, spectrum self-join,
         # half-away (r+1) N_(r+1) / N_r ppm with the N_(r+1)=0 -> 0 rule.

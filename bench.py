@@ -177,6 +177,7 @@ def main() -> int:
         "ndcg_eval",
         "link_prediction_jaccard",
         "degree_assortativity",
+        "chi2_feature_selection",
     ]
     if only:
         headline = [q for q in headline if q in only]

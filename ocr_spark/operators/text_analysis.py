@@ -3495,3 +3495,86 @@ def good_turing_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("r")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared feature selection (Yang & Pedersen, ICML 1997)
+# ---------------------------------------------------------------------------
+
+CHI2_TOP_K = 3  # strongest terms kept per class
+
+
+def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class chi-squared term selection (Yang & Pedersen, ICML'97
+    — their CHI consistently beat MI and term strength): for every
+    (lang, term), the 2x2 presence table a/b/c/d over documents and
+    chi2 = n (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)) — the classic
+    feature screen before training the fastText-style quality/lang
+    classifier (hashed_ngram_classify), surfacing the vocabulary that
+    actually separates a class.  Each class keeps its CHI2_TOP_K terms
+    (chi2 desc, term asc).
+
+    Integer-exact: all four marginals are int64 counts and chi2 is
+    emitted in half-away MILLI-units — n (ad-bc)^2 * 1000 stays under
+    2^63 up to ~10^5 docs; past that the numerator lifts to
+    decimal(38,0) (documented bound, the feature_correlation policy).
+    chi2 is nonnegative, so no sign decomposition is needed.
+
+    Scale shape: document term PRESENCE is one map-side
+    array_distinct explode; (class, term) counts, term totals, and
+    class totals are three partial-agg groupBys, the two small ones
+    broadcast back; the top-K window partitions BY CLASS (partition
+    cardinality = per-class vocabulary — bounded by the lexicon, and
+    the salted two-phase window is the drop-in if a web-scale lexicon
+    makes a class partition hot)."""
+    docs = _docs(spark, sf_dir)
+    pres = docs.select(
+        "lang",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias(
+            "term"
+        ),
+    )
+    a_tab = pres.groupBy("lang", "term").agg(F.count("*").alias("a"))
+    tw = pres.groupBy("term").agg(F.count("*").alias("tw"))
+    gd = docs.groupBy("lang").agg(F.count("*").alias("gd"))
+    n = docs.count()
+    # ALL (class, term) pairs — a term ABSENT from a class (a = 0) is
+    # exactly as informative as one confined to it (chi2 is symmetric
+    # in presence/absence), so the grid is vocab x classes, not just
+    # the observed pairs
+    cells = (
+        tw.crossJoin(F.broadcast(gd))
+        .join(a_tab, ["lang", "term"], "left")
+        .na.fill({"a": 0})
+        .select(
+            "lang",
+            "term",
+            "a",
+            (F.col("tw") - F.col("a")).alias("b"),
+            (F.col("gd") - F.col("a")).alias("c"),
+            (F.lit(n) - F.col("gd") - (F.col("tw") - F.col("a"))).alias(
+                "d"
+            ),
+        )
+    )
+    chi2 = cells.select(
+        "lang",
+        "term",
+        F.col("a").alias("df_in_class"),
+        F.expr(
+            f"case when (a+b) * (c+d) * (a+c) * (b+d) = 0 then 0 else"
+            f" (2 * {n} * (a*d - b*c) * (a*d - b*c)"
+            f" * cast(1000 as bigint) + (a+b) * (c+d) * (a+c) * (b+d))"
+            f" div (2 * (a+b) * (c+d) * (a+c) * (b+d)) end"
+        ).alias("chi2_milli"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("chi2_milli").desc(), F.col("term")
+    )
+    return (
+        chi2.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= CHI2_TOP_K)
+        .select("lang", "rank", "term", "df_in_class", "chi2_milli")
+        .repartition(1)
+        .sortWithinPartitions("lang", "rank")
+    )

@@ -1100,6 +1100,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.events_anomaly_days, R.ltv_deciles,
         T.inverted_index_postings, T.pmi_bigram_lift, T.vocab_coverage,
         T.rake_keywords, T.texttiling_segments, T.good_turing_bigrams,
+        T.chi2_feature_selection,
         T.span_corruption_mask, T.bm25_topk, T.term_drift,
         T.conjunctive_search, T.bigram_next_token, T.rendezvous_shard,
         T.bpe_merges, T.bpe_tokenize, T.encoding_repair,

@@ -1511,3 +1511,36 @@ def test_good_turing_hand_computed_spectrum(spark, tmp_path):
     ]
     # the one-token doc contributes no bigrams (sequence-guard case)
     assert rows == [(1, 1, 2, 4_000_000), (2, 2, 0, 0)]
+
+
+def test_chi2_feature_selection_hand_computed(spark, tmp_path):
+    """One perfectly class-separating term and one uniform term on a
+    crafted 6-doc corpus, chi2 worked by hand:
+      'heiss' appears in all 3 de docs and no en doc ->
+        a=3 b=0 c=0 d=3, chi2 = 6*(9-0)^2/(3*3*3*3) = 6.0
+      'same' appears in every doc -> b+d marginal 0 -> guarded 0."""
+    from ocr_spark.operators.text_analysis import chi2_feature_selection
+
+    rows = [
+        (0, "same heiss x0", "de", "s", 10),
+        (1, "same heiss x1", "de", "s", 10),
+        (2, "same heiss x2", "de", "s", 10),
+        (3, "same cool y0", "en", "s", 10),
+        (4, "same cool y1", "en", "s", 10),
+        (5, "same cool y2", "en", "s", 10),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {(r["lang"], r["rank"]): (r["term"], r["chi2_milli"])
+           for r in chi2_feature_selection(spark, d).collect()}
+    # both separating terms score chi2 = 6.000 for BOTH classes (chi2
+    # is symmetric in presence/absence); the tie breaks term-asc
+    assert out[("de", 1)] == ("cool", 6_000)
+    assert out[("de", 2)] == ("heiss", 6_000)
+    assert out[("en", 1)] == ("cool", 6_000)
+    assert out[("en", 2)] == ("heiss", 6_000)
+    # rank 3: per-doc unique fillers score 6*(1*3-0)^2/(1*5*3*3) = 1.2
+    assert out[("de", 3)][1] == 1_200
