@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_edges": web_extract.ktruss_edges,
         "link_prediction_jaccard": web_extract.link_prediction_jaccard,
         "degree_assortativity": web_extract.degree_assortativity,
+        "wl_refinement": web_extract.wl_refinement,
         "lpa_communities": web_extract.lpa_communities,
         "triangle_count": web_extract.triangle_count,
         "zorder_layout": relational.zorder_layout,
@@ -6359,6 +6360,53 @@ order by doc_a, doc_b
     # k-core: KCORE_MAX_ROUNDS unrolled peels == the fixed point at any
     # convergence depth (peeling is idempotent once converged; Spark
     # stops at the first zero-drop round, capped at the same constant).
+    # WL truth: same degree seed, sorted neighbor-color multisets,
+    # md5-32 recoloring, unrolled WL_ROUNDS rounds.
+    _wl_rounds = []
+    for _i in range(1, web_extract.WL_ROUNDS + 1):
+        _wl_rounds.append(
+            f"wa{_i} as materialized ("
+            f" select und.src,"
+            f" array_to_string(list(s.lbl order by s.lbl), ',') as nls"
+            f" from und join ws{_i - 1} s on und.dst = s.doc_id"
+            f" group by und.src)"
+        )
+        _wl_rounds.append(
+            f"ws{_i} as materialized ("
+            f" select s.doc_id,"
+            f" (('0x' || substr(md5(s.lbl || '|' || coalesce(a.nls, '')),"
+            f" 1, 8))::bigint)::varchar as lbl"
+            f" from ws{_i - 1} s left join wa{_i} a on s.doc_id = a.src)"
+        )
+    sql["wl_refinement"] = f"""
+with n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as (select distinct src, dst from e0 where src != dst),
+und as materialized (
+  select src, dst from edges union select dst, src from edges
+),
+deg as (select src, count(*) as deg from und group by 1),
+ws0 as materialized (
+  select d.doc_id, coalesce(deg.deg, 0)::varchar as lbl
+  from (select doc_id from documents) d
+  left join deg on d.doc_id = deg.src
+),
+{",".join(_wl_rounds)},
+fin as (
+  select doc_id, lbl::bigint as wl_label
+  from ws{web_extract.WL_ROUNDS}
+),
+sz as (select wl_label, count(*) as class_size from fin group by 1)
+select fin.doc_id, fin.wl_label, cast(sz.class_size as bigint) as class_size
+from fin join sz using (wl_label)
+order by fin.doc_id
+"""
     # Assortativity truth: same symmetric edge list, same generated
     # exact-Pearson formula with DuckDB's // division.
     sql["degree_assortativity"] = f"""

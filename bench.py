@@ -178,6 +178,7 @@ def main() -> int:
         "link_prediction_jaccard",
         "degree_assortativity",
         "chi2_feature_selection",
+        "wl_refinement",
     ]
     if only:
         headline = [q for q in headline if q in only]

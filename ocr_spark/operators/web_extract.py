@@ -1370,3 +1370,88 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("assortativity_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Lehman color refinement (Weisfeiler & Leman, 1968; WL kernels:
+# Shervashidze et al., JMLR 2011)
+# ---------------------------------------------------------------------------
+
+WL_ROUNDS = 3  # refinement depth (the WL-kernel h parameter)
+
+
+def wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman color refinement of the shared link graph
+    (the 1-WL algorithm behind the WL graph kernels of Shervashidze et
+    al., JMLR 12, 2011, and the expressiveness ceiling of
+    message-passing GNNs): every node starts colored by its degree;
+    each round recolors a node with a hash of (own color, SORTED
+    multiset of neighbor colors); after WL_ROUNDS rounds, nodes
+    sharing a color are structurally indistinguishable at that depth.
+    Emits each node's final color (md5-32, the repo hash convention)
+    and its color-class size — the structural-role fingerprint used
+    for graph dedup, template detection across link neighborhoods,
+    and GNN feature hashing.
+
+    Fixed-depth by definition (the kernel's h is a hyperparameter, not
+    a convergence loop), so both engines unroll the same WL_ROUNDS
+    rounds — no fixed-point machinery needed.
+
+    Scale shape: per round ONE neighbor equi-join of the (node, color)
+    state against the symmetric edge list and one per-node groupBy
+    whose collect is bounded by the node's degree (sorted array, so
+    the multiset hash is deterministic); the state is localCheckpoint'd
+    each round to keep lineage flat.  Color-class sizes are one final
+    partial-agg count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    directed = _link_edges(docs, n)
+    und = (
+        directed.select("src", "dst")
+        .union(directed.select(F.col("dst"), F.col("src")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    state = docs.join(
+        deg, docs["doc_id"] == deg["src"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("deg"), F.lit(0)).cast("string").alias("lbl"),
+    )
+    for _ in range(WL_ROUNDS):
+        nbr = und.join(
+            state.select(
+                F.col("doc_id").alias("dst"), F.col("lbl").alias("nl")
+            ),
+            "dst",
+        )
+        agg = nbr.groupBy("src").agg(
+            F.array_join(
+                F.array_sort(F.collect_list("nl")), ","
+            ).alias("nls")
+        )
+        state = (
+            state.join(
+                agg, state["doc_id"] == agg["src"], "left"
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    "cast(conv(substring(md5(concat(lbl, '|',"
+                    " coalesce(nls, ''))), 1, 8), 16, 10) as bigint)"
+                ).cast("string").alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = state.select(
+        "doc_id", F.col("lbl").cast("bigint").alias("wl_label")
+    )
+    sizes = final.groupBy("wl_label").agg(
+        F.count("*").alias("class_size")
+    )
+    return (
+        final.join(sizes, "wl_label")
+        .select("doc_id", "wl_label", "class_size")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

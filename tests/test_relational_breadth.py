@@ -1088,6 +1088,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         W.bfs_hop_distance, W.personalized_pagerank,
         W.redirect_resolution, W.kcore_peel, W.ktruss_edges,
         W.link_prediction_jaccard, W.degree_assortativity,
+        W.wl_refinement,
         D.containment_pairs, D.homoglyph_dedup, D.split_leakage_audit,
         D.winnowing_near_dup,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,

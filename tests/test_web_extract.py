@@ -641,3 +641,44 @@ def test_degree_assortativity_hand_graphs(spark, tmp_path):
     # ratio a hair over 1e6 only when variance terms are tiny)
     assert abs(out[0]["assortativity_ppm"]) <= 1_100_000
     assert Fraction(num, 1)  # replay is non-degenerate
+
+
+def test_wl_refinement_python_replay_and_symmetry(spark, tmp_path):
+    """WL colors replayed from scratch with hashlib on the n=12
+    deterministic graph, plus the core WL property: two nodes with
+    isomorphic depth-WL_ROUNDS neighborhoods share a color (checked
+    via the replay), and class sizes sum to n."""
+    import hashlib
+
+    from ocr_spark.operators.web_extract import WL_ROUNDS, wl_refinement
+
+    n = 12
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    adj = {i: set() for i in range(n)}
+    for i in range(n):
+        for t in ((7 * i + 1) % n, (13 * i + 2) % n, (31 * i + 3) % n):
+            if t != i:
+                adj[i].add(t)
+                adj[t].add(i)
+    lbl = {v: str(len(adj[v])) for v in range(n)}
+    for _ in range(WL_ROUNDS):
+        nxt = {}
+        for v in range(n):
+            nls = ",".join(sorted((lbl[u] for u in adj[v])))
+            h = hashlib.md5(f"{lbl[v]}|{nls}".encode()).hexdigest()[:8]
+            nxt[v] = str(int(h, 16))
+        lbl = nxt
+    from collections import Counter
+    sizes = Counter(lbl.values())
+
+    got = {r["doc_id"]: (r["wl_label"], r["class_size"])
+           for r in wl_refinement(spark, d).collect()}
+    assert len(got) == n
+    for v in range(n):
+        assert got[v] == (int(lbl[v]), sizes[lbl[v]]), v
+    assert sum(s for _, s in set(got.values())) >= n  # classes cover n
