@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- similarity search --
         "ann_brute_topk": similarity.brute_topk,
         "ndcg_eval": similarity.ndcg_eval,
+        "rocchio_feedback": similarity.rocchio_feedback,
         "ann_filtered_topk": similarity.filtered_topk,
         "embedding_quantize_int8": similarity.embedding_quantize_int8,
         "ann_int8_topk": similarity.ann_int8_topk,
@@ -2279,6 +2280,72 @@ from r where rank <= {text_analysis.TFIDF_K}
 order by doc_id, rank
 """,
         # -- similarity --
+        # Rocchio truth: same integer micros, integer dot/norms cast to
+        # double once (bit-identical cross-engine), same sign-decomposed
+        # q' downscale, naive rank windows on the DuckDB side.
+        "rocchio_feedback": f"""
+with emb as (
+  select vec_id, list_transform(embedding,
+    x -> cast(round(cast(x as double) * 1000000) as bigint)) as e
+  from embeddings
+), q as (select e as q from emb where vec_id = 0),
+cand as (
+  select m.vec_id, m.e,
+    round(
+      cast(list_sum(list_transform(generate_series(1, len(m.e)),
+                    i -> m.e[i] * q.q[i])) as double)
+      / (sqrt(cast(list_sum(list_transform(m.e, x -> x * x)) as double))
+       * sqrt(cast(list_sum(list_transform(q.q, x -> x * x))
+              as double))), 4) as cos_old
+  from emb m, q where m.vec_id <> 0
+), ranked as (
+  select *, cast(row_number() over (order by cos_old desc, vec_id)
+                 as bigint) as old_rank
+  from cand
+), fbrows as (
+  select old_rank <= {similarity.ROCCHIO_R} as rel, e from ranked
+  where old_rank <= {similarity.ROCCHIO_R}
+     or old_rank between {similarity.ROCCHIO_NR_LO}
+                     and {similarity.ROCCHIO_NR_HI}
+), dims as (
+  select unnest(generate_series(1, (select len(q) from q))) as d
+), sums as (
+  select d,
+    sum(case when rel then e[d] else 0 end) as sr,
+    sum(case when not rel then e[d] else 0 end) as snr
+  from fbrows cross join dims group by d
+), q2v as (
+  select s.d,
+    {similarity.ROCCHIO_ALPHA_C * similarity.ROCCHIO_R
+     * (similarity.ROCCHIO_NR_HI - similarity.ROCCHIO_NR_LO + 1)}
+      * (select q[s.d] from q)
+    + {similarity.ROCCHIO_BETA_C
+       * (similarity.ROCCHIO_NR_HI - similarity.ROCCHIO_NR_LO + 1)} * s.sr
+    - {similarity.ROCCHIO_GAMMA_C * similarity.ROCCHIO_R} * s.snr as v
+  from sums s
+), q2l as (
+  select list((case when v < 0 then -1 else 1 end) * (abs(v) // 10000)
+              order by d) as q2
+  from q2v
+), rescored as (
+  select r.vec_id, r.old_rank, r.cos_old,
+    round(
+      cast(list_sum(list_transform(generate_series(1, len(r.e)),
+                    i -> r.e[i] * q2l.q2[i])) as double)
+      / (sqrt(cast(list_sum(list_transform(r.e, x -> x * x)) as double))
+       * sqrt(cast(list_sum(list_transform(q2l.q2, x -> x * x))
+              as double))), 4) as cos_new
+  from ranked r, q2l
+), final as (
+  select vec_id, old_rank,
+    cast(row_number() over (order by cos_new desc, vec_id) as bigint)
+      as new_rank,
+    cos_old, cos_new
+  from rescored
+)
+select vec_id, old_rank, new_rank, cos_old, cos_new
+from final where new_rank <= {similarity.ROCCHIO_OUT} order by new_rank
+""",
         # nDCG truth: same round-4 cosine, circular label relevance,
         # (1<<rel)-1 gains, identical ppb discount literals.
         "ndcg_eval": f"""

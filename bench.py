@@ -179,6 +179,7 @@ def main() -> int:
         "degree_assortativity",
         "chi2_feature_selection",
         "wl_refinement",
+        "rocchio_feedback",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -1666,3 +1666,171 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rocchio pseudo-relevance feedback (Rocchio, 1971; PRF: Buckley et al.,
+# TREC-3 1994)
+# ---------------------------------------------------------------------------
+
+ROCCHIO_R = 5  # blind-feedback pseudo-relevant set: initial top-R
+ROCCHIO_NR_LO, ROCCHIO_NR_HI = 16, 20  # pseudo-non-relevant band
+ROCCHIO_ALPHA_C, ROCCHIO_BETA_C, ROCCHIO_GAMMA_C = 100, 75, 15  # centis
+ROCCHIO_OUT = 10
+
+
+def rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio relevance feedback in its blind (pseudo-relevance) form
+    (Rocchio, in 'The SMART Retrieval System', 1971; PRF per Buckley
+    et al., TREC-3): retrieve with the raw query (vec_id 0), assume
+    the top ROCCHIO_R hits relevant and ranks NR_LO..NR_HI
+    pseudo-non-relevant, recenter the query
+    q' = alpha q + beta mean(R) - gamma mean(NR) (alpha/beta/gamma =
+    1.0/0.75/0.15), and re-rank — the classic one-round retrieval
+    booster.  Emits the new top-ROCCHIO_OUT with old and new ranks so
+    the movement is auditable.
+
+    Exactness: embeddings lift to integer micros; cosine is invariant
+    under positive scaling of q', so the recentred query is held as
+    the INTEGER vector alpha_c*|R|*|NR|*q + beta_c*|NR|*sum(R) -
+    gamma_c*|R|*sum(NR) (centi-weights, no division anywhere); both
+    rankings order by round-4 cosine with vec_id ties.
+
+    Scale shape: both global rankings run through
+    bucketed_global_rank (two-pass grid — no single-task sort at any
+    corpus size); the feedback sums are a posexplode + per-dimension
+    partial agg over <= R + NR rows; the recentred query is bounded
+    driver state (one dim-length literal, the k-means codebook
+    policy) broadcast into a map-side rescore."""
+    from ocr_spark.operators.relational import bucketed_global_rank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double)"
+            " * 1000000) as bigint))"
+        ).alias("e"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("q")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "e",
+            # integer dot/norms (exact), ONE cast to double each — the
+            # division inputs are bit-identical cross-engine, so the
+            # round-4 cosine is too (no float fold-order dependence)
+            F.round(
+                F.expr(
+                    "cast(aggregate(zip_with(e, q, (x, y) -> x * y),"
+                    " 0L, (acc, v) -> acc + v) as double)"
+                )
+                / (
+                    F.sqrt(
+                        F.expr(
+                            "cast(aggregate(transform(e, x -> x * x),"
+                            " 0L, (acc, v) -> acc + v) as double)"
+                        )
+                    )
+                    * F.sqrt(
+                        F.expr(
+                            "cast(aggregate(transform(q, x -> x * x),"
+                            " 0L, (acc, v) -> acc + v) as double)"
+                        )
+                    )
+                ),
+                4,
+            ).alias("cos_old"),
+        )
+    )
+    cand = cand.withColumn(
+        "e4_old", F.expr("cast(round(cos_old * 10000) as bigint)")
+    )
+    ranked = bucketed_global_rank(
+        cand, "e4_old", "vec_id", descending=True, rank_col="old_rank"
+    )
+    fb = ranked.where(
+        (F.col("old_rank") <= ROCCHIO_R)
+        | F.col("old_rank").between(ROCCHIO_NR_LO, ROCCHIO_NR_HI)
+    ).select(
+        (F.col("old_rank") <= ROCCHIO_R).alias("rel"),
+        F.posexplode("e").alias("dim", "v"),
+    )
+    sums = (
+        fb.groupBy("dim")
+        .agg(
+            F.sum(F.when(F.col("rel"), F.col("v")).otherwise(0)).alias(
+                "sr"
+            ),
+            F.sum(F.when(~F.col("rel"), F.col("v")).otherwise(0)).alias(
+                "snr"
+            ),
+        )
+        .orderBy("dim")
+        .collect()
+    )
+    qhead = q.first()
+    if qhead is None:  # empty-input invariant: no query vector
+        return spark.createDataFrame(
+            [],
+            "vec_id long, old_rank bigint, new_rank bigint,"
+            " cos_old double, cos_new double",
+        )
+    qrow = qhead["q"]
+    n_r = ROCCHIO_R
+    n_nr = ROCCHIO_NR_HI - ROCCHIO_NR_LO + 1
+    q2_raw = [
+        ROCCHIO_ALPHA_C * n_r * n_nr * qrow[d]
+        + ROCCHIO_BETA_C * n_nr * sums[d]["sr"]
+        - ROCCHIO_GAMMA_C * n_r * sums[d]["snr"]
+        for d in range(len(qrow))
+    ]
+    # scale down (sign-decomposed trunc div, the cross-engine-safe
+    # form) so every cosine partial sum stays under 2^53 and the
+    # double arithmetic is EXACT in both engines — cosine is scale
+    # invariant, so ranking is unchanged
+    q2 = [
+        (-1 if v < 0 else 1) * (abs(v) // 10000) for v in q2_raw
+    ]
+    q2_lit = "array({})".format(",".join(f"{v}L" for v in q2))
+    rescored = ranked.select(
+        "vec_id",
+        "old_rank",
+        "cos_old",
+        F.round(
+            F.expr(
+                f"cast(aggregate(zip_with(e, {q2_lit}, (x, y) -> x * y),"
+                " 0L, (acc, v) -> acc + v) as double)"
+            )
+            / (
+                F.sqrt(
+                    F.expr(
+                        "cast(aggregate(transform(e, x -> x * x), 0L,"
+                        " (acc, v) -> acc + v) as double)"
+                    )
+                )
+                * F.sqrt(
+                    F.expr(
+                        f"cast(aggregate(transform({q2_lit},"
+                        " x -> x * x), 0L, (acc, v) -> acc + v)"
+                        " as double)"
+                    )
+                )
+            ),
+            4,
+        ).alias("cos_new"),
+    ).withColumn(
+        "e4_new", F.expr("cast(round(cos_new * 10000) as bigint)")
+    )
+    out = bucketed_global_rank(
+        rescored, "e4_new", "vec_id", descending=True, rank_col="new_rank"
+    )
+    return (
+        out.where(F.col("new_rank") <= ROCCHIO_OUT)
+        .select("vec_id", "old_rank", "new_rank", "cos_old", "cos_new")
+        .repartition(1)
+        .sortWithinPartitions("new_rank")
+    )

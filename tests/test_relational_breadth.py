@@ -1093,6 +1093,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         D.winnowing_near_dup,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
+        S.rocchio_feedback,
         S.hard_negative_mining,
         R.triangle_count, R.incremental_agg_merge,
         R.connected_components_labels, R.two_hop_neighbors,
@@ -2032,3 +2033,79 @@ def test_ndcg_eval_hand_computed(spark, tmp_path):
     assert out[0]["idcg_ppb"] == idcg
     assert out[0]["ndcg_ppm"] == (2 * dcg * 10**6 + idcg) // (2 * idcg)
     assert out[0]["ndcg_ppm"] < 1_000_000  # misranked pair costs
+
+
+def test_rocchio_feedback_python_replay(spark, tmp_path):
+    """Full from-scratch replay of the PRF pipeline (integer micros,
+    half-away round-4 cosine, trunc-scaled q', both rankings) on 30
+    deterministic vectors — every output row must match, and the
+    recentred ranking must actually differ from the original."""
+    import math
+
+    from ocr_spark.operators.similarity import (
+        ROCCHIO_ALPHA_C,
+        ROCCHIO_BETA_C,
+        ROCCHIO_GAMMA_C,
+        ROCCHIO_NR_HI,
+        ROCCHIO_NR_LO,
+        ROCCHIO_OUT,
+        ROCCHIO_R,
+        rocchio_feedback,
+    )
+
+    def vec(k):
+        return [1.0, k / 30.0, ((k * 7) % 11) / 11.0, ((k * 3) % 5) / 5.0]
+
+    rows = [(0, [1.0, 0.0, 0.5, 0.2], 0)] + [
+        (k, vec(k), k % 3) for k in range(1, 31)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    def micro(xs):
+        import struct
+        f32 = [struct.unpack("f", struct.pack("f", x))[0] for x in xs]
+        return [
+            int(math.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+            for x in f32
+        ]
+
+    def r4(x):
+        s = 1 if x >= 0 else -1
+        return s * math.floor(abs(x) * 1e4 + 0.5) / 1e4
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(x * x for x in b)
+        return r4(float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb))))
+
+    q = micro([1.0, 0.0, 0.5, 0.2])
+    cands = {k: micro(vec(k)) for k in range(1, 31)}
+    old = sorted(cands, key=lambda k: (-cos(cands[k], q), k))
+    old_rank = {k: i + 1 for i, k in enumerate(old)}
+    rel = [k for k in old if old_rank[k] <= ROCCHIO_R]
+    nrel = [k for k in old
+            if ROCCHIO_NR_LO <= old_rank[k] <= ROCCHIO_NR_HI]
+    n_r, n_nr = len(rel), len(nrel)
+    q2 = []
+    for dd in range(4):
+        v = (ROCCHIO_ALPHA_C * n_r * n_nr * q[dd]
+             + ROCCHIO_BETA_C * n_nr * sum(cands[k][dd] for k in rel)
+             - ROCCHIO_GAMMA_C * n_r * sum(cands[k][dd] for k in nrel))
+        q2.append((-1 if v < 0 else 1) * (abs(v) // 10000))
+    new = sorted(cands, key=lambda k: (-cos(cands[k], q2), k))
+    new_rank = {k: i + 1 for i, k in enumerate(new)}
+    expected = {
+        new_rank[k]: (k, old_rank[k], cos(cands[k], q), cos(cands[k], q2))
+        for k in new if new_rank[k] <= ROCCHIO_OUT
+    }
+
+    got = {r["new_rank"]: (r["vec_id"], r["old_rank"], r["cos_old"],
+                           r["cos_new"])
+           for r in rocchio_feedback(spark, d).collect()}
+    assert got == expected
+    # the feedback actually moved something
+    assert any(o != n for n, (_, o, _c, _c2) in got.items())
