@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolution": web_extract.redirect_resolution,
         "purchase_paths": relational.purchase_paths,
         "psi_drift": relational.psi_drift,
+        "ks_drift": relational.ks_drift,
         "homoglyph_dedup": dedup.homoglyph_dedup,
         "kcore_peel": web_extract.kcore_peel,
         "ktruss_edges": web_extract.ktruss_edges,
@@ -6290,6 +6291,49 @@ select cast(bucket as int) as bucket,
          as psi_contrib
 from c cross join nn cross join n1t
 order by bucket
+"""
+    # KS truth: per-value counts, window ECDFs, integer cross-multiplied
+    # deviation in HUGEINT (decimal(38,0) on the Spark side), trunc-div ppm.
+    sql["ks_drift"] = f"""
+with ev as (
+  select date_diff('day', date '2024-01-01', cast(ts as date))
+           // {relational.THETA_PERIOD_DAYS} as p,
+         cast(round(value*100) as bigint) as cents
+  from events
+  where date_diff('day', date '2024-01-01', cast(ts as date))
+          // {relational.THETA_PERIOD_DAYS} <= 1
+),
+nn as (
+  select sum(case when p = 0 then 1 else 0 end) as n0,
+         sum(case when p = 1 then 1 else 0 end) as n1
+  from ev
+),
+c as (
+  select cents,
+         sum(case when p = 0 then 1 else 0 end) as c_ref,
+         sum(case when p = 1 then 1 else 0 end) as c_cur
+  from ev group by cents
+),
+cum as (
+  select cents,
+         sum(c_ref) over (order by cents) as cum_ref,
+         sum(c_cur) over (order by cents) as cum_cur
+  from c
+),
+d as (
+  select cents, cum_ref, cum_cur,
+         abs(cast(cum_ref as hugeint) * n1
+             - cast(cum_cur as hugeint) * n0) as d_num,
+         n0, n1
+  from cum cross join nn
+)
+select cents as at_cents,
+       cast(cum_ref as bigint) as cum_ref,
+       cast(cum_cur as bigint) as cum_cur,
+       cast(n0 as bigint) as n_ref, cast(n1 as bigint) as n_cur,
+       cast((d_num * 1000000) // (cast(n0 as hugeint) * n1) as bigint)
+         as d_ppm
+from d order by d_num desc, cents limit 1
 """
     # Homoglyph truth: same spoof synthesis + confusable translate.
     sql["homoglyph_dedup"] = f"""

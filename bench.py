@@ -180,6 +180,8 @@ def main() -> int:
         "chi2_feature_selection",
         "wl_refinement",
         "rocchio_feedback",
+        # round-4 seventh wave
+        "ks_drift",
     ]
     if only:
         headline = [q for q in headline if q in only]

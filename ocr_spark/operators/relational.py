@@ -3531,6 +3531,106 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift (exact integer ECDF deviation)
+# ---------------------------------------------------------------------------
+
+
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between the month's first
+    and second half of event values — the NONPARAMETRIC sibling of
+    ``psi_drift``: where PSI needs reference-fit decile edges and an
+    add-one smoothing choice, KS is edge-free (D = sup |F_ref − F_cur|
+    over the merged support), so it catches drift concentrated between
+    any pair of deciles that PSI's 10 fixed buckets dilute.
+
+    Exactness: values lift to integer cents; the supremum is taken on
+    the INTEGER cross-multiplied deviation |cum_ref·n_cur −
+    cum_cur·n_ref| (no division until the final ppm report), computed
+    in decimal(38,0) so the products stay exact even at 10^12 events
+    per period (bigint would wrap past ~3·10^9); ties break on the
+    lowest attaining value.  d_ppm = D·10^6 (trunc div, both engines).
+
+    Scale shape: one partial-agg groupBy collapses events to
+    per-distinct-value (c_ref, c_cur) counts; BOTH cumulative ECDFs
+    ride a single two-pass bucketed cumsum (the ``bucketed_global_rank``
+    grid — per-bucket sums cumulate into O(n_buckets) broadcast
+    offsets, the big table shuffles once on the bucket key, no
+    single-partition sort); the argmax is ``orderBy().limit(1)``
+    (TakeOrderedAndProject — per-partition top-1, 1-row driver merge)."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.expr(
+                f"datediff(to_date(ts), date'2024-01-01')"
+                f" div {THETA_PERIOD_DAYS}"
+            ).alias("p"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .filter(F.col("p") <= 1)
+    )
+    pc = {r["p"]: r["count"] for r in ev.groupBy("p").count().collect()}
+    n0, n1 = int(pc.get(0, 0)), int(pc.get(1, 0))
+    if n0 == 0 or n1 == 0:  # KS undefined without both samples
+        return spark.createDataFrame(
+            [],
+            "at_cents bigint, cum_ref bigint, cum_cur bigint,"
+            " n_ref bigint, n_cur bigint, d_ppm bigint",
+        )
+    counts = ev.groupBy("cents").agg(
+        F.sum((F.col("p") == 0).cast("bigint")).alias("c_ref"),
+        F.sum((F.col("p") == 1).cast("bigint")).alias("c_cur"),
+    )
+    # two-pass inclusive cumsum of BOTH sides through ONE grid shuffle
+    keyed = _grid_buckets(counts, "cents", RANK_BUCKETS)
+    tiny = Window.orderBy("_rb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # tiny-window: O(n_buckets) offset rows, never the table
+    offs = (
+        keyed.groupBy("_rb")
+        .agg(F.sum("c_ref").alias("_sr"), F.sum("c_cur").alias("_sc"))
+        .withColumn("_or", F.coalesce(F.sum("_sr").over(tiny), F.lit(0)))
+        .withColumn("_oc", F.coalesce(F.sum("_sc").over(tiny), F.lit(0)))
+        .select("_rb", "_or", "_oc")
+    )
+    w = (
+        Window.partitionBy("_rb")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = keyed.join(F.broadcast(offs), "_rb").select(
+        "cents",
+        (F.col("_or") + F.sum("c_ref").over(w)).cast("bigint").alias(
+            "cum_ref"
+        ),
+        (F.col("_oc") + F.sum("c_cur").over(w)).cast("bigint").alias(
+            "cum_cur"
+        ),
+    )
+    d = cum.withColumn(
+        "d_num",
+        F.expr(
+            f"abs(cast(cum_ref as decimal(38,0)) * {n1}"
+            f" - cast(cum_cur as decimal(38,0)) * {n0})"
+        ),
+    )
+    return (
+        d.orderBy(F.desc("d_num"), F.asc("cents"))
+        .limit(1)
+        .select(
+            F.col("cents").alias("at_cents"),
+            "cum_ref",
+            "cum_cur",
+            F.lit(n0).cast("bigint").alias("n_ref"),
+            F.lit(n1).cast("bigint").alias("n_cur"),
+            F.expr(
+                f"cast((d_num * 1000000) div"
+                f" (cast({n0} as decimal(38,0)) * {n1}) as bigint)"
+            ).alias("d_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Kaplan-Meier churn survival curve
 # ---------------------------------------------------------------------------
 

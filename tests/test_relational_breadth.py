@@ -1073,7 +1073,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.pit_join_events_scd2, R.mad_outliers, R.purchase_paths,
         R.l_diversity_audit, R.t_closeness_audit, R.dp_noisy_counts,
         R.weighted_sample_aes,
-        R.psi_drift, R.km_churn_survival, R.benford_audit,
+        R.psi_drift, R.ks_drift, R.km_churn_survival, R.benford_audit,
         R.zorder_layout, R.countmin_heavy_hitters, T.phrase_search,
         R.feature_correlation, R.snapshot_diff, R.record_linkage_fs,
         R.weekday_seasonality,
@@ -2109,3 +2109,64 @@ def test_rocchio_feedback_python_replay(spark, tmp_path):
     assert got == expected
     # the feedback actually moved something
     assert any(o != n for n, (_, o, _c, _c2) in got.items())
+
+
+def test_ks_drift_hand_computed_shifted_uniform(spark, tmp_path):
+    """Uniform[0,100) in the reference half vs Uniform[50,150) in the
+    current half: the exact KS supremum is 0.5, attained at the last
+    value the current sample has not reached (cents=4900), where
+    cum_ref=50 and cum_cur=0 — every output cell is hand-checkable."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import ks_drift
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for v in range(100):
+        rows.append((eid, base + dt.timedelta(days=v % 15),
+                     1, "x", float(v), "{}")); eid += 1
+        rows.append((eid, base + dt.timedelta(days=15 + v % 15),
+                     1, "x", float(v + 50), "{}")); eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    out = ks_drift(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_ref"] == 100 and r["n_cur"] == 100
+    assert r["at_cents"] == 4900  # value 49: ref has 50 obs, cur has 0
+    assert r["cum_ref"] == 50 and r["cum_cur"] == 0
+    assert r["d_ppm"] == 500_000  # D = 0.5 exactly
+
+
+def test_ks_drift_zero_on_identical_periods(spark, tmp_path):
+    """Bit-identical period distributions: D = 0 everywhere; the
+    argmax tie-break picks the LOWEST value of the merged support."""
+    import datetime as dt
+
+    from ocr_spark.operators.relational import ks_drift
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for v in range(40):
+        rows.append((eid, base + dt.timedelta(days=v % 15),
+                     1, "x", float(v), "{}")); eid += 1
+        rows.append((eid, base + dt.timedelta(days=15 + v % 15),
+                     1, "x", float(v), "{}")); eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    out = ks_drift(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["d_ppm"] == 0
+    assert out[0]["at_cents"] == 0  # lowest-value tie-break
