@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- text analysis --
         "token_stats": text_analysis.token_stats,
         "quality_score": text_analysis.quality_score,
+        "flesch_readability": text_analysis.flesch_readability,
         "lang_id": text_analysis.lang_id,
         "hashed_ngram_classify": text_analysis.hashed_ngram_classify,
         "fingerprint": text_analysis.fingerprint,
@@ -2508,6 +2509,29 @@ select doc_id,
        length(text) as chars,
        round(length(text)::double / greatest(len(string_split(text, ' ')), 1), 4) as avg_token_len
 from documents order by doc_id
+""",
+        # Flesch truth: same regex counts, same single-trunc milli terms.
+        "flesch_readability": f"""
+with c as (
+  select doc_id,
+         greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1)
+           ::bigint as w,
+         greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1)
+           ::bigint as s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::bigint as y
+  from documents
+), m as (
+  select doc_id, w as n_words, s as n_sentences, y as n_syllable_groups,
+         206835 - (1015 * w) // s - (84600 * y) // w as fre_milli,
+         (390 * w) // s + (11800 * y) // w - 15590 as fk_grade_milli
+  from c
+)
+select *,
+       case when fre_milli >= {text_analysis.FRE_EASY_MILLI} then 'easy'
+            when fre_milli >= {text_analysis.FRE_STANDARD_MILLI}
+              then 'standard'
+            else 'difficult' end as band
+from m order by doc_id
 """,
         "quality_score": f"""
 with t as (

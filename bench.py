@@ -182,6 +182,7 @@ def main() -> int:
         "rocchio_feedback",
         # round-4 seventh wave
         "ks_drift",
+        "flesch_readability",
     ]
     if only:
         headline = [q for q in headline if q in only]

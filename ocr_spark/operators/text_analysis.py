@@ -3578,3 +3578,83 @@ def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("lang", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability (Flesch 1948; Kincaid et al. 1975)
+# ---------------------------------------------------------------------------
+
+FRE_EASY_MILLI = 70_000  # FRE >= 70: 'easy' (7th-grade) band
+FRE_STANDARD_MILLI = 50_000  # FRE >= 50: 'standard'; below: 'difficult'
+
+
+def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring — Flesch Reading Ease (Flesch, J. Appl.
+    Psych. 1948: 206.835 − 1.015·words/sentence − 84.6·syllables/word)
+    and the Flesch-Kincaid grade level (Kincaid et al., NTIS 1975:
+    0.39·w/s + 11.8·y/w − 15.59), the filter every readability-tiered
+    corpus mix (textbook-grade vs web-grade) buckets on.
+
+    Counts are pure regex: words = `[a-z]+` runs of the lowercased
+    text, sentence breaks = `[.!?]+` runs (min 1), syllables ≈ vowel
+    GROUPS `[aeiouy]+` (the classic dictionary-free proxy; monotone
+    with true syllable count on English text).  Scores are exact
+    integer MILLI-units with each rational term truncated once
+    ((1015·w) div s is 1.015·w/s in millis — same trunc div both
+    engines, all terms nonnegative so trunc == floor), so there is no
+    float anywhere and the band thresholds are exact.
+
+    Scale shape: map-side only — three regexp_extract_all counts and
+    integer arithmetic per row, zero shuffles before the report tail;
+    at 10^12 docs this is a single scan stage that pipelines into
+    whatever consumes the band column."""
+    docs = _docs(spark, sf_dir)
+    lt = F.lower(F.col("text"))
+    w = F.greatest(
+        F.size(F.regexp_extract_all(lt, F.lit("[a-z]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("bigint")
+    s = F.greatest(
+        F.size(F.regexp_extract_all(lt, F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("bigint")
+    y = F.size(
+        F.regexp_extract_all(lt, F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("bigint")
+    fre = (
+        F.lit(206_835)
+        - F.expr("(1015 * _w) div _s")
+        - F.expr("(84600 * _y) div _w")
+    )
+    fk = (
+        F.expr("(390 * _w) div _s")
+        + F.expr("(11800 * _y) div _w")
+        - F.lit(15_590)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            w.alias("_w"),
+            s.alias("_s"),
+            y.alias("_y"),
+        )
+        .select(
+            "doc_id",
+            F.col("_w").alias("n_words"),
+            F.col("_s").alias("n_sentences"),
+            F.col("_y").alias("n_syllable_groups"),
+            fre.alias("fre_milli"),
+            fk.alias("fk_grade_milli"),
+        )
+        .withColumn(
+            "band",
+            F.when(F.col("fre_milli") >= FRE_EASY_MILLI, F.lit("easy"))
+            .when(
+                F.col("fre_milli") >= FRE_STANDARD_MILLI,
+                F.lit("standard"),
+            )
+            .otherwise(F.lit("difficult")),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -1084,7 +1084,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         T.corpus_shuffle_shards, T.boilerplate_prune,
         T.temperature_sampling_budget, T.span_corruption_plan,
         T.source_entropy, T.url_path_rollup,
-        T.quantile_normalize_length,
+        T.quantile_normalize_length, T.flesch_readability,
         W.bfs_hop_distance, W.personalized_pagerank,
         W.redirect_resolution, W.kcore_peel, W.ktruss_edges,
         W.link_prediction_jaccard, W.degree_assortativity,
@@ -2170,3 +2170,35 @@ def test_ks_drift_zero_on_identical_periods(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["d_ppm"] == 0
     assert out[0]["at_cents"] == 0  # lowest-value tie-break
+
+
+def test_flesch_readability_hand_computed(spark, tmp_path):
+    """Every count and both trunc-div milli scores checked by hand on
+    one easy and one dense document."""
+    from ocr_spark.operators.text_analysis import flesch_readability
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "The cat sat. It ran fast!", "en", "web", 25),
+            (2, "extraordinary communication requires unbelievable"
+                " organization", "en", "web", 59),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in flesch_readability(spark, d).collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllable_groups"]) \
+        == (6, 2, 6)
+    assert r1["fre_milli"] == 206835 - (1015 * 6) // 2 - (84600 * 6) // 6
+    assert r1["fre_milli"] == 119190 and r1["band"] == "easy"
+    assert r1["fk_grade_milli"] == 1170 + 11800 - 15590
+
+    r2 = got[2]
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllable_groups"]) \
+        == (5, 1, 23)
+    assert r2["fre_milli"] == 206835 - 5075 - (84600 * 23) // 5
+    assert r2["band"] == "difficult"
+    assert r2["fk_grade_milli"] == 1950 + (11800 * 23) // 5 - 15590
