@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_paths": relational.purchase_paths,
         "psi_drift": relational.psi_drift,
         "ks_drift": relational.ks_drift,
+        "compaction_plan": relational.compaction_plan,
         "homoglyph_dedup": dedup.homoglyph_dedup,
         "kcore_peel": web_extract.kcore_peel,
         "ktruss_edges": web_extract.ktruss_edges,
@@ -6358,6 +6359,23 @@ select cents as at_cents,
        cast((d_num * 1000000) // (cast(n0 as hugeint) * n1) as bigint)
          as d_ppm
 from d order by d_num desc, cents limit 1
+"""
+    # Compaction truth: exclusive per-source cumsum, integer bin div,
+    # identical rollup.
+    sql["compaction_plan"] = f"""
+with f as (
+  select doc_id, source, n_chars as bytes,
+         coalesce(sum(n_chars) over (partition by source order by doc_id
+                  rows between unbounded preceding and 1 preceding), 0)
+           as off
+  from documents
+)
+select source,
+       cast(off // {relational.COMPACT_TARGET_BYTES} as bigint) as bin_id,
+       count(*) as n_files,
+       cast(sum(bytes) as bigint) as bin_bytes,
+       min(doc_id) as first_doc, max(doc_id) as last_doc
+from f group by 1, 2 order by source, bin_id
 """
     # Homoglyph truth: same spoof synthesis + confusable translate.
     sql["homoglyph_dedup"] = f"""

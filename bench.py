@@ -183,6 +183,7 @@ def main() -> int:
         # round-4 seventh wave
         "ks_drift",
         "flesch_readability",
+        "compaction_plan",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -4532,3 +4532,62 @@ def auc_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * 2 * n_pos * n_neg) end"
         ).alias("auc_ppm"),
     ).where(F.col("n_pos").isNotNull())  # empty input -> zero rows
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (Iceberg binPack-style, deterministic)
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_BYTES = 4096  # output-file target (fixture scale; prod: 512MB)
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the maintenance job every
+    streaming-ingested lakehouse table needs (Iceberg's
+    ``rewrite_data_files`` binPack strategy): within each table
+    partition (``source``), pack consecutive files into output bins of
+    ~COMPACT_TARGET_BYTES and emit one row per planned output file
+    with its member count, byte total, and id range — the manifest a
+    rewrite job executes verbatim.
+
+    Packing rule: a file joins the bin its EXCLUSIVE cumulative offset
+    falls in (``offset div target``) — deterministic, order-preserving
+    (no size re-sort, so time-clustered files stay clustered for
+    partition pruning), and every bin is bounded by target +
+    max_file_size.  The documents table stands in as the file
+    manifest (doc_id=file, n_chars=bytes); a real manifest is
+    FILE-cardinality (~10^6 rows at 100 TB), not row-cardinality.
+
+    Scale shape: one shuffle on the partition key; the running offset
+    is a window partitioned BY source (per-partition file counts are
+    bounded in a maintained table — a partition with 10^9 files is
+    already an operational failure the planner should refuse); the
+    per-bin rollup reuses the same partitioning, and all arithmetic is
+    exact bigint."""
+    files = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.col("n_chars").alias("bytes")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "_off", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    ).withColumn(
+        # integer div, not float division — offsets at 100 TB exceed
+        # 2^53 and a double quotient would misplace boundary files
+        "bin_id",
+        F.expr(f"_off div {COMPACT_TARGET_BYTES}").cast("bigint"),
+    )
+    return (
+        planned.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bin_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("source", "bin_id")
+    )

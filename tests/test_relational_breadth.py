@@ -2202,3 +2202,46 @@ def test_flesch_readability_hand_computed(spark, tmp_path):
     assert r2["fre_milli"] == 206835 - 5075 - (84600 * 23) // 5
     assert r2["band"] == "difficult"
     assert r2["fk_grade_milli"] == 1950 + (11800 * 23) // 5 - 15590
+
+
+def test_compaction_plan_boundary_and_bounds(spark, tmp_path):
+    """A file joins the bin its exclusive offset falls in: with target
+    4096, files of 3000+3000 share bin 0 (second starts at 3000 < 4096)
+    and the bin totals 6000 < target + max_file — the documented bound;
+    a 9000-byte file starting at 8192+ lands alone in bin 2."""
+    from ocr_spark.operators.relational import (
+        COMPACT_TARGET_BYTES,
+        compaction_plan,
+    )
+
+    assert COMPACT_TARGET_BYTES == 4096
+    d = str(tmp_path)
+    rows = [
+        (1, "a", "en", "web", 3000),   # off 0     -> bin 0
+        (2, "b", "en", "web", 3000),   # off 3000  -> bin 0 (straddle)
+        (3, "c", "en", "web", 2192),   # off 6000  -> bin 1
+        (4, "d", "en", "web", 9000),   # off 8192  -> bin 2 (oversize)
+        (5, "e", "en", "web", 10),     # off 17192 -> bin 4 (gap: no bin 3)
+        (6, "f", "en", "cc", 100),     # other partition: own bin 0
+    ]
+    spark.createDataFrame(
+        [(i, t, l, s, n) for i, t, l, s, n in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        (r["source"], r["bin_id"]): (r["n_files"], r["bin_bytes"],
+                                     r["first_doc"], r["last_doc"])
+        for r in compaction_plan(spark, d).collect()
+    }
+    assert got == {
+        ("web", 0): (2, 6000, 1, 2),
+        ("web", 1): (1, 2192, 3, 3),
+        ("web", 2): (1, 9000, 4, 4),
+        ("web", 4): (1, 10, 5, 5),
+        ("cc", 0): (1, 100, 6, 6),
+    }
+    # every bin is bounded by target + max member size
+    for (src, b), (nf, nbytes, _f, _l) in got.items():
+        assert nbytes < 4096 + 9000
