@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": text_analysis.token_stats,
         "quality_score": text_analysis.quality_score,
         "flesch_readability": text_analysis.flesch_readability,
+        "zipf_fit": text_analysis.zipf_fit,
         "lang_id": text_analysis.lang_id,
         "hashed_ngram_classify": text_analysis.hashed_ngram_classify,
         "fingerprint": text_analysis.fingerprint,
@@ -2533,6 +2534,40 @@ select *,
               then 'standard'
             else 'difficult' end as band
 from m order by doc_id
+""",
+        # Zipf truth: identical bit-length logs (length(bin(x))-1 in
+        # both engines), HUGEINT normal equations (decimal(38,0) on the
+        # Spark side), trunc-div millis (hugeint // truncs toward zero,
+        # matching the sign-decomposed Spark div), one terminal round-6.
+        "zipf_fit": """
+with uni as (
+  select word, count(*)::BIGINT as cnt
+  from (select unnest(string_split(lower(text), ' ')) as word
+        from documents)
+  where word <> ''
+  group by word
+), ranked as (
+  select row_number() over (order by cnt desc, word asc) as rnk, cnt
+  from uni
+), xy as (
+  select (length(bin(rnk)) - 1)::HUGEINT as x,
+         (length(bin(cnt)) - 1)::HUGEINT as y
+  from ranked
+), s as (
+  select count(*)::HUGEINT as n, sum(x) as sx, sum(y) as sy,
+         sum(x * y) as sxy, sum(x * x) as sxx, sum(y * y) as syy
+  from xy
+)
+select n::BIGINT as n_terms,
+       case when n < 2 or n * sxx - sx * sx = 0 then null else
+         (((n * sxy - sx * sy) * 1000)
+          // (n * sxx - sx * sx))::BIGINT end as slope_milli,
+       case when n < 2 or n * sxx - sx * sx = 0
+                 or n * syy - sy * sy = 0 then null else
+         round((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
+               / ((n * sxx - sx * sx)::DOUBLE
+                  * (n * syy - sy * sy)::DOUBLE), 6) end as r2
+from s
 """,
         "quality_score": f"""
 with t as (

@@ -3582,9 +3582,10 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # two-pass inclusive cumsum of BOTH sides through ONE grid shuffle
     keyed = _grid_buckets(counts, "cents", RANK_BUCKETS)
+    # tiny-window: O(n_buckets) offset rows, never the table
     tiny = Window.orderBy("_rb").rowsBetween(
         Window.unboundedPreceding, -1
-    )  # tiny-window: O(n_buckets) offset rows, never the table
+    )
     offs = (
         keyed.groupBy("_rb")
         .agg(F.sum("c_ref").alias("_sr"), F.sum("c_cur").alias("_sc"))

@@ -3658,3 +3658,76 @@ def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency power-law fit (Zipf 1949; exact bit-length logs)
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the corpus vocabulary's Zipf exponent — the one-number
+    health check on a text corpus's naturalness (natural language sits
+    near slope −1; boilerplate-flooded or template-heavy crawls bend
+    it): least-squares slope of log2(freq) against log2(rank) over the
+    full rank-frequency table.
+
+    Exactness trick: the logs are EXACT INTEGER bit lengths
+    (floor(log2(x)) = length(bin(x)) − 1 — pure string length of the
+    binary form, no libm, so there is no transcendental to disagree
+    across engines); the least-squares normal equations run in
+    decimal(38,0) (n·Σxy − Σx·Σy overflows bigint once vocab crosses
+    ~10^9 terms), the slope reports as sign-decomposed trunc-div
+    millis, and R² — whose cross-product square exceeds decimal(38) —
+    is a double computed from bit-identical integer inputs with one
+    terminal round-6 (the rocchio/cosine precedent).
+
+    Scale shape: one token-count shuffle (map-side partial agg), ranks
+    from the two-pass ``bucketed_global_rank`` grid (never a
+    single-partition sort of the vocabulary), then ONE five-sum
+    partial agg collapses everything to a 1-row report."""
+    from ocr_spark.operators.relational import bucketed_global_rank
+
+    docs = _docs(spark, sf_dir)
+    uni = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = bucketed_global_rank(
+        uni, "cnt", "word", descending=True, rank_col="rank"
+    ).select(
+        F.expr("length(bin(rank)) - 1").alias("x"),
+        F.expr("length(bin(cnt)) - 1").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    sums = ranked.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.expr(
+            "case when n < 2 or n * sxx - sx * sx = 0 then null else"
+            " cast(case when n * sxy - sx * sy < 0"
+            "  then -((-(n * sxy - sx * sy) * 1000)"
+            "         div (n * sxx - sx * sx))"
+            "  else ((n * sxy - sx * sy) * 1000)"
+            "       div (n * sxx - sx * sx) end as bigint) end"
+        ).alias("slope_milli"),
+        F.expr(
+            "case when n < 2 or n * sxx - sx * sx = 0"
+            " or n * syy - sy * sy = 0 then null else"
+            " round(cast(n * sxy - sx * sy as double)"
+            "       * cast(n * sxy - sx * sy as double)"
+            "       / (cast(n * sxx - sx * sx as double)"
+            "          * cast(n * syy - sy * sy as double)), 6) end"
+        ).alias("r2"),
+    )

@@ -1125,6 +1125,9 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
     h = T.heaps_vocab_growth(spark, d).collect()
     assert len(h) == len(T.HEAPS_CHECKPOINTS)
     assert all(r["distinct_terms"] == 0 for r in h)
+    z = T.zipf_fit(spark, d).collect()
+    assert len(z) == 1 and z[0]["n_terms"] == 0
+    assert z[0]["slope_milli"] is None and z[0]["r2"] is None
 
 
 def test_pareto_frontier_dominance_rules(spark, tmp_path):
@@ -2202,6 +2205,41 @@ def test_flesch_readability_hand_computed(spark, tmp_path):
     assert r2["fre_milli"] == 206835 - 5075 - (84600 * 23) // 5
     assert r2["band"] == "difficult"
     assert r2["fk_grade_milli"] == 1950 + (11800 * 23) // 5 - 15590
+
+
+def test_zipf_fit_hand_computed(spark, tmp_path):
+    """Four-term vocabulary worked by hand: counts a=4 b=2 c=1 d=1 give
+    rank bit-logs x=(0,1,1,2), freq bit-logs y=(2,1,0,0); the normal
+    equations yield slope trunc(-8000/8) = -1000 milli and
+    R^2 = 64/88 = 0.727273 after the terminal round-6."""
+    from ocr_spark.operators.text_analysis import zipf_fit
+
+    d = str(tmp_path)
+    _write(
+        spark, d, "documents",
+        [
+            (0, "a a b c", "en", "s", 7),
+            (1, "a a b d", "en", "s", 7),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = zipf_fit(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["n_terms"] == 4
+    assert out[0]["slope_milli"] == -1000
+    assert out[0]["r2"] == 0.727273
+
+    # Degenerate one-term vocabulary: slope and fit are undefined, not
+    # a throw or a divide-by-zero.
+    _write(
+        spark, d, "documents", [(0, "solo solo", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    one = zipf_fit(spark, d).collect()
+    assert one[0]["n_terms"] == 1
+    assert one[0]["slope_milli"] is None and one[0]["r2"] is None
 
 
 def test_compaction_plan_boundary_and_bounds(spark, tmp_path):
