@@ -410,6 +410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": relational.psi_drift,
         "ks_drift": relational.ks_drift,
         "compaction_plan": relational.compaction_plan,
+        "market_share": relational.market_share,
+        "late_sole_supplier": relational.late_sole_supplier,
         "homoglyph_dedup": dedup.homoglyph_dedup,
         "kcore_peel": web_extract.kcore_peel,
         "ktruss_edges": web_extract.ktruss_edges,
@@ -433,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize_length": text_analysis.quantile_normalize_length,
         "ann_pq_topk": similarity.pq_topk,
         "ann_ivfpq_topk": similarity.ivfpq_topk,
+        "jl_projection": similarity.jl_projection,
         "unpivot_measures": relational.unpivot_measures,
     }
 
@@ -5509,6 +5512,22 @@ select cast(row_number() over (order by approx_d, vec_id) as bigint) as rank,
        vec_id, cast(approx_d as bigint) as approx_d
 from approx order by approx_d, vec_id limit {similarity.PQ_TOPK}
 """
+    # JL truth: identical parity-hash sign matrix regenerated from
+    # (i, j) (DuckDB lists are 1-based, hence the i - 1), identical
+    # integer-micro encode, pure integer dot fold.
+    sql["jl_projection"] = f"""
+select vec_id,
+       list_transform(range(0, {similarity.JL_OUT_DIM}), j ->
+         cast(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+           cast(round(cast(embedding[i] as double)
+                      * {similarity.PQ_MICRO}) as bigint)
+           * (1 - 2 * ((({similarity.JL_HASH_A}
+                         * ((i - 1) * {similarity.JL_OUT_DIM} + j)
+                         + {similarity.JL_HASH_B})
+                        % {similarity.JL_HASH_P}) % 2)))) as bigint))
+         as proj
+from embeddings order by vec_id
+"""
     # IVFPQ truth: proven IVF assignment (round-6 argmin, lower-aid
     # ties) + residual codes vs the [PQ_K, 2*PQ_K) residual codebook +
     # per-probed-list ADC tables; the adc join doubles as the probe cut.
@@ -6411,6 +6430,54 @@ select source,
        cast(sum(bytes) as bigint) as bin_bytes,
        min(doc_id) as first_doc, max(doc_id) as last_doc
 from f group by 1, 2 order by source, bin_id
+"""
+    # Q8 truth: identical integer c2 revenue, HUGEINT numerator
+    # (bigint overflows past ~9e18), trunc-div ppm (both sides
+    # non-negative so // == div).
+    sql["market_share"] = """
+with j as (
+  select year(o_orderdate) as o_year,
+         (cast(round(l_extendedprice * 100) as bigint)
+          * (100 - cast(round(l_discount * 100) as bigint))) as rev_c2,
+         n2.n_name as supp_nation
+  from lineitem
+  join part     on l_partkey = p_partkey
+  join orders   on l_orderkey = o_orderkey
+  join customer on o_custkey = c_custkey
+  join nation n1 on c_nationkey = n1.n_nationkey
+  join region   on n1.n_regionkey = r_regionkey
+  join supplier on l_suppkey = s_suppkey
+  join nation n2 on s_nationkey = n2.n_nationkey
+  where p_type = 'PROMO' and r_name = 'EUROPE'
+    and o_orderdate >= timestamp '1996-01-01'
+    and o_orderdate <  timestamp '2001-01-01'
+)
+select o_year,
+       case when sum(rev_c2) = 0 then null else
+         cast((sum(case when supp_nation = 'NATION_3' then rev_c2
+                        else 0 end)::HUGEINT * 1000000)
+              // sum(rev_c2)::HUGEINT as bigint) end as share_ppm,
+       cast(sum(rev_c2) as bigint) as total_rev_c2
+from j group by o_year order by o_year
+"""
+    # Q21 truth: the textbook EXISTS / NOT-EXISTS double self-join,
+    # deliberately a DIFFERENT formulation from the engine's two-agg
+    # plan — agreement checks the rewrite, not the transcription.
+    sql["late_sole_supplier"] = f"""
+with l as (
+  select distinct l_orderkey as ok, l_suppkey as sk,
+         bool_or(l_shipdate > o_orderdate
+                 + interval {relational.LATE_DAYS} day)
+           over (partition by l_orderkey, l_suppkey) as late
+  from lineitem join orders on l_orderkey = o_orderkey
+)
+select s_name, count(*) as numwait
+from l l1 join supplier on l1.sk = s_suppkey
+where l1.late
+  and exists (select 1 from l l2 where l2.ok = l1.ok and l2.sk <> l1.sk)
+  and not exists (select 1 from l l3
+                  where l3.ok = l1.ok and l3.sk <> l1.sk and l3.late)
+group by s_name order by numwait desc, s_name
 """
     # Homoglyph truth: same spoof synthesis + confusable translate.
     sql["homoglyph_dedup"] = f"""

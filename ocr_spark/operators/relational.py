@@ -4592,3 +4592,178 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("source", "bin_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 / Q21 shapes: market share and sole-late-supplier
+# ---------------------------------------------------------------------------
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: of all PROMO-part revenue
+    sold to EUROPE-region customers per order year, what ppm came from
+    NATION_3 suppliers?
+
+    Join strategy (the Q8 lesson at 100 TB is that EVERY dimension is
+    broadcast-able after its filter, so the fact table is touched by
+    exactly ONE shuffle pair):
+      * part filtered to one p_type THEN broadcast — the filter cuts it
+        ~6x before it ships, and it prunes lineitem rows at the map
+        side before the orders shuffle;
+      * supplier x nation collapse into one broadcast dim carrying the
+        supplier's nation name (no join for it later);
+      * nation x region (EUROPE) collapse into a broadcast gate on the
+        CUSTOMER side; customer itself joins o_custkey as a shuffle
+        join that AQE may demote to broadcast at small sf;
+      * lineitem x orders is the only big-x-big join, co-keyed on
+        orderkey.
+    Share arithmetic is exact: revenue in integer hundredths-of-a-cent
+    (the regional_revenue convention), numerator x 1e6 in decimal(38,0)
+    (a bigint would overflow past ~9e18 at corpus sums), trunc-div by
+    the denominator — both sides non-negative so trunc == floor and the
+    engines agree bit-for-bit."""
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sup = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rg = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    cust_gate = na.join(
+        F.broadcast(rg), na.n_regionkey == rg.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(
+            F.broadcast(cust_gate), F.col("c_nationkey") == F.col("cn_key")
+        )
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("2001-01-01"))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.year("o_orderdate").alias("o_year"),
+        )
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_c2"),
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    )
+    d38 = "decimal(38,0)"
+    agg = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("rev_c2"))
+            .otherwise(F.lit(0))
+            .cast(d38)
+        ).alias("nat_rev"),
+        F.sum(F.col("rev_c2").cast(d38)).alias("tot_rev"),
+    )
+    return (
+        agg.select(
+            "o_year",
+            F.expr(
+                "case when tot_rev = 0 then null else"
+                " cast((nat_rev * 1000000) div tot_rev as bigint) end"
+            ).alias("share_ppm"),
+            F.col("tot_rev").cast("bigint").alias("total_rev_c2"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_year")
+    )
+
+
+LATE_DAYS = 90
+
+
+def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the SOLE late shipper on a
+    multi-supplier order ("late" = any of their lines shipped more than
+    ``LATE_DAYS`` days after the order date; the synthetic lineitem has
+    no commit/receipt dates, so shipdate-vs-orderdate lateness stands in
+    for the reference's receipt-vs-commit).
+
+    Q21's textbook form is an EXISTS self-join plus a NOT-EXISTS
+    self-join — at 100 TB that is three passes over lineitem meeting in
+    two orderkey shuffles of the full fact.  This plan replaces both
+    quantified self-joins with two keyed aggregations:
+      * pass 1 collapses lineitem x orders (co-keyed, one shuffle pair)
+        to DISTINCT (orderkey, suppkey, was_late) rows — the largest
+        intermediate shrinks from lines to supplier-order pairs;
+      * pass 2 groups by orderkey: n_sup suppliers, n_late of them
+        late, and (when exactly one) THE late supplier via a
+        conditional max — the EXISTS ("another supplier exists") and
+        NOT-EXISTS ("no OTHER late supplier") both become predicates on
+        two counters, no self-join at all;
+      * the surviving one-row-per-order set groups by supplier (tiny),
+        then a broadcast name join.
+    Output: per qualifying supplier, how many orders they alone held
+    up — TakeOrdered-style by numwait desc, name asc."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    sup_ord = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"interval {LATE_DAYS} days")
+            )
+            .cast("int")
+            .alias("late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+    )
+    per_order = sup_ord.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_sup"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    waits = (
+        per_order.filter((F.col("n_sup") > 1) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        waits.join(F.broadcast(sup), waits.late_supp == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .repartition(1)
+        .sortWithinPartitions(F.desc("numwait"), F.asc("s_name"))
+    )

@@ -1834,3 +1834,53 @@ def rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("new_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-sign projection (Achlioptas JCSS'03)
+# ---------------------------------------------------------------------------
+
+JL_OUT_DIM = 16
+# LCG-style 2-universal hash for the sign matrix: sign(i, j) is the
+# parity of (A*(i*JL_OUT_DIM + j) + B) mod P.  Deterministic and
+# engine-neutral — plain integer arithmetic both sides, no RNG state.
+JL_HASH_A = 1103515245
+JL_HASH_B = 12345
+JL_HASH_P = 2147483647
+
+
+def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction for the ANN path: project every
+    embedding from its native dimension down to ``JL_OUT_DIM`` with a
+    dense RANDOM-SIGN matrix (Achlioptas JCSS'03: entries ±1 suffice
+    for the Johnson-Lindenstrauss guarantee — no Gaussians needed), the
+    standard pre-reduction before sketching/bucketing when the input
+    dimension is large.
+
+    Exactness: inputs are the proven integer-micro encode
+    (``MICRO_ENCODE_EXPR``), the sign matrix is a deterministic parity
+    hash (not an RNG — both engines recompute the identical matrix from
+    (i, j) alone), and the projection is a pure integer dot fold, so
+    outputs are bit-exact bigints; max |proj_j| <= dim * 1e6 * |x|_max,
+    nowhere near bigint range at any realistic dimension.
+
+    Scale shape: one narrow map — no join, no UDF, whole-stage codegen
+    end to end; the sign matrix never materializes (it is an expression
+    over (i, j), which is what makes the op free at 100 TB — a literal
+    64 x 16 matrix broadcast would also work but caps the input
+    dimension).  The only exchange is the board's deterministic-output
+    repartition(1) tail, which a production caller drops."""
+    m = MICRO_ENCODE_EXPR
+    proj = (
+        f"transform(sequence(0, {JL_OUT_DIM - 1}), j -> "
+        f"aggregate(zip_with({m}, sequence(0, size(embedding) - 1), "
+        f"(x, i) -> x * (1 - 2 * ((({JL_HASH_A}L * (i * {JL_OUT_DIM} + j)"
+        f" + {JL_HASH_B}L) % {JL_HASH_P}L) % 2))), "
+        f"0L, (acc, v) -> acc + v))"
+    )
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("vec_id"), F.expr(proj).alias("proj"))
+        .repartition(1)
+        .sortWithinPartitions("vec_id")
+    )

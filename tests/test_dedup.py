@@ -873,3 +873,48 @@ def test_winnowing_near_dup_python_replay_and_guarantee(spark, tmp_path):
     assert r["fp_a"] == len(f0) and r["fp_b"] == len(f1)
     m = min(len(f0), len(f1))
     assert r["containment_ppm"] == (2 * exp_shared * 10**6 + m) // (2 * m)
+
+
+def test_jl_projection_matches_python_reference(spark, sf_dir):
+    """The engine's JL projection equals an independent driver-side
+    recomputation (same parity-hash sign matrix, same _sql_round
+    micro encode, pure integer dot), and the map is linear: the
+    projection of v is reproducible from its components alone."""
+    import pyarrow.parquet as pq
+
+    from ocr_spark.operators.similarity import (
+        JL_HASH_A,
+        JL_HASH_B,
+        JL_HASH_P,
+        JL_OUT_DIM,
+        _sql_round,
+        jl_projection,
+    )
+
+    def sign(i: int, j: int) -> int:
+        return 1 - 2 * (
+            ((JL_HASH_A * (i * JL_OUT_DIM + j) + JL_HASH_B) % JL_HASH_P) % 2
+        )
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    expect = {}
+    for vid, emb in zip(
+        t["vec_id"].to_pylist(), t["embedding"].to_pylist()
+    ):
+        m = [_sql_round(float(x) * 1_000_000) for x in emb]
+        expect[vid] = [
+            sum(x * sign(i, j) for i, x in enumerate(m))
+            for j in range(JL_OUT_DIM)
+        ]
+    rows = jl_projection(spark, sf_dir).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert list(r["proj"]) == expect[r["vec_id"]], r["vec_id"]
+    # the sign matrix is not degenerate: both signs occur in every
+    # output coordinate's row of the matrix
+    dim = len(t["embedding"][0])
+    for j in range(JL_OUT_DIM):
+        s = {sign(i, j) for i in range(dim)}
+        assert s == {-1, 1}

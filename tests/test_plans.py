@@ -1399,3 +1399,48 @@ def test_winnowing_fingerprints_one_mapside_pass():
     assert src.count("md5(") == 1
     win_lambda = src[src.index("array_min") :]
     assert "md5" not in win_lambda.split('"""')[0]
+
+
+def test_market_share_plan_broadcasts_every_dim(spark):
+    """Q8 shape: part, supplier-nation, and the customer region gate
+    all ride broadcast hash joins; lineitem x orders is the only
+    shuffle join; no CartesianProduct, and the part filter is pushed
+    to the parquet scan."""
+    from ocr_spark.operators.relational import market_share
+
+    df = market_share(spark, SF)
+    simple = plan_of(df, "simple")
+    assert "CartesianProduct" not in simple
+    assert simple.count("BroadcastHashJoin") >= 3
+    fmt = plan_of(df, "formatted")
+    assert "EqualTo(p_type,PROMO)" in fmt, "part filter not pushed to scan"
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in fmt, (
+        "order-date filter not pushed to scan"
+    )
+
+
+def test_late_sole_supplier_plan_has_no_self_join(spark):
+    """The Q21 rewrite must not plan the textbook double self-join:
+    lineitem is scanned ONCE, there is no CartesianProduct, and the
+    quantified predicates ride two keyed aggregations (per
+    supplier-order, then per order)."""
+    from ocr_spark.operators.relational import late_sole_supplier
+
+    df = late_sole_supplier(spark, SF)
+    simple = plan_of(df, "simple")
+    assert "CartesianProduct" not in simple
+    assert simple.count("lineitem.parquet") == 1
+    # two keyed aggregation levels replace EXISTS / NOT EXISTS
+    assert simple.count("HashAggregate") >= 4  # 2 aggs x partial+final
+
+
+def test_jl_projection_plan_is_one_narrow_map(spark):
+    """JL projection is a pure map: no join, no aggregate, and the only
+    exchange is the deterministic-output repartition(1) tail."""
+    from ocr_spark.operators.similarity import jl_projection
+
+    df = jl_projection(spark, SF)
+    simple = plan_of(df, "simple")
+    assert "Join" not in simple
+    assert "HashAggregate" not in simple
+    assert simple.count("Exchange") == 1

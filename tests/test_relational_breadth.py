@@ -2283,3 +2283,104 @@ def test_compaction_plan_boundary_and_bounds(spark, tmp_path):
     # every bin is bounded by target + max member size
     for (src, b), (nf, nbytes, _f, _l) in got.items():
         assert nbytes < 4096 + 9000
+
+
+def test_market_share_hand_computed(spark, tmp_path):
+    """One PROMO lineitem from NATION_3 (rev 10000 cents x 100 =
+    1e6 c2) and one from NATION_0 (2e6 c2) in 1996 -> share 333333 ppm;
+    a non-PROMO line, a non-EUROPE customer, and a 1995 order are all
+    excluded."""
+    from ocr_spark.operators.relational import market_share
+
+    d = str(tmp_path)
+    _write(spark, d, "region",
+           [(0, "EUROPE"), (1, "ASIA")], "r_regionkey int, r_name string")
+    _write(spark, d, "nation",
+           [(3, "NATION_3", 0), (0, "NATION_0", 0), (7, "NATION_7", 1)],
+           "n_nationkey int, n_name string, n_regionkey int")
+    _write(spark, d, "supplier",
+           [(1, "S1", 3, 0.0), (2, "S2", 0, 0.0)],
+           "s_suppkey long, s_name string, s_nationkey int,"
+           " s_acctbal double")
+    _write(spark, d, "part",
+           [(10, "p", "B", "PROMO", 1, 1.0), (11, "p", "B", "SMALL", 1, 1.0)],
+           "p_partkey long, p_name string, p_brand string, p_type string,"
+           " p_size int, p_retailprice double")
+    _write(spark, d, "customer",
+           [(100, "c", 3, 0.0, "A"), (101, "c", 7, 0.0, "A")],
+           "c_custkey long, c_name string, c_nationkey int,"
+           " c_acctbal double, c_mktsegment string")
+    _write(spark, d, "orders",
+           [
+               (1000, 100, "O", 0.0, dt.datetime(1996, 6, 1), "1"),
+               (1001, 101, "O", 0.0, dt.datetime(1996, 6, 1), "1"),
+               (1002, 100, "O", 0.0, dt.datetime(1995, 6, 1), "1"),
+           ],
+           "o_orderkey long, o_custkey long, o_orderstatus string,"
+           " o_totalprice double, o_orderdate timestamp,"
+           " o_orderpriority string")
+    base = dt.datetime(1996, 7, 1)
+    _write(spark, d, "lineitem",
+           [
+               # kept: PROMO, EUROPE cust, 1996; NATION_3 supplier
+               (1000, 10, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", base),
+               # kept: same but NATION_0 supplier, rev 20000 c2
+               (1000, 10, 2, 2, 1.0, 200.0, 0.0, 0.0, "N", "O", base),
+               # dropped: non-PROMO part
+               (1000, 11, 1, 3, 1.0, 999.0, 0.0, 0.0, "N", "O", base),
+               # dropped: non-EUROPE customer
+               (1001, 10, 1, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", base),
+               # dropped: 1995 order
+               (1002, 10, 1, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", base),
+           ],
+           "l_orderkey long, l_partkey long, l_suppkey long,"
+           " l_linenumber int, l_quantity double, l_extendedprice double,"
+           " l_discount double, l_tax double, l_returnflag string,"
+           " l_linestatus string, l_shipdate timestamp")
+    out = market_share(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["o_year"] == 1996
+    # rev_c2 = cents * (100 - disc_cents): 10000*100 + 20000*100
+    assert r["total_rev_c2"] == 3_000_000
+    assert r["share_ppm"] == (1_000_000 * 1_000_000) // 3_000_000  # 333333
+
+
+def test_late_sole_supplier_hand_computed(spark, tmp_path):
+    """Order A: suppliers 1 (late) and 2 (on time) -> supplier 1 waits.
+    Order B: both late -> nobody. Order C: single-supplier late ->
+    nobody (no co-supplier held up). A supplier late on one line but on
+    time on another of the SAME order is still late (max over lines).
+    Boundary: exactly +LATE_DAYS is NOT late (strict >)."""
+    from ocr_spark.operators.relational import LATE_DAYS, late_sole_supplier
+
+    d = str(tmp_path)
+    od = dt.datetime(2024, 1, 1)
+    on_time = od + dt.timedelta(days=LATE_DAYS)  # boundary: not late
+    late = od + dt.timedelta(days=LATE_DAYS + 1)
+    _write(spark, d, "orders",
+           [(1, 0, "O", 0.0, od, "1"), (2, 0, "O", 0.0, od, "1"),
+            (3, 0, "O", 0.0, od, "1")],
+           "o_orderkey long, o_custkey long, o_orderstatus string,"
+           " o_totalprice double, o_orderdate timestamp,"
+           " o_orderpriority string")
+    _write(spark, d, "supplier",
+           [(1, "SUP_1", 0, 0.0), (2, "SUP_2", 0, 0.0), (3, "SUP_3", 0, 0.0)],
+           "s_suppkey long, s_name string, s_nationkey int,"
+           " s_acctbal double")
+    li = []
+    # order 1: supplier 1 late on one line, on time on another; 2 on time
+    li += [(1, 0, 1, 1, late), (1, 0, 1, 2, on_time), (1, 0, 2, 3, on_time)]
+    # order 2: both suppliers late -> excluded (n_late == 2)
+    li += [(2, 0, 1, 1, late), (2, 0, 3, 2, late)]
+    # order 3: sole supplier late -> excluded (n_sup == 1)
+    li += [(3, 0, 3, 1, late)]
+    _write(spark, d, "lineitem",
+           [(ok, pk, sk, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", sd)
+            for ok, pk, sk, ln, sd in li],
+           "l_orderkey long, l_partkey long, l_suppkey long,"
+           " l_linenumber int, l_quantity double, l_extendedprice double,"
+           " l_discount double, l_tax double, l_returnflag string,"
+           " l_linestatus string, l_shipdate timestamp")
+    out = late_sole_supplier(spark, d).collect()
+    assert [(r["s_name"], r["numwait"]) for r in out] == [("SUP_1", 1)]
