@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier_docs": text_analysis.pareto_frontier_docs,
         "paragraph_dedup_rebuild": text_analysis.paragraph_dedup_rebuild,
         "bfs_hop_distance": web_extract.bfs_hop_distance,
+        "hyperball_neighborhood": web_extract.hyperball_neighborhood,
         "kmv_weekly_rollup": relational.kmv_weekly_rollup,
         "theta_sketch_overlap": relational.theta_sketch_overlap,
         "pps_systematic_sample": relational.pps_systematic_sample,
@@ -5360,6 +5361,69 @@ reach(v, hop) as (
 )
 select v as doc_id, cast(min(hop) as bigint) as hop
 from reach group by v order by v
+"""
+    # HyperBall truth: identical md5-32 registers, the same one-round
+    # register-max recurrence unrolled as chained CTEs (HB_HOPS is a
+    # compile-time constant), identical integer estimate arithmetic,
+    # and the exact ball-pair CTE chain alongside.
+    _hb_lo = 1 << (32 - web_extract.HB_P)
+    _hb_hops = "".join(
+        f""",
+r{t} as (
+  select v, bucket, max(rank) as rank from (
+    select * from r{t - 1}
+    union all
+    select e.src as v, r.bucket, r.rank
+    from edges e join r{t - 1} r on r.v = e.dst
+  ) group by v, bucket
+),
+b{t} as (
+  select distinct v, u from (
+    select * from b{t - 1}
+    union all
+    select e.src as v, b.u from edges e join b{t - 1} b on b.v = e.dst
+  )
+)"""
+        for t in range(1, web_extract.HB_HOPS + 1)
+    )
+    _hb_ests = "\nunion all\n".join(
+        f"""select {t} as hop,
+       cast(sum((2 * {web_extract.HB_ALPHA_PPM}::hugeint
+                 * {web_extract.HB_M * web_extract.HB_M}
+                 * (1::bigint << {web_extract.HB_Q}) + s_inv * 1000000)
+                // (2 * s_inv::hugeint * 1000000)) as bigint) as est_pairs,
+       (select count(*) from b{t}) as exact_pairs
+from (select v, count(*) as rs,
+             sum((1::bigint << ({web_extract.HB_Q} - rank)))
+             + ({web_extract.HB_M} - count(*))
+               * (1::bigint << {web_extract.HB_Q}) as s_inv
+      from r{t} group by v)"""
+        for t in range(web_extract.HB_HOPS + 1)
+    )
+    sql["hyperball_neighborhood"] = f"""
+with n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as (select distinct src, dst from e0 where src != dst),
+h as (select doc_id as v,
+             ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint as hv
+      from documents),
+r0 as (select v, hv // {_hb_lo} as bucket,
+              case when hv % {_hb_lo} = 0 then {web_extract.HB_Q}
+                   else {web_extract.HB_Q} - length(bin(hv % {_hb_lo}))
+              end as rank
+       from h),
+b0 as (select doc_id as v, doc_id as u from documents){_hb_hops}
+select hop, est_pairs, exact_pairs,
+       cast((2 * abs(est_pairs - exact_pairs)::hugeint * 1000000
+             + exact_pairs) // (2 * exact_pairs) as bigint) as err_ppm
+from ({_hb_ests})
+order by hop
 """
     # Rollup truth: the same daily-partial -> weekly-merge arithmetic;
     # the merged ESTIMATE is deterministic given the hash, so it is

@@ -1455,3 +1455,113 @@ def wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperBall neighborhood function (Boldi & Vigna, WWW'11 / HyperANF)
+# ---------------------------------------------------------------------------
+
+HB_P = 4  # register-index bits => m = 16 registers per node
+HB_M = 1 << HB_P
+HB_Q = 32 - HB_P + 1  # max register rank
+HB_ALPHA_PPM = 673_000  # published alpha_16 bias constant, exact in ppm
+HB_HOPS = 3
+
+
+def hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The neighborhood function N(t) of the document link graph — how
+    many (v, u) pairs are within t out-hops — via HyperBall (Boldi &
+    Vigna WWW'11): every node carries an HLL sketch of its out-ball,
+    and one round of "my ball = me union my successors' balls at t-1"
+    is ONE edge join + an elementwise register max.  N(t) is what
+    effective-diameter / spid crawl diagnostics are computed from, and
+    HyperBall is THE way to get it at 10^12 edges — exact balls are
+    O(n^2) state, per-node sketches are O(n * m).
+
+    Register algebra is the proven ``hll_distinct_users`` kernel
+    (portable md5-32 hash, rank by integer bit length, integer
+    2^(Q-m) estimate sum, half-away ppm division, published alpha_16)
+    — deterministic, so the oracle rebuilds identical registers; the
+    raw-estimate small-range bias is identical in both engines and the
+    fixture-scale EXACT ball size rides along per hop (the
+    dedup_sketch_eval meta-eval pattern) with its err_ppm.
+
+    Scale shape: per hop one equi-join of the register table (n * m
+    rows, co-partitionable on v) with edges on dst plus one map-side-
+    combining max groupBy — the Pregel budget, same as PageRank; state
+    is localCheckpoint'ed eagerly so lineage stays one round deep.  The
+    exact-ball companion joins are the fixture-scale truth ONLY (their
+    state is the pair set itself — the thing HyperBall exists to
+    avoid) and would be dropped at 100 TB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    edges = _link_edges(docs, n).localCheckpoint(eager=True)
+    h = "cast(conv(substring(md5(cast(v as string)), 1, 8), 16, 10) as bigint)"
+    lo = 1 << (32 - HB_P)
+    regs = docs.select(F.col("doc_id").alias("v")).select(
+        "v",
+        F.expr(f"{h} div {lo}").alias("bucket"),
+        F.expr(
+            f"case when {h} % {lo} = 0 then {HB_Q}"
+            f" else {HB_Q} - length(bin({h} % {lo})) end"
+        ).alias("rank"),
+    )
+    balls = docs.select(
+        F.col("doc_id").alias("v"), F.col("doc_id").alias("u")
+    )
+    out = []
+    for t in range(HB_HOPS + 1):
+        if t > 0:
+            gained = (
+                edges.join(regs, regs["v"] == edges["dst"])
+                .select(edges["src"].alias("v"), "bucket", "rank")
+            )
+            regs = (
+                regs.unionByName(gained)
+                .groupBy("v", "bucket")
+                .agg(F.max("rank").alias("rank"))
+                .localCheckpoint(eager=True)
+            )
+            grown = (
+                edges.join(balls, balls["v"] == edges["dst"])
+                .select(edges["src"].alias("v"), "u")
+            )
+            balls = (
+                balls.unionByName(grown).distinct()
+                .localCheckpoint(eager=True)
+            )
+        per_node = regs.groupBy("v").agg(
+            F.count("*").alias("rs"),
+            F.expr(
+                f"sum(shiftleft(cast(1 as bigint), {HB_Q} - rank))"
+                f" + ({HB_M} - count(*))"
+                f" * shiftleft(cast(1 as bigint), {HB_Q})"
+            ).alias("s_inv"),
+        )
+        est = per_node.agg(
+            F.expr(
+                f"sum((2 * cast({HB_ALPHA_PPM} as bigint) * {HB_M * HB_M}"
+                f" * shiftleft(cast(1 as bigint), {HB_Q}) + s_inv * 1000000)"
+                f" div (2 * s_inv * 1000000))"
+            ).alias("est_pairs")
+        ).select(F.lit(t).alias("hop"), "est_pairs")
+        exact = balls.agg(F.count("*").alias("exact_pairs")).select(
+            F.lit(t).alias("hop"), "exact_pairs"
+        )
+        out.append(est.join(exact, "hop"))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return (
+        res.select(
+            "hop",
+            F.col("est_pairs").cast("bigint").alias("est_pairs"),
+            F.col("exact_pairs").cast("bigint").alias("exact_pairs"),
+            F.expr(
+                "cast((2 * abs(est_pairs - exact_pairs) * cast(1000000 as"
+                " bigint) + exact_pairs) div (2 * exact_pairs) as bigint)"
+            ).alias("err_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("hop")
+    )

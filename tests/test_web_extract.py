@@ -682,3 +682,86 @@ def test_wl_refinement_python_replay_and_symmetry(spark, tmp_path):
     for v in range(n):
         assert got[v] == (int(lbl[v]), sizes[lbl[v]]), v
     assert sum(s for _, s in set(got.values())) >= n  # classes cover n
+
+
+def test_hyperball_exact_and_registers_on_crafted_graph(spark, tmp_path):
+    """On an n=6 crafted graph, the exact ball-pair counts per hop must
+    equal an independent Python BFS, and the HLL estimate column must
+    equal an independent Python recomputation of the register algebra
+    (md5-32 hash, max-merge recurrence, integer half-away estimate) —
+    including hop 0, where every node's sketch holds exactly itself."""
+    import hashlib
+
+    from ocr_spark.operators.web_extract import (
+        HB_ALPHA_PPM,
+        HB_HOPS,
+        HB_M,
+        HB_P,
+        HB_Q,
+        hyperball_neighborhood,
+    )
+
+    d = str(tmp_path)
+    n = 6
+    spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    succ = {i: set() for i in range(n)}
+    for i in range(n):
+        for a, b in ((7, 1), (13, 2), (31, 3)):
+            t = (i * a + b) % n
+            if t != i:
+                succ[i].add(t)
+
+    # exact balls by BFS
+    balls = {i: {i} for i in range(n)}
+    exact = [sum(len(b) for b in balls.values())]
+    for _ in range(HB_HOPS):
+        balls = {
+            v: balls[v] | set().union(*(balls[w] for w in succ[v]))
+            if succ[v] else set(balls[v])
+            for v in balls
+        }
+        exact.append(sum(len(b) for b in balls.values()))
+
+    # register reference: same hash, same recurrence, same estimate
+    lo = 1 << (32 - HB_P)
+    def reg_of(v: int) -> tuple[int, int]:
+        hv = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        rem = hv % lo
+        rank = HB_Q if rem == 0 else HB_Q - (rem.bit_length())
+        return hv // lo, rank
+
+    regs = {v: {reg_of(v)[0]: reg_of(v)[1]} for v in range(n)}
+
+    def est_sum(r) -> int:
+        tot = 0
+        for v in r:
+            s_inv = sum(1 << (HB_Q - m) for m in r[v].values())
+            s_inv += (HB_M - len(r[v])) * (1 << HB_Q)
+            tot += (
+                2 * HB_ALPHA_PPM * HB_M * HB_M * (1 << HB_Q)
+                + s_inv * 1_000_000
+            ) // (2 * s_inv * 1_000_000)
+        return tot
+
+    ests = [est_sum(regs)]
+    for _ in range(HB_HOPS):
+        nxt = {}
+        for v in range(n):
+            merged = dict(regs[v])
+            for w in succ[v]:
+                for b, m in regs[w].items():
+                    merged[b] = max(merged.get(b, 0), m)
+            nxt[v] = merged
+        regs = nxt
+        ests.append(est_sum(regs))
+
+    rows = hyperball_neighborhood(spark, d).collect()
+    assert [r["hop"] for r in rows] == list(range(HB_HOPS + 1))
+    assert [r["exact_pairs"] for r in rows] == exact
+    assert [r["est_pairs"] for r in rows] == ests
+    # N(t) is nondecreasing in t
+    assert exact == sorted(exact)
