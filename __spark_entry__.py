@@ -413,6 +413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": relational.compaction_plan,
         "market_share": relational.market_share,
         "late_sole_supplier": relational.late_sole_supplier,
+        "multi_touch_attribution": relational.multi_touch_attribution,
+        "single_source_parts": relational.single_source_parts,
+        "policy_lexicon_score": text_analysis.policy_lexicon_score,
         "homoglyph_dedup": dedup.homoglyph_dedup,
         "kcore_peel": web_extract.kcore_peel,
         "ktruss_edges": web_extract.ktruss_edges,
@@ -6523,6 +6526,115 @@ select o_year,
               // sum(rev_c2)::HUGEINT as bigint) end as share_ppm,
        cast(sum(rev_c2) as bigint) as total_rev_c2
 from j group by o_year order by o_year
+"""
+    # Attribution truth: identical lookback join, identical ppm split
+    # (remainder to the last touch), NOT-EXISTS for the (none) row.
+    _lb = relational.ATTR_LOOKBACK_DAYS
+    sql["multi_touch_attribution"] = f"""
+with conv as (
+  select event_id as conv_id, user_id as cu, ts as conv_ts,
+         cast(round(value * 100) as bigint) as cents
+  from events where event_type = 'purchase'
+), touch as (
+  select user_id as tu, event_type as channel, ts as touch_ts,
+         event_id as touch_id
+  from events where event_type in ('click', 'view')
+), j as (
+  select conv_id, cents, channel, touch_ts, touch_id
+  from conv join touch on cu = tu
+   and touch_ts < conv_ts
+   and touch_ts >= conv_ts - interval {_lb} day
+), per as (
+  select conv_id, cents, channel,
+         count(*) over (partition by conv_id) as n,
+         row_number() over (partition by conv_id
+                            order by touch_ts, touch_id) as rn
+  from j
+), credited as (
+  select channel, cents, rn, n,
+         1000000 // n
+         + case when rn = n then 1000000 % n else 0 end as credit_ppm
+  from per
+), att as (
+  select channel,
+         cast(sum(case when rn = 1 then 1 else 0 end) as bigint)
+           as first_touch_convs,
+         cast(sum(case when rn = n then 1 else 0 end) as bigint)
+           as last_touch_convs,
+         cast(sum(credit_ppm) as bigint) as linear_credit_ppm,
+         cast(sum(credit_ppm * cents) as bigint) as value_c_ppm
+  from credited group by channel
+), orph as (
+  select '(none)' as channel,
+         count(*)::bigint as first_touch_convs,
+         count(*)::bigint as last_touch_convs,
+         (count(*) * 1000000)::bigint as linear_credit_ppm,
+         (coalesce(sum(cents), 0) * 1000000)::bigint as value_c_ppm
+  from conv c where not exists (
+    select 1 from touch t where t.tu = c.cu
+      and t.touch_ts < c.conv_ts
+      and t.touch_ts >= c.conv_ts - interval {_lb} day)
+)
+select * from att union all select * from orph order by channel
+"""
+    # Q20-shape truth: same two-level aggregate, same 2x-fair-share cut.
+    sql["single_source_parts"] = """
+with pair as (
+  select l_partkey, l_suppkey,
+         sum(cast(round(l_quantity * 100) as bigint)) as supp_qty_c
+  from lineitem group by 1, 2
+), tot as (
+  select l_partkey, sum(supp_qty_c) as part_qty_c,
+         count(*) as n_suppliers
+  from pair group by 1
+)
+select p_partkey, p_brand, s_name,
+       cast(supp_qty_c as bigint) as supp_qty_c,
+       cast(part_qty_c as bigint) as part_qty_c,
+       cast(n_suppliers as bigint) as n_suppliers,
+       cast((supp_qty_c * 1000) // part_qty_c as bigint) as share_milli
+from pair join tot using (l_partkey)
+join part on l_partkey = p_partkey
+join supplier on l_suppkey = s_suppkey
+where n_suppliers > 1 and supp_qty_c * n_suppliers > part_qty_c * 2
+order by p_partkey, s_name
+"""
+    # Lexicon truth: identical leet synthesis + fold + literal list.
+    _lex = ", ".join(f"'{t}'" for t in text_analysis.POLICY_LEXICON)
+    sql["policy_lexicon_score"] = f"""
+with wire as (
+  select doc_id,
+         case when doc_id % 5 = 1 then 1 else 0 end as obfuscated,
+         case when doc_id % 5 = 1
+              then translate(text, '{text_analysis.LEET_TO}',
+                             '{text_analysis.LEET_FROM}')
+              else text end as wt
+  from documents
+), toks as (
+  select doc_id, obfuscated,
+         list_filter(string_split(translate(wt,
+             '{text_analysis.LEET_FROM}', '{text_analysis.LEET_TO}'), ' '),
+             t -> t != '') as toks
+  from wire
+), h as (
+  select doc_id, obfuscated,
+         list_filter(toks,
+             t -> list_contains([{_lex}], t)) as hits_arr,
+         len(toks) as n_tokens
+  from toks
+)
+select doc_id, obfuscated,
+       cast(len(hits_arr) as bigint) as hits,
+       cast(len(list_distinct(hits_arr)) as bigint) as distinct_terms,
+       cast(case when n_tokens = 0 then 0
+            else len(hits_arr) * 1000 // n_tokens end as bigint)
+         as rate_milli,
+       case when (case when n_tokens = 0 then 0
+                  else len(hits_arr) * 1000 // n_tokens end)
+                 >= {text_analysis.POLICY_RATE_MILLI}
+                 or len(list_distinct(hits_arr)) >= 2
+            then 1 else 0 end as flagged
+from h order by doc_id
 """
     # Q21 truth: the textbook EXISTS / NOT-EXISTS double self-join,
     # deliberately a DIFFERENT formulation from the engine's two-agg

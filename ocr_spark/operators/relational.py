@@ -4767,3 +4767,190 @@ def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions(F.desc("numwait"), F.asc("s_name"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (first / last / linear, exact ppm credit)
+# ---------------------------------------------------------------------------
+
+ATTR_LOOKBACK_DAYS = 7
+
+
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over the event stream: every purchase
+    distributes credit across the user's click/view touchpoints in the
+    ``ATTR_LOOKBACK_DAYS``-day lookback, under the three standard
+    models side by side — first-touch, last-touch, and linear — plus a
+    ``(none)`` row for conversions with no preceding touch (which
+    inner-join formulations silently drop).
+
+    Exact credit: linear credit is integer ppm — each touch gets
+    1e6 div n and the LAST touch absorbs the remainder, so every
+    conversion's credit sums to exactly 1,000,000 and channel totals
+    are order-independent integers; attributed value rides the same
+    ppm against integer cents.
+
+    Scale shape: ONE user-keyed equi-join (conversions x touches both
+    shuffle on user_id — co-partitionable with every other per-user op
+    in the repo) with the time-range predicate riding the join; the
+    rank/count windows partition by conversion id, whose group size is
+    a user's touches in one week — bounded, never corpus-cardinality.
+    The (none) row is a left anti-join on the same keys."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("conv_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+    )
+    j = conv.join(
+        touch,
+        (F.col("cu") == F.col("tu"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts")
+            - F.expr(f"interval {ATTR_LOOKBACK_DAYS} days")
+        ),
+    )
+    win = Window.partitionBy("conv_id")
+    ordered = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    per_touch = (
+        j.withColumn("n", F.count("*").over(win))
+        .withColumn("rn", F.row_number().over(ordered))
+        .withColumn(
+            "credit_ppm",
+            F.expr(
+                "1000000 div n"
+                " + case when rn = n then 1000000 % n else 0 end"
+            ),
+        )
+    )
+    attributed = per_touch.groupBy("channel").agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias(
+            "first_touch_convs"
+        ),
+        F.sum(F.when(F.col("rn") == F.col("n"), 1).otherwise(0)).alias(
+            "last_touch_convs"
+        ),
+        F.sum("credit_ppm").alias("linear_credit_ppm"),
+        F.sum(F.col("credit_ppm") * F.col("cents")).alias("value_c_ppm"),
+    )
+    orphan = (
+        conv.join(
+            touch,
+            (F.col("cu") == F.col("tu"))
+            & (F.col("touch_ts") < F.col("conv_ts"))
+            & (
+                F.col("touch_ts")
+                >= F.col("conv_ts")
+                - F.expr(f"interval {ATTR_LOOKBACK_DAYS} days")
+            ),
+            "left_anti",
+        )
+        .agg(
+            F.count("*").alias("first_touch_convs"),
+            F.count("*").alias("last_touch_convs"),
+            (F.count("*") * F.lit(1000000)).alias("linear_credit_ppm"),
+            (
+                F.coalesce(F.sum("cents"), F.lit(0)) * F.lit(1000000)
+            ).alias("value_c_ppm"),
+        )
+        .select(F.lit("(none)").alias("channel"), "*")
+    )
+    return (
+        attributed.unionByName(orphan)
+        .select(
+            "channel",
+            F.col("first_touch_convs").cast("bigint").alias(
+                "first_touch_convs"
+            ),
+            F.col("last_touch_convs").cast("bigint").alias(
+                "last_touch_convs"
+            ),
+            F.col("linear_credit_ppm").cast("bigint").alias(
+                "linear_credit_ppm"
+            ),
+            F.col("value_c_ppm").cast("bigint").alias("value_c_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-source supply risk (TPC-H Q20's agg-vs-agg join shape)
+# ---------------------------------------------------------------------------
+
+
+def single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration: suppliers carrying more than TWICE
+    the fair (average) share of a multi-supplier part's shipped volume
+    — the TPC-H Q20 shape (a correlated "compare my quantity against
+    my group's aggregate" predicate) decorrelated into an
+    aggregate-vs-aggregate equi-join.  The fair-share form is
+    scale-free: an absolute cut (say >50%) empties as the supplier
+    count per part grows with corpus size.
+
+    Scale shape: lineitem aggregates ONCE by (partkey, suppkey)
+    (map-side partials); the per-part total and supplier count come
+    from a window over the pair table PARTITIONED BY partkey — a
+    bounded group (suppliers of one part), never corpus-cardinality —
+    so the whole comparison is one scan + one agg + one keyed window,
+    with names via broadcast dims.  Quantities are integer centi-units
+    so the 2x-fair-share comparison is exact.
+
+    The correlated-subquery form Spark plans from the naive SQL scans
+    lineitem twice (each reference to the pair aggregate re-derives
+    it); the window form is the hand-decorrelated SINGLE-scan plan
+    (plan-pinned)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+    )
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty_c").alias("supp_qty_c")
+    )
+    per_part = Window.partitionBy("l_partkey")
+    risky = (
+        pair.withColumn("part_qty_c", F.sum("supp_qty_c").over(per_part))
+        .withColumn("n_suppliers", F.count("*").over(per_part))
+        .filter(
+            (F.col("n_suppliers") > 1)
+            & (
+                F.col("supp_qty_c") * F.col("n_suppliers")
+                > F.col("part_qty_c") * 2
+            )
+        )
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        risky.join(F.broadcast(part), risky.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), risky.l_suppkey == sup.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "supp_qty_c",
+            "part_qty_c",
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.expr(
+                "cast((supp_qty_c * cast(1000 as bigint))"
+                " div part_qty_c as bigint)"
+            ).alias("share_milli"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("p_partkey", "s_name")
+    )

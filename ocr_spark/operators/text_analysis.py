@@ -3731,3 +3731,87 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "          * cast(n * syy - sy * sy as double)), 6) end"
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Policy-lexicon scoring with obfuscation normalization (UT1-style stage)
+# ---------------------------------------------------------------------------
+
+POLICY_LEXICON = ("slow", "dup", "big")
+# leet-speak folding: the five standard substitution characters, both
+# engines fold with the same 1:1 translate
+LEET_FROM = "0@315"
+LEET_TO = "oaeis"
+POLICY_RATE_MILLI = 40  # flag at >= 4% lexicon-token rate or >= 2 terms
+
+
+def policy_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocklist stage every web-corpus pipeline runs (UT1 /
+    LDNOOBW-style term lists): per document, lexicon-token hits AFTER
+    obfuscation folding — leet substitutions (0->o, @->a, 3->e, 1->i,
+    5->s) are folded with a 1:1 ``translate`` before matching, so
+    's l 0 w'-style evasion scores the same as the plain term.
+
+    The fixture corpus is clean, so evasion is SYNTHESIZED in-query
+    (the homoglyph_dedup pattern): every doc_id % 5 == 1 document is
+    leet-obfuscated first, and the scorer must see through it — its
+    score must equal the un-obfuscated twin's.
+
+    Flag rule, all integer: rate_milli = hits * 1000 div tokens;
+    flagged when rate >= POLICY_RATE_MILLI or >= 2 distinct terms.
+
+    Scale shape: pure per-row Catalyst string/array expressions — no
+    shuffle but the output-ordering tail, no UDF, no join; the lexicon
+    is a literal array (broadcast-free)."""
+    lex = ", ".join(f"'{t}'" for t in POLICY_LEXICON)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 5 == 1).cast("int").alias("obfuscated"),
+            F.when(
+                F.col("doc_id") % 5 == 1,
+                F.translate("text", LEET_TO, LEET_FROM),
+            )
+            .otherwise(F.col("text"))
+            .alias("wire_text"),
+        )
+        .select(
+            "doc_id",
+            "obfuscated",
+            F.expr(
+                f"filter(split(translate(wire_text, '{LEET_FROM}',"
+                f" '{LEET_TO}'), ' '), t -> t != '')"
+            ).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "obfuscated",
+            F.expr(
+                f"filter(toks, t -> array_contains(array({lex}), t))"
+            ).alias("hits_arr"),
+            F.size("toks").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "obfuscated",
+            F.size("hits_arr").cast("bigint").alias("hits"),
+            F.size(F.array_distinct("hits_arr"))
+            .cast("bigint")
+            .alias("distinct_terms"),
+            F.expr(
+                "case when n_tokens = 0 then cast(0 as bigint)"
+                " else cast(size(hits_arr) * 1000 div n_tokens as bigint)"
+                " end"
+            ).alias("rate_milli"),
+        )
+        .withColumn(
+            "flagged",
+            (
+                (F.col("rate_milli") >= POLICY_RATE_MILLI)
+                | (F.col("distinct_terms") >= 2)
+            ).cast("int"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -1444,3 +1444,32 @@ def test_jl_projection_plan_is_one_narrow_map(spark):
     assert "Join" not in simple
     assert "HashAggregate" not in simple
     assert simple.count("Exchange") == 1
+
+
+def test_single_source_parts_single_fact_scan(spark):
+    """The Q20 decorrelation claim: lineitem is scanned ONCE (the
+    per-part totals re-aggregate the pair table), dims ride broadcast
+    joins, no CartesianProduct."""
+    from ocr_spark.operators.relational import single_source_parts
+
+    df = single_source_parts(spark, SF)
+    simple = plan_of(df, "simple")
+    assert simple.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in simple
+    assert simple.count("BroadcastHashJoin") >= 2
+
+
+def test_multi_touch_attribution_windows_stay_bounded(spark):
+    """Attribution windows partition by conversion id (bounded group:
+    one user's touches in one lookback window) — never an unpartitioned
+    corpus window — and the lookback join is a user-keyed equi-join,
+    not a nested loop."""
+    from ocr_spark.operators.relational import multi_touch_attribution
+
+    df = multi_touch_attribution(spark, SF)
+    simple = plan_of(df, "simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    for line in simple.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "conv_id" in line

@@ -2384,3 +2384,92 @@ def test_late_sole_supplier_hand_computed(spark, tmp_path):
            " l_linestatus string, l_shipdate timestamp")
     out = late_sole_supplier(spark, d).collect()
     assert [(r["s_name"], r["numwait"]) for r in out] == [("SUP_1", 1)]
+
+
+def test_multi_touch_attribution_hand_computed(spark, tmp_path):
+    """Three crafted journeys: (a) click then view then purchase ->
+    50/50 split, first=click, last=view; (b) purchase with no touch in
+    window (only an 8-day-old click) -> the (none) row; (c) three
+    clicks -> 333333+333333+333334, remainder to the LAST touch."""
+    from ocr_spark.operators.relational import multi_touch_attribution
+
+    d = str(tmp_path)
+    t0 = dt.datetime(2024, 1, 10)
+
+    def ev(eid, ts, uid, typ, val):
+        return (eid, ts, uid, typ, val, "{}")
+
+    rows = [
+        # user 1: click, view, purchase 3.00
+        ev(1, t0, 1, "click", 0.0),
+        ev(2, t0 + dt.timedelta(hours=1), 1, "view", 0.0),
+        ev(3, t0 + dt.timedelta(hours=2), 1, "purchase", 3.00),
+        # user 2: stale click (8 days before), purchase 1.00
+        ev(4, t0 - dt.timedelta(days=8), 2, "click", 0.0),
+        ev(5, t0, 2, "purchase", 1.00),
+        # user 3: three clicks, purchase 2.00
+        ev(6, t0, 3, "click", 0.0),
+        ev(7, t0 + dt.timedelta(hours=1), 3, "click", 0.0),
+        ev(8, t0 + dt.timedelta(hours=2), 3, "click", 0.0),
+        ev(9, t0 + dt.timedelta(hours=3), 3, "purchase", 2.00),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["channel"]: r for r in multi_touch_attribution(spark, d).collect()}
+    assert set(out) == {"click", "view", "(none)"}
+    c = out["click"]
+    # conv 3 first touch is the click; conv 9's first AND last are clicks
+    assert c["first_touch_convs"] == 2
+    assert c["last_touch_convs"] == 1
+    assert c["linear_credit_ppm"] == 500_000 + 1_000_000
+    assert c["value_c_ppm"] == 500_000 * 300 + 1_000_000 * 200
+    v = out["view"]
+    assert v["first_touch_convs"] == 0 and v["last_touch_convs"] == 1
+    assert v["linear_credit_ppm"] == 500_000
+    assert v["value_c_ppm"] == 500_000 * 300
+    n = out["(none)"]
+    assert n["first_touch_convs"] == 1 and n["last_touch_convs"] == 1
+    assert n["linear_credit_ppm"] == 1_000_000
+    assert n["value_c_ppm"] == 100 * 1_000_000
+
+
+def test_single_source_parts_hand_computed(spark, tmp_path):
+    """Part 1: supplier A ships 5.00 of 7.00 total across 3 suppliers
+    (500*3 > 700*2 -> dominant, share 714 milli); B and C are not.
+    Part 2 has a single supplier -> excluded outright."""
+    from ocr_spark.operators.relational import single_source_parts
+
+    d = str(tmp_path)
+    sd = dt.datetime(2024, 1, 1)
+    li = [
+        (1, 1, 10, 1, 2.5, 0.0, 0.0, 0.0, "N", "O", sd),
+        (1, 1, 10, 2, 2.5, 0.0, 0.0, 0.0, "N", "O", sd),  # A: 5.00
+        (2, 1, 11, 1, 1.0, 0.0, 0.0, 0.0, "N", "O", sd),  # B: 1.00
+        (3, 1, 12, 1, 1.0, 0.0, 0.0, 0.0, "N", "O", sd),  # C: 1.00
+        (4, 2, 10, 1, 9.0, 0.0, 0.0, 0.0, "N", "O", sd),  # lone supplier
+    ]
+    _write(spark, d, "lineitem",
+           [(ok, pk, sk, ln, q, 0.0, 0.0, 0.0, "N", "O", s)
+            for ok, pk, sk, ln, q, _e, _d, _t, _rf, _ls, s in li],
+           "l_orderkey long, l_partkey long, l_suppkey long,"
+           " l_linenumber int, l_quantity double, l_extendedprice double,"
+           " l_discount double, l_tax double, l_returnflag string,"
+           " l_linestatus string, l_shipdate timestamp")
+    _write(spark, d, "part",
+           [(1, "pn", "B1", "PROMO", 1, 1.0), (2, "pn", "B2", "SMALL", 1, 1.0)],
+           "p_partkey long, p_name string, p_brand string, p_type string,"
+           " p_size int, p_retailprice double")
+    _write(spark, d, "supplier",
+           [(10, "SUP_A", 0, 0.0), (11, "SUP_B", 0, 0.0), (12, "SUP_C", 0, 0.0)],
+           "s_suppkey long, s_name string, s_nationkey int,"
+           " s_acctbal double")
+    out = single_source_parts(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["p_partkey"] == 1 and r["s_name"] == "SUP_A"
+    assert r["supp_qty_c"] == 500 and r["part_qty_c"] == 700
+    assert r["n_suppliers"] == 3
+    assert r["share_milli"] == 500 * 1000 // 700  # 714

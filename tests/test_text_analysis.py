@@ -1544,3 +1544,43 @@ def test_chi2_feature_selection_hand_computed(spark, tmp_path):
     assert out[("en", 2)] == ("heiss", 6_000)
     # rank 3: per-doc unique fillers score 6*(1*3-0)^2/(1*5*3*3) = 1.2
     assert out[("de", 3)][1] == 1_200
+
+
+def test_policy_lexicon_score_sees_through_leet(spark, tmp_path):
+    """An obfuscated doc (doc_id % 5 == 1 gets leet-folded in-query)
+    must score identically to its clean twin; hand-checked hits,
+    distinct-term and rate arithmetic; both flag routes (rate boundary
+    at exactly 40 milli, and the 2-distinct-terms route) exercised."""
+    from ocr_spark.operators.text_analysis import policy_lexicon_score
+
+    filler24 = " ".join(f"w{i}" for i in range(24))
+    filler25 = " ".join(f"w{i}" for i in range(25))
+    rows = [
+        # two distinct terms in 4 tokens: rate 500, flagged (both routes)
+        (0, "slow dup x y", "en", "s", 10),
+        # obfuscated twin of doc 2 (1 % 5 == 1)
+        (1, "slow big", "en", "s", 10),
+        # clean twin of doc 1
+        (2, "slow big", "en", "s", 10),
+        # no hits
+        (3, "fast table", "en", "s", 10),
+        # rate boundary: 1 hit / 25 tokens = 40 milli -> flagged
+        (4, "slow " + filler24, "en", "s", 10),
+        # 1 hit / 26 tokens = 38 milli, one distinct term -> clean
+        (6, "slow " + filler25, "en", "s", 10),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in policy_lexicon_score(spark, d).collect()}
+    assert out[0]["hits"] == 2 and out[0]["distinct_terms"] == 2
+    assert out[0]["rate_milli"] == 500 and out[0]["flagged"] == 1
+    assert out[1]["obfuscated"] == 1 and out[2]["obfuscated"] == 0
+    for col in ("hits", "distinct_terms", "rate_milli", "flagged"):
+        assert out[1][col] == out[2][col], col
+    assert out[2]["hits"] == 2 and out[2]["flagged"] == 1
+    assert out[3]["hits"] == 0 and out[3]["flagged"] == 0
+    assert out[4]["rate_milli"] == 40 and out[4]["flagged"] == 1
+    assert out[6]["rate_milli"] == 38 and out[6]["flagged"] == 0
