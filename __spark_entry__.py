@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_sole_supplier": relational.late_sole_supplier,
         "multi_touch_attribution": relational.multi_touch_attribution,
         "single_source_parts": relational.single_source_parts,
+        "market_basket_triples": relational.market_basket_triples,
         "policy_lexicon_score": text_analysis.policy_lexicon_score,
         "homoglyph_dedup": dedup.homoglyph_dedup,
         "kcore_peel": web_extract.kcore_peel,
@@ -6576,6 +6577,18 @@ with conv as (
       and t.touch_ts >= c.conv_ts - interval {_lb} day)
 )
 select * from att union all select * from orph order by channel
+"""
+    # Apriori truth: the DIRECT (prune-free) triple count — agreement
+    # proves the engine's downward-closure prune is lossless.
+    sql["market_basket_triples"] = f"""
+with li as (select distinct l_orderkey as ok, l_partkey as p from lineitem)
+select a.p as pa, b.p as pb, c.p as pc, count(*) as support
+from li a
+join li b on a.ok = b.ok and a.p < b.p
+join li c on a.ok = c.ok and b.p < c.p
+group by 1, 2, 3
+having count(*) >= {relational.BASKET_MINSUP}
+order by pa, pb, pc
 """
     # Q20-shape truth: same two-level aggregate, same 2x-fair-share cut.
     sql["single_source_parts"] = """

@@ -4954,3 +4954,67 @@ def single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("p_partkey", "s_name")
     )
+
+
+BASKET_MINSUP = 2
+
+
+def market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent THREE-part itemsets by real Apriori (Agrawal & Srikant
+    VLDB'94): frequent items gate the baskets, frequent pairs gate the
+    pair stream, and a candidate triple is counted only if ALL THREE of
+    its 2-subsets are frequent — the downward-closure prune is what
+    keeps k=3 from being a basket-cubed blowup at corpus scale.
+
+    Scale shape: every expansion is an ORDER-keyed equi-join (the same
+    bounded-basket fan-out argument as market_basket_pairs, one key
+    reused end to end so the shuffles co-locate), and the three prune
+    gates are semi-joins against the L1/L2 frequency tables — Apriori
+    is lossless, so the DuckDB oracle deliberately computes triples the
+    DIRECT way (no prune) and agreement proves the prune dropped
+    nothing."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    l1 = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= BASKET_MINSUP)
+        .select("l_partkey")
+    )
+    li1 = li.join(l1, "l_partkey", "left_semi").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    a = li1.select("ok", F.col("p").alias("pa"))
+    b = li1.select("ok", F.col("p").alias("pb"))
+    basket_pairs = a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+    l2 = (
+        basket_pairs.groupBy("pa", "pb")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= BASKET_MINSUP)
+        .select("pa", "pb")
+    )
+    surviving = basket_pairs.join(l2, ["pa", "pb"], "left_semi")
+    c = li1.select("ok", F.col("p").alias("pc"))
+    cand = surviving.join(c, "ok").filter(F.col("pc") > F.col("pb"))
+    # downward closure: (pa, pc) and (pb, pc) must also be frequent
+    l2_ac = l2.select(F.col("pa").alias("xa"), F.col("pb").alias("xc"))
+    l2_bc = l2.select(F.col("pa").alias("yb"), F.col("pb").alias("yc"))
+    cand = cand.join(
+        l2_ac,
+        (F.col("pa") == F.col("xa")) & (F.col("pc") == F.col("xc")),
+        "left_semi",
+    ).join(
+        l2_bc,
+        (F.col("pb") == F.col("yb")) & (F.col("pc") == F.col("yc")),
+        "left_semi",
+    )
+    return (
+        cand.groupBy("pa", "pb", "pc")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= BASKET_MINSUP)
+        .repartition(1)
+        .sortWithinPartitions("pa", "pb", "pc")
+    )

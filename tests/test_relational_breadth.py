@@ -2473,3 +2473,37 @@ def test_single_source_parts_hand_computed(spark, tmp_path):
     assert r["supp_qty_c"] == 500 and r["part_qty_c"] == 700
     assert r["n_suppliers"] == 3
     assert r["share_milli"] == 500 * 1000 // 700  # 714
+
+
+def test_market_basket_triples_apriori_prune_is_lossless(spark, tmp_path):
+    """Crafted baskets: {1,2,3} appears in two orders (support 2, all
+    2-subsets frequent -> kept); {4,5,6} appears once (support 1, and
+    every one of its items/pairs is infrequent -> pruned at L1); a
+    quantity-duplicated line must not inflate support."""
+    from ocr_spark.operators.relational import market_basket_triples
+
+    d = str(tmp_path)
+    sd = dt.datetime(2024, 1, 1)
+    baskets = {
+        1: [1, 2, 3],
+        2: [1, 2, 3],
+        3: [4, 5, 6],
+        4: [1, 2],      # pair-only order
+    }
+    rows = []
+    ln = 0
+    for ok, parts in baskets.items():
+        for p in parts:
+            ln += 1
+            rows.append((ok, p, 1, ln, 1.0, 0.0, 0.0, 0.0, "N", "O", sd))
+    # duplicate line (same order, same part) must not double-count
+    rows.append((1, 1, 1, 99, 1.0, 0.0, 0.0, 0.0, "N", "O", sd))
+    _write(spark, d, "lineitem", rows,
+           "l_orderkey long, l_partkey long, l_suppkey long,"
+           " l_linenumber int, l_quantity double, l_extendedprice double,"
+           " l_discount double, l_tax double, l_returnflag string,"
+           " l_linestatus string, l_shipdate timestamp")
+    out = market_basket_triples(spark, d).collect()
+    assert [(r["pa"], r["pb"], r["pc"], r["support"]) for r in out] == [
+        (1, 2, 3, 2)
+    ]
