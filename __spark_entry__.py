@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_source_parts": relational.single_source_parts,
         "market_basket_triples": relational.market_basket_triples,
         "policy_lexicon_score": text_analysis.policy_lexicon_score,
+        "distinct_ngram_diversity": text_analysis.distinct_ngram_diversity,
         "homoglyph_dedup": dedup.homoglyph_dedup,
         "kcore_peel": web_extract.kcore_peel,
         "ktruss_edges": web_extract.ktruss_edges,
@@ -6611,6 +6612,31 @@ join part on l_partkey = p_partkey
 join supplier on l_suppkey = s_suppkey
 where n_suppliers > 1 and supp_qty_c * n_suppliers > part_qty_c * 2
 order by p_partkey, s_name
+"""
+    # Diversity truth: same n-gram windows, one literal-n branch per
+    # order (DuckDB v1.0 cannot bind a VALUES column inside a lateral).
+    sql["distinct_ngram_diversity"] = """
+with toks as (
+  select source,
+         list_filter(string_split(lower(text), ' '), t -> t != '') as toks
+  from documents
+), grams as (
+  select source, 1 as n, unnest(toks) as gram from toks
+  union all
+  select source, 2, array_to_string(toks[i : i + 1], ' ')
+  from toks, lateral (select unnest(range(1, greatest(0, len(toks) - 1)
+                                          + 1)) as i)
+  union all
+  select source, 3, array_to_string(toks[i : i + 2], ' ')
+  from toks, lateral (select unnest(range(1, greatest(0, len(toks) - 2)
+                                          + 1)) as i)
+)
+select source, cast(n as int) as n,
+       cast(count(*) as bigint) as total_grams,
+       cast(count(distinct gram) as bigint) as distinct_grams,
+       cast(count(distinct gram) * 1000000 // count(*) as bigint)
+         as distinct_ppm
+from grams group by source, n order by source, n
 """
     # Lexicon truth: identical leet synthesis + fold + literal list.
     _lex = ", ".join(f"'{t}'" for t in text_analysis.POLICY_LEXICON)

@@ -3815,3 +3815,62 @@ def policy_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity per source — distinct-1/2/3 (Li et al.
+    NAACL'16): the share of unigram/bigram/trigram OCCURRENCES that are
+    unique types, in exact ppm.  The standard cheap monitor for
+    template collapse in synthetic/augmented corpora: a source whose
+    generator loops emits many tokens but few types, and distinct-n
+    falls before perplexity notices.
+
+    Scale shape: n-grams explode map-side from each document alone
+    (no joins); each (source, n) slice needs one distinct-count and
+    one count — both map-side-combining aggregates on the same
+    (source, n, gram) shuffle key; output is sources x 3 rows.  The
+    ppm ratio is integer trunc-div of two counts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source",
+        F.expr("filter(split(lower(text), ' '), t -> t != '')").alias(
+            "toks"
+        ),
+    )
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.expr(
+                            f"transform(sequence(1, greatest(0,"
+                            f" size(toks) - {n} + 1)), i ->"
+                            f" struct({n} as n, array_join(slice(toks, i,"
+                            f" {n}), ' ') as gram))"
+                        )
+                        for n in (1, 2, 3)
+                    ]
+                )
+            )
+        ).alias("g"),
+    ).select("source", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    return (
+        grams.groupBy("source", "n")
+        .agg(
+            F.count("*").alias("total_grams"),
+            F.countDistinct("gram").alias("distinct_grams"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("int").alias("n"),
+            F.col("total_grams").cast("bigint").alias("total_grams"),
+            F.col("distinct_grams").cast("bigint").alias("distinct_grams"),
+            F.expr(
+                "cast(distinct_grams * cast(1000000 as bigint)"
+                " div total_grams as bigint)"
+            ).alias("distinct_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("source", "n")
+    )

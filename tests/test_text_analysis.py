@@ -1584,3 +1584,37 @@ def test_policy_lexicon_score_sees_through_leet(spark, tmp_path):
     assert out[3]["hits"] == 0 and out[3]["flagged"] == 0
     assert out[4]["rate_milli"] == 40 and out[4]["flagged"] == 1
     assert out[6]["rate_milli"] == 38 and out[6]["flagged"] == 0
+
+
+def test_distinct_ngram_diversity_hand_computed(spark, tmp_path):
+    """'a b a b' + 'a a a' in one source: unigrams 7 total / 2 distinct
+    (285714 ppm); bigrams 5 total ('a b','b a','a b','a a','a a') / 3
+    distinct (600000 ppm); trigrams 3 total / 3 distinct (1e6 ppm —
+    'a b a', 'b a b', 'a a a').  A looping source must score BELOW a
+    diverse one at n=2."""
+    from ocr_spark.operators.text_analysis import distinct_ngram_diversity
+
+    d = str(tmp_path)
+    rows = [
+        (0, "a b a b", "en", "s1", 7),
+        (1, "a a a", "en", "s1", 5),
+        # diverse twin source: every bigram unique
+        (2, "p q r s t", "en", "s2", 9),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {(r["source"], r["n"]): r
+           for r in distinct_ngram_diversity(spark, d).collect()}
+    assert out[("s1", 1)]["total_grams"] == 7
+    assert out[("s1", 1)]["distinct_grams"] == 2
+    assert out[("s1", 1)]["distinct_ppm"] == 2 * 1_000_000 // 7
+    assert out[("s1", 2)]["total_grams"] == 5
+    assert out[("s1", 2)]["distinct_grams"] == 3
+    assert out[("s1", 2)]["distinct_ppm"] == 600_000
+    assert out[("s1", 3)]["total_grams"] == 3
+    assert out[("s1", 3)]["distinct_grams"] == 3
+    assert out[("s1", 3)]["distinct_ppm"] == 1_000_000
+    assert out[("s2", 2)]["distinct_ppm"] == 1_000_000
+    assert out[("s1", 2)]["distinct_ppm"] < out[("s2", 2)]["distinct_ppm"]
