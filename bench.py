@@ -184,6 +184,17 @@ def main() -> int:
         "ks_drift",
         "flesch_readability",
         "compaction_plan",
+        # round-4 eighth wave
+        "zipf_fit",
+        "market_share",
+        "late_sole_supplier",
+        "jl_projection",
+        "hyperball_neighborhood",
+        "multi_touch_attribution",
+        "single_source_parts",
+        "market_basket_triples",
+        "policy_lexicon_score",
+        "distinct_ngram_diversity",
     ]
     if only:
         headline = [q for q in headline if q in only]
