@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- span algebra (SQL twins of the pipeline's span handling) --
         "span_explode": spans.span_explode,
         "span_splice": spans.span_splice,
+        "caption_mining": spans.caption_mining,
         "pdf_page_explode": spans.pdf_page_explode,
         "row_cluster": spans.row_cluster,
         "reading_order_rank": spans.reading_order_rank,
@@ -1665,6 +1666,47 @@ select doc_id,
        string_agg(case when length(tok) % 3 = 0 then reverse(upper(tok)) else tok end,
                   '|' order by pos) as spliced
 from s group by doc_id order by doc_id
+""",
+        # Caption-mining truth: same gap assignment via cumulative
+        # media count, ordered list agg clipped to the same cap, same
+        # longer-run-wins tie rule.
+        "caption_mining": f"""
+with s as (
+  select doc_id,
+         unnest(string_split(text, ' ')) as tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 as pos
+  from documents
+), k as (
+  select doc_id, pos, tok,
+         case when length(tok) % 3 = 0 then 1 else 0 end as is_media,
+         sum(case when length(tok) % 3 = 0 then 1 else 0 end)
+           over (partition by doc_id order by pos
+                 rows between unbounded preceding and current row) as m_cnt
+  from s
+), runs as (
+  select doc_id, m_cnt,
+         array_to_string((list(tok order by pos))
+                         [1:{spans.CAPTION_MAX_TOKS}], ' ') as run_text,
+         count(*) as run_toks
+  from k where is_media = 0
+  group by doc_id, m_cnt
+), media as (
+  select doc_id, pos as media_pos, tok as media_tok, m_cnt as mi
+  from k where is_media = 1
+), j as (
+  select m.doc_id, m.media_pos, m.media_tok,
+         coalesce(b.run_toks, 0) as bt, b.run_text as before_text,
+         coalesce(a.run_toks, 0) as af, a.run_text as after_text
+  from media m
+  left join runs b on b.doc_id = m.doc_id and b.m_cnt = m.mi - 1
+  left join runs a on a.doc_id = m.doc_id and a.m_cnt = m.mi
+)
+select doc_id, media_pos, media_tok,
+       case when bt >= af then before_text else after_text end as caption,
+       case when bt >= af then 'before' else 'after' end as side,
+       cast(case when bt >= af then bt else af end as bigint) as run_toks
+from j where bt > 0 or af > 0
+order by doc_id, media_pos
 """,
         "row_cluster": """
 with boxes as (

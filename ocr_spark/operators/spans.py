@@ -281,3 +281,107 @@ def media_ref_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("media_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Caption mining from interleaved spans (the OBELICS/LAION pairing step)
+# ---------------------------------------------------------------------------
+
+CAPTION_MAX_TOKS = 8
+
+
+def caption_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine (image, caption-candidate) pairs from INTERLEAVED documents
+    — the pairing primitive behind image-text corpora (LAION from
+    alt-text, OBELICS from surrounding text): for every media span, the
+    contiguous text runs immediately BEFORE and AFTER it are caption
+    candidates; the longer run wins (ties -> before) and the caption is
+    clipped to ``CAPTION_MAX_TOKS`` tokens (``run_toks`` reports the
+    unclipped length so a consumer can re-rank).
+
+    Zero self-joins on the span table: a per-doc cumulative media count
+    assigns every text span to the gap it lives in (after media i /
+    before media i+1), text runs aggregate once per (doc, gap), and
+    each media span picks up its two runs by (doc, gap) equi-joins —
+    the window is per-document (bounded by doc length, the
+    sequence_pack convention), never corpus-cardinality.
+    """
+    spans = derived_spans(spark, sf_dir)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cnt = spans.withColumn(
+        "m_cnt",
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).over(w),
+    )
+    runs = (
+        cnt.filter(F.col("kind") == "text")
+        .groupBy("doc_id", "m_cnt")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    1,
+                    CAPTION_MAX_TOKS,
+                ),
+                " ",
+            ).alias("run_text"),
+            F.count("*").alias("run_toks"),
+        )
+    )
+    media = cnt.filter(F.col("kind") == "media").select(
+        "doc_id",
+        F.col("pos").alias("media_pos"),
+        F.col("tok").alias("media_tok"),
+        F.col("m_cnt").alias("mi"),
+    )
+    before = runs.select(
+        "doc_id",
+        (F.col("m_cnt") + 1).alias("mi"),
+        F.col("run_text").alias("before_text"),
+        F.col("run_toks").alias("before_toks"),
+    )
+    after = runs.select(
+        "doc_id",
+        F.col("m_cnt").alias("mi"),
+        F.col("run_text").alias("after_text"),
+        F.col("run_toks").alias("after_toks"),
+    )
+    paired = (
+        media.join(before, ["doc_id", "mi"], "left")
+        .join(after, ["doc_id", "mi"], "left")
+        .select(
+            "doc_id",
+            "media_pos",
+            "media_tok",
+            F.coalesce("before_toks", F.lit(0)).alias("bt"),
+            F.coalesce("after_toks", F.lit(0)).alias("af"),
+            "before_text",
+            "after_text",
+        )
+    )
+    return (
+        paired.filter((F.col("bt") > 0) | (F.col("af") > 0))
+        .select(
+            "doc_id",
+            "media_pos",
+            "media_tok",
+            F.when(F.col("bt") >= F.col("af"), F.col("before_text"))
+            .otherwise(F.col("after_text"))
+            .alias("caption"),
+            F.when(F.col("bt") >= F.col("af"), F.lit("before"))
+            .otherwise(F.lit("after"))
+            .alias("side"),
+            F.when(F.col("bt") >= F.col("af"), F.col("bt"))
+            .otherwise(F.col("af"))
+            .cast("bigint")
+            .alias("run_toks"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id", "media_pos")
+    )

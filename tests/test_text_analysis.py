@@ -1618,3 +1618,41 @@ def test_distinct_ngram_diversity_hand_computed(spark, tmp_path):
     assert out[("s1", 3)]["distinct_ppm"] == 1_000_000
     assert out[("s2", 2)]["distinct_ppm"] == 1_000_000
     assert out[("s1", 2)]["distinct_ppm"] < out[("s2", 2)]["distinct_ppm"]
+
+
+def test_caption_mining_hand_computed(spark, tmp_path):
+    """Gap assignment, longer-run-wins with before-tie, the clip cap,
+    and the no-text-media filter, all on crafted interleaved docs
+    (len%3==0 tokens play media spans)."""
+    from ocr_spark.operators.spans import CAPTION_MAX_TOKS, caption_mining
+
+    d = str(tmp_path)
+    long_run = " ".join(f"t{i}" for i in range(10))  # 10 text tokens
+    rows = [
+        # aaa (media) | bb cc | ddd (media) | ee
+        (0, "aaa bb cc ddd ee", "en", "s", 16),
+        # tie: one text token each side -> before wins
+        (1, "xx aaa yy", "en", "s", 9),
+        # 10-token run before the media: clipped caption, full run_toks
+        (2, long_run + " mmm", "en", "s", 40),
+        # media with no text anywhere -> no pair emitted
+        (3, "aaa", "en", "s", 3),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {(r["doc_id"], r["media_pos"]): r
+           for r in caption_mining(spark, d).collect()}
+    assert set(out) == {(0, 0), (0, 3), (1, 1), (2, 10)}
+    assert out[(0, 0)]["caption"] == "bb cc"
+    assert out[(0, 0)]["side"] == "after"
+    assert out[(0, 0)]["run_toks"] == 2
+    assert out[(0, 3)]["caption"] == "bb cc"
+    assert out[(0, 3)]["side"] == "before"
+    assert out[(1, 1)]["caption"] == "xx" and out[(1, 1)]["side"] == "before"
+    clip = out[(2, 10)]
+    assert clip["run_toks"] == 10
+    assert clip["caption"] == " ".join(
+        f"t{i}" for i in range(CAPTION_MAX_TOKS)
+    )
