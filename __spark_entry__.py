@@ -417,6 +417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_touch_attribution": relational.multi_touch_attribution,
         "single_source_parts": relational.single_source_parts,
         "market_basket_triples": relational.market_basket_triples,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "revenue_concentrated_parts": relational.revenue_concentrated_parts,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "large_volume_orders": relational.large_volume_orders,
         "policy_lexicon_score": text_analysis.policy_lexicon_score,
         "distinct_ngram_diversity": text_analysis.distinct_ngram_diversity,
         "homoglyph_dedup": dedup.homoglyph_dedup,
@@ -6620,6 +6624,67 @@ with conv as (
       and t.touch_ts >= c.conv_ts - interval {_lb} day)
 )
 select * from att union all select * from orph order by channel
+"""
+    # Q2 truth: the CORRELATED min-subquery formulation (vs the
+    # engine's struct-min) — agreement validates the decorrelation.
+    sql["min_cost_supplier"] = """
+with u as (
+  select l_partkey, l_suppkey,
+         cast(round(l_extendedprice * 100) as bigint) * 10000
+         // cast(round(l_quantity * 100) as bigint) as unit_micro
+  from lineitem
+)
+select u.l_partkey, s_name, unit_micro
+from u join supplier on l_suppkey = s_suppkey
+where (unit_micro, l_suppkey) = (
+  select (min(unit_micro), min(l_suppkey) filter (
+            where unit_micro = (select min(unit_micro) from u u3
+                                where u3.l_partkey = u.l_partkey)))
+  from u u2 where u2.l_partkey = u.l_partkey)
+order by u.l_partkey
+"""
+    # Q11 truth: HAVING against the scalar total, same exact ppm.
+    sql["revenue_concentrated_parts"] = f"""
+with pr as (
+  select l_partkey,
+         sum(cast(round(l_extendedprice * 100) as bigint)
+             * (100 - cast(round(l_discount * 100) as bigint)))
+           as part_rev_c2
+  from lineitem group by 1
+), t as (select sum(part_rev_c2)::hugeint as tot from pr)
+select l_partkey, cast(part_rev_c2 as bigint) as part_rev_c2,
+       cast((part_rev_c2::hugeint * 1000000) // tot as bigint)
+         as share_ppm
+from pr, t
+where part_rev_c2::hugeint * 1000000 > {relational.Q11_SHARE_PPM} * tot
+order by l_partkey
+"""
+    # Q13 truth: same join-condition filter (NOT a where clause).
+    sql["customer_order_distribution"] = """
+with pc as (
+  select c_custkey, count(o_orderkey) as n_orders
+  from customer left join orders on c_custkey = o_custkey
+   and o_orderpriority <> '1-URGENT'
+  group by 1
+)
+select cast(n_orders as bigint) as n_orders,
+       cast(count(*) as bigint) as n_customers
+from pc group by n_orders
+order by n_customers desc, n_orders desc
+"""
+    # Q18 truth: identical HAVING rollup then dimension joins.
+    sql["large_volume_orders"] = f"""
+with big as (
+  select l_orderkey,
+         sum(cast(round(l_quantity * 100) as bigint)) as total_qty_c
+  from lineitem group by 1
+  having total_qty_c > {relational.Q18_MIN_QTY_C}
+)
+select c_name, o_orderkey, total_qty_c,
+       cast(round(o_totalprice * 100) as bigint) as price_c
+from big join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+order by total_qty_c desc, o_orderkey
 """
     # Apriori truth: the DIRECT (prune-free) triple count — agreement
     # proves the engine's downward-closure prune is lossless.

@@ -195,6 +195,7 @@ def main() -> int:
         "market_basket_triples",
         "policy_lexicon_score",
         "distinct_ngram_diversity",
+        "caption_mining",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -5018,3 +5018,188 @@ def market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("pa", "pb", "pc")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q11 / Q13 / Q18 shapes — the remaining decorrelation catalog
+# ---------------------------------------------------------------------------
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the argmin-per-group join-back: for every part,
+    the supplier who shipped it at the LOWEST observed unit price (the
+    synthetic schema has no partsupp cost, so unit price =
+    extendedprice/quantity stands in), ties to the lower suppkey.
+
+    Exactness: the rational unit price is held as integer MICRO-cents
+    via trunc-div of integer centi units (price_c * 10000 div qty_c) —
+    deterministic in both engines, no float quotient.  Q2's correlated
+    MIN subquery usually decorrelates into min-agg + join-back; here
+    even the join-back disappears: min over the (unit_micro, suppkey)
+    STRUCT is lexicographic — price first, lower-suppkey tie rule —
+    so the aggregate itself carries the winner out.
+
+    Scale shape: one groupBy partkey with map-side partial min (the
+    pair table never materializes), one broadcast dim join for names."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            "cast(round(l_extendedprice * 100) as bigint) * 10000"
+            " div cast(round(l_quantity * 100) as bigint)"
+        ).alias("unit_micro"),
+    )
+    best = li.groupBy("l_partkey").agg(
+        F.min(F.struct("unit_micro", "l_suppkey")).alias("b")
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        best.select(
+            "l_partkey",
+            F.col("b.l_suppkey").alias("s_suppkey"),
+            F.col("b.unit_micro").alias("unit_micro"),
+        )
+        .join(F.broadcast(sup), "s_suppkey")
+        .select("l_partkey", "s_name", "unit_micro")
+        .repartition(1)
+        .sortWithinPartitions("l_partkey")
+    )
+
+
+Q11_SHARE_PPM = 700
+
+
+def revenue_concentrated_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — groups filtered against a GLOBAL scalar: parts
+    whose revenue share of the whole corpus exceeds ``Q11_SHARE_PPM``
+    (Q11's HAVING sum(value) > fraction * (SELECT sum(value) ...)).
+
+    Scale shape: ONE revenue aggregate by part (map-side partials),
+    eagerly localCheckpoint'ed so BOTH its consumers — the scalar total
+    and the HAVING comparison — reuse one materialization (Catalyst
+    otherwise re-derives the subtree per reference and scans the fact
+    twice; plan-pinned single scan); the total collapses to one row and
+    broadcasts into the filter — the canonical scalar-subquery
+    decorrelation.  Share arithmetic is exact: rev * 1e6 in
+    decimal(38,0) trunc-divided by the total."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_c2"),
+    )
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("rev_c2").alias("part_rev_c2"))
+        .localCheckpoint(eager=True)
+    )
+    total = per_part.agg(
+        F.sum(F.col("part_rev_c2").cast("decimal(38,0)")).alias("tot")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.expr(
+                f"cast(part_rev_c2 as decimal(38,0)) * 1000000"
+                f" > {Q11_SHARE_PPM} * tot"
+            )
+        )
+        .select(
+            "l_partkey",
+            "part_rev_c2",
+            F.expr(
+                "cast((cast(part_rev_c2 as decimal(38,0)) * 1000000)"
+                " div tot as bigint)"
+            ).alias("share_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("l_partkey")
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the outer-join count distribution WITH the
+    classic gotcha: how many customers placed exactly k non-urgent
+    orders, INCLUDING k = 0.  The priority filter must live in the
+    JOIN CONDITION, not a WHERE clause — filtering after the left join
+    silently deletes the zero-order customers Q13 exists to count
+    (pinned by the hand test).
+
+    Scale shape: left outer join on custkey (both sides shuffle once,
+    co-partitionable), count(o_orderkey) ignores the null-extended
+    rows, then the per-customer counts collapse to a tiny k-histogram
+    via a second map-side-combining aggregate."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+        )
+        .repartition(1)
+        .sortWithinPartitions(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+Q18_MIN_QTY_C = 15_000  # 150 units in centi-quantity
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-gated groups joined back to their
+    dimensions: orders whose total quantity exceeds ``Q18_MIN_QTY_C``
+    centi-units, with the customer name attached.
+
+    Scale shape: the quantity rollup is one groupBy orderkey with
+    map-side partials; the HAVING filter collapses the fact to the few
+    qualifying orders BEFORE any dimension join (at 100 TB the filter
+    is the whole game — joining first would shuffle every order row);
+    orders joins the survivors on orderkey and customer arrives last,
+    by which point the row count is tiny."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty_c").alias("total_qty_c"))
+        .filter(F.col("total_qty_c") > Q18_MIN_QTY_C)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "total_qty_c",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("price_c"),
+        )
+        .repartition(1)
+        .sortWithinPartitions(F.desc("total_qty_c"), "o_orderkey")
+    )

@@ -1473,3 +1473,32 @@ def test_multi_touch_attribution_windows_stay_bounded(spark):
     for line in simple.splitlines():
         if "Window" in line and "windowspecdefinition" in line.lower():
             assert "conv_id" in line
+
+
+def test_q2_q11_q18_plan_shapes(spark):
+    """The decorrelation catalog's plan claims: Q2 has ZERO join-back
+    (one fact aggregate + one broadcast name join), Q11's scalar total
+    re-aggregates the part table (one fact scan), Q18 filters before
+    any dimension join (no CartesianProduct anywhere)."""
+    from ocr_spark.operators.relational import (
+        large_volume_orders,
+        min_cost_supplier,
+        revenue_concentrated_parts,
+    )
+
+    q2 = plan_of(min_cost_supplier(spark, SF), "simple")
+    assert q2.count("lineitem.parquet") == 1
+    assert q2.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in q2
+
+    q11 = plan_of(revenue_concentrated_parts(spark, SF), "simple")
+    # the checkpointed part aggregate is the only upstream: the fact
+    # scan happens once, at checkpoint time, not per reference
+    assert q11.count("lineitem.parquet") == 0
+    assert q11.count("ExistingRDD") == 2  # both consumers reuse it
+    assert "CartesianProduct" not in q11
+
+    q18 = plan_of(large_volume_orders(spark, SF), "simple")
+    assert "CartesianProduct" not in q18
+    # the HAVING filter sits on the aggregate, before the joins
+    assert "Filter" in q18

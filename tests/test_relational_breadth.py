@@ -2507,3 +2507,109 @@ def test_market_basket_triples_apriori_prune_is_lossless(spark, tmp_path):
     assert [(r["pa"], r["pb"], r["pc"], r["support"]) for r in out] == [
         (1, 2, 3, 2)
     ]
+
+
+def test_min_cost_supplier_tie_and_truncdiv(spark, tmp_path):
+    """Unit micro = price_c * 10000 div qty_c (trunc): 10.00/3.00 ->
+    33333 micro beats 3.34/1.00 -> 33400; equal unit prices tie to the
+    LOWER suppkey."""
+    from ocr_spark.operators.relational import min_cost_supplier
+
+    d = str(tmp_path)
+    sd = dt.datetime(2024, 1, 1)
+    li = [
+        # part 1: supplier 9 at 33333 micro, supplier 2 at 33400
+        (1, 1, 9, 1, 3.0, 10.00, 0.0, 0.0, "N", "O", sd),
+        (2, 1, 2, 1, 1.0, 3.34, 0.0, 0.0, "N", "O", sd),
+        # part 2: suppliers 7 and 3 both at exactly 20000 -> 3 wins
+        (3, 2, 7, 1, 1.0, 2.00, 0.0, 0.0, "N", "O", sd),
+        (4, 2, 3, 1, 2.0, 4.00, 0.0, 0.0, "N", "O", sd),
+    ]
+    _write(spark, d, "lineitem", li,
+           "l_orderkey long, l_partkey long, l_suppkey long,"
+           " l_linenumber int, l_quantity double, l_extendedprice double,"
+           " l_discount double, l_tax double, l_returnflag string,"
+           " l_linestatus string, l_shipdate timestamp")
+    _write(spark, d, "supplier",
+           [(2, "SUP_2", 0, 0.0), (3, "SUP_3", 0, 0.0),
+            (7, "SUP_7", 0, 0.0), (9, "SUP_9", 0, 0.0)],
+           "s_suppkey long, s_name string, s_nationkey int,"
+           " s_acctbal double")
+    out = {r["l_partkey"]: r for r in min_cost_supplier(spark, d).collect()}
+    assert out[1]["s_name"] == "SUP_9"
+    assert out[1]["unit_micro"] == 100000 * 10000 // 30000  # 33333
+    assert out[2]["s_name"] == "SUP_3" and out[2]["unit_micro"] == 20000
+
+
+def test_customer_order_distribution_keeps_zero_bucket(spark, tmp_path):
+    """The Q13 gotcha: a customer whose ONLY order is urgent must land
+    in the k=0 bucket — the priority filter lives in the join
+    condition, so the left join still emits the customer."""
+    from ocr_spark.operators.relational import customer_order_distribution
+
+    d = str(tmp_path)
+    t = dt.datetime(2024, 1, 1)
+    _write(spark, d, "customer",
+           [(1, "c1", 0, 0.0, "A"), (2, "c2", 0, 0.0, "A"),
+            (3, "c3", 0, 0.0, "A")],
+           "c_custkey long, c_name string, c_nationkey int,"
+           " c_acctbal double, c_mktsegment string")
+    _write(spark, d, "orders",
+           [
+               (10, 1, "O", 0.0, t, "1-URGENT"),   # cust 1: only urgent -> 0
+               (11, 2, "O", 0.0, t, "2-HIGH"),
+               (12, 2, "O", 0.0, t, "1-URGENT"),   # cust 2: 1 non-urgent
+               # cust 3: no orders at all -> 0
+           ],
+           "o_orderkey long, o_custkey long, o_orderstatus string,"
+           " o_totalprice double, o_orderdate timestamp,"
+           " o_orderpriority string")
+    out = {r["n_orders"]: r["n_customers"]
+           for r in customer_order_distribution(spark, d).collect()}
+    assert out == {0: 2, 1: 1}
+
+
+def test_q11_and_q18_strict_thresholds(spark, tmp_path):
+    """Boundary semantics: a part at EXACTLY the share threshold stays
+    out (strict >) and an order at exactly Q18_MIN_QTY_C stays out."""
+    from ocr_spark.operators.relational import (
+        Q18_MIN_QTY_C,
+        large_volume_orders,
+        revenue_concentrated_parts,
+    )
+
+    d = str(tmp_path)
+    sd = dt.datetime(2024, 1, 1)
+    # Q11: craft total revenue exactly 1_000_000 c2 (rev_c2 =
+    # round(price*100) * 100 at zero discount): part 1 = 979_300,
+    # part 2 = 700 (EXACTLY 700 ppm -> strict > excludes it), part 3
+    # (the Q18 qty rows) = 20_000 -> kept.
+    li = [
+        (1, 1, 1, 1, 1.0, 97.93, 0.0, 0.0, "N", "O", sd),   # 979300 c2
+        (2, 2, 1, 1, 1.0, 0.07, 0.0, 0.0, "N", "O", sd),    # 700 c2
+        # Q18: order 3 total qty exactly at threshold -> out;
+        # order 4 one centi-unit above -> in
+        (3, 3, 1, 1, Q18_MIN_QTY_C / 100, 1.0, 0.0, 0.0, "N", "O", sd),
+        (4, 3, 1, 1, (Q18_MIN_QTY_C + 1) / 100, 1.0, 0.0, 0.0, "N", "O", sd),
+    ]
+    _write(spark, d, "lineitem", li,
+           "l_orderkey long, l_partkey long, l_suppkey long,"
+           " l_linenumber int, l_quantity double, l_extendedprice double,"
+           " l_discount double, l_tax double, l_returnflag string,"
+           " l_linestatus string, l_shipdate timestamp")
+    _write(spark, d, "orders",
+           [(1, 1, "O", 1.0, sd, "2-HIGH"), (2, 1, "O", 1.0, sd, "2-HIGH"),
+            (3, 1, "O", 1.0, sd, "2-HIGH"), (4, 1, "O", 1.0, sd, "2-HIGH")],
+           "o_orderkey long, o_custkey long, o_orderstatus string,"
+           " o_totalprice double, o_orderdate timestamp,"
+           " o_orderpriority string")
+    _write(spark, d, "customer", [(1, "c1", 0, 0.0, "A")],
+           "c_custkey long, c_name string, c_nationkey int,"
+           " c_acctbal double, c_mktsegment string")
+    q11 = revenue_concentrated_parts(spark, d).collect()
+    assert [r["l_partkey"] for r in q11] == [1, 3]
+    assert q11[0]["share_ppm"] == 979_300  # of the exact 1e6 total
+    assert q11[1]["share_ppm"] == 20_000
+    q18 = large_volume_orders(spark, d).collect()
+    assert [r["o_orderkey"] for r in q18] == [4]
+    assert q18[0]["total_qty_c"] == Q18_MIN_QTY_C + 1
