@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_rebuild": text_analysis.paragraph_dedup_rebuild,
         "bfs_hop_distance": web_extract.bfs_hop_distance,
         "hyperball_neighborhood": web_extract.hyperball_neighborhood,
+        "harmonic_centrality": web_extract.harmonic_centrality,
         "kmv_weekly_rollup": relational.kmv_weekly_rollup,
         "theta_sketch_overlap": relational.theta_sketch_overlap,
         "pps_systematic_sample": relational.pps_systematic_sample,
@@ -5475,6 +5476,67 @@ select hop, est_pairs, exact_pairs,
              + exact_pairs) // (2 * exact_pairs) as bigint) as err_ppm
 from ({_hb_ests})
 order by hop
+"""
+    # Harmonic truth: registers-only chain (the exact-ball CTEs would
+    # dangle here), per-NODE estimates at each t, same monotone-delta
+    # 1e6-div-t fold.
+    _hb_rchain = "".join(
+        f""",
+r{t} as (
+  select v, bucket, max(rank) as rank from (
+    select * from r{t - 1}
+    union all
+    select e.src as v, r.bucket, r.rank
+    from edges e join r{t - 1} r on r.v = e.dst
+  ) group by v, bucket
+)"""
+        for t in range(1, web_extract.HB_HOPS + 1)
+    )
+    _hb_node_ests = ",\n".join(
+        f"""e{t} as (
+  select v, (2 * {web_extract.HB_ALPHA_PPM}::hugeint
+             * {web_extract.HB_M * web_extract.HB_M}
+             * (1::bigint << {web_extract.HB_Q}) + s_inv * 1000000)
+            // (2 * s_inv::hugeint * 1000000) as est
+  from (select v,
+               sum((1::bigint << ({web_extract.HB_Q} - rank)))
+               + ({web_extract.HB_M} - count(*))
+                 * (1::bigint << {web_extract.HB_Q}) as s_inv
+        from r{t} group by v)
+)"""
+        for t in range(web_extract.HB_HOPS + 1)
+    )
+    _hb_fold = " + ".join(
+        f"((e{t}.est - e{t - 1}.est) * 1000000) // {t}"
+        for t in range(1, web_extract.HB_HOPS + 1)
+    )
+    _hb_joins = " ".join(
+        f"join e{t} using (v)" for t in range(1, web_extract.HB_HOPS + 1)
+    )
+    sql["harmonic_centrality"] = f"""
+with n as (select count(*) as nn from documents),
+e0x as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as (select distinct src, dst from e0x where src != dst),
+h as (select doc_id as v,
+             ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint as hv
+      from documents),
+r0 as (select v, hv // {_hb_lo} as bucket,
+              case when hv % {_hb_lo} = 0 then {web_extract.HB_Q}
+                   else {web_extract.HB_Q} - length(bin(hv % {_hb_lo}))
+              end as rank
+       from h){_hb_rchain},
+{_hb_node_ests}
+select e0.v as doc_id,
+       cast({_hb_fold} as bigint) as harmonic_ppm,
+       cast(e{web_extract.HB_HOPS}.est as bigint) as reach_est
+from e0 {_hb_joins}
+order by doc_id
 """
     # Rollup truth: the same daily-partial -> weekly-merge arithmetic;
     # the merged ESTIMATE is deterministic given the hash, so it is

@@ -196,6 +196,10 @@ def main() -> int:
         "policy_lexicon_score",
         "distinct_ngram_diversity",
         "caption_mining",
+        "min_cost_supplier",
+        "revenue_concentrated_parts",
+        "customer_order_distribution",
+        "large_volume_orders",
     ]
     if only:
         headline = [q for q in headline if q in only]

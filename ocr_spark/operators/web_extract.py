@@ -1565,3 +1565,88 @@ def hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("hop")
     )
+
+
+def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page harmonic centrality (sum of 1/d(v, u) over reachable u)
+    estimated with the SAME HyperBall register recurrence as
+    ``hyperball_neighborhood`` — Boldi & Vigna's own headline use of
+    HyperBall (Axioms for Centrality, Internet Math. 2014: harmonic
+    beats PageRank as an importance axiom), and the crawl-frontier
+    prioritization metric at 10^12 pages where exact BFS per node is
+    unthinkable.
+
+    d is truncated at ``HB_HOPS`` (standard: contributions beyond the
+    horizon are 0).  Register max-merge only GROWS registers, so the
+    per-node HLL estimate is monotone in t and every per-hop delta is a
+    non-negative integer; harmonic = sum of delta_t * 1e6 div t — all
+    integer, engine-exact.
+
+    Scale shape: identical to hyperball_neighborhood minus its exact
+    companion — per hop one edge join + one keyed register max, state
+    localCheckpoint'ed; the per-t estimates union into one slim
+    (v, t, est) table and pivot by conditional agg (per-node group,
+    bounded)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    edges = _link_edges(docs, n).localCheckpoint(eager=True)
+    h = "cast(conv(substring(md5(cast(v as string)), 1, 8), 16, 10) as bigint)"
+    lo = 1 << (32 - HB_P)
+    regs = docs.select(F.col("doc_id").alias("v")).select(
+        "v",
+        F.expr(f"{h} div {lo}").alias("bucket"),
+        F.expr(
+            f"case when {h} % {lo} = 0 then {HB_Q}"
+            f" else {HB_Q} - length(bin({h} % {lo})) end"
+        ).alias("rank"),
+    )
+
+    def node_est(r: DataFrame, t: int) -> DataFrame:
+        per = r.groupBy("v").agg(
+            F.expr(
+                f"sum(shiftleft(cast(1 as bigint), {HB_Q} - rank))"
+                f" + ({HB_M} - count(*))"
+                f" * shiftleft(cast(1 as bigint), {HB_Q})"
+            ).alias("s_inv")
+        )
+        return per.select(
+            "v",
+            F.lit(t).alias("t"),
+            F.expr(
+                f"(2 * cast({HB_ALPHA_PPM} as bigint) * {HB_M * HB_M}"
+                f" * shiftleft(cast(1 as bigint), {HB_Q}) + s_inv * 1000000)"
+                f" div (2 * s_inv * 1000000)"
+            ).alias("est"),
+        )
+
+    ests = node_est(regs, 0)
+    for t in range(1, HB_HOPS + 1):
+        gained = edges.join(regs, regs["v"] == edges["dst"]).select(
+            edges["src"].alias("v"), "bucket", "rank"
+        )
+        regs = (
+            regs.unionByName(gained)
+            .groupBy("v", "bucket")
+            .agg(F.max("rank").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        ests = ests.unionByName(node_est(regs, t))
+    wide = ests.groupBy("v").agg(
+        *[
+            F.max(F.when(F.col("t") == t, F.col("est"))).alias(f"e{t}")
+            for t in range(HB_HOPS + 1)
+        ]
+    )
+    harmonic = " + ".join(
+        f"((e{t} - e{t - 1}) * 1000000) div {t}"
+        for t in range(1, HB_HOPS + 1)
+    )
+    return (
+        wide.select(
+            F.col("v").alias("doc_id"),
+            F.expr(f"cast({harmonic} as bigint)").alias("harmonic_ppm"),
+            F.col(f"e{HB_HOPS}").cast("bigint").alias("reach_est"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

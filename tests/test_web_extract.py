@@ -765,3 +765,79 @@ def test_hyperball_exact_and_registers_on_crafted_graph(spark, tmp_path):
     assert [r["est_pairs"] for r in rows] == ests
     # N(t) is nondecreasing in t
     assert exact == sorted(exact)
+
+
+def test_harmonic_centrality_matches_python_register_reference(spark, tmp_path):
+    """Per-node harmonic scores equal an independent Python replay of
+    the register recurrence + delta fold on the crafted n=6 graph, the
+    deltas are provably non-negative (register monotonicity), and a hub
+    that reaches everything in 1 hop outranks a leaf."""
+    import hashlib
+
+    from ocr_spark.operators.web_extract import (
+        HB_ALPHA_PPM,
+        HB_HOPS,
+        HB_M,
+        HB_P,
+        HB_Q,
+        harmonic_centrality,
+    )
+
+    d = str(tmp_path)
+    n = 6
+    spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    succ = {i: set() for i in range(n)}
+    for i in range(n):
+        for a, b in ((7, 1), (13, 2), (31, 3)):
+            t = (i * a + b) % n
+            if t != i:
+                succ[i].add(t)
+
+    lo = 1 << (32 - HB_P)
+
+    def reg_of(v: int) -> tuple[int, int]:
+        hv = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        rem = hv % lo
+        rank = HB_Q if rem == 0 else HB_Q - rem.bit_length()
+        return hv // lo, rank
+
+    def est(r: dict) -> int:
+        s_inv = sum(1 << (HB_Q - m) for m in r.values())
+        s_inv += (HB_M - len(r)) * (1 << HB_Q)
+        return (
+            2 * HB_ALPHA_PPM * HB_M * HB_M * (1 << HB_Q) + s_inv * 1_000_000
+        ) // (2 * s_inv * 1_000_000)
+
+    regs = {v: {reg_of(v)[0]: reg_of(v)[1]} for v in range(n)}
+    series = {v: [est(regs[v])] for v in range(n)}
+    for _ in range(HB_HOPS):
+        nxt = {}
+        for v in range(n):
+            merged = dict(regs[v])
+            for w in succ[v]:
+                for b, m in regs[w].items():
+                    merged[b] = max(merged.get(b, 0), m)
+            nxt[v] = merged
+        regs = nxt
+        for v in range(n):
+            series[v].append(est(regs[v]))
+    expect = {
+        v: sum(
+            (series[v][t] - series[v][t - 1]) * 1_000_000 // t
+            for t in range(1, HB_HOPS + 1)
+        )
+        for v in range(n)
+    }
+    for v in range(n):
+        for t in range(1, HB_HOPS + 1):
+            assert series[v][t] >= series[v][t - 1]  # monotone registers
+
+    rows = {r["doc_id"]: r for r in harmonic_centrality(spark, d).collect()}
+    assert set(rows) == set(range(n))
+    for v in range(n):
+        assert rows[v]["harmonic_ppm"] == expect[v], v
+        assert rows[v]["reach_est"] == series[v][HB_HOPS]
