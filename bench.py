@@ -200,6 +200,7 @@ def main() -> int:
         "revenue_concentrated_parts",
         "customer_order_distribution",
         "large_volume_orders",
+        "harmonic_centrality",
     ]
     if only:
         headline = [q for q in headline if q in only]
