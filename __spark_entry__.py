@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- similarity search --
         "ann_brute_topk": similarity.brute_topk,
         "ndcg_eval": similarity.ndcg_eval,
+        "mrr_eval": similarity.mrr_eval,
+        "map_eval": similarity.map_eval,
         "rocchio_feedback": similarity.rocchio_feedback,
         "ann_filtered_topk": similarity.filtered_topk,
         "embedding_quantize_int8": similarity.embedding_quantize_int8,
@@ -422,6 +424,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentrated_parts": relational.revenue_concentrated_parts,
         "customer_order_distribution": relational.customer_order_distribution,
         "large_volume_orders": relational.large_volume_orders,
+        "forecast_revenue": relational.forecast_revenue,
+        "volume_shipping": relational.volume_shipping,
+        "product_profit": relational.product_profit,
+        "returned_items": relational.returned_items,
+        "shipmode_priority": relational.shipmode_priority,
+        "promo_revenue_share": relational.promo_revenue_share,
+        "top_supplier_revenue": relational.top_supplier_revenue,
+        "parts_supplier_count": relational.parts_supplier_count,
+        "small_qty_revenue": relational.small_qty_revenue,
+        "disjunctive_revenue": relational.disjunctive_revenue,
         "policy_lexicon_score": text_analysis.policy_lexicon_score,
         "distinct_ngram_diversity": text_analysis.distinct_ngram_diversity,
         "homoglyph_dedup": dedup.homoglyph_dedup,
@@ -2441,6 +2453,70 @@ select dcg.qid, cast(dcg_ppb as bigint) as dcg_ppb,
             // (2 * idcg_ppb) end as bigint) as ndcg_ppm
 from dcg join idcg on dcg.qid = idcg.qid
 order by dcg.qid
+""",
+        # MRR@K truth: same round-4 cosine, exact-label relevance, and
+        # the identical integer half-away reciprocal.
+        "mrr_eval": f"""
+with q as (
+  select vec_id as qid, label as qlabel, embedding as q from embeddings
+  where vec_id < {similarity.NDCG_NQ}
+), cands as (
+  select q.qid, e.vec_id, {_DUCK_COS} as cos,
+         e.label = q.qlabel as relevant
+  from embeddings e, q where e.vec_id <> q.qid
+), ranked as (
+  select qid, relevant,
+         row_number() over (partition by qid
+                            order by cos desc, vec_id) as p_cos
+  from cands
+), hits as (
+  select qid, min(p_cos) as first_rel_pos
+  from ranked where p_cos <= {similarity.MRR_K} and relevant group by 1
+)
+select q.qid,
+       cast(coalesce(h.first_rel_pos, 0) as bigint) as first_rel_pos,
+       cast(case when coalesce(h.first_rel_pos, 0) = 0 then 0 else
+            (2 * 1000000 + h.first_rel_pos) // (2 * h.first_rel_pos)
+            end as bigint) as rr_ppm
+from q left join hits h on q.qid = h.qid
+order by q.qid
+""",
+        # MAP@K truth: same ranking, running relevant count, and the
+        # LCM-2520 common-denominator precision sum.
+        "map_eval": f"""
+with q as (
+  select vec_id as qid, label as qlabel, embedding as q from embeddings
+  where vec_id < {similarity.NDCG_NQ}
+), cands as (
+  select q.qid, e.vec_id, {_DUCK_COS} as cos,
+         e.label = q.qlabel as relevant
+  from embeddings e, q where e.vec_id <> q.qid
+), ranked as (
+  select qid, relevant,
+         row_number() over (partition by qid
+                            order by cos desc, vec_id) as p_cos
+  from cands
+), run as (
+  select qid, relevant, p_cos,
+         sum(case when relevant then 1 else 0 end) over (
+           partition by qid order by p_cos
+           rows between unbounded preceding and current row) as relcnt
+  from ranked
+), agg as (
+  select qid,
+         sum(case when p_cos <= {similarity.MRR_K} and relevant
+             then relcnt * ({similarity.MAP_LCM} // p_cos)
+             else 0 end) as s,
+         sum(case when relevant then 1 else 0 end) as n_rel
+  from run group by 1
+)
+select qid, cast(n_rel as bigint) as n_rel,
+       cast(case when least(n_rel, {similarity.MRR_K}) = 0 then 0 else
+            (2 * 1000000::bigint * s
+             + {similarity.MAP_LCM} * least(n_rel, {similarity.MRR_K}))
+            // (2 * {similarity.MAP_LCM} * least(n_rel, {similarity.MRR_K}))
+            end as bigint) as ap_ppm
+from agg order by qid
 """,
         "ann_brute_topk": f"""
 select e.vec_id, e.label, {_DUCK_COS} as cos
@@ -7795,6 +7871,164 @@ select l.node as doc_id, cast(l.label as bigint) as community,
 from {_lf} l join cs using (label) order by doc_id
 """
     )
+    # --- TPC-H catalog completion (Q6 Q7 Q9 Q10 Q12 Q14 Q15 Q16 Q17
+    # Q19) — same c2 integer money, same adapted stand-in columns. ---
+    _rev = ("(cast(round(l_extendedprice * 100) as bigint)"
+            " * (100 - cast(round(l_discount * 100) as bigint)))")
+    # Q6 truth: scan + three bands, revenue = price-cents x disc-pct.
+    sql["forecast_revenue"] = f"""
+select cast(sum(cast(round(l_extendedprice * 100) as bigint)
+               * cast(round(l_discount * 100) as bigint)) as bigint)
+         as revenue_c2,
+       count(*) as n_lines
+from lineitem
+where l_shipdate >= timestamp '{relational.Q6_DATE_LO}'
+  and l_shipdate <  timestamp '{relational.Q6_DATE_HI}'
+  and l_quantity < {relational.Q6_MAX_QTY}
+  and round(l_discount * 100) between {relational.Q6_DISC_LO_PCT}
+                                  and {relational.Q6_DISC_HI_PCT}
+"""
+    # Q7 truth: bilateral nation pairs, asymmetric residual.
+    sql["volume_shipping"] = f"""
+select n2.n_name as supp_nation, n1.n_name as cust_nation,
+       year(l_shipdate) as l_year,
+       cast(sum({_rev}) as bigint) as revenue_c2,
+       count(*) as n_lines
+from lineitem
+join orders   on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join nation n1 on c_nationkey = n1.n_nationkey
+join supplier on l_suppkey = s_suppkey
+join nation n2 on s_nationkey = n2.n_nationkey
+where n1.n_name in ('{relational.Q7_NATION_A}', '{relational.Q7_NATION_B}')
+  and n2.n_name in ('{relational.Q7_NATION_A}', '{relational.Q7_NATION_B}')
+  and n1.n_name <> n2.n_name
+  and l_shipdate >= timestamp '{relational.Q7_DATE_LO}'
+  and l_shipdate <  timestamp '{relational.Q7_DATE_HI}'
+group by 1, 2, 3 order by 1, 2, 3
+"""
+    # Q9 truth: token-filtered parts, cost = 10% retail per unit.
+    sql["product_profit"] = f"""
+select n_name as nation, year(o_orderdate) as o_year,
+       cast(sum({_rev}
+                - cast(round(l_quantity) as bigint)
+                  * cast(round(p_retailprice * 100) as bigint)
+                  * {relational.Q9_COST_RETAIL_PCT}) as bigint)
+         as profit_c2,
+       count(*) as n_lines
+from lineitem
+join part on l_partkey = p_partkey
+join orders on l_orderkey = o_orderkey
+join supplier on l_suppkey = s_suppkey
+join nation on s_nationkey = n_nationkey
+where p_name like '%{relational.Q9_NAME_TOKEN}%'
+group by 1, 2 order by 1, 2 desc
+"""
+    # Q10 truth: returned lines, quarter orders, top-N customers.
+    sql["returned_items"] = f"""
+with agg as (
+  select o_custkey, sum({_rev}) as revenue_c2
+  from lineitem join orders on l_orderkey = o_orderkey
+  where l_returnflag = 'R'
+    and o_orderdate >= timestamp '{relational.Q10_DATE_LO}'
+    and o_orderdate <  timestamp '{relational.Q10_DATE_HI}'
+  group by 1
+)
+select c_custkey, c_name, n_name as nation,
+       cast(revenue_c2 as bigint) as revenue_c2
+from agg join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+order by revenue_c2 desc, c_custkey limit {relational.Q10_TOP_N}
+"""
+    # Q12 truth: returnflag stands in for shipmode, CASE priority split.
+    _hi = ", ".join(f"'{p}'" for p in relational.Q12_HIGH)
+    _fl = ", ".join(f"'{x}'" for x in relational.Q12_FLAGS)
+    sql["shipmode_priority"] = f"""
+select l_returnflag,
+       cast(sum(case when o_orderpriority in ({_hi}) then 1 else 0 end)
+            as bigint) as high_line_count,
+       cast(sum(case when o_orderpriority in ({_hi}) then 0 else 1 end)
+            as bigint) as low_line_count
+from lineitem join orders on l_orderkey = o_orderkey
+where l_returnflag in ({_fl})
+  and l_shipdate >= timestamp '{relational.Q12_DATE_LO}'
+  and l_shipdate <  timestamp '{relational.Q12_DATE_HI}'
+group by 1 order by 1
+"""
+    # Q14 truth: promo CASE share of one month, exact ppm.
+    sql["promo_revenue_share"] = f"""
+with j as (
+  select {_rev} as rev_c2, p_type = 'PROMO' as is_promo
+  from lineitem join part on l_partkey = p_partkey
+  where l_shipdate >= timestamp '{relational.Q14_DATE_LO}'
+    and l_shipdate <  timestamp '{relational.Q14_DATE_HI}'
+)
+select case when sum(rev_c2) = 0 then null else
+         cast((sum(case when is_promo then rev_c2 else 0 end)::hugeint
+               * 1000000) // sum(rev_c2)::hugeint as bigint) end
+         as promo_share_ppm,
+       cast(sum(case when is_promo then rev_c2 else 0 end) as bigint)
+         as promo_rev_c2,
+       cast(sum(rev_c2) as bigint) as total_rev_c2
+from j
+"""
+    # Q15 truth: revenue view + scalar max, ties kept.
+    sql["top_supplier_revenue"] = f"""
+with revenue as (
+  select l_suppkey, sum({_rev}) as total_revenue_c2
+  from lineitem
+  where l_shipdate >= timestamp '{relational.Q15_DATE_LO}'
+    and l_shipdate <  timestamp '{relational.Q15_DATE_HI}'
+  group by 1
+)
+select s_suppkey, s_name, cast(total_revenue_c2 as bigint)
+         as total_revenue_c2
+from revenue join supplier on l_suppkey = s_suppkey
+where total_revenue_c2 = (select max(total_revenue_c2) from revenue)
+order by s_suppkey
+"""
+    # Q16 truth: distinct shipped pairs, NOT IN the complaint set.
+    _sz = ", ".join(str(s) for s in relational.Q16_SIZES)
+    sql["parts_supplier_count"] = f"""
+with ps as (select distinct l_partkey, l_suppkey from lineitem)
+select p_brand, p_type, p_size,
+       cast(count(distinct l_suppkey) as bigint) as supplier_cnt
+from ps join part on l_partkey = p_partkey
+where p_brand <> '{relational.Q16_EXCL_BRAND}'
+  and p_type <> '{relational.Q16_EXCL_TYPE}'
+  and p_size in ({_sz})
+  and l_suppkey not in (
+    select s_suppkey from supplier where s_acctbal < 0)
+group by 1, 2, 3
+order by supplier_cnt desc, p_brand, p_type, p_size
+"""
+    # Q17 truth: the correlated avg multiplied through to integers.
+    sql["small_qty_revenue"] = f"""
+with li as (
+  select l_partkey, cast(round(l_quantity) as bigint) as qty,
+         cast(round(l_extendedprice * 100) as bigint) as price_c
+  from lineitem join part on l_partkey = p_partkey
+  where p_brand = '{relational.Q17_BRAND}'
+), stats as (
+  select l_partkey, sum(qty) as sum_qty, count(*) as cnt
+  from li group by 1
+)
+select cast(sum(price_c) as bigint) as total_price_c,
+       count(*) as n_small_lines
+from li join stats using (l_partkey)
+where qty * {relational.Q17_AVG_DEN} * cnt < sum_qty
+"""
+    # Q19 truth: the same OR-of-ANDs over the equi-joined pair.
+    _bask = " or ".join(
+        f"(p_brand = '{b}' and p_size between {slo} and {shi}"
+        f" and round(l_quantity) between {qlo} and {qhi})"
+        for b, slo, shi, qlo, qhi in relational.Q19_BASKETS
+    )
+    sql["disjunctive_revenue"] = f"""
+select cast(sum({_rev}) as bigint) as revenue_c2, count(*) as n_lines
+from lineitem join part on l_partkey = p_partkey
+where {_bask}
+"""
     return sql
 
 

@@ -5203,3 +5203,623 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions(F.desc("total_qty_c"), "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H catalog completion — the ten remaining query shapes (Q6, Q7, Q9,
+# Q10, Q12, Q14, Q15, Q16, Q17, Q19), adapted to the driver corpus columns
+# (no partsupp / shipmode / container / comment columns exist, so each
+# docstring names the stand-in attribute; the SHAPE — join strategy,
+# decorrelation, predicate placement — is the point, per SURVEY §2.7).
+# All money is the repo's exact integer convention: cents x discount
+# -complement-percent = hundredths-of-a-cent ("c2"), decimal(38,0) for
+# corpus sums, trunc-div ppm at the very end.
+# ---------------------------------------------------------------------------
+
+# Q6: one-month band + discount band + quantity cap, revenue = price*disc
+Q6_DATE_LO, Q6_DATE_HI = "1996-01-01", "1997-01-01"
+Q6_DISC_LO_PCT, Q6_DISC_HI_PCT = 5, 7
+Q6_MAX_QTY = 24
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the pure scan query: no join, three
+    range predicates, one global sum.  revenue = extendedprice *
+    discount over a one-year ship window, a discount band, and a
+    quantity cap.
+
+    The discount band is evaluated on the exact integer percent
+    (round(l_discount*100) in [5,7]) so float representation of 0.05
+    can never flip a row across engines; revenue accumulates as
+    price-cents x discount-percent (c2) in decimal(38,0).
+
+    Scale shape: THE predicate-pushdown showcase — all three filters
+    reach the parquet scan (PushedFilters on l_shipdate/l_quantity),
+    whole-stage codegen evaluates the residual, and the aggregate is
+    one map-side partial + a single-row final: zero shuffles of data,
+    one of partials.  At 100 TB this is an embarrassingly parallel
+    scan bounded by IO."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_DATE_LO))
+            & (F.col("l_shipdate") < F.lit(Q6_DATE_HI))
+            & (F.col("l_quantity") < Q6_MAX_QTY)
+        )
+        .select(
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("dp"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("price_c"),
+        )
+        .filter(
+            (F.col("dp") >= Q6_DISC_LO_PCT) & (F.col("dp") <= Q6_DISC_HI_PCT)
+        )
+        .agg(
+            F.sum(
+                (F.col("price_c") * F.col("dp")).cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("revenue_c2"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# Q7: the two trading nations and the two-year ship window
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+Q7_DATE_LO, Q7_DATE_HI = "1995-01-01", "1997-01-01"
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume: revenue shipped
+    between two specific nations (supplier nation != customer nation,
+    both directions), grouped by (supp_nation, cust_nation, year).
+
+    Join strategy: supplier and customer each collapse with the
+    25-row nation dim into a broadcast carrying the nation NAME and
+    pre-filtered to the two nations of interest — the selective gate
+    prunes lineitem/orders rows map-side before the one big-big
+    orderkey join; the asymmetric pair predicate (exclude same-nation
+    pairs) is a residual on the already-tiny joined rows.
+
+    Scale shape: exactly one fact-x-fact shuffle (lineitem x orders on
+    orderkey); everything else broadcasts.  Group key cardinality is
+    2 x 2 x years, so the final agg is a handful of rows."""
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+    )
+    sup = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            F.broadcast(na),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(
+            F.broadcast(na),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q7_DATE_LO))
+            & (F.col("l_shipdate") < F.lit(Q7_DATE_HI))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("l_year"),
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("rev_c2"),
+        )
+    )
+    j = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum(F.col("rev_c2").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("revenue_c2"),
+            F.count("*").alias("n_lines"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# Q9: the part-name token standing in for TPC-H's '%green%'
+Q9_NAME_TOKEN = "red"
+# cost model stand-in for the absent partsupp.ps_supplycost: 10% of
+# p_retailprice per unit (retail cents x 10 == 0.1 x retail in c2)
+Q9_COST_RETAIL_PCT = 10
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by nation and year:
+    for parts whose name carries one token, profit = revenue minus
+    supply cost, grouped by (supplier nation, order year).
+
+    Adaptation: the corpus has no partsupp, so supply cost is modeled
+    as ``Q9_COST_RETAIL_PCT``% of ``p_retailprice`` per unit — carried
+    exactly as retail-cents x qty x 10 in c2 units, so profit stays an
+    exact integer and the oracle agrees bit-for-bit.
+
+    Join strategy: part is filtered by the name token THEN broadcast
+    (the Q9 lesson: the part filter is the only selective predicate,
+    so it must prune the fact scan map-side, not after the shuffle);
+    supplier x nation collapse into one broadcast; lineitem x orders
+    is the single co-keyed big-big join.
+
+    Scale shape: one fact-x-fact shuffle + three broadcasts; group
+    cardinality nations x years.  The profit expression is pure
+    codegen arithmetic on two bigints."""
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").contains(Q9_NAME_TOKEN))
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100)
+            .cast("bigint")
+            .alias("retail_c"),
+        )
+    )
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    sup = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_c2"),
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .select(
+            "nation",
+            "o_year",
+            (
+                F.col("rev_c2")
+                - F.col("qty") * F.col("retail_c") * Q9_COST_RETAIL_PCT
+            ).alias("profit_c2"),
+        )
+    )
+    return (
+        j.groupBy("nation", "o_year")
+        .agg(
+            F.sum(F.col("profit_c2").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("profit_c2"),
+            F.count("*").alias("n_lines"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("nation", F.desc("o_year"))
+    )
+
+
+# Q10: the return-flag quarter and the top-N cutoff
+Q10_DATE_LO, Q10_DATE_HI = "1995-04-01", "1995-07-01"
+Q10_TOP_N = 20
+
+
+def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item losses: the TOP_N customers by
+    revenue on RETURNED lines ('R') for orders placed in one quarter.
+
+    Join strategy: orders is date-filtered first (the quarter cuts it
+    ~25x) and joins lineitem co-keyed on orderkey; the customer dim +
+    nation name broadcast onto the small aggregated result.
+
+    Scale shape: the top-N is `orderBy().limit()` —
+    TakeOrderedAndProject, a per-partition heap + single-driver merge
+    of N-row partials, NEVER a global sort or an unpartitioned window
+    (the repo's heavy_hitters convention).  Ties break on c_custkey so
+    the cutoff row is deterministic on both engines."""
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q10_DATE_LO))
+            & (F.col("o_orderdate") < F.lit(Q10_DATE_HI))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("rev_c2"),
+        )
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("rev_c2").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("revenue_c2")
+        )
+    )
+    return (
+        agg.join(F.broadcast(cust), agg.o_custkey == cust.c_custkey)
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"),
+                "revenue_c2")
+        .orderBy(F.desc("revenue_c2"), F.asc("c_custkey"))
+        .limit(Q10_TOP_N)
+    )
+
+
+# Q12: l_returnflag stands in for the absent l_shipmode; the ship year
+Q12_FLAGS = ("A", "R")
+Q12_DATE_LO, Q12_DATE_HI = "1996-01-01", "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — shipping-class vs order-priority audit: for
+    two shipping classes and one ship year, count lines from
+    high-priority vs low-priority orders per class.
+
+    Adaptation: the corpus has no ``l_shipmode``, so ``l_returnflag``
+    ('A'/'R') is the two-valued shipping-class stand-in; the CASE
+    split on ``o_orderpriority`` is verbatim Q12.
+
+    Scale shape: one co-keyed big-big join (lineitem filtered by
+    class+year map-side, orders projected to two columns), then a
+    two-row conditional aggregate — the canonical
+    filter-join-case-count with partial aggs on both sides of the
+    final exchange."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            F.col("l_returnflag").isin(*Q12_FLAGS)
+            & (F.col("l_shipdate") >= F.lit(Q12_DATE_LO))
+            & (F.col("l_shipdate") < F.lit(Q12_DATE_HI))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("l_returnflag")
+    )
+
+
+# Q14: the promo month
+Q14_DATE_LO, Q14_DATE_HI = "1995-09-01", "1995-10-01"
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion effect: the ppm share of one ship
+    month's revenue that came from PROMO-type parts.
+
+    Scale shape: part projects to (p_partkey, is_promo) and broadcasts
+    UNFILTERED (every lineitem row needs the flag, so the filter moves
+    into the aggregate as a CASE — the Q14 lesson: a selective
+    broadcast would be wrong here, the flag is a property join);
+    lineitem is month-filtered at the scan; one conditional partial
+    agg pair, single-row result, exact decimal(38,0) ppm division."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q14_DATE_LO))
+            & (F.col("l_shipdate") < F.lit(Q14_DATE_HI))
+        )
+        .select(
+            "l_partkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("rev_c2"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.sum(
+            F.when(F.col("is_promo"), F.col("rev_c2"))
+            .otherwise(F.lit(0))
+            .cast(d38)
+        ).alias("promo_rev"),
+        F.sum(F.col("rev_c2").cast(d38)).alias("tot_rev"),
+    )
+    return agg.select(
+        F.expr(
+            "case when tot_rev = 0 then null else"
+            " cast((promo_rev * 1000000) div tot_rev as bigint) end"
+        ).alias("promo_share_ppm"),
+        F.col("promo_rev").cast("bigint").alias("promo_rev_c2"),
+        F.col("tot_rev").cast("bigint").alias("total_rev_c2"),
+    )
+
+
+# Q15: the top-supplier revenue quarter
+Q15_DATE_LO, Q15_DATE_HI = "1996-01-01", "1996-04-01"
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — top supplier(s): suppliers whose one-quarter
+    shipped revenue equals the global maximum (Q15's revenue view +
+    scalar-max subquery, kept as a set so ties surface rather than
+    pick an arbitrary winner).
+
+    Decorrelation: the revenue "view" is one partial-agg groupBy over
+    the filtered fact scan; the scalar max is a 1-row aggregate OF
+    that view, broadcast back onto it (the repo's
+    broadcast-guard-aggregate convention) — no window, no second fact
+    scan, no collect.
+
+    Scale shape: fact scan -> one suppkey shuffle (cardinality =
+    suppliers) -> O(suppliers) max + broadcast equality filter ->
+    broadcast supplier dim for the name.  At 100 TB the only big cost
+    is the scan itself."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q15_DATE_LO))
+            & (F.col("l_shipdate") < F.lit(Q15_DATE_HI))
+        )
+        .select(
+            "l_suppkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("rev_c2"),
+        )
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("rev_c2").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("total_revenue_c2")
+    )
+    mx = revenue.agg(F.max("total_revenue_c2").alias("max_rev"))
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        revenue.join(
+            F.broadcast(mx),
+            F.col("total_revenue_c2") == F.col("max_rev"),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_c2")
+        .repartition(1)
+        .sortWithinPartitions("s_suppkey")
+    )
+
+
+# Q16: part attribute filters + the "complaints" supplier exclusion
+Q16_EXCL_BRAND = "Brand#1"
+Q16_EXCL_TYPE = "PROMO"
+Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+
+
+def parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — parts/supplier relationship: how many
+    DISTINCT suppliers can supply parts of each (brand, type, size)
+    combo, excluding one brand, one type family, and "complaint"
+    suppliers (NOT IN subquery -> anti-join).
+
+    Adaptation: the corpus has no partsupp, so the part-supplier
+    relation is the DISTINCT (l_partkey, l_suppkey) projection of
+    lineitem (who actually shipped what); no s_comment either, so the
+    complaint set is suppliers with negative account balance.
+
+    Scale shape: the NOT IN becomes a broadcast LEFT ANTI join (the
+    only correct distributed form — NOT IN with a nullable subquery is
+    the classic SQL trap, sidestepped here because s_suppkey is a
+    key); the distinct-supplier count per attribute combo is ONE
+    shuffle on (brand, type, size) after the partkey broadcast join;
+    count(distinct) re-expands internally to a two-phase partial
+    distinct — both engines dedupe identically."""
+    ps = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(
+            (F.col("p_brand") != Q16_EXCL_BRAND)
+            & (F.col("p_type") != Q16_EXCL_TYPE)
+            & F.col("p_size").isin(*Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complainers = spark.read.parquet(f"{sf_dir}/supplier.parquet").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(complainers),
+            ps.l_suppkey == complainers.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .repartition(1)
+        .sortWithinPartitions(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+# Q17: the small-quantity brand and the avg fraction (1/5 = 20%)
+Q17_BRAND = "Brand#3"
+Q17_AVG_DEN = 5  # qty < sum_qty / (5 * cnt)  <=>  qty*5*cnt < sum_qty
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — small-quantity-order revenue: total revenue
+    of lines whose quantity is below 20% of the part's average
+    quantity, for one brand.  THE correlated-scalar-subquery
+    decorrelation showcase: ``l_quantity < 0.2 * (select avg
+    ... where l_partkey = p_partkey)`` becomes a per-partkey
+    pre-aggregate joined back to the same filtered fact rows.
+
+    Exactness: the avg never materializes — the comparison multiplies
+    through (qty * 5 * cnt < sum_qty, all bigints of integral
+    quantities), so no division, no float, no rounding rule to
+    disagree on.
+
+    Scale shape: part (brand-filtered) broadcasts; the filtered fact
+    subset shuffles ONCE on l_partkey and the self-join of rows vs
+    their group aggregate rides the SAME partitioning (co-keyed, AQE
+    keeps it local).  Q17's classic trap — recomputing the avg per
+    row via a correlated subquery — never appears in the plan."""
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(
+            F.broadcast(part),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "l_partkey",
+            F.round("l_quantity").cast("bigint").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("price_c"),
+        )
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    small = li.join(
+        stats.withColumnRenamed("l_partkey", "s_partkey"),
+        F.col("l_partkey") == F.col("s_partkey"),
+    ).filter(
+        F.col("qty") * Q17_AVG_DEN * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.sum(F.col("price_c").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("total_price_c"),
+        F.count("*").alias("n_small_lines"),
+    )
+
+
+# Q19: three OR'd (brand, size band, quantity band) baskets
+Q19_BASKETS = (
+    ("Brand#1", 1, 5, 1, 11),
+    ("Brand#2", 1, 10, 10, 20),
+    ("Brand#3", 1, 15, 20, 30),
+)
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — discounted revenue under a DISJUNCTION of
+    conjunctive baskets: three OR'd (brand, part-size band, line
+    quantity band) predicates spanning both tables.
+
+    Adaptation: p_container/l_shipinstruct don't exist; p_size and
+    l_quantity bands carry the same cross-table OR structure.
+
+    The Q19 lesson: naive translation ORs the JOIN CONDITION, which
+    forces a cartesian/BNL plan.  The correct distributed form —
+    shipped here — extracts the common equi-key (partkey) as the join
+    condition, pushes the single-table disjuncts down to each scan as
+    a union-of-bands prefilter (brand-or for part, quantity-envelope
+    for lineitem), and leaves the cross-table OR as a residual CASE on
+    the joined row.
+
+    Scale shape: part (brand-filtered, tiny) broadcasts; lineitem
+    scans once with the quantity envelope pushed down; zero shuffles
+    beyond the partial-agg exchange of one row."""
+    brands = sorted({b[0] for b in Q19_BASKETS})
+    qty_lo = min(b[3] for b in Q19_BASKETS)
+    qty_hi = max(b[4] for b in Q19_BASKETS)
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_brand").isin(*brands))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_quantity") >= qty_lo) & (F.col("l_quantity") <= qty_hi)
+        )
+        .select(
+            "l_partkey",
+            F.round("l_quantity").cast("bigint").alias("qty"),
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("rev_c2"),
+        )
+    )
+    residual = None
+    for brand, sz_lo, sz_hi, q_lo, q_hi in Q19_BASKETS:
+        clause = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= sz_lo)
+            & (F.col("p_size") <= sz_hi)
+            & (F.col("qty") >= q_lo)
+            & (F.col("qty") <= q_hi)
+        )
+        residual = clause if residual is None else (residual | clause)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(residual)
+        .agg(
+            F.sum(F.col("rev_c2").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("revenue_c2"),
+            F.count("*").alias("n_lines"),
+        )
+    )

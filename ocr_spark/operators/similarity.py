@@ -1669,6 +1669,178 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MRR@K reciprocal-rank quality (Voorhees, TREC-8 QA track, 1999)
+# ---------------------------------------------------------------------------
+
+MRR_K = 10  # reciprocal rank is 0 when no relevant candidate lands in top-K
+
+
+def mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@K of the exact-cosine retrieval (Voorhees, TREC-8, 1999) —
+    the first-hit metric completing the eval triad next to
+    ann_recall_eval (set overlap) and ndcg_eval (graded order): each
+    of the NDCG_NQ query vectors ranks the corpus by cosine, a
+    candidate is RELEVANT iff it shares the query's circular label
+    exactly (the rel==3 tier of ndcg_eval's grading), and the score is
+    the reciprocal of the first relevant position within MRR_K, as
+    half-away ppm — queries with no top-K hit score 0, the standard
+    MRR@K floor.
+
+    Engine-exactness: cosine is the repo's round-4 double; the
+    reciprocal is pure integer arithmetic ((2e6 + p) div 2p — exact
+    half-away-from-zero, the _sql_round trick on a unit numerator);
+    the (cos desc, vec_id) tie-break pins the ranking on both engines.
+
+    Scale shape: identical to ndcg_eval — NDCG_NQ query rows broadcast
+    onto one corpus scan, one row_number window partitioned BY QUERY
+    (per-partition cardinality = corpus / per-query candidates; at
+    10^9 candidates swap for per-query orderBy().limit(K) TakeOrdered,
+    same result), then a K-bounded groupBy(qid).min aggregate and a
+    broadcast-size left join back to the query list."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < NDCG_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("q"),
+        F.col("nrm").alias("qn"),
+    )
+    cands = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("q"))
+            / (F.col("nrm") * F.col("qn")),
+            4,
+        ).alias("cos"),
+        (F.col("label") == F.col("qlabel")).alias("relevant"),
+    )
+    w_cos = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    hits = (
+        cands.select(
+            "qid", "relevant", F.row_number().over(w_cos).alias("p_cos")
+        )
+        .where((F.col("p_cos") <= MRR_K) & F.col("relevant"))
+        .groupBy("qid")
+        .agg(F.min("p_cos").cast("long").alias("first_rel_pos"))
+    )
+    return (
+        queries.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("first_rel_pos"), F.lit(0)).cast("long").alias(
+                "first_rel_pos"
+            ),
+        )
+        .withColumn(
+            "rr_ppm",
+            F.expr(
+                "case when first_rel_pos = 0 then cast(0 as bigint) else"
+                " (2 * cast(1000000 as bigint) + first_rel_pos)"
+                " div (2 * first_rel_pos) end"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAP@K mean-average-precision (Buckley & Voorhees, SIGIR 2000 trec_eval)
+# ---------------------------------------------------------------------------
+
+# lcm(1..MRR_K=10): precision@p = relcnt/p summed over relevant positions
+# becomes S = sum(relcnt * (2520 div p)) over a COMMON integer denominator
+# 2520, so AP = S / (2520 * min(R, K)) is a single exact rational and the
+# final ppm is one half-away division — no floating point anywhere.
+MAP_LCM = 2520
+
+
+def map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AP@K per query (the trec_eval MAP decomposition, Buckley &
+    Voorhees, SIGIR 2000) — the order-sensitive set metric alongside
+    ann_recall_eval / mrr_eval / ndcg_eval: each NDCG_NQ query ranks
+    the corpus by the round-4 cosine, a candidate is relevant iff it
+    shares the query's label (mrr_eval's criterion), and AP@K is the
+    mean of precision@p over the relevant positions p <= MRR_K,
+    normalized by min(total_relevant, K).
+
+    Engine-exactness: precision fractions are folded over the integer
+    common denominator MAP_LCM = lcm(1..10) (2520 div p is exact for
+    every cutoff position), so S and the denominator are bigints and
+    the single terminal division is the repo's half-away ppm rule;
+    (cos desc, vec_id) pins the ranking on both engines.
+
+    Scale shape: one broadcast of the NDCG_NQ queries onto one corpus
+    scan; the rank and running-relevant-count windows are partitioned
+    BY QUERY (at 10^9 candidates: TakeOrdered top-K per query, then
+    the O(K) running count within the K rows — identical S because AP@K
+    only reads positions <= K); total_relevant is a plain partial-agg
+    count, never a window."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < NDCG_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("q"),
+        F.col("nrm").alias("qn"),
+    )
+    cands = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("q"))
+            / (F.col("nrm") * F.col("qn")),
+            4,
+        ).alias("cos"),
+        (F.col("label") == F.col("qlabel")).alias("relevant"),
+    )
+    w_cos = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    ranked = cands.select(
+        "qid", "relevant", F.row_number().over(w_cos).alias("p_cos")
+    )
+    w_run = (
+        Window.partitionBy("qid")
+        .orderBy("p_cos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = ranked.withColumn(
+        "relcnt", F.sum(F.col("relevant").cast("long")).over(w_run)
+    )
+    agg = scored.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                (F.col("p_cos") <= MRR_K) & F.col("relevant"),
+                F.col("relcnt")
+                * F.expr(f"cast({MAP_LCM} div p_cos as bigint)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("s"),
+        F.sum(F.col("relevant").cast("long")).alias("n_rel"),
+    )
+    return (
+        agg.select(
+            "qid",
+            "n_rel",
+            F.expr(
+                f"case when least(n_rel, {MRR_K}) = 0 then cast(0 as bigint)"
+                f" else (2 * cast(1000000 as bigint) * s"
+                f"       + {MAP_LCM} * least(n_rel, {MRR_K}))"
+                f" div (2 * {MAP_LCM} * least(n_rel, {MRR_K})) end"
+            ).alias("ap_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rocchio pseudo-relevance feedback (Rocchio, 1971; PRF: Buckley et al.,
 # TREC-3 1994)
 # ---------------------------------------------------------------------------

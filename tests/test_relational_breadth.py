@@ -1058,6 +1058,29 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         }
     )
     pq.write_table(sup, f"{d}/supplier.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([], pa.int32()),
+                "n_name": pa.array([], pa.string()),
+                "n_regionkey": pa.array([], pa.int32()),
+            }
+        ),
+        f"{d}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "p_name": pa.array([], pa.string()),
+                "p_brand": pa.array([], pa.string()),
+                "p_type": pa.array([], pa.string()),
+                "p_size": pa.array([], pa.int32()),
+                "p_retailprice": pa.array([], pa.float64()),
+            }
+        ),
+        f"{d}/part.parquet",
+    )
 
     from ocr_spark.operators import dedup as D
     from ocr_spark.operators import evalmetrics as E
@@ -1093,7 +1116,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         D.winnowing_near_dup,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
-        S.rocchio_feedback,
+        S.mrr_eval, S.map_eval, S.rocchio_feedback,
         S.hard_negative_mining,
         R.triangle_count, R.incremental_agg_merge,
         R.connected_components_labels, R.two_hop_neighbors,
@@ -1111,6 +1134,9 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         W.html_to_spans, W.robots_gate, W.hits_hubs_authorities,
         W.lpa_communities, W.triangle_count,
         W.anchor_text_aggregation, W.cocitation_pairs,
+        R.volume_shipping, R.product_profit, R.returned_items,
+        R.shipmode_priority, R.parts_supplier_count,
+        R.top_supplier_revenue,
     ]
     for fn in empty_ok:
         assert fn(spark, d).count() == 0, fn.__name__
@@ -1128,6 +1154,14 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
     z = T.zipf_fit(spark, d).collect()
     assert len(z) == 1 and z[0]["n_terms"] == 0
     assert z[0]["slope_milli"] is None and z[0]["r2"] is None
+    for fn, cnt_col in [
+        (R.forecast_revenue, "n_lines"),
+        (R.promo_revenue_share, "total_rev_c2"),
+        (R.small_qty_revenue, "n_small_lines"),
+        (R.disjunctive_revenue, "n_lines"),
+    ]:
+        rows = fn(spark, d).collect()
+        assert len(rows) == 1 and not rows[0][cnt_col], fn.__name__
 
 
 def test_pareto_frontier_dominance_rules(spark, tmp_path):
@@ -2036,6 +2070,55 @@ def test_ndcg_eval_hand_computed(spark, tmp_path):
     assert out[0]["idcg_ppb"] == idcg
     assert out[0]["ndcg_ppm"] == (2 * dcg * 10**6 + idcg) // (2 * idcg)
     assert out[0]["ndcg_ppm"] < 1_000_000  # misranked pair costs
+
+
+def test_mrr_eval_hand_computed(spark, tmp_path):
+    """Query 0 (label 0): first same-label candidate sits at cosine
+    rank 2 (vec 11 outranks it), so RR = 1/2 exactly; query 1
+    (label 9) has NO same-label candidate -> first_rel_pos 0, rr 0."""
+    from ocr_spark.operators.similarity import mrr_eval
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.5, 0.5], 9),
+            (10, [1.0, 0.1], 5),   # cos ~.9950 to q0, wrong label
+            (11, [1.0, 0.2], 0),   # cos ~.9806 to q0, label hit at pos 2
+            (12, [0.0, 1.0], 0),   # cos 0 to q0, later hit
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {r["qid"]: r for r in mrr_eval(spark, d).collect()}
+    assert out[0]["first_rel_pos"] == 2
+    assert out[0]["rr_ppm"] == 500_000
+    assert out[1]["first_rel_pos"] == 0
+    assert out[1]["rr_ppm"] == 0
+
+
+def test_map_eval_hand_computed(spark, tmp_path):
+    """Query 0 (label 0) ranking: 10(.995, miss), 11(.981, HIT p=2,
+    prec 1/2), 1(.707, miss), 12(0.0, HIT p=4, prec 2/4) ->
+    AP@10 = (1/2 + 1/2) / min(2,10) = 1/2 exactly; query 1 (label 9)
+    has zero relevant candidates -> ap 0."""
+    from ocr_spark.operators.similarity import map_eval
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.5, 0.5], 9),
+            (10, [1.0, 0.1], 5),
+            (11, [1.0, 0.2], 0),
+            (12, [0.0, 1.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {r["qid"]: r for r in map_eval(spark, d).collect()}
+    assert out[0]["n_rel"] == 2
+    assert out[0]["ap_ppm"] == 500_000
+    assert out[1]["n_rel"] == 0
+    assert out[1]["ap_ppm"] == 0
 
 
 def test_rocchio_feedback_python_replay(spark, tmp_path):
