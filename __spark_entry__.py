@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_near_dup": dedup.lsh_candidates,
+        "edit_distance_near_dup": dedup.edit_distance_near_dup,
         "split_leakage_audit": dedup.split_leakage_audit,
         "incremental_near_dup": dedup.incremental_near_dup,
         "near_dup_clusters": dedup.near_dup_clusters,
@@ -232,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": similarity.brute_topk,
         "ndcg_eval": similarity.ndcg_eval,
         "mrr_eval": similarity.mrr_eval,
+        "mmr_diversify": similarity.mmr_diversify,
         "map_eval": similarity.map_eval,
         "rocchio_feedback": similarity.rocchio_feedback,
         "ann_filtered_topk": similarity.filtered_topk,
@@ -424,6 +426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentrated_parts": relational.revenue_concentrated_parts,
         "customer_order_distribution": relational.customer_order_distribution,
         "large_volume_orders": relational.large_volume_orders,
+        "theil_sen_trend": relational.theil_sen_trend,
+        "js_divergence_drift": text_analysis.js_divergence_drift,
         "forecast_revenue": relational.forecast_revenue,
         "volume_shipping": relational.volume_shipping,
         "product_profit": relational.product_profit,
@@ -890,6 +894,60 @@ order by doc_a, doc_b
         + ")"
         for b in range(dedup.LSH_BANDS)
     ),
+)
+
+
+# Edit-distance verify over the SAME banded candidate pairs: native
+# levenshtein on EDIT_PREFIX-char prefixes, integer ppm normalization.
+_EDIT_ORACLE = """
+with sh as (
+  select doc_id, {sh} as shingles from documents
+), sigs as (
+  select doc_id, shingles,
+{cols}
+  from sh
+), bands as (
+  select doc_id, b.band,
+         case b.band
+{band_cases}
+         end as bucket
+  from sigs, (select unnest(range(0, {nbands})) as band) b
+), pairs as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b on a.band = b.band and a.bucket = b.bucket
+   and a.doc_id < b.doc_id
+), verify as (
+  select p.doc_a, p.doc_b,
+         levenshtein(substring(da.text, 1, {prefix}),
+                     substring(db.text, 1, {prefix}))::bigint as lev,
+         greatest(len(substring(da.text, 1, {prefix})),
+                  len(substring(db.text, 1, {prefix})))::bigint as max_len
+  from pairs p
+  join documents da on da.doc_id = p.doc_a
+  join documents db on db.doc_id = p.doc_b
+)
+select doc_a, doc_b, lev,
+       case when max_len = 0 then 0
+            else (lev * 1000000) // max_len end as dist_ppm
+from verify
+where (case when max_len = 0 then 0
+            else (lev * 1000000) // max_len end) <= {max_ppm}
+order by doc_a, doc_b
+""".format(
+    sh=_SHINGLES,
+    cols=",\n".join("    " + _mh_col(j) for j in range(dedup.N_MINHASH)),
+    nbands=dedup.LSH_BANDS,
+    band_cases="\n".join(
+        f"           when {b} then md5(mh{b * (dedup.N_MINHASH // dedup.LSH_BANDS)}::varchar"
+        + "".join(
+            f" || ',' || mh{b * (dedup.N_MINHASH // dedup.LSH_BANDS) + r}::varchar"
+            for r in range(1, dedup.N_MINHASH // dedup.LSH_BANDS)
+        )
+        + ")"
+        for b in range(dedup.LSH_BANDS)
+    ),
+    prefix=dedup.EDIT_PREFIX,
+    max_ppm=dedup.EDIT_MAX_PPM,
 )
 
 
@@ -2028,6 +2086,7 @@ from documents order by doc_id
         "minhash_signatures": _MINHASH_ORACLE,
         "dedup_sketch_eval": _SKETCH_EVAL_ORACLE,
         "lsh_near_dup": _LSH_ORACLE,
+        "edit_distance_near_dup": _EDIT_ORACLE,
         "incremental_near_dup": _INCR_LSH_ORACLE,
         # connected components as a recursive reachability closure over
         # the SAME verified-pair SQL; min over reachable = component min.
@@ -4966,6 +5025,39 @@ select w1, cast(head_rank as int) as head_rank,
 from ranked order by head_rank, next_rank
 """
     # Drift truth: even/odd halves, ppm shares, conditional-agg pivot.
+    # JS truth: same tokenization, same half-weighted micro-nat
+    # contributions, same associative bigint total.
+    sql["js_divergence_drift"] = """
+with t as (
+  select doc_id % 2 = 0 as is_a,
+         unnest(string_split(lower(text), ' ')) as term
+  from documents
+), counts as (
+  select term,
+         sum(case when is_a then 1 else 0 end) as cnt_a,
+         sum(case when not is_a then 1 else 0 end) as cnt_b
+  from t where term != '' group by term
+), tot as (
+  select sum(cnt_a) as tot_a, sum(cnt_b) as tot_b from counts
+), contrib as (
+  select cast(round((
+           case when cnt_a = 0 then 0.0 else
+             (cnt_a / tot_a::double) *
+             ln(2.0 * (cnt_a / tot_a::double) /
+                (cnt_a / tot_a::double + cnt_b / tot_b::double)) end
+         + case when cnt_b = 0 then 0.0 else
+             (cnt_b / tot_b::double) *
+             ln(2.0 * (cnt_b / tot_b::double) /
+                (cnt_a / tot_a::double + cnt_b / tot_b::double)) end
+         ) * 500000) as bigint) as term_js_micro
+  from counts cross join tot
+)
+select cast(sum(term_js_micro) as bigint) as js_micro,
+       count(*) as n_terms,
+       cast(tot.tot_a as bigint) as tot_a,
+       cast(tot.tot_b as bigint) as tot_b
+from contrib cross join tot group by tot.tot_a, tot.tot_b
+"""
     sql["term_drift"] = f"""
 with t as (
   select doc_id % 2 = 0 as is_a,
@@ -7871,10 +7963,96 @@ select l.node as doc_id, cast(l.label as bigint) as community,
 from {_lf} l join cs using (label) order by doc_id
 """
     )
+    # MMR truth: same integer ten-thousandth cosines, same unrolled
+    # greedy picks with (score desc, vec_id) ties.
+    def _cosm(A: str, B: str) -> str:
+        dot = (
+            f"list_dot_product({A}.embedding::double[],"
+            f" {B}.embedding::double[])"
+        )
+        na = (
+            f"sqrt(list_dot_product({A}.embedding::double[],"
+            f" {A}.embedding::double[]))"
+        )
+        nb = (
+            f"sqrt(list_dot_product({B}.embedding::double[],"
+            f" {B}.embedding::double[]))"
+        )
+        return (
+            f"cast(round(round({dot} / ({na} * {nb}), 4) * 10000)"
+            " as bigint)"
+        )
+
+    _lam = similarity.MMR_LAMBDA_TENTHS
+    _com = 10 - _lam
+    _mmr_parts = [
+        "q as (select embedding from embeddings where vec_id = 0)",
+        f"""pool as (
+  select e.vec_id, e.embedding, {_cosm('e', 'q')} as rel_m
+  from embeddings e, q where e.vec_id <> 0
+  order by rel_m desc, e.vec_id limit {similarity.MMR_POOL})""",
+        f"""sims as (
+  select pa.vec_id as xa, pb.vec_id as xb, {_cosm('pa', 'pb')} as sim_m
+  from pool pa join pool pb on pa.vec_id <> pb.vec_id)""",
+        f"""s1 as (
+  select vec_id, rel_m, rel_m * {_lam} as score_m, 1 as "rank"
+  from pool order by score_m desc, vec_id limit 1)""",
+        "sel1 as (select vec_id from s1)",
+    ]
+    for _t in range(2, similarity.MMR_OUT + 1):
+        _p = _t - 1
+        _mmr_parts.append(f"""s{_t} as (
+  select p.vec_id, p.rel_m,
+         p.rel_m * {_lam} - coalesce(mx.m, 0) * {_com} as score_m,
+         {_t} as "rank"
+  from pool p
+  left join (select xa, max(sim_m) as m from sims
+             join sel{_p} on xb = vec_id group by 1) mx
+    on p.vec_id = mx.xa
+  where p.vec_id not in (select vec_id from sel{_p})
+  order by score_m desc, p.vec_id limit 1)""")
+        _mmr_parts.append(
+            f"sel{_t} as (select vec_id from sel{_p}"
+            f" union all select vec_id from s{_t})"
+        )
+    _mmr_union = " union all ".join(
+        f"select * from s{t}" for t in range(1, similarity.MMR_OUT + 1)
+    )
+    sql["mmr_diversify"] = (
+        "with "
+        + ",\n".join(_mmr_parts)
+        + f"""
+select "rank", vec_id, rel_m, score_m from ({_mmr_union}) order by "rank"
+"""
+    )
     # --- TPC-H catalog completion (Q6 Q7 Q9 Q10 Q12 Q14 Q15 Q16 Q17
     # Q19) — same c2 integer money, same adapted stand-in columns. ---
     _rev = ("(cast(round(l_extendedprice * 100) as bigint)"
             " * (100 - cast(round(l_discount * 100) as bigint)))")
+    # Theil-Sen truth: same integer cents/day slopes, same lower median.
+    sql["theil_sen_trend"] = f"""
+with daily as (
+  select date_diff('day', timestamp '{relational.TS_EPOCH}', o_orderdate)
+           as day,
+         sum(cast(round(o_totalprice * 100) as bigint)) as cents
+  from orders group by 1
+), pairs as (
+  select a.day * 100000 + b.day as pair_id,
+         ((b.cents - a.cents) * 1000) // (b.day - a.day) as slope_milli
+  from daily a join daily b on a.day < b.day
+), n as (
+  select (select count(*) from pairs) as n_pairs,
+         (select count(*) from daily) as n_days
+), ranked as (
+  select slope_milli,
+         row_number() over (order by slope_milli, pair_id) as rk
+  from pairs
+)
+select cast(slope_milli as bigint) as slope_milli_per_day,
+       cast(n_pairs as bigint) as n_pairs,
+       cast(n_days as bigint) as n_days
+from ranked, n where rk = (n_pairs + 1) // 2
+"""
     # Q6 truth: scan + three bands, revenue = price-cents x disc-pct.
     sql["forecast_revenue"] = f"""
 select cast(sum(cast(round(l_extendedprice * 100) as bigint)

@@ -201,6 +201,23 @@ def main() -> int:
         "customer_order_distribution",
         "large_volume_orders",
         "harmonic_centrality",
+        # round-4 ninth wave: TPC-H completion + retrieval-eval family
+        "mrr_eval",
+        "map_eval",
+        "forecast_revenue",
+        "volume_shipping",
+        "product_profit",
+        "returned_items",
+        "shipmode_priority",
+        "promo_revenue_share",
+        "top_supplier_revenue",
+        "parts_supplier_count",
+        "small_qty_revenue",
+        "disjunctive_revenue",
+        "edit_distance_near_dup",
+        "mmr_diversify",
+        "theil_sen_trend",
+        "js_divergence_drift",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -1323,3 +1323,72 @@ def winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verify over LSH candidates (Levenshtein near-dup)
+# ---------------------------------------------------------------------------
+
+# verify window: only the first EDIT_PREFIX chars enter the O(n*m) DP —
+# the standard cost cap for edit-distance verification (a no-op on the
+# fixture corpus whose docs are <1 KB, the knob that keeps a pathological
+# 10 MB document from costing 10^14 DP cells at corpus scale)
+EDIT_PREFIX = 1024
+EDIT_MAX_PPM = 200_000  # keep pairs with normalized distance <= 20%
+
+
+def edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup: Levenshtein distance as the VERIFY
+    stage over the minhash-LSH candidate pairs — the edit-distance
+    complement to the shingle-Jaccard verify (`lsh_near_dup`): Jaccard
+    is blind to small in-word edits (OCR confusions, typo farms,
+    template fills) that character distance catches.
+
+    Both engines run their native Levenshtein (Spark
+    ``F.levenshtein``, DuckDB ``levenshtein``) on the same
+    ``EDIT_PREFIX``-char prefixes; the normalized distance is exact
+    integer ppm over the longer prefix length, and the decision
+    threshold compares integers — no float anywhere.
+
+    Scale shape: candidate generation is the shared banded equi-join
+    (`band_pairs` — one bucket-key shuffle, AQE skew-split, NEVER
+    all-pairs); the DP cost per pair is capped at EDIT_PREFIX^2; text
+    payloads join onto the slim pair list (two hash joins keyed by
+    doc_id), so full documents never ride the bucket shuffle."""
+    pairs = band_pairs(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("txt")
+    )
+    return (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("txt").alias("txt_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("txt").alias("txt_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("txt_a", "txt_b").cast("bigint").alias("lev"),
+            F.greatest(F.length("txt_a"), F.length("txt_b"))
+            .cast("bigint")
+            .alias("max_len"),
+        )
+        .withColumn(
+            "dist_ppm",
+            F.expr(
+                "case when max_len = 0 then cast(0 as bigint)"
+                " else (lev * cast(1000000 as bigint)) div max_len end"
+            ),
+        )
+        .filter(F.col("dist_ppm") <= EDIT_MAX_PPM)
+        .select("doc_a", "doc_b", "lev", "dist_ppm")
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
+    )

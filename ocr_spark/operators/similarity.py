@@ -2056,3 +2056,137 @@ def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998)
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 20  # relevance-ranked candidate pool entering the greedy loop
+MMR_OUT = 5  # diversified results returned
+MMR_LAMBDA_TENTHS = 7  # lambda = 0.7: score = 7*rel - 3*max_sim (x10)
+
+
+def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) of the vec_id=0 retrieval: from the top-``MMR_POOL``
+    cosine candidates, greedily pick ``MMR_OUT`` results maximizing
+    ``lambda*rel - (1-lambda)*max_sim_to_already_picked`` — the
+    standard redundancy-killer between retrieval and an LLM context
+    window (near-identical passages waste the token budget that
+    diversity would spend on coverage).
+
+    Engine-exactness: relevance and pairwise similarity are the
+    round-4 cosine scaled to integer ten-thousandths
+    (round(cos*10000) of the already-round-4 double — both engines
+    double-round the same doubles), the MMR score is the integer
+    ``7*rel_m - 3*max_sim_m``, and every greedy pick breaks ties on
+    (score desc, vec_id) — the selection sequence is bit-determined.
+
+    Scale shape: the pool is TakeOrdered top-POOL over one broadcast-
+    query scan (never a window); pool x pool similarity is
+    POOL^2-bounded; the greedy loop is ``MMR_OUT`` unrolled rounds of
+    [broadcast anti-join the picked set -> max-sim groupBy -> top-1
+    TakeOrdered] over <=POOL rows — per-round state is O(POOL), so at
+    10^9 candidates only the initial TakeOrdered touches the corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q"), F.col("nrm").alias("qn")
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.round(
+                F.round(
+                    _dot(F.col("embedding"), F.col("q"))
+                    / (F.col("nrm") * F.col("qn")),
+                    4,
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("rel_m"),
+        )
+        .orderBy(F.desc("rel_m"), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    a = pool.select(
+        F.col("vec_id").alias("xa"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = pool.select(
+        F.col("vec_id").alias("xb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sims = (
+        a.join(b, F.col("xa") != F.col("xb"))
+        .select(
+            "xa",
+            "xb",
+            F.round(
+                F.round(
+                    _dot(F.col("ea"), F.col("eb"))
+                    / (F.col("na") * F.col("nb")),
+                    4,
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("sim_m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lam, com = MMR_LAMBDA_TENTHS, 10 - MMR_LAMBDA_TENTHS
+    cand = pool.select("vec_id", "rel_m")
+    picked = (
+        cand.select(
+            "vec_id",
+            "rel_m",
+            (F.col("rel_m") * lam).alias("score_m"),
+            F.lit(1).alias("rank"),
+        )
+        .orderBy(F.desc("score_m"), "vec_id")
+        .limit(1)
+    )
+    out = picked
+    for t in range(2, MMR_OUT + 1):
+        sel_ids = out.select(F.col("vec_id").alias("sid"))
+        rem = cand.join(
+            F.broadcast(sel_ids),
+            cand.vec_id == F.col("sid"),
+            "left_anti",
+        )
+        mx = (
+            sims.join(F.broadcast(sel_ids), sims.xb == F.col("sid"))
+            .groupBy("xa")
+            .agg(F.max("sim_m").alias("max_sim_m"))
+        )
+        picked = (
+            rem.join(mx, rem.vec_id == mx.xa, "left")
+            .select(
+                "vec_id",
+                "rel_m",
+                (
+                    F.col("rel_m") * lam
+                    - F.coalesce(F.col("max_sim_m"), F.lit(0)) * com
+                ).alias("score_m"),
+                F.lit(t).alias("rank"),
+            )
+            .orderBy(F.desc("score_m"), "vec_id")
+            .limit(1)
+        )
+        out = out.unionByName(picked).localCheckpoint(eager=True)
+    return (
+        out.select("rank", "vec_id", "rel_m", "score_m")
+        .repartition(1)
+        .sortWithinPartitions("rank")
+    )

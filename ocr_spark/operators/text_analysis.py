@@ -3874,3 +3874,66 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("source", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence drift (Lin, IEEE Trans. IT 1991)
+# ---------------------------------------------------------------------------
+
+
+def js_divergence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the even/odd-half term
+    distributions (Lin 1991) — the SCALAR summarizing what
+    ``term_drift``'s per-term delta table itemizes, and the
+    bounded/symmetric alternative to PSI's bucket-KL: JS needs no
+    smoothing (the mixture m=(p+q)/2 is positive wherever either side
+    is), is symmetric, and is capped at ln 2 — the one number a corpus
+    refresh gate thresholds on.
+
+    Engine-exactness: each term's contribution ``p·ln(p/m)+q·ln(q/m)``
+    is >= 0 (log-sum inequality), so rounding the HALF-weighted
+    contribution to integer micro-nats (round(x*5e5), half-up ==
+    half-away on non-negatives) is engine-stable under the repo's
+    ln-round precedent (psi_drift/bm25), and the total is an
+    associative BIGINT sum — no float accumulation order anywhere.
+
+    Scale shape: one (term, side) count shuffle with map-side
+    partials, the two totals as a broadcast 1-row aggregate, the
+    per-term kernel pure Catalyst arithmetic, and one single-row final
+    sum — identical frame to term_drift, no window, no join between
+    the sides."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cnt_b"),
+    )
+    tot = counts.agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    contrib = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "cast(round(("
+                "  case when cnt_a = 0 then 0.0 else"
+                "   (cnt_a / cast(tot_a as double)) *"
+                "   ln(2.0 * (cnt_a / cast(tot_a as double)) /"
+                "      (cnt_a / cast(tot_a as double)"
+                "       + cnt_b / cast(tot_b as double))) end"
+                " + case when cnt_b = 0 then 0.0 else"
+                "   (cnt_b / cast(tot_b as double)) *"
+                "   ln(2.0 * (cnt_b / cast(tot_b as double)) /"
+                "      (cnt_a / cast(tot_a as double)"
+                "       + cnt_b / cast(tot_b as double))) end"
+                ") * 500000) as bigint)"
+            ).alias("term_js_micro")
+        )
+    )
+    return contrib.agg(
+        F.sum("term_js_micro").alias("js_micro"),
+        F.count("*").alias("n_terms"),
+    ).crossJoin(F.broadcast(tot))

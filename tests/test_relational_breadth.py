@@ -1137,6 +1137,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.volume_shipping, R.product_profit, R.returned_items,
         R.shipmode_priority, R.parts_supplier_count,
         R.top_supplier_revenue,
+        D.edit_distance_near_dup, S.mmr_diversify, R.theil_sen_trend,
     ]
     for fn in empty_ok:
         assert fn(spark, d).count() == 0, fn.__name__
@@ -2696,3 +2697,119 @@ def test_q11_and_q18_strict_thresholds(spark, tmp_path):
     q18 = large_volume_orders(spark, d).collect()
     assert [r["o_orderkey"] for r in q18] == [4]
     assert q18[0]["total_qty_c"] == Q18_MIN_QTY_C + 1
+
+
+def test_mmr_second_pick_is_diverse(spark, tmp_path):
+    """Two-facet query [1,1,0]: vec 10 covers facet A best (top
+    relevance), vec 11 also covers facet A (redundant, sim(10,11)
+    ~1.0), vec 12 covers facet B (equal pure relevance to 11 but
+    near-zero sim to the picked 10).  Pick 1 must be 10; pick 2 must
+    be 12 — the redundancy penalty outweighs the tie in relevance."""
+    from ocr_spark.operators.similarity import mmr_diversify
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, [1.0, 1.0, 0.0], 0),
+            (10, [1.0, 0.05, 0.0], 1),  # facet A + a nudge: top rel
+            (11, [1.0, 0.0, 0.0], 2),   # facet A clone: sim to 10 ~1.0
+            (12, [0.0, 1.0, 0.0], 3),   # facet B: same rel as 11, sim ~0
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = mmr_diversify(spark, d).collect()
+    assert [r["vec_id"] for r in out] == [10, 12, 11]
+    ranks = [r["rank"] for r in out]
+    assert ranks == sorted(ranks)
+
+
+def test_theil_sen_ignores_outlier_day(spark, tmp_path):
+    """Daily cents 100,200,300,305 on days 0..3 plus one flash-sale day
+    (day 4, 100000): 4 of the 10 pairwise slopes involve the outlier,
+    but the lower median (rank 5) stays at a calm-slope value — the
+    estimator's 29% breakdown point in miniature."""
+    import datetime
+
+    from ocr_spark.operators.relational import TS_EPOCH, theil_sen_trend
+
+    d = str(tmp_path)
+    base = datetime.datetime.fromisoformat(TS_EPOCH)
+    rows, oid = [], 0
+    for day, cents in [(0, 100), (1, 200), (2, 300), (3, 305), (4, 100000)]:
+        rows.append(
+            (oid, oid, "O", cents / 100.0,
+             base + datetime.timedelta(days=day), "1-URGENT")
+        )
+        oid += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    out = theil_sen_trend(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 5 and r["n_pairs"] == 10
+    # slopes (milli-cents/day) sorted: the rank-5 lower median is the
+    # 68333 pair slope (300->305 over 1 day = 5000 sits lower; the
+    # outlier slopes ~25k-100k occupy the top four ranks)
+    slopes = []
+    vals = {0: 100, 1: 200, 2: 300, 3: 305, 4: 100000}
+    for a in range(5):
+        for b in range(a + 1, 5):
+            num = (vals[b] - vals[a]) * 1000
+            den = b - a
+            slopes.append(int(num / den) if num >= 0 else -int(-num // den))
+    slopes.sort()
+    assert r["slope_milli_per_day"] == slopes[(10 + 1) // 2 - 1]
+    assert r["slope_milli_per_day"] < 110_000  # not the outlier slope
+
+
+def test_js_divergence_zero_on_identical_halves(spark, tmp_path):
+    """Even/odd halves with identical term multisets -> every term has
+    p == q, each contribution ln(1) = 0, js_micro exactly 0."""
+    from ocr_spark.operators.text_analysis import js_divergence_drift
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "en", "web", 16),
+            (1, "alpha beta gamma", "en", "web", 16),
+            (2, "beta delta", "en", "web", 10),
+            (3, "beta delta", "en", "web", 10),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = js_divergence_drift(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["js_micro"] == 0
+    assert out[0]["n_terms"] == 4
+    assert out[0]["tot_a"] == out[0]["tot_b"] == 5
+
+
+def test_edit_distance_catches_small_edits(spark, tmp_path):
+    """Two long docs differing by one character land in the same LSH
+    bucket (identical shingles bar one) and survive the edit verify
+    with a tiny dist_ppm; an unrelated doc never pairs."""
+    from ocr_spark.operators.dedup import edit_distance_near_dup
+
+    d = str(tmp_path)
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    spark.createDataFrame(
+        [
+            (1, base + "tail one", "en", "web", 100),
+            (2, base + "tail onX", "en", "web", 100),
+            (3, "completely different content with no overlap at all "
+                "zebra quartz vortex " * 6, "en", "web", 100),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = edit_distance_near_dup(spark, d).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["lev"] == 1
+    assert pairs[(1, 2)]["dist_ppm"] < 10_000
+    assert all(3 not in p for p in pairs)
