@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_drift": text_analysis.term_drift,
         "conjunctive_search": text_analysis.conjunctive_search,
         "quality_calibration": text_analysis.quality_calibration,
+        "isotonic_calibration": text_analysis.isotonic_calibration,
         "bigram_next_token": text_analysis.bigram_next_token,
         "sliding_distinct_users": relational.sliding_distinct_users,
         "dwell_time_stats": relational.dwell_time_stats,
@@ -427,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": relational.customer_order_distribution,
         "large_volume_orders": relational.large_volume_orders,
         "theil_sen_trend": relational.theil_sen_trend,
+        "ring_reshard_movement": relational.ring_reshard_movement,
         "js_divergence_drift": text_analysis.js_divergence_drift,
         "forecast_revenue": relational.forecast_revenue,
         "volume_shipping": relational.volume_shipping,
@@ -5025,6 +5027,37 @@ select w1, cast(head_rank as int) as head_rank,
 from ranked order by head_rank, next_rank
 """
     # Drift truth: even/odd halves, ppm shares, conditional-agg pivot.
+    # Isotonic truth: same per-bucket rollup (reusing the
+    # quality_calibration oracle as the bin CTE), same ppm-rounded
+    # minimax identity over B^3 bounded rows.
+    sql["isotonic_calibration"] = f"""
+with bins as materialized ({{qc}}),
+cum as (
+  select bucket, n_docs, n_kept,
+         sum(n_kept) over (order by bucket) as ck,
+         sum(n_docs) over (order by bucket) as cd
+  from bins
+), lo as (
+  select bucket as j, ck - n_kept as k_lo, cd - n_docs as d_lo from cum
+), hi as (
+  select bucket as k, ck as k_hi, cd as d_hi from cum
+), ranges as (
+  select j, k,
+         (2 * (k_hi - k_lo) * 1000000 + (d_hi - d_lo))
+           // (2 * (d_hi - d_lo)) as mean_ppm
+  from lo join hi on j <= k
+), inner_min as (
+  select b.bucket as i, r.j, min(r.mean_ppm) as m
+  from ranges r join bins b on r.j <= b.bucket and b.bucket <= r.k
+  group by 1, 2
+), iso as (
+  select i, max(m) as iso_ppm from inner_min group by 1
+)
+select b.bucket, b.n_docs, b.n_kept, b.keep_ppm as raw_ppm,
+       cast(iso_ppm as bigint) as iso_ppm
+from bins b join iso on b.bucket = iso.i
+order by b.bucket
+""".format(qc=sql["quality_calibration"])
     # JS truth: same tokenization, same half-weighted micro-nat
     # contributions, same associative bigint total.
     sql["js_divergence_drift"] = """
@@ -8029,6 +8062,46 @@ select "rank", vec_id, rel_m, score_m from ({_mmr_union}) order by "rank"
     # Q19) — same c2 integer money, same adapted stand-in columns. ---
     _rev = ("(cast(round(l_extendedprice * 100) as bigint)"
             " * (100 - cast(round(l_discount * 100) as bigint)))")
+    # Ring truth: same md5-prefix positions, same pos*256+shard codes,
+    # same filtered-list-min successor with wrap-around.
+    _h32k = "(('0x' || substr(md5('key:' || doc_id::varchar), 1, 8))::bigint)"
+    _nv = relational.RING_VNODES
+    def _ring_list(n):
+        return (
+            f"(select list(('0x' || substr(md5('ring:' ||"
+            f" (i // {_nv})::varchar || ':' ||"
+            f" (i % {_nv})::varchar), 1, 8))::bigint * 256 + (i // {_nv})"
+            f" order by 1) from range({n * _nv}) t(i))"
+        )
+    sql["ring_reshard_movement"] = f"""
+with rings as (
+  select {_ring_list(relational.RING_SHARDS)} as ring_a,
+         {_ring_list(relational.RING_SHARDS + 1)} as ring_b
+), assign as (
+  select doc_id,
+         coalesce(list_min(list_filter(ring_a,
+                    c -> c // 256 >= {_h32k})), list_min(ring_a)) % 256
+           as before,
+         coalesce(list_min(list_filter(ring_b,
+                    c -> c // 256 >= {_h32k})), list_min(ring_b)) % 256
+           as after
+  from documents, rings
+), bb as (
+  select before as shard, count(*) as n_before,
+         sum(case when after <> before then 1 else 0 end) as n_moved_out
+  from assign group by 1
+), aa as (
+  select after as shard, count(*) as n_after from assign group by 1
+)
+select s.i::bigint as shard,
+       cast(coalesce(bb.n_before, 0) as bigint) as n_before,
+       cast(coalesce(aa.n_after, 0) as bigint) as n_after,
+       cast(coalesce(bb.n_moved_out, 0) as bigint) as n_moved_out
+from range({relational.RING_SHARDS + 1}) s(i)
+left join bb on s.i = bb.shard
+left join aa on s.i = aa.shard
+order by shard
+"""
     # Theil-Sen truth: same integer cents/day slopes, same lower median.
     sql["theil_sen_trend"] = f"""
 with daily as (

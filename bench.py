@@ -218,6 +218,8 @@ def main() -> int:
         "mmr_diversify",
         "theil_sen_trend",
         "js_divergence_drift",
+        "isotonic_calibration",
+        "ring_reshard_movement",
     ]
     if only:
         headline = [q for q in headline if q in only]

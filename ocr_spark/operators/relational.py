@@ -5892,3 +5892,97 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash ring resharding (Karger et al., STOC 1997; virtual
+# nodes per Dynamo, SOSP 2007)
+# ---------------------------------------------------------------------------
+
+RING_SHARDS = 8  # shard count before the reshard (after: +1)
+RING_VNODES = 16  # virtual nodes per shard
+
+
+def ring_reshard_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring assignment before/after adding one shard —
+    the data-movement audit for growing a 100 TB cluster: with
+    ``RING_VNODES`` virtual nodes per shard (the Dynamo trick that
+    smooths Karger's ring), adding shard N should move only ~1/(N+1)
+    of the keys, all of them INTO the new shard; a modulo scheme would
+    move ~N/(N+1).  Output: per-shard key counts before/after plus how
+    many keys each shard surrendered.
+
+    Engine-exactness: vnode positions and key positions are the
+    repo's portable 32-bit md5 prefix hash; a ring entry is the single
+    bigint ``pos * 256 + shard`` so successor-finding is a scalar
+    ``array_min`` over a filtered literal array — min by (pos, shard)
+    exactly, identical on both engines; wrap-around is the coalesce to
+    the ring's global min.
+
+    Scale shape: the ring is O(shards x vnodes) — collected into ONE
+    broadcast row (the bounded-state convention); assignment is a
+    map-side array fold per key, zero joins on the key table; the
+    per-shard rollup is one <=2(N+1)-group aggregate driven off a
+    literal shard range so empty shards still report."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substring(md5(concat('key:', cast(doc_id as string)"
+            ")), 1, 8), 16, 10) as bigint)"
+        ).alias("kpos"),
+    )
+
+    def ring_row(n_shards: int, col: str):
+        return (
+            spark.range(n_shards * RING_VNODES)
+            .select(
+                F.expr(
+                    f"cast(conv(substring(md5(concat('ring:',"
+                    f" cast(id div {RING_VNODES} as string), ':',"
+                    f" cast(id % {RING_VNODES} as string))), 1, 8), 16, 10)"
+                    f" as bigint) * 256 + id div {RING_VNODES}"
+                ).alias("code")
+            )
+            .agg(F.sort_array(F.collect_list("code")).alias(col))
+        )
+
+    rings = ring_row(RING_SHARDS, "ring_a").crossJoin(
+        ring_row(RING_SHARDS + 1, "ring_b")
+    )
+    assign = docs.crossJoin(F.broadcast(rings)).select(
+        "doc_id",
+        F.expr(
+            "coalesce(array_min(filter(ring_a, c -> c div 256 >= kpos)),"
+            " array_min(ring_a)) % 256"
+        ).alias("before"),
+        F.expr(
+            "coalesce(array_min(filter(ring_b, c -> c div 256 >= kpos)),"
+            " array_min(ring_b)) % 256"
+        ).alias("after"),
+    )
+    by_before = assign.groupBy("before").agg(
+        F.count("*").alias("n_before"),
+        F.sum(
+            (F.col("after") != F.col("before")).cast("bigint")
+        ).alias("n_moved_out"),
+    )
+    by_after = assign.groupBy("after").agg(F.count("*").alias("n_after"))
+    shards = spark.range(RING_SHARDS + 1).select(
+        F.col("id").cast("bigint").alias("shard")
+    )
+    return (
+        shards.join(by_before, shards.shard == by_before.before, "left")
+        .join(by_after, shards.shard == by_after.after, "left")
+        .select(
+            "shard",
+            F.coalesce("n_before", F.lit(0)).cast("bigint").alias(
+                "n_before"
+            ),
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            F.coalesce("n_moved_out", F.lit(0)).cast("bigint").alias(
+                "n_moved_out"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("shard")
+    )

