@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_audit": dedup.split_leakage_audit,
         "incremental_near_dup": dedup.incremental_near_dup,
         "near_dup_clusters": dedup.near_dup_clusters,
+        "dedup_canonical_pick": dedup.dedup_canonical_pick,
         "simhash64": dedup.simhash64,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "containment_pairs": dedup.containment_pairs,
@@ -388,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_rebuild": text_analysis.paragraph_dedup_rebuild,
         "bfs_hop_distance": web_extract.bfs_hop_distance,
         "hyperball_neighborhood": web_extract.hyperball_neighborhood,
+        "effective_diameter": web_extract.effective_diameter,
         "harmonic_centrality": web_extract.harmonic_centrality,
         "kmv_weekly_rollup": relational.kmv_weekly_rollup,
         "theta_sketch_overlap": relational.theta_sketch_overlap,
@@ -430,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_trend": relational.theil_sen_trend,
         "ring_reshard_movement": relational.ring_reshard_movement,
         "js_divergence_drift": text_analysis.js_divergence_drift,
+        "term_burstiness": text_analysis.term_burstiness,
         "forecast_revenue": relational.forecast_revenue,
         "volume_shipping": relational.volume_shipping,
         "product_profit": relational.product_profit,
@@ -5058,6 +5061,21 @@ select b.bucket, b.n_docs, b.n_kept, b.keep_ppm as raw_ppm,
 from bins b join iso on b.bucket = iso.i
 order by b.bucket
 """.format(qc=sql["quality_calibration"])
+    # Burstiness truth: same (doc,term) pre-agg, same ppm, same cut.
+    sql["term_burstiness"] = f"""
+with per_doc as (
+  select doc_id, term, count(*) as k from (
+    select doc_id, unnest(string_split(lower(text), ' ')) as term
+    from documents) t
+  where term != '' group by 1, 2
+), stats as (
+  select term, count(*) as df, sum(k) as cf from per_doc group by 1
+)
+select term, cast(df as bigint) as df, cast(cf as bigint) as cf,
+       cast((2 * cf * 1000000 + df) // (2 * df) as bigint) as burst_ppm
+from stats where df >= {text_analysis.BURST_MIN_DF}
+order by burst_ppm desc, df desc, term limit {text_analysis.BURST_TOP}
+"""
     # JS truth: same tokenization, same half-weighted micro-nat
     # contributions, same associative bigint total.
     sql["js_divergence_drift"] = """
@@ -8062,6 +8080,65 @@ select "rank", vec_id, rel_m, score_m from ({_mmr_union}) order by "rank"
     # Q19) — same c2 integer money, same adapted stand-in columns. ---
     _rev = ("(cast(round(l_extendedprice * 100) as bigint)"
             " * (100 - cast(round(l_discount * 100) as bigint)))")
+    # Canonical-pick truth: clusters + quality oracles as CTEs, same
+    # (quality desc, doc_id) argmax window per cluster.
+    sql["dedup_canonical_pick"] = """
+with clusters as materialized ({cl}),
+q as materialized ({qs}),
+members as (
+  select c.doc_id, c.cluster_id, c.cluster_size,
+         cast(round(q.quality * 10000) as bigint) as quality_m
+  from clusters c join q on c.doc_id = q.doc_id
+  where c.cluster_size > 1
+), ranked as (
+  select *, row_number() over (partition by cluster_id
+                               order by quality_m desc, doc_id) as rn
+  from members
+), naive as (
+  select cluster_id, min(doc_id) as naive_min_doc
+  from members group by 1
+)
+select r.cluster_id, r.doc_id as canonical_doc,
+       r.quality_m as canonical_quality_m,
+       cast(r.cluster_size as bigint) as n_members,
+       n.naive_min_doc,
+       cast(case when r.doc_id <> n.naive_min_doc then 1 else 0 end
+            as int) as pick_differs
+from ranked r join naive n on r.cluster_id = n.cluster_id
+where rn = 1 order by r.cluster_id
+""".format(cl=sql["near_dup_clusters"], qs=sql["quality_score"])
+    # Effective-diameter truth: the hyperball oracle as the nf CTE, the
+    # same 10x/9x integer crossing test and milli-hop interpolation.
+    _pct = web_extract.EFF_DIAM_PCT
+    sql["effective_diameter"] = """
+with nf as materialized ({hb}),
+mx as (select max(est_pairs) as mx_est, max(exact_pairs) as mx_ex from nf),
+lagged as (
+  select hop, est_pairs, exact_pairs,
+         lag(est_pairs) over (order by hop) as prev_est,
+         lag(exact_pairs) over (order by hop) as prev_ex
+  from nf
+), de as (
+  select case when hop = 0 then 0 else
+           (hop - 1) * 1000 +
+           (({pct} * mx_est - 10 * prev_est) * 1000)
+             // nullif(10 * (est_pairs - prev_est), 0) end as d
+  from lagged, mx where 10 * est_pairs >= {pct} * mx_est
+  order by hop limit 1
+), dx as (
+  select case when hop = 0 then 0 else
+           (hop - 1) * 1000 +
+           (({pct} * mx_ex - 10 * prev_ex) * 1000)
+             // nullif(10 * (exact_pairs - prev_ex), 0) end as d
+  from lagged, mx where 10 * exact_pairs >= {pct} * mx_ex
+  order by hop limit 1
+)
+select cast(de.d as bigint) as eff_diameter_est_milli,
+       cast(dx.d as bigint) as eff_diameter_exact_milli,
+       cast(mx_est as bigint) as plateau_est_pairs,
+       cast(mx_ex as bigint) as plateau_exact_pairs
+from de, dx, mx
+""".format(hb=sql["hyperball_neighborhood"], pct=_pct)
     # Ring truth: same md5-prefix positions, same pos*256+shard codes,
     # same filtered-list-min successor with wrap-around.
     _h32k = "(('0x' || substr(md5('key:' || doc_id::varchar), 1, 8))::bigint)"

@@ -220,6 +220,9 @@ def main() -> int:
         "js_divergence_drift",
         "isotonic_calibration",
         "ring_reshard_movement",
+        "effective_diameter",
+        "dedup_canonical_pick",
+        "term_burstiness",
     ]
     if only:
         headline = [q for q in headline if q in only]

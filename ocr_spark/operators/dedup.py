@@ -1392,3 +1392,62 @@ def edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical pick per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection done the way a curation pipeline actually
+    wants it: within each near-dup cluster keep the HIGHEST-QUALITY
+    copy (tie: lowest doc_id), not the arbitrary minimum id that
+    ``near_dup_clusters`` reports — a scraped mirror often has the
+    cleaner text than the first-crawled original, and keeping the best
+    copy is the difference the quality filter sees downstream.
+
+    Engine-exactness: quality is the round-4 heuristic scaled to
+    integer ten-thousandths (the mmr_diversify convention), the
+    per-cluster argmax is a row_number window ordered by
+    (quality_m desc, doc_id) — a total order, identical on both
+    engines; the naive min-id pick rides along so the output shows
+    exactly where quality-aware selection changes the corpus.
+
+    Scale shape: clusters join quality on doc_id (co-keyed, one
+    shuffle); the argmax window partitions BY CLUSTER (cluster count ~
+    doc count, uniform); only multi-member clusters survive the
+    filter, so the output is the small near-dup subset."""
+    from ocr_spark.operators.text_analysis import quality_score
+
+    clusters = near_dup_clusters(spark, sf_dir).filter(
+        F.col("cluster_size") > 1
+    ).select("doc_id", "cluster_id", "cluster_size")
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality") * 10000).cast("bigint").alias("quality_m"),
+    )
+    members = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_m"), F.asc("doc_id")
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    naive = members.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("naive_min_doc")
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .join(naive, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("quality_m").alias("canonical_quality_m"),
+            F.col("cluster_size").cast("bigint").alias("n_members"),
+            "naive_min_doc",
+            (F.col("doc_id") != F.col("naive_min_doc"))
+            .cast("int")
+            .alias("pick_differs"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("cluster_id")
+    )

@@ -4024,3 +4024,56 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (Church & Gale 1995: "Poisson mixtures")
+# ---------------------------------------------------------------------------
+
+BURST_MIN_DF = 3  # ignore terms seen in fewer docs (noise floor)
+BURST_TOP = 50
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness per term: mean occurrences per
+    CONTAINING document (cf/df) — the statistic separating bursty
+    content words (appear many times in few docs: names, topics,
+    boilerplate tokens) from evenly-spread function words, which a
+    Poisson model can't tell apart from cf alone.  High burst at high
+    df is the template/boilerplate signature the dedup stoplists
+    (winnowing, RAKE) key on.
+
+    Engine-exactness: cf and df are integer counts off one (doc,term)
+    pre-aggregation; burst is the half-away ppm ratio; output is the
+    deterministic top-``BURST_TOP`` by (burst desc, df desc, term).
+
+    Scale shape: explode -> ONE (doc_id, term) map-side-combined
+    count (the distinct-per-doc and total counts then come from the
+    SAME aggregate: df = count, cf = sum — no countDistinct
+    expansion); the final cut is TakeOrdered, never a window."""
+    docs = _docs(spark, sf_dir)
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("k"))
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("k").alias("cf")
+    )
+    return (
+        stats.filter(F.col("df") >= BURST_MIN_DF)
+        .select(
+            "term",
+            F.col("df").cast("bigint").alias("df"),
+            F.col("cf").cast("bigint").alias("cf"),
+            F.expr(
+                "(2 * cf * cast(1000000 as bigint) + df) div (2 * df)"
+            ).alias("burst_ppm"),
+        )
+        .orderBy(F.desc("burst_ppm"), F.desc("df"), "term")
+        .limit(BURST_TOP)
+    )

@@ -1650,3 +1650,79 @@ def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Effective diameter from the HyperBall neighborhood function
+# (Palmer/ANF KDD'02 measure; Boldi-Vigna WWW'11 estimator)
+# ---------------------------------------------------------------------------
+
+EFF_DIAM_PCT = 9  # tenths: the standard 90th-percentile definition
+
+
+def effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective diameter of the link graph — the interpolated hop
+    count t at which the neighborhood function N(t) first reaches 90%
+    of its plateau (the ANF/HyperANF crawl diagnostic: "how many hops
+    reach most of the web"; Palmer et al. KDD'02, Boldi-Vigna WWW'11)
+    — computed from ``hyperball_neighborhood``'s per-hop pair counts,
+    on BOTH the HyperBall estimate (the 10^12-edge production number)
+    and the fixture-scale exact balls (the meta-eval companion).
+
+    Integer-exact interpolation: the 90% target compares
+    ``10*N(t) >= 9*N_plateau`` (no 0.9 float), and the within-hop
+    fraction is ``((9*mx - 10*prev) * 1000) div (10*(cur - prev))``
+    milli-hops, trunc-div — identical bigint arithmetic on both
+    engines.
+
+    Scale shape: all work beyond the HyperBall recurrence itself runs
+    on HB_HOPS+1 = 4 rows — the lag window is annotated tiny, the
+    plateau max is a 1-row broadcast, the first-crossing pick is a
+    4-row TakeOrdered."""
+    nf = hyperball_neighborhood(spark, sf_dir).select(
+        "hop", "est_pairs", "exact_pairs"
+    )
+    mx = nf.agg(
+        F.max("est_pairs").alias("mx_est"),
+        F.max("exact_pairs").alias("mx_ex"),
+    )
+    w = Window.orderBy("hop")  # tiny-window: HB_HOPS+1 neighborhood rows
+    lagged = nf.select(
+        "hop",
+        "est_pairs",
+        "exact_pairs",
+        F.lag("est_pairs").over(w).alias("prev_est"),
+        F.lag("exact_pairs").over(w).alias("prev_ex"),
+    ).crossJoin(F.broadcast(mx))
+
+    def dia(cur: str, prev: str, mxc: str, out: str):
+        cond = F.expr(f"10 * {cur} >= {EFF_DIAM_PCT} * {mxc}")
+        val = F.expr(
+            f"case when hop = 0 then cast(0 as bigint) else"
+            f" (hop - 1) * 1000 +"
+            f" (({EFF_DIAM_PCT} * {mxc} - 10 * {prev}) * 1000)"
+            f" div nullif(10 * ({cur} - {prev}), 0) end"
+        )
+        return (
+            lagged.filter(cond)
+            .orderBy("hop")
+            .limit(1)
+            .select(val.cast("bigint").alias(out))
+        )
+
+    return (
+        dia("est_pairs", "prev_est", "mx_est", "eff_diameter_est_milli")
+        .crossJoin(
+            F.broadcast(
+                dia("exact_pairs", "prev_ex", "mx_ex",
+                    "eff_diameter_exact_milli")
+            )
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "eff_diameter_est_milli",
+            "eff_diameter_exact_milli",
+            F.col("mx_est").cast("bigint").alias("plateau_est_pairs"),
+            F.col("mx_ex").cast("bigint").alias("plateau_exact_pairs"),
+        )
+    )

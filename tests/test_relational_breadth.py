@@ -1138,7 +1138,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.shipmode_priority, R.parts_supplier_count,
         R.top_supplier_revenue,
         D.edit_distance_near_dup, S.mmr_diversify, R.theil_sen_trend,
-        T.isotonic_calibration,
+        T.isotonic_calibration, T.term_burstiness,
     ]
     for fn in empty_ok:
         assert fn(spark, d).count() == 0, fn.__name__
@@ -2866,3 +2866,68 @@ def test_isotonic_calibration_is_monotone_and_mass_preserving(
     assert isos == sorted(isos)  # non-decreasing
     for r in out:
         assert 0 <= r["iso_ppm"] <= 1_000_000
+
+
+def test_effective_diameter_bounds(spark):
+    from ocr_spark.operators.web_extract import HB_HOPS, effective_diameter
+
+    out = effective_diameter(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert 0 <= r["eff_diameter_est_milli"] <= HB_HOPS * 1000
+    assert 0 <= r["eff_diameter_exact_milli"] <= HB_HOPS * 1000
+    assert r["plateau_exact_pairs"] > 0
+
+
+def test_canonical_pick_prefers_quality_over_min_id(spark, tmp_path):
+    """Docs 1 and 2 are one-character near-dups (same LSH cluster); doc
+    1 (the lower id) is degraded with a repeated token so its
+    distinct-token ratio — hence quality — drops below doc 2's.  The
+    canonical pick must be doc 2, flagged as differing from the naive
+    min-id survivor."""
+    from ocr_spark.operators.dedup import dedup_canonical_pick
+
+    d = str(tmp_path)
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    spark.createDataFrame(
+        [
+            (1, base + "spam spam spam spam", "en", "web", 100),
+            (2, base + "crisp novel ending words", "en", "web", 100),
+            (3, "totally unrelated filler content zebra quartz " * 8,
+             "en", "web", 100),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = dedup_canonical_pick(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_members"] == 2
+    assert r["canonical_doc"] == 2
+    assert r["naive_min_doc"] == 1
+    assert r["pick_differs"] == 1
+
+
+def test_term_burstiness_separates_bursty_from_spread(spark, tmp_path):
+    """'topic' appears 4x in each of 3 docs (bursty, cf/df = 4);
+    'the' appears once in all 6 docs (spread, cf/df = 1): burst_ppm
+    must rank topic first at exactly 4e6 vs 1e6."""
+    from ocr_spark.operators.text_analysis import term_burstiness
+
+    d = str(tmp_path)
+    rows = []
+    for i in range(3):
+        rows.append((i, "the topic topic topic topic", "en", "web", 30))
+    for i in range(3, 6):
+        rows.append((i, "the calm words here", "en", "web", 20))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["term"]: r for r in term_burstiness(spark, d).collect()}
+    assert out["topic"]["df"] == 3 and out["topic"]["cf"] == 12
+    assert out["topic"]["burst_ppm"] == 4_000_000
+    assert out["the"]["df"] == 6 and out["the"]["burst_ppm"] == 1_000_000
+    top = term_burstiness(spark, d).collect()[0]
+    assert top["term"] == "topic"
