@@ -5617,10 +5617,17 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_c2"),
         )
     )
-    revenue = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("rev_c2").cast("decimal(38,0)"))
-        .cast("bigint")
-        .alias("total_revenue_c2")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("rev_c2").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_revenue_c2")
+        )
+        # bounded state (one row per supplier): materialize the view so
+        # its two consumers (the max and the equality join) share ONE
+        # fact scan instead of re-reading lineitem
+        .localCheckpoint(eager=True)
     )
     mx = revenue.agg(F.max("total_revenue_c2").alias("max_rev"))
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(

@@ -1502,3 +1502,72 @@ def test_q2_q11_q18_plan_shapes(spark):
     assert "CartesianProduct" not in q18
     # the HAVING filter sits on the aggregate, before the joins
     assert "Filter" in q18
+
+
+def test_q6_filters_reach_scan_single_row_agg(spark):
+    """Q6 is a pure scan: the shipdate/quantity predicates must be
+    PushedFilters on the parquet scan, and the only exchange is the
+    single-partition final-agg gather — no hash shuffle of data."""
+    from ocr_spark.operators.relational import forecast_revenue
+
+    plan = plan_of(forecast_revenue(spark, SF))
+    scan = plan[plan.index("Scan parquet"):]
+    pushed = scan[scan.index("PushedFilters"):].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    assert plan.count("Exchange (") == 1  # one node in the plan tree
+    assert "SinglePartition" in plan
+
+
+def test_q10_topn_is_take_ordered(spark):
+    """Q10's top-20 customers must be TakeOrderedAndProject (per-
+    partition heaps), never a global sort or rank window."""
+    from ocr_spark.operators.relational import returned_items
+
+    plan = plan_of(returned_items(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_q17_broadcasts_part_and_coshuffles_on_partkey(spark):
+    """Q17's decorrelation: the brand-filtered part list broadcasts
+    onto the fact scan, and the rows-vs-group-average self-join rides
+    partkey hash exchanges — never a nested-loop re-evaluation of the
+    per-part average."""
+    from ocr_spark.operators.relational import small_qty_revenue
+
+    plan = plan_of(small_qty_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_or_predicates_stay_residual_on_equi_join(spark):
+    """Q19's OR-of-ANDs must NOT degrade the join: the part join stays
+    a broadcast HASH join on partkey (the OR rides as a residual
+    filter), and the lineitem scan carries the pushed quantity
+    envelope."""
+    from ocr_spark.operators.relational import disjunctive_revenue
+
+    plan = plan_of(disjunctive_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    scan = plan[plan.index("Scan parquet"):]
+    pushed = scan[scan.index("PushedFilters"):].splitlines()[0]
+    assert "l_quantity" in pushed
+
+
+def test_q15_scalar_max_is_broadcast_not_window(spark):
+    """Q15's revenue-view max must come back as a broadcast join
+    against the 1-row aggregate — no rank window over suppliers and no
+    second scan of lineitem."""
+    from ocr_spark.operators.relational import top_supplier_revenue
+
+    plan = plan_of(top_supplier_revenue(spark, SF))
+    assert "Window" not in plan
+    # lineitem was read ONCE at the revenue-view checkpoint; the query
+    # plan re-reads only the materialized O(suppliers) RDD for both the
+    # max and the equality join (itself a broadcast HASH join)
+    assert plan.count("lineitem.parquet") == 0
+    assert "ExistingRDD" in plan
+    assert plan.count("supplier.parquet") == 1
+    assert "BroadcastHashJoin" in plan
