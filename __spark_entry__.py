@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_click_attribution": _q_stream_attribution,
         "stream_upsert_latest": _q_stream_upsert,
         "stream_topk_trending": _q_stream_topk,
+        "stream_near_dup_gate": _q_stream_gate,
         # -- relational breadth --
         "pricing_summary": relational.pricing_summary,
         "top_orders_per_segment": relational.top_orders_per_segment,
@@ -640,6 +641,12 @@ def _norm_chinese_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def _q_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.streaming.stream import stream_near_dup_gate_query
+
+    return stream_near_dup_gate_query(spark, sf_dir)
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.streaming.stream import stream_dedup_query
 
@@ -953,6 +960,47 @@ order by doc_a, doc_b
     ),
     prefix=dedup.EDIT_PREFIX,
     max_ppm=dedup.EDIT_MAX_PPM,
+)
+
+
+# Streaming gate truth (single availableNow batch): bucket owner is
+# min doc_id per (band, bucket) over the same signatures/banding.
+_STREAM_GATE_ORACLE = """
+with sh as (
+  select doc_id, {sh} as shingles from documents
+), sigs as (
+  select doc_id, shingles,
+{cols}
+  from sh
+), bands as (
+  select doc_id, b.band,
+         case b.band
+{band_cases}
+         end as bucket
+  from sigs, (select unnest(range(0, {nbands})) as band) b
+), owners as (
+  select band, bucket, min(doc_id) as owner from bands group by 1, 2
+)
+select b.doc_id, count(*) as n_bands,
+       cast(sum(case when o.owner = b.doc_id then 1 else 0 end) as bigint)
+         as n_owned,
+       cast(max(case when o.owner < b.doc_id then 1 else 0 end) as int)
+         as is_candidate
+from bands b join owners o on b.band = o.band and b.bucket = o.bucket
+group by b.doc_id order by b.doc_id
+""".format(
+    sh=_SHINGLES,
+    cols=",\n".join("    " + _mh_col(j) for j in range(dedup.N_MINHASH)),
+    nbands=dedup.LSH_BANDS,
+    band_cases="\n".join(
+        f"           when {b} then md5(mh{b * (dedup.N_MINHASH // dedup.LSH_BANDS)}::varchar"
+        + "".join(
+            f" || ',' || mh{b * (dedup.N_MINHASH // dedup.LSH_BANDS) + r}::varchar"
+            for r in range(1, dedup.N_MINHASH // dedup.LSH_BANDS)
+        )
+        + ")"
+        for b in range(dedup.LSH_BANDS)
+    ),
 )
 
 
@@ -2091,6 +2139,7 @@ from documents order by doc_id
         "minhash_signatures": _MINHASH_ORACLE,
         "dedup_sketch_eval": _SKETCH_EVAL_ORACLE,
         "lsh_near_dup": _LSH_ORACLE,
+        "stream_near_dup_gate": _STREAM_GATE_ORACLE,
         "edit_distance_near_dup": _EDIT_ORACLE,
         "incremental_near_dup": _INCR_LSH_ORACLE,
         # connected components as a recursive reachability closure over

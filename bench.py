@@ -223,6 +223,7 @@ def main() -> int:
         "effective_diameter",
         "dedup_canonical_pick",
         "term_burstiness",
+        "stream_near_dup_gate",
     ]
     if only:
         headline = [q for q in headline if q in only]

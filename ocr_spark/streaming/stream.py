@@ -1028,3 +1028,183 @@ def stream_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("ws", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup admission gate (minhash-LSH bucket ownership)
+# ---------------------------------------------------------------------------
+
+
+def stream_near_dup_gate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Near-duplicate admission at INGEST: each arriving document's
+    minhash-LSH band buckets are resolved against a persistent
+    bucket-ownership state — the first document ever seen in a bucket
+    owns it; later arrivals in any of their buckets are near-dup
+    candidates.  This is the streaming face of the batch
+    ``incremental_near_dup`` index: dedup decided as data lands, not
+    in a nightly job.
+
+    The signatures are PURE PROJECTIONS (no streaming aggregate):
+    shingles hash once into (h1, h2) struct arrays and each of the
+    N_MINHASH mins is an ``array_min`` over a transformed array — so
+    the ONLY stateful operator is the bucket-keyed
+    ``applyInPandasWithState`` ownership resolver (chaining a
+    streaming groupBy into a stateful op is not legal in append mode;
+    the map-side form sidesteps it and is also the cheaper plan).
+
+    State: one owner id per (band, bucket) — O(distinct buckets), the
+    same cardinality the batch band index persists.  Within a batch
+    the owner is the MINIMUM doc_id (deterministic, matches the batch
+    twin); across batches the stored owner wins regardless of id —
+    pinned by tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import (
+        LSH_BANDS,
+        MINHASH_P,
+        N_MINHASH,
+        word_shingles,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    hashed = src.select(
+        "doc_id",
+        F.transform(
+            word_shingles(F.col("text")),
+            lambda s: F.struct(
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+                .cast("bigint")
+                .alias("h1"),
+                F.conv(F.substring(F.md5(s), 9, 8), 16, 10)
+                .cast("bigint")
+                .alias("h2"),
+            ),
+        ).alias("hs"),
+    )
+    mh = [
+        F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda a: (a["h1"] + F.lit(j) * a["h2"]) % F.lit(MINHASH_P),
+            )
+        ).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+    sigs = hashed.select("doc_id", *mh)
+    rows_per_band = N_MINHASH // LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+    out_type = T.StructType(
+        [
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("owner_doc", T.LongType()),
+        ]
+    )
+    state_type = T.StructType([T.StructField("owner", T.LongType())])
+
+    def resolve(key, pdfs, state: GroupState):
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        if not ids:
+            return
+        if state.exists:
+            (owner,) = state.get
+        else:
+            owner = min(ids)
+            state.update((owner,))
+        yield pd.DataFrame(
+            {
+                "band": [int(key[0])] * len(ids),
+                "bucket": [key[1]] * len(ids),
+                "doc_id": sorted(ids),
+                "owner_doc": [int(owner)] * len(ids),
+            }
+        )
+
+    resolved = bands.groupBy("band", "bucket").applyInPandasWithState(
+        resolve,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        resolved.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_near_dup_gate_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-facing wrapper: run the streaming gate over the documents
+    table (single availableNow batch — so in-batch ownership is exactly
+    min-doc-per-bucket, the SQL the oracle checks) and summarize per
+    document: how many of its LSH_BANDS buckets it owns, and whether
+    any bucket is owned by an earlier doc (the near-dup-candidate
+    flag).  The summary runs as a BATCH read over the drained sink."""
+    import shutil
+
+    base = _scratch_dir(spark, "stream_gate", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ck_dir = f"{base}/in", f"{base}/out", f"{base}/ck"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = stream_near_dup_gate(spark, in_dir, out_dir, ck_dir)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bands"),
+            F.sum(
+                (F.col("owner_doc") == F.col("doc_id")).cast("bigint")
+            ).alias("n_owned"),
+            F.max(
+                (F.col("owner_doc") < F.col("doc_id")).cast("int")
+            ).alias("is_candidate"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

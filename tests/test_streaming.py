@@ -531,3 +531,47 @@ def test_stream_topk_state_survives_restart(spark, tmp_path):
     ws0 = int(h0.replace(tzinfo=dt.timezone.utc).timestamp())
     got = {(r["ws"], r["event_type"]): r["n"] for r in rows}
     assert got == {(ws0, "view"): 3}  # 2 (run 1, from state) + 1 (run 2)
+
+
+def test_stream_near_dup_gate_owner_survives_restart(spark, tmp_path):
+    """Bucket ownership persists across restarts and wins over a LOWER
+    later doc_id: batch 1's doc 100 owns its buckets; batch 2's doc 5
+    (near-identical text, same LSH buckets) must be flagged as a
+    candidate even though 5 < 100 — the stored owner rules.  An
+    unrelated batch-2 doc owns all its buckets and passes."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_spark.streaming.stream import stream_near_dup_gate
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    out, ckpt = str(tmp_path / "gout"), str(tmp_path / "gckpt")
+    base = "the quick brown fox jumps over the lazy dog " * 8
+
+    b1 = pd.DataFrame({"doc_id": [100], "text": [base + "tail one"]})
+    pq.write_table(pa.Table.from_pandas(b1), f"{d}/b1.parquet")
+    stream_near_dup_gate(spark, d, out, ckpt).awaitTermination(300)
+
+    b2 = pd.DataFrame(
+        {
+            "doc_id": [5, 7],
+            "text": [
+                base + "tail one",  # exact near-dup, lower id
+                "completely different zebra quartz vortex " * 8,
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(b2), f"{d}/b2.parquet")
+    stream_near_dup_gate(spark, d, out, ckpt).awaitTermination(300)
+
+    rows = spark.read.parquet(out).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 100 owned everything in batch 1
+    assert all(r["owner_doc"] == 100 for r in by_doc[100])
+    # doc 5 arrives later: every bucket already owned by 100
+    assert all(r["owner_doc"] == 100 for r in by_doc[5])
+    # unrelated doc 7 owns all of its buckets
+    assert all(r["owner_doc"] == 7 for r in by_doc[7])
