@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flesch_readability": text_analysis.flesch_readability,
         "zipf_fit": text_analysis.zipf_fit,
         "lang_id": text_analysis.lang_id,
+        "lang_id_confusion": text_analysis.lang_id_confusion,
         "hashed_ngram_classify": text_analysis.hashed_ngram_classify,
         "fingerprint": text_analysis.fingerprint,
         "repetition_stats": text_analysis.repetition_stats,
@@ -391,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hop_distance": web_extract.bfs_hop_distance,
         "hyperball_neighborhood": web_extract.hyperball_neighborhood,
         "effective_diameter": web_extract.effective_diameter,
+        "clustering_coefficient": web_extract.clustering_coefficient,
+        "graph_reciprocity": web_extract.graph_reciprocity,
         "harmonic_centrality": web_extract.harmonic_centrality,
         "kmv_weekly_rollup": relational.kmv_weekly_rollup,
         "theta_sketch_overlap": relational.theta_sketch_overlap,
@@ -5110,6 +5113,24 @@ select b.bucket, b.n_docs, b.n_kept, b.keep_ppm as raw_ppm,
 from bins b join iso on b.bucket = iso.i
 order by b.bucket
 """.format(qc=sql["quality_calibration"])
+    # Confusion truth: the lang_id oracle as the prediction CTE.
+    sql["lang_id_confusion"] = """
+with pred as materialized ({li}),
+cells as (
+  select d.lang as true_lang, p.pred_lang, count(*) as n_docs
+  from documents d join pred p on d.doc_id = p.doc_id
+  group by 1, 2
+), totals as (
+  select true_lang, sum(n_docs) as class_total from cells group by 1
+)
+select c.true_lang, c.pred_lang,
+       cast(c.n_docs as bigint) as n_docs,
+       cast(t.class_total as bigint) as class_total,
+       cast((2 * c.n_docs * 1000000 + t.class_total)
+            // (2 * t.class_total) as bigint) as cell_ppm
+from cells c join totals t on c.true_lang = t.true_lang
+order by c.true_lang, c.pred_lang
+""".format(li=sql["lang_id"])
     # Burstiness truth: same (doc,term) pre-agg, same ppm, same cut.
     sql["term_burstiness"] = f"""
 with per_doc as (
@@ -8156,6 +8177,63 @@ select r.cluster_id, r.doc_id as canonical_doc,
 from ranked r join naive n on r.cluster_id = n.cluster_id
 where rn = 1 order by r.cluster_id
 """.format(cl=sql["near_dup_clusters"], qs=sql["quality_score"])
+    # Clustering-coefficient truth: the shared link graph, plain
+    # 3-way triangle join (fixture scale), exact ppm wedge ratio.
+    _LINKG = """
+  nn as (select count(*) as nv from documents),
+  e0 as (
+    select doc_id as src, (doc_id * 7 + 1) % nv as dst from documents, nn
+    union all
+    select doc_id, (doc_id * 13 + 2) % nv from documents, nn
+    union all
+    select doc_id, (doc_id * 31 + 3) % nv from documents, nn
+  ),
+  dire as (select distinct src, dst from e0 where src != dst),
+  und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+          from dire)
+"""
+    sql["clustering_coefficient"] = f"""
+with {_LINKG},
+deg as (
+  select node, count(*) as deg from (
+    select a as node from und union all select b from und) t group by 1
+), tri as (
+  select e1.a as p, e1.b as q, e2.b as r
+  from und e1
+  join und e2 on e2.a = e1.b
+  join und e3 on e3.a = e1.a and e3.b = e2.b
+), tcnt as (
+  select node, count(*) as t from (
+    select p as node from tri union all select q from tri
+    union all select r from tri) c group by 1
+)
+select d.doc_id,
+       cast(coalesce(deg.deg, 0) as bigint) as deg,
+       cast(coalesce(tcnt.t, 0) as bigint) as n_triangles,
+       cast(case when coalesce(deg.deg, 0) < 2 then 0 else
+            (2 * (2 * coalesce(tcnt.t, 0)::bigint * 1000000)
+             + deg.deg * (deg.deg - 1))
+            // (2 * deg.deg * (deg.deg - 1)) end as bigint) as cc_ppm
+from documents d
+left join deg on d.doc_id = deg.node
+left join tcnt on d.doc_id = tcnt.node
+order by d.doc_id
+"""
+    # Reciprocity truth: same link graph, EXISTS for the reverse edge.
+    sql["graph_reciprocity"] = f"""
+with {_LINKG}
+select (select count(*) from dire) as n_edges,
+       (select count(*) from dire e where exists (
+          select 1 from dire r where r.src = e.dst and r.dst = e.src))
+         as n_reciprocated,
+       cast(case when (select count(*) from dire) = 0 then 0 else
+            (2 * (select count(*) from dire e where exists (
+               select 1 from dire r where r.src = e.dst and r.dst = e.src))
+               ::bigint * 1000000
+             + (select count(*) from dire))
+            // (2 * (select count(*) from dire)) end as bigint)
+         as reciprocity_ppm
+"""
     # Effective-diameter truth: the hyperball oracle as the nf CTE, the
     # same 10x/9x integer crossing test and milli-hop interpolation.
     _pct = web_extract.EFF_DIAM_PCT

@@ -224,6 +224,9 @@ def main() -> int:
         "dedup_canonical_pick",
         "term_burstiness",
         "stream_near_dup_gate",
+        "clustering_coefficient",
+        "graph_reciprocity",
+        "lang_id_confusion",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -4077,3 +4077,50 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burst_ppm"), F.desc("df"), "term")
         .limit(BURST_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier meta-eval vs corpus truth)
+# ---------------------------------------------------------------------------
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-vote ``lang_id`` classifier
+    against the corpus ground-truth ``lang`` column — the meta-eval
+    that closes the classifier loop the way ann_recall_eval closes the
+    ANN loop: per (true, predicted) cell counts plus the within-class
+    rate in exact ppm, so per-language recall sits on the diagonal and
+    every systematic confusion (e.g. es read as unk on short docs) is
+    one off-diagonal row.
+
+    Scale shape: lang_id is map-side; the matrix is ONE two-key
+    partial-agg groupBy (cells <= languages^2, tiny), the class totals
+    a second aggregate of the cells themselves (never a second corpus
+    pass), broadcast back onto the cells."""
+    truth = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias(
+        "true_lang"
+    ))
+    pred = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    cells = (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    totals = cells.groupBy("true_lang").agg(
+        F.sum("n_docs").alias("class_total")
+    )
+    return (
+        cells.join(F.broadcast(totals), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("class_total").cast("bigint").alias("class_total"),
+            F.expr(
+                "(2 * n_docs * cast(1000000 as bigint) + class_total)"
+                " div (2 * class_total)"
+            ).alias("cell_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("true_lang", "pred_lang")
+    )

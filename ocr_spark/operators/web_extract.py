@@ -1726,3 +1726,103 @@ def effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mx_ex").cast("bigint").alias("plateau_exact_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (Watts & Strogatz, Nature 1998)
+# ---------------------------------------------------------------------------
+
+
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient cc = 2T / (d(d-1)) over
+    the undirected link graph (Watts-Strogatz 1998) — triangles from
+    the degree-ordered ``triangle_count`` kernel divided by the
+    node's possible wedges; THE cohesion-vs-spam signal read next to
+    raw triangle counts (link farms score near 1, broadcast hubs near
+    0).
+
+    Engine-exactness: integer half-away ppm of 2T/(d(d-1)); degree-0/1
+    nodes define cc = 0 (no possible wedge).
+
+    Scale shape: triangle_count's all-equi-join pipeline plus ONE
+    degree aggregate over the undirected edge list and a doc_id-keyed
+    join — no new shuffle classes, no windows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    n = docs.count()
+    e = _link_edges(docs, n)
+    und = e.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("doc_id"))
+        .unionByName(und.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangle_count(spark, sf_dir)
+    return (
+        docs.join(deg, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+        )
+        .withColumn(
+            "cc_ppm",
+            F.expr(
+                "case when deg < 2 then cast(0 as bigint) else"
+                " (2 * (2 * n_triangles * cast(1000000 as bigint))"
+                "  + deg * (deg - 1)) div (2 * deg * (deg - 1)) end"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Directed-graph reciprocity (Newman/Garlaschelli-Loffredo 2004)
+# ---------------------------------------------------------------------------
+
+
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the directed link graph — the fraction of
+    directed edges whose reverse edge also exists (Garlaschelli &
+    Loffredo, PRL 2004): on the web this separates mutual-citation
+    communities from broadcast link structures, and a sudden rise is
+    the classic link-exchange-spam tripwire.
+
+    Engine-exactness: reciprocated-edge detection is one self
+    equi-join on the swapped key (a SEMI join, so multiplicity can't
+    double-count), counts are bigints, the ratio is half-away ppm.
+
+    Scale shape: one distinct pass over the edge list and one
+    co-keyed (dst, src)=(src, dst) semi self-join — both shuffle on
+    the edge key; the output is a single row."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    n = docs.count()
+    e = _link_edges(docs, n).select("src", "dst")
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    tot = e.agg(F.count("*").alias("n_edges"))
+    rc = recip.agg(F.count("*").alias("n_reciprocated"))
+    return (
+        tot.crossJoin(F.broadcast(rc))
+        .select(
+            "n_edges",
+            "n_reciprocated",
+            F.expr(
+                "case when n_edges = 0 then cast(0 as bigint) else"
+                " (2 * n_reciprocated * cast(1000000 as bigint) + n_edges)"
+                " div (2 * n_edges) end"
+            ).alias("reciprocity_ppm"),
+        )
+    )

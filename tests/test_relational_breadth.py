@@ -1138,7 +1138,8 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.shipmode_priority, R.parts_supplier_count,
         R.top_supplier_revenue,
         D.edit_distance_near_dup, S.mmr_diversify, R.theil_sen_trend,
-        T.isotonic_calibration, T.term_burstiness,
+        T.isotonic_calibration, T.term_burstiness, T.lang_id_confusion,
+        W.clustering_coefficient,
     ]
     for fn in empty_ok:
         assert fn(spark, d).count() == 0, fn.__name__
@@ -2931,3 +2932,54 @@ def test_term_burstiness_separates_bursty_from_spread(spark, tmp_path):
     assert out["the"]["df"] == 6 and out["the"]["burst_ppm"] == 1_000_000
     top = term_burstiness(spark, d).collect()[0]
     assert top["term"] == "topic"
+
+
+def test_clustering_coefficient_invariants(spark):
+    from ocr_spark.operators.web_extract import clustering_coefficient
+
+    rows = clustering_coefficient(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["cc_ppm"] <= 1_000_000
+        if r["deg"] < 2:
+            assert r["cc_ppm"] == 0 and r["n_triangles"] == 0
+        # a triangle needs two neighbors; count bounded by wedges
+        assert 2 * r["n_triangles"] <= r["deg"] * (r["deg"] - 1) or (
+            r["deg"] < 2
+        )
+
+
+def test_graph_reciprocity_bounds(spark):
+    from ocr_spark.operators.web_extract import graph_reciprocity
+
+    out = graph_reciprocity(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_edges"] > 0
+    assert 0 <= r["n_reciprocated"] <= r["n_edges"]
+    assert 0 <= r["reciprocity_ppm"] <= 1_000_000
+
+
+def test_lang_id_confusion_diagonal_dominates(spark, tmp_path):
+    """Crafted corpus: 3 clearly-English docs labeled en, one stopword-
+    free doc labeled es that must fall to unk — diagonal (en,en)=3,
+    off-diagonal (es,unk)=1, class rates exact."""
+    from ocr_spark.operators.text_analysis import lang_id_confusion
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, "the cat and the dog are in the house", "en", "web", 30),
+            (1, "she is the one with the hat", "en", "web", 20),
+            (2, "it was the best of times", "en", "web", 20),
+            (3, "zxqj vortex quartz", "es", "web", 15),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {(r["true_lang"], r["pred_lang"]): r
+           for r in lang_id_confusion(spark, d).collect()}
+    assert out[("en", "en")]["n_docs"] == 3
+    assert out[("en", "en")]["cell_ppm"] == 1_000_000
+    assert out[("es", "unk")]["n_docs"] == 1
+    assert out[("es", "unk")]["cell_ppm"] == 1_000_000
