@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter": web_extract.effective_diameter,
         "clustering_coefficient": web_extract.clustering_coefficient,
         "graph_reciprocity": web_extract.graph_reciprocity,
+        "scc_labels": web_extract.scc_labels,
         "harmonic_centrality": web_extract.harmonic_centrality,
         "kmv_weekly_rollup": relational.kmv_weekly_rollup,
         "theta_sketch_overlap": relational.theta_sketch_overlap,
@@ -8177,6 +8178,40 @@ select r.cluster_id, r.doc_id as canonical_doc,
 from ranked r join naive n on r.cluster_id = n.cluster_id
 where rn = 1 order by r.cluster_id
 """.format(cl=sql["near_dup_clusters"], qs=sql["quality_score"])
+    # SCC truth: full transitive closure by recursive CTE; v,u share
+    # an SCC iff closure holds both ways; scc_id = min member.
+    sql["scc_labels"] = """
+with recursive
+  nn as (select count(*) as nv from documents),
+  e0 as (
+    select doc_id as src, (doc_id * 7 + 1) % nv as dst from documents, nn
+    union all
+    select doc_id, (doc_id * 13 + 2) % nv from documents, nn
+    union all
+    select doc_id, (doc_id * 31 + 3) % nv from documents, nn
+  ),
+  dire as (select distinct src, dst from e0 where src != dst),
+  reach(s, d) as (
+    select src, dst from dire
+    union
+    select r.s, e.dst from reach r join dire e on e.src = r.d
+  ),
+  mutual as (
+    select a.s as v, a.d as u from reach a
+    join reach b on a.s = b.d and a.d = b.s
+  ),
+  scc as (
+    select d.doc_id as v,
+           least(d.doc_id, coalesce(min(m.u), d.doc_id)) as scc_id
+    from documents d left join mutual m on d.doc_id = m.v
+    group by d.doc_id
+  ),
+  sizes as (select scc_id, count(*) as scc_size from scc group by 1)
+select scc.v as doc_id, cast(scc.scc_id as bigint) as scc_id,
+       cast(sizes.scc_size as bigint) as scc_size
+from scc join sizes on scc.scc_id = sizes.scc_id
+order by doc_id
+"""
     # Clustering-coefficient truth: the shared link graph, plain
     # 3-way triangle join (fixture scale), exact ppm wedge ratio.
     _LINKG = """

@@ -227,6 +227,7 @@ def main() -> int:
         "clustering_coefficient",
         "graph_reciprocity",
         "lang_id_confusion",
+        "scc_labels",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -1826,3 +1826,136 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reciprocity_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (FW-BW coloring, Orzan 2004 /
+# Slota-Rajamanickam-Madduri IPDPS'14)
+# ---------------------------------------------------------------------------
+
+SCC_MAX_PEELS = 40  # outer peel cap (each peel removes >= 1 SCC per color)
+SCC_MAX_STEPS = 60  # inner fixpoint cap (bounded by remaining diameter)
+
+
+def scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED link graph — the
+    web-graph primitive behind the bowtie decomposition (Broder
+    WWW'00: the giant SCC vs IN/OUT/tendrils is the standard map of a
+    crawl) — via the distributed coloring algorithm (Orzan '04; the
+    FW-BW-style peeling of Slota et al., IPDPS'14), NOT Tarjan (which
+    is inherently sequential):
+
+      peel round: (1) propagate the MINIMUM ancestor id forward to
+      fixpoint (each node's color = least id that reaches it — pure
+      keyed min-joins); (2) roots are nodes colored by themselves;
+      each root's SCC = nodes of its color that REACH the root,
+      found by a backward mark restricted to same-color edges;
+      (3) emit marked nodes with scc_id = color, peel them off,
+      repeat on the remainder.
+
+    Every fixpoint is detected by an O(1) changed-count aggregate
+    (the kcore_peel production convention) under hard round caps, and
+    every loop iteration localCheckpoints so lineage stays one round
+    deep.  Determinism: colors are minima over node ids — no ordering
+    sensitivity anywhere, so the labeling is bit-equal to the
+    oracle's transitive-closure definition (v, u same SCC iff v
+    reaches u and u reaches v; scc_id = min member).
+
+    Scale shape: per inner step ONE edge-color equi-join + ONE keyed
+    min/distinct aggregate (the Pregel budget, same as PageRank);
+    state is O(remaining nodes); the same-color edge restriction
+    shrinks every peel's working set.  Worst case (one long path) is
+    O(diameter) steps — the documented cost of any label-propagation
+    SCC; web graphs converge in tens of rounds."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    n = docs.count()
+    edges_all = _link_edges(docs, n).localCheckpoint(eager=True)
+    remaining = docs.select(F.col("doc_id").alias("v")).localCheckpoint(
+        eager=True
+    )
+    assigned = None
+    for _peel in range(SCC_MAX_PEELS):
+        if remaining.count() == 0:
+            break
+        rs = remaining.select(F.col("v").alias("src"))
+        rd = remaining.select(F.col("v").alias("dst"))
+        edges = (
+            edges_all.join(rs, "src", "left_semi")
+            .join(rd, "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # (1) forward-min coloring: color(v) = min id reaching v
+        color = remaining.select("v", F.col("v").alias("c"))
+        for _step in range(SCC_MAX_STEPS):
+            push = edges.join(
+                color.select(F.col("v").alias("src"), "c"), "src"
+            ).select(F.col("dst").alias("v"), "c")
+            newc = (
+                color.unionByName(push)
+                .groupBy("v")
+                .agg(F.min("c").alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                newc.join(
+                    color.select("v", F.col("c").alias("c0")), "v"
+                )
+                .filter(F.col("c") != F.col("c0"))
+                .count()
+            )
+            color = newc
+            if changed == 0:
+                break
+        # (2) backward mark from each root along same-color edges
+        ce = (
+            edges.join(
+                color.select(F.col("v").alias("src"), F.col("c").alias("cs")),
+                "src",
+            )
+            .join(
+                color.select(F.col("v").alias("dst"), F.col("c").alias("cd")),
+                "dst",
+            )
+            .filter(F.col("cs") == F.col("cd"))
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        mark = color.filter(F.col("v") == F.col("c")).select("v")
+        for _step in range(SCC_MAX_STEPS):
+            grown = ce.join(
+                mark.select(F.col("v").alias("dst")), "dst"
+            ).select(F.col("src").alias("v"))
+            newmark = (
+                mark.unionByName(grown).distinct().localCheckpoint(
+                    eager=True
+                )
+            )
+            if newmark.count() == mark.count():
+                break
+            mark = newmark
+        found = mark.join(color, "v").select(
+            "v", F.col("c").alias("scc_id")
+        )
+        assigned = (
+            found
+            if assigned is None
+            else assigned.unionByName(found)
+        ).localCheckpoint(eager=True)
+        remaining = remaining.join(mark, "v", "left_anti").localCheckpoint(
+            eager=True
+        )
+    sizes = assigned.groupBy("scc_id").agg(
+        F.count("*").alias("scc_size")
+    )
+    return (
+        assigned.join(sizes, "scc_id")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("scc_id").cast("bigint").alias("scc_id"),
+            F.col("scc_size").cast("bigint").alias("scc_size"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -2983,3 +2983,38 @@ def test_lang_id_confusion_diagonal_dominates(spark, tmp_path):
     assert out[("en", "en")]["cell_ppm"] == 1_000_000
     assert out[("es", "unk")]["n_docs"] == 1
     assert out[("es", "unk")]["cell_ppm"] == 1_000_000
+
+
+def test_scc_labels_fully_connected_small_graph(spark, tmp_path):
+    """With n=4 the synthetic edge rules give every ordered pair a
+    path (hand-checked), so the whole graph is ONE SCC labeled by its
+    minimum member 0 with size 4."""
+    from ocr_spark.operators.web_extract import scc_labels
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, f"doc {i}", "en", "web", 10) for i in range(4)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = scc_labels(spark, d).collect()
+    assert len(rows) == 4
+    assert all(r["scc_id"] == 0 and r["scc_size"] == 4 for r in rows)
+
+
+def test_scc_labels_partition_invariants(spark):
+    """Every document gets exactly one label; per-label cardinality
+    matches the reported scc_size; labels are their own minimum."""
+    import collections
+
+    from ocr_spark.operators.web_extract import scc_labels
+
+    rows = scc_labels(spark, "/root/testdata/sf0.001").collect()
+    docs = [r["doc_id"] for r in rows]
+    assert len(docs) == len(set(docs))
+    by_id = collections.defaultdict(list)
+    for r in rows:
+        by_id[r["scc_id"]].append(r)
+    for sid, members in by_id.items():
+        assert all(m["scc_size"] == len(members) for m in members)
+        assert min(m["doc_id"] for m in members) == sid
