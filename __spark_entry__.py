@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": web_extract.clustering_coefficient,
         "graph_reciprocity": web_extract.graph_reciprocity,
         "scc_labels": web_extract.scc_labels,
+        "bowtie_decomposition": web_extract.bowtie_decomposition,
         "harmonic_centrality": web_extract.harmonic_centrality,
         "kmv_weekly_rollup": relational.kmv_weekly_rollup,
         "theta_sketch_overlap": relational.theta_sketch_overlap,
@@ -8211,6 +8212,62 @@ select scc.v as doc_id, cast(scc.scc_id as bigint) as scc_id,
        cast(sizes.scc_size as bigint) as scc_size
 from scc join sizes on scc.scc_id = sizes.scc_id
 order by doc_id
+"""
+    # Bowtie truth: the scc oracle picks the giant core; forward and
+    # backward recursive closures classify with the same CASE order.
+    sql["bowtie_decomposition"] = """
+with recursive
+  nn as (select count(*) as nv from documents),
+  e0 as (
+    select doc_id as src, (doc_id * 7 + 1) % nv as dst from documents, nn
+    union all
+    select doc_id, (doc_id * 13 + 2) % nv from documents, nn
+    union all
+    select doc_id, (doc_id * 31 + 3) % nv from documents, nn
+  ),
+  dire as (select distinct src, dst from e0 where src != dst),
+  reach(s, d) as (
+    select src, dst from dire
+    union
+    select r.s, e.dst from reach r join dire e on e.src = r.d
+  ),
+  mutual as (
+    select a.s as v, a.d as u from reach a
+    join reach b on a.s = b.d and a.d = b.s
+  ),
+  scc as (
+    select d.doc_id as v,
+           least(d.doc_id, coalesce(min(m.u), d.doc_id)) as scc_id
+    from documents d left join mutual m on d.doc_id = m.v
+    group by d.doc_id
+  ),
+  giant as (
+    select scc_id from scc group by scc_id
+    order by count(*) desc, scc_id limit 1
+  ),
+  core as (select v from scc join giant using (scc_id)),
+  fwd as (
+    select distinct v from (
+      select v from core
+      union all
+      select r.d as v from core c join reach r on r.s = c.v) t
+  ),
+  bwd as (
+    select distinct v from (
+      select v from core
+      union all
+      select r.s as v from core c join reach r on r.d = c.v) t
+  )
+select d.doc_id,
+       case when cg.v is not null then 'scc'
+            when cb.v is not null then 'in'
+            when cf.v is not null then 'out'
+            else 'tendril_or_disc' end as node_class
+from documents d
+left join core cg on d.doc_id = cg.v
+left join bwd cb on d.doc_id = cb.v
+left join fwd cf on d.doc_id = cf.v
+order by d.doc_id
 """
     # Clustering-coefficient truth: the shared link graph, plain
     # 3-way triangle join (fixture scale), exact ppm wedge ratio.

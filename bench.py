@@ -228,6 +228,7 @@ def main() -> int:
         "graph_reciprocity",
         "lang_id_confusion",
         "scc_labels",
+        "bowtie_decomposition",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -1959,3 +1959,94 @@ def scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bowtie decomposition (Broder et al., WWW 2000)
+# ---------------------------------------------------------------------------
+
+
+def bowtie_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder's bowtie map of the directed link graph — every page
+    classified against the GIANT strongly connected component: 'scc'
+    (in it), 'in' (reaches it), 'out' (reachable from it), or
+    'tendril_or_disc' (neither) — the crawl-coverage diagnostic that
+    tells you which fraction of the web a forward-only crawler seeded
+    inside the core can ever see (WWW'00's famous ~quarter each).
+
+    Built on ``scc_labels``' coloring output: the giant component is
+    the (size desc, id) TakeOrdered pick, broadcast as one row; the
+    two reachability closures are frontier BFS loops — per step one
+    edge equi-join + distinct union — gated by O(1) count convergence
+    under the same hard caps and per-round checkpoints as scc_labels.
+    Classification precedence scc > in > out matches the oracle's
+    CASE order (a node cannot be both in and out without being in the
+    SCC itself, so the order only disambiguates giant members).
+
+    Scale shape: BFS state is O(reached nodes); each step shuffles
+    the frontier join on the edge key — the Pregel budget; class
+    assignment is two broadcast-set left joins, never a window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    n = docs.count()
+    edges = _link_edges(docs, n).localCheckpoint(eager=True)
+    scc = scc_labels(spark, sf_dir)
+    giant = (
+        scc.select("scc_id", "scc_size")
+        .distinct()
+        .orderBy(F.desc("scc_size"), F.asc("scc_id"))
+        .limit(1)
+        .select("scc_id")
+    )
+    core = (
+        scc.join(F.broadcast(giant), "scc_id")
+        .select(F.col("doc_id").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+
+    def closure(direction_src: str, direction_dst: str):
+        reach = core
+        for _ in range(SCC_MAX_STEPS):
+            grown = edges.join(
+                reach.select(F.col("v").alias(direction_src)),
+                direction_src,
+            ).select(F.col(direction_dst).alias("v"))
+            newr = reach.unionByName(grown).distinct().localCheckpoint(
+                eager=True
+            )
+            if newr.count() == reach.count():
+                break
+            reach = newr
+        return reach
+
+    fwd = closure("src", "dst")  # reachable FROM the core
+    bwd = closure("dst", "src")  # nodes that REACH the core
+    return (
+        docs.join(
+            core.select(F.col("v").alias("doc_id"), F.lit(1).alias("g")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            fwd.select(F.col("v").alias("doc_id"), F.lit(1).alias("f")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            bwd.select(F.col("v").alias("doc_id"), F.lit(1).alias("b")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "case when g = 1 then 'scc'"
+                " when b = 1 then 'in'"
+                " when f = 1 then 'out'"
+                " else 'tendril_or_disc' end"
+            ).alias("node_class"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -3018,3 +3018,23 @@ def test_scc_labels_partition_invariants(spark):
     for sid, members in by_id.items():
         assert all(m["scc_size"] == len(members) for m in members)
         assert min(m["doc_id"] for m in members) == sid
+
+
+def test_bowtie_classes_are_consistent(spark, tmp_path):
+    """n=4 graph is fully strongly connected -> every node 'scc'; the
+    sf0.001 fixture must label every doc with a legal class and any
+    'in' node must not be reachable-only ('out') by construction."""
+    from ocr_spark.operators.web_extract import bowtie_decomposition
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, f"doc {i}", "en", "web", 10) for i in range(4)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    small = bowtie_decomposition(spark, d).collect()
+    assert all(r["node_class"] == "scc" for r in small)
+
+    rows = bowtie_decomposition(spark, "/root/testdata/sf0.001").collect()
+    legal = {"scc", "in", "out", "tendril_or_disc"}
+    assert rows and all(r["node_class"] in legal for r in rows)
