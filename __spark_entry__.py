@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": similarity.ndcg_eval,
         "mrr_eval": similarity.mrr_eval,
         "mmr_diversify": similarity.mmr_diversify,
+        "kmeans_coreset": similarity.kmeans_coreset,
         "map_eval": similarity.map_eval,
         "rocchio_feedback": similarity.rocchio_feedback,
         "ann_filtered_topk": similarity.filtered_topk,
@@ -437,8 +438,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_orders": relational.large_volume_orders,
         "theil_sen_trend": relational.theil_sen_trend,
         "ring_reshard_movement": relational.ring_reshard_movement,
+        "seasonal_trend_decompose": relational.seasonal_trend_decompose,
         "js_divergence_drift": text_analysis.js_divergence_drift,
         "term_burstiness": text_analysis.term_burstiness,
+        "skipgram_pairs": text_analysis.skipgram_pairs,
         "forecast_revenue": relational.forecast_revenue,
         "volume_shipping": relational.volume_shipping,
         "product_profit": relational.product_profit,
@@ -5133,6 +5136,36 @@ select c.true_lang, c.pred_lang,
 from cells c join totals t on c.true_lang = t.true_lang
 order by c.true_lang, c.pred_lang
 """.format(li=sql["lang_id"])
+    # Skip-gram truth: same per-doc lead offsets, both directions,
+    # same deterministic cut.
+    sql["skipgram_pairs"] = f"""
+with toks as (
+  select doc_id, pos, term from (
+    select doc_id,
+           generate_subscripts(string_split(lower(text), ' '), 1) as pos,
+           unnest(string_split(lower(text), ' ')) as term
+    from documents) t
+  where term != ''
+), leads as (
+  select term,
+         {", ".join(
+             f"lead(term, {d}) over (partition by doc_id order by pos)"
+             f" as l{d}"
+             for d in range(1, text_analysis.SKIPGRAM_WINDOW + 1))}
+  from toks
+), pairs as (
+  {" union all ".join(
+      f"select term as center, l{d} as context from leads"
+      f" where l{d} is not null"
+      f" union all select l{d} as center, term as context from leads"
+      f" where l{d} is not null"
+      for d in range(1, text_analysis.SKIPGRAM_WINDOW + 1))}
+)
+select center, context, count(*) as n
+from pairs group by 1, 2
+having count(*) >= {text_analysis.SKIPGRAM_MIN_COUNT}
+order by n desc, center, context limit {text_analysis.SKIPGRAM_TOP}
+"""
     # Burstiness truth: same (doc,term) pre-agg, same ppm, same cut.
     sql["term_burstiness"] = f"""
 with per_doc as (
@@ -8086,6 +8119,18 @@ select l.node as doc_id, cast(l.label as bigint) as community,
 from {_lf} l join cs using (label) order by doc_id
 """
     )
+    # Coreset truth: the kmeans oracle as the assignment CTE, same
+    # (dist asc, vec_id) pick window per cluster.
+    sql["kmeans_coreset"] = """
+with assign as materialized ({km})
+select cluster, cast(rn as int) as rank, vec_id, dist_sq_micro
+from (
+  select *, row_number() over (partition by cluster
+              order by dist_sq_micro, vec_id) as rn
+  from assign) t
+where rn <= {r}
+order by cluster, rn
+""".format(km=sql["kmeans_clusters"], r=similarity.CORESET_PER_CLUSTER)
     # MMR truth: same integer ten-thousandth cosines, same unrolled
     # greedy picks with (score desc, vec_id) ties.
     def _cosm(A: str, B: str) -> str:
@@ -8397,6 +8442,40 @@ from range({relational.RING_SHARDS + 1}) s(i)
 left join bb on s.i = bb.shard
 left join aa on s.i = aa.shard
 order by shard
+"""
+    # STL-lite truth: same centered window, same weekday = day%7, same
+    # trunc-div means on the detrended millis.
+    sql["seasonal_trend_decompose"] = f"""
+with daily as (
+  select date_diff('day', timestamp '{relational.TS_EPOCH}', o_orderdate)
+           as day,
+         sum(cast(round(o_totalprice * 100) as bigint)) as cents
+  from orders group by 1
+), trended as (
+  select day, cents,
+         (2 * sum(cents) over (order by day
+             rows between {relational.STL_HALF} preceding
+             and {relational.STL_HALF} following) * 1000
+          + count(*) over (order by day
+             rows between {relational.STL_HALF} preceding
+             and {relational.STL_HALF} following))
+         // (2 * count(*) over (order by day
+             rows between {relational.STL_HALF} preceding
+             and {relational.STL_HALF} following)) as trend_milli
+  from daily
+), detr as (
+  select *, cents * 1000 - trend_milli as detrended_milli from trended
+), seas as (
+  select day % 7 as wd,
+         sum(detrended_milli) // count(*) as seasonal_milli
+  from detr group by 1
+)
+select d.day, d.cents, cast(d.trend_milli as bigint) as trend_milli,
+       cast(s.seasonal_milli as bigint) as seasonal_milli,
+       cast(d.detrended_milli - s.seasonal_milli as bigint)
+         as residual_milli
+from detr d join seas s on d.day % 7 = s.wd
+order by d.day
 """
     # Theil-Sen truth: same integer cents/day slopes, same lower median.
     sql["theil_sen_trend"] = f"""

@@ -229,6 +229,9 @@ def main() -> int:
         "lang_id_confusion",
         "scc_labels",
         "bowtie_decomposition",
+        "kmeans_coreset",
+        "skipgram_pairs",
+        "seasonal_trend_decompose",
     ]
     if only:
         headline = [q for q in headline if q in only]

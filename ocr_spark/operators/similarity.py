@@ -2190,3 +2190,44 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means coreset pick (prototype selection; Sorscher et al. NeurIPS'22)
+# ---------------------------------------------------------------------------
+
+CORESET_PER_CLUSTER = 5
+
+
+def kmeans_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype subset selection off the k-means partition: the
+    ``CORESET_PER_CLUSTER`` vectors CLOSEST to their centroid per
+    cluster — the SSL-prototypes / data-pruning shape (Sorscher et
+    al., NeurIPS'22: keep examples by centroid distance) and the
+    companion to ``semdedup_prune`` (which drops the redundant tail;
+    this keeps the representative head for a finetuning subset).
+
+    Engine-exactness: distances are kmeans_clusters' fixed-point
+    integer squared-L2 micros; the per-cluster pick is a row_number
+    window ordered by (dist asc, vec_id) — total order, bit-equal.
+
+    Scale shape: one window PARTITIONED BY CLUSTER over the
+    assignment table (cluster cardinality ~ corpus/k, uniform by
+    construction of Lloyd's); at 10^9 vectors swap for per-cluster
+    TakeOrdered, same result — nothing else touches the corpus."""
+    assign = kmeans_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster").orderBy(
+        F.asc("dist_sq_micro"), F.asc("vec_id")
+    )
+    return (
+        assign.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CORESET_PER_CLUSTER)
+        .select(
+            "cluster",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            "dist_sq_micro",
+        )
+        .repartition(1)
+        .sortWithinPartitions("cluster", "rank")
+    )

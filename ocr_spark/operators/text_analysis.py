@@ -4124,3 +4124,60 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("true_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram pair extraction (word2vec preprocessing; Mikolov 2013)
+# ---------------------------------------------------------------------------
+
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_MIN_COUNT = 2
+SKIPGRAM_TOP = 100
+
+
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(center, context) co-occurrence pairs within a ±SKIPGRAM_WINDOW
+    token window — the word2vec/GloVe training-pair extraction step
+    (Mikolov et al. 2013), counted corpus-wide and cut to the
+    ``SKIPGRAM_TOP`` most frequent pairs above ``SKIPGRAM_MIN_COUNT``
+    — the table an embedding trainer (or a PMI collocation miner, cf.
+    pmi_bigram_lift) consumes.
+
+    Engine-exactness: pairs come from per-document lead() offsets 1..W
+    emitted in BOTH directions (so the pair relation is symmetric by
+    construction); counts are integers and the cut is the
+    deterministic (n desc, center, context) TakeOrdered.
+
+    Scale shape: posexplode -> per-DOCUMENT position windows (lead
+    over the doc partition, never global), one (center, context)
+    map-side-combined count shuffle, TakeOrdered final cut."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = toks.select(
+        "term",
+        *[
+            F.lead("term", d).over(w).alias(f"l{d}")
+            for d in range(1, SKIPGRAM_WINDOW + 1)
+        ],
+    )
+    pairs = None
+    for d in range(1, SKIPGRAM_WINDOW + 1):
+        fwd = leads.filter(F.col(f"l{d}").isNotNull()).select(
+            F.col("term").alias("center"), F.col(f"l{d}").alias("context")
+        )
+        bwd = fwd.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
+        both = fwd.unionByName(bwd)
+        pairs = both if pairs is None else pairs.unionByName(both)
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= SKIPGRAM_MIN_COUNT)
+        .orderBy(F.desc("n"), "center", "context")
+        .limit(SKIPGRAM_TOP)
+    )

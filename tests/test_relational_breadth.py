@@ -1139,7 +1139,8 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.top_supplier_revenue,
         D.edit_distance_near_dup, S.mmr_diversify, R.theil_sen_trend,
         T.isotonic_calibration, T.term_burstiness, T.lang_id_confusion,
-        W.clustering_coefficient,
+        W.clustering_coefficient, T.skipgram_pairs,
+        R.seasonal_trend_decompose,
     ]
     for fn in empty_ok:
         assert fn(spark, d).count() == 0, fn.__name__
@@ -3038,3 +3039,75 @@ def test_bowtie_classes_are_consistent(spark, tmp_path):
     rows = bowtie_decomposition(spark, "/root/testdata/sf0.001").collect()
     legal = {"scc", "in", "out", "tendril_or_disc"}
     assert rows and all(r["node_class"] in legal for r in rows)
+
+
+def test_kmeans_coreset_ranks_by_distance(spark):
+    import collections
+
+    from ocr_spark.operators.similarity import (
+        CORESET_PER_CLUSTER,
+        kmeans_coreset,
+    )
+
+    rows = kmeans_coreset(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_c = collections.defaultdict(list)
+    for r in rows:
+        by_c[r["cluster"]].append(r)
+    for members in by_c.values():
+        members.sort(key=lambda r: r["rank"])
+        assert [m["rank"] for m in members] == list(
+            range(1, len(members) + 1)
+        )
+        assert len(members) <= CORESET_PER_CLUSTER
+        dists = [m["dist_sq_micro"] for m in members]
+        assert dists == sorted(dists)
+
+
+def test_skipgram_pairs_window_and_symmetry(spark, tmp_path):
+    """Two copies of 'a b c': window ±2 gives each ordered pair among
+    {a,b,c} count 2; the relation is symmetric."""
+    from ocr_spark.operators.text_analysis import skipgram_pairs
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "a b c", "en", "web", 5), (1, "a b c", "en", "web", 5)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {(r["center"], r["context"]): r["n"]
+           for r in skipgram_pairs(spark, d).collect()}
+    expect = {(a, b) for a in "abc" for b in "abc" if a != b}
+    assert set(out) == expect
+    assert all(n == 2 for n in out.values())
+
+
+def test_seasonal_decompose_flat_series_has_zero_parts(spark, tmp_path):
+    """A constant 10.00/day series: trend == level, seasonal == 0,
+    residual == 0 on every day."""
+    import datetime
+
+    from ocr_spark.operators.relational import (
+        TS_EPOCH,
+        seasonal_trend_decompose,
+    )
+
+    d = str(tmp_path)
+    base = datetime.datetime.fromisoformat(TS_EPOCH)
+    rows = [
+        (i, i, "O", 10.0, base + datetime.timedelta(days=i), "5-LOW")
+        for i in range(28)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    out = seasonal_trend_decompose(spark, d).collect()
+    assert len(out) == 28
+    for r in out:
+        assert r["cents"] == 1000
+        assert r["trend_milli"] == 1_000_000
+        assert r["seasonal_milli"] == 0
+        assert r["residual_milli"] == 0
