@@ -442,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_divergence_drift": text_analysis.js_divergence_drift,
         "term_burstiness": text_analysis.term_burstiness,
         "skipgram_pairs": text_analysis.skipgram_pairs,
+        "perplexity_bucket_mix": text_analysis.perplexity_bucket_mix,
+        "entropy_rate": text_analysis.entropy_rate,
         "forecast_revenue": relational.forecast_revenue,
         "volume_shipping": relational.volume_shipping,
         "product_profit": relational.product_profit,
@@ -5136,6 +5138,73 @@ select c.true_lang, c.pred_lang,
 from cells c join totals t on c.true_lang = t.true_lang
 order by c.true_lang, c.pred_lang
 """.format(li=sql["lang_id"])
+    # CCNet-bucket truth: the lm_perplexity oracle as the score CTE,
+    # same exact tertile edges over distinct ppl-milli values.
+    sql["perplexity_bucket_mix"] = """
+with ppl as materialized ({lm}),
+pm as (
+  select d.doc_id, d.lang, p.n_tokens,
+         cast(round(p.ppl * 1000) as bigint) as pplm
+  from documents d join ppl p on d.doc_id = p.doc_id
+), counts as (
+  select lang, pplm, count(*) as nd, sum(n_tokens) as nt
+  from pm group by 1, 2
+), cum as (
+  select lang, pplm,
+         sum(nd) over (partition by lang order by pplm
+                       rows between unbounded preceding
+                       and current row) as cum
+  from counts
+), ntot as (select lang, count(*) as n from pm group by 1),
+e1 as (
+  select c.lang, min(pplm) as e1 from cum c join ntot t on c.lang = t.lang
+  where cum >= (n + 2) // 3 group by 1
+), e2 as (
+  select c.lang, min(pplm) as e2 from cum c join ntot t on c.lang = t.lang
+  where cum >= (2 * n + 2) // 3 group by 1
+)
+select pm.lang,
+       case when pplm <= e1.e1 then 'head'
+            when pplm <= e2.e2 then 'middle'
+            else 'tail' end as bucket,
+       count(*) as n_docs,
+       cast(sum(n_tokens) as bigint) as tok_total
+from pm join e1 on pm.lang = e1.lang join e2 on pm.lang = e2.lang
+group by 1, 2 order by 1, 2
+""".format(lm=sql["lm_perplexity"])
+    # Entropy-rate truth: same per-doc lead pairs, same micro-nat
+    # rounding per bigram, same bigint accumulation.
+    sql["entropy_rate"] = """
+with toks as (
+  select source, doc_id, pos, term from (
+    select source, doc_id,
+           generate_subscripts(string_split(lower(text), ' '), 1) as pos,
+           unnest(string_split(lower(text), ' ')) as term
+    from documents) t
+  where term != ''
+), pairs as (
+  select source, a, b from (
+    select source, term as a,
+           lead(term) over (partition by doc_id order by pos) as b
+    from toks) t
+  where b is not null
+), cab as (
+  select source, a, b, count(*) as c_ab from pairs group by 1, 2, 3
+), ca as (
+  select source, a, sum(c_ab) as c_a from cab group by 1, 2
+), tot as (
+  select source, sum(c_ab) as t from cab group by 1
+), term as (
+  select cab.source,
+         cast(round((c_ab / t::double) * ln(c_a / c_ab::double)
+                    * 1000000) as bigint) as h_micro
+  from cab join ca on cab.source = ca.source and cab.a = ca.a
+  join tot on cab.source = tot.source
+)
+select source, cast(sum(h_micro) as bigint) as entropy_rate_micro,
+       count(*) as n_bigram_types
+from term group by 1 order by 1
+"""
     # Skip-gram truth: same per-doc lead offsets, both directions,
     # same deterministic cut.
     sql["skipgram_pairs"] = f"""

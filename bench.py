@@ -232,6 +232,8 @@ def main() -> int:
         "kmeans_coreset",
         "skipgram_pairs",
         "seasonal_trend_decompose",
+        "perplexity_bucket_mix",
+        "entropy_rate",
     ]
     if only:
         headline = [q for q in headline if q in only]

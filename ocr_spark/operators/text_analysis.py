@@ -4181,3 +4181,140 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "center", "context")
         .limit(SKIPGRAM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity-bucket mix (Wenzek et al., LREC 2020 §4.3)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's defining curation step (Wenzek et al., LREC 2020): split
+    each language's documents into head / middle / tail TERTILES of LM
+    perplexity (low perplexity = cleanest third), producing the
+    (lang, bucket) mix table a pretraining sampler draws from —
+    lm_perplexity gives the score, this gives the cut.
+
+    Engine-exactness: perplexity is lm_perplexity's round-4 double
+    scaled to integer millis; tertile edges are EXACT order
+    statistics — the smallest ppl value whose cumulative doc count
+    reaches ceil(n/3) resp. ceil(2n/3) per language — and bucket
+    assignment compares integers against those edges (ties land low,
+    deterministically on both engines).
+
+    Scale shape: the cumulative window runs per language over
+    DISTINCT ppl-milli values (value cardinality, orders of magnitude
+    below doc count — the bucketed-cumsum convention), edges collapse
+    to a languages-sized broadcast row set, and the final mix is one
+    (lang, bucket) partial-agg rollup."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    ppl = lm_perplexity(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("ppl") * 1000).cast("bigint").alias("pplm"),
+    )
+    pm = docs.join(ppl, "doc_id")
+    counts = pm.groupBy("lang", "pplm").agg(
+        F.count("*").alias("nd"), F.sum("n_tokens").alias("nt")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("pplm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("nd").over(w))
+    ntot = pm.groupBy("lang").agg(F.count("*").alias("n"))
+    edged = cum.join(F.broadcast(ntot), "lang")
+    e1 = (
+        edged.filter(F.col("cum") >= F.expr("(n + 2) div 3"))
+        .groupBy("lang")
+        .agg(F.min("pplm").alias("e1"))
+    )
+    e2 = (
+        edged.filter(F.col("cum") >= F.expr("(2 * n + 2) div 3"))
+        .groupBy("lang")
+        .agg(F.min("pplm").alias("e2"))
+    )
+    edges = e1.join(e2, "lang")
+    return (
+        pm.join(F.broadcast(edges), "lang")
+        .select(
+            "lang",
+            F.expr(
+                "case when pplm <= e1 then 'head'"
+                " when pplm <= e2 then 'middle'"
+                " else 'tail' end"
+            ).alias("bucket"),
+            "n_tokens",
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tok_total"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source bigram entropy rate (Shannon 1951 printed-English estimate)
+# ---------------------------------------------------------------------------
+
+
+def entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source conditional entropy rate H(next|current) of the word
+    bigram chain (Shannon 1951's printed-language estimate) — the
+    text-INTERNAL diversity number next to ``source_entropy`` (which
+    measures the source MIX): template-generated or looping text shows
+    a collapsed entropy rate long before exact dedup fires, making
+    this the cheap first-pass synthetic-text tripwire.
+
+    H = sum over bigrams of (c_ab/T) * ln(c_a/c_ab), each term >= 0
+    (c_ab <= c_a), rounded to integer micro-nats per bigram
+    (non-negative, so half-up == half-away) and summed as bigints —
+    the js_divergence_drift accumulation discipline: no float sum
+    order exists.  c_a counts the FIRST-position occurrences so the
+    conditional distribution is proper.
+
+    Scale shape: per-doc lead() pairs (the skipgram_pairs window
+    shape), one (source, a, b) count shuffle with map-side partials,
+    one (source, a) rollup joined back co-keyed, one per-source sum."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select(
+            "source",
+            F.col("term").alias("a"),
+            F.lead("term").over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+    )
+    cab = pairs.groupBy("source", "a", "b").agg(F.count("*").alias("c_ab"))
+    ca = cab.groupBy("source", "a").agg(F.sum("c_ab").alias("c_a"))
+    tot = cab.groupBy("source").agg(F.sum("c_ab").alias("t"))
+    term = (
+        cab.join(ca, ["source", "a"])
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            F.expr(
+                "cast(round((c_ab / cast(t as double))"
+                " * ln(c_a / cast(c_ab as double)) * 1000000) as bigint)"
+            ).alias("h_micro"),
+        )
+    )
+    return (
+        term.groupBy("source")
+        .agg(
+            F.sum("h_micro").alias("entropy_rate_micro"),
+            F.count("*").alias("n_bigram_types"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("source")
+    )

@@ -1140,7 +1140,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         D.edit_distance_near_dup, S.mmr_diversify, R.theil_sen_trend,
         T.isotonic_calibration, T.term_burstiness, T.lang_id_confusion,
         W.clustering_coefficient, T.skipgram_pairs,
-        R.seasonal_trend_decompose,
+        R.seasonal_trend_decompose, T.entropy_rate,
     ]
     for fn in empty_ok:
         assert fn(spark, d).count() == 0, fn.__name__
@@ -3111,3 +3111,49 @@ def test_seasonal_decompose_flat_series_has_zero_parts(spark, tmp_path):
         assert r["trend_milli"] == 1_000_000
         assert r["seasonal_milli"] == 0
         assert r["residual_milli"] == 0
+
+
+def test_perplexity_buckets_partition_each_language(spark, tmp_path):
+    """Six docs with distinct perplexities in one language split 2/2/2
+    across head/middle/tail; counts always sum to the language total."""
+    from ocr_spark.operators.text_analysis import perplexity_bucket_mix
+
+    d = str(tmp_path)
+    texts = [
+        "common common common common",
+        "common common common rare1",
+        "common common rare1 rare2",
+        "common rare1 rare2 rare3",
+        "rare1 rare2 rare3 rare4",
+        "rare5 rare6 rare7 rare8",
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["bucket"]: r for r in perplexity_bucket_mix(spark, d).collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    assert sum(r["n_docs"] for r in out.values()) == 6
+    assert out["head"]["n_docs"] == 2
+    assert out["middle"]["n_docs"] == 2
+    assert out["tail"]["n_docs"] == 2
+
+
+def test_entropy_rate_zero_for_deterministic_chain(spark, tmp_path):
+    """Source 'det' repeats 'a b' (next token fully determined -> rate
+    exactly 0); source 'mix' alternates continuations -> rate > 0."""
+    from ocr_spark.operators.text_analysis import entropy_rate
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, "a b a b a b a b", "en", "det", 15),
+            (1, "x y x z x y x z", "en", "mix", 15),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["source"]: r for r in entropy_rate(spark, d).collect()}
+    assert out["det"]["entropy_rate_micro"] == 0
+    assert out["mix"]["entropy_rate_micro"] > 0
