@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_all_pairs": dedup.ngram_jaccard_all_pairs,
         "winnowing_near_dup": dedup.winnowing_near_dup,
         "dedup_sketch_eval": dedup.dedup_sketch_eval,
+        "lsh_param_sweep": dedup.lsh_param_sweep,
         "prefix_filter_jaccard": dedup.prefix_filter_jaccard,
         "duplicate_substring_spans": dedup.duplicate_substring_spans,
         "simhash_near_dup": dedup.simhash_near_dup,
@@ -1118,6 +1119,81 @@ from c
         + ")"
         for b in range(dedup.LSH_BANDS)
     ),
+)
+
+
+def _sweep_cfg_sql(b: int, r: int) -> str:
+    cases = "\n".join(
+        f"           when {band} then md5(mh{band * r}::varchar"
+        + "".join(
+            f" || ',' || mh{band * r + j}::varchar" for j in range(1, r)
+        )
+        + ")"
+        for band in range(b)
+    )
+    return f"""bands_{b}_{r} as (
+  select doc_id, bb.band,
+         case bb.band
+{cases}
+         end as bucket
+  from sigs, (select unnest(range(0, {b})) as band) bb
+), cand_{b}_{r} as materialized (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands_{b}_{r} a join bands_{b}_{r} b
+    on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id
+), h_{b}_{r} as materialized (
+  select * from cand_{b}_{r} intersect select * from truth
+)"""
+
+
+def _sweep_select(b: int, r: int) -> str:
+    return f"""select {b} as bands, {r} as rows_per_band,
+       (select count(*) from truth) as n_truth,
+       (select count(*) from cand_{b}_{r}) as n_candidates,
+       (select count(*) from h_{b}_{r}) as n_hits,
+       case when (select count(*) from truth) = 0
+            then cast(1000000 as bigint)
+            else cast((2 * (select count(*) from h_{b}_{r})::hugeint
+                       * 1000000 + (select count(*) from truth))
+                      // (2 * (select count(*) from truth)) as bigint)
+            end as recall_ppm,
+       case when (select count(*) from cand_{b}_{r}) = 0
+            then cast(1000000 as bigint)
+            else cast((2 * (select count(*) from h_{b}_{r})::hugeint
+                       * 1000000 + (select count(*) from cand_{b}_{r}))
+                      // (2 * (select count(*) from cand_{b}_{r}))
+                      as bigint) end as precision_ppm"""
+
+
+_SWEEP_ORACLE = (
+    """with sh as materialized (
+  select doc_id, {sh} as shingles from documents
+), sigs as materialized (
+  select doc_id, shingles,
+{cols}
+  from sh
+), truth as materialized (
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from sh a join sh b on a.doc_id < b.doc_id
+  where round(len(list_intersect(a.shingles, b.shingles))::double
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))),
+              6) >= {tau}
+), """.format(
+        sh=_SHINGLES,
+        cols=",\n".join(
+            "    " + _mh_col(j) for j in range(dedup.N_MINHASH)
+        ),
+        tau=dedup.SKETCH_EVAL_TAU,
+    )
+    + ",\n".join(
+        _sweep_cfg_sql(b, r) for b, r in dedup.LSH_SWEEP_CONFIGS
+    )
+    + "\n"
+    + "\nunion all\n".join(
+        _sweep_select(b, r) for b, r in dedup.LSH_SWEEP_CONFIGS
+    )
+    + "\norder by bands\n"
 )
 
 
@@ -2148,6 +2224,7 @@ from documents order by doc_id
 """,
         "minhash_signatures": _MINHASH_ORACLE,
         "dedup_sketch_eval": _SKETCH_EVAL_ORACLE,
+        "lsh_param_sweep": _SWEEP_ORACLE,
         "lsh_near_dup": _LSH_ORACLE,
         "stream_near_dup_gate": _STREAM_GATE_ORACLE,
         "edit_distance_near_dup": _EDIT_ORACLE,

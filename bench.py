@@ -234,6 +234,7 @@ def main() -> int:
         "seasonal_trend_decompose",
         "perplexity_bucket_mix",
         "entropy_rate",
+        "lsh_param_sweep",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -1451,3 +1451,106 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding parameter sweep (the b x r S-curve; Leskovec MMDS §3.4)
+# ---------------------------------------------------------------------------
+
+# every way to band the N_MINHASH=8 signature: (bands, rows_per_band)
+LSH_SWEEP_CONFIGS = ((1, 8), (2, 4), (4, 2), (8, 1))
+
+
+def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding S-curve, measured: recall and precision of the
+    MinHash candidate generator at EVERY (bands x rows) split of the
+    8-hash signature against exact AllPairs truth — the tuning table
+    (Leskovec/Rajaraman/Ullman, MMDS §3.4) behind the production
+    choice `dedup_sketch_eval` grades: more bands = higher recall,
+    lower precision; this query shows the whole trade-off so the
+    threshold move is data-driven, not folklore.
+
+    Exactness: same integer counts and half-away ppm ratios as
+    dedup_sketch_eval, per config; the signature table and the truth
+    pair set are computed ONCE and checkpointed (bounded: truth is
+    the prefix-filtered AllPairs output), then each config adds only
+    its banding join.
+
+    Scale shape: per config one bucket equi-join + three 1-row
+    counts; the union is 4 rows.  At 100 TB this runs on a
+    hash-sampled slice (the dedup_sketch_eval note) — the curve is
+    the point."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sigs = minhash_signatures_df(
+        docs.select("doc_id", "text")
+    ).localCheckpoint(eager=True)
+    truth = (
+        ngram_jaccard_all_pairs(spark, sf_dir, tau=SKETCH_EVAL_TAU)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    ppm = (
+        "case when {d} = 0 then cast(1000000 as bigint) else"
+        " (2 * cast(n_hits as decimal(38,0)) * 1000000 + {d})"
+        " div (2 * {d}) end"
+    )
+    out = None
+    for b, r in LSH_SWEEP_CONFIGS:
+        bands = sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{band * r + j}")
+                                    for j in range(r)
+                                ],
+                            )
+                        )
+                        for band in range(b)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+        cand = (
+            bands.alias("x")
+            .join(
+                bands.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        hits = cand.join(truth, ["doc_a", "doc_b"])
+        row = (
+            n_truth.crossJoin(
+                F.broadcast(cand.agg(F.count("*").alias("n_candidates")))
+            )
+            .crossJoin(
+                F.broadcast(hits.agg(F.count("*").alias("n_hits")))
+            )
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_truth",
+                "n_candidates",
+                "n_hits",
+                F.expr(ppm.format(d="n_truth")).alias("recall_ppm"),
+                F.expr(ppm.format(d="n_candidates")).alias(
+                    "precision_ppm"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.repartition(1).sortWithinPartitions("bands")

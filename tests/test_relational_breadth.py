@@ -3157,3 +3157,23 @@ def test_entropy_rate_zero_for_deterministic_chain(spark, tmp_path):
     out = {r["source"]: r for r in entropy_rate(spark, d).collect()}
     assert out["det"]["entropy_rate_micro"] == 0
     assert out["mix"]["entropy_rate_micro"] > 0
+
+
+def test_lsh_param_sweep_s_curve_monotonicity(spark):
+    """More bands (fewer rows per band) can only add collisions: the
+    candidate count and recall are non-decreasing in the band count,
+    and hits never exceed either side."""
+    from ocr_spark.operators.dedup import lsh_param_sweep
+
+    rows = sorted(
+        lsh_param_sweep(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["bands"],
+    )
+    assert [r["bands"] for r in rows] == [1, 2, 4, 8]
+    cands = [r["n_candidates"] for r in rows]
+    recalls = [r["recall_ppm"] for r in rows]
+    assert cands == sorted(cands)
+    assert recalls == sorted(recalls)
+    for r in rows:
+        assert r["n_hits"] <= min(r["n_truth"], r["n_candidates"])
+        assert r["n_truth"] == rows[0]["n_truth"]  # shared truth set
