@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reciprocity": web_extract.graph_reciprocity,
         "scc_labels": web_extract.scc_labels,
         "bowtie_decomposition": web_extract.bowtie_decomposition,
+        "graph_modularity": web_extract.graph_modularity,
         "harmonic_centrality": web_extract.harmonic_centrality,
         "kmv_weekly_rollup": relational.kmv_weekly_rollup,
         "theta_sketch_overlap": relational.theta_sketch_overlap,
@@ -8801,6 +8802,54 @@ select cast(sum({_rev}) as bigint) as revenue_c2, count(*) as n_lines
 from lineitem join part on l_partkey = p_partkey
 where {_bask}
 """
+    # Modularity truth: the lpa oracle as the label CTE, same signed
+    # rational fold and sign-split half-away ppm.
+    sql["graph_modularity"] = """
+with labels as materialized ({lpa}),
+nn as (select count(*) as nv from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nv as dst from documents, nn
+  union all
+  select doc_id, (doc_id * 13 + 2) % nv from documents, nn
+  union all
+  select doc_id, (doc_id * 31 + 3) % nv from documents, nn
+),
+dire as (select distinct src, dst from e0 where src != dst),
+und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+        from dire),
+mm as (select count(*) as m from und),
+deg as (
+  select v, count(*) as deg from (
+    select a as v from und union all select b as v from und) t group by 1
+),
+dsum as (
+  select l.community, count(*) as n_nodes, sum(deg.deg) as degree_sum
+  from labels l join deg on l.doc_id = deg.v group by 1
+),
+ein as (
+  select la.community, count(*) as e_within
+  from und
+  join labels la on und.a = la.doc_id
+  join labels lb on und.b = lb.doc_id
+  where la.community = lb.community
+  group by 1
+)
+select d.community, cast(d.n_nodes as bigint) as n_nodes,
+       cast(coalesce(e.e_within, 0) as bigint) as e_within,
+       cast(d.degree_sum as bigint) as degree_sum,
+       cast(case when (4 * m::hugeint * coalesce(e.e_within, 0)
+                       - d.degree_sum::hugeint * d.degree_sum) >= 0 then
+         (2 * (4 * m::hugeint * coalesce(e.e_within, 0)
+               - d.degree_sum::hugeint * d.degree_sum) * 1000000
+          + 4 * m::hugeint * m) // (2 * 4 * m::hugeint * m)
+       else
+         -((2 * -(4 * m::hugeint * coalesce(e.e_within, 0)
+                  - d.degree_sum::hugeint * d.degree_sum) * 1000000
+            + 4 * m::hugeint * m) // (2 * 4 * m::hugeint * m))
+       end as bigint) as contrib_ppm
+from dsum d left join ein e on d.community = e.community, mm
+order by d.community
+""".format(lpa=sql["lpa_communities"])
     return sql
 
 

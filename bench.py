@@ -235,6 +235,7 @@ def main() -> int:
         "perplexity_bucket_mix",
         "entropy_rate",
         "lsh_param_sweep",
+        "graph_modularity",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -2050,3 +2050,107 @@ def bowtie_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the LPA partition (Newman & Girvan, PRE 2004)
+# ---------------------------------------------------------------------------
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity of the ``lpa_communities`` partition —
+    the quality number that tells you whether the detected communities
+    are real structure or noise (Q near 0 = no better than random;
+    0.3+ = strong): per community c,
+    ``contrib = e_c/m − (d_c / 2m)²`` where e_c counts within-community
+    undirected edges, d_c sums member degrees, m = |edges| — the meta-
+    eval closing the community loop the way ann_recall_eval closes ANN.
+
+    Engine-exactness: the contribution folds into ONE signed rational
+    ``(4·m·e_c − d_c²) / (4m²)`` of bigints (decimal(38,0) for the
+    products — d_c² can pass 2^63 at web scale), rendered as
+    sign-split half-away ppm so negative contributions round
+    identically on both engines.
+
+    Scale shape: one label join onto the undirected edge list (edges
+    co-keyed on both endpoints), a per-community pair of partial-agg
+    sums, and the scalar m broadcast — no windows, no node-cardinality
+    driver state."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    n = docs.count()
+    e = _link_edges(docs, n)
+    und = e.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).distinct()
+    labels = lpa_communities(spark, sf_dir).select(
+        F.col("doc_id").alias("v"), "community"
+    )
+    m_row = und.agg(F.count("*").alias("m"))
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    d_sum = (
+        labels.join(deg, "v")
+        .groupBy("community")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("deg").alias("degree_sum"),
+        )
+    )
+    e_in = (
+        und.join(
+            labels.select(F.col("v").alias("a"), F.col("community").alias(
+                "ca"
+            )),
+            "a",
+        )
+        .join(
+            labels.select(F.col("v").alias("b"), F.col("community").alias(
+                "cb"
+            )),
+            "b",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("e_within"))
+    )
+    d38 = "decimal(38,0)"
+    return (
+        d_sum.join(e_in, "community", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_within", F.lit(0)).cast("bigint").alias(
+                "e_within"
+            ),
+            F.col("degree_sum").cast("bigint").alias("degree_sum"),
+            F.expr(
+                f"cast((4 * cast(m as {d38}) * coalesce(e_within, 0)"
+                f" - cast(degree_sum as {d38}) * degree_sum) as {d38})"
+            ).alias("num"),
+            F.expr(f"cast(4 * cast(m as {d38}) * m as {d38})").alias(
+                "den"
+            ),
+        )
+        .select(
+            "community",
+            "n_nodes",
+            "e_within",
+            "degree_sum",
+            F.expr(
+                "cast(case when num >= 0 then"
+                " (2 * num * 1000000 + den) div (2 * den)"
+                " else -((2 * (-num) * 1000000 + den) div (2 * den))"
+                " end as bigint)"
+            ).alias("contrib_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("community")
+    )

@@ -3177,3 +3177,21 @@ def test_lsh_param_sweep_s_curve_monotonicity(spark):
     for r in rows:
         assert r["n_hits"] <= min(r["n_truth"], r["n_candidates"])
         assert r["n_truth"] == rows[0]["n_truth"]  # shared truth set
+
+
+def test_graph_modularity_partition_accounting(spark):
+    """Within-community edges can't exceed m; per-community node and
+    degree sums must account for the whole graph exactly once; every
+    contribution lies in the theoretical [-1e6, 1e6] band."""
+    from ocr_spark.operators.web_extract import graph_modularity
+
+    rows = graph_modularity(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    tot_nodes = sum(r["n_nodes"] for r in rows)
+    docs_n = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert tot_nodes == docs_n
+    for r in rows:
+        assert -1_000_000 <= r["contrib_ppm"] <= 1_000_000
+        assert r["e_within"] * 2 <= r["degree_sum"]
