@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_audit": dedup.split_leakage_audit,
         "incremental_near_dup": dedup.incremental_near_dup,
         "near_dup_clusters": dedup.near_dup_clusters,
+        "soft_dedup_weights": dedup.soft_dedup_weights,
+        "group_kfold_split": dedup.group_kfold_split,
         "dedup_canonical_pick": dedup.dedup_canonical_pick,
         "simhash64": dedup.simhash64,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -272,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigram_lift": text_analysis.pmi_bigram_lift,
         "dsir_importance_weights": text_analysis.dsir_importance_weights,
         "sequence_pack": text_analysis.sequence_pack,
+        "padding_waste_audit": text_analysis.padding_waste_audit,
         "bpe_merges": text_analysis.bpe_merges,
         "bpe_tokenize": text_analysis.bpe_tokenize,
         "bpe_fertility": text_analysis.bpe_fertility,
@@ -298,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": media.frame_sample,
         "video_near_dup": media.video_near_dup,
         "audio_features": media.audio_features,
+        "audio_near_dup": media.audio_near_dup,
         "caption_consistency": media.caption_consistency,
         # -- table structure (row x col interval geometry) --
         "table_cells": table.table_cells,
@@ -8850,6 +8854,97 @@ select d.community, cast(d.n_nodes as bigint) as n_nodes,
 from dsum d left join ein e on d.community = e.community, mm
 order by d.community
 """.format(lpa=sql["lpa_communities"])
+    # SoftDeDup reweighting: the near_dup_clusters truth (recursive-CTE
+    # components over the verified-pair SQL) joined back to token counts;
+    # weight = half-away ppm of 1/cluster_size.
+    sql["soft_dedup_weights"] = f"""
+with nd as ({sql["near_dup_clusters"]})
+select nd.doc_id, nd.cluster_id, nd.cluster_size,
+       cast(len(string_split(d.text, ' ')) as int) as n_tokens,
+       cast((2 * 1000000 + nd.cluster_size) // (2 * nd.cluster_size)
+            as bigint) as weight_ppm,
+       cast(len(string_split(d.text, ' '))
+            * ((2 * 1000000 + nd.cluster_size) // (2 * nd.cluster_size))
+            as bigint) as weighted_tokens
+from nd join documents d using (doc_id)
+order by nd.doc_id
+"""
+    # GroupKFold truth: same cluster labels, fold = multiplicative hash
+    # of the cluster id mod K (identical integer arithmetic).
+    sql["group_kfold_split"] = f"""
+with nd as ({sql["near_dup_clusters"]})
+select doc_id, cluster_id, cluster_size,
+       cast(((cluster_id * {relational.KMV_HASH_A}) % {relational.KMV_HASH_M})
+            % {dedup.KFOLD_K} as int) as fold
+from nd order by doc_id
+"""
+    # Padding-waste truth: the naive global row_number forms (DuckDB is
+    # single-node; the Spark side uses the two-pass bucketed rank, which
+    # is bit-equal by construction), then identical batch arithmetic.
+    sql["padding_waste_audit"] = f"""
+with d as (
+  select doc_id, len(string_split(text, ' ')) as n_tokens from documents
+),
+r as (
+  select 'arrival' as strategy,
+         row_number() over (order by doc_id) as rk, n_tokens from d
+  union all
+  select 'sorted', row_number() over (order by n_tokens, doc_id), n_tokens
+  from d
+),
+b as (
+  select strategy, (rk - 1) // {text_analysis.PAD_BATCH} as batch,
+         count(*) as cnt, sum(n_tokens) as actual, max(n_tokens) as mx
+  from r group by 1, 2
+),
+p as (
+  select strategy, count(*) as n_batches, sum(actual) as actual_tokens,
+         sum(cnt * mx) as padded_tokens
+  from b group by 1
+)
+select strategy, cast(n_batches as bigint) as n_batches,
+       cast(actual_tokens as bigint) as actual_tokens,
+       cast(padded_tokens as bigint) as padded_tokens,
+       cast((2 * (padded_tokens - actual_tokens) * 1000000 + padded_tokens)
+            // (2 * padded_tokens) as bigint) as waste_ppm
+from p order by strategy
+"""
+    # Audio near-dup: fully ANALYTIC oracle — DuckDB regenerates the
+    # group-structured NAUD1 window waveforms from the shared integer
+    # formula, fingerprints each window by its sum_abs:energy pair, and
+    # replays the inverted-index pair join; the Spark side decodes real
+    # container bytes.
+    sql["audio_near_dup"] = f"""
+with refs as (
+  select 'aud://' || c_custkey as media_ref,
+         c_custkey // {50 * media.AUDIO_DUP_GROUP} as g,
+         (c_custkey // 50) % 2 as off
+  from customer where c_custkey % 50 = 0
+), wins as (
+  select media_ref,
+         ((g * {media._AUD_GRP_MUL} + off + i) * {media._AUD_SEED_MUL})
+           % {media._AUD_SEED_MOD} as seed
+  from refs, range({media.AUDIO_DUP_WINS}) t(i)
+), samp as (
+  select media_ref, seed,
+         ((seed + j * {media._AUD_STEP}) % 65536) - 32768 as s
+  from wins, range({media.AUDIO_WIN}) t2(j)
+), fp as (
+  select media_ref, seed, sum(abs(s)) || ':' || sum(s * s) as h
+  from samp group by 1, 2
+), p as (
+  select a.media_ref as ref_a, b.media_ref as ref_b, count(*) as shared
+  from fp a join fp b on a.h = b.h and a.media_ref < b.media_ref
+  group by 1, 2
+)
+select ref_a, ref_b, shared,
+       (shared * 1000000) // ({2 * media.AUDIO_DUP_WINS} - shared)
+         as jaccard_ppm
+from p
+where (shared * 1000000) // ({2 * media.AUDIO_DUP_WINS} - shared)
+      >= {media.AUDIO_DUP_MIN_PPM}
+order by ref_a, ref_b
+"""
     return sql
 
 

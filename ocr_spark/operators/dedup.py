@@ -420,23 +420,21 @@ def connected_components(
     )
 
 
-def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-duplicate clustering — the survivor-selection
-    stage a production dedup pipeline runs AFTER pair generation:
-    minhash-LSH verified pairs (lsh_candidates) -> connected components
-    -> one cluster id per document (singletons keep their own id) ->
-    deterministic survivor = the cluster's minimum doc_id.
-
-    Output: (doc_id, cluster_id, cluster_size, is_survivor) for EVERY
-    document; filtering is_survivor = 1 yields the deduplicated corpus.
-    The final window over cluster_id is a shuffle on the cluster key —
-    cluster count ~ doc count, uniform, no skew concern."""
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for EVERY document — the
+    unsorted core shared by ``near_dup_clusters`` (survivor pick),
+    ``soft_dedup_weights`` (reweighting) and ``group_kfold_split``
+    (leakage-free folds): minhash-LSH verified pairs (lsh_candidates)
+    -> connected components -> one cluster id per document (singletons
+    keep their own id).  The window over cluster_id is a shuffle on the
+    cluster key — cluster count ~ doc count, uniform, no skew
+    concern."""
     pairs = lsh_candidates(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     labels = connected_components(pairs)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    out = (
+    return (
         docs.join(labels, "doc_id", "left")
         .select(
             "doc_id",
@@ -446,12 +444,100 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             F.count("*").over(Window.partitionBy("cluster_id")),
         )
-        .withColumn(
-            "is_survivor",
-            (F.col("doc_id") == F.col("cluster_id")).cast("int"),
-        )
+    )
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate clustering — the survivor-selection
+    stage a production dedup pipeline runs AFTER pair generation:
+    cluster_labels + deterministic survivor = the cluster's minimum
+    doc_id.
+
+    Output: (doc_id, cluster_id, cluster_size, is_survivor) for EVERY
+    document; filtering is_survivor = 1 yields the deduplicated
+    corpus."""
+    out = cluster_labels(spark, sf_dir).withColumn(
+        "is_survivor",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int"),
     )
     return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-style reweighting (He et al., "SoftDedup: an Efficient
+    Data Reweighting Method for Speeding Up Language Model
+    Pre-training", ACL 2024): instead of DELETING near-duplicates,
+    down-weight every member of a duplicate cluster so the cluster's
+    total sampling mass equals one document's — the loss-weighting
+    alternative that keeps rare in-cluster variation available to the
+    model.  weight = 1 / cluster_size in half-away ppm;
+    weighted_tokens = n_tokens * weight_ppm is the doc's contribution
+    to the effective (deduplicated-equivalent) token budget in
+    micro-tokens.
+
+    Scale shape: cluster_labels' pair-generation + CC shapes (see their
+    docstrings), one doc_id equi-join against the token counts, then
+    pure map-side integer arithmetic — no extra shuffle beyond the
+    clustering itself."""
+    labels = cluster_labels(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return (
+        labels.join(docs, "doc_id")
+        .withColumn(
+            "weight_ppm",
+            F.expr("(2 * 1000000 + cluster_size) div (2 * cluster_size)"),
+        )
+        .withColumn(
+            "weighted_tokens",
+            (F.col("n_tokens").cast("bigint") * F.col("weight_ppm")).alias(
+                "weighted_tokens"
+            ),
+        )
+        .select(
+            "doc_id", "cluster_id", "cluster_size", "n_tokens",
+            "weight_ppm", "weighted_tokens",
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+KFOLD_K = 5
+
+
+def group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free K-fold assignment (scikit-learn's GroupKFold shape,
+    group = near-dup cluster): every document in a duplicate cluster
+    lands in the SAME fold, so cross-validation never evaluates on a
+    near-copy of a training document — the fold-level form of the
+    train/test contamination that split_leakage_audit detects after the
+    fact.  fold = portable multiplicative hash of the cluster id mod K
+    (deterministic, engine-exact, no sampling).
+
+    Scale shape: cluster_labels (see its docstring) plus one map-side
+    hash — fold assignment itself adds zero shuffles; fold sizes
+    converge to n/K by hash uniformity (exact sizes would need a
+    cluster-level rank; the hash gate is the 10^12-doc-friendly
+    form)."""
+    from ocr_spark.operators.relational import KMV_HASH_A, KMV_HASH_M
+
+    labels = cluster_labels(spark, sf_dir)
+    return (
+        labels.withColumn(
+            "fold",
+            F.pmod(
+                F.pmod(
+                    F.col("cluster_id") * F.lit(KMV_HASH_A), F.lit(KMV_HASH_M)
+                ),
+                F.lit(KFOLD_K),
+            ).cast("int"),
+        )
+        .select("doc_id", "cluster_id", "cluster_size", "fold")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
 
 
 def ngram_jaccard_all_pairs(

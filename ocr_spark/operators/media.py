@@ -749,3 +749,139 @@ def video_near_dup(
         .repartition(1)
         .sortWithinPartitions("ref_a", "ref_b")
     )
+
+# --------------------------------------------------------------------------
+# Audio near-dup: re-upload detection via window-fingerprint Jaccard
+# --------------------------------------------------------------------------
+
+AUDIO_DUP_GROUP = 3  # sampled audio clips per shared-content group
+AUDIO_DUP_WINS = 4  # analysis windows per fixture clip
+AUDIO_DUP_MIN_PPM = 500_000  # pair ships at window-Jaccard >= 0.5
+_AUD_GRP_MUL = 1_000_003  # group/window seed mixing prime
+
+
+def encode_audio_pcm(
+    samples: np.ndarray, sample_rate: int = AUDIO_SAMPLE_RATE
+) -> bytes:
+    """Raw int16 PCM -> NAUD1 container bytes (the encoder half of
+    decode_audio, for callers that bring their own waveform)."""
+    import struct
+
+    return b"".join(
+        [
+            AUDIO_MAGIC,
+            struct.pack("<II", sample_rate, len(samples)),
+            samples.astype("<i2").tobytes(),
+        ]
+    )
+
+
+def audio_near_dup(
+    spark: SparkSession, sf_dir: str, mod: int = 50
+) -> DataFrame:
+    """Re-upload / near-duplicate detection over the audio modality —
+    the audio sibling of video_near_dup: two clips are near-dups when
+    their per-window acoustic fingerprints overlap (the Shazam-style
+    shape — fingerprint fixed-size analysis windows, join on the
+    fingerprint, score pair overlap), which catches re-encodes and
+    trims that a whole-file digest misses.  The fixture corpus encodes
+    content groups (AUDIO_DUP_GROUP sampled customers share a group;
+    alternate members start one window later), so the output contains
+    exact re-uploads (Jaccard 1.0) AND shifted near-dups (3 shared of
+    4) — both above AUDIO_DUP_MIN_PPM — while unrelated clips never
+    pair.
+
+    The fingerprint is computed from DECODED CONTAINER BYTES
+    (decode_audio -> per-window sum_abs:energy, the audio_features
+    integers), so the Spark side exercises the real codec path; the
+    DuckDB oracle regenerates the waveform analytically from the shared
+    integer formula and replays the same join — no shared code.
+
+    Scale shape: decode + fingerprint are map-side (mapInPandas over
+    Arrow binary batches); the pair search is an inverted-index
+    equi-join on the fingerprint (work proportional to true overlap,
+    never all-pairs) with AQE absorbing any viral window; Jaccard is
+    integer ppm on the fixed per-clip window count."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    refs = cust.filter(k % mod == 0).select(
+        k.cast("long").alias("key"),
+        F.concat(F.lit("aud://"), k.cast("string")).alias("media_ref"),
+    )
+    n_wins = AUDIO_DUP_WINS
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for ck in pdf["key"]:
+                g = int(ck) // (mod * AUDIO_DUP_GROUP)
+                off = (int(ck) // mod) % 2
+                wins = []
+                for i in range(n_wins):
+                    seed = (
+                        (g * _AUD_GRP_MUL + off + i) * _AUD_SEED_MUL
+                    ) % _AUD_SEED_MOD
+                    wins.append(
+                        (
+                            seed
+                            + np.arange(AUDIO_WIN, dtype=np.int64)
+                            * _AUD_STEP
+                        )
+                        % 65536
+                        - 32768
+                    )
+                payloads.append(
+                    encode_audio_pcm(np.concatenate(wins).astype(np.int16))
+                )
+            yield pd.DataFrame(
+                {"media_ref": pdf["media_ref"], "payload": payloads}
+            )
+
+    binary = refs.repartition(_default_partitions(spark)).mapInPandas(
+        _encode, schema="media_ref string, payload binary"
+    )
+
+    def _fingerprints(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                _, samples = decode_audio(bytes(payload))
+                s = samples.astype(np.int64)
+                for w0 in range(0, len(s), AUDIO_WIN):
+                    seg = s[w0 : w0 + AUDIO_WIN]
+                    rows.append(
+                        (
+                            ref,
+                            f"{int(np.abs(seg).sum())}:"
+                            f"{int((seg * seg).sum())}",
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["media_ref", "fp"])
+
+    fps = binary.mapInPandas(
+        _fingerprints, schema="media_ref string, fp string"
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.media_ref") < F.col("b.media_ref")),
+        )
+        .groupBy(
+            F.col("a.media_ref").alias("ref_a"),
+            F.col("b.media_ref").alias("ref_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard_ppm",
+            F.expr(f"(shared * 1000000) div ({2 * n_wins} - shared)"),
+        )
+        .filter(F.col("jaccard_ppm") >= AUDIO_DUP_MIN_PPM)
+        .repartition(1)
+        .sortWithinPartitions("ref_a", "ref_b")
+    )

@@ -4318,3 +4318,65 @@ def entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Padding-waste audit (dynamic-batching efficiency for inference/training)
+# ---------------------------------------------------------------------------
+
+PAD_BATCH = 32  # sequences per inference batch
+
+
+def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding overhead of dynamic batching under two schedulers — the
+    measurement behind length-bucketed batch inference (and behind this
+    repo's own width-sorted OCR sub-batches, core/recognize.py): batch
+    ``PAD_BATCH`` docs at a time, pad each batch to its longest member,
+    and compare total padded tokens when batches are formed in arrival
+    (doc_id) order vs token-length-sorted order.  The sorted strategy's
+    waste_ppm is the classic 2-5x padding saving that makes
+    length-sorted batching standard in serving stacks.
+
+    Scale shape: both global orders come from ``bucketed_global_rank``
+    (two-pass grid-bucketed rank — the only unpartitioned window
+    touches O(RANK_BUCKETS) offset rows, never the corpus), then one
+    tiny per-batch aggregate and one per-strategy rollup.  No
+    corpus-cardinality window, one shuffle per rank plus two partial
+    aggs."""
+    from ocr_spark.operators.relational import bucketed_global_rank
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    arrival = bucketed_global_rank(docs, "doc_id", "doc_id").withColumn(
+        "strategy", F.lit("arrival")
+    )
+    by_len = bucketed_global_rank(docs, "n_tokens", "doc_id").withColumn(
+        "strategy", F.lit("sorted")
+    )
+    batches = (
+        arrival.unionByName(by_len)
+        .withColumn("batch", F.expr(f"(rk - 1) div {PAD_BATCH}"))
+        .groupBy("strategy", "batch")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_tokens").alias("actual"),
+            F.max("n_tokens").alias("mx"),
+        )
+    )
+    per = batches.groupBy("strategy").agg(
+        F.count("*").alias("n_batches"),
+        F.sum("actual").alias("actual_tokens"),
+        F.sum(F.col("cnt") * F.col("mx")).alias("padded_tokens"),
+    )
+    return (
+        per.withColumn(
+            "waste_ppm",
+            F.expr(
+                "(2 * (padded_tokens - actual_tokens) * 1000000"
+                " + padded_tokens) div (2 * padded_tokens)"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("strategy")
+    )

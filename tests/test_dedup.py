@@ -918,3 +918,57 @@ def test_jl_projection_matches_python_reference(spark, sf_dir):
     for j in range(JL_OUT_DIM):
         s = {sign(i, j) for i in range(dim)}
         assert s == {-1, 1}
+
+
+def test_soft_dedup_weights_cluster_mass(spark, tmp_path):
+    """Singletons keep full weight (1.0 in ppm); a 3-clique of exact
+    duplicates splits its sampling mass three ways (round(1e6/3));
+    weighted_tokens is the exact integer product."""
+    from ocr_spark.operators.dedup import soft_dedup_weights
+
+    dup = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"zzz{i}" for i in range(25))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, dup, "en", "s", len(dup)),
+            (1, dup, "en", "s", len(dup)),
+            (2, dup, "en", "s", len(dup)),
+            (3, other, "en", "s", len(other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in soft_dedup_weights(spark, d).collect()}
+    assert rows[3]["weight_ppm"] == 1_000_000
+    assert rows[3]["cluster_size"] == 1
+    for i in range(3):
+        assert rows[i]["cluster_id"] == 0
+        assert rows[i]["cluster_size"] == 3
+        assert rows[i]["weight_ppm"] == 333_333  # round(1e6/3) half-away
+        assert rows[i]["weighted_tokens"] == rows[i]["n_tokens"] * 333_333
+
+
+def test_group_kfold_never_splits_a_cluster(spark, tmp_path):
+    """GroupKFold invariant: a near-dup cluster maps to exactly ONE
+    fold (no train/eval leakage through near-copies), folds in [0, K)."""
+    from ocr_spark.operators.dedup import KFOLD_K, group_kfold_split
+
+    dup_a = " ".join(f"alpha{i}" for i in range(30))
+    dup_b = " ".join(f"beta{i}" for i in range(30))
+    d = str(tmp_path)
+    rows_in = [(i, dup_a, "en", "s", 10) for i in range(3)]
+    rows_in += [(10 + i, dup_b, "en", "s", 10) for i in range(2)]
+    rows_in += [(20, "solo words only here entirely", "en", "s", 10)]
+    spark.createDataFrame(
+        rows_in,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = group_kfold_split(spark, d).collect()
+    assert all(0 <= r["fold"] < KFOLD_K for r in out)
+    folds_by_cluster: dict[int, set[int]] = {}
+    for r in out:
+        folds_by_cluster.setdefault(r["cluster_id"], set()).add(r["fold"])
+    assert all(len(v) == 1 for v in folds_by_cluster.values())
+    # the two dup groups really did cluster
+    sizes = {r["doc_id"]: r["cluster_size"] for r in out}
+    assert sizes[0] == 3 and sizes[10] == 2 and sizes[20] == 1

@@ -251,3 +251,27 @@ def test_video_near_dup_pair_classes(spark, tmp_path):
     payload = encode_video("vid://x", frame_ids=[("vgrp://9", i) for i in range(4)])
     frames = decode_video_frames(payload, every_ms=1)
     assert len(frames) == 4
+
+
+def test_audio_near_dup_shift_and_groups(spark, sf_dir):
+    """sf0.001 fixture (customers 0/50/100 share content group 0):
+    0 and 100 are exact re-uploads (4 of 4 windows, Jaccard 1.0);
+    each pairs with the one-window-shifted 50 at 3 of 4 windows
+    (600000 ppm) — both cases ship, computed from decoded container
+    bytes, and no unrelated pair appears."""
+    from ocr_spark.operators.media import audio_near_dup
+
+    rows = {
+        (r["ref_a"], r["ref_b"]): r
+        for r in audio_near_dup(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        ("aud://0", "aud://100"),
+        ("aud://0", "aud://50"),
+        ("aud://100", "aud://50"),
+    }
+    exact = rows[("aud://0", "aud://100")]
+    assert exact["shared"] == 4 and exact["jaccard_ppm"] == 1_000_000
+    for key in [("aud://0", "aud://50"), ("aud://100", "aud://50")]:
+        assert rows[key]["shared"] == 3
+        assert rows[key]["jaccard_ppm"] == 600_000

@@ -1113,7 +1113,8 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         W.link_prediction_jaccard, W.degree_assortativity,
         W.wl_refinement,
         D.containment_pairs, D.homoglyph_dedup, D.split_leakage_audit,
-        D.winnowing_near_dup,
+        D.winnowing_near_dup, D.soft_dedup_weights, D.group_kfold_split,
+        T.padding_waste_audit, M.audio_near_dup,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
         S.mrr_eval, S.map_eval, S.rocchio_feedback,

@@ -1656,3 +1656,29 @@ def test_caption_mining_hand_computed(spark, tmp_path):
     assert clip["caption"] == " ".join(
         f"t{i}" for i in range(CAPTION_MAX_TOKS)
     )
+
+
+def test_padding_waste_sorted_beats_arrival(spark, tmp_path):
+    """Interleaved short/long docs: arrival-order batches pad every
+    short doc up to the long length; length-sorted batches are
+    homogeneous, so padding waste drops to zero.  Hand-computed:
+    64 docs alternating 2/100 tokens, batch 32 -> arrival pads
+    2*32*100=6400 vs actual 3264 (waste 490000 ppm half-away);
+    sorted pads exactly actual (waste 0)."""
+    from ocr_spark.operators.text_analysis import padding_waste_audit
+
+    d = str(tmp_path)
+    rows = []
+    for i in range(64):
+        n = 2 if i % 2 == 0 else 100
+        rows.append((i, " ".join(f"w{j}" for j in range(n)), "en", "s", n))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["strategy"]: r for r in padding_waste_audit(spark, d).collect()}
+    arr, srt = out["arrival"], out["sorted"]
+    assert arr["n_batches"] == 2 and srt["n_batches"] == 2
+    assert arr["actual_tokens"] == srt["actual_tokens"] == 3264
+    assert arr["padded_tokens"] == 6400 and srt["padded_tokens"] == 3264
+    assert arr["waste_ppm"] == 490_000 and srt["waste_ppm"] == 0
