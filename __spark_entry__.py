@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_value": relational.rolling_user_value,
         "percentile_profile": relational.percentile_profile,
         "skew_salted_join": relational.skew_salted_join,
+        "geo_cell_pairs": relational.geo_cell_pairs,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -466,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel": web_extract.kcore_peel,
         "ktruss_edges": web_extract.ktruss_edges,
         "link_prediction_jaccard": web_extract.link_prediction_jaccard,
+        "crawl_frontier": web_extract.crawl_frontier,
         "degree_assortativity": web_extract.degree_assortativity,
         "wl_refinement": web_extract.wl_refinement,
         "lpa_communities": web_extract.lpa_communities,
@@ -8854,6 +8856,41 @@ select d.community, cast(d.n_nodes as bigint) as n_nodes,
 from dsum d left join ein e on d.community = e.community, mm
 order by d.community
 """.format(lpa=sql["lpa_communities"])
+    # Grid spatial join truth: O(n^2) BRUTE-FORCE distance join over the
+    # re-derived Lehmer coordinates — only viable at check scale, which
+    # is exactly why the Spark side buckets by grid cell instead.
+    sql["geo_cell_pairs"] = f"""
+with p as (
+  select c_custkey as key,
+         (c_custkey * c_custkey * {relational._GEO_QX}
+          + c_custkey * {relational._GEO_AX}) % {relational.GEO_W} as x,
+         (c_custkey * c_custkey * {relational._GEO_QY}
+          + c_custkey * {relational._GEO_AY}) % {relational.GEO_W} as y
+  from customer
+)
+select a.key as key_a, b.key as key_b,
+       cast((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            as bigint) as dist2
+from p a join p b on a.key < b.key
+where (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {relational.GEO_R * relational.GEO_R}
+order by key_a, key_b
+"""
+    # Crawl-frontier truth: compose the three signal oracles (identical
+    # graph/rule arithmetic) and replay the depth-discounted top-K.
+    sql["crawl_frontier"] = f"""
+with pr as ({sql["link_graph_pagerank"]}),
+bfs as ({sql["bfs_hop_distance"]}),
+rg as ({sql["robots_gate"]})
+select b.doc_id, b.hop, p.pr_ppb,
+       p.pr_ppb // (1::bigint << b.hop) as priority_ppb
+from bfs b
+join rg on rg.doc_id = b.doc_id and rg.verdict = 'allow'
+join pr p on p.doc_id = b.doc_id
+where b.hop >= 1
+order by priority_ppb desc, b.doc_id
+limit {web_extract.FRONTIER_K}
+"""
     # SoftDeDup reweighting: the near_dup_clusters truth (recursive-CTE
     # components over the verified-pair SQL) joined back to token counts;
     # weight = half-away ppm of 1/cluster_size.

@@ -6070,3 +6070,84 @@ def seasonal_trend_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed spatial self-join (radius search without a cross join)
+# ---------------------------------------------------------------------------
+
+GEO_W = 1_000_000  # point domain: integer micro-units in [0, GEO_W)^2
+GEO_R = 10_000  # radius; also the grid cell edge (cell = R guarantees
+#                 neighbors-within-R live in the 3x3 cell neighborhood)
+_GEO_AX = 48_271  # coordinate-synthesis multipliers (SQL-expressible);
+_GEO_AY = 69_621  # the QUADRATIC term below breaks the pair degeneracy a
+_GEO_QX = 7  # purely linear map would have (all coordinate deltas are
+_GEO_QY = 11  # functions of the key difference alone -> lattice artifacts)
+
+
+def geo_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within radius ``GEO_R`` via GRID-CELL bucketing —
+    the classic distributed spatial join (the fixed-grid case of
+    SpatialHadoop/Sedona's partition-join): snap each point to a square
+    cell of edge R, replicate each probe point to its 3x3 cell
+    neighborhood, equi-join on the cell key, then verify exact squared
+    distance.  Complete by the floor-division property: dist <= R
+    forces per-axis cell offsets in {-1, 0, 1}, so every true pair
+    meets in the probe's replicated neighborhood exactly once (the
+    build side keeps its single home cell; key_a < key_b kills the
+    mirror orientation).
+
+    Coordinates are deterministic integer micro-units derived from the
+    customer key by a quadratic hash — the oracle re-derives them and
+    verifies against the O(n^2) brute-force join, which only exists at
+    check scale.
+
+    Scale shape: constant 9x replication of one side, ONE equi-join
+    shuffle on the (cx, cy) cell key, exact integer distance filter —
+    never a cross join (plan-pinned).  Hot cells (urban skew) are
+    bounded by cell occupancy: at production scale shrink R's cell to
+    R/2-with-5x5-neighborhood or salt the top cells; AQE skew-split
+    absorbs moderate imbalance."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey").cast("bigint")
+    pts = cust.select(
+        k.alias("key"),
+        ((k * k * _GEO_QX + k * _GEO_AX) % GEO_W).alias("x"),
+        ((k * k * _GEO_QY + k * _GEO_AY) % GEO_W).alias("y"),
+    ).withColumn(
+        "cx", F.expr(f"x div {GEO_R}")
+    ).withColumn("cy", F.expr(f"y div {GEO_R}"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = (
+        pts.withColumn("o", F.explode(offsets))
+        .select(
+            F.col("key").alias("key_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("o.dx")).alias("cx"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    build = pts.select(
+        F.col("key").alias("key_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    d2 = F.expr("(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)")
+    return (
+        probe.join(build, ["cx", "cy"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist2", d2)
+        .where(F.col("dist2") <= GEO_R * GEO_R)
+        .select("key_a", "key_b", "dist2")
+        .repartition(1)
+        .sortWithinPartitions("key_a", "key_b")
+    )

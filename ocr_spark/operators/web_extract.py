@@ -269,6 +269,37 @@ PR_ITERS = 3
 PR_SCALE = 1_000_000_000  # PageRank mass carried as integer ppb
 
 
+def _pagerank_vector(
+    docs: DataFrame, edges: DataFrame, out_deg: DataFrame, n: int
+) -> DataFrame:
+    """``PR_ITERS`` integer-ppb PageRank iterations -> (v, pr) — the
+    unsorted core shared by ``link_graph_pagerank`` and
+    ``crawl_frontier`` (see link_graph_pagerank's docstring for the
+    exactness and scale arguments)."""
+    k = F.col("doc_id")
+    base = 150_000_000 // n
+    pr = docs.select(
+        k.alias("v"), F.lit(PR_SCALE // n).cast("bigint").alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["v"])
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("v"),
+                F.expr("(85 * pr) div (100 * out_deg)").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        pr = docs.select(k.alias("v")).join(sums, "v", "left").select(
+            "v",
+            (F.lit(base) + F.coalesce("s", F.lit(0)))
+            .cast("bigint")
+            .alias("pr"),
+        )
+    return pr
+
+
 def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document link graph + ``PR_ITERS`` PageRank iterations — the
     web-scale companion to content extraction: every crawler pipeline
@@ -301,27 +332,7 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _link_edges(docs, n)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     in_deg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
-
-    base = 150_000_000 // n
-    pr = docs.select(
-        k.alias("v"), F.lit(PR_SCALE // n).cast("bigint").alias("pr")
-    )
-    for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(pr, edges["src"] == pr["v"])
-            .join(out_deg, "src")
-            .select(
-                F.col("dst").alias("v"),
-                F.expr("(85 * pr) div (100 * out_deg)").alias("c"),
-            )
-        )
-        sums = contrib.groupBy("v").agg(F.sum("c").alias("s"))
-        pr = docs.select(k.alias("v")).join(sums, "v", "left").select(
-            "v",
-            (F.lit(base) + F.coalesce("s", F.lit(0)))
-            .cast("bigint")
-            .alias("pr"),
-        )
+    pr = _pagerank_vector(docs, edges, out_deg, n)
     return (
         docs.select(k.alias("doc_id"))
         .join(out_deg, k == out_deg["src"], "left")
@@ -457,6 +468,17 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     real scale rules compile to a per-host trie in a pandas UDF; the
     join form here keeps the semantics in pure SQL for the oracle."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return (
+        _robots_matched(docs)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def _robots_matched(docs: DataFrame) -> DataFrame:
+    """Longest-prefix robots verdict per document — the unsorted core
+    shared by ``robots_gate`` and ``crawl_frontier`` (see robots_gate's
+    docstring for semantics and scale)."""
     urls = docs.select(
         "doc_id",
         F.concat(
@@ -501,8 +523,6 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prefix").alias("matched_prefix"),
             "verdict",
         )
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
     )
 
 
@@ -555,6 +575,19 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     n = docs.count()
     edges = _link_edges(docs, n)
+    return (
+        _bfs_visited(docs, edges)
+        .select(F.col("v").alias("doc_id"), "hop")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def _bfs_visited(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Level-synchronous multi-source BFS -> (v, hop) — the unsorted
+    core shared by ``bfs_hop_distance`` and ``crawl_frontier`` (see
+    bfs_hop_distance's docstring for the frontier/anti-join scale
+    argument)."""
     seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0).select(
         F.col("doc_id").alias("v"), F.lit(0).cast("bigint").alias("hop")
     )
@@ -570,11 +603,7 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         visited = visited.union(nxt)
         frontier = nxt
-    return (
-        visited.select(F.col("v").alias("doc_id"), "hop")
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
-    )
+    return visited
 
 
 # ---------------------------------------------------------------------------
@@ -2153,4 +2182,55 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1)
         .sortWithinPartitions("community")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier prioritization (the composed crawler scheduling query)
+# ---------------------------------------------------------------------------
+
+FRONTIER_K = 100  # pages scheduled per crawl cycle
+
+
+def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawler's actual scheduling query — compose the three signals
+    this module already maintains into one prioritized fetch list:
+    pages DISCOVERED but not yet crawled (BFS hop >= 1 from the crawled
+    seed set), ALLOWED by the robots longest-prefix gate, ranked by
+    link authority DISCOUNTED by distance (pr_ppb >> hop — one halving
+    per hop, the standard depth-penalized frontier score), top
+    ``FRONTIER_K`` per cycle.
+
+    Scale shape: reuses the unsorted cores (_bfs_visited — frontier
+    joins touch only the reachable ball; _pagerank_vector — O(edges)
+    per iteration; _robots_matched — broadcast rule join); the fusion
+    is two doc_id equi-joins, and the top-K is ``orderBy().limit()`` —
+    Spark's TakeOrderedAndProject, a distributed per-partition top-K +
+    driver merge of K-row heads, NEVER a global sort (the scale-safe
+    top-K form per the repo convention)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    if n == 0:  # empty-partition safety: the ppb base would divide by 0
+        return spark.createDataFrame(
+            [], "doc_id long, hop bigint, pr_ppb bigint, priority_ppb bigint"
+        )
+    edges = _link_edges(docs, n)
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    pr = _pagerank_vector(docs, edges, out_deg, n)
+    hops = _bfs_visited(docs, edges).filter(F.col("hop") >= 1)
+    allowed = _robots_matched(docs).filter(
+        F.col("verdict") == "allow"
+    ).select("doc_id")
+    return (
+        hops.select(F.col("v").alias("doc_id"), "hop")
+        .join(allowed, "doc_id")
+        .join(pr.select(F.col("v").alias("doc_id"),
+                        F.col("pr").alias("pr_ppb")), "doc_id")
+        .withColumn(
+            "priority_ppb",
+            F.expr("pr_ppb div shiftleft(cast(1 as bigint), "
+                   "cast(hop as int))"),
+        )
+        .orderBy(F.desc("priority_ppb"), "doc_id")
+        .limit(FRONTIER_K)
     )

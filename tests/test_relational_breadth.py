@@ -1114,7 +1114,8 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         W.wl_refinement,
         D.containment_pairs, D.homoglyph_dedup, D.split_leakage_audit,
         D.winnowing_near_dup, D.soft_dedup_weights, D.group_kfold_split,
-        T.padding_waste_audit, M.audio_near_dup,
+        T.padding_waste_audit, M.audio_near_dup, R.geo_cell_pairs,
+        W.crawl_frontier,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
         S.mrr_eval, S.map_eval, S.rocchio_feedback,
@@ -3196,3 +3197,40 @@ def test_graph_modularity_partition_accounting(spark):
     for r in rows:
         assert -1_000_000 <= r["contrib_ppm"] <= 1_000_000
         assert r["e_within"] * 2 <= r["degree_sum"]
+
+
+def test_geo_cell_pairs_complete_vs_brute_force(spark, tmp_path):
+    """Grid-join completeness: every brute-force pair within R is found
+    (including pairs straddling cell boundaries) and nothing extra —
+    checked against an independent O(n^2) Python loop over the same
+    derived coordinates."""
+    from ocr_spark.operators.relational import (
+        _GEO_AX, _GEO_AY, _GEO_QX, _GEO_QY, GEO_R, GEO_W, geo_cell_pairs,
+    )
+
+    d = str(tmp_path)
+    n = 400
+    spark.createDataFrame(
+        [(i, f"c{i}", 0, 0.0, "SEG") for i in range(n)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    pts = {
+        k: (
+            (k * k * _GEO_QX + k * _GEO_AX) % GEO_W,
+            (k * k * _GEO_QY + k * _GEO_AY) % GEO_W,
+        )
+        for k in range(n)
+    }
+    expect = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+            if d2 <= GEO_R * GEO_R:
+                expect[(a, b)] = d2
+    got = {
+        (r["key_a"], r["key_b"]): r["dist2"]
+        for r in geo_cell_pairs(spark, d).collect()
+    }
+    assert expect, "crafted corpus must contain at least one pair"
+    assert got == expect

@@ -841,3 +841,35 @@ def test_harmonic_centrality_matches_python_register_reference(spark, tmp_path):
     for v in range(n):
         assert rows[v]["harmonic_ppm"] == expect[v], v
         assert rows[v]["reach_est"] == series[v][HB_HOPS]
+
+
+def test_crawl_frontier_composition_and_topk(spark, sf_dir):
+    """crawl_frontier == top-K of (uncrawled BFS-discovered) ∩ (robots
+    allow), scored pr_ppb >> hop — verified against an independent
+    composition of the three published board queries."""
+    from ocr_spark.operators.web_extract import (
+        FRONTIER_K,
+        bfs_hop_distance,
+        crawl_frontier,
+        link_graph_pagerank,
+        robots_gate,
+    )
+
+    hops = {r["doc_id"]: r["hop"]
+            for r in bfs_hop_distance(spark, sf_dir).collect()}
+    allow = {r["doc_id"] for r in robots_gate(spark, sf_dir).collect()
+             if r["verdict"] == "allow"}
+    pr = {r["doc_id"]: r["pr_ppb"]
+          for r in link_graph_pagerank(spark, sf_dir).collect()}
+    full = sorted(
+        (
+            (pr[d] >> h, d)
+            for d, h in hops.items()
+            if h >= 1 and d in allow
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expect = full[:FRONTIER_K]
+    got = crawl_frontier(spark, sf_dir).collect()
+    assert [(r["priority_ppb"], r["doc_id"]) for r in got] == expect
+    assert all(r["priority_ppb"] == pr[r["doc_id"]] >> r["hop"] for r in got)
