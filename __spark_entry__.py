@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_edges": web_extract.ktruss_edges,
         "link_prediction_jaccard": web_extract.link_prediction_jaccard,
         "crawl_frontier": web_extract.crawl_frontier,
+        "louvain_one_level": web_extract.louvain_one_level,
         "degree_assortativity": web_extract.degree_assortativity,
         "wl_refinement": web_extract.wl_refinement,
         "lpa_communities": web_extract.lpa_communities,
@@ -8856,6 +8857,67 @@ select d.community, cast(d.n_nodes as bigint) as n_nodes,
 from dsum d left join ein e on d.community = e.community, mm
 order by d.community
 """.format(lpa=sql["lpa_communities"])
+    # Louvain phase-1 truth: unrolled synchronous rounds — per round the
+    # Σtot aggregate, the (node, community) edge-count, the own-community
+    # candidate union, and the integer cross-multiplied modularity-gain
+    # argmax (same tie rule: score desc, community asc).
+    _lv_rounds = []
+    for _i in range(1, web_extract.LOUVAIN_ROUNDS + 1):
+        _p = _i - 1
+        _lv_rounds.append(
+            f"""sig{_i} as (
+  select l.c as nc, sum(d.deg) as tot
+  from l{_p} l join deg d on d.node = l.node group by 1
+), kuc{_i} as (
+  select u.src as node, l.c as nc, count(*) as k
+  from und u join l{_p} l on u.dst = l.node group by 1, 2
+), cand{_i} as (
+  select node, nc, max(k) as k from (
+    select node, nc, k from kuc{_i}
+    union all
+    select node, c as nc, 0 from l{_p}
+  ) group by 1, 2
+), pick{_i} as (
+  select node, nc from (
+    select c2.node, c2.nc,
+           row_number() over (partition by c2.node
+             order by (2 * m.m * c2.k
+                       - d.deg * (s.tot - case when c2.nc = l.c
+                                          then d.deg else 0 end)) desc,
+                      c2.nc) as rk
+    from cand{_i} c2
+    join sig{_i} s on s.nc = c2.nc
+    join deg d on d.node = c2.node
+    join l{_p} l on l.node = c2.node
+    cross join m
+  ) where rk = 1
+), l{_i} as materialized (
+  select l.node, coalesce(p.nc, l.c) as c
+  from l{_p} l left join pick{_i} p on p.node = l.node
+)"""
+        )
+    sql["louvain_one_level"] = f"""
+with n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as (select distinct src, dst from e0 where src != dst),
+und as materialized (
+  select src, dst from edges union select dst, src from edges
+),
+m as (select count(*) // 2 as m from und),
+deg as (select src as node, count(*) as deg from und group by 1),
+l0 as (select doc_id as node, doc_id as c from documents),
+{",".join(_lv_rounds)}
+select l.node as doc_id, l.c as community,
+       cast(count(*) over (partition by l.c) as bigint) as community_size
+from l{web_extract.LOUVAIN_ROUNDS} l
+order by doc_id
+"""
     # Grid spatial join truth: O(n^2) BRUTE-FORCE distance join over the
     # re-derived Lehmer coordinates — only viable at check scale, which
     # is exactly why the Spark side buckets by grid cell instead.

@@ -2234,3 +2234,124 @@ def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority_ppb"), "doc_id")
         .limit(FRONTIER_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Louvain phase-1 (synchronous modularity-greedy community moves)
+# ---------------------------------------------------------------------------
+
+LOUVAIN_ROUNDS = 2
+
+
+def louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One level of Louvain community detection (Blondel, Guillaume,
+    Lambiotte & Lefebvre, J. Stat. Mech. 2008) in the SYNCHRONOUS
+    variant: every node simultaneously moves to the candidate community
+    (a neighbor's community, or its own) with the best modularity gain.
+    For node u and community c the gain of joining c as an isolated
+    node is dQ ∝ k_uc/m − deg_u·Σtot'_c/(2m²); cross-multiplying by
+    2m² gives the EXACT INTEGER score 2·m·k_uc − deg_u·(Σtot_c −
+    deg_u·[c = own]), so the argmax (ties → smaller community id) is
+    engine-bit-equal — float Louvain would tie-break differently per
+    engine.  The node's own community is always a candidate (k_uc = 0
+    if no neighbor shares it), which is the "or stay" branch of the
+    sequential algorithm.  ``LOUVAIN_ROUNDS`` synchronous sweeps
+    approximate the sequential phase-1 fixed point; the aggregation
+    phase (contract communities, recurse) is the standard follow-up
+    and reuses this operator on the contracted graph.
+
+    Differs from lpa_communities by WEIGHTING the vote: LPA counts
+    neighbor labels, Louvain discounts high-degree communities by
+    Σtot — the modularity null model — so hubs don't swallow the
+    graph.
+
+    Scale shape: per round one edges⋈labels equi-join + (node,
+    community) partial-agg for k_uc, one O(communities) Σtot
+    aggregate, one per-NODE window argmax (partitioned by node, never
+    global), all keyed shuffles; rounds localCheckpoint'ed so lineage
+    stays O(1).  Integer scores fit int64 up to ~10^9 edges; beyond
+    that swap in decimal(38,0) as the repo does for the KS
+    cross-products."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    n = docs.count()
+    e = _link_edges(docs, n)
+    und = (
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = und.count() // 2
+    deg = und.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"),
+        F.col("doc_id").cast("bigint").alias("c"),
+    )
+    for _ in range(LOUVAIN_ROUNDS):
+        sigma = (
+            labels.join(deg, "node")
+            .groupBy("c")
+            .agg(F.sum("deg").alias("tot"))
+            .select(F.col("c").alias("nc"), "tot")
+        )
+        kuc = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("c").alias("nc")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "nc")
+            .agg(F.count("*").alias("k"))
+        )
+        cand = (
+            kuc.unionByName(
+                labels.select(
+                    "node", F.col("c").alias("nc"),
+                    F.lit(0).cast("bigint").alias("k"),
+                )
+            )
+            .groupBy("node", "nc")
+            .agg(F.max("k").alias("k"))
+        )
+        scored = (
+            cand.join(sigma, "nc")
+            .join(deg, "node")
+            .join(labels, "node")
+            .withColumn(
+                "score",
+                F.expr(
+                    f"2 * {m} * k - deg"
+                    " * (tot - (case when nc = c then deg else 0 end))"
+                ),
+            )
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("score"), F.asc("nc"))
+        pick = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("nc").alias("new_c"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select("node", F.coalesce("new_c", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("c").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return (
+        labels.join(sizes, "c")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("c").alias("community"),
+            "community_size",
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

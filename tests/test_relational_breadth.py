@@ -1115,7 +1115,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         D.containment_pairs, D.homoglyph_dedup, D.split_leakage_audit,
         D.winnowing_near_dup, D.soft_dedup_weights, D.group_kfold_split,
         T.padding_waste_audit, M.audio_near_dup, R.geo_cell_pairs,
-        W.crawl_frontier,
+        W.crawl_frontier, W.louvain_one_level,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
         S.mrr_eval, S.map_eval, S.rocchio_feedback,

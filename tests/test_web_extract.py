@@ -873,3 +873,58 @@ def test_crawl_frontier_composition_and_topk(spark, sf_dir):
     got = crawl_frontier(spark, sf_dir).collect()
     assert [(r["priority_ppb"], r["doc_id"]) for r in got] == expect
     assert all(r["priority_ppb"] == pr[r["doc_id"]] >> r["hop"] for r in got)
+
+
+def test_louvain_matches_python_recomputation(spark, sf_dir):
+    """Independent pure-Python replay of the synchronous modularity-
+    greedy rounds on the same synthesized graph — pins the integer
+    score, the own-community candidate, and the (score desc, community
+    asc) tie rule."""
+    import duckdb
+
+    from ocr_spark.operators.web_extract import (
+        LOUVAIN_ROUNDS,
+        louvain_one_level,
+    )
+
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    und: dict[int, set[int]] = {i: set() for i in range(n)}
+    for i in range(n):
+        for t in ((7 * i + 1) % n, (13 * i + 2) % n, (31 * i + 3) % n):
+            if t != i:
+                und[i].add(t)
+                und[t].add(i)
+    deg = {u: len(vs) for u, vs in und.items()}
+    m = sum(deg.values()) // 2
+    lab = {u: u for u in range(n)}
+    for _ in range(LOUVAIN_ROUNDS):
+        sig: dict[int, int] = {}
+        for u in range(n):
+            sig[lab[u]] = sig.get(lab[u], 0) + deg[u]
+        new = {}
+        for u in range(n):
+            k: dict[int, int] = {lab[u]: 0}
+            for v in und[u]:
+                k[lab[v]] = k.get(lab[v], 0) + 1
+            best = min(
+                (
+                    (
+                        -(2 * m * kc - deg[u]
+                          * (sig[c] - (deg[u] if c == lab[u] else 0))),
+                        c,
+                    )
+                    for c, kc in k.items()
+                ),
+            )
+            new[u] = best[1]
+        lab = new
+    from collections import Counter
+
+    sizes = Counter(lab.values())
+    got = louvain_one_level(spark, sf_dir).collect()
+    assert {r["doc_id"]: r["community"] for r in got} == lab
+    assert all(r["community_size"] == sizes[r["community"]] for r in got)
+    # sanity: the partition is non-trivial (real communities formed)
+    assert 1 < len(sizes) < n
