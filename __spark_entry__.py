@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": dedup.near_dup_clusters,
         "soft_dedup_weights": dedup.soft_dedup_weights,
         "group_kfold_split": dedup.group_kfold_split,
+        "cross_source_dup_matrix": dedup.cross_source_dup_matrix,
         "dedup_canonical_pick": dedup.dedup_canonical_pick,
         "simhash64": dedup.simhash64,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -329,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_profile": relational.percentile_profile,
         "skew_salted_join": relational.skew_salted_join,
         "geo_cell_pairs": relational.geo_cell_pairs,
+        "session_covisitation": relational.session_covisitation,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -8952,6 +8954,65 @@ join pr p on p.doc_id = b.doc_id
 where b.hop >= 1
 order by priority_ppb desc, b.doc_id
 limit {web_extract.FRONTIER_K}
+"""
+    # Cross-source dup matrix: the verified-pair truth labeled with
+    # sources, same canonical cell + possible-pairs normalization.
+    sql["cross_source_dup_matrix"] = f"""
+with lsh as ({_LSH_ORACLE}),
+cells as (
+  select least(da.source, db.source) as source_a,
+         greatest(da.source, db.source) as source_b,
+         count(*) as pair_count
+  from lsh
+  join documents da on da.doc_id = lsh.doc_a
+  join documents db on db.doc_id = lsh.doc_b
+  group by 1, 2
+),
+cnt as (select source, count(*) as n from documents group by 1)
+select c.source_a, c.source_b, c.pair_count,
+       ca.n as docs_a, cb.n as docs_b,
+       greatest(case when c.source_a = c.source_b
+                then (ca.n * (ca.n - 1)) // 2
+                else ca.n * cb.n end, 1) as possible_pairs,
+       (2 * c.pair_count * 1000000
+        + greatest(case when c.source_a = c.source_b
+                   then (ca.n * (ca.n - 1)) // 2
+                   else ca.n * cb.n end, 1))
+       // (2 * greatest(case when c.source_a = c.source_b
+                        then (ca.n * (ca.n - 1)) // 2
+                        else ca.n * cb.n end, 1)) as rate_ppm
+from cells c
+join cnt ca on ca.source = c.source_a
+join cnt cb on cb.source = c.source_b
+order by c.source_a, c.source_b
+"""
+    # Co-visitation truth: identical session cut + lead transition in
+    # DuckDB windows.
+    sql["session_covisitation"] = f"""
+with s as (
+  select user_id, ts, event_id,
+         (event_id * 13) % {relational.COVISIT_ITEMS} as item,
+         case when epoch(ts) - epoch(lag(ts) over
+                (partition by user_id order by ts, event_id)) >= 1800
+              then 1 else 0 end as new_sess
+  from events
+),
+sess as (
+  select *, sum(new_sess) over
+           (partition by user_id order by ts, event_id
+            rows unbounded preceding) as session_id
+  from s
+),
+tr as (
+  select item,
+         lead(item) over (partition by user_id, session_id
+                          order by ts, event_id) as next_item
+  from sess
+)
+select item as item_a, next_item as item_b, count(*) as n_covisits
+from tr where next_item is not null and next_item != item
+group by 1, 2
+order by item_a, item_b
 """
     # SoftDeDup reweighting: the near_dup_clusters truth (recursive-CTE
     # components over the verified-pair SQL) joined back to token counts;

@@ -236,6 +236,14 @@ def main() -> int:
         "entropy_rate",
         "lsh_param_sweep",
         "graph_modularity",
+        # round-4 tenth wave
+        "soft_dedup_weights",
+        "group_kfold_split",
+        "padding_waste_audit",
+        "audio_near_dup",
+        "geo_cell_pairs",
+        "crawl_frontier",
+        "louvain_one_level",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -1640,3 +1640,67 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.repartition(1).sortWithinPartitions("bands")
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-by-source near-duplicate contingency matrix — the curation
+    report that tells you WHICH corpus slices copy from each other
+    (mirror sites, syndication, cross-posted boilerplate): verified
+    minhash-LSH pairs are labeled with their endpoints' sources and
+    counted per unordered source pair, normalized to a rate in ppm of
+    the possible cross pairs (n_a*n_b off-diagonal, C(n_a,2) on the
+    diagonal).  High off-diagonal cells mean the source split is NOT a
+    dedup boundary — exactly what decides whether dedup must run
+    globally or can shard per source at 100 TB.
+
+    Scale shape: lsh_candidates' banded shape (see its docstring), two
+    broadcast-able doc_id->source joins (source labels ride the pair
+    list), one tiny groupBy over O(sources^2) cells, and a broadcast of
+    the per-source counts — nothing beyond the pair generation itself
+    scales with the corpus."""
+    pairs = lsh_candidates(spark, sf_dir)
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    sa = src.select(F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("sb"))
+    cells = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    counts = src.groupBy("source").agg(F.count("*").alias("n"))
+    ca = counts.select(F.col("source").alias("source_a"),
+                       F.col("n").alias("docs_a"))
+    cb = counts.select(F.col("source").alias("source_b"),
+                       F.col("n").alias("docs_b"))
+    den = F.expr(
+        "case when source_a = source_b"
+        " then (docs_a * (docs_a - 1)) div 2"
+        " else docs_a * docs_b end"
+    )
+    return (
+        cells.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .withColumn("possible_pairs", F.greatest(den, F.lit(1)))
+        .withColumn(
+            "rate_ppm",
+            F.expr(
+                "(2 * pair_count * 1000000 + possible_pairs)"
+                " div (2 * possible_pairs)"
+            ),
+        )
+        .select(
+            "source_a", "source_b", "pair_count", "docs_a", "docs_b",
+            "possible_pairs", "rate_ppm",
+        )
+        .repartition(1)
+        .sortWithinPartitions("source_a", "source_b")
+    )

@@ -6151,3 +6151,67 @@ def geo_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("key_a", "key_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session co-visitation matrix (item-to-item behavioral similarity)
+# ---------------------------------------------------------------------------
+
+COVISIT_ITEMS = 200  # synthetic catalog size: item = (event_id * 13) % N
+
+
+def session_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item co-visitation counts from CONSECUTIVE events inside
+    a user session — the classic behavioral-similarity matrix behind
+    item-based collaborative filtering (Linden, Smith & York,
+    "Amazon.com Recommendations: Item-to-Item Collaborative Filtering",
+    IEEE Internet Computing 2003) and the covisitation-candidate trick
+    of modern recsys pipelines: sessions are the 30-minute-gap rule of
+    ``sessionize_events``, the item id is derived deterministically
+    from event_id (a stand-in catalog, SQL-expressible for the oracle),
+    and each adjacent (item, next-item) transition inside a session
+    increments the ordered cell.
+
+    Scale shape: one user-partitioned window chain (lag for the
+    session cut, lead for the transition — both shuffle once on
+    user_id, never a global window), then one partial-agg groupBy over
+    O(catalog^2) observed cells; the matrix is output-bounded, so at
+    10^12 events only the transition scan scales, and it's one
+    shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lag("ts", 1).over(w))
+    ) >= 1800
+    sess = (
+        ev.select(
+            "user_id", "ts", "event_id",
+            ((F.col("event_id") * 13) % COVISIT_ITEMS).alias("item"),
+        )
+        .withColumn(
+            "new_sess", F.coalesce(F.when(gap, F.lit(1)), F.lit(0))
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    w2 = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    trans = (
+        sess.withColumn("next_item", F.lead("item", 1).over(w2))
+        .filter(
+            F.col("next_item").isNotNull()
+            & (F.col("next_item") != F.col("item"))
+        )
+        .groupBy(
+            F.col("item").alias("item_a"),
+            F.col("next_item").alias("item_b"),
+        )
+        .agg(F.count("*").alias("n_covisits"))
+    )
+    return trans.repartition(1).sortWithinPartitions("item_a", "item_b")

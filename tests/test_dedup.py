@@ -972,3 +972,31 @@ def test_group_kfold_never_splits_a_cluster(spark, tmp_path):
     # the two dup groups really did cluster
     sizes = {r["doc_id"]: r["cluster_size"] for r in out}
     assert sizes[0] == 3 and sizes[10] == 2 and sizes[20] == 1
+
+
+def test_cross_source_dup_matrix_cells(spark, tmp_path):
+    """3 copies in source A + 2 in source B of the same text, plus a
+    distinct C doc: diagonal (A,A)=3 of 3 possible, cross (A,B)=6 of 6,
+    (B,B)=1 of 1 — all at rate 1.0 ppm-scale; C never appears."""
+    from ocr_spark.operators.dedup import cross_source_dup_matrix
+
+    dup = " ".join(f"tok{i}" for i in range(30))
+    d = str(tmp_path)
+    rows = [(i, dup, "en", "A", 10) for i in range(3)]
+    rows += [(10 + i, dup, "en", "B", 10) for i in range(2)]
+    rows += [(20, "unrelated words entirely different here", "en", "C", 10)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_dup_matrix(spark, d).collect()
+    }
+    assert set(got) == {("A", "A"), ("A", "B"), ("B", "B")}
+    assert got[("A", "A")]["pair_count"] == 3
+    assert got[("A", "A")]["possible_pairs"] == 3
+    assert got[("A", "B")]["pair_count"] == 6
+    assert got[("A", "B")]["possible_pairs"] == 6
+    assert got[("B", "B")]["pair_count"] == 1
+    assert all(r["rate_ppm"] == 1_000_000 for r in got.values())

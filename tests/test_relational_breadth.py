@@ -1116,6 +1116,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         D.winnowing_near_dup, D.soft_dedup_weights, D.group_kfold_split,
         T.padding_waste_audit, M.audio_near_dup, R.geo_cell_pairs,
         W.crawl_frontier, W.louvain_one_level,
+        D.cross_source_dup_matrix, R.session_covisitation,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
         S.mrr_eval, S.map_eval, S.rocchio_feedback,
@@ -3234,3 +3235,35 @@ def test_geo_cell_pairs_complete_vs_brute_force(spark, tmp_path):
     }
     assert expect, "crafted corpus must contain at least one pair"
     assert got == expect
+
+
+def test_session_covisitation_respects_session_cut(spark, tmp_path):
+    """Transitions count only INSIDE a session: a 31-minute gap breaks
+    the chain, self-transitions are dropped, and counts accumulate per
+    ordered pair."""
+    from datetime import datetime, timedelta
+
+    from ocr_spark.operators.relational import session_covisitation
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    # items: event_id*13 % 200 -> choose ids giving known items
+    # e=1 -> 13, e=2 -> 26, e=3 -> 39, e=201 -> (2613 % 200)=13
+    rows = [
+        (1, t0, 7, "view", 0.0, "{}"),                       # item 13
+        (2, t0 + timedelta(minutes=5), 7, "view", 0.0, "{}"),  # item 26
+        (3, t0 + timedelta(minutes=10), 7, "view", 0.0, "{}"),  # item 39
+        # 31-minute gap -> new session; transition 39->13 must NOT count
+        (201, t0 + timedelta(minutes=41), 7, "view", 0.0, "{}"),  # item 13
+        (202, t0 + timedelta(minutes=42), 7, "view", 0.0, "{}"),  # item 26
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_covisits"]
+        for r in session_covisitation(spark, d).collect()
+    }
+    assert got == {(13, 26): 2, (26, 39): 1}
