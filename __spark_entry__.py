@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mining": similarity.hard_negative_mining,
         "bitext_mining": similarity.bitext_mining,
         "knn_label_propagation": similarity.knn_label_propagation,
+        "pca_power_iteration": similarity.pca_power_iteration,
         # -- text analysis --
         "token_stats": text_analysis.token_stats,
         "quality_score": text_analysis.quality_score,
@@ -331,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": relational.skew_salted_join,
         "geo_cell_pairs": relational.geo_cell_pairs,
         "session_covisitation": relational.session_covisitation,
+        "geo_dbscan": relational.geo_dbscan,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -8939,6 +8941,141 @@ from p a join p b on a.key < b.key
 where (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
       <= {relational.GEO_R * relational.GEO_R}
 order by key_a, key_b
+"""
+    # PCA truth: the identical unrolled integer arithmetic — quantize,
+    # covariance identity, shrink, three max-abs-normalized power sweeps
+    # — generated dimension-wise; signed divisions are sign-decomposed
+    # because DuckDB's // floors while the op's div truncates.
+    _D = similarity.PCA_DIMS
+    _QS, _VS, _CC = similarity.PCA_QS, similarity.PCA_VS, similarity.PCA_CCAP
+
+    def _sdiv(x: str, d: str) -> str:
+        return (f"(case when ({x}) >= 0 then ({x}) // ({d})"
+                f" else -((-({x})) // ({d})) end)")
+
+    _qcols = ", ".join(
+        f"cast(round(embedding[{j + 1}]::double * {_QS}) as bigint) as q{j}"
+        for j in range(_D)
+    )
+    _aggs = ["count(*) as n"]
+    _aggs += [f"sum(q{j}) as s{j}" for j in range(_D)]
+    _aggs += [
+        f"sum(q{j} * q{k}) as p{j}_{k}"
+        for j in range(_D) for k in range(j, _D)
+    ]
+    _cexprs = ", ".join(
+        f"n * p{min(j, k)}_{max(j, k)} - s{j} * s{k} as c{j}_{k}"
+        for j in range(_D) for k in range(_D)
+    )
+    _cmax = "greatest(" + ", ".join(
+        f"abs(c{j}_{k})" for j in range(_D) for k in range(_D)
+    ) + ")"
+    _shrunk = ", ".join(
+        _sdiv(f"c{j}_{k}", "dsh") + f" as cc{j}_{k}"
+        for j in range(_D) for k in range(_D)
+    )
+    _its = []
+    _prev = [str(_VS)] * _D
+    for _t in range(1, similarity.PCA_ITERS + 1):
+        _us = ", ".join(
+            "(" + " + ".join(
+                f"cc{j}_{k} * ({_prev[k]})" for k in range(_D)
+            ) + f") as u{_t}_{j}"
+            for j in range(_D)
+        )
+        _m = "greatest(" + ", ".join(
+            f"abs(u{_t}_{j})" for j in range(_D)
+        ) + f") as m{_t}"
+        _vs = ", ".join(
+            f"(case when m{_t} = 0 then ({_prev[j]}) else "
+            + _sdiv(f"u{_t}_{j} * {_VS}", f"m{_t}")
+            + f" end) as v{_t}_{j}"
+            for j in range(_D)
+        )
+        # project ONLY the matrix + current iterate forward: a `select *`
+        # chain would snowball to ~1500 columns by the last sweep and
+        # multiply DuckDB's planning cost.
+        _ccl = ", ".join(
+            f"cc{j}_{k}" for j in range(_D) for k in range(_D)
+        )
+        _carry = _ccl if _t == 1 else _ccl + ", " + ", ".join(_prev)
+        _its.append(f"iu{_t} as materialized (select {_carry}, {_us} from "
+                    f"{'cshr' if _t == 1 else 'iv' + str(_t - 1)})")
+        _its.append(f"im{_t} as materialized (select *, {_m} from iu{_t})")
+        _its.append(
+            f"iv{_t} as materialized (select {_ccl}, {_vs} from im{_t})"
+        )
+        _prev = [f"v{_t}_{j}" for j in range(_D)]
+    _T = similarity.PCA_ITERS
+    _vlist = ", ".join(f"v{_T}_{j}" for j in range(_D))
+    _rows = (
+        f"select cast(generate_subscripts(l, 1) - 1 as int) as dim_idx,"
+        f" unnest(l) as loading_milli"
+        f" from (select [{_vlist}] as l from iv{_T})"
+    )
+    sql["pca_power_iteration"] = f"""
+with q as (select {_qcols} from embeddings),
+a as (select {", ".join(_aggs)} from q),
+c as (select n, {_cexprs} from a),
+d0 as (select *, {_cmax} as cmax from c),
+d1 as (select *, cmax // {_CC} + 1 as dsh from d0),
+cshr as (select *, {_shrunk} from d1),
+{", ".join(_its)}
+select dim_idx, cast(loading_milli as bigint) as loading_milli
+from ({_rows}) where (select n from a) > 0
+order by dim_idx
+"""
+    # DBSCAN truth: brute-force radius pairs, recursive-CTE reachability
+    # over core-core edges (the near_dup_clusters closure shape), min
+    # core-neighbor attachment for borders.
+    sql["geo_dbscan"] = f"""
+with recursive p as (
+  select c_custkey as key,
+         (c_custkey * c_custkey * {relational._GEO_QX}
+          + c_custkey * {relational._GEO_AX}) % {relational.GEO_W} as x,
+         (c_custkey * c_custkey * {relational._GEO_QY}
+          + c_custkey * {relational._GEO_AY}) % {relational.GEO_W} as y
+  from customer
+),
+pr as (
+  select a.key as key_a, b.key as key_b
+  from p a join p b on a.key != b.key
+  where (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {relational.GEO_R * relational.GEO_R}
+),
+cnt as (select key_a as key, count(*) as n_neighbors from pr group by 1),
+pts as (
+  select p.key, coalesce(c.n_neighbors, 0) as n_neighbors
+  from p left join cnt c on c.key = p.key
+),
+core as (select key from pts where n_neighbors >= {relational.GEO_MINPTS}),
+ce as (
+  select key_a as a, key_b as b from pr
+  where key_a < key_b
+    and key_a in (select key from core)
+    and key_b in (select key from core)
+),
+e2 as (select a, b from ce union select b, a from ce),
+walk(id, r) as (
+  select key, key from core
+  union
+  select w.id, e.b from walk w join e2 e on e.a = w.r
+),
+lab as (select id as key, min(r) as cid from walk group by 1),
+border as (
+  select pr.key_a as key, min(l.cid) as cid
+  from pr join lab l on l.key = pr.key_b
+  where pr.key_a not in (select key from core)
+  group by 1
+)
+select pts.key, cast(pts.n_neighbors as bigint) as n_neighbors,
+       case when l.cid is not null then 'core'
+            when b.cid is not null then 'border' else 'noise' end as role,
+       cast(coalesce(l.cid, b.cid, -1) as bigint) as cluster_id
+from pts
+left join lab l on l.key = pts.key
+left join border b on b.key = pts.key
+order by pts.key
 """
     # Crawl-frontier truth: compose the three signal oracles (identical
     # graph/rule arithmetic) and replay the depth-discounted top-K.

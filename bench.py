@@ -244,6 +244,10 @@ def main() -> int:
         "geo_cell_pairs",
         "crawl_frontier",
         "louvain_one_level",
+        "cross_source_dup_matrix",
+        "session_covisitation",
+        "geo_dbscan",
+        "pca_power_iteration",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -6108,13 +6108,33 @@ def geo_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by cell occupancy: at production scale shrink R's cell to
     R/2-with-5x5-neighborhood or salt the top cells; AQE skew-split
     absorbs moderate imbalance."""
+    return (
+        _geo_radius_pairs(spark, sf_dir)
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "dist2")
+        .repartition(1)
+        .sortWithinPartitions("key_a", "key_b")
+    )
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(key, x, y) integer point table derived from the customer key —
+    shared by geo_cell_pairs and geo_dbscan."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     k = F.col("c_custkey").cast("bigint")
-    pts = cust.select(
+    return cust.select(
         k.alias("key"),
         ((k * k * _GEO_QX + k * _GEO_AX) % GEO_W).alias("x"),
         ((k * k * _GEO_QY + k * _GEO_AY) % GEO_W).alias("y"),
-    ).withColumn(
+    )
+
+
+def _geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED neighbor pairs (key_a, key_b, dist2) with key_a != key_b
+    and dist <= GEO_R, via the 3x3 grid-cell join of geo_cell_pairs'
+    docstring — both orientations, so per-point neighbor counts are one
+    groupBy away."""
+    pts = _geo_points(spark, sf_dir).withColumn(
         "cx", F.expr(f"x div {GEO_R}")
     ).withColumn("cy", F.expr(f"y div {GEO_R}"))
     offsets = F.array(
@@ -6144,13 +6164,92 @@ def geo_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = F.expr("(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)")
     return (
         probe.join(build, ["cx", "cy"])
-        .where(F.col("key_a") < F.col("key_b"))
+        .where(F.col("key_a") != F.col("key_b"))
         .withColumn("dist2", d2)
         .where(F.col("dist2") <= GEO_R * GEO_R)
         .select("key_a", "key_b", "dist2")
-        .repartition(1)
-        .sortWithinPartitions("key_a", "key_b")
     )
+
+
+GEO_MINPTS = 3  # DBSCAN core threshold: >= 3 neighbors within GEO_R
+
+
+def geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed DBSCAN (Ester, Kriegel, Sander & Xu,
+    KDD'96) — the composition that makes the grid join earn its keep:
+      1. neighbor pairs within R from the 3x3 grid-cell equi-join
+         (_geo_radius_pairs — never a cross join);
+      2. core points = >= GEO_MINPTS neighbors (one groupBy count);
+      3. clusters = connected components over CORE-CORE neighbor edges
+         via the dedup module's large-star/small-star rounds (O(log n)
+         rounds, the same machinery that clusters near-dup docs);
+      4. border points (non-core with a core neighbor) attach to their
+         MINIMUM core neighbor's cluster — min, not first-seen, so the
+         labeling is order-independent and engine-exact;
+      5. everything else is noise (cluster_id -1).
+    Sequential DBSCAN is inherently order-dependent at borders; the
+    min-attachment rule makes this variant deterministic, which is what
+    lets a DuckDB oracle replay it exactly.
+
+    Scale shape: grid join + two groupBys + CC rounds (each two keyed
+    shuffles) + one broadcast-able core-label join for borders; no
+    global window, no cartesian; density skew (a mega-cluster cell)
+    lands in the CC rounds, which are the proven near-dup shape."""
+    from ocr_spark.operators.dedup import connected_components
+
+    pairs = _geo_radius_pairs(spark, sf_dir)
+    counts = pairs.groupBy(F.col("key_a").alias("key")).agg(
+        F.count("*").alias("n_neighbors")
+    )
+    pts = _geo_points(spark, sf_dir).join(counts, "key", "left").select(
+        "key", F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors")
+    )
+    core = pts.where(F.col("n_neighbors") >= GEO_MINPTS).select("key")
+    cc_edges = (
+        pairs.join(core.withColumnRenamed("key", "key_a"), "key_a")
+        .join(core.withColumnRenamed("key", "key_b"), "key_b")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select(F.col("key_a").alias("u"), F.col("key_b").alias("v"))
+    )
+    labels = connected_components(cc_edges).select(
+        F.col("doc_id").alias("key"), "cluster_id"
+    )
+    core_labeled = (
+        core.join(labels, "key", "left")
+        .select("key", F.coalesce("cluster_id", F.col("key")).alias("cid"))
+    )
+    border = (
+        pairs.join(
+            core_labeled.withColumnRenamed("key", "key_b"), "key_b"
+        )
+        .join(core.withColumnRenamed("key", "key_a"), "key_a", "left_anti")
+        .groupBy(F.col("key_a").alias("key"))
+        .agg(F.min("cid").alias("cid"))
+    )
+    out = (
+        pts.join(
+            core_labeled.select("key", F.col("cid").alias("core_cid")),
+            "key",
+            "left",
+        )
+        .join(
+            border.select("key", F.col("cid").alias("border_cid")),
+            "key",
+            "left",
+        )
+        .select(
+            "key",
+            "n_neighbors",
+            F.when(F.col("core_cid").isNotNull(), F.lit("core"))
+            .when(F.col("border_cid").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(
+                "core_cid", "border_cid", F.lit(-1).cast("bigint")
+            ).alias("cluster_id"),
+        )
+    )
+    return out.repartition(1).sortWithinPartitions("key")
 
 
 # ---------------------------------------------------------------------------

@@ -2231,3 +2231,99 @@ def kmeans_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("cluster", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via distributed covariance + fixed-point power iteration
+# ---------------------------------------------------------------------------
+
+PCA_DIMS = 16  # leading dims analyzed (covariance is DIMS^2 driver state)
+PCA_ITERS = 24  # unrolled power-method sweeps (see docstring)
+PCA_QS = 1000  # embedding quantization scale (milli fixed-point)
+PCA_VS = 1000  # iterate normalization scale
+PCA_CCAP = 1_000_000  # covariance shrink cap (keeps the matvec in int64)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division by POSITIVE b — Spark SQL's
+    ``div`` semantics, mirrored in the oracle with a sign-decomposed
+    ``//`` (DuckDB floors)."""
+    return a // b if a >= 0 else -((-a) // b)
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus — the
+    whitening / anisotropy diagnostic an embedding pipeline runs before
+    indexing (all-but-the-top postprocessing, Mu & Viswanath ICLR 2018,
+    strips exactly this component) — in the canonical Spark shape for
+    small-k PCA (what MLlib's RowMatrix.computePrincipalComponents
+    does): the DIMS x DIMS Gramian/covariance is ONE distributed
+    aggregate over the corpus; the eigen-solve on that tiny matrix is
+    driver-side bounded state (16x16 here), then ships back as
+    literals.
+
+    Engine-exact fixed point: embeddings quantize to milli units
+    (round() — both engines round doubles half-away), the covariance is
+    the integer identity n·Σqqᵀ − (Σq)(Σq)ᵀ (no rational mean), the
+    matrix is shrunk by an integer cap so the power sweeps with
+    max-abs renormalization stay in int64, and every signed division is
+    truncate-toward-zero on both sides.  The DuckDB oracle replays the
+    identical unrolled arithmetic with zero shared code.  Convergence
+    is governed by the spectral gap ((l2/l1)^ITERS): the near-isotropic
+    synthetic corpus needs the full 24 sweeps to pass the 0.98-cosine
+    test gate; a real embedding corpus (anisotropy is WHY the all-but-
+    the-top fix exists) converges in a handful.  The oracle pins the
+    arithmetic at any iteration count.
+
+    Scale shape: one scan, one 1-row aggregate of 1 + DIMS + DIMS(DIMS+1)/2
+    integer sums (map-side partials), O(DIMS^2) driver state — the same
+    tiny-stats policy as the k-means sums.  int64 covariance holds to
+    ~10^6 vectors at milli scale; beyond that widen to decimal(38,0)
+    like the KS cross-products."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    D = PCA_DIMS
+    q = [
+        F.round(F.col("embedding")[j].cast("double") * PCA_QS)
+        .cast("bigint")
+        .alias(f"q{j}")
+        for j in range(D)
+    ]
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(f"q{j}").alias(f"s{j}") for j in range(D)]
+    aggs += [
+        F.sum(F.col(f"q{j}") * F.col(f"q{k}")).alias(f"p{j}_{k}")
+        for j in range(D)
+        for k in range(j, D)
+    ]
+    row = emb.select(*q).agg(*aggs).first()
+    n = row["n"]
+    if n == 0:
+        return spark.createDataFrame(
+            [], "dim_idx int, loading_milli bigint"
+        )
+    s = [int(row[f"s{j}"]) for j in range(D)]
+    C = [
+        [
+            n * int(row[f"p{min(j, k)}_{max(j, k)}"]) - s[j] * s[k]
+            for k in range(D)
+        ]
+        for j in range(D)
+    ]
+    cmax = max(abs(C[j][k]) for j in range(D) for k in range(D))
+    shrink = cmax // PCA_CCAP + 1
+    C = [[_tdiv(C[j][k], shrink) for k in range(D)] for j in range(D)]
+    v = [PCA_VS] * D
+    for _ in range(PCA_ITERS):
+        u = [sum(C[j][k] * v[k] for k in range(D)) for j in range(D)]
+        m = max(abs(x) for x in u)
+        if m == 0:
+            break
+        v = [_tdiv(u[j] * PCA_VS, m) for j in range(D)]
+    return (
+        spark.createDataFrame(
+            [(j, v[j]) for j in range(D)],
+            "dim_idx int, loading_milli bigint",
+        )
+        .repartition(1)
+        .sortWithinPartitions("dim_idx")
+    )

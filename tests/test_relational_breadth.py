@@ -1117,6 +1117,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         T.padding_waste_audit, M.audio_near_dup, R.geo_cell_pairs,
         W.crawl_frontier, W.louvain_one_level,
         D.cross_source_dup_matrix, R.session_covisitation,
+        R.geo_dbscan, S.pca_power_iteration,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
         S.mrr_eval, S.map_eval, S.rocchio_feedback,
@@ -3267,3 +3268,122 @@ def test_session_covisitation_respects_session_cut(spark, tmp_path):
         for r in session_covisitation(spark, d).collect()
     }
     assert got == {(13, 26): 2, (26, 39): 1}
+
+
+def test_geo_dbscan_matches_python_reference(spark, tmp_path):
+    """Independent numpy/union-find DBSCAN over the same derived
+    coordinates (dense 3000-point corpus so real clusters form): roles
+    and min-labeled clusters must match exactly, including the
+    deterministic min-core border attachment."""
+    import numpy as np
+
+    from ocr_spark.operators.relational import (
+        _GEO_AX, _GEO_AY, _GEO_QX, _GEO_QY, GEO_MINPTS, GEO_R, GEO_W,
+        geo_dbscan,
+    )
+
+    d = str(tmp_path)
+    n = 3000
+    spark.createDataFrame(
+        [(i, f"c{i}", 0, 0.0, "SEG") for i in range(n)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    ks = np.arange(n, dtype=np.int64)
+    x = (ks * ks * _GEO_QX + ks * _GEO_AX) % GEO_W
+    y = (ks * ks * _GEO_QY + ks * _GEO_AY) % GEO_W
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    within = (dx * dx + dy * dy) <= GEO_R * GEO_R
+    np.fill_diagonal(within, False)
+    n_nb = within.sum(axis=1)
+    is_core = n_nb >= GEO_MINPTS
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a in range(n):
+        if not is_core[a]:
+            continue
+        for b in np.nonzero(within[a])[0]:
+            if b > a and is_core[b]:
+                ra, rb = find(a), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    cid = {}
+    for a in range(n):
+        if is_core[a]:
+            cid[a] = find(a)
+    expect = {}
+    for a in range(n):
+        if is_core[a]:
+            expect[a] = ("core", cid[a])
+        else:
+            cores_nb = [cid[int(b)] for b in np.nonzero(within[a])[0]
+                        if is_core[b]]
+            if cores_nb:
+                expect[a] = ("border", min(cores_nb))
+            else:
+                expect[a] = ("noise", -1)
+    got = {
+        r["key"]: (r["role"], r["cluster_id"], r["n_neighbors"])
+        for r in geo_dbscan(spark, d).collect()
+    }
+    assert len(got) == n
+    roles = {"core": 0, "border": 0, "noise": 0}
+    for k, (role, c, nb) in got.items():
+        assert (role, c) == expect[k], k
+        assert nb == n_nb[k]
+        roles[role] += 1
+    # the crafted density really exercises all three roles
+    assert min(roles.values()) > 0, roles
+
+
+def test_pca_power_iteration_fixed_point_and_direction(spark, sf_dir):
+    """Bit-exact replay of the quantize/covariance/shrink/power-sweep
+    arithmetic from the raw parquet (independent pyarrow path), plus a
+    quality gate: the fixed-point iterate must align with numpy's true
+    top eigenvector of the same shrunk covariance (|cos| >= 0.98)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_spark.operators.similarity import (
+        PCA_CCAP, PCA_DIMS, PCA_ITERS, PCA_QS, PCA_VS,
+        _tdiv, pca_power_iteration,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    X = np.array(
+        [e[:PCA_DIMS] for e in t["embedding"].to_pylist()], dtype=np.float64
+    )
+    q = np.round(X * PCA_QS).astype(object)  # python ints: no overflow
+    n = len(q)
+    s = q.sum(axis=0)
+    P = (q.T @ q)
+    C = n * P - np.outer(s, s)
+    shrink = int(max(abs(int(c)) for c in C.flatten())) // PCA_CCAP + 1
+    Cs = [[_tdiv(int(C[j][k]), shrink) for k in range(PCA_DIMS)]
+          for j in range(PCA_DIMS)]
+    v = [PCA_VS] * PCA_DIMS
+    for _ in range(PCA_ITERS):
+        u = [sum(Cs[j][k] * v[k] for k in range(PCA_DIMS))
+             for j in range(PCA_DIMS)]
+        m = max(abs(x) for x in u)
+        if m == 0:
+            break
+        v = [_tdiv(u[j] * PCA_VS, m) for j in range(PCA_DIMS)]
+    got = {r["dim_idx"]: r["loading_milli"]
+           for r in pca_power_iteration(spark, sf_dir).collect()}
+    assert got == {j: v[j] for j in range(PCA_DIMS)}
+    # direction quality vs true eigenvector of the same matrix
+    Cf = np.array([[float(Cs[j][k]) for k in range(PCA_DIMS)]
+                   for j in range(PCA_DIMS)])
+    w, vecs = np.linalg.eigh(Cf)
+    top = vecs[:, int(np.argmax(w))]
+    vf = np.array([float(x) for x in v])
+    cos = abs(vf @ top) / (np.linalg.norm(vf) * np.linalg.norm(top))
+    assert cos >= 0.98, cos
