@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": text_analysis.dsir_importance_weights,
         "sequence_pack": text_analysis.sequence_pack,
         "padding_waste_audit": text_analysis.padding_waste_audit,
+        "dataset_card": text_analysis.dataset_card,
         "bpe_merges": text_analysis.bpe_merges,
         "bpe_tokenize": text_analysis.bpe_tokenize,
         "bpe_fertility": text_analysis.bpe_fertility,
@@ -333,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cell_pairs": relational.geo_cell_pairs,
         "session_covisitation": relational.session_covisitation,
         "geo_dbscan": relational.geo_dbscan,
+        "histogram_quantile_sketch": relational.histogram_quantile_sketch,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -8941,6 +8943,100 @@ from p a join p b on a.key < b.key
 where (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
       <= {relational.GEO_R * relational.GEO_R}
 order by key_a, key_b
+"""
+    # Dataset-card truth: same scan aggregates + digest groupBy, long
+    # format assembled by union.
+    sql["dataset_card"] = """
+with base as (
+  select count(*) as n_docs,
+         sum(len(string_split(text, ' '))) as n_tokens,
+         sum(case when len(string_split(text, ' ')) < 10 then 1 else 0 end)
+           as short_docs,
+         sum(case when lang = 'en' then 1 else 0 end) as en_docs,
+         count(distinct source) as n_sources,
+         count(distinct lang) as n_langs
+  from documents
+),
+dup as (
+  select coalesce(sum(case when cnt > 1 then cnt else 0 end), 0)
+           as dup_docs
+  from (select md5(text) as d, count(*) as cnt from documents group by 1)
+)
+select metric, cast(value as bigint) as value from (
+  select 'dup_docs_ppm' as metric,
+         (2 * dup.dup_docs * 1000000 + base.n_docs)
+           // (2 * base.n_docs) as value from base, dup
+  union all
+  select 'english_docs_ppm',
+         (2 * en_docs * 1000000 + n_docs) // (2 * n_docs) from base
+  union all
+  select 'mean_doc_tokens_milli',
+         (2 * 1000 * n_tokens + n_docs) // (2 * n_docs) from base
+  union all select 'n_docs', n_docs from base
+  union all select 'n_langs', n_langs from base
+  union all select 'n_sources', n_sources from base
+  union all select 'n_tokens', n_tokens from base
+  union all
+  select 'short_docs_ppm',
+         (2 * short_docs * 1000000 + n_docs) // (2 * n_docs) from base
+) where (select n_docs from base) > 0
+order by metric
+"""
+    # Quantile-sketch truth: identical histogram arithmetic (ceil rank,
+    # bucket locate, interpolation) plus the exact order statistic via a
+    # global row_number — single-node DuckDB may sort; the op may not.
+    sql["histogram_quantile_sketch"] = f"""
+with t as (
+  select cast(round(l_extendedprice * 100) as bigint) as cents
+  from lineitem
+),
+agg as (select min(cents) as lo, max(cents) as hi, count(*) as n from t),
+w as (select lo, hi, n,
+             greatest((hi - lo) // {relational.SKETCH_BUCKETS} + 1, 1)
+               as width
+      from agg where n > 0),
+h as (
+  select (cents - w.lo) // w.width as b, count(*) as cnt
+  from t, w group by 1
+),
+c as (
+  select b, cnt,
+         coalesce(sum(cnt) over (order by b
+           rows between unbounded preceding and 1 preceding), 0) as cum
+  from h
+),
+q as (
+  select q_pct, -((-q_pct * w.n) // 100) as k, w.n, w.lo, w.width
+  from (values (50), (90), (99)) v(q_pct), w
+),
+loc as (
+  select q.q_pct, q.k, q.n, q.lo, q.width, c.b, c.cnt, c.cum
+  from q join c on q.k > c.cum and q.k <= c.cum + c.cnt
+),
+est as (
+  select *, lo + b * width + ((k - cum) * width) // (cnt + 1) as est_cents
+  from loc
+),
+ranked as (select cents, row_number() over (order by cents) as rk from t),
+ex as (
+  select e.*, r.cents as exact_cents
+  from est e join ranked r on r.rk = e.k
+),
+ro as (
+  select e.q_pct, e.n, e.k, e.est_cents, e.exact_cents, e.cnt,
+         (select count(*) from t where t.cents <= e.est_cents) as r_est
+  from ex e
+)
+select cast(q_pct as int) as q_pct, cast(n as bigint) as n,
+       cast(k as bigint) as target_rank,
+       cast(est_cents as bigint) as est_cents,
+       cast(exact_cents as bigint) as exact_cents,
+       cast(r_est as bigint) as rank_of_est,
+       cast(abs(r_est - k) as bigint) as rank_err,
+       cast(cnt as bigint) as bucket_n,
+       cast(case when abs(r_est - k) <= cnt then 1 else 0 end as int)
+         as within_bound
+from ro order by q_pct
 """
     # PCA truth: the identical unrolled integer arithmetic — quantize,
     # covariance identity, shrink, three max-abs-normalized power sweeps

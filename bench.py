@@ -248,6 +248,8 @@ def main() -> int:
         "session_covisitation",
         "geo_dbscan",
         "pca_power_iteration",
+        "histogram_quantile_sketch",
+        "dataset_card",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -6314,3 +6314,99 @@ def session_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_covisits"))
     )
     return trans.repartition(1).sortWithinPartitions("item_a", "item_b")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch + accuracy meta-eval
+# ---------------------------------------------------------------------------
+
+SKETCH_BUCKETS = 64  # sketch size; rank error is bounded by one bucket
+
+
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch + its accuracy report — the streaming/
+    partition-parallel answer to percentiles at 100 TB (the equi-width
+    cousin of t-digest/KLL: per-partition bucket counts merge by
+    ADDITION, so executors sketch independently and the driver merges
+    O(SKETCH_BUCKETS) integers): estimate p50/p90/p99 of the lineitem
+    price by within-bucket linear interpolation, then GRADE the
+    estimate against the exact order statistic (second scan filtered
+    to one bucket — the exact_quantile_refine pattern) and report the
+    realized rank error next to its theoretical bound (the occupancy
+    of the located bucket).  within_bound must be 1 for every
+    quantile: the sketch's guarantee, made measurable.
+
+    Scale shape: one map-side histogram aggregate (mergeable partials,
+    O(B) rows), driver-side O(B) cumulation (tiny-stats policy), one
+    bucket-filtered second scan per quantile (filter pushed to
+    parquet), one 3-case count aggregate for realized ranks.  No
+    global sort anywhere; the sketch itself is one reduce of 64
+    ints."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+    )
+    row = li.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi"),
+        F.count("*").alias("n"),
+    ).first()
+    n = row["n"]
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "q_pct int, n bigint, target_rank bigint, est_cents bigint, "
+            "exact_cents bigint, rank_of_est bigint, rank_err bigint, "
+            "bucket_n bigint, within_bound int",
+        )
+    lo, hi = int(row["lo"]), int(row["hi"])
+    width = max((hi - lo) // SKETCH_BUCKETS + 1, 1)
+    hist = {
+        r["b"]: r["cnt"]
+        for r in li.groupBy(
+            F.expr(f"(cents - {lo}) div {width}").alias("b")
+        ).agg(F.count("*").alias("cnt")).collect()
+    }
+    out = []
+    for q_pct in (50, 90, 99):
+        k = -(-q_pct * n // 100)  # ceil(q*n/100)
+        cum = 0
+        for b in sorted(hist):
+            cnt = hist[b]
+            if k <= cum + cnt:
+                est = lo + b * width + ((k - cum) * width) // (cnt + 1)
+                residual = k - cum
+                blo, bhi = lo + b * width, lo + (b + 1) * width
+                exact = (
+                    li.filter(
+                        (F.col("cents") >= blo) & (F.col("cents") < bhi)
+                    )
+                    .orderBy("cents")
+                    .limit(residual)
+                    .agg(F.max("cents"))
+                    .first()[0]
+                )
+                out.append((q_pct, k, est, int(exact), cnt))
+                break
+            cum += cnt
+    ranks = li.agg(
+        *[
+            F.sum((F.col("cents") <= est).cast("bigint")).alias(f"r{i}")
+            for i, (_, _, est, _, _) in enumerate(out)
+        ]
+    ).first()
+    rows = []
+    for i, (q_pct, k, est, exact, cnt) in enumerate(out):
+        r_est = int(ranks[f"r{i}"])
+        err = abs(r_est - k)
+        rows.append(
+            (q_pct, n, k, est, exact, r_est, err, cnt, int(err <= cnt))
+        )
+    return (
+        spark.createDataFrame(
+            rows,
+            "q_pct int, n bigint, target_rank bigint, est_cents bigint, "
+            "exact_cents bigint, rank_of_est bigint, rank_err bigint, "
+            "bucket_n bigint, within_bound int",
+        )
+        .repartition(1)
+        .sortWithinPartitions("q_pct")
+    )

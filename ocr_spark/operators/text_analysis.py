@@ -4380,3 +4380,68 @@ def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("strategy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (the publishable corpus datasheet, long format)
+# ---------------------------------------------------------------------------
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-query corpus datasheet (Gebru et al., "Datasheets for
+    Datasets", CACM 2021) — the summary block a curation pipeline
+    publishes next to every release, in long (metric, value) format so
+    downstream dashboards diff releases row-wise: corpus size, token
+    budget, source/language breadth, English share, exact-duplicate
+    share, short-document share, mean document length.  Rates are
+    half-away ppm; the mean is half-away milli-tokens.
+
+    Scale shape: one scan feeding a handful of map-side aggregates
+    (count / sum / conditional sum), two exact distinct counts on
+    low-cardinality keys, and one digest groupBy for the duplicate
+    share (the dedup_exact shuffle) — every result is a driver-side
+    scalar (tiny-stats policy), assembled into the card as literals."""
+    docs = _docs(spark, sf_dir)
+    toks = F.size(F.split(F.col("text"), " "))
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks.cast("bigint")).alias("n_tokens"),
+        F.sum((toks < 10).cast("bigint")).alias("short_docs"),
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("en_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+    ).first()
+    n = int(base["n_docs"])
+    if n == 0:
+        return spark.createDataFrame([], "metric string, value bigint")
+    dup = (
+        docs.select(F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)
+            ).alias("dup_docs")
+        )
+        .first()["dup_docs"]
+    )
+
+    def ppm(x: int) -> int:
+        return (2 * x * 1_000_000 + n) // (2 * n)
+
+    rows = [
+        ("dup_docs_ppm", ppm(int(dup))),
+        ("english_docs_ppm", ppm(int(base["en_docs"]))),
+        ("mean_doc_tokens_milli",
+         (2 * 1000 * int(base["n_tokens"]) + n) // (2 * n)),
+        ("n_docs", n),
+        ("n_langs", int(base["n_langs"])),
+        ("n_sources", int(base["n_sources"])),
+        ("n_tokens", int(base["n_tokens"])),
+        ("short_docs_ppm", ppm(int(base["short_docs"]))),
+    ]
+    return (
+        spark.createDataFrame(rows, "metric string, value bigint")
+        .repartition(1)
+        .sortWithinPartitions("metric")
+    )

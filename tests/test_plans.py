@@ -1571,3 +1571,41 @@ def test_q15_scalar_max_is_broadcast_not_window(spark):
     assert "ExistingRDD" in plan
     assert plan.count("supplier.parquet") == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_tenth_wave_plans_stay_keyed(spark):
+    """Tenth-wave operators ride keyed hash joins: the geo family's
+    3x3-cell replication must plan as an equi-join on the cell key
+    (never a nested loop), the co-visitation chain is window+partial
+    agg, and the dup matrix / kfold / soft-dedup reuse the pinned LSH
+    shapes."""
+    from ocr_spark.operators.dedup import (
+        cross_source_dup_matrix,
+        group_kfold_split,
+        soft_dedup_weights,
+    )
+    from ocr_spark.operators.relational import (
+        geo_cell_pairs,
+        geo_dbscan,
+        session_covisitation,
+    )
+    from ocr_spark.operators.text_analysis import padding_waste_audit
+    from ocr_spark.operators.web_extract import (
+        crawl_frontier,
+        louvain_one_level,
+    )
+
+    for q in (geo_cell_pairs, session_covisitation, padding_waste_audit,
+              soft_dedup_weights, group_kfold_split,
+              cross_source_dup_matrix):
+        plan = plan_of(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "NestedLoop" not in plan, q.__name__
+    for q in (geo_dbscan, crawl_frontier, louvain_one_level):
+        # iterative ops: lint the SIMPLE plan (localCheckpoint tails)
+        plan = plan_of(q(spark, SF), "simple")
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "NestedLoop" not in plan, q.__name__
+    # the grid join keys on the (cx, cy) cell pair
+    gp = plan_of(geo_cell_pairs(spark, SF))
+    assert "cx" in gp and "cy" in gp

@@ -1118,6 +1118,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         W.crawl_frontier, W.louvain_one_level,
         D.cross_source_dup_matrix, R.session_covisitation,
         R.geo_dbscan, S.pca_power_iteration,
+        R.histogram_quantile_sketch, T.dataset_card,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
         S.mrr_eval, S.map_eval, S.rocchio_feedback,
@@ -3387,3 +3388,34 @@ def test_pca_power_iteration_fixed_point_and_direction(spark, sf_dir):
     vf = np.array([float(x) for x in v])
     cos = abs(vf @ top) / (np.linalg.norm(vf) * np.linalg.norm(top))
     assert cos >= 0.98, cos
+
+
+def test_histogram_quantile_sketch_exact_and_bound(spark, tmp_path):
+    """100 known prices (1..100 dollars): exact order statistics are
+    5000/9000/9900 cents, the realized rank error of every estimate
+    stays within its located bucket's occupancy (the sketch
+    guarantee), and within_bound reports 1."""
+    from ocr_spark.operators.relational import histogram_quantile_sketch
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (i, i, 1, 1, 1.0, float(i), 0.0, 0.0, "N", "O",
+             __import__("datetime").datetime(2024, 1, 1))
+            for i in range(1, 101)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    rows = {r["q_pct"]: r
+            for r in histogram_quantile_sketch(spark, d).collect()}
+    assert set(rows) == {50, 90, 99}
+    assert rows[50]["exact_cents"] == 5000
+    assert rows[90]["exact_cents"] == 9000
+    assert rows[99]["exact_cents"] == 9900
+    for r in rows.values():
+        assert r["n"] == 100
+        assert r["within_bound"] == 1
+        assert r["rank_err"] <= r["bucket_n"]

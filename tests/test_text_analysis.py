@@ -1682,3 +1682,33 @@ def test_padding_waste_sorted_beats_arrival(spark, tmp_path):
     assert arr["actual_tokens"] == srt["actual_tokens"] == 3264
     assert arr["padded_tokens"] == 6400 and srt["padded_tokens"] == 3264
     assert arr["waste_ppm"] == 490_000 and srt["waste_ppm"] == 0
+
+
+def test_dataset_card_hand_computed(spark, tmp_path):
+    """4-doc corpus with one exact-dup pair, one short doc, two langs
+    and two sources — every card metric verified by hand."""
+    from ocr_spark.operators.text_analysis import dataset_card
+
+    long_a = " ".join(f"w{i}" for i in range(20))  # 20 tokens
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, long_a, "en", "A", 1),
+            (1, long_a, "en", "A", 1),          # exact dup of 0
+            (2, "tiny doc here", "de", "B", 1),  # 3 tokens (short)
+            (3, " ".join(f"z{i}" for i in range(17)), "en", "B", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    card = {r["metric"]: r["value"]
+            for r in dataset_card(spark, d).collect()}
+    assert card == {
+        "dup_docs_ppm": 500_000,       # 2 of 4
+        "english_docs_ppm": 750_000,   # 3 of 4
+        "mean_doc_tokens_milli": 15_000,  # (20+20+3+17)/4 = 15.0
+        "n_docs": 4,
+        "n_langs": 2,
+        "n_sources": 2,
+        "n_tokens": 60,
+        "short_docs_ppm": 250_000,     # 1 of 4
+    }
