@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_latest": _q_stream_upsert,
         "stream_topk_trending": _q_stream_topk,
         "stream_near_dup_gate": _q_stream_gate,
+        "stream_quantile_sketch": _q_stream_qsketch,
         # -- relational breadth --
         "pricing_summary": relational.pricing_summary,
         "top_orders_per_segment": relational.top_orders_per_segment,
@@ -335,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_covisitation": relational.session_covisitation,
         "geo_dbscan": relational.geo_dbscan,
         "histogram_quantile_sketch": relational.histogram_quantile_sketch,
+        "skew_salt_plan": relational.skew_salt_plan,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -688,6 +690,12 @@ def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.streaming.stream import stream_window_query
 
     return stream_window_query(spark, sf_dir)
+
+
+def _q_stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.streaming.stream import stream_qsketch_query
+
+    return stream_qsketch_query(spark, sf_dir)
 
 
 def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8943,6 +8951,58 @@ from p a join p b on a.key < b.key
 where (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
       <= {relational.GEO_R * relational.GEO_R}
 order by key_a, key_b
+"""
+    # Salt-planner truth: per-key counts + identical ceil arithmetic.
+    sql["skew_salt_plan"] = f"""
+with c as (select event_type as key, count(*) as cnt from events group by 1)
+select key, cnt,
+       (cnt + {relational.SALT_TARGET_ROWS} - 1)
+         // {relational.SALT_TARGET_ROWS} as salt_n,
+       (cnt + ((cnt + {relational.SALT_TARGET_ROWS} - 1)
+               // {relational.SALT_TARGET_ROWS}) - 1)
+         // ((cnt + {relational.SALT_TARGET_ROWS} - 1)
+             // {relational.SALT_TARGET_ROWS}) as projected_max,
+       cast(case when (cnt + {relational.SALT_TARGET_ROWS} - 1)
+                      // {relational.SALT_TARGET_ROWS} > 1
+            then 1 else 0 end as int) as is_hot
+from c order by key
+"""
+    # Streaming-sketch truth: the merged per-batch partials equal the
+    # batch histogram exactly (integer addition), so DuckDB recomputes
+    # the fixed-domain clamped histogram + interpolation from the raw
+    # table — a value-level gate on a streaming path.
+    from ocr_spark.streaming import stream as streammod
+
+    sql["stream_quantile_sketch"] = f"""
+with t as (select cast(round(value * 100) as bigint) as cents from events),
+h as (
+  select least(greatest((cents - {streammod.QSKETCH_LO})
+                        // {streammod.QSKETCH_W}, 0),
+               {streammod.QSKETCH_B - 1}) as b,
+         count(*) as cnt
+  from t group by 1
+),
+agg as (select sum(cnt) as n from h),
+c as (
+  select b, cnt,
+         coalesce(sum(cnt) over (order by b
+           rows between unbounded preceding and 1 preceding), 0) as cum
+  from h
+),
+q as (
+  select q_pct, -((-q_pct * agg.n) // 100) as k, agg.n
+  from (values (50), (90), (99)) v(q_pct), agg where agg.n > 0
+),
+loc as (
+  select q.q_pct, q.k, q.n, c.b, c.cnt, c.cum
+  from q join c on q.k > c.cum and q.k <= c.cum + c.cnt
+)
+select cast(q_pct as int) as q_pct, cast(n as bigint) as n,
+       cast(k as bigint) as target_rank,
+       cast({streammod.QSKETCH_LO} + b * {streammod.QSKETCH_W}
+            + ((k - cum) * {streammod.QSKETCH_W}) // (cnt + 1) as bigint)
+         as est_cents
+from loc order by q_pct
 """
     # Dataset-card truth: same scan aggregates + digest groupBy, long
     # format assembled by union.

@@ -250,6 +250,8 @@ def main() -> int:
         "pca_power_iteration",
         "histogram_quantile_sketch",
         "dataset_card",
+        "stream_quantile_sketch",
+        "skew_salt_plan",
     ]
     if only:
         headline = [q for q in headline if q in only]

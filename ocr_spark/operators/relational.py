@@ -6410,3 +6410,41 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("q_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salt-factor planner (how skew_salted_join's N is actually chosen)
+# ---------------------------------------------------------------------------
+
+SALT_TARGET_ROWS = 500  # rows-per-reducer budget for a keyed stage
+
+
+def skew_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planning half of the manual-salting playbook — given a keyed
+    stage's per-key row counts, derive the PER-KEY salt factor that
+    bounds any single reducer at ``SALT_TARGET_ROWS``: salt_n =
+    ceil(cnt / target) (1 = unsalted), projected_max = ceil(cnt /
+    salt_n) = the post-salt straggler bound.  This is what turns
+    heavy_hitters' diagnosis into a remediation config, and what a
+    pipeline uses where AQE's skew-split can't reach (custom stateful
+    aggregations, applyInPandas stages pinned to one partition per
+    key).
+
+    Scale shape: one partial-agg count per key (the stage's own
+    shuffle), then pure map-side arithmetic over the O(keys) count
+    table.  The plan table itself is broadcast back to tag the fact
+    side with pmod(hash, salt_n)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnts = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    t = SALT_TARGET_ROWS
+    return (
+        cnts.withColumn("salt_n", F.expr(f"(cnt + {t} - 1) div {t}"))
+        .withColumn(
+            "projected_max", F.expr("(cnt + salt_n - 1) div salt_n")
+        )
+        .withColumn("is_hot", (F.col("salt_n") > 1).cast("int"))
+        .repartition(1)
+        .sortWithinPartitions("key")
+    )

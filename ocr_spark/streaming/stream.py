@@ -1208,3 +1208,132 @@ def stream_near_dup_gate_query(
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming mergeable quantile sketch (fixed-domain histogram partials)
+# ---------------------------------------------------------------------------
+
+QSKETCH_LO = 0  # fixed a-priori value domain (cents): streaming cannot
+QSKETCH_W = 800  # wait for a global min/max, so the grid is a constant
+QSKETCH_B = 64  # 64 buckets x 800 = [0, 51200) covers the event domain;
+#                out-of-domain values clamp into the edge buckets
+
+
+def stream_quantile_sketch(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Per-micro-batch histogram PARTIALS over an event-file stream —
+    the streaming half of relational.histogram_quantile_sketch, and the
+    property that makes equi-width sketches production-grade: partial
+    bucket counts MERGE BY ADDITION, so each micro-batch ships its own
+    O(B) rows to the sink and the final sketch (one groupBy-sum over
+    the sink) is independent of how the stream was micro-batched —
+    pinned by the batch-split invariance test.
+
+    foreachBatch computes the batch's bucket counts (a map-side
+    aggregate over the batch) and appends them with the batch id; no
+    state store is needed at all — additivity IS the state."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        bucket = F.least(
+            F.greatest(
+                F.expr(
+                    f"(cast(round(value * 100) as bigint)"
+                    f" - {QSKETCH_LO}) div {QSKETCH_W}"
+                ),
+                F.lit(0),
+            ),
+            F.lit(QSKETCH_B - 1),
+        )
+        (
+            batch_df.select(bucket.alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(output_dir)
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_qsketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: drain the events table through the
+    streaming sketch, merge the per-batch partials (groupBy-sum — the
+    additivity), and report p50/p90/p99 estimates from the merged
+    histogram with the same interpolation arithmetic as the batch
+    sketch.  The merged histogram equals the batch histogram exactly
+    (integer addition is associative), so the DuckDB oracle recomputes
+    it from the raw table — value-level check despite the streaming
+    path."""
+    import shutil
+
+    base = _scratch_dir(spark, "stream_qsketch", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ck_dir = f"{base}/in", f"{base}/out", f"{base}/ck"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = stream_quantile_sketch(spark, in_dir, out_dir, ck_dir)
+    q.awaitTermination()
+    try:
+        merged = spark.read.parquet(out_dir)
+    except Exception:  # no partials: empty stream wrote no files
+        return spark.createDataFrame(
+            [], "q_pct int, n bigint, target_rank bigint, est_cents bigint"
+        )
+    hist = {
+        r["b"]: r["cnt"]
+        for r in merged.groupBy("b")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    n = sum(hist.values())
+    rows = []
+    for q_pct in (50, 90, 99):
+        k = -(-q_pct * n // 100)
+        cum = 0
+        for b in sorted(hist):
+            cnt = hist[b]
+            if k <= cum + cnt:
+                est = (
+                    QSKETCH_LO
+                    + b * QSKETCH_W
+                    + ((k - cum) * QSKETCH_W) // (cnt + 1)
+                )
+                rows.append((q_pct, n, k, est))
+                break
+            cum += cnt
+    return (
+        spark.createDataFrame(
+            rows, "q_pct int, n bigint, target_rank bigint, est_cents bigint"
+        )
+        .repartition(1)
+        .sortWithinPartitions("q_pct")
+    )

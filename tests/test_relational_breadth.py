@@ -1118,7 +1118,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         W.crawl_frontier, W.louvain_one_level,
         D.cross_source_dup_matrix, R.session_covisitation,
         R.geo_dbscan, S.pca_power_iteration,
-        R.histogram_quantile_sketch, T.dataset_card,
+        R.histogram_quantile_sketch, T.dataset_card, R.skew_salt_plan,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
         S.mrr_eval, S.map_eval, S.rocchio_feedback,
@@ -3419,3 +3419,31 @@ def test_histogram_quantile_sketch_exact_and_bound(spark, tmp_path):
         assert r["n"] == 100
         assert r["within_bound"] == 1
         assert r["rank_err"] <= r["bucket_n"]
+
+
+def test_skew_salt_plan_bounds_reducer(spark, tmp_path):
+    """1200 rows on one key + 10 on another (target 500): the hot key
+    plans salt_n=3 with projected_max 400 <= target; the cold key stays
+    unsalted with projected_max = its own count."""
+    from datetime import datetime, timedelta
+
+    from ocr_spark.operators.relational import skew_salt_plan
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(seconds=i), i % 7, "hot", 1.0, "{}")
+            for i in range(1200)]
+    rows += [(10_000 + i, t0 + timedelta(seconds=i), 1, "cold", 1.0, "{}")
+             for i in range(10)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["key"]: r for r in skew_salt_plan(spark, d).collect()}
+    assert got["hot"]["salt_n"] == 3
+    assert got["hot"]["projected_max"] == 400
+    assert got["hot"]["is_hot"] == 1
+    assert got["cold"]["salt_n"] == 1
+    assert got["cold"]["projected_max"] == 10
+    assert got["cold"]["is_hot"] == 0

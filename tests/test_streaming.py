@@ -575,3 +575,62 @@ def test_stream_near_dup_gate_owner_survives_restart(spark, tmp_path):
     assert all(r["owner_doc"] == 100 for r in by_doc[5])
     # unrelated doc 7 owns all of its buckets
     assert all(r["owner_doc"] == 7 for r in by_doc[7])
+
+
+def test_stream_qsketch_batch_split_invariance(spark, tmp_path, sf_dir):
+    """The merged sketch must be IDENTICAL whether the stream drains one
+    file per trigger or everything in one batch — additivity of the
+    bucket partials is the whole design — and must equal the batch
+    histogram computed directly from the table."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from ocr_spark.streaming.stream import (
+        QSKETCH_B, QSKETCH_LO, QSKETCH_W, stream_quantile_sketch,
+    )
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts")
+        .toPandas()
+    )
+    n = len(events)
+    merged = []
+    for tag, per_trigger in (("split", 1), ("onebatch", None)):
+        d = str(tmp_path / f"in_{tag}")
+        os.makedirs(d)
+        for i, (lo, hi) in enumerate(
+            [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+        ):
+            chunk = events.iloc[lo:hi].copy()
+            chunk["ts"] = chunk["ts"].astype("datetime64[us]")
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False),
+                f"{d}/f{i}.parquet",
+            )
+        out, ckpt = str(tmp_path / f"o_{tag}"), str(tmp_path / f"c_{tag}")
+        stream_quantile_sketch(
+            spark, d, out, ckpt, max_files_per_trigger=per_trigger
+        ).awaitTermination(600)
+        sink = spark.read.parquet(out)
+        merged.append(
+            {
+                r["b"]: r["s"]
+                for r in sink.groupBy("b")
+                .agg(F.sum("cnt").alias("s"))
+                .collect()
+            }
+        )
+        if per_trigger == 1:
+            # the split really produced multiple independent partials
+            assert sink.select("batch_id").distinct().count() >= 3
+    split, onebatch = merged
+    assert split == onebatch
+    # equals the direct batch histogram
+    import pandas as pd  # noqa: F401
+
+    cents = (events["value"] * 100).round().astype("int64")
+    b = ((cents - QSKETCH_LO) // QSKETCH_W).clip(0, QSKETCH_B - 1)
+    direct = b.value_counts().to_dict()
+    assert split == {int(k): int(v) for k, v in direct.items()}
