@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup_weights": dedup.soft_dedup_weights,
         "group_kfold_split": dedup.group_kfold_split,
         "cross_source_dup_matrix": dedup.cross_source_dup_matrix,
+        "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
         "dedup_canonical_pick": dedup.dedup_canonical_pick,
         "simhash64": dedup.simhash64,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -254,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_mining": similarity.bitext_mining,
         "knn_label_propagation": similarity.knn_label_propagation,
         "pca_power_iteration": similarity.pca_power_iteration,
+        "embedding_health_audit": similarity.embedding_health_audit,
         # -- text analysis --
         "token_stats": text_analysis.token_stats,
         "quality_score": text_analysis.quality_score,
@@ -8951,6 +8953,56 @@ from p a join p b on a.key < b.key
 where (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
       <= {relational.GEO_R * relational.GEO_R}
 order by key_a, key_b
+"""
+    # Threshold-sweep truth: the all-pairs CTE bucketed by the same
+    # integer-ppm cutoffs (cross join against 8 literal thresholds).
+    sql["dedup_threshold_sweep"] = f"""
+with pr as ({sql["ngram_jaccard_all_pairs"]}),
+j as (select cast(round(jaccard * 1000000) as bigint) as jppm from pr)
+select cast(t.tau_tenths as int) as tau_tenths,
+       cast(coalesce(sum(case when j.jppm >= t.tau_tenths * 100000
+                          then 1 else 0 end), 0) as bigint) as n_pairs
+from (values (2), (3), (4), (5), (6), (7), (8), (9)) t(tau_tenths)
+left join j on true
+group by 1 order by 1
+"""
+    # Embedding-health truth: list-transform quantization + the same
+    # fold/digest aggregates.
+    sql["embedding_health_audit"] = """
+with q as (
+  select vec_id,
+         list_transform(embedding,
+                        x -> cast(round(x::double * 1000) as bigint)) as qv
+  from embeddings
+),
+per as (
+  select vec_id,
+         list_aggregate(list_transform(qv, v -> v * v), 'sum') as n2,
+         list_aggregate(list_transform(qv, v -> abs(v)), 'sum') as sabs,
+         len(qv) as d,
+         md5(array_to_string(qv, ',')) as digest
+  from q
+),
+base as (
+  select count(*) as n_vecs, max(d) as n_dims,
+         sum(case when sabs = 0 then 1 else 0 end) as n_zero,
+         min(n2) as min_n2, max(n2) as max_n2, sum(n2) as sum_n2
+  from per
+),
+dup as (
+  select coalesce(sum(case when cnt > 1 then cnt else 0 end), 0) as dup
+  from (select digest, count(*) as cnt from per group by 1)
+)
+select metric, cast(value as bigint) as value from (
+  select 'dup_vecs' as metric, dup.dup as value from dup
+  union all select 'max_norm2_milli2', max_n2 from base
+  union all select 'min_norm2_milli2', min_n2 from base
+  union all select 'n_dims', n_dims from base
+  union all select 'n_vecs', n_vecs from base
+  union all select 'n_zero_vecs', n_zero from base
+  union all select 'sum_norm2_milli2', sum_n2 from base
+) where (select n_vecs from base) > 0
+order by metric
 """
     # Salt-planner truth: per-key counts + identical ceil arithmetic.
     sql["skew_salt_plan"] = f"""

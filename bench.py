@@ -252,6 +252,8 @@ def main() -> int:
         "dataset_card",
         "stream_quantile_sketch",
         "skew_salt_plan",
+        "dedup_threshold_sweep",
+        "embedding_health_audit",
     ]
     if only:
         headline = [q for q in headline if q in only]

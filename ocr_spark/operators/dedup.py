@@ -1704,3 +1704,33 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("source_a", "source_b")
     )
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity curve for the dedup THRESHOLD decision: how many
+    exact-Jaccard pairs survive each candidate cutoff tau in 0.2..0.9 —
+    the number a curator reads before committing the knob (too low
+    deletes near-misses, too high keeps templates).  One pass over the
+    prefix-filtered all-pairs set (complete for every tau >= the base
+    0.2), bucketed cumulatively; comparisons are on round(J*1e6)
+    integers so the cutoffs are engine-exact.
+
+    Scale shape: the pair set is output-bounded (ngram_jaccard_all_pairs'
+    prefix-filter bound) and the sweep is a constant 8-way conditional
+    aggregate over it — one tiny stage after the pair generation."""
+    pairs = ngram_jaccard_all_pairs(spark, sf_dir).select(
+        F.round(F.col("jaccard") * 1_000_000).cast("bigint").alias("jppm")
+    )
+    aggs = [
+        F.sum((F.col("jppm") >= t * 100_000).cast("bigint")).alias(
+            f"t{t}"
+        )
+        for t in range(2, 10)
+    ]
+    row = pairs.agg(*aggs).first()
+    rows = [(t, int(row[f"t{t}"] or 0)) for t in range(2, 10)]
+    return (
+        spark.createDataFrame(rows, "tau_tenths int, n_pairs bigint")
+        .repartition(1)
+        .sortWithinPartitions("tau_tenths")
+    )

@@ -2327,3 +2327,77 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("dim_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding corpus health audit
+# ---------------------------------------------------------------------------
+
+
+def embedding_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-index hygiene gate for an embedding corpus — the failure
+    modes that silently poison ANN indexes at scale: all-zero vectors
+    (a crashed encoder batch), exact-duplicate vectors (an upstream
+    join fanout), and norm collapse/explosion (a bad normalization
+    deploy).  Long (metric, value) format: vector count, dimension,
+    zero-vector count, exact-duplicate vector count, and min/max/total
+    of the integer squared norm in milli^2 units (round-to-milli makes
+    the statistic engine-exact; a unit-normalized corpus reads
+    ~1e6 per vector).
+
+    Scale shape: one scan, map-side array folds per row (quantize +
+    square-sum + max-abs), one digest groupBy for the dup count, all
+    results driver-side scalars (tiny-stats policy)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
+    )
+    norm2 = F.aggregate(
+        q, F.lit(0).cast("bigint"), lambda a, b: a + b * b
+    )
+    is_zero = F.aggregate(
+        q, F.lit(0).cast("bigint"), lambda a, b: a + F.abs(b)
+    ) == 0
+    base = emb.select(
+        norm2.alias("n2"),
+        is_zero.cast("bigint").alias("z"),
+        F.size("embedding").alias("d"),
+        F.md5(F.concat_ws(",", F.transform(
+            q, lambda v: v.cast("string")
+        ))).alias("digest"),
+    )
+    row = base.agg(
+        F.count("*").alias("n_vecs"),
+        F.max("d").alias("n_dims"),
+        F.sum("z").alias("n_zero"),
+        F.min("n2").alias("min_n2"),
+        F.max("n2").alias("max_n2"),
+        F.sum("n2").alias("sum_n2"),
+    ).first()
+    if not row["n_vecs"]:
+        return spark.createDataFrame([], "metric string, value bigint")
+    dup = (
+        base.groupBy("digest")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)
+            ).alias("dup")
+        )
+        .first()["dup"]
+    )
+    rows = [
+        ("dup_vecs", int(dup)),
+        ("max_norm2_milli2", int(row["max_n2"])),
+        ("min_norm2_milli2", int(row["min_n2"])),
+        ("n_dims", int(row["n_dims"])),
+        ("n_vecs", int(row["n_vecs"])),
+        ("n_zero_vecs", int(row["n_zero"])),
+        ("sum_norm2_milli2", int(row["sum_n2"])),
+    ]
+    return (
+        spark.createDataFrame(rows, "metric string, value bigint")
+        .repartition(1)
+        .sortWithinPartitions("metric")
+    )

@@ -1000,3 +1000,36 @@ def test_cross_source_dup_matrix_cells(spark, tmp_path):
     assert got[("A", "B")]["possible_pairs"] == 6
     assert got[("B", "B")]["pair_count"] == 1
     assert all(r["rate_ppm"] == 1_000_000 for r in got.values())
+
+
+def test_dedup_threshold_sweep_monotone_and_exact_pair(spark, tmp_path):
+    """One exact-dup pair (J=1.0) plus a partial-overlap pair: counts
+    are non-increasing in tau, the exact pair survives every cutoff,
+    and the t=0.2 count equals the full all-pairs set."""
+    from ocr_spark.operators.dedup import (
+        dedup_threshold_sweep,
+        ngram_jaccard_all_pairs,
+    )
+
+    dup = " ".join(f"tok{i}" for i in range(30))
+    half = " ".join(f"tok{i}" for i in range(15)) + " " + " ".join(
+        f"new{i}" for i in range(15)
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, dup, "en", "s", 10),
+            (1, dup, "en", "s", 10),
+            (2, half, "en", "s", 10),
+            (3, "entirely different words again here today", "en", "s", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["tau_tenths"]: r["n_pairs"]
+            for r in dedup_threshold_sweep(spark, d).collect()}
+    assert sorted(rows) == list(range(2, 10))
+    vals = [rows[t] for t in range(2, 10)]
+    assert vals == sorted(vals, reverse=True)
+    assert rows[9] >= 1  # the exact pair survives tau=0.9
+    assert rows[2] == ngram_jaccard_all_pairs(spark, d).count()
+    assert rows[2] > rows[9]  # the partial pair fell out somewhere

@@ -1119,6 +1119,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         D.cross_source_dup_matrix, R.session_covisitation,
         R.geo_dbscan, S.pca_power_iteration,
         R.histogram_quantile_sketch, T.dataset_card, R.skew_salt_plan,
+        S.embedding_health_audit,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
         S.mrr_eval, S.map_eval, S.rocchio_feedback,
@@ -1176,6 +1177,8 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
     assert all(
         r["n_before"] == r["n_after"] == r["n_moved_out"] == 0 for r in ring
     )
+    sw = D.dedup_threshold_sweep(spark, d).collect()
+    assert len(sw) == 8 and all(r["n_pairs"] == 0 for r in sw)
 
 
 def test_pareto_frontier_dominance_rules(spark, tmp_path):
@@ -3447,3 +3450,31 @@ def test_skew_salt_plan_bounds_reducer(spark, tmp_path):
     assert got["cold"]["salt_n"] == 1
     assert got["cold"]["projected_max"] == 10
     assert got["cold"]["is_hot"] == 0
+
+
+def test_embedding_health_audit_flags(spark, tmp_path):
+    """Crafted corpus: one zero vector, one duplicated vector pair,
+    known norms — every audit metric hand-verified."""
+    from ocr_spark.operators.similarity import embedding_health_audit
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.0, 0.0, 0.0, 0.0], 0),       # zero vector
+            (2, [0.5, 0.5, 0.0, 0.0], 1),
+            (3, [0.5, 0.5, 0.0, 0.0], 1),       # exact dup of 2
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    card = {r["metric"]: r["value"]
+            for r in embedding_health_audit(spark, d).collect()}
+    assert card == {
+        "dup_vecs": 2,
+        "max_norm2_milli2": 1_000_000,
+        "min_norm2_milli2": 0,
+        "n_dims": 4,
+        "n_vecs": 4,
+        "n_zero_vecs": 1,
+        "sum_norm2_milli2": 2_000_000,
+    }
