@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_kfold_split": dedup.group_kfold_split,
         "cross_source_dup_matrix": dedup.cross_source_dup_matrix,
         "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
+        "entity_resolution_clusters": dedup.entity_resolution_clusters,
         "dedup_canonical_pick": dedup.dedup_canonical_pick,
         "simhash64": dedup.simhash64,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -479,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_jaccard": web_extract.link_prediction_jaccard,
         "crawl_frontier": web_extract.crawl_frontier,
         "louvain_one_level": web_extract.louvain_one_level,
+        "politeness_schedule": web_extract.politeness_schedule,
         "degree_assortativity": web_extract.degree_assortativity,
         "wl_refinement": web_extract.wl_refinement,
         "lpa_communities": web_extract.lpa_communities,
@@ -8954,6 +8956,29 @@ where (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
       <= {relational.GEO_R * relational.GEO_R}
 order by key_a, key_b
 """
+    # Entity-resolution truth: the fuzzy-match pair SQL + the recursive
+    # reachability closure (near_dup_clusters shape) over part keys.
+    sql["entity_resolution_clusters"] = f"""
+with recursive fz as ({sql["fuzzy_name_match"]}),
+edges as (
+  select src_partkey as a, match_partkey as b from fz
+  where src_partkey != match_partkey
+  union
+  select match_partkey, src_partkey from fz
+  where src_partkey != match_partkey
+),
+walk(id, r) as (
+  select p_partkey, p_partkey from part
+  union
+  select w.id, e.b from walk w join edges e on e.a = w.r
+),
+lab as (select id as p_partkey, min(r) as entity_id from walk group by id)
+select p_partkey, entity_id,
+       count(*) over (partition by entity_id) as entity_size,
+       (p_partkey = entity_id)::int as is_canonical
+from lab
+order by p_partkey
+"""
     # Threshold-sweep truth: the all-pairs CTE bucketed by the same
     # integer-ppm cutoffs (cross join against 8 literal thresholds).
     sql["dedup_threshold_sweep"] = f"""
@@ -9299,6 +9324,16 @@ join pr p on p.doc_id = b.doc_id
 where b.hop >= 1
 order by priority_ppb desc, b.doc_id
 limit {web_extract.FRONTIER_K}
+"""
+    # Politeness truth: the frontier CTE striped by per-host rank.
+    sql["politeness_schedule"] = f"""
+with fr as ({sql["crawl_frontier"]})
+select doc_id, 'site' || (doc_id % 5) || '.com' as host, hop,
+       priority_ppb,
+       cast(row_number() over (partition by doc_id % 5
+              order by priority_ppb desc, doc_id) - 1 as int) as slot
+from fr
+order by host, slot
 """
     # Cross-source dup matrix: the verified-pair truth labeled with
     # sources, same canonical cell + possible-pairs normalization.

@@ -254,6 +254,8 @@ def main() -> int:
         "skew_salt_plan",
         "dedup_threshold_sweep",
         "embedding_health_audit",
+        "entity_resolution_clusters",
+        "politeness_schedule",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -964,6 +964,16 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan pinned by tests/test_plans.py::test_fuzzy_name_match_equi_join.
     """
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        _fuzzy_pairs(part)
+        .repartition(1)
+        .sortWithinPartitions("src_partkey", "match_partkey")
+    )
+
+
+def _fuzzy_pairs(part: DataFrame) -> DataFrame:
+    """Unsorted symmetric-delete match pairs — the core shared by
+    fuzzy_name_match and entity_resolution_clusters."""
     noisy = part.select(
         F.col("p_partkey").alias("src_partkey"),
         F.concat(
@@ -985,9 +995,50 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         noisy.join(variants, noisy.noisy_name == variants.variant)
         .select("src_partkey", "noisy_name", "match_partkey", "match_name")
         .distinct()
-        .repartition(1)
-        .sortWithinPartitions("src_partkey", "match_partkey")
     )
+
+
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the survivor stage after fuzzy
+    matching, exactly parallel to near_dup_clusters after LSH: the
+    symmetric-delete match pairs (_fuzzy_pairs — OCR/typo corruptions
+    resolving to canonical names) become an undirected identity graph,
+    connected components (large-star/small-star rounds) assign one
+    entity id per component (the minimum member key), and every record
+    reports its entity, the entity's size, and whether it is the
+    canonical (minimum) member.  This is the "golden record" grouping a
+    master-data pipeline ships after Fellegi-Sunter / fuzzy scoring.
+
+    Scale shape: the match join is the pinned equi-join (no all-pairs),
+    CC is O(log n) keyed rounds, and the final size window shuffles on
+    the entity key — uniform, cluster count ~ record count."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pairs = _fuzzy_pairs(part).filter(
+        F.col("src_partkey") != F.col("match_partkey")
+    )
+    edges = pairs.select(
+        F.col("src_partkey").alias("u"), F.col("match_partkey").alias("v")
+    )
+    labels = connected_components(edges).select(
+        F.col("doc_id").alias("p_partkey"), F.col("cluster_id").alias("ent")
+    )
+    out = (
+        part.select("p_partkey")
+        .join(labels, "p_partkey", "left")
+        .select(
+            "p_partkey",
+            F.coalesce("ent", F.col("p_partkey")).alias("entity_id"),
+        )
+        .withColumn(
+            "entity_size",
+            F.count("*").over(Window.partitionBy("entity_id")),
+        )
+        .withColumn(
+            "is_canonical",
+            (F.col("p_partkey") == F.col("entity_id")).cast("int"),
+        )
+    )
+    return out.repartition(1).sortWithinPartitions("p_partkey")
 
 
 def prefix_candidates(

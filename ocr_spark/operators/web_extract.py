@@ -2355,3 +2355,32 @@ def louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+def politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness slots over the crawl frontier — the last
+    mile of crawl scheduling: a crawler may fetch at most ONE url per
+    host per cycle, so the frontier's top-K (crawl_frontier) is striped
+    into fetch cycles by ranking within each host (priority desc, then
+    doc_id) and assigning slot = rank - 1.  A host contributing many
+    high-priority pages naturally spreads across cycles instead of
+    hammering the server — rate limiting expressed as a partitioned
+    rank, no scheduler state.
+
+    Scale shape: input is the already-bounded FRONTIER_K rows, the
+    window partitions by host (never global), output unchanged in
+    size."""
+    frontier = crawl_frontier(spark, sf_dir)
+    host = F.concat(
+        F.lit("site"), (F.col("doc_id") % 5).cast("string"), F.lit(".com")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority_ppb"), F.asc("doc_id")
+    )
+    return (
+        frontier.withColumn("host", host)
+        .withColumn("slot", F.row_number().over(w) - 1)
+        .select("doc_id", "host", "hop", "priority_ppb", "slot")
+        .repartition(1)
+        .sortWithinPartitions("host", "slot")
+    )

@@ -1033,3 +1033,41 @@ def test_dedup_threshold_sweep_monotone_and_exact_pair(spark, tmp_path):
     assert rows[9] >= 1  # the exact pair survives tau=0.9
     assert rows[2] == ngram_jaccard_all_pairs(spark, d).count()
     assert rows[2] > rows[9]  # the partial pair fell out somewhere
+
+
+def test_entity_resolution_matches_union_find(spark, sf_dir):
+    """Entity labels equal an independent union-find over the published
+    fuzzy-match pairs; canonical = component minimum; sizes consistent."""
+    from collections import Counter
+
+    from ocr_spark.operators.dedup import (
+        entity_resolution_clusters,
+        fuzzy_name_match,
+    )
+
+    pairs = [
+        (r["src_partkey"], r["match_partkey"])
+        for r in fuzzy_name_match(spark, sf_dir).collect()
+        if r["src_partkey"] != r["match_partkey"]
+    ]
+    out = entity_resolution_clusters(spark, sf_dir).collect()
+    keys = [r["p_partkey"] for r in out]
+    parent = {k: k for k in keys}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {k: find(k) for k in keys}
+    sizes = Counter(expect.values())
+    for r in out:
+        assert r["entity_id"] == expect[r["p_partkey"]]
+        assert r["entity_size"] == sizes[r["entity_id"]]
+        assert r["is_canonical"] == int(r["p_partkey"] == r["entity_id"])
+    assert any(s > 1 for s in sizes.values())  # real merges happened

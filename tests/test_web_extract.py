@@ -928,3 +928,25 @@ def test_louvain_matches_python_recomputation(spark, sf_dir):
     assert all(r["community_size"] == sizes[r["community"]] for r in got)
     # sanity: the partition is non-trivial (real communities formed)
     assert 1 < len(sizes) < n
+
+
+def test_politeness_schedule_dense_per_host_slots(spark, sf_dir):
+    """Within each host: slots are dense 0..n-1 and priority is
+    non-increasing in slot order; the frontier rows pass through
+    unchanged."""
+    from ocr_spark.operators.web_extract import (
+        crawl_frontier,
+        politeness_schedule,
+    )
+
+    rows = politeness_schedule(spark, sf_dir).collect()
+    assert len(rows) == crawl_frontier(spark, sf_dir).count()
+    by_host: dict[str, list] = {}
+    for r in rows:
+        assert r["host"] == f"site{r['doc_id'] % 5}.com"
+        by_host.setdefault(r["host"], []).append(r)
+    for host, hr in by_host.items():
+        hr.sort(key=lambda r: r["slot"])
+        assert [r["slot"] for r in hr] == list(range(len(hr)))
+        pr = [r["priority_ppb"] for r in hr]
+        assert pr == sorted(pr, reverse=True)
