@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": web_extract.crawl_frontier,
         "louvain_one_level": web_extract.louvain_one_level,
         "politeness_schedule": web_extract.politeness_schedule,
+        "louvain_two_level": web_extract.louvain_two_level,
         "degree_assortativity": web_extract.degree_assortativity,
         "wl_refinement": web_extract.wl_refinement,
         "lpa_communities": web_extract.lpa_communities,
@@ -8875,27 +8876,29 @@ select d.community, cast(d.n_nodes as bigint) as n_nodes,
 from dsum d left join ein e on d.community = e.community, mm
 order by d.community
 """.format(lpa=sql["lpa_communities"])
-    # Louvain phase-1 truth: unrolled synchronous rounds — per round the
-    # Σtot aggregate, the (node, community) edge-count, the own-community
+    # Louvain truth: unrolled synchronous rounds — per round the Σtot
+    # aggregate, the (node, community) edge-weight sum, the own-community
     # candidate union, and the integer cross-multiplied modularity-gain
-    # argmax (same tie rule: score desc, community asc).
-    _lv_rounds = []
-    for _i in range(1, web_extract.LOUVAIN_ROUNDS + 1):
-        _p = _i - 1
-        _lv_rounds.append(
-            f"""sig{_i} as (
+    # argmax (same tie rule: score desc, community asc).  The builder is
+    # parameterized so the two-level oracle reuses it for the WEIGHTED
+    # sweeps on the contracted graph.
+    def _lv_block(pfx: str, i: int, edges: str, degcte: str,
+                  weighted: bool) -> str:
+        prev = f"{pfx}l{i - 1}"
+        k = "sum(u.w)" if weighted else "count(*)"
+        return f"""{pfx}sig{i} as (
   select l.c as nc, sum(d.deg) as tot
-  from l{_p} l join deg d on d.node = l.node group by 1
-), kuc{_i} as (
-  select u.src as node, l.c as nc, count(*) as k
-  from und u join l{_p} l on u.dst = l.node group by 1, 2
-), cand{_i} as (
+  from {prev} l join {degcte} d on d.node = l.node group by 1
+), {pfx}kuc{i} as (
+  select u.src as node, l.c as nc, {k} as k
+  from {edges} u join {prev} l on u.dst = l.node group by 1, 2
+), {pfx}cand{i} as (
   select node, nc, max(k) as k from (
-    select node, nc, k from kuc{_i}
+    select node, nc, k from {pfx}kuc{i}
     union all
-    select node, c as nc, 0 from l{_p}
+    select node, c as nc, 0 from {prev}
   ) group by 1, 2
-), pick{_i} as (
+), {pfx}pick{i} as (
   select node, nc from (
     select c2.node, c2.nc,
            row_number() over (partition by c2.node
@@ -8903,18 +8906,22 @@ order by d.community
                        - d.deg * (s.tot - case when c2.nc = l.c
                                           then d.deg else 0 end)) desc,
                       c2.nc) as rk
-    from cand{_i} c2
-    join sig{_i} s on s.nc = c2.nc
-    join deg d on d.node = c2.node
-    join l{_p} l on l.node = c2.node
+    from {pfx}cand{i} c2
+    join {pfx}sig{i} s on s.nc = c2.nc
+    join {degcte} d on d.node = c2.node
+    join {prev} l on l.node = c2.node
     cross join m
   ) where rk = 1
-), l{_i} as materialized (
+), {pfx}l{i} as materialized (
   select l.node, coalesce(p.nc, l.c) as c
-  from l{_p} l left join pick{_i} p on p.node = l.node
+  from {prev} l left join {pfx}pick{i} p on p.node = l.node
 )"""
-        )
-    sql["louvain_one_level"] = f"""
+
+    _R = web_extract.LOUVAIN_ROUNDS
+    _lv_rounds = [
+        _lv_block("", _i, "und", "deg", False) for _i in range(1, _R + 1)
+    ]
+    _lv_graph = """
 with n as (select count(*) as nn from documents),
 e0 as (
   select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
@@ -8930,10 +8937,36 @@ und as materialized (
 m as (select count(*) // 2 as m from und),
 deg as (select src as node, count(*) as deg from und group by 1),
 l0 as (select doc_id as node, doc_id as c from documents),
-{",".join(_lv_rounds)}
+"""
+    sql["louvain_one_level"] = f"""{_lv_graph}{",".join(_lv_rounds)}
 select l.node as doc_id, l.c as community,
        cast(count(*) over (partition by l.c) as bigint) as community_size
-from l{web_extract.LOUVAIN_ROUNDS} l
+from l{_R} l
+order by doc_id
+"""
+    # Two-level truth: the level-1 rounds, the contraction (label both
+    # endpoints, (ca, cb) multiplicities — (c, c) rows carry intra mass
+    # twice), then the SAME weighted rounds on the contracted graph; m
+    # is conserved by contraction.
+    _lv2_rounds = [
+        _lv_block("q", _i, "inter", "deg2", True)
+        for _i in range(1, _R + 1)
+    ]
+    sql["louvain_two_level"] = f"""{_lv_graph}{",".join(_lv_rounds)},
+c2 as materialized (
+  select la.c as ca, lb.c as cb, count(*) as w
+  from und
+  join l{_R} la on und.src = la.node
+  join l{_R} lb on und.dst = lb.node
+  group by 1, 2
+),
+deg2 as (select ca as node, sum(w) as deg from c2 group by 1),
+inter as (select ca as src, cb as dst, w from c2 where ca != cb),
+ql0 as (select distinct c as node, c from l{_R}),
+{",".join(_lv2_rounds)}
+select l.node as doc_id, l.c as community_l1, t.c as community_l2,
+       cast(count(*) over (partition by t.c) as bigint) as l2_size
+from l{_R} l join ql{_R} t on t.node = l.c
 order by doc_id
 """
     # Grid spatial join truth: O(n^2) BRUTE-FORCE distance join over the

@@ -256,6 +256,7 @@ def main() -> int:
         "embedding_health_audit",
         "entity_resolution_clusters",
         "politeness_schedule",
+        "louvain_two_level",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -2288,11 +2288,42 @@ def louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = und.groupBy("src").agg(F.count("*").alias("deg")).select(
         F.col("src").alias("node"), "deg"
     )
-    labels = docs.select(
+    wedges = und.withColumn("w", F.lit(1).cast("bigint"))
+    labels0 = docs.select(
         F.col("doc_id").alias("node"),
         F.col("doc_id").cast("bigint").alias("c"),
     )
-    for _ in range(LOUVAIN_ROUNDS):
+    labels = _louvain_sweeps(labels0, wedges, deg, m, LOUVAIN_ROUNDS)
+    sizes = labels.groupBy("c").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return (
+        labels.join(sizes, "c")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("c").alias("community"),
+            "community_size",
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def _louvain_sweeps(
+    labels: DataFrame,
+    wedges: DataFrame,
+    deg: DataFrame,
+    m: int,
+    rounds: int,
+) -> DataFrame:
+    """``rounds`` synchronous WEIGHTED modularity-greedy sweeps — the
+    core shared by louvain_one_level (unit weights) and the contracted
+    level of louvain_two_level.  ``wedges`` is the symmetric inter-node
+    (src, dst, w) list (no self rows); ``deg`` the weighted degree
+    (self-loop mass counted twice, the standard convention); ``m`` the
+    total edge weight.  Score = 2·m·k_uc − deg_u·(Σtot_c −
+    deg_u·[c = own]); ties → smaller community id."""
+    for _ in range(rounds):
         sigma = (
             labels.join(deg, "node")
             .groupBy("c")
@@ -2300,14 +2331,14 @@ def louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("c").alias("nc"), "tot")
         )
         kuc = (
-            und.join(
+            wedges.join(
                 labels.select(
                     F.col("node").alias("dst"), F.col("c").alias("nc")
                 ),
                 "dst",
             )
             .groupBy(F.col("src").alias("node"), "nc")
-            .agg(F.count("*").alias("k"))
+            .agg(F.sum("w").alias("k"))
         )
         cand = (
             kuc.unionByName(
@@ -2342,19 +2373,88 @@ def louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.coalesce("new_c", "c").alias("c"))
             .localCheckpoint(eager=True)
         )
-    sizes = labels.groupBy("c").agg(
-        F.count("*").cast("bigint").alias("community_size")
+    return labels
+
+
+def louvain_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL multi-level Louvain step (Blondel et al. 2008, the
+    aggregation phase the one-level operator stops before): run the
+    phase-1 sweeps, CONTRACT each community to a super-node (inter-
+    community edge weights = summed multiplicities; intra-community
+    mass enters the super-node's weighted degree via the symmetric
+    (c, c) rows — the self-loop-counted-twice convention), and run the
+    SAME weighted sweeps on the contracted graph.  Total edge weight m
+    is conserved by contraction, so the level-2 scores live on the same
+    modularity scale — the hierarchy is the point: level-2 communities
+    merge level-1 communities that individually looked stable.
+
+    Scale shape: level 1 as louvain_one_level; the contraction is two
+    label equi-joins + one (ca, cb) partial-agg count on the edge list;
+    level 2 runs on the COMMUNITY graph (nodes = communities, typically
+    orders of magnitude smaller), so its sweeps are nearly free — the
+    classic reason multi-level Louvain scales."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
     )
-    return (
-        labels.join(sizes, "c")
+    n = docs.count()
+    e = _link_edges(docs, n)
+    und = (
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = und.count() // 2
+    deg = und.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    wedges = und.withColumn("w", F.lit(1).cast("bigint"))
+    labels0 = docs.select(
+        F.col("doc_id").alias("node"),
+        F.col("doc_id").cast("bigint").alias("c"),
+    )
+    l1 = _louvain_sweeps(
+        labels0, wedges, deg, m, LOUVAIN_ROUNDS
+    ).localCheckpoint(eager=True)
+    # contraction: label both endpoints, keep (ca, cb, multiplicity)
+    la = l1.select(F.col("node").alias("src"), F.col("c").alias("ca"))
+    lb = l1.select(F.col("node").alias("dst"), F.col("c").alias("cb"))
+    e2 = (
+        und.join(la, "src")
+        .join(lb, "dst")
+        .groupBy("ca", "cb")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    # weighted degree of a super-node = ALL incident rows (the (c, c)
+    # rows carry each intra edge twice — the self-loop convention)
+    deg2 = e2.groupBy("ca").agg(F.sum("w").alias("deg")).select(
+        F.col("ca").alias("node"), "deg"
+    )
+    inter = e2.filter(F.col("ca") != F.col("cb")).select(
+        F.col("ca").alias("src"), F.col("cb").alias("dst"), "w"
+    )
+    supers = l1.select(F.col("c").alias("node")).distinct().select(
+        "node", F.col("node").alias("c")
+    )
+    l2 = _louvain_sweeps(supers, inter, deg2, m, LOUVAIN_ROUNDS)
+    mapping = l2.select(
+        F.col("node").alias("c"), F.col("c").alias("community_l2")
+    )
+    out = (
+        l1.join(mapping, "c")
         .select(
             F.col("node").alias("doc_id"),
-            F.col("c").alias("community"),
-            "community_size",
+            F.col("c").alias("community_l1"),
+            "community_l2",
         )
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
+        .withColumn(
+            "l2_size",
+            F.count("*").over(Window.partitionBy("community_l2")),
+        )
     )
+    return out.repartition(1).sortWithinPartitions("doc_id")
 
 
 def politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:

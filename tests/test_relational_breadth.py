@@ -1120,7 +1120,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.geo_dbscan, S.pca_power_iteration,
         R.histogram_quantile_sketch, T.dataset_card, R.skew_salt_plan,
         S.embedding_health_audit, D.entity_resolution_clusters,
-        W.politeness_schedule,
+        W.politeness_schedule, W.louvain_two_level,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
         S.mrr_eval, S.map_eval, S.rocchio_feedback,

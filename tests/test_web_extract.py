@@ -950,3 +950,68 @@ def test_politeness_schedule_dense_per_host_slots(spark, sf_dir):
         assert [r["slot"] for r in hr] == list(range(len(hr)))
         pr = [r["priority_ppb"] for r in hr]
         assert pr == sorted(pr, reverse=True)
+
+
+def test_louvain_two_level_hierarchy_and_replay(spark, sf_dir):
+    """Level-2 replayed in pure Python (contract + weighted sweeps with
+    the same integer score); hierarchy invariants: every l1 community
+    maps to exactly one l2 community and level 2 only merges."""
+    import duckdb
+
+    from ocr_spark.operators.web_extract import (
+        LOUVAIN_ROUNDS,
+        louvain_one_level,
+        louvain_two_level,
+    )
+
+    l1 = {r["doc_id"]: r["community"]
+          for r in louvain_one_level(spark, sf_dir).collect()}
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    und: dict[int, set[int]] = {i: set() for i in range(n)}
+    for i in range(n):
+        for t in ((7 * i + 1) % n, (13 * i + 2) % n, (31 * i + 3) % n):
+            if t != i:
+                und[i].add(t)
+                und[t].add(i)
+    m = sum(len(v) for v in und.values()) // 2
+    # contract
+    from collections import defaultdict
+
+    w2: dict[tuple[int, int], int] = defaultdict(int)
+    for a in range(n):
+        for b in und[a]:
+            w2[(l1[a], l1[b])] += 1
+    deg2: dict[int, int] = defaultdict(int)
+    for (ca, _cb), w in w2.items():
+        deg2[ca] += w
+    nodes = sorted({c for c in l1.values()})
+    lab = {c: c for c in nodes}
+    for _ in range(LOUVAIN_ROUNDS):
+        sig: dict[int, int] = defaultdict(int)
+        for u in nodes:
+            sig[lab[u]] += deg2[u]
+        new = {}
+        for u in nodes:
+            k: dict[int, int] = {lab[u]: 0}
+            for (a, b), w in w2.items():
+                if a == u and b != u:
+                    k[lab[b]] = k.get(lab[b], 0) + w
+            best = min(
+                (-(2 * m * kc - deg2[u]
+                   * (sig[c] - (deg2[u] if c == lab[u] else 0))), c)
+                for c, kc in k.items()
+            )
+            new[u] = best[1]
+        lab = new
+    got = louvain_two_level(spark, sf_dir).collect()
+    assert {r["doc_id"]: r["community_l2"] for r in got} == {
+        d: lab[c] for d, c in l1.items()
+    }
+    l1_to_l2 = {}
+    for r in got:
+        assert r["community_l1"] == l1[r["doc_id"]]
+        prev = l1_to_l2.setdefault(r["community_l1"], r["community_l2"])
+        assert prev == r["community_l2"]  # one l2 per l1 community
+    assert len(set(l1_to_l2.values())) <= len(l1_to_l2)
