@@ -257,6 +257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_propagation": similarity.knn_label_propagation,
         "pca_power_iteration": similarity.pca_power_iteration,
         "embedding_health_audit": similarity.embedding_health_audit,
+        "maxsim_late_interaction_topk":
+            similarity.maxsim_late_interaction_topk,
         # -- text analysis --
         "token_stats": text_analysis.token_stats,
         "quality_score": text_analysis.quality_score,
@@ -8988,6 +8990,44 @@ from p a join p b on a.key < b.key
 where (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
       <= {relational.GEO_R * relational.GEO_R}
 order by key_a, key_b
+"""
+    # MaxSim truth: the same quantized token sets, a literal pair join,
+    # max-per-query-token then sum, row_number top-K per query.
+    sql["maxsim_late_interaction_topk"] = f"""
+with t as (
+  select vec_id // {similarity.MAXSIM_GROUP} as doc, vec_id as tok,
+         list_transform(embedding,
+                        x -> cast(round(x::double * 1000) as bigint)) as qv
+  from embeddings
+),
+qs as (
+  select doc as q_doc, tok as q_tok, qv as q_qv from t
+  where doc % {similarity.MAXSIM_QMOD} = 0
+),
+ds as (select * from t where doc % {similarity.MAXSIM_QMOD} != 0),
+per as (
+  select qs.q_doc, qs.q_tok, ds.doc as d_doc,
+         max(list_aggregate(
+               list_transform(range(1, len(qs.q_qv) + 1),
+                              i -> qs.q_qv[i] * ds.qv[i]), 'sum'))
+           as best
+  from qs, ds
+  group by 1, 2, 3
+),
+sc as (
+  select q_doc, d_doc, sum(best) as maxsim_milli2
+  from per group by 1, 2
+),
+rk as (
+  select q_doc, d_doc, maxsim_milli2,
+         row_number() over (partition by q_doc
+           order by maxsim_milli2 desc, d_doc) as rk
+  from sc
+)
+select q_doc, d_doc, cast(maxsim_milli2 as bigint) as maxsim_milli2,
+       cast(rk as int) as rk
+from rk where rk <= {similarity.MAXSIM_TOPK}
+order by q_doc, rk
 """
     # Entity-resolution truth: the fuzzy-match pair SQL + the recursive
     # reachability closure (near_dup_clusters shape) over part keys.

@@ -257,6 +257,7 @@ def main() -> int:
         "entity_resolution_clusters",
         "politeness_schedule",
         "louvain_two_level",
+        "maxsim_late_interaction_topk",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -2401,3 +2401,73 @@ def embedding_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("metric")
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (MaxSim) retrieval over multi-vector documents
+# ---------------------------------------------------------------------------
+
+MAXSIM_GROUP = 4  # token-vectors per pseudo-document
+MAXSIM_QMOD = 25  # every 25th pseudo-doc is a query
+MAXSIM_TOPK = 5
+
+
+def maxsim_late_interaction_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR 2020): documents and queries are SETS of token vectors
+    (pseudo-docs of MAXSIM_GROUP consecutive embedding rows), and
+    relevance is MaxSim — for each query token take its best dot
+    product over the doc's tokens, then sum over query tokens:
+    score(q, d) = Σ_i max_j <q_i, d_j>.  Dot products run on
+    milli-quantized integers, so scores are engine-exact.
+
+    Scale shape: the query token set is TINY (every MAXSIM_QMOD-th
+    pseudo-doc) and broadcast — the corpus never shuffles for the
+    match; per-pair reduction is two partial aggs (max per query
+    token, then sum), and the final top-K is a per-QUERY window (never
+    global).  At production scale the broadcast pair-join is replaced
+    by a per-token ANN candidate fetch (the ivf/pq family in this
+    module) feeding the SAME two-agg MaxSim reduction — the reduction
+    is the operator; candidate generation is pluggable."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
+    )
+    toks = emb.select(
+        (F.col("vec_id") / MAXSIM_GROUP).cast("bigint").alias("doc"),
+        F.col("vec_id").alias("tok"),
+        q.alias("qv"),
+    )
+    queries = toks.filter(F.col("doc") % MAXSIM_QMOD == 0).select(
+        F.col("doc").alias("q_doc"),
+        F.col("tok").alias("q_tok"),
+        F.col("qv").alias("q_qv"),
+    )
+    docs = toks.filter(F.col("doc") % MAXSIM_QMOD != 0)
+    dot = F.aggregate(
+        F.zip_with("q_qv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    per_qtok = (
+        docs.join(F.broadcast(queries))
+        .withColumn("dot", dot)
+        .groupBy("q_doc", "q_tok", F.col("doc").alias("d_doc"))
+        .agg(F.max("dot").alias("best"))
+    )
+    scores = per_qtok.groupBy("q_doc", "d_doc").agg(
+        F.sum("best").alias("maxsim_milli2")
+    )
+    w = Window.partitionBy("q_doc").orderBy(
+        F.desc("maxsim_milli2"), F.asc("d_doc")
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MAXSIM_TOPK)
+        .select("q_doc", "d_doc", "maxsim_milli2", "rk")
+        .repartition(1)
+        .sortWithinPartitions("q_doc", "rk")
+    )

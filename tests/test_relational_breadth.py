@@ -1121,6 +1121,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.histogram_quantile_sketch, T.dataset_card, R.skew_salt_plan,
         S.embedding_health_audit, D.entity_resolution_clusters,
         W.politeness_schedule, W.louvain_two_level,
+        S.maxsim_late_interaction_topk,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
         S.mrr_eval, S.map_eval, S.rocchio_feedback,
@@ -3479,3 +3480,41 @@ def test_embedding_health_audit_flags(spark, tmp_path):
         "n_zero_vecs": 1,
         "sum_norm2_milli2": 2_000_000,
     }
+
+
+def test_maxsim_matches_python_replay(spark, sf_dir):
+    """Exact replay of quantize -> per-query-token max dot -> sum ->
+    per-query top-K in pure Python over the raw parquet."""
+    import pyarrow.parquet as pq
+
+    from ocr_spark.operators.similarity import (
+        MAXSIM_GROUP, MAXSIM_QMOD, MAXSIM_TOPK,
+        maxsim_late_interaction_topk,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    toks = {}
+    for vid, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()):
+        qv = [round(float(x) * 1000) for x in e]
+        toks.setdefault(int(vid) // MAXSIM_GROUP, []).append(qv)
+    queries = {d: v for d, v in toks.items() if d % MAXSIM_QMOD == 0}
+    docs = {d: v for d, v in toks.items() if d % MAXSIM_QMOD != 0}
+    expect = {}
+    for qd, qtoks in queries.items():
+        scores = []
+        for dd, dtoks in docs.items():
+            s = sum(
+                max(sum(a * b for a, b in zip(qt, dt)) for dt in dtoks)
+                for qt in qtoks
+            )
+            scores.append((-s, dd))
+        scores.sort()
+        for rk, (neg, dd) in enumerate(scores[:MAXSIM_TOPK], 1):
+            expect[(qd, dd)] = (-neg, rk)
+    got = {
+        (r["q_doc"], r["d_doc"]): (r["maxsim_milli2"], r["rk"])
+        for r in maxsim_late_interaction_topk(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) == len(queries) * MAXSIM_TOPK
