@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dup_matrix": dedup.cross_source_dup_matrix,
         "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
         "entity_resolution_clusters": dedup.entity_resolution_clusters,
+        "dedup_cascade_funnel": dedup.dedup_cascade_funnel,
         "dedup_canonical_pick": dedup.dedup_canonical_pick,
         "simhash64": dedup.simhash64,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -8990,6 +8991,56 @@ from p a join p b on a.key < b.key
 where (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
       <= {relational.GEO_R * relational.GEO_R}
 order by key_a, key_b
+"""
+    # Funnel truth: url-canonical survivors -> exact-digest survivors ->
+    # LSH-pair closure survivors, all min-doc_id rules, counts diffed.
+    sql["dedup_cascade_funnel"] = f"""
+with recursive uc as ({sql["url_canonicalize"]}),
+s1 as (select doc_id from uc where is_survivor = 1),
+e1 as (
+  select d.doc_id, md5(d.text) as dg
+  from documents d join s1 on s1.doc_id = d.doc_id
+),
+s2 as (
+  select doc_id from (
+    select doc_id,
+           (doc_id = min(doc_id) over (partition by dg))::int as k
+    from e1
+  ) where k = 1
+),
+lsh as ({_LSH_ORACLE}),
+edges as (
+  select doc_a as a, doc_b as b from lsh
+  join s2 sa on sa.doc_id = lsh.doc_a
+  join s2 sb on sb.doc_id = lsh.doc_b
+  union
+  select doc_b, doc_a from lsh
+  join s2 sa on sa.doc_id = lsh.doc_a
+  join s2 sb on sb.doc_id = lsh.doc_b
+),
+walk(id, r) as (
+  select doc_id, doc_id from s2
+  union
+  select w.id, e.b from walk w join edges e on e.a = w.r
+),
+lab as (select id, min(r) as cid from walk group by id),
+s3 as (select id as doc_id from lab where id = cid),
+c as (
+  select (select count(*) from documents) as n0,
+         (select count(*) from s1) as n1,
+         (select count(*) from s2) as n2,
+         (select count(*) from s3) as n3
+)
+select stage, cast(n_docs as bigint) as n_docs,
+       cast(removed as bigint) as removed
+from (
+  select '0_total' as stage, n0 as n_docs, 0 as removed from c
+  union all select '1_url', n1, n0 - n1 from c
+  union all select '2_exact', n2, n1 - n2 from c
+  union all select '3_near_dup', n3, n2 - n3 from c
+)
+where (select n0 from c) >= 0
+order by stage
 """
     # MaxSim truth: the same quantized token sets, a literal pair join,
     # max-per-query-token then sum, row_number top-K per query.

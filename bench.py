@@ -258,6 +258,7 @@ def main() -> int:
         "politeness_schedule",
         "louvain_two_level",
         "maxsim_late_interaction_topk",
+        "dedup_cascade_funnel",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -1785,3 +1785,77 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("tau_tenths")
     )
+
+
+def dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged-dedup FUNNEL report — cheap-to-expensive cascade
+    every production pipeline runs (and the numbers its owner actually
+    watches): URL-canonical dedup first (pure string ops), exact
+    content digest second (one hash shuffle), minhash-LSH near-dup last
+    (the only expensive stage, now over the already-thinned corpus).
+    Output: one row per stage with the surviving count and how many
+    that stage removed — the marginal yield that justifies (or kills)
+    each stage's cost at 100 TB.
+
+    Survivor rules are deterministic min-doc_id at every stage, so the
+    funnel is engine-exact.  Scale shape: stage 1-2 are map-side +
+    one keyed shuffle each; stage 3 reuses the banded LSH pair shape
+    restricted to survivors (pairs whose endpoints were already
+    removed never reach CC)."""
+    from ocr_spark.operators.web_extract import (
+        _synth_raw_url,
+        canonicalize_url,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_total = docs.count()
+    canon = docs.select(
+        "doc_id", canonicalize_url(_synth_raw_url(F.col("doc_id"))).alias("cu")
+    )
+    w1 = Window.partitionBy("cu")
+    s1 = (
+        canon.withColumn("mn", F.min("doc_id").over(w1))
+        .filter(F.col("doc_id") == F.col("mn"))
+        .select("doc_id")
+    )
+    n_url = s1.count()
+    w2 = Window.partitionBy("digest")
+    s2 = (
+        docs.join(s1, "doc_id")
+        .select("doc_id", F.md5("text").alias("digest"))
+        .withColumn("mn", F.min("doc_id").over(w2))
+        .filter(F.col("doc_id") == F.col("mn"))
+        .select("doc_id")
+    )
+    n_exact = s2.count()
+    pairs = (
+        lsh_candidates(spark, sf_dir)
+        .join(s2.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(s2.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    labels = connected_components(pairs)
+    survivors3 = (
+        s2.join(labels.withColumnRenamed("doc_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cid"),
+        )
+        .filter(F.col("doc_id") == F.col("cid"))
+    )
+    n_near = survivors3.count()
+    rows = [
+        ("0_total", n_total, 0),
+        ("1_url", n_url, n_total - n_url),
+        ("2_exact", n_exact, n_url - n_exact),
+        ("3_near_dup", n_near, n_exact - n_near),
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "stage string, n_docs bigint, removed bigint"
+        )
+        .repartition(1)
+        .sortWithinPartitions("stage")
+    )

@@ -1071,3 +1071,42 @@ def test_entity_resolution_matches_union_find(spark, sf_dir):
         assert r["entity_size"] == sizes[r["entity_id"]]
         assert r["is_canonical"] == int(r["p_partkey"] == r["entity_id"])
     assert any(s > 1 for s in sizes.values())  # real merges happened
+
+
+def test_dedup_cascade_funnel_stage_semantics(spark, tmp_path):
+    """Crafted corpus: 60 docs.  URL residues collide every 60 ids so
+    stage 1 keeps one per (host,path,query-class) group; two exact
+    copies among url-survivors collapse at stage 2; a near-identical
+    (not byte-equal) pair collapses at stage 3.  Counts telescope."""
+    from ocr_spark.operators.dedup import dedup_cascade_funnel
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base + " extra"
+    d = str(tmp_path)
+    rows = []
+    for i in range(60):
+        # make docs 0 and 1 url-distinct but text-identical; 2 is a
+        # near-dup of them; others unique
+        if i in (0, 1):
+            text = base
+        elif i == 2:
+            text = near
+        else:
+            text = " ".join(f"w{i}_{j}" for j in range(40))
+        rows.append((i, text, "en", "s", 10))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    f = {r["stage"]: r for r in dedup_cascade_funnel(spark, d).collect()}
+    assert list(sorted(f)) == ["0_total", "1_url", "2_exact", "3_near_dup"]
+    assert f["0_total"]["n_docs"] == 60
+    # telescoping: removed sums to total - final
+    removed = sum(r["removed"] for r in f.values())
+    assert removed == 60 - f["3_near_dup"]["n_docs"]
+    # each stage is monotone non-increasing
+    assert (f["0_total"]["n_docs"] >= f["1_url"]["n_docs"]
+            >= f["2_exact"]["n_docs"] >= f["3_near_dup"]["n_docs"])
+    # stage 2 or 3 actually removed the crafted dup/near-dup (if their
+    # url survivors kept both copies)
+    assert f["2_exact"]["removed"] + f["3_near_dup"]["removed"] >= 1

@@ -1181,6 +1181,10 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
     )
     sw = D.dedup_threshold_sweep(spark, d).collect()
     assert len(sw) == 8 and all(r["n_pairs"] == 0 for r in sw)
+    fu = {r["stage"]: r for r in D.dedup_cascade_funnel(spark, d).collect()}
+    assert len(fu) == 4 and all(
+        r["n_docs"] == 0 and r["removed"] == 0 for r in fu.values()
+    )
 
 
 def test_pareto_frontier_dominance_rules(spark, tmp_path):
