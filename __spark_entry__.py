@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
         "entity_resolution_clusters": dedup.entity_resolution_clusters,
         "dedup_cascade_funnel": dedup.dedup_cascade_funnel,
+        "dedup_span_excision": dedup.dedup_span_excision,
         "dedup_canonical_pick": dedup.dedup_canonical_pick,
         "simhash64": dedup.simhash64,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -343,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_dbscan": relational.geo_dbscan,
         "histogram_quantile_sketch": relational.histogram_quantile_sketch,
         "skew_salt_plan": relational.skew_salt_plan,
+        "brier_decomposition": relational.brier_decomposition,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -8991,6 +8993,96 @@ from p a join p b on a.key < b.key
 where (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
       <= {relational.GEO_R * relational.GEO_R}
 order by key_a, key_b
+"""
+    # Brier truth: same bins, per-term half-away ppm in hugeint, direct
+    # BS, and the decomposition gap recomputed from the parts.
+    _bw = 100 // relational.BRIER_BINS
+    sql["brier_decomposition"] = f"""
+with base as (
+  select cast(round(value * 100) as bigint) % 100 as c,
+         case when event_type = 'purchase' then 1 else 0 end as o
+  from events
+),
+bins as (
+  select c // {_bw} as b, count(*) as n_k, sum(c) as s_k, sum(o) as o_k
+  from base group by 1
+),
+tot as (select sum(n_k) as n, sum(o_k) as o from bins),
+terms as (
+  select
+    sum((2 * ((s_k - 100 * o_k)::hugeint * (s_k - 100 * o_k)) * 1000000
+         + 10000::hugeint * t.n * n_k)
+        // (2 * 10000::hugeint * t.n * n_k)) as rel,
+    sum((2 * ((o_k * t.n - t.o * n_k)::hugeint
+              * (o_k * t.n - t.o * n_k)) * 1000000
+         + n_k::hugeint * t.n * t.n * t.n)
+        // (2 * n_k::hugeint * t.n * t.n * t.n)) as res
+  from bins, tot t
+),
+direct as (select sum((c - 100 * o) * (c - 100 * o)) as sq from base),
+fin as (
+  select cast(t.n as bigint) as n, cast(t.o as bigint) as n_pos,
+         cast((2 * d.sq::hugeint * 1000000 + 10000::hugeint * t.n)
+              // (2 * 10000::hugeint * t.n) as bigint) as brier_ppm,
+         cast(terms.rel as bigint) as reliability_ppm,
+         cast(terms.res as bigint) as resolution_ppm,
+         cast((2 * (t.o::hugeint * (t.n - t.o)) * 1000000
+               + t.n::hugeint * t.n)
+              // (2 * t.n::hugeint * t.n) as bigint) as uncertainty_ppm
+  from tot t, terms, direct d
+  where t.n > 0
+)
+select *, brier_ppm - (reliability_ppm - resolution_ppm
+                       + uncertainty_ppm) as identity_gap_ppm
+from fin
+"""
+    # Excision truth: same window/dup-hash construction, the identical
+    # lag + running-max island merge, per-doc cut budget.
+    sql["dedup_span_excision"] = f"""
+with wins as (
+  select doc_id, unnest(range(1, length(text) - {dedup.SUBSTR_W - 2},
+                              {dedup.SUBSTR_STRIDE})) as pos, text
+  from documents where length(text) >= {dedup.SUBSTR_W}
+),
+wh as (
+  select doc_id, pos, md5(substr(text, pos, {dedup.SUBSTR_W})) as h
+  from wins
+),
+dup as (select h from wh group by h having min(doc_id) <> max(doc_id)),
+dw as (
+  select doc_id, pos, pos + {dedup.SUBSTR_W} as e
+  from wh where h in (select h from dup)
+),
+run as (
+  select doc_id, pos, e,
+         max(e) over (partition by doc_id order by pos
+                      rows between unbounded preceding and 1 preceding)
+           as prev_max_e
+  from dw
+),
+isl as (
+  select doc_id, pos, e,
+         sum(case when prev_max_e is null or pos > prev_max_e
+                  then 1 else 0 end)
+           over (partition by doc_id order by pos
+                 rows unbounded preceding) as island
+  from run
+),
+agg as (
+  select doc_id, island, min(pos) as s, max(e) as e
+  from isl group by 1, 2
+),
+per as (
+  select doc_id, count(*) as n_islands, sum(e - s) as excised
+  from agg group by 1
+)
+select d.doc_id, cast(length(d.text) as int) as n_chars,
+       cast(coalesce(p.n_islands, 0) as bigint) as n_islands,
+       cast(coalesce(p.excised, 0) as bigint) as excised_chars,
+       cast(length(d.text) - coalesce(p.excised, 0) as bigint)
+         as kept_chars
+from documents d left join per p using (doc_id)
+order by d.doc_id
 """
     # Funnel truth: url-canonical survivors -> exact-digest survivors ->
     # LSH-pair closure survivors, all min-doc_id rules, counts diffed.

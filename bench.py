@@ -259,6 +259,8 @@ def main() -> int:
         "louvain_two_level",
         "maxsim_late_interaction_topk",
         "dedup_cascade_funnel",
+        "dedup_span_excision",
+        "brier_decomposition",
     ]
     if only:
         headline = [q for q in headline if q in only]

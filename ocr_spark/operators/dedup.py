@@ -1859,3 +1859,105 @@ def dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("stage")
     )
+
+
+def _dup_window_rows(
+    docs: DataFrame, w: int = SUBSTR_W, stride: int = SUBSTR_STRIDE
+) -> DataFrame:
+    """(doc_id, pos) rows for every strided window whose hash occurs in
+    MORE than one document — the shared detection core of
+    duplicate_substring_spans (see its docstring for the index shape)
+    and dedup_span_excision."""
+    wins = docs.filter(F.length("text") >= w).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.length("text") - (w - 1), F.lit(stride)
+                ),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.substring(F.col("text"), i, F.lit(w))).alias("h"),
+                ),
+            )
+        ).alias("win"),
+    ).select(
+        "doc_id", F.col("win.pos").alias("pos"), F.col("win.h").alias("h")
+    )
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    return wins.join(dup_hashes, "h", "left_semi").select("doc_id", "pos")
+
+
+def dedup_span_excision(
+    spark: SparkSession, sf_dir: str, w: int = SUBSTR_W,
+    stride: int = SUBSTR_STRIDE,
+) -> DataFrame:
+    """The EXCISION half of Lee et al.'s "Deduplicating Training Data
+    Makes Language Models Better" (ACL'22): duplicate_substring_spans
+    finds cross-document duplicated windows; this operator turns them
+    into the per-document CUT LIST and its budget effect — each dup
+    window covers chars [pos, pos+w), overlapping/adjacent windows
+    merge into maximal islands (the classic lag + running-max island
+    pass), and the report says how many characters excision removes
+    and keeps per document.  The pipeline's "how much do we lose if we
+    cut every shared passage" answer.
+
+    Scale shape: the detection core's window-hash shuffles (see
+    _dup_window_rows), then ONE doc-partitioned window chain (lag +
+    running max + cumulative island id — never a global window) and a
+    per-island aggregate.  All integer char arithmetic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dups = _dup_window_rows(docs, w, stride)
+    ww = Window.partitionBy("doc_id").orderBy("pos")
+    run = (
+        dups.withColumn("e", F.col("pos") + w)
+        .withColumn(
+            "prev_max_e",
+            F.max("e").over(ww.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_island",
+            (
+                F.col("prev_max_e").isNull()
+                | (F.col("pos") > F.col("prev_max_e"))
+            ).cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                ww.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    islands = run.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("e") - F.col("s")).alias("excised_chars"),
+    )
+    return (
+        docs.select("doc_id", F.length("text").alias("n_chars"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_islands", F.lit(0)).cast("bigint")
+            .alias("n_islands"),
+            F.coalesce("excised_chars", F.lit(0)).cast("bigint")
+            .alias("excised_chars"),
+            (
+                F.col("n_chars")
+                - F.coalesce("excised_chars", F.lit(0))
+            ).cast("bigint").alias("kept_chars"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -6448,3 +6448,86 @@ def skew_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier score decomposition (forecast-quality triptych)
+# ---------------------------------------------------------------------------
+
+BRIER_BINS = 10
+
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (Murphy, J. Appl.
+    Meteorology 1973): BS = Reliability − Resolution + Uncertainty —
+    the standard diagnosis of a probabilistic scorer BEFORE it gates a
+    corpus: Reliability says the probabilities are honest (calibration;
+    what isotonic_calibration fixes), Resolution says they actually
+    separate outcomes (what AUC measures rank-wise), Uncertainty is
+    the outcome base rate's intrinsic floor.  Forecast = the event
+    value's cent fraction as p in [0, 1); outcome = purchase.
+
+    Exactness: per-bin aggregates are integers; each decomposition
+    term is rounded half-away to ppm PER BIN (the entropy_rate
+    convention — both engines round identically), and the directly
+    computed Brier is exact; ``identity_gap_ppm`` carries the few-ppm
+    per-bin rounding residue, pinning the identity numerically.
+
+    Scale shape: one groupBy over BRIER_BINS bins (map-side partials),
+    one scalar aggregate for the direct BS, O(bins) driver arithmetic
+    (tiny-stats policy).  The oracle replays the arithmetic in
+    hugeint."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        F.expr("cast(round(value * 100) as bigint) % 100").alias("c"),
+        F.expr(
+            "case when event_type = 'purchase' then 1 else 0 end"
+        ).alias("o"),
+    )
+    bins = (
+        base.withColumn("b", F.expr(f"c div {100 // BRIER_BINS}"))
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("n_k"),
+            F.sum("c").alias("s_k"),
+            F.sum("o").alias("o_k"),
+        )
+        .collect()
+    )
+    if not bins:
+        return spark.createDataFrame(
+            [],
+            "n bigint, n_pos bigint, brier_ppm bigint, "
+            "reliability_ppm bigint, resolution_ppm bigint, "
+            "uncertainty_ppm bigint, identity_gap_ppm bigint",
+        )
+    direct = base.agg(
+        F.sum(F.expr("(c - 100 * o) * (c - 100 * o)")).alias("sq")
+    ).first()["sq"]
+    N = sum(r["n_k"] for r in bins)
+    O = sum(r["o_k"] for r in bins)
+
+    def hd(num: int, den: int) -> int:
+        return (2 * num * 1_000_000 + den) // (2 * den)
+
+    rel = sum(
+        hd((r["s_k"] - 100 * r["o_k"]) ** 2, 10_000 * N * r["n_k"])
+        for r in bins
+    )
+    res = sum(
+        hd((r["o_k"] * N - O * r["n_k"]) ** 2, r["n_k"] * N ** 3)
+        for r in bins
+    )
+    unc = hd(O * (N - O), N * N)
+    bs = hd(int(direct), 10_000 * N)
+    gap = bs - (rel - res + unc)
+    return (
+        spark.createDataFrame(
+            [(N, O, bs, rel, res, unc, gap)],
+            "n bigint, n_pos bigint, brier_ppm bigint, "
+            "reliability_ppm bigint, resolution_ppm bigint, "
+            "uncertainty_ppm bigint, identity_gap_ppm bigint",
+        )
+        .repartition(1)
+        .sortWithinPartitions("n")
+    )

@@ -1110,3 +1110,37 @@ def test_dedup_cascade_funnel_stage_semantics(spark, tmp_path):
     # stage 2 or 3 actually removed the crafted dup/near-dup (if their
     # url survivors kept both copies)
     assert f["2_exact"]["removed"] + f["3_near_dup"]["removed"] >= 1
+
+
+def test_dedup_span_excision_islands(spark, tmp_path):
+    """Two docs share a long passage and a second disjoint one: the
+    windows merge into the right islands, excised+kept == n_chars, and
+    a doc with no shared content excises nothing."""
+    from ocr_spark.operators.dedup import (
+        SUBSTR_W,
+        dedup_span_excision,
+    )
+
+    shared1 = "A" * 40 + "B" * 25
+    shared2 = "C" * 50
+    mid = "".join(chr(ord("d") + (i % 20)) + str(i % 7) for i in range(40))
+    doc0 = shared1 + mid + shared2
+    doc1 = shared1 + "xyz" + shared2
+    solo = "".join(chr(ord("p") + (i % 9)) + str(i % 5) for i in range(60))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, doc0, "en", "s", len(doc0)),
+            (1, doc1, "en", "s", len(doc1)),
+            (2, solo, "en", "s", len(solo)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in dedup_span_excision(spark, d).collect()}
+    assert rows[2]["excised_chars"] == 0 and rows[2]["n_islands"] == 0
+    assert rows[2]["kept_chars"] == rows[2]["n_chars"]
+    for i in (0, 1):
+        r = rows[i]
+        assert r["excised_chars"] + r["kept_chars"] == r["n_chars"]
+        assert r["n_islands"] >= 1
+        assert r["excised_chars"] >= SUBSTR_W  # at least one window cut

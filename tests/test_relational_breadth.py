@@ -1121,7 +1121,8 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.histogram_quantile_sketch, T.dataset_card, R.skew_salt_plan,
         S.embedding_health_audit, D.entity_resolution_clusters,
         W.politeness_schedule, W.louvain_two_level,
-        S.maxsim_late_interaction_topk,
+        S.maxsim_late_interaction_topk, D.dedup_span_excision,
+        R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
         S.mrr_eval, S.map_eval, S.rocchio_feedback,
@@ -3522,3 +3523,42 @@ def test_maxsim_matches_python_replay(spark, sf_dir):
     }
     assert got == expect
     assert len(got) == len(queries) * MAXSIM_TOPK
+
+
+def test_brier_decomposition_identity_and_extremes(spark, tmp_path):
+    """Perfectly calibrated two-bin forecasts: reliability ~ 0,
+    resolution equals its hand value, and the Murphy identity holds to
+    per-bin rounding (|gap| <= bins ppm)."""
+    from datetime import datetime
+
+    from ocr_spark.operators.relational import brier_decomposition
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # bin p=0.05 (c=5): 20 events, exactly 1 purchase (rate 0.05)
+    for i in range(20):
+        rows.append((eid, t0, 1, "purchase" if i == 0 else "view",
+                     1.05, "{}"))
+        eid += 1
+    # bin p=0.95 (c=95): 20 events, 19 purchases (rate 0.95)
+    for i in range(20):
+        rows.append((eid, t0, 1, "view" if i == 0 else "purchase",
+                     1.95, "{}"))
+        eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = brier_decomposition(spark, d).collect()[0]
+    assert r["n"] == 40 and r["n_pos"] == 20
+    # calibrated: mean forecast per bin == outcome rate per bin
+    assert r["reliability_ppm"] == 0
+    # resolution = mean (rate_k - 0.5)^2 = 0.45^2 = 0.2025
+    assert abs(r["resolution_ppm"] - 202_500) <= 2
+    assert r["uncertainty_ppm"] == 250_000  # 0.5 * 0.5
+    # BS = rel - res + unc = 0.0475
+    assert abs(r["brier_ppm"] - 47_500) <= 2
+    assert abs(r["identity_gap_ppm"]) <= 10
