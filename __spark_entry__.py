@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_splice": spans.span_splice,
         "caption_mining": spans.caption_mining,
         "pdf_page_explode": spans.pdf_page_explode,
+        "interleaved_pack": _q_interleaved_pack,
         "row_cluster": spans.row_cluster,
         "reading_order_rank": spans.reading_order_rank,
         "line_merge": spans.line_merge,
@@ -706,6 +707,12 @@ def _q_stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.streaming.stream import stream_qsketch_query
 
     return stream_qsketch_query(spark, sf_dir)
+
+
+def _q_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.spans import interleaved_pack
+
+    return interleaved_pack(spark, _corpus_path(_corpus_docs_for(sf_dir)))
 
 
 def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8993,6 +9000,40 @@ from p a join p b on a.key < b.key
 where (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
       <= {relational.GEO_R * relational.GEO_R}
 order by key_a, key_b
+"""
+    # Interleaved-pack truth: unnest the CHECK-SCALE corpus parquet
+    # (the driver runs oracles at sf0.01 -> 80-doc corpus; built on
+    # demand) and replay the per-shard running sum.
+    from ocr_spark.operators.spans import IPACK_SHARDS as _IPS
+    from ocr_spark.operators.text_analysis import SEQ_LEN as _ISL
+
+    sql["interleaved_pack"] = f"""
+with ex as (
+  select doc_id, generate_subscripts(spans, 1) - 1 as span_idx,
+         unnest(spans) as s
+  from read_parquet('{_corpus_path(80)}')
+),
+base as (
+  select doc_id, span_idx, s.kind as kind,
+         case when s.kind = 'text'
+              then len(string_split(s."text", ' '))
+              else 1 end as n_tokens,
+         cast(right(doc_id, 8) as int) % {_IPS} as shard
+  from ex
+),
+p as (
+  select *, sum(n_tokens) over (partition by shard
+             order by doc_id, span_idx
+             rows unbounded preceding) as cum_end
+  from base
+)
+select doc_id, cast(span_idx as int) as span_idx, kind,
+       cast(n_tokens as bigint) as n_tokens,
+       cast(shard as int) as shard,
+       cast(cum_end - n_tokens as bigint) as start_tok,
+       cast((cum_end - n_tokens) // {_ISL} as bigint) as first_seq,
+       cast((cum_end - 1) // {_ISL} as bigint) as last_seq
+from p order by doc_id, span_idx
 """
     # Brier truth: same bins, per-term half-away ppm in hugeint, direct
     # BS, and the decomposition gap recomputed from the parts.

@@ -261,6 +261,7 @@ def main() -> int:
         "dedup_cascade_funnel",
         "dedup_span_excision",
         "brier_decomposition",
+        "interleaved_pack",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -385,3 +385,72 @@ def caption_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id", "media_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved multimodal sequence packing (text tokens + media placeholders)
+# ---------------------------------------------------------------------------
+
+IPACK_SHARDS = 4
+
+
+def interleaved_pack(spark: SparkSession, corpus_path: str) -> DataFrame:
+    """Sequence packing for the INTERLEAVED corpus itself — the step
+    that turns (doc_id, spans) rows into multimodal training sequences
+    (Flamingo/MM1-style): every text span contributes its token count,
+    every media span contributes exactly ONE placeholder token (the
+    <image> slot the vision encoder later fills), and the concatenated
+    shard stream is cut into SEQ_LEN-token sequences.  Output maps
+    every span to its token interval (start_tok, first_seq, last_seq)
+    — the manifest a loader needs to splice pixel features into the
+    token stream at the right positions.
+
+    Scale shape: sequence_pack's per-shard running sum (the shard —
+    doc_id residue here, ingest file in production — is the parallel
+    unit; one window shuffle on the shard key, never global), over
+    posexploded spans (map-side)."""
+    from ocr_spark.operators.text_analysis import SEQ_LEN
+
+    df = spark.read.parquet(corpus_path).select("doc_id", "spans")
+    ex = df.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "s")
+    )
+    toks = (
+        F.when(
+            F.col("s.kind") == "text",
+            F.size(F.split(F.col("s.text"), " ")),
+        )
+        .otherwise(F.lit(1))
+        .cast("bigint")
+    )
+    base = ex.select(
+        "doc_id",
+        "span_idx",
+        F.col("s.kind").alias("kind"),
+        toks.alias("n_tokens"),
+        (
+            F.expr("cast(right(doc_id, 8) as int)") % IPACK_SHARDS
+        ).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "span_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = base.withColumn("cum_end", F.sum("n_tokens").over(w))
+    return (
+        p.select(
+            "doc_id",
+            "span_idx",
+            "kind",
+            "n_tokens",
+            F.col("shard").cast("int").alias("shard"),
+            (F.col("cum_end") - F.col("n_tokens")).alias("start_tok"),
+            F.expr(f"(cum_end - n_tokens) div {SEQ_LEN}").alias(
+                "first_seq"
+            ),
+            F.expr(f"(cum_end - 1) div {SEQ_LEN}").alias("last_seq"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id", "span_idx")
+    )

@@ -1712,3 +1712,32 @@ def test_dataset_card_hand_computed(spark, tmp_path):
         "n_tokens": 60,
         "short_docs_ppm": 250_000,     # 1 of 4
     }
+
+
+def test_interleaved_pack_invariants(spark, corpus_path):
+    """Media spans cost exactly one placeholder token; per-shard
+    offsets telescope (start of next span in stream order == previous
+    cum end); spans never span more sequences than their token count
+    allows."""
+    from ocr_spark.operators.spans import interleaved_pack
+    from ocr_spark.operators.text_analysis import SEQ_LEN
+
+    rows = interleaved_pack(spark, corpus_path).collect()
+    assert rows
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        if r["kind"] == "media":
+            assert r["n_tokens"] == 1
+        else:
+            assert r["n_tokens"] >= 1
+        assert r["last_seq"] >= r["first_seq"]
+        assert (r["last_seq"] - r["first_seq"]) <= r["n_tokens"] // SEQ_LEN + 1
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, sr in by_shard.items():
+        sr.sort(key=lambda r: (r["doc_id"], r["span_idx"]))
+        cum = 0
+        for r in sr:
+            assert r["start_tok"] == cum
+            cum += r["n_tokens"]
+            assert r["first_seq"] == r["start_tok"] // SEQ_LEN
+            assert r["last_seq"] == (cum - 1) // SEQ_LEN
