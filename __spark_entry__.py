@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": text_analysis.sequence_pack,
         "padding_waste_audit": text_analysis.padding_waste_audit,
         "dataset_card": text_analysis.dataset_card,
+        "packing_seqlen_sweep": text_analysis.packing_seqlen_sweep,
         "bpe_merges": text_analysis.bpe_merges,
         "bpe_tokenize": text_analysis.bpe_tokenize,
         "bpe_fertility": text_analysis.bpe_fertility,
@@ -329,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk_trending": _q_stream_topk,
         "stream_near_dup_gate": _q_stream_gate,
         "stream_quantile_sketch": _q_stream_qsketch,
+        "stream_tv_drift_by_day": _q_stream_tvdrift,
         # -- relational breadth --
         "pricing_summary": relational.pricing_summary,
         "top_orders_per_segment": relational.top_orders_per_segment,
@@ -713,6 +715,12 @@ def _q_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.spans import interleaved_pack
 
     return interleaved_pack(spark, _corpus_path(_corpus_docs_for(sf_dir)))
+
+
+def _q_stream_tvdrift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.streaming.stream import stream_tv_drift_query
+
+    return stream_tv_drift_query(spark, sf_dir)
 
 
 def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9000,6 +9008,58 @@ from p a join p b on a.key < b.key
 where (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
       <= {relational.GEO_R * relational.GEO_R}
 order by key_a, key_b
+"""
+    # Streaming-TV-drift truth: day-keyed merged partials equal the
+    # batch day histograms; TV in cross-multiplied integer ppm.
+    from ocr_spark.streaming import stream as streammod
+
+    sql["stream_tv_drift_by_day"] = f"""
+with t as (
+  select cast(ts as date) as day,
+         least(greatest((cast(round(value * 100) as bigint)
+                         - {streammod.QSKETCH_LO})
+                        // {streammod.QSKETCH_W}, 0),
+               {streammod.QSKETCH_B - 1}) as b
+  from events
+),
+h as (select day, b, count(*) as cnt from t group by 1, 2),
+ref as (select b, sum(cnt) as rc from h group by 1),
+tot as (select sum(cnt) as n from h),
+perday as (select day, sum(cnt) as n_day from h group by 1),
+terms as (
+  select p.day, p.n_day,
+         sum(abs(coalesce(hh.cnt, 0) * t.n - r.rc * p.n_day)) as num
+  from perday p
+  cross join tot t
+  join ref r on true
+  left join h hh on hh.day = p.day and hh.b = r.b
+  group by 1, 2, t.n
+)
+select day, cast(n_day as bigint) as n_day,
+       cast((2 * num * 1000000 + 2 * n_day * (select n from tot))
+            // (2 * 2 * n_day * (select n from tot)) as bigint) as tv_ppm
+from terms order by day
+"""
+    # Packing-sweep truth: per-source totals + identical ceil/waste
+    # arithmetic over the literal length list.
+    sql["packing_seqlen_sweep"] = f"""
+with tl as (
+  select source, sum(len(string_split(text, ' '))) as total
+  from documents group by 1
+),
+l as (select unnest([{", ".join(str(x) for x in text_analysis.PACK_SWEEP_LENS)}]) as L),
+per as (
+  select l.L, count(*) as n_shards,
+         sum((total + l.L - 1) // l.L) as n_seqs, sum(total) as actual
+  from tl, l group by 1
+)
+select cast(L as int) as seq_len, cast(n_shards as bigint) as n_shards,
+       cast(n_seqs as bigint) as n_seqs,
+       cast(actual as bigint) as actual_tokens,
+       cast(n_seqs * L as bigint) as padded_tokens,
+       cast((2 * (n_seqs * L - actual) * 1000000 + n_seqs * L)
+            // (2 * n_seqs * L) as bigint) as tail_waste_ppm
+from per order by seq_len
 """
     # Interleaved-pack truth: unnest the CHECK-SCALE corpus parquet
     # (the driver runs oracles at sf0.01 -> 80-doc corpus; built on

@@ -262,6 +262,8 @@ def main() -> int:
         "dedup_span_excision",
         "brier_decomposition",
         "interleaved_pack",
+        "packing_seqlen_sweep",
+        "stream_tv_drift_by_day",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -4445,3 +4445,57 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("metric")
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing-length sweep (choose SEQ_LEN from measured tail waste)
+# ---------------------------------------------------------------------------
+
+PACK_SWEEP_LENS = (64, 128, 256, 512)
+
+
+def packing_seqlen_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How the sequence length is actually chosen: for each candidate
+    SEQ_LEN, the per-shard token streams (sequence_pack's shape) cut
+    into ceil(total/L) sequences, and the TAIL waste — the padded
+    remainder of each shard's final sequence — reported in half-away
+    ppm of the padded total.  Longer sequences amortize per-sequence
+    overhead but strand more tail; the sweep quantifies the tradeoff
+    on the real corpus (the packing twin of padding_waste_audit's
+    batching sweep).
+
+    Scale shape: ONE aggregate computes every per-source token total
+    (map-side partials); the sweep over PACK_SWEEP_LENS is arithmetic
+    on the O(sources) totals — no per-length rescan."""
+    docs = _docs(spark, sf_dir)
+    totals = (
+        docs.select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("t").alias("total"))
+        .collect()
+    )
+    if not totals:
+        return spark.createDataFrame(
+            [],
+            "seq_len int, n_shards bigint, n_seqs bigint, "
+            "actual_tokens bigint, padded_tokens bigint, tail_waste_ppm bigint",
+        )
+    rows = []
+    for L in PACK_SWEEP_LENS:
+        n_seqs = sum(-(-int(r["total"]) // L) for r in totals)
+        actual = sum(int(r["total"]) for r in totals)
+        padded = n_seqs * L
+        waste = (2 * (padded - actual) * 1_000_000 + padded) // (2 * padded)
+        rows.append((L, len(totals), n_seqs, actual, padded, waste))
+    return (
+        spark.createDataFrame(
+            rows,
+            "seq_len int, n_shards bigint, n_seqs bigint, "
+            "actual_tokens bigint, padded_tokens bigint, tail_waste_ppm bigint",
+        )
+        .repartition(1)
+        .sortWithinPartitions("seq_len")
+    )

@@ -1337,3 +1337,115 @@ def stream_qsketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("q_pct")
     )
+
+
+def stream_tv_drift_by_day(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming distribution-drift monitor: per-micro-batch (day,
+    bucket) histogram PARTIALS over the event value — keyed by EVENT
+    TIME (the day), not by batch, so the merged per-day histograms are
+    independent of micro-batch boundaries (additivity again; the same
+    design as stream_quantile_sketch).  The wrapper merges partials and
+    scores each day's value distribution against the whole-corpus
+    reference by total-variation distance — drift in exact integer
+    ppm, no logs, no floats."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        bucket = F.least(
+            F.greatest(
+                F.expr(
+                    f"(cast(round(value * 100) as bigint)"
+                    f" - {QSKETCH_LO}) div {QSKETCH_W}"
+                ),
+                F.lit(0),
+            ),
+            F.lit(QSKETCH_B - 1),
+        )
+        (
+            batch_df.select(
+                F.to_date("ts").alias("day"), bucket.alias("b")
+            )
+            .groupBy("day", "b")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(output_dir)
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_tv_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: drain events through the day-keyed
+    histogram partials, merge, and report per-day total-variation
+    distance to the whole-corpus reference in half-away ppm:
+    TV = (1/2) Σ_b |c_b/n_day − C_b/N| — cross-multiplied to
+    |c_b·N − C_b·n_day| over 2·n_day·N, summed exactly in Python big
+    ints (the day count is bounded; tiny-stats policy)."""
+    import shutil
+
+    base = _scratch_dir(spark, "stream_tvdrift", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ck_dir = f"{base}/in", f"{base}/out", f"{base}/ck"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = stream_tv_drift_by_day(spark, in_dir, out_dir, ck_dir)
+    q.awaitTermination()
+    try:
+        merged = spark.read.parquet(out_dir)
+    except Exception:
+        return spark.createDataFrame(
+            [], "day date, n_day bigint, tv_ppm bigint"
+        )
+    rows = (
+        merged.groupBy("day", "b").agg(F.sum("cnt").alias("cnt")).collect()
+    )
+    ref: dict[int, int] = {}
+    per_day: dict = {}
+    for r in rows:
+        ref[r["b"]] = ref.get(r["b"], 0) + r["cnt"]
+        per_day.setdefault(r["day"], {})[r["b"]] = r["cnt"]
+    N = sum(ref.values())
+    out = []
+    for day, h in per_day.items():
+        n = sum(h.values())
+        num = sum(
+            abs(h.get(b, 0) * N - ref[b] * n) for b in ref
+        )
+        den = 2 * n * N
+        tv = (2 * num * 1_000_000 + den) // (2 * den)
+        out.append((day, n, tv))
+    return (
+        spark.createDataFrame(
+            out, "day date, n_day bigint, tv_ppm bigint"
+        )
+        .repartition(1)
+        .sortWithinPartitions("day")
+    )

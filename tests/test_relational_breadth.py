@@ -1122,6 +1122,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         S.embedding_health_audit, D.entity_resolution_clusters,
         W.politeness_schedule, W.louvain_two_level,
         S.maxsim_late_interaction_topk, D.dedup_span_excision,
+        T.packing_seqlen_sweep,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,

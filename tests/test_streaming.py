@@ -634,3 +634,43 @@ def test_stream_qsketch_batch_split_invariance(spark, tmp_path, sf_dir):
     b = ((cents - QSKETCH_LO) // QSKETCH_W).clip(0, QSKETCH_B - 1)
     direct = b.value_counts().to_dict()
     assert split == {int(k): int(v) for k, v in direct.items()}
+
+
+def test_stream_tv_drift_two_day_shift(spark, tmp_path):
+    """Two days with disjoint value ranges: each day's TV distance to
+    the pooled reference is 0.5 (hand value, exact ppm); a single-day
+    corpus scores 0."""
+    from datetime import datetime
+
+    from ocr_spark.streaming.stream import stream_tv_drift_query
+
+    rows = []
+    eid = 0
+    for i in range(50):  # day 1: values ~1.00 (low bucket)
+        rows.append((eid, datetime(2024, 1, 1, 10, 0, i % 60), 1,
+                     "view", 1.00, "{}"))
+        eid += 1
+    for i in range(50):  # day 2: values ~400.00 (high bucket)
+        rows.append((eid, datetime(2024, 1, 2, 10, 0, i % 60), 1,
+                     "view", 400.00, "{}"))
+        eid += 1
+    d = str(tmp_path / "two")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {str(r["day"]): r["tv_ppm"]
+           for r in stream_tv_drift_query(spark, d).collect()}
+    # each day holds half the mass of each of the two pooled buckets:
+    # TV = 0.5 * (|1 - 0.5| + |0 - 0.5|) = 0.5
+    assert got == {"2024-01-01": 500_000, "2024-01-02": 500_000}
+    # single-day corpus: reference == day -> 0
+    d1 = str(tmp_path / "one")
+    spark.createDataFrame(
+        rows[:50],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d1}/events.parquet")
+    got1 = [r["tv_ppm"] for r in stream_tv_drift_query(spark, d1).collect()]
+    assert got1 == [0]

@@ -1741,3 +1741,24 @@ def test_interleaved_pack_invariants(spark, corpus_path):
             cum += r["n_tokens"]
             assert r["first_seq"] == r["start_tok"] // SEQ_LEN
             assert r["last_seq"] == (cum - 1) // SEQ_LEN
+
+
+def test_packing_seqlen_sweep_hand_values(spark, tmp_path):
+    """Single 100-token shard: L=64 -> 2 seqs, waste 28/128; L=512 ->
+    1 seq, waste 412/512 (half-away ppm)."""
+    from ocr_spark.operators.text_analysis import packing_seqlen_sweep
+
+    d = str(tmp_path)
+    text = " ".join(f"w{i}" for i in range(100))
+    spark.createDataFrame(
+        [(0, text, "en", "only", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["seq_len"]: r for r in packing_seqlen_sweep(spark, d).collect()}
+    assert rows[64]["n_seqs"] == 2
+    assert rows[64]["padded_tokens"] == 128
+    assert rows[64]["tail_waste_ppm"] == 218_750
+    assert rows[512]["n_seqs"] == 1
+    assert rows[512]["tail_waste_ppm"] == 804_688
+    assert all(r["actual_tokens"] == 100 and r["n_shards"] == 1
+               for r in rows.values())
