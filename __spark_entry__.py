@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantile_sketch": relational.histogram_quantile_sketch,
         "skew_salt_plan": relational.skew_salt_plan,
         "brier_decomposition": relational.brier_decomposition,
+        "neyman_allocation": relational.neyman_allocation,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -9094,6 +9095,50 @@ select doc_id, cast(span_idx as int) as span_idx, kind,
        cast((cum_end - n_tokens) // {_ISL} as bigint) as first_seq,
        cast((cum_end - 1) // {_ISL} as bigint) as last_seq
 from p order by doc_id, span_idx
+"""
+    # Neyman truth: same stratum moments, the ±1-corrected floor-sqrt,
+    # identical largest-remainder distribution (ties -> stratum name).
+    _nisq = (
+        "(cast(floor(sqrt(cast({d} as double))) as bigint)"
+        " + (case when (cast(floor(sqrt(cast({d} as double))) as bigint) + 1)"
+        "         * (cast(floor(sqrt(cast({d} as double))) as bigint) + 1)"
+        "         <= {d} then 1 else 0 end)"
+        " - (case when cast(floor(sqrt(cast({d} as double))) as bigint)"
+        "         * cast(floor(sqrt(cast({d} as double))) as bigint)"
+        "         > {d} then 1 else 0 end))"
+    ).format(d="v")
+    sql["neyman_allocation"] = f"""
+with s as (
+  select event_type, count(*) as n_h, sum(c) as s, sum(c * c) as ss
+  from (select event_type, cast(round(value * 100) as bigint) as c
+        from events)
+  group by 1
+),
+iw as (
+  select event_type, n_h, {_nisq} as w
+  from (select event_type, n_h, greatest(n_h * ss - s * s, 0) as v from s)
+),
+tot as (select sum(w) as tw from iw),
+base as (
+  select event_type, n_h, iw.w,
+         case when t.tw = 0 then 0
+              else ({relational.NEYMAN_BUDGET} * iw.w) // t.tw end as b,
+         case when t.tw = 0 then 0
+              else ({relational.NEYMAN_BUDGET} * iw.w) % t.tw end as rem
+  from iw, tot t
+),
+lo as (
+  select {relational.NEYMAN_BUDGET} - sum(b) as leftover from base
+),
+rk as (
+  select *, row_number() over (order by rem desc, event_type) as r
+  from base
+)
+select event_type, cast(n_h as bigint) as n_h, cast(w as bigint) as weight,
+       cast(case when (select tw from tot) = 0 then 0
+                 else b + (case when r <= (select leftover from lo)
+                           then 1 else 0 end) end as bigint) as alloc
+from rk order by event_type
 """
     # Brier truth: same bins, per-term half-away ppm in hugeint, direct
     # BS, and the decomposition gap recomputed from the parts.

@@ -264,6 +264,7 @@ def main() -> int:
         "interleaved_pack",
         "packing_seqlen_sweep",
         "stream_tv_drift_by_day",
+        "neyman_allocation",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -6531,3 +6531,74 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-optimal stratified sample allocation
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 1000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a fixed sampling budget across
+    strata (Neyman, JRSS 1934): n_h ∝ N_h·σ_h — the way a data-quality
+    team sizes per-slice eval samples so the pooled estimate's variance
+    is minimal at fixed labeling cost.  Strata = event_type; the
+    weight N_h·σ_h is computed EXACTLY as isqrt(N_h·Σx² − (Σx)²)
+    (the integer identity N_h²·Var = N_h·Σx² − (Σx)²; Python
+    math.isqrt on the driver, the ±1-corrected floor-sqrt in the
+    oracle), and the integer budget is distributed by largest
+    remainder (ties → stratum name) so allocations sum exactly to
+    NEYMAN_BUDGET.
+
+    Scale shape: one partial-agg groupBy (count/sum/sum-of-squares per
+    stratum), O(strata) driver arithmetic — tiny-stats policy; int64
+    holds to ~10^9 rows×(5e4 cents)² per stratum, beyond that the sums
+    widen to decimal(38,0)."""
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = (
+        ev.select(
+            "event_type",
+            F.expr("cast(round(value * 100) as bigint)").alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_h"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+        )
+        .collect()
+    )
+    if not rows:
+        return spark.createDataFrame(
+            [], "event_type string, n_h bigint, weight bigint, alloc bigint"
+        )
+    stats = []
+    for r in rows:
+        wt = math.isqrt(max(int(r["n_h"]) * int(r["ss"]) - int(r["s"]) ** 2, 0))
+        stats.append((r["event_type"], int(r["n_h"]), wt))
+    W = sum(w for _, _, w in stats)
+    if W == 0:
+        out = [(t, n, 0, 0) for t, n, _ in stats]
+    else:
+        base = [
+            (t, n, w, (NEYMAN_BUDGET * w) // W, (NEYMAN_BUDGET * w) % W)
+            for t, n, w in stats
+        ]
+        leftover = NEYMAN_BUDGET - sum(b for _, _, _, b, _ in base)
+        order = sorted(base, key=lambda x: (-x[4], x[0]))
+        bump = {t for t, _, _, _, _ in order[:leftover]}
+        out = [
+            (t, n, w, b + (1 if t in bump else 0))
+            for t, n, w, b, _ in base
+        ]
+    return (
+        spark.createDataFrame(
+            out, "event_type string, n_h bigint, weight bigint, alloc bigint"
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )

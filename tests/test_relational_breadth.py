@@ -1122,7 +1122,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         S.embedding_health_audit, D.entity_resolution_clusters,
         W.politeness_schedule, W.louvain_two_level,
         S.maxsim_late_interaction_topk, D.dedup_span_excision,
-        T.packing_seqlen_sweep,
+        T.packing_seqlen_sweep, R.neyman_allocation,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
@@ -3563,3 +3563,40 @@ def test_brier_decomposition_identity_and_extremes(spark, tmp_path):
     # BS = rel - res + unc = 0.0475
     assert abs(r["brier_ppm"] - 47_500) <= 2
     assert abs(r["identity_gap_ppm"]) <= 10
+
+
+def test_neyman_allocation_hand_case(spark, tmp_path):
+    """Two strata with equal size but 10x the spread: allocation
+    follows N_h*sigma_h (roughly 10:1), sums exactly to the budget,
+    and a zero-variance stratum gets weight 0."""
+    from datetime import datetime
+
+    from ocr_spark.operators.relational import (
+        NEYMAN_BUDGET,
+        neyman_allocation,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(100):  # wide: alternate 0.00 / 20.00 -> sigma 1000c
+        rows.append((eid, t0, 1, "wide", 0.0 if i % 2 == 0 else 20.0, "{}"))
+        eid += 1
+    for i in range(100):  # narrow: alternate 0.00 / 2.00 -> sigma 100c
+        rows.append((eid, t0, 1, "narrow", 0.0 if i % 2 == 0 else 2.0, "{}"))
+        eid += 1
+    for i in range(50):  # constant: zero variance
+        rows.append((eid, t0, 1, "const", 5.0, "{}"))
+        eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["event_type"]: r for r in neyman_allocation(spark, d).collect()}
+    assert got["const"]["weight"] == 0 and got["const"]["alloc"] == 0
+    assert sum(r["alloc"] for r in got.values()) == NEYMAN_BUDGET
+    # weight ratio exactly 10 (same n, sigma ratio 10)
+    assert got["wide"]["weight"] == 10 * got["narrow"]["weight"]
+    assert got["wide"]["alloc"] == 909 and got["narrow"]["alloc"] == 91
