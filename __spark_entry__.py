@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salt_plan": relational.skew_salt_plan,
         "brier_decomposition": relational.brier_decomposition,
         "neyman_allocation": relational.neyman_allocation,
+        "cuped_adjusted_metric": relational.cuped_adjusted_metric,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -9095,6 +9096,66 @@ select doc_id, cast(span_idx as int) as span_idx, kind,
        cast((cum_end - n_tokens) // {_ISL} as bigint) as first_seq,
        cast((cum_end - 1) // {_ISL} as bigint) as last_seq
 from p order by doc_id, span_idx
+"""
+    # CUPED truth: per-user pre/post sums, hugeint cross-moments, the
+    # sign-decomposed half-away theta, and the n-scaled adjustment sum.
+    sql["cuped_adjusted_metric"] = f"""
+with pu as (
+  select user_id,
+         sum(case when ts < timestamp '{relational.CUPED_SPLIT}'
+             then c else 0 end) as x,
+         sum(case when ts >= timestamp '{relational.CUPED_SPLIT}'
+             then c else 0 end) as y,
+         cast(user_id % 2 as int) as arm
+  from (select user_id, ts, cast(round(value * 100) as bigint) as c
+        from events)
+  group by 1
+),
+g as (
+  select count(*) as n, sum(x) as sx, sum(y) as sy,
+         sum(x * x) as sxx, sum(x * y) as sxy, sum(y * y) as syy
+  from pu
+),
+th as (
+  select n, sx,
+         n::hugeint * sxy - sx::hugeint * sy as cov_n,
+         n::hugeint * sxx - sx::hugeint * sx as var_n,
+         n::hugeint * syy - sy::hugeint * sy as vy_n
+  from g
+),
+th2 as (
+  select *,
+    case when var_n = 0 then 0
+         when (cov_n < 0) != (var_n < 0) then
+           -((2 * abs(cov_n) * 1000000 + abs(var_n)) // (2 * abs(var_n)))
+         else (2 * abs(cov_n) * 1000000 + abs(var_n)) // (2 * abs(var_n))
+    end as theta_ppm,
+    case when var_n = 0 or vy_n = 0 then 0
+         else (2 * cov_n * cov_n * 1000000 + var_n * vy_n)
+              // (2 * var_n * vy_n) end as var_red
+  from th
+),
+arms as (
+  select pu.arm, count(*) as n_users, sum(pu.y) as ys,
+         sum(t.n::hugeint * pu.y * 1000000
+             - t.theta_ppm::hugeint * (t.n * pu.x - t.sx)) as adjs
+  from pu, th2 t
+  group by pu.arm, t.n, t.theta_ppm, t.sx
+)
+select arm, cast(n_users as bigint) as n_users,
+       cast((2 * ys::hugeint * 1000000 + n_users)
+            // (2 * n_users) as bigint) as raw_mean_micro,
+       cast(case when adjs >= 0 then
+              (2 * adjs + n_users::hugeint * t2.n)
+              // (2 * n_users::hugeint * t2.n)
+            else
+              -((2 * -adjs + n_users::hugeint * t2.n)
+                // (2 * n_users::hugeint * t2.n))
+            end as bigint) as adj_mean_micro,
+       cast(t2.theta_ppm as bigint) as theta_ppm,
+       cast(t2.var_red as bigint) as var_reduction_ppm
+from arms, th2 t2
+order by arm
 """
     # Neyman truth: same stratum moments, the ±1-corrected floor-sqrt,
     # identical largest-remainder distribution (ties -> stratum name).

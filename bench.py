@@ -265,6 +265,7 @@ def main() -> int:
         "packing_seqlen_sweep",
         "stream_tv_drift_by_day",
         "neyman_allocation",
+        "cuped_adjusted_metric",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -1123,6 +1123,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         W.politeness_schedule, W.louvain_two_level,
         S.maxsim_late_interaction_topk, D.dedup_span_excision,
         T.packing_seqlen_sweep, R.neyman_allocation,
+        R.cuped_adjusted_metric,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
@@ -3600,3 +3601,36 @@ def test_neyman_allocation_hand_case(spark, tmp_path):
     # weight ratio exactly 10 (same n, sigma ratio 10)
     assert got["wide"]["weight"] == 10 * got["narrow"]["weight"]
     assert got["wide"]["alloc"] == 909 and got["narrow"]["alloc"] == 91
+
+
+def test_cuped_kills_preperiod_variance(spark, tmp_path):
+    """Crafted experiment where post = pre (perfect predictor): theta
+    = 1.0 (ppm), correlation^2 = 1.0, and the adjusted mean equals the
+    pooled grand mean in BOTH arms — the between-user variance x
+    predicts is fully removed — while raw means differ by arm."""
+    from datetime import datetime
+
+    from ocr_spark.operators.relational import cuped_adjusted_metric
+
+    pre, post = datetime(2024, 1, 10), datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    for u in range(40):
+        spend = 1.0 + (u % 7)  # heavy between-user variance
+        rows.append((eid, pre, u, "view", spend, "{}")); eid += 1
+        rows.append((eid, post, u, "view", spend, "{}")); eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["arm"]: r for r in cuped_adjusted_metric(spark, d).collect()}
+    assert set(got) == {0, 1}
+    r0, r1 = got[0], got[1]
+    assert r0["theta_ppm"] == 1_000_000
+    assert r0["var_reduction_ppm"] == 1_000_000
+    # arms see different user residues -> raw means differ
+    assert r0["raw_mean_micro"] != r1["raw_mean_micro"]
+    # adjusted means collapse to the grand mean (equal across arms)
+    assert r0["adj_mean_micro"] == r1["adj_mean_micro"]
