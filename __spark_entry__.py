@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier_decomposition": relational.brier_decomposition,
         "neyman_allocation": relational.neyman_allocation,
         "cuped_adjusted_metric": relational.cuped_adjusted_metric,
+        "srm_check": relational.srm_check,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -9096,6 +9097,23 @@ select doc_id, cast(span_idx as int) as span_idx, kind,
        cast((cum_end - n_tokens) // {_ISL} as bigint) as first_seq,
        cast((cum_end - 1) // {_ISL} as bigint) as last_seq
 from p order by doc_id, span_idx
+"""
+    # SRM truth: distinct-user arm counts + the same exact chi-square
+    # and alarm comparison.
+    sql["srm_check"] = """
+with u as (select distinct user_id from events),
+c as (
+  select sum(case when user_id % 2 = 0 then 1 else 0 end) as a,
+         sum(case when user_id % 2 = 1 then 1 else 0 end) as b
+  from u
+)
+select cast(a + b as bigint) as n_users, cast(a as bigint) as arm0,
+       cast(b as bigint) as arm1,
+       cast((2 * (a - b) * (a - b) * 1000 + (a + b))
+            // (2 * (a + b)) as bigint) as chi2_milli,
+       cast(case when 1000 * (a - b) * (a - b) > 3841 * (a + b)
+            then 1 else 0 end as int) as srm_alarm
+from c where a is not null
 """
     # CUPED truth: per-user pre/post sums, hugeint cross-moments, the
     # sign-decomposed half-away theta, and the n-scaled adjustment sum.

@@ -266,6 +266,7 @@ def main() -> int:
         "stream_tv_drift_by_day",
         "neyman_allocation",
         "cuped_adjusted_metric",
+        "srm_check",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -6724,3 +6724,48 @@ def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("arm")
     )
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard (Fabijan et al., "Diagnosing Sample
+    Ratio Mismatch in Online Controlled Experiments", KDD 2019) — the
+    first validity check on any A/B readout: with a 50/50 assignment
+    (the same user_id hash split cuped_adjusted_metric uses), the
+    two-cell chi-square statistic reduces exactly to (a−b)²/n; alarm
+    at the df=1, α=0.05 critical value 3.841.  A triggered SRM means
+    the assignment or logging pipeline is broken and every downstream
+    metric is invalid — which is why this ships next to the metric, not
+    after it.
+
+    Exactness: chi² in half-away milli; the ALARM uses the exact
+    integer cross-comparison 1000·(a−b)² > 3841·n (no rounded
+    intermediate at the decision boundary).  One distinct-user
+    aggregate, O(1) output."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = ev.select("user_id").distinct().select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm")
+    )
+    row = users.agg(
+        F.sum(F.expr("case when arm = 0 then 1 else 0 end")).alias("a"),
+        F.sum(F.expr("case when arm = 1 then 1 else 0 end")).alias("b"),
+    ).first()
+    if row["a"] is None:
+        return spark.createDataFrame(
+            [],
+            "n_users bigint, arm0 bigint, arm1 bigint, chi2_milli bigint, "
+            "srm_alarm int",
+        )
+    a, b = int(row["a"]), int(row["b"])
+    n = a + b
+    d2 = (a - b) * (a - b)
+    chi2_milli = (2 * d2 * 1000 + n) // (2 * n)
+    alarm = int(1000 * d2 > 3841 * n)
+    return (
+        spark.createDataFrame(
+            [(n, a, b, chi2_milli, alarm)],
+            "n_users bigint, arm0 bigint, arm1 bigint, chi2_milli bigint, "
+            "srm_alarm int",
+        )
+        .repartition(1)
+        .sortWithinPartitions("n_users")
+    )

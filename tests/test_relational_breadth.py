@@ -1123,7 +1123,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         W.politeness_schedule, W.louvain_two_level,
         S.maxsim_late_interaction_topk, D.dedup_span_excision,
         T.packing_seqlen_sweep, R.neyman_allocation,
-        R.cuped_adjusted_metric,
+        R.cuped_adjusted_metric, R.srm_check,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
@@ -3634,3 +3634,34 @@ def test_cuped_kills_preperiod_variance(spark, tmp_path):
     assert r0["raw_mean_micro"] != r1["raw_mean_micro"]
     # adjusted means collapse to the grand mean (equal across arms)
     assert r0["adj_mean_micro"] == r1["adj_mean_micro"]
+
+
+def test_srm_check_alarm_boundary(spark, tmp_path):
+    """Balanced split: no alarm; a 70/30 corruption: alarm fires and
+    chi2 matches the hand value (a-b)^2/n."""
+    from datetime import datetime
+
+    from ocr_spark.operators.relational import srm_check
+
+    t0 = datetime(2024, 1, 1)
+
+    def write(users, path):
+        rows = [(i, t0, u, "view", 1.0, "{}") for i, u in enumerate(users)]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+    ok = str(tmp_path / "ok")
+    write(list(range(100)), ok)  # 50/50
+    r = srm_check(spark, ok).collect()[0]
+    assert r["arm0"] == r["arm1"] == 50
+    assert r["chi2_milli"] == 0 and r["srm_alarm"] == 0
+    bad = str(tmp_path / "bad")
+    # 70 even users, 30 odd users
+    write([2 * i for i in range(70)] + [2 * i + 1 for i in range(30)], bad)
+    r = srm_check(spark, bad).collect()[0]
+    assert (r["arm0"], r["arm1"]) == (70, 30)
+    assert r["chi2_milli"] == 16_000  # (40^2)/100 = 16.0
+    assert r["srm_alarm"] == 1
