@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": relational.neyman_allocation,
         "cuped_adjusted_metric": relational.cuped_adjusted_metric,
         "srm_check": relational.srm_check,
+        "poisson_bootstrap_ci": relational.poisson_bootstrap_ci,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -9097,6 +9098,62 @@ select doc_id, cast(span_idx as int) as span_idx, kind,
        cast((cum_end - n_tokens) // {_ISL} as bigint) as first_seq,
        cast((cum_end - 1) // {_ISL} as bigint) as last_seq
 from p order by doc_id, span_idx
+"""
+    # Bootstrap truth: same hash-derived Poisson weights (identical CDF
+    # literals), replica means, floor-div + corrected-isqrt std, 1.96x.
+    # hugeint candidate squares: std can exceed 2^31.5, so s*s must not
+    # run in int64
+    _bisq = (
+        "(cast(floor(sqrt(cast({d} as double))) as hugeint)"
+        " + (case when (cast(floor(sqrt(cast({d} as double))) as hugeint) + 1)"
+        "         * (cast(floor(sqrt(cast({d} as double))) as hugeint) + 1)"
+        "         <= {d} then 1 else 0 end)"
+        " - (case when cast(floor(sqrt(cast({d} as double))) as hugeint)"
+        "         * cast(floor(sqrt(cast({d} as double))) as hugeint)"
+        "         > {d} then 1 else 0 end))"
+    ).format(d="samp_var")
+    _wsum = " + ".join(
+        f"(case when u >= {t} then 1 else 0 end)"
+        for t in relational._POIS1_CDF_PPM
+    )
+    sql["poisson_bootstrap_ci"] = f"""
+with pu as (
+  select user_id, sum(cast(round(value * 100) as bigint)) as y
+  from events group by 1
+),
+g as (select count(*) as n, sum(y) as sy from pu),
+reps as (select user_id, y, i as b from pu, range({relational.BOOT_B}) t(i)),
+uu as (
+  select y, b,
+         (('0x' || substr(md5(user_id::varchar || ':' || b::varchar),
+                          1, 8))::bigint) % 1000000 as u
+  from reps
+),
+ww as (select y, b, ({_wsum}) as w from uu),
+rb as (select b, sum(w * y) as s, sum(w) as wsum from ww group by 1),
+means as (
+  select (2 * s * 1000000 + wsum) // (2 * wsum) as m
+  from rb where wsum > 0
+),
+mm as (
+  select count(*) as nb, sum(m::hugeint) as tm,
+         sum(m::hugeint * m) as m2
+  from means
+),
+vv as (
+  select nb,
+         case when nb > 1 then
+           greatest(nb * m2 - tm * tm, 0) // (nb::hugeint * (nb - 1))
+         else 0::hugeint end as samp_var
+  from mm
+),
+sd as (select nb, {_bisq} as std from vv)
+select cast(g.n as bigint) as n_users, cast(sd.nb as int) as b_replicas,
+       cast((2 * g.sy * 1000000 + g.n) // (2 * g.n) as bigint)
+         as point_mean_micro,
+       cast(sd.std as bigint) as boot_std_micro,
+       cast((196 * sd.std + 50) // 100 as bigint) as ci95_halfwidth_micro
+from g, sd where g.n > 0
 """
     # SRM truth: distinct-user arm counts + the same exact chi-square
     # and alarm comparison.

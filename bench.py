@@ -267,6 +267,7 @@ def main() -> int:
         "neyman_allocation",
         "cuped_adjusted_metric",
         "srm_check",
+        "poisson_bootstrap_ci",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -6769,3 +6769,115 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (one-pass bootstrap at scale)
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32  # bootstrap replicas
+# Poisson(1) CDF in ppm: P(W <= k) for k = 0..6 — weights cap at 7
+_POIS1_CDF_PPM = (367_879, 735_759, 919_699, 981_012, 996_340,
+                  999_406, 999_917)
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap for the per-user value mean (Chamandy, Muralidharan,
+    Najmi & Naidu, "Estimating Uncertainty for Massive Data Streams",
+    Google research report 2012): instead of resampling users (a
+    shuffle per replica), every user carries BOOT_B independent
+    Poisson(1) weights derived from a hash — ONE pass computes all
+    replica sums, which is the only bootstrap that works on 10^12
+    rows.  The replica weight is the count of Poisson-CDF thresholds
+    at or below the user-replica hash ppm (exact integer inverse-CDF,
+    identical literals in both engines), replica means are half-away
+    micro-cents, and the CI half-width is 1.96x the sample std of the
+    replica means (floor-div-then-corrected-isqrt protocol, exact in
+    both engines).
+
+    Scale shape: one per-user partial-agg groupBy, a constant BOOT_B
+    explode (map-side), one B-row aggregate; driver math is O(B) —
+    tiny-stats policy."""
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pu = (
+        ev.select(
+            "user_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("y"))
+    )
+    g = pu.agg(F.count("*").alias("n"), F.sum("y").alias("sy")).first()
+    n = int(g["n"]) if g["n"] is not None else 0
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "n_users bigint, b_replicas int, point_mean_micro bigint, "
+            "boot_std_micro bigint, ci95_halfwidth_micro bigint",
+        )
+    reps = pu.select(
+        "user_id",
+        "y",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOT_B - 1))
+        ).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("user_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    w = sum(
+        (u >= F.lit(t)).cast("bigint") for t in _POIS1_CDF_PPM
+    )
+    rows = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("y")).alias("s"),
+            F.sum("w").alias("wsum"),
+        )
+        .collect()
+    )
+
+    def half(num: int, den: int) -> int:
+        s = -1 if (num < 0) != (den < 0) else 1
+        num, den = abs(num), abs(den)
+        return s * ((2 * num * 1 + den) // (2 * den))
+
+    means = [
+        half(1_000_000 * int(r["s"]), int(r["wsum"]))
+        for r in rows
+        if int(r["wsum"]) > 0
+    ]
+    B = len(means)
+    M = sum(means)
+    var_num = B * sum(m * m for m in means) - M * M
+    samp_var = max(var_num, 0) // (B * (B - 1)) if B > 1 else 0
+    std = math.isqrt(samp_var)
+    ci95 = (196 * std + 50) // 100
+    point = half(1_000_000 * int(g["sy"]), n)
+    return (
+        spark.createDataFrame(
+            [(n, B, point, std, ci95)],
+            "n_users bigint, b_replicas int, point_mean_micro bigint, "
+            "boot_std_micro bigint, ci95_halfwidth_micro bigint",
+        )
+        .repartition(1)
+        .sortWithinPartitions("n_users")
+    )

@@ -1124,6 +1124,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         S.maxsim_late_interaction_topk, D.dedup_span_excision,
         T.packing_seqlen_sweep, R.neyman_allocation,
         R.cuped_adjusted_metric, R.srm_check,
+        R.poisson_bootstrap_ci,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
@@ -3665,3 +3666,46 @@ def test_srm_check_alarm_boundary(spark, tmp_path):
     assert (r["arm0"], r["arm1"]) == (70, 30)
     assert r["chi2_milli"] == 16_000  # (40^2)/100 = 16.0
     assert r["srm_alarm"] == 1
+
+
+def test_poisson_bootstrap_replay(spark, sf_dir):
+    """Exact Python replay of the hash-weighted replica means and the
+    floor-div/isqrt CI protocol from the raw parquet."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from ocr_spark.operators.relational import (
+        _POIS1_CDF_PPM, BOOT_B, poisson_bootstrap_ci,
+    )
+
+    pu = duckdb.sql(
+        "select user_id, sum(cast(round(value * 100) as bigint)) as y "
+        f"from read_parquet('{sf_dir}/events.parquet') group by 1"
+    ).fetchall()
+    means = []
+    for b in range(BOOT_B):
+        s = wsum = 0
+        for uid, y in pu:
+            u = int(
+                hashlib.md5(f"{uid}:{b}".encode()).hexdigest()[:8], 16
+            ) % 1_000_000
+            w = sum(1 for t in _POIS1_CDF_PPM if u >= t)
+            s += w * int(y)
+            wsum += w
+        if wsum > 0:
+            means.append((2 * 1_000_000 * s + wsum) // (2 * wsum))
+    B = len(means)
+    M = sum(means)
+    var_num = B * sum(m * m for m in means) - M * M
+    samp_var = max(var_num, 0) // (B * (B - 1))
+    std = math.isqrt(samp_var)
+    n = len(pu)
+    sy = sum(int(y) for _, y in pu)
+    r = poisson_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert r["n_users"] == n and r["b_replicas"] == B
+    assert r["point_mean_micro"] == (2 * 1_000_000 * sy + n) // (2 * n)
+    assert r["boot_std_micro"] == std
+    assert r["ci95_halfwidth_micro"] == (196 * std + 50) // 100
+    assert std > 0
