@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjusted_metric": relational.cuped_adjusted_metric,
         "srm_check": relational.srm_check,
         "poisson_bootstrap_ci": relational.poisson_bootstrap_ci,
+        "diff_in_differences": relational.diff_in_differences,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -9154,6 +9155,53 @@ select cast(g.n as bigint) as n_users, cast(sd.nb as int) as b_replicas,
        cast(sd.std as bigint) as boot_std_micro,
        cast((196 * sd.std + 50) // 100 as bigint) as ci95_halfwidth_micro
 from g, sd where g.n > 0
+"""
+    # DiD truth: the same per-user pre/post sums and one cross-multiplied
+    # sign-decomposed division per output.
+    sql["diff_in_differences"] = f"""
+with pu as (
+  select user_id,
+         sum(case when ts < timestamp '{relational.CUPED_SPLIT}'
+             then c else 0 end) as x,
+         sum(case when ts >= timestamp '{relational.CUPED_SPLIT}'
+             then c else 0 end) as y,
+         user_id % 2 as arm
+  from (select user_id, ts, cast(round(value * 100) as bigint) as c
+        from events)
+  group by 1
+),
+a as (
+  select coalesce(sum(case when arm = 0 then 1 end), 0) as n0,
+         coalesce(sum(case when arm = 1 then 1 end), 0) as n1,
+         coalesce(sum(case when arm = 0 then x end), 0) as sx0,
+         coalesce(sum(case when arm = 0 then y end), 0) as sy0,
+         coalesce(sum(case when arm = 1 then x end), 0) as sx1,
+         coalesce(sum(case when arm = 1 then y end), 0) as sy1
+  from pu
+),
+h as (
+  select *,
+    ((sy1 - sx1) * n0 - (sy0 - sx0) * n1) * 1000000::hugeint as dnum,
+    n1::hugeint * n0 as dden
+  from a
+)
+select cast(n0 as bigint) as n_control, cast(n1 as bigint) as n_treat,
+  cast(case when n0 = 0 then 0 else
+    (2 * sx0 * 1000000 + n0) // (2 * n0) end as bigint)
+    as pre_control_micro,
+  cast(case when n0 = 0 then 0 else
+    (2 * sy0 * 1000000 + n0) // (2 * n0) end as bigint)
+    as post_control_micro,
+  cast(case when n1 = 0 then 0 else
+    (2 * sx1 * 1000000 + n1) // (2 * n1) end as bigint)
+    as pre_treat_micro,
+  cast(case when n1 = 0 then 0 else
+    (2 * sy1 * 1000000 + n1) // (2 * n1) end as bigint)
+    as post_treat_micro,
+  cast(case when n0 = 0 or n1 = 0 then 0
+       when dnum < 0 then -((2 * -dnum + dden) // (2 * dden))
+       else (2 * dnum + dden) // (2 * dden) end as bigint) as did_micro
+from h where n0 + n1 > 0
 """
     # SRM truth: distinct-user arm counts + the same exact chi-square
     # and alarm comparison.

@@ -268,6 +268,7 @@ def main() -> int:
         "cuped_adjusted_metric",
         "srm_check",
         "poisson_bootstrap_ci",
+        "diff_in_differences",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -6881,3 +6881,79 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("n_users")
     )
+
+
+def diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (Card & Krueger, AER 1994 —
+    the classic quasi-experimental estimator): with the same user-hash
+    arms and pre/post split as cuped_adjusted_metric, the treatment
+    effect estimate is (ȳ₁ − x̄₁) − (ȳ₀ − x̄₀) — each arm is its own
+    control across time, so any shared temporal shock cancels.  The
+    parallel-trends numbers a reviewer needs (all four cell means)
+    ship alongside the estimate.
+
+    Exactness: per-arm integer sums; every mean and the DiD itself is
+    ONE half-away sign-decomposed division of exact cross-multiplied
+    integers (micro-cents) — no rounded intermediates.
+
+    Scale shape: one scan -> per-user conditional sums -> one 2-row
+    arm aggregate; O(1) driver arithmetic."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("c"),
+            (F.col("ts") < F.lit(CUPED_SPLIT).cast("timestamp")).alias(
+                "pre"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("pre"), F.col("c")).otherwise(0)).alias("x"),
+            F.sum(F.when(~F.col("pre"), F.col("c")).otherwise(0)).alias("y"),
+        )
+        .withColumn("arm", F.pmod(F.col("user_id"), F.lit(2)).cast("int"))
+    )
+    rows = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    ).collect()
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "n_control bigint, n_treat bigint, pre_control_micro bigint, "
+            "post_control_micro bigint, pre_treat_micro bigint, "
+            "post_treat_micro bigint, did_micro bigint",
+        )
+    by = {int(r["arm"]): r for r in rows}
+
+    def half(num: int, den: int) -> int:
+        s = -1 if (num < 0) != (den < 0) else 1
+        num, den = abs(num), abs(den)
+        return s * ((2 * num + den) // (2 * den))
+
+    n0 = int(by[0]["n"]) if 0 in by else 0
+    n1 = int(by[1]["n"]) if 1 in by else 0
+    sx0 = int(by[0]["sx"]) if 0 in by else 0
+    sy0 = int(by[0]["sy"]) if 0 in by else 0
+    sx1 = int(by[1]["sx"]) if 1 in by else 0
+    sy1 = int(by[1]["sy"]) if 1 in by else 0
+    if n0 == 0 or n1 == 0:
+        did = 0
+    else:
+        did = half(
+            ((sy1 - sx1) * n0 - (sy0 - sx0) * n1) * 1_000_000, n1 * n0
+        )
+    cell = lambda s, n: half(s * 1_000_000, n) if n else 0  # noqa: E731
+    return (
+        spark.createDataFrame(
+            [(n0, n1, cell(sx0, n0), cell(sy0, n0), cell(sx1, n1),
+              cell(sy1, n1), did)],
+            "n_control bigint, n_treat bigint, pre_control_micro bigint, "
+            "post_control_micro bigint, pre_treat_micro bigint, "
+            "post_treat_micro bigint, did_micro bigint",
+        )
+        .repartition(1)
+        .sortWithinPartitions("n_control")
+    )

@@ -1124,7 +1124,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         S.maxsim_late_interaction_topk, D.dedup_span_excision,
         T.packing_seqlen_sweep, R.neyman_allocation,
         R.cuped_adjusted_metric, R.srm_check,
-        R.poisson_bootstrap_ci,
+        R.poisson_bootstrap_ci, R.diff_in_differences,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
@@ -3709,3 +3709,32 @@ def test_poisson_bootstrap_replay(spark, sf_dir):
     assert r["boot_std_micro"] == std
     assert r["ci95_halfwidth_micro"] == (196 * std + 50) // 100
     assert std > 0
+
+
+def test_did_cancels_shared_shock(spark, tmp_path):
+    """Both arms gain a +300-cent temporal shock; treatment adds +500
+    on top: DiD recovers exactly 500 cents (5e8 micro) while the naive
+    post-difference would read 500 plus arm-level baseline noise."""
+    from datetime import datetime
+
+    from ocr_spark.operators.relational import diff_in_differences
+
+    pre, post = datetime(2024, 1, 10), datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    for u in range(40):
+        base = 10.0 + (u % 2) * 2.0  # arms have DIFFERENT baselines
+        rows.append((eid, pre, u, "view", base, "{}")); eid += 1
+        lift = 3.0 + (5.0 if u % 2 == 1 else 0.0)  # shock +3, treat +5
+        rows.append((eid, post, u, "view", base + lift, "{}")); eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = diff_in_differences(spark, d).collect()[0]
+    assert r["n_control"] == r["n_treat"] == 20
+    assert r["post_control_micro"] - r["pre_control_micro"] == 300_000_000
+    assert r["post_treat_micro"] - r["pre_treat_micro"] == 800_000_000
+    assert r["did_micro"] == 500_000_000
