@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srm_check": relational.srm_check,
         "poisson_bootstrap_ci": relational.poisson_bootstrap_ci,
         "diff_in_differences": relational.diff_in_differences,
+        "ab_mde_power": relational.ab_mde_power,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -9155,6 +9156,62 @@ select cast(g.n as bigint) as n_users, cast(sd.nb as int) as b_replicas,
        cast(sd.std as bigint) as boot_std_micro,
        cast((196 * sd.std + 50) // 100 as bigint) as ci95_halfwidth_micro
 from g, sd where g.n > 0
+"""
+    # MDE truth: the same moments, floor-div radicand, corrected isqrt
+    # (hugeint candidates), and basis-point z multiplication.
+    def _hisq(d: str) -> str:
+        return (
+            f"(cast(floor(sqrt(cast({d} as double))) as hugeint)"
+            f" + (case when (cast(floor(sqrt(cast({d} as double)))"
+            f" as hugeint) + 1)"
+            f"         * (cast(floor(sqrt(cast({d} as double)))"
+            f" as hugeint) + 1)"
+            f"         <= {d} then 1 else 0 end)"
+            f" - (case when cast(floor(sqrt(cast({d} as double)))"
+            f" as hugeint)"
+            f"         * cast(floor(sqrt(cast({d} as double))) as hugeint)"
+            f"         > {d} then 1 else 0 end))"
+        )
+
+    sql["ab_mde_power"] = f"""
+with pu as (
+  select user_id, sum(cast(round(value * 100) as bigint)) as y
+  from events group by 1
+),
+g as (
+  select count(*) as n, sum(y) as sy, sum(y::hugeint * y) as syy from pu
+),
+v as (
+  select n, sy,
+         greatest(n * syy - sy::hugeint * sy, 0) as var_n
+  from g where n > 0
+),
+r as (
+  select n, sy, var_n,
+         (var_n * 1000000000000) // (n::hugeint * n) as sig2,
+         (2 * var_n * 1000000000000)
+           // (n::hugeint * n * n) as radicand
+  from v
+),
+s as (
+  select n, sy,
+         {_hisq("sig2")} as sigma,
+         {_hisq("radicand")} as sq
+  from r
+),
+f as (
+  select n, sy, sigma,
+         (28016 * sq + 5000) // 10000 as mde,
+         (2 * sy::hugeint * 1000000 + n) // (2 * n) as mean
+  from s
+)
+select cast(n as bigint) as n_users, cast(mean as bigint) as mean_micro,
+       cast(sigma as bigint) as sigma_micro,
+       cast(mde as bigint) as mde_micro,
+       cast(case when mean = 0 then 0 else
+         (2 * mde * 1000000 + mean) // (2 * mean) end as bigint)
+         as relative_mde_ppm
+from f
 """
     # DiD truth: the same per-user pre/post sums and one cross-multiplied
     # sign-decomposed division per output.

@@ -269,6 +269,7 @@ def main() -> int:
         "srm_check",
         "poisson_bootstrap_ci",
         "diff_in_differences",
+        "ab_mde_power",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -6957,3 +6957,62 @@ def diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("n_control")
     )
+
+
+def ab_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal detectable effect at 80% power / two-sided 5% α for the
+    per-user value metric under a 50/50 split — the pre-experiment
+    sizing readout (vs CUPED/DiD's post-readouts): MDE =
+    (z_{α/2} + z_β)·σ·√(2/n) with the standard constants 1.9600 +
+    0.8416 = 2.8016 as exact integer basis points.
+
+    Integer protocol: variance numerator var_n = n·Σy² − (Σy)²
+    (cents²); the radicand 2·var_n·10¹² div n³ is floor-divided in big
+    ints BEFORE the corrected isqrt (micro-cents out), and the z-sum
+    multiplies as (28016·s + 5000) div 10000 — both engines replay
+    each step bit-for-bit.  relative_mde_ppm = MDE / mean in half-away
+    ppm is the number experiment owners actually quote ("we can detect
+    a 2.3% move").
+
+    Scale shape: one per-user groupBy + one O(1) moments aggregate;
+    driver arithmetic (tiny-stats policy)."""
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pu = (
+        ev.select(
+            "user_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("y"))
+    )
+    g = pu.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).first()
+    n = int(g["n"]) if g["n"] is not None else 0
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "n_users bigint, mean_micro bigint, sigma_micro bigint, "
+            "mde_micro bigint, relative_mde_ppm bigint",
+        )
+    sy, syy = int(g["sy"]), int(g["syy"])
+    var_n = max(n * syy - sy * sy, 0)
+    sigma = math.isqrt((var_n * 10**12) // (n * n))
+    radicand = (2 * var_n * 10**12) // (n ** 3)
+    s = math.isqrt(radicand)
+    mde = (28016 * s + 5000) // 10000
+    mean = (2 * sy * 1_000_000 + n) // (2 * n)
+    rel = 0 if mean == 0 else (2 * mde * 1_000_000 + mean) // (2 * mean)
+    return (
+        spark.createDataFrame(
+            [(n, mean, sigma, mde, rel)],
+            "n_users bigint, mean_micro bigint, sigma_micro bigint, "
+            "mde_micro bigint, relative_mde_ppm bigint",
+        )
+        .repartition(1)
+        .sortWithinPartitions("n_users")
+    )

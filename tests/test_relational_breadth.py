@@ -1125,6 +1125,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         T.packing_seqlen_sweep, R.neyman_allocation,
         R.cuped_adjusted_metric, R.srm_check,
         R.poisson_bootstrap_ci, R.diff_in_differences,
+        R.ab_mde_power,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
@@ -3738,3 +3739,34 @@ def test_did_cancels_shared_shock(spark, tmp_path):
     assert r["post_control_micro"] - r["pre_control_micro"] == 300_000_000
     assert r["post_treat_micro"] - r["pre_treat_micro"] == 800_000_000
     assert r["did_micro"] == 500_000_000
+
+
+def test_ab_mde_power_hand_case(spark, tmp_path):
+    """100 users alternating 0/20 dollars: sigma = 1000 cents exactly,
+    MDE = 2.8016 * 1000 * sqrt(2/100) cents = 396.2 cents (exact
+    integer protocol), relative ~ 39.6% of the 1000-cent mean."""
+    from datetime import datetime
+
+    from ocr_spark.operators.relational import ab_mde_power
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0, i, "view", 0.0 if i % 2 == 0 else 20.0, "{}")
+            for i in range(100)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = ab_mde_power(spark, d).collect()[0]
+    assert r["n_users"] == 100
+    assert r["mean_micro"] == 1_000_000_000  # 1000 cents
+    assert r["sigma_micro"] == 1_000_000_000  # sigma exactly 1000c
+    # isqrt((2*var_n*1e12)//n^3): var_n = 100*1e8*100... replay:
+    import math
+
+    var_n = 100 * (50 * 2000 ** 2) - (50 * 2000) ** 2
+    s = math.isqrt((2 * var_n * 10 ** 12) // 100 ** 3)
+    assert r["mde_micro"] == (28016 * s + 5000) // 10000
+    assert abs(r["mde_micro"] - 396_200_000) < 1_000_000
+    assert abs(r["relative_mde_ppm"] - 396_200) < 1_000
