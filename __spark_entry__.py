@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_one_level": web_extract.louvain_one_level,
         "politeness_schedule": web_extract.politeness_schedule,
         "louvain_two_level": web_extract.louvain_two_level,
+        "deepwalk_pairs": web_extract.deepwalk_pairs,
         "degree_assortativity": web_extract.degree_assortativity,
         "wl_refinement": web_extract.wl_refinement,
         "lpa_communities": web_extract.lpa_communities,
@@ -9156,6 +9157,47 @@ select cast(g.n as bigint) as n_users, cast(sd.nb as int) as b_replicas,
        cast(sd.std as bigint) as boot_std_micro,
        cast((196 * sd.std + 50) // 100 as bigint) as ci95_halfwidth_micro
 from g, sd where g.n > 0
+"""
+    # DeepWalk truth: unrolled hash-argmin steps over the same graph.
+    _dw_steps = []
+    for _t in range(1, web_extract.WALK_LEN + 1):
+        _prev = "w0" if _t == 1 else f"s{_t - 1}"
+        _dw_steps.append(
+            f"""s{_t} as (
+  select start, v from (
+    select w.start, u.dst as v,
+           row_number() over (partition by w.start
+             order by md5(w.v::varchar || ':' || u.dst::varchar
+                          || ':{_t}'), u.dst) as rk
+    from {_prev} w join und u on u.src = w.v
+  ) where rk = 1
+)"""
+        )
+    _dw_rows = " union all ".join(
+        f"select start, {_t} as step, v as context from s{_t}"
+        for _t in range(1, web_extract.WALK_LEN + 1)
+    )
+    sql["deepwalk_pairs"] = f"""
+with n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as (select distinct src, dst from e0 where src != dst),
+und as materialized (
+  select src, dst from edges union select dst, src from edges
+),
+w0 as (
+  select doc_id as start, doc_id as v from documents
+  where doc_id % {web_extract.WALK_SEED_MOD} = 0
+),
+{", ".join(_dw_steps)}
+select start, cast(step as int) as step, context
+from ({_dw_rows})
+order by start, step
 """
     # MDE truth: the same moments, floor-div radicand, corrected isqrt
     # (hugeint candidates), and basis-point z multiplication.

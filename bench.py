@@ -270,6 +270,7 @@ def main() -> int:
         "poisson_bootstrap_ci",
         "diff_in_differences",
         "ab_mde_power",
+        "deepwalk_pairs",
     ]
     if only:
         headline = [q for q in headline if q in only]

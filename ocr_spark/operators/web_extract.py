@@ -2484,3 +2484,74 @@ def politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("host", "slot")
     )
+
+
+# ---------------------------------------------------------------------------
+# DeepWalk-style walk context pairs (deterministic hash-argmin walks)
+# ---------------------------------------------------------------------------
+
+WALK_LEN = 4
+WALK_SEED_MOD = 10  # walks start from every 10th document
+
+
+def deepwalk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, context) training pairs from truncated walks over the
+    link graph — the DeepWalk/node2vec data-generation step (Perozzi,
+    Al-Rfou & Skiena, KDD 2014) that feeds graph embeddings exactly
+    like skipgram_pairs feeds word embeddings.  Randomness is replaced
+    by a DETERMINISTIC per-step choice — the next hop is the neighbor
+    with the minimum md5(current, neighbor, step) — so the walks are
+    engine-exact (same tie-free argmin both sides) while still mixing
+    like hash-random walks.
+
+    Scale shape: WALK_LEN iterations of one frontier⋈edges equi-join
+    plus a per-WALK window argmin (partitioned by walk id, never
+    global); walk count = seeds, state O(seeds) per step.  At 10^12
+    nodes walks batch by seed shard and the edge list reuses the
+    PageRank bucketing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    n = docs.count()
+    e = _link_edges(docs, n)
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    cur = docs.filter(F.col("doc_id") % WALK_SEED_MOD == 0).select(
+        F.col("doc_id").alias("start"), F.col("doc_id").alias("v")
+    )
+    outs = []
+    for t in range(1, WALK_LEN + 1):
+        step = (
+            cur.join(und, cur["v"] == und["src"])
+            .withColumn(
+                "h",
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("v").cast("string"),
+                        F.col("dst").cast("string"),
+                        F.lit(str(t)),
+                    )
+                ),
+            )
+        )
+        w = Window.partitionBy("start").orderBy("h", "dst")
+        nxt = (
+            step.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("start", F.col("dst").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        outs.append(
+            nxt.select(
+                "start",
+                F.lit(t).cast("int").alias("step"),
+                F.col("v").alias("context"),
+            )
+        )
+        cur = nxt
+    from functools import reduce
+
+    pairs = reduce(lambda a, b: a.unionByName(b), outs)
+    return pairs.repartition(1).sortWithinPartitions("start", "step")

@@ -1015,3 +1015,41 @@ def test_louvain_two_level_hierarchy_and_replay(spark, sf_dir):
         prev = l1_to_l2.setdefault(r["community_l1"], r["community_l2"])
         assert prev == r["community_l2"]  # one l2 per l1 community
     assert len(set(l1_to_l2.values())) <= len(l1_to_l2)
+
+
+def test_deepwalk_pairs_replay(spark, sf_dir):
+    """Pure-Python replay of the hash-argmin walks: same md5 ordering,
+    same edges, WALK_LEN contexts per seed."""
+    import hashlib
+
+    import duckdb
+
+    from ocr_spark.operators.web_extract import (
+        WALK_LEN, WALK_SEED_MOD, deepwalk_pairs,
+    )
+
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    und: dict[int, set[int]] = {i: set() for i in range(n)}
+    for i in range(n):
+        for t in ((7 * i + 1) % n, (13 * i + 2) % n, (31 * i + 3) % n):
+            if t != i:
+                und[i].add(t)
+                und[t].add(i)
+    expect = {}
+    for s in range(0, n, WALK_SEED_MOD):
+        v = s
+        for t in range(1, WALK_LEN + 1):
+            v = min(
+                und[v],
+                key=lambda u: (
+                    hashlib.md5(f"{v}:{u}:{t}".encode()).hexdigest(), u
+                ),
+            )
+            expect[(s, t)] = v
+    got = {
+        (r["start"], r["step"]): r["context"]
+        for r in deepwalk_pairs(spark, sf_dir).collect()
+    }
+    assert got == expect
