@@ -497,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_schedule": web_extract.politeness_schedule,
         "louvain_two_level": web_extract.louvain_two_level,
         "deepwalk_pairs": web_extract.deepwalk_pairs,
+        "adamic_adar_pairs": web_extract.adamic_adar_pairs,
         "degree_assortativity": web_extract.degree_assortativity,
         "wl_refinement": web_extract.wl_refinement,
         "lpa_communities": web_extract.lpa_communities,
@@ -9157,6 +9158,47 @@ select cast(g.n as bigint) as n_users, cast(sd.nb as int) as b_replicas,
        cast(sd.std as bigint) as boot_std_micro,
        cast((196 * sd.std + 50) // 100 as bigint) as ci95_halfwidth_micro
 from g, sd where g.n > 0
+"""
+    # Adamic-Adar truth: same wedge join with the floor-log2 milli
+    # weight (bin-string length both sides), same anti-join.
+    sql["adamic_adar_pairs"] = f"""
+with n as (select count(*) as nn from documents),
+e0 as (
+  select doc_id as src, (doc_id * 7 + 1) % nn as dst from documents, n
+  union all
+  select doc_id, (doc_id * 13 + 2) % nn from documents, n
+  union all
+  select doc_id, (doc_id * 31 + 3) % nn from documents, n
+),
+edges as (select distinct src, dst from e0 where src != dst),
+und as materialized (
+  select src, dst from edges union select dst, src from edges
+),
+deg as (select src, count(*) as deg from und group by 1),
+wdeg as (
+  select src as w,
+         (2 * 1000 + (length(bin(deg)) - 1))
+           // (2 * (length(bin(deg)) - 1)) as w_milli
+  from deg
+),
+cn as (
+  select a.src as u, b.src as v, count(*) as cn,
+         sum(wd.w_milli) as aa_milli
+  from und a
+  join und b on a.dst = b.dst and a.src < b.src
+  join wdeg wd on wd.w = a.dst
+  group by 1, 2 having count(*) >= {web_extract.LP_MIN_CN}
+),
+nonedges as (
+  select cn.* from cn
+  left join (select src as u, dst as v from und where src < dst) e
+    on cn.u = e.u and cn.v = e.v
+  where e.u is null
+)
+select u, v, cast(cn as bigint) as cn,
+       cast(aa_milli as bigint) as aa_milli
+from nonedges
+order by u, v
 """
     # DeepWalk truth: unrolled hash-argmin steps over the same graph.
     _dw_steps = []

@@ -271,6 +271,7 @@ def main() -> int:
         "diff_in_differences",
         "ab_mde_power",
         "deepwalk_pairs",
+        "adamic_adar_pairs",
     ]
     if only:
         headline = [q for q in headline if q in only]

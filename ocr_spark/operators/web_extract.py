@@ -2555,3 +2555,61 @@ def deepwalk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = reduce(lambda a, b: a.unionByName(b), outs)
     return pairs.repartition(1).sortWithinPartitions("start", "step")
+
+
+def adamic_adar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar, Social Networks
+    2003) — the refinement over neighborhood Jaccard
+    (link_prediction_jaccard): common neighbors are weighted
+    INVERSELY by their popularity, 1/log(deg(w)), so sharing an
+    obscure mutual page predicts a link far more strongly than sharing
+    a hub everyone links to.  Integer protocol: the log is the exact
+    floor-log2 (bit length − 1; wedge centers always have deg ≥ 2 so
+    it is ≥ 1), each wedge contributes half-away(1000, floor_log2) —
+    the repo's per-term milli convention, bit-equal cross-engine.
+
+    Scale shape: identical to link_prediction_jaccard — wedges keyed
+    on the CENTER node with a broadcast-able center-degree join, one
+    (u, v) partial-agg sum, one anti-join against the edge list; no
+    window over corpus-cardinality input, no cartesian."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    n = docs.count()
+    directed = _link_edges(docs, n)
+    und = (
+        directed.select("src", "dst")
+        .union(directed.select(F.col("dst"), F.col("src")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    # per-center milli weight: half-away(1000 / floor_log2(deg))
+    wdeg = deg.select(
+        F.col("src").alias("w"),
+        F.expr(
+            "(2 * 1000 + (length(bin(deg)) - 1))"
+            " div (2 * (length(bin(deg)) - 1))"
+        ).alias("w_milli"),
+    )
+    w1 = und.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    w2 = und.select(F.col("dst").alias("w"), F.col("src").alias("v"))
+    aa = (
+        w1.join(w2, "w")
+        .where(F.col("u") < F.col("v"))
+        .join(wdeg, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum("w_milli").alias("aa_milli"),
+        )
+        .where(F.col("cn") >= LP_MIN_CN)
+    )
+    canon = und.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return (
+        aa.join(canon, ["u", "v"], "anti")
+        .select("u", "v", "cn", "aa_milli")
+        .repartition(1)
+        .sortWithinPartitions("u", "v")
+    )

@@ -1053,3 +1053,38 @@ def test_deepwalk_pairs_replay(spark, sf_dir):
         for r in deepwalk_pairs(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_adamic_adar_weights_vs_jaccard(spark, sf_dir):
+    """AA candidates coincide with the Jaccard link-prediction pairs
+    (same wedge/anti-join machinery) and each pair's score equals the
+    per-center sum of half-away(1000 / floor_log2(deg)) recomputed in
+    Python."""
+    import duckdb
+
+    from ocr_spark.operators.web_extract import (
+        adamic_adar_pairs,
+        link_prediction_jaccard,
+    )
+
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    und: dict[int, set[int]] = {i: set() for i in range(n)}
+    for i in range(n):
+        for t in ((7 * i + 1) % n, (13 * i + 2) % n, (31 * i + 3) % n):
+            if t != i:
+                und[i].add(t)
+                und[t].add(i)
+    got = {(r["u"], r["v"]): r for r in adamic_adar_pairs(spark, sf_dir).collect()}
+    jac = {(r["u"], r["v"]) for r in link_prediction_jaccard(spark, sf_dir).collect()}
+    assert set(got) == jac
+    for (u, v), r in got.items():
+        common = und[u] & und[v]
+        assert r["cn"] == len(common)
+        expect = sum(
+            (2 * 1000 + (len(und[w]).bit_length() - 1))
+            // (2 * (len(und[w]).bit_length() - 1))
+            for w in common
+        )
+        assert r["aa_milli"] == expect
