@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_waste_audit": text_analysis.padding_waste_audit,
         "dataset_card": text_analysis.dataset_card,
         "packing_seqlen_sweep": text_analysis.packing_seqlen_sweep,
+        "label_model_vote": text_analysis.label_model_vote,
         "bpe_merges": text_analysis.bpe_merges,
         "bpe_tokenize": text_analysis.bpe_tokenize,
         "bpe_fertility": text_analysis.bpe_fertility,
@@ -9158,6 +9159,53 @@ select cast(g.n as bigint) as n_users, cast(sd.nb as int) as b_replicas,
        cast(sd.std as bigint) as boot_std_micro,
        cast((196 * sd.std + 50) // 100 as bigint) as ci95_halfwidth_micro
 from g, sd where g.n > 0
+"""
+    # Label-model truth: same three LF expressions, same majority and
+    # ppm arithmetic.
+    sql["label_model_vote"] = """
+with v as (
+  select case when length(text) < 20 then -1
+              when text like '% the %' then 1 else 0 end as v1,
+         case when doc_id % 10 = 0
+              then 1 - (case when lang = 'en' then 1 else 0 end)
+              else (case when lang = 'en' then 1 else 0 end) end as v2,
+         case when n_chars % 2 = 0 then 1 else 0 end as v3
+  from documents
+),
+m as (
+  select v1, v2, v3,
+         case when 2 * ((case when v1 = 1 then 1 else 0 end) + v2 + v3)
+                   > ((case when v1 >= 0 then 1 else 0 end) + 2)
+              then 1 else 0 end as maj
+  from v
+),
+a as (
+  select count(*) as n,
+         sum(case when v1 >= 0 then 1 else 0 end) as c1,
+         sum(case when v1 >= 0 and v1 = maj then 1 else 0 end) as a1,
+         sum(case when v2 = maj then 1 else 0 end) as a2,
+         sum(case when v3 = maj then 1 else 0 end) as a3
+  from m
+)
+select lf, cast(n_votes as bigint) as n_votes,
+       cast(coverage_ppm as bigint) as coverage_ppm,
+       cast(agree_majority_ppm as bigint) as agree_majority_ppm
+from (
+  select 'lf1_stopword' as lf, c1 as n_votes,
+         (2 * c1 * 1000000 + n) // (2 * n) as coverage_ppm,
+         case when c1 = 0 then 0
+              else (2 * a1 * 1000000 + c1) // (2 * c1) end
+           as agree_majority_ppm
+  from a
+  union all
+  select 'lf2_lang_tag', n, 1000000,
+         (2 * a2 * 1000000 + n) // (2 * n) from a
+  union all
+  select 'lf3_parity', n, 1000000,
+         (2 * a3 * 1000000 + n) // (2 * n) from a
+)
+where (select n from a) > 0
+order by lf
 """
     # Adamic-Adar truth: same wedge join with the floor-log2 milli
     # weight (bin-string length both sides), same anti-join.

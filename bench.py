@@ -272,6 +272,7 @@ def main() -> int:
         "ab_mde_power",
         "deepwalk_pairs",
         "adamic_adar_pairs",
+        "label_model_vote",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -4499,3 +4499,86 @@ def packing_seqlen_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("seq_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weak-supervision label model (majority vote + LF diagnostics)
+# ---------------------------------------------------------------------------
+
+
+def label_model_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snorkel-style weak supervision (Ratner et al., VLDB 2018) over
+    heuristic labeling functions voting "is this document English":
+    LF1 = the ' the ' stopword heuristic (abstains on very short
+    docs), LF2 = the metadata lang tag with deterministic 10% noise
+    (every 10th doc flipped — the dirty-upstream-tag model), LF3 = a
+    deliberately weak length-parity heuristic.  The label model here
+    is plain majority-over-non-abstains (ties -> negative), and the
+    output is the per-LF diagnostic a practitioner reads before
+    weighting: coverage (non-abstain rate) and agreement with the
+    majority — Snorkel's accuracy proxy when no gold labels exist.
+
+    Scale shape: one scan, all three LF votes are map-side Catalyst
+    expressions, one majority projection, one 3-row aggregate — no
+    shuffle beyond the final partial agg."""
+    docs = _docs(spark, sf_dir)
+    lf1 = (
+        F.when(F.length("text") < 20, F.lit(-1))
+        .when(F.col("text").contains(" the "), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    lf2 = F.when(
+        F.col("doc_id") % 10 == 0,
+        1 - (F.col("lang") == "en").cast("int"),
+    ).otherwise((F.col("lang") == "en").cast("int"))
+    lf3 = (F.col("n_chars") % 2 == 0).cast("int")
+    v = docs.select(
+        lf1.alias("v1"), lf2.alias("v2"), lf3.alias("v3")
+    )
+    pos = (
+        F.when(F.col("v1") == 1, 1).otherwise(0)
+        + F.col("v2")
+        + F.col("v3")
+    )
+    cnt = (
+        F.when(F.col("v1") >= 0, 1).otherwise(0) + F.lit(2)
+    )
+    maj = (2 * pos > cnt).cast("int")
+    vm = v.withColumn("maj", maj)
+    agg = vm.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("v1") >= 0).cast("bigint")).alias("c1"),
+        F.sum(
+            ((F.col("v1") >= 0) & (F.col("v1") == F.col("maj")))
+            .cast("bigint")
+        ).alias("a1"),
+        F.sum((F.col("v2") == F.col("maj")).cast("bigint")).alias("a2"),
+        F.sum((F.col("v3") == F.col("maj")).cast("bigint")).alias("a3"),
+    ).first()
+    n = int(agg["n"]) if agg["n"] is not None else 0
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "lf string, n_votes bigint, coverage_ppm bigint, "
+            "agree_majority_ppm bigint",
+        )
+
+    def ppm(x: int, d: int) -> int:
+        return (2 * x * 1_000_000 + d) // (2 * d)
+
+    c1 = int(agg["c1"])
+    rows = [
+        ("lf1_stopword", c1, ppm(c1, n),
+         ppm(int(agg["a1"]), c1) if c1 else 0),
+        ("lf2_lang_tag", n, 1_000_000, ppm(int(agg["a2"]), n)),
+        ("lf3_parity", n, 1_000_000, ppm(int(agg["a3"]), n)),
+    ]
+    return (
+        spark.createDataFrame(
+            rows,
+            "lf string, n_votes bigint, coverage_ppm bigint, "
+            "agree_majority_ppm bigint",
+        )
+        .repartition(1)
+        .sortWithinPartitions("lf")
+    )

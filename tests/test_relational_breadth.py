@@ -1126,6 +1126,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.cuped_adjusted_metric, R.srm_check,
         R.poisson_bootstrap_ci, R.diff_in_differences,
         R.ab_mde_power, W.deepwalk_pairs, W.adamic_adar_pairs,
+        T.label_model_vote,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,

@@ -1762,3 +1762,34 @@ def test_packing_seqlen_sweep_hand_values(spark, tmp_path):
     assert rows[512]["tail_waste_ppm"] == 804_688
     assert all(r["actual_tokens"] == 100 and r["n_shards"] == 1
                for r in rows.values())
+
+
+def test_label_model_vote_hand_corpus(spark, tmp_path):
+    """4-doc crafted corpus where every LF vote and the majority are
+    hand-computable: short doc abstains LF1; the 10%-noise flip on
+    doc_id 0 inverts LF2; diagnostics match exactly."""
+    from ocr_spark.operators.text_analysis import label_model_vote
+
+    en_long = "this is the quick brown fox jumping over the lazy dog"
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            # doc 0: lang en but FLIPPED by noise -> v2=0; v1=1; v3(n=54 even)=1 -> maj 1
+            (0, en_long, "en", "s", 54),
+            # doc 10: en, v2=1 (10%10==0 flips! doc_id 10 -> flip) wait 10%10==0 -> flipped -> 0
+            (11, en_long, "en", "s", 53),   # v1=1, v2=1, v3(odd)=0 -> maj 1
+            (12, "short doc", "de", "s", 10),  # v1 abstain, v2=0, v3=1 -> pos 1, cnt 2 -> maj 0
+            (13, "no stopwords here at all friends", "de", "s", 31),
+            # ^ v1=0, v2=0, v3=0 -> maj 0
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r["lf"]: r for r in label_model_vote(spark, d).collect()}
+    # LF1: abstains on doc 12 -> coverage 3/4; agrees on 0,11,13 -> 3/3
+    assert got["lf1_stopword"]["n_votes"] == 3
+    assert got["lf1_stopword"]["coverage_ppm"] == 750_000
+    assert got["lf1_stopword"]["agree_majority_ppm"] == 1_000_000
+    # LF2: full coverage; doc0 flipped to 0 vs maj 1 -> agrees on 11,12,13
+    assert got["lf2_lang_tag"]["agree_majority_ppm"] == 750_000
+    # LF3: votes 1,0,1,0 vs maj 1,1,0,0 -> agrees on 0,13 -> 2/4
+    assert got["lf3_parity"]["agree_majority_ppm"] == 500_000
