@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_bootstrap_ci": relational.poisson_bootstrap_ci,
         "diff_in_differences": relational.diff_in_differences,
         "ab_mde_power": relational.ab_mde_power,
+        "holt_winters_forecast": relational.holt_winters_forecast,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -9159,6 +9160,44 @@ select cast(g.n as bigint) as n_users, cast(sd.nb as int) as b_replicas,
        cast(sd.std as bigint) as boot_std_micro,
        cast((196 * sd.std + 50) // 100 as bigint) as ci95_halfwidth_micro
 from g, sd where g.n > 0
+"""
+    # Holt truth: recursive-CTE replay of the same sign-decomposed
+    # half-away recurrence, then the same linear forecast fan-out.
+    def _shalf(num: str, den: int) -> str:
+        return (
+            f"(case when ({num}) >= 0 then"
+            f" (2 * ({num}) + {den}) // (2 * {den})"
+            f" else -((2 * -({num}) + {den}) // (2 * {den})) end)"
+        )
+
+    _a, _b, _d = (relational.HW_ALPHA_NUM, relational.HW_BETA_NUM,
+                  relational.HW_DEN)
+    _L2 = _shalf(f"{_a} * x.r * 1000 + {_d - _a} * (hw.l + hw.t)", _d)
+    _T2 = _shalf(f"{_b} * ({_L2} - hw.l) + {_d - _b} * hw.t", _d)
+    sql["holt_winters_forecast"] = f"""
+with recursive pd as (
+  select cast(ts as date) as day,
+         sum(cast(round(value * 100) as bigint)) as r
+  from events group by 1
+),
+idx as (select day, r, row_number() over (order by day) as i from pd),
+hw(i, day, r, l, t) as (
+  select i, day, r, r * 1000, cast(0 as bigint) from idx where i = 1
+  union all
+  select x.i, x.day, x.r, {_L2}, {_T2}
+  from hw join idx x on x.i = hw.i + 1
+),
+tail as (select * from hw order by i desc limit 1),
+fc as (
+  select tail.day + cast(h as int) as day, cast(0 as bigint) as r,
+         tail.l + h * tail.t as l, tail.t as t, 1 as f
+  from tail, range(1, {relational.HW_HORIZON + 1}) q(h)
+)
+select day, cast(r as bigint) as revenue_cents,
+       cast(l as bigint) as level_milli,
+       cast(t as bigint) as trend_milli, cast(f as int) as is_forecast
+from (select day, r, l, t, 0 as f from hw union all select * from fc)
+order by day
 """
     # Label-model truth: same three LF expressions, same majority and
     # ppm arithmetic.

@@ -273,6 +273,7 @@ def main() -> int:
         "deepwalk_pairs",
         "adamic_adar_pairs",
         "label_model_vote",
+        "holt_winters_forecast",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -7016,3 +7016,78 @@ def ab_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (level+trend) with 7-day forecast
+# ---------------------------------------------------------------------------
+
+HW_ALPHA_NUM, HW_BETA_NUM, HW_DEN = 3, 1, 10  # alpha=0.3, beta=0.1
+HW_HORIZON = 7
+
+
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (Holt 1957 /
+    Winters 1960 — the level+trend half, no seasonal term since
+    weekday_seasonality covers that axis) over the daily event-value
+    series, plus the h-step forecast l_T + h·t_T for the next
+    HW_HORIZON days — the lightweight capacity-planning forecast that
+    runs nightly next to the drift monitors.
+
+    Exact integer recurrence in milli-cents with α=3/10, β=1/10:
+      l_d = shalf(3·r_d·1000 + 7·(l_{d-1} + t_{d-1}), 10)
+      t_d = shalf((l_d − l_{d-1}) + 9·t_{d-1}, 10)
+    where shalf is sign-decomposed half-away division — every step is
+    rounded identically in both engines, so the whole trajectory is
+    bit-equal (the oracle replays it as a recursive CTE).  The series
+    is CALENDAR-bounded (one row per observed day), so the sequential
+    recurrence is driver-side tiny state — the same argument as the
+    k-means sums; the heavy work (daily aggregation) is one map-side
+    groupBy."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_day = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.expr("cast(round(value * 100) as bigint)").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("r"))
+        .collect()
+    )
+    if not per_day:
+        return spark.createDataFrame(
+            [],
+            "day date, revenue_cents bigint, level_milli bigint, "
+            "trend_milli bigint, is_forecast int",
+        )
+
+    def shalf(num: int, den: int) -> int:
+        if num >= 0:
+            return (2 * num + den) // (2 * den)
+        return -((2 * -num + den) // (2 * den))
+
+    series = sorted((r["day"], int(r["r"])) for r in per_day)
+    a, b, den = HW_ALPHA_NUM, HW_BETA_NUM, HW_DEN
+    rows = []
+    l = series[0][1] * 1000
+    t = 0
+    rows.append((series[0][0], series[0][1], l, t, 0))
+    for day, r in series[1:]:
+        l_prev, t_prev = l, t
+        l = shalf(a * r * 1000 + (den - a) * (l_prev + t_prev), den)
+        t = shalf(b * (l - l_prev) + (den - b) * t_prev, den)
+        rows.append((day, r, l, t, 0))
+    from datetime import timedelta
+
+    last_day = series[-1][0]
+    for h in range(1, HW_HORIZON + 1):
+        rows.append((last_day + timedelta(days=h), 0, l + h * t, t, 1))
+    return (
+        spark.createDataFrame(
+            rows,
+            "day date, revenue_cents bigint, level_milli bigint, "
+            "trend_milli bigint, is_forecast int",
+        )
+        .repartition(1)
+        .sortWithinPartitions("day")
+    )

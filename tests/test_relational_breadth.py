@@ -1126,7 +1126,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.cuped_adjusted_metric, R.srm_check,
         R.poisson_bootstrap_ci, R.diff_in_differences,
         R.ab_mde_power, W.deepwalk_pairs, W.adamic_adar_pairs,
-        T.label_model_vote,
+        T.label_model_vote, R.holt_winters_forecast,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
@@ -3771,3 +3771,52 @@ def test_ab_mde_power_hand_case(spark, tmp_path):
     assert r["mde_micro"] == (28016 * s + 5000) // 10000
     assert abs(r["mde_micro"] - 396_200_000) < 1_000_000
     assert abs(r["relative_mde_ppm"] - 396_200) < 1_000
+
+
+def test_holt_winters_constant_and_linear_series(spark, tmp_path):
+    """Constant series: level locks to the value, trend stays 0,
+    forecast is flat.  Linear series: the trend estimate approaches
+    the true daily increment and the forecast continues the line."""
+    from datetime import datetime, timedelta
+
+    from ocr_spark.operators.relational import (
+        HW_HORIZON,
+        holt_winters_forecast,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    # constant: 100.00/day for 10 days
+    const = [(i, t0 + timedelta(days=i), 1, "view", 100.0, "{}")
+             for i in range(10)]
+    d1 = str(tmp_path / "const")
+    spark.createDataFrame(
+        const,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d1}/events.parquet")
+    rows = holt_winters_forecast(spark, d1).collect()
+    obs = [r for r in rows if r["is_forecast"] == 0]
+    fc = [r for r in rows if r["is_forecast"] == 1]
+    assert len(fc) == HW_HORIZON
+    assert all(r["level_milli"] == 10_000_000 for r in obs)  # 10000c
+    assert all(r["trend_milli"] == 0 for r in obs)
+    assert all(r["level_milli"] == 10_000_000 for r in fc)
+    # linear: value grows 100c/day
+    lin = [(i, t0 + timedelta(days=i), 1, "view", 1.0 * (i + 1), "{}")
+           for i in range(30)]
+    d2 = str(tmp_path / "lin")
+    spark.createDataFrame(
+        lin,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d2}/events.parquet")
+    rows = holt_winters_forecast(spark, d2).collect()
+    obs = [r for r in rows if r["is_forecast"] == 0]
+    fc = sorted((r for r in rows if r["is_forecast"] == 1),
+                key=lambda r: r["day"])
+    # trend converges near the true 100c/day = 100_000 milli
+    assert abs(obs[-1]["trend_milli"] - 100_000) < 30_000
+    # forecasts continue linearly with the final trend
+    t_final = obs[-1]["trend_milli"]
+    for h in range(1, HW_HORIZON):
+        assert fc[h]["level_milli"] - fc[h - 1]["level_milli"] == t_final
