@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_in_differences": relational.diff_in_differences,
         "ab_mde_power": relational.ab_mde_power,
         "holt_winters_forecast": relational.holt_winters_forecast,
+        "winsorized_mean": relational.winsorized_mean,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -9161,6 +9162,44 @@ select cast(g.n as bigint) as n_users, cast(sd.nb as int) as b_replicas,
        cast((196 * sd.std + 50) // 100 as bigint) as ci95_halfwidth_micro
 from g, sd where g.n > 0
 """
+    # Winsorized-mean truth: row_number order stats at the same ceil
+    # ranks (ties by user_id), clamp, half-away ppm.
+    sql["winsorized_mean"] = f"""
+with pu as (
+  select user_id, sum(cast(round(value * 100) as bigint)) as y
+  from events group by 1
+),
+g as (select count(*) as n from pu),
+rk as (
+  select y, row_number() over (order by y, user_id) as r from pu
+),
+cuts as (
+  select g.n,
+         (select y from rk
+          where r = ({relational.WINSOR_LO_PCT} * g.n + 99) // 100) as lo,
+         (select y from rk
+          where r = ({relational.WINSOR_HI_PCT} * g.n + 99) // 100) as hi
+  from g
+),
+a as (
+  select c.n, c.lo, c.hi,
+         sum(pu.y) as sy,
+         sum(greatest(least(pu.y, c.hi), c.lo)) as sw,
+         sum(case when pu.y < c.lo then 1 else 0 end) as nlo,
+         sum(case when pu.y > c.hi then 1 else 0 end) as nhi
+  from pu, cuts c
+  group by 1, 2, 3
+)
+select cast(n as bigint) as n_users, cast(lo as bigint) as lo_cut_cents,
+       cast(hi as bigint) as hi_cut_cents,
+       cast(nlo as bigint) as n_clamped_lo,
+       cast(nhi as bigint) as n_clamped_hi,
+       cast((2 * sy * 1000000 + n) // (2 * n) as bigint)
+         as raw_mean_micro,
+       cast((2 * sw * 1000000 + n) // (2 * n) as bigint)
+         as winsorized_mean_micro
+from a where n > 0
+"""
     # Holt truth: recursive-CTE replay of the same sign-decomposed
     # half-away recurrence, then the same linear forecast fan-out.
     def _shalf(num: str, den: int) -> str:
@@ -9841,7 +9880,7 @@ c as (
   from h
 ),
 q as (
-  select q_pct, -((-q_pct * agg.n) // 100) as k, agg.n
+  select q_pct, (q_pct * agg.n + 99) // 100 as k, agg.n
   from (values (50), (90), (99)) v(q_pct), agg where agg.n > 0
 ),
 loc as (
@@ -9917,7 +9956,7 @@ c as (
   from h
 ),
 q as (
-  select q_pct, -((-q_pct * w.n) // 100) as k, w.n, w.lo, w.width
+  select q_pct, (q_pct * w.n + 99) // 100 as k, w.n, w.lo, w.width
   from (values (50), (90), (99)) v(q_pct), w
 ),
 loc as (

@@ -274,6 +274,7 @@ def main() -> int:
         "adamic_adar_pairs",
         "label_model_vote",
         "holt_winters_forecast",
+        "winsorized_mean",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -7091,3 +7091,74 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("day")
     )
+
+
+WINSOR_LO_PCT, WINSOR_HI_PCT = 1, 99
+
+
+def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized metric readout (Tukey's robust mean — the standard
+    guard against whale users dominating an experiment metric): clamp
+    per-user value sums at the exact P1/P99 order statistics, then
+    average.  Reports raw vs winsorized mean and how many users were
+    clamped on each side — the numbers that justify (or veto) the
+    transformation.
+
+    Exactness: the cut points are EXACT order statistics at ranks
+    ceil(p·n/100) located via ``bucketed_global_rank`` (two-pass grid
+    rank — no single-partition sort), means are one half-away ppm
+    division.
+
+    Scale shape: one per-user groupBy, one two-pass rank (shuffles on
+    the grid bucket), two rank-filter lookups (tiny), one clamped
+    aggregate with the cut points as plan literals."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pu = (
+        ev.select(
+            "user_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("y"))
+    )
+    n = pu.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "n_users bigint, lo_cut_cents bigint, hi_cut_cents bigint, "
+            "n_clamped_lo bigint, n_clamped_hi bigint, "
+            "raw_mean_micro bigint, winsorized_mean_micro bigint",
+        )
+    ranked = bucketed_global_rank(pu, "y", "user_id")
+    k_lo = -(-WINSOR_LO_PCT * n // 100)
+    k_hi = -(-WINSOR_HI_PCT * n // 100)
+    lo = int(ranked.filter(F.col("rk") == k_lo).first()["y"])
+    hi = int(ranked.filter(F.col("rk") == k_hi).first()["y"])
+    agg = pu.agg(
+        F.sum("y").alias("sy"),
+        F.sum(
+            F.greatest(F.least(F.col("y"), F.lit(hi)), F.lit(lo))
+        ).alias("sw"),
+        F.sum((F.col("y") < lo).cast("bigint")).alias("nlo"),
+        F.sum((F.col("y") > hi).cast("bigint")).alias("nhi"),
+    ).first()
+
+    def half(num: int, den: int) -> int:
+        s = -1 if (num < 0) != (den < 0) else 1
+        num, den = abs(num), abs(den)
+        return s * ((2 * num + den) // (2 * den))
+
+    return (
+        spark.createDataFrame(
+            [(
+                n, lo, hi, int(agg["nlo"]), int(agg["nhi"]),
+                half(int(agg["sy"]) * 1_000_000, n),
+                half(int(agg["sw"]) * 1_000_000, n),
+            )],
+            "n_users bigint, lo_cut_cents bigint, hi_cut_cents bigint, "
+            "n_clamped_lo bigint, n_clamped_hi bigint, "
+            "raw_mean_micro bigint, winsorized_mean_micro bigint",
+        )
+        .repartition(1)
+        .sortWithinPartitions("n_users")
+    )

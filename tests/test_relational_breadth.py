@@ -1127,6 +1127,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.poisson_bootstrap_ci, R.diff_in_differences,
         R.ab_mde_power, W.deepwalk_pairs, W.adamic_adar_pairs,
         T.label_model_vote, R.holt_winters_forecast,
+        R.winsorized_mean,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
@@ -3820,3 +3821,33 @@ def test_holt_winters_constant_and_linear_series(spark, tmp_path):
     t_final = obs[-1]["trend_milli"]
     for h in range(1, HW_HORIZON):
         assert fc[h]["level_milli"] - fc[h - 1]["level_milli"] == t_final
+
+
+def test_winsorized_mean_clamps_whales(spark, tmp_path):
+    """103 users (non-divisible n pins the ceil-rank protocol): one
+    whale and one zero get clamped to the exact P1/P99 order stats;
+    raw mean moves, winsorized mean matches the hand computation."""
+    from datetime import datetime
+
+    from ocr_spark.operators.relational import winsorized_mean
+
+    t0 = datetime(2024, 1, 1)
+    # users 1..101 spend 10.00; user 0 spends 0.01; user 102 is a whale
+    rows = [(i, t0, i, "view", 10.0, "{}") for i in range(1, 102)]
+    rows.append((200, t0, 0, "view", 0.01, "{}"))
+    rows.append((201, t0, 102, "view", 100000.0, "{}"))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = winsorized_mean(spark, d).collect()[0]
+    assert r["n_users"] == 103
+    # ranks: ceil(1*103/100)=2 -> second smallest = 1000c;
+    # ceil(99*103/100)=102 -> second largest = 1000c
+    assert r["lo_cut_cents"] == 1000 and r["hi_cut_cents"] == 1000
+    assert r["n_clamped_lo"] == 1 and r["n_clamped_hi"] == 1
+    # winsorized: all 103 at 1000c
+    assert r["winsorized_mean_micro"] == 1_000_000_000
+    assert r["raw_mean_micro"] > r["winsorized_mean_micro"]
