@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_mde_power": relational.ab_mde_power,
         "holt_winters_forecast": relational.holt_winters_forecast,
         "winsorized_mean": relational.winsorized_mean,
+        "ips_offline_eval": relational.ips_offline_eval,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -9161,6 +9162,38 @@ select cast(g.n as bigint) as n_users, cast(sd.nb as int) as b_replicas,
        cast(sd.std as bigint) as boot_std_micro,
        cast((196 * sd.std + 50) // 100 as bigint) as ci95_halfwidth_micro
 from g, sd where g.n > 0
+"""
+    # IPS truth: same action/match/reward aggregates and the x3
+    # propensity cancellation.
+    sql["ips_offline_eval"] = """
+with b as (
+  select event_id % 3 as a, user_id % 3 as pi1,
+         case when event_type = 'purchase' then 1 else 0 end as r
+  from events
+),
+g as (
+  select count(*) as n, sum(r) as sr,
+         sum(case when pi1 = a then 1 else 0 end) as m1,
+         sum(case when pi1 = a then r else 0 end) as mr1,
+         sum(case when a = 0 then 1 else 0 end) as m2,
+         sum(case when a = 0 then r else 0 end) as mr2
+  from b
+)
+select policy, cast(n as bigint) as n, cast(matched as bigint) as matched,
+       cast(reward_sum as bigint) as reward_sum,
+       cast(est as bigint) as est_reward_ppm
+from (
+  select '0_logged' as policy, n, n as matched, sr as reward_sum,
+         (2 * sr * 1000000 + n) // (2 * n) as est from g
+  union all
+  select '1_personalized', n, m1, mr1,
+         (2 * 3 * mr1 * 1000000 + n) // (2 * n) from g
+  union all
+  select '2_constant_a0', n, m2, mr2,
+         (2 * 3 * mr2 * 1000000 + n) // (2 * n) from g
+)
+where (select n from g) > 0
+order by policy
 """
     # Winsorized-mean truth: row_number order stats at the same ceil
     # ranks (ties by user_id), clamp, half-away ppm.

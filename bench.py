@@ -275,6 +275,7 @@ def main() -> int:
         "label_model_vote",
         "holt_winters_forecast",
         "winsorized_mean",
+        "ips_offline_eval",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -7162,3 +7162,67 @@ def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("n_users")
     )
+
+
+def ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity off-policy evaluation (Horvitz-Thompson /
+    Li et al., WSDM 2011's unbiased offline evaluator) — how a ranking
+    or recommendation change is scored BEFORE an A/B test: the logging
+    policy chose one of 3 actions uniformly (propensity exactly 1/3,
+    derived from event_id), reward = purchase; a candidate policy π is
+    scored from the same logs by V̂(π) = (1/n)·Σ 1[π(x)=a]·r/(1/3) —
+    matches only, reweighted by the known propensity.  Two candidates
+    ship: a personalized rule (user hash) and a constant action,
+    next to the logged policy's own mean reward.  Exact integers
+    throughout (the 1/3 propensity cancels to a ×3), half-away ppm.
+
+    Scale shape: one scan, three conditional aggregates — map-side
+    partials only; the effective-sample-size diagnostic (match count)
+    is what flags a high-variance estimate before anyone trusts it."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        (F.col("event_id") % 3).alias("a"),
+        (F.col("user_id") % 3).alias("pi1"),
+        F.expr(
+            "case when event_type = 'purchase' then 1 else 0 end"
+        ).alias("r"),
+    )
+    g = base.agg(
+        F.count("*").alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum((F.col("pi1") == F.col("a")).cast("bigint")).alias("m1"),
+        F.sum(
+            F.when(F.col("pi1") == F.col("a"), F.col("r")).otherwise(0)
+        ).alias("mr1"),
+        F.sum((F.col("a") == 0).cast("bigint")).alias("m2"),
+        F.sum(F.when(F.col("a") == 0, F.col("r")).otherwise(0)).alias(
+            "mr2"
+        ),
+    ).first()
+    n = int(g["n"]) if g["n"] is not None else 0
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "policy string, n bigint, matched bigint, reward_sum bigint, "
+            "est_reward_ppm bigint",
+        )
+
+    def ppm(num: int, den: int) -> int:
+        return (2 * num * 1_000_000 + den) // (2 * den)
+
+    rows = [
+        ("0_logged", n, n, int(g["sr"]), ppm(int(g["sr"]), n)),
+        ("1_personalized", n, int(g["m1"]), int(g["mr1"]),
+         ppm(3 * int(g["mr1"]), n)),
+        ("2_constant_a0", n, int(g["m2"]), int(g["mr2"]),
+         ppm(3 * int(g["mr2"]), n)),
+    ]
+    return (
+        spark.createDataFrame(
+            rows,
+            "policy string, n bigint, matched bigint, reward_sum bigint, "
+            "est_reward_ppm bigint",
+        )
+        .repartition(1)
+        .sortWithinPartitions("policy")
+    )

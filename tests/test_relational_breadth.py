@@ -1127,7 +1127,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.poisson_bootstrap_ci, R.diff_in_differences,
         R.ab_mde_power, W.deepwalk_pairs, W.adamic_adar_pairs,
         T.label_model_vote, R.holt_winters_forecast,
-        R.winsorized_mean,
+        R.winsorized_mean, R.ips_offline_eval,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
@@ -3851,3 +3851,35 @@ def test_winsorized_mean_clamps_whales(spark, tmp_path):
     # winsorized: all 103 at 1000c
     assert r["winsorized_mean_micro"] == 1_000_000_000
     assert r["raw_mean_micro"] > r["winsorized_mean_micro"]
+
+
+def test_ips_recovers_true_policy_value(spark, tmp_path):
+    """Crafted logs where rewards depend only on the action (r=1 iff
+    a==0): IPS from uniformly-logged actions recovers the constant-a0
+    policy's true value 1.0 and the logged policy's 1/3."""
+    from datetime import datetime
+
+    from ocr_spark.operators.relational import ips_offline_eval
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(300):
+        a = i % 3  # uniform logging via event_id % 3
+        rows.append(
+            (i, t0, i, "purchase" if a == 0 else "view", 1.0, "{}")
+        )
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["policy"]: r for r in ips_offline_eval(spark, d).collect()}
+    assert got["0_logged"]["est_reward_ppm"] == 333_333  # 1/3
+    # constant-a0: matches exactly the a=0 third, all rewarded:
+    # 3 * (100/300) = 1.0
+    assert got["2_constant_a0"]["matched"] == 100
+    assert got["2_constant_a0"]["est_reward_ppm"] == 1_000_000
+    # personalized (user_id%3 == event_id%3 here): matches everything
+    assert got["1_personalized"]["matched"] == 300
+    assert got["1_personalized"]["est_reward_ppm"] == 1_000_000
