@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_forecast": relational.holt_winters_forecast,
         "winsorized_mean": relational.winsorized_mean,
         "ips_offline_eval": relational.ips_offline_eval,
+        "doubly_robust_eval": relational.doubly_robust_eval,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -9162,6 +9163,58 @@ select cast(g.n as bigint) as n_users, cast(sd.nb as int) as b_replicas,
        cast(sd.std as bigint) as boot_std_micro,
        cast((196 * sd.std + 50) // 100 as bigint) as ci95_halfwidth_micro
 from g, sd where g.n > 0
+"""
+    # DR truth: the same closed-form aggregates assembled as one exact
+    # hugeint fraction over n*na0*na1*na2; sign-decomposed ppm.
+    def _sppm(num: str, den: str) -> str:
+        return (
+            f"(case when ({num}) >= 0 then"
+            f" (2 * ({num}) * 1000000 + ({den})) // (2 * ({den}))"
+            f" else -((2 * -({num}) * 1000000 + ({den}))"
+            f" // (2 * ({den}))) end)"
+        )
+
+    _dm_num = (
+        "(np0::hugeint * mra0 * (dd // na0)"
+        " + np1::hugeint * mra1 * (dd // na1)"
+        " + np2::hugeint * mra2 * (dd // na2))"
+    )
+    _corr = (
+        "(3 * (mr_match::hugeint * dd"
+        " - (m0::hugeint * mra0 * (dd // na0)"
+        "    + m1::hugeint * mra1 * (dd // na1)"
+        "    + m2::hugeint * mra2 * (dd // na2))))"
+    )
+    sql["doubly_robust_eval"] = f"""
+with b as (
+  select event_id % 3 as a, user_id % 3 as pi1,
+         case when event_type = 'purchase' then 1 else 0 end as r
+  from events
+),
+g as (
+  select count(*) as n,
+         greatest(sum(case when a = 0 then 1 else 0 end), 1) as na0,
+         greatest(sum(case when a = 1 then 1 else 0 end), 1) as na1,
+         greatest(sum(case when a = 2 then 1 else 0 end), 1) as na2,
+         sum(case when a = 0 then r else 0 end) as mra0,
+         sum(case when a = 1 then r else 0 end) as mra1,
+         sum(case when a = 2 then r else 0 end) as mra2,
+         sum(case when pi1 = 0 then 1 else 0 end) as np0,
+         sum(case when pi1 = 1 then 1 else 0 end) as np1,
+         sum(case when pi1 = 2 then 1 else 0 end) as np2,
+         sum(case when pi1 = a then r else 0 end) as mr_match,
+         sum(case when pi1 = a and a = 0 then 1 else 0 end) as m0,
+         sum(case when pi1 = a and a = 1 then 1 else 0 end) as m1,
+         sum(case when pi1 = a and a = 2 then 1 else 0 end) as m2
+  from b
+),
+c as (select *, na0::hugeint * na1 * na2 as dd from g)
+select 'personalized' as policy, cast(n as bigint) as n,
+       cast({_sppm(_dm_num, "n::hugeint * dd")} as bigint) as dm_ppm,
+       cast({_sppm("3 * mr_match::hugeint", "n")} as bigint) as ips_ppm,
+       cast({_sppm(_dm_num + " + " + _corr, "n::hugeint * dd")} as bigint)
+         as dr_ppm
+from c where n > 0
 """
     # IPS truth: same action/match/reward aggregates and the x3
     # propensity cancellation.

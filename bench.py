@@ -276,6 +276,7 @@ def main() -> int:
         "holt_winters_forecast",
         "winsorized_mean",
         "ips_offline_eval",
+        "doubly_robust_eval",
     ]
     if only:
         headline = [q for q in headline if q in only]

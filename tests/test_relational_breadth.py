@@ -1128,6 +1128,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.ab_mde_power, W.deepwalk_pairs, W.adamic_adar_pairs,
         T.label_model_vote, R.holt_winters_forecast,
         R.winsorized_mean, R.ips_offline_eval,
+        R.doubly_robust_eval,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
@@ -3883,3 +3884,33 @@ def test_ips_recovers_true_policy_value(spark, tmp_path):
     # personalized (user_id%3 == event_id%3 here): matches everything
     assert got["1_personalized"]["matched"] == 300
     assert got["1_personalized"]["est_reward_ppm"] == 1_000_000
+
+
+def test_doubly_robust_perfect_model_case(spark, tmp_path):
+    """Action-determined rewards (r=1 iff a==0): the direct model is
+    perfect, so DM == DR == the true personalized-policy value, and
+    both equal IPS when the policy matches all logs."""
+    from datetime import datetime
+
+    from ocr_spark.operators.relational import doubly_robust_eval
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(300):
+        a = i % 3
+        rows.append((i, t0, i, "purchase" if a == 0 else "view", 1.0, "{}"))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = doubly_robust_eval(spark, d).collect()[0]
+    # pi1 = user_id%3 = event_id%3 = a -> matches all; true value 1/3
+    assert r["dm_ppm"] == 333_333
+    assert r["ips_ppm"] == 1_000_000  # 3 * (100/300)
+    # perfect model + full match: DR = DM + 3*(match_r - model on
+    # matches) = 1/3 + 3*(100 - 100)/300... model on matched rows
+    # equals realized rewards -> correction cancels to IPS-DM gap:
+    # DR = DM + (IPS - 3*sum q(a)*match_a/n) = exact replay value
+    assert r["dr_ppm"] == r["dm_ppm"] + r["ips_ppm"] - 1_000_000
