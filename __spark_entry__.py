@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_mean": relational.winsorized_mean,
         "ips_offline_eval": relational.ips_offline_eval,
         "doubly_robust_eval": relational.doubly_robust_eval,
+        "quantile_treatment_effect": relational.quantile_treatment_effect,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -9163,6 +9164,37 @@ select cast(g.n as bigint) as n_users, cast(sd.nb as int) as b_replicas,
        cast(sd.std as bigint) as boot_std_micro,
        cast((196 * sd.std + 50) // 100 as bigint) as ci95_halfwidth_micro
 from g, sd where g.n > 0
+"""
+    # QTE truth: per-arm row_number order stats at the same positive
+    # ceil ranks.
+    sql["quantile_treatment_effect"] = """
+with pu as (
+  select user_id, sum(cast(round(value * 100) as bigint)) as y,
+         cast(user_id % 2 as int) as arm
+  from events group by 1
+),
+rk as (
+  select arm, y,
+         row_number() over (partition by arm order by y, user_id) as r,
+         count(*) over (partition by arm) as n_a
+  from pu
+),
+q as (select unnest([25, 50, 75]) as q_pct),
+cells as (
+  select q.q_pct, rk.arm, rk.n_a, rk.y
+  from q join rk on rk.r = (q.q_pct * rk.n_a + 99) // 100
+)
+select cast(q.q_pct as int) as q_pct,
+       cast(coalesce(c0.n_a, 0) as bigint) as n_control,
+       cast(coalesce(c1.n_a, 0) as bigint) as n_treat,
+       cast(coalesce(c0.y, 0) as bigint) as control_cents,
+       cast(coalesce(c1.y, 0) as bigint) as treat_cents,
+       cast(coalesce(c1.y, 0) - coalesce(c0.y, 0) as bigint) as qte_cents
+from q
+left join cells c0 on c0.q_pct = q.q_pct and c0.arm = 0
+left join cells c1 on c1.q_pct = q.q_pct and c1.arm = 1
+where exists (select 1 from pu)
+order by q_pct
 """
     # DR truth: the same closed-form aggregates assembled as one exact
     # hugeint fraction over n*na0*na1*na2; sign-decomposed ppm.

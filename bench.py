@@ -277,6 +277,7 @@ def main() -> int:
         "winsorized_mean",
         "ips_offline_eval",
         "doubly_robust_eval",
+        "quantile_treatment_effect",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -7315,3 +7315,64 @@ def doubly_robust_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("policy")
     )
+
+
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (Doksum, Ann. Statist. 1974 — the
+    distributional readout means hide): the P25/P50/P75 of the
+    per-user value in EACH arm (the cuped/srm hash split) and their
+    differences — an experiment that only moves the tail shows up
+    here and nowhere in the mean.
+
+    Exactness: per-arm EXACT order statistics at ceil(q·n_arm/100)
+    ranks — each arm ranked by its own ``bucketed_global_rank``
+    two-pass grid (scale-safe; a window partitioned by the TWO-value
+    arm key would be two corpus-sized partitions, exactly the shape
+    the repo convention forbids).
+
+    Scale shape: one per-user groupBy, two independent two-pass ranks
+    (one per arm), six rank-filter lookups — all keyed shuffles."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pu = (
+        ev.select(
+            "user_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("y"))
+        .withColumn("arm", F.pmod(F.col("user_id"), F.lit(2)).cast("int"))
+    )
+    out = []
+    vals: dict[tuple[int, int], int] = {}
+    ns = {}
+    for arm in (0, 1):
+        part = pu.filter(F.col("arm") == arm).select("user_id", "y")
+        n_a = part.count()
+        ns[arm] = n_a
+        if n_a == 0:
+            continue
+        ranked = bucketed_global_rank(part, "y", "user_id")
+        for q in (25, 50, 75):
+            k = (q * n_a + 99) // 100
+            vals[(arm, q)] = int(
+                ranked.filter(F.col("rk") == k).first()["y"]
+            )
+    if not vals:
+        return spark.createDataFrame(
+            [],
+            "q_pct int, n_control bigint, n_treat bigint, "
+            "control_cents bigint, treat_cents bigint, qte_cents bigint",
+        )
+    for q in (25, 50, 75):
+        v0 = vals.get((0, q), 0)
+        v1 = vals.get((1, q), 0)
+        out.append((q, ns.get(0, 0), ns.get(1, 0), v0, v1, v1 - v0))
+    return (
+        spark.createDataFrame(
+            out,
+            "q_pct int, n_control bigint, n_treat bigint, "
+            "control_cents bigint, treat_cents bigint, qte_cents bigint",
+        )
+        .repartition(1)
+        .sortWithinPartitions("q_pct")
+    )

@@ -1128,7 +1128,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.ab_mde_power, W.deepwalk_pairs, W.adamic_adar_pairs,
         T.label_model_vote, R.holt_winters_forecast,
         R.winsorized_mean, R.ips_offline_eval,
-        R.doubly_robust_eval,
+        R.doubly_robust_eval, R.quantile_treatment_effect,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
@@ -3914,3 +3914,34 @@ def test_doubly_robust_perfect_model_case(spark, tmp_path):
     # equals realized rewards -> correction cancels to IPS-DM gap:
     # DR = DM + (IPS - 3*sum q(a)*match_a/n) = exact replay value
     assert r["dr_ppm"] == r["dm_ppm"] + r["ips_ppm"] - 1_000_000
+
+
+def test_qte_detects_uniform_shift(spark, tmp_path):
+    """Treatment = control distribution shifted by exactly 7.77: QTE
+    is 777 cents at every quantile, and the per-arm order stats match
+    the hand-computed ceil ranks (n=101 per arm pins the protocol)."""
+    from datetime import datetime
+
+    from ocr_spark.operators.relational import quantile_treatment_effect
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for j in range(101):
+        v = 1.0 * (j + 1)
+        rows.append((eid, t0, 2 * j, "view", v, "{}")); eid += 1
+        rows.append((eid, t0, 2 * j + 1, "view", v + 7.77, "{}")); eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["q_pct"]: r
+           for r in quantile_treatment_effect(spark, d).collect()}
+    assert set(got) == {25, 50, 75}
+    for q, r in got.items():
+        assert r["n_control"] == r["n_treat"] == 101
+        k = (q * 101 + 99) // 100
+        assert r["control_cents"] == k * 100
+        assert r["qte_cents"] == 777
