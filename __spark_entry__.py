@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ips_offline_eval": relational.ips_offline_eval,
         "doubly_robust_eval": relational.doubly_robust_eval,
         "quantile_treatment_effect": relational.quantile_treatment_effect,
+        "stratified_srm": relational.stratified_srm,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -9164,6 +9165,36 @@ select cast(g.n as bigint) as n_users, cast(sd.nb as int) as b_replicas,
        cast(sd.std as bigint) as boot_std_micro,
        cast((196 * sd.std + 50) // 100 as bigint) as ci95_halfwidth_micro
 from g, sd where g.n > 0
+"""
+    # Stratified-SRM truth: per-segment distinct-user arm counts, the
+    # same chi2 and Bonferroni lookup by segment count.
+    _crit = "case " + " ".join(
+        f"when k = {i} then {c}"
+        for i, c in [(1, 3841), (2, 5024), (3, 5731), (4, 6239),
+                     (5, 6635), (6, 6960), (7, 7237)]
+    ) + " else 7477 end"
+    sql["stratified_srm"] = f"""
+with u as (
+  select distinct event_type, user_id, user_id % 2 as arm from events
+),
+seg as (
+  select event_type,
+         sum(case when arm = 0 then 1 else 0 end) as a,
+         sum(case when arm = 1 then 1 else 0 end) as b
+  from u group by 1
+),
+kk as (select count(*) as k from seg),
+c as (select ({_crit}) as crit from kk)
+select event_type, cast(a as bigint) as arm0, cast(b as bigint) as arm1,
+       cast(case when a + b = 0 then 0 else
+         (2 * (a - b) * (a - b) * 1000 + (a + b)) // (2 * (a + b))
+       end as bigint) as chi2_milli,
+       cast(c.crit as bigint) as crit_milli,
+       cast(case when a + b > 0
+                  and 1000 * (a - b) * (a - b) > c.crit * (a + b)
+            then 1 else 0 end as int) as srm_alarm
+from seg, c
+order by event_type
 """
     # QTE truth: per-arm row_number order stats at the same positive
     # ceil ranks.

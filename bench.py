@@ -278,6 +278,7 @@ def main() -> int:
         "ips_offline_eval",
         "doubly_robust_eval",
         "quantile_treatment_effect",
+        "stratified_srm",
     ]
     if only:
         headline = [q for q in headline if q in only]

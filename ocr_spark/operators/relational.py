@@ -7376,3 +7376,61 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("q_pct")
     )
+
+
+def stratified_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level sample-ratio mismatch — the follow-up the KDD'19
+    SRM paper prescribes when the GLOBAL check passes but a logging
+    bug hides inside one segment (one platform drops control events,
+    another drops treatment, the totals balance): the two-cell
+    chi-square per event-type segment, each against the
+    Bonferroni-corrected critical value for k segments.  The corrected
+    threshold for alpha/k is looked up from fixed df=1 chi-square
+    milli constants (k = 1..8: 3841, 5024, 5731, 6239, 6635, 6960,
+    7237, 7477 — Bonferroni at 5%), an exact integer comparison like
+    srm_check's.
+
+    Scale shape: one distinct (user, type) projection, one groupBy per
+    segment, O(segments) arithmetic — map-side partials only."""
+    crit_milli = {1: 3841, 2: 5024, 3: 5731, 4: 6239, 5: 6635,
+                  6: 6960, 7: 7237, 8: 7477}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    seg = (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+        )
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("case when arm = 0 then 1 else 0 end")).alias("a"),
+            F.sum(F.expr("case when arm = 1 then 1 else 0 end")).alias("b"),
+        )
+        .collect()
+    )
+    if not seg:
+        return spark.createDataFrame(
+            [],
+            "event_type string, arm0 bigint, arm1 bigint, "
+            "chi2_milli bigint, crit_milli bigint, srm_alarm int",
+        )
+    k = len(seg)
+    crit = crit_milli.get(k, crit_milli[8])
+    rows = []
+    for r in seg:
+        a, b = int(r["a"]), int(r["b"])
+        n = a + b
+        d2 = (a - b) * (a - b)
+        chi = (2 * d2 * 1000 + n) // (2 * n) if n else 0
+        alarm = int(n > 0 and 1000 * d2 > crit * n)
+        rows.append((r["event_type"], a, b, chi, crit, alarm))
+    return (
+        spark.createDataFrame(
+            rows,
+            "event_type string, arm0 bigint, arm1 bigint, "
+            "chi2_milli bigint, crit_milli bigint, srm_alarm int",
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )

@@ -1129,6 +1129,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         T.label_model_vote, R.holt_winters_forecast,
         R.winsorized_mean, R.ips_offline_eval,
         R.doubly_robust_eval, R.quantile_treatment_effect,
+        R.stratified_srm,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
@@ -3945,3 +3946,36 @@ def test_qte_detects_uniform_shift(spark, tmp_path):
         k = (q * 101 + 99) // 100
         assert r["control_cents"] == k * 100
         assert r["qte_cents"] == 777
+
+
+def test_stratified_srm_finds_hidden_segment_bug(spark, tmp_path):
+    """Two segments with OPPOSITE imbalances (global SRM sees perfect
+    balance): the per-segment check alarms on both at the k=2
+    Bonferroni threshold while the global check stays silent."""
+    from datetime import datetime
+
+    from ocr_spark.operators.relational import srm_check, stratified_srm
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # segment 'web': 80 even users, 20 odd
+    for u in [2 * i for i in range(80)] + [2 * i + 1 for i in range(20)]:
+        rows.append((eid, t0, u, "web", 1.0, "{}")); eid += 1
+    # segment 'app': 20 even, 80 odd (disjoint user range)
+    for u in [1000 + 2 * i for i in range(20)] + [
+        1001 + 2 * i for i in range(80)
+    ]:
+        rows.append((eid, t0, u, "app", 1.0, "{}")); eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    g = srm_check(spark, d).collect()[0]
+    assert g["srm_alarm"] == 0  # globally balanced 100/100
+    s = {r["event_type"]: r for r in stratified_srm(spark, d).collect()}
+    assert s["web"]["crit_milli"] == 5024  # k=2 Bonferroni
+    assert s["web"]["srm_alarm"] == 1 and s["app"]["srm_alarm"] == 1
+    assert s["web"]["chi2_milli"] == 36_000  # (60^2)/100
