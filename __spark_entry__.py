@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doubly_robust_eval": relational.doubly_robust_eval,
         "quantile_treatment_effect": relational.quantile_treatment_effect,
         "stratified_srm": relational.stratified_srm,
+        "metric_sensitivity_ladder": relational.metric_sensitivity_ladder,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
         "source_mix_rebalance": text_analysis.source_mix_rebalance,
@@ -9165,6 +9166,92 @@ select cast(g.n as bigint) as n_users, cast(sd.nb as int) as b_replicas,
        cast(sd.std as bigint) as boot_std_micro,
        cast((196 * sd.std + 50) // 100 as bigint) as ci95_halfwidth_micro
 from g, sd where g.n > 0
+"""
+    # Sensitivity-ladder truth: same moments/cuts/theta, the closed-form
+    # adj variance, and the identical floor-reduction before the cuped
+    # ratio (hugeint headroom).
+    sql["metric_sensitivity_ladder"] = f"""
+with pu as (
+  select user_id,
+         sum(case when ts < timestamp '{relational.CUPED_SPLIT}'
+             then c else 0 end) as x,
+         sum(case when ts >= timestamp '{relational.CUPED_SPLIT}'
+             then c else 0 end) as y
+  from (select user_id, ts, cast(round(value * 100) as bigint) as c
+        from events)
+  group by 1
+),
+g0 as (select count(*) as n from pu),
+rk as (
+  select y, row_number() over (order by y, user_id) as r from pu
+),
+cuts as (
+  select g0.n,
+         (select y from rk
+          where r = ({relational.WINSOR_LO_PCT} * g0.n + 99) // 100) as lo,
+         (select y from rk
+          where r = ({relational.WINSOR_HI_PCT} * g0.n + 99) // 100) as hi
+  from g0
+),
+m as (
+  select c.n, sum(pu.y) as sy, sum(pu.y::hugeint * pu.y) as syy,
+         sum(greatest(least(pu.y, c.hi), c.lo)) as sw,
+         sum(greatest(least(pu.y, c.hi), c.lo)::hugeint
+             * greatest(least(pu.y, c.hi), c.lo)) as sww,
+         sum(pu.x) as sx, sum(pu.x::hugeint * pu.x) as sxx,
+         sum(pu.x::hugeint * pu.y) as sxy
+  from pu, cuts c group by 1
+),
+v as (
+  select n, sy, syy,
+         greatest(n * syy - sy::hugeint * sy, 0) as var_raw,
+         greatest(n * sww - sw::hugeint * sw, 0) as var_win,
+         n * sxy - sx::hugeint * sy as cov_n,
+         n * sxx - sx::hugeint * sx as var_x
+  from m
+),
+t as (
+  select *,
+    case when var_x = 0 then 0
+         when (cov_n < 0) != (var_x < 0) then
+           -((2 * abs(cov_n) * 1000000 + abs(var_x)) // (2 * abs(var_x)))
+         else (2 * abs(cov_n) * 1000000 + abs(var_x)) // (2 * abs(var_x))
+    end as th
+  from v
+),
+a as (
+  select *,
+    n::hugeint * sy * 1000000 as adj_sum,
+    (n::hugeint * n * syy * 1000000000000
+     - 2 * n::hugeint * 1000000 * th * cov_n
+     + th::hugeint * th * n * var_x) as sum_adj_sq
+  from t
+),
+f as (
+  select n, var_raw, var_win,
+    greatest(n * sum_adj_sq - adj_sum * adj_sum, 0) as var_adj,
+    var_raw * (n::hugeint * 1000000) * (n * 1000000) as den_adj
+  from a
+),
+f2 as (
+  select *, den_adj // 1000000000000000000000000000000 + 1 as rs from f
+)
+select method, cast(rel as bigint) as relative_var_ppm from (
+  select '1_raw' as method, 1000000 as rel from f2
+  union all
+  select '2_winsorized',
+         case when var_raw = 0 then 0 else
+           (2 * var_win * 1000000 + var_raw) // (2 * var_raw) end
+  from f2
+  union all
+  select '3_cuped',
+         case when den_adj // rs = 0 then 0 else
+           (2 * (var_adj // rs) * 1000000 + (den_adj // rs))
+           // (2 * (den_adj // rs)) end
+  from f2
+)
+where (select n from g0) > 0
+order by method
 """
     # Stratified-SRM truth: per-segment distinct-user arm counts, the
     # same chi2 and Bonferroni lookup by segment count.

@@ -279,6 +279,7 @@ def main() -> int:
         "doubly_robust_eval",
         "quantile_treatment_effect",
         "stratified_srm",
+        "metric_sensitivity_ladder",
     ]
     if only:
         headline = [q for q in headline if q in only]

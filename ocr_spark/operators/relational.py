@@ -7434,3 +7434,106 @@ def stratified_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("event_type")
     )
+
+
+def metric_sensitivity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The variance-reduction decision table — raw vs winsorized vs
+    CUPED, each method's user-level variance relative to raw in ppm
+    (variance ratio = squared MDE ratio, so 800000 ppm means a ~10%
+    cheaper experiment): the one readout that tells an experiment
+    owner WHICH transformation to adopt before sizing (Kohavi et al.,
+    "Trustworthy Online Controlled Experiments", ch. 22's sensitivity
+    ladder).
+
+    Exactness: every variance is the integer numerator n·Σv² − (Σv)²
+    on its own scale; CUPED residuals are compared on the common
+    (n·10⁶)² raw-equivalent scale so the ratio is scale-free; ratios
+    are one half-away ppm division of exact big integers (hugeint in
+    the oracle).  Winsorization reuses the P1/P99 exact order stats.
+
+    Scale shape: one per-user groupBy, one two-pass rank for the
+    cuts, two O(1) moment aggregates — map-side partials, tiny-stats
+    driver arithmetic."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pu = (
+        ev.select(
+            "user_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("c"),
+            (F.col("ts") < F.lit(CUPED_SPLIT).cast("timestamp")).alias(
+                "pre"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("pre"), F.col("c")).otherwise(0)).alias("x"),
+            F.sum(F.when(~F.col("pre"), F.col("c")).otherwise(0)).alias("y"),
+        )
+    )
+    n = pu.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "method string, relative_var_ppm bigint"
+        )
+    ranked = bucketed_global_rank(pu.select(
+        F.col("user_id"), F.col("y")
+    ), "y", "user_id")
+    k_lo = (WINSOR_LO_PCT * n + 99) // 100
+    k_hi = (WINSOR_HI_PCT * n + 99) // 100
+    lo = int(ranked.filter(F.col("rk") == k_lo).first()["y"])
+    hi = int(ranked.filter(F.col("rk") == k_hi).first()["y"])
+    w = F.greatest(F.least(F.col("y"), F.lit(hi)), F.lit(lo))
+    g = pu.agg(
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(w).alias("sw"),
+        F.sum(w * w).alias("sww"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).first()
+    sy, syy = int(g["sy"]), int(g["syy"])
+    sw, sww = int(g["sw"]), int(g["sww"])
+    sx, sxx, sxy = int(g["sx"]), int(g["sxx"]), int(g["sxy"])
+    var_raw = max(n * syy - sy * sy, 0)
+    var_win = max(n * sww - sw * sw, 0)
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+
+    def sppm(num: int, den: int) -> int:
+        if den == 0:
+            return 0
+        s = -1 if (num < 0) != (den < 0) else 1
+        num, den = abs(num), abs(den)
+        return s * ((2 * num * 1_000_000 + den) // (2 * den))
+
+    theta_ppm = sppm(cov_n, var_x)
+    # adj_i = n*y_i*1e6 - theta*(n*x_i - sx); exact closed forms:
+    # Σ(n·x_i − sx) = 0, Σ y_i(n·x_i − sx) = cov_n,
+    # Σ(n·x_i − sx)² = n·var_x — so the adj moments need no extra scan
+    adj_sum = n * sy * 1_000_000
+    sum_adj_sq = (
+        n ** 2 * syy * 10 ** 12
+        - 2 * n * 1_000_000 * theta_ppm * cov_n
+        + theta_ppm ** 2 * n * var_x
+    )
+    var_adj = max(n * sum_adj_sq - adj_sum * adj_sum, 0)
+    den_adj = var_raw * (n * 1_000_000) ** 2
+    # reduction protocol: the cuped ratio's operands can exceed the
+    # oracle's hugeint once multiplied by 2e6 — floor-shrink BOTH by
+    # the same factor first (identical in both engines; the ppm
+    # rounding dominates the shrink's sub-ppm error)
+    rs = den_adj // 10 ** 30 + 1
+    rows = [
+        ("1_raw", 1_000_000),
+        ("2_winsorized",
+         sppm(var_win, var_raw) if var_raw else 0),
+        ("3_cuped",
+         sppm(var_adj // rs, den_adj // rs) if den_adj // rs else 0),
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "method string, relative_var_ppm bigint"
+        )
+        .repartition(1)
+        .sortWithinPartitions("method")
+    )

@@ -1129,7 +1129,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         T.label_model_vote, R.holt_winters_forecast,
         R.winsorized_mean, R.ips_offline_eval,
         R.doubly_robust_eval, R.quantile_treatment_effect,
-        R.stratified_srm,
+        R.stratified_srm, R.metric_sensitivity_ladder,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,
@@ -3979,3 +3979,34 @@ def test_stratified_srm_finds_hidden_segment_bug(spark, tmp_path):
     assert s["web"]["crit_milli"] == 5024  # k=2 Bonferroni
     assert s["web"]["srm_alarm"] == 1 and s["app"]["srm_alarm"] == 1
     assert s["web"]["chi2_milli"] == 36_000  # (60^2)/100
+
+
+def test_sensitivity_ladder_orders_methods(spark, tmp_path):
+    """Corpus where post == pre (perfect CUPED predictor) plus one
+    whale: CUPED's relative variance collapses to ~0, winsorization
+    lands strictly between, raw is the 1.0 baseline."""
+    from datetime import datetime
+
+    from ocr_spark.operators.relational import metric_sensitivity_ladder
+
+    pre, post = datetime(2024, 1, 10), datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    for u in range(200):
+        spend = 1.0 + (u % 9)
+        rows.append((eid, pre, u, "view", spend, "{}")); eid += 1
+        rows.append((eid, post, u, "view", spend, "{}")); eid += 1
+    # whale: huge post AND pre (still predicted; winsor clamps it)
+    rows.append((eid, pre, 999, "view", 5000.0, "{}")); eid += 1
+    rows.append((eid, post, 999, "view", 5000.0, "{}")); eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["method"]: r["relative_var_ppm"]
+           for r in metric_sensitivity_ladder(spark, d).collect()}
+    assert got["1_raw"] == 1_000_000
+    assert got["3_cuped"] <= 5  # perfect predictor -> ~0 (ppm rounding)
+    assert 0 < got["2_winsorized"] < 1_000_000
