@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": text_analysis.dataset_card,
         "packing_seqlen_sweep": text_analysis.packing_seqlen_sweep,
         "label_model_vote": text_analysis.label_model_vote,
+        "uncertainty_sample": text_analysis.uncertainty_sample,
         "bpe_merges": text_analysis.bpe_merges,
         "bpe_tokenize": text_analysis.bpe_tokenize,
         "bpe_fertility": text_analysis.bpe_fertility,
@@ -9166,6 +9167,39 @@ select cast(g.n as bigint) as n_users, cast(sd.nb as int) as b_replicas,
        cast(sd.std as bigint) as boot_std_micro,
        cast((196 * sd.std + 50) // 100 as bigint) as ci95_halfwidth_micro
 from g, sd where g.n > 0
+"""
+    # Uncertainty-queue truth: the perplexity CTE quantized to e4, the
+    # same ceil-rank median, margin top-K with doc_id ties.
+    sql["uncertainty_sample"] = f"""
+with t as (
+  select doc_id, unnest(string_split(text, ' ')) as tok from documents
+), v as (
+  select tok, count(*) as c from t group by tok
+), s as (
+  select sum(c) as t_total, count(*) as v_size from v
+), lm as (
+  select tok, ln((c + 1.0) / (t_total + v_size)) as lp from v, s
+), p as (
+  select doc_id,
+         cast(round(round(exp(-avg(lp)), 4) * 10000) as bigint) as ppl_e4
+  from t join lm using (tok) group by doc_id
+),
+g as (select count(*) as n from p),
+rk as (
+  select ppl_e4,
+         row_number() over (order by ppl_e4, doc_id) as r
+  from p
+),
+med as (
+  select (select ppl_e4 from rk
+          where r = (50 * g.n + 99) // 100) as m
+  from g
+)
+select p.doc_id, p.ppl_e4, cast(med.m as bigint) as median_e4,
+       cast(abs(p.ppl_e4 - med.m) as bigint) as margin
+from p, med
+order by margin, p.doc_id
+limit {text_analysis.UNCERTAIN_K}
 """
     # Sensitivity-ladder truth: same moments/cuts/theta, the closed-form
     # adj variance, and the identical floor-reduction before the cuped

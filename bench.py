@@ -280,6 +280,7 @@ def main() -> int:
         "quantile_treatment_effect",
         "stratified_srm",
         "metric_sensitivity_ladder",
+        "uncertainty_sample",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -720,7 +720,16 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoring join, so the corpus itself shuffles only for the final
     per-doc mean.  At 10^12 docs the LM fit is a one-off job and the
     scorer joins against its persisted output."""
-    docs = _docs(spark, sf_dir)
+    return (
+        _doc_perplexities(_docs(spark, sf_dir))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def _doc_perplexities(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, ppl) unsorted core of lm_perplexity — shared
+    with uncertainty_sample."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -741,8 +750,6 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
         )
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
     )
 
 
@@ -4581,4 +4588,48 @@ def label_model_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1)
         .sortWithinPartitions("lf")
+    )
+
+
+
+UNCERTAIN_K = 50
+
+
+def uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The human-review queue an active-learning curation loop ships
+    (uncertainty sampling, Lewis & Gale SIGIR 1994): the documents
+    whose CCNet-style perplexity sits CLOSEST to the corpus median —
+    the gate's decision boundary — are exactly the ones where a label
+    changes the filter, so they go to review first.  Margin =
+    |ppl_e4 − median_e4| on the 4-dp-quantized integer scale; the
+    median is the exact order statistic at ceil(n/2) via the two-pass
+    rank; the queue is the UNCERTAIN_K smallest margins
+    (orderBy().limit() — TakeOrdered, never a global sort), ties by
+    doc_id.
+
+    Scale shape: the perplexity core's shapes, one two-pass rank for
+    the median, one map-side margin projection, one distributed
+    top-K."""
+    from ocr_spark.operators.relational import bucketed_global_rank
+
+    ppl = _doc_perplexities(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.expr("cast(round(ppl * 10000) as bigint)").alias("ppl_e4"),
+    )
+    n = ppl.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, ppl_e4 bigint, median_e4 bigint, "
+                "margin bigint"
+        )
+    ranked = bucketed_global_rank(ppl, "ppl_e4", "doc_id")
+    k = (50 * n + 99) // 100
+    med = int(ranked.filter(F.col("rk") == k).first()["ppl_e4"])
+    return (
+        ppl.withColumn("median_e4", F.lit(med).cast("bigint"))
+        .withColumn(
+            "margin", F.abs(F.col("ppl_e4") - F.lit(med)).cast("bigint")
+        )
+        .orderBy("margin", "doc_id")
+        .limit(UNCERTAIN_K)
     )

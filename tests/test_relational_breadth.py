@@ -1130,6 +1130,7 @@ def test_operators_are_empty_input_safe(spark, tmp_path):
         R.winsorized_mean, R.ips_offline_eval,
         R.doubly_robust_eval, R.quantile_treatment_effect,
         R.stratified_srm, R.metric_sensitivity_ladder,
+        T.uncertainty_sample,
         R.brier_decomposition,
         S.pq_topk, S.ivfpq_topk, S.semdedup_prune, S.bitext_mining,
         S.knn_label_propagation, S.ann_recall_eval, S.ndcg_eval,

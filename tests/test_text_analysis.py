@@ -1793,3 +1793,27 @@ def test_label_model_vote_hand_corpus(spark, tmp_path):
     assert got["lf2_lang_tag"]["agree_majority_ppm"] == 750_000
     # LF3: votes 1,0,1,0 vs maj 1,1,0,0 -> agrees on 0,13 -> 2/4
     assert got["lf3_parity"]["agree_majority_ppm"] == 500_000
+
+
+def test_uncertainty_sample_is_boundary_queue(spark, sf_dir):
+    """The queue is the K docs with smallest |ppl - median| — verified
+    against a direct computation from the published lm_perplexity
+    output (same e4 quantization, same ceil-rank median)."""
+    from ocr_spark.operators.text_analysis import (
+        UNCERTAIN_K,
+        lm_perplexity,
+        uncertainty_sample,
+    )
+
+    ppl = {r["doc_id"]: round(round(r["ppl"], 4) * 10000)
+           for r in lm_perplexity(spark, sf_dir).collect()}
+    n = len(ppl)
+    ordered = sorted((v, d) for d, v in ppl.items())
+    med = ordered[(50 * n + 99) // 100 - 1][0]
+    expect = sorted(
+        ((abs(v - med), d) for d, v in ppl.items())
+    )[:UNCERTAIN_K]
+    got = uncertainty_sample(spark, sf_dir).collect()
+    assert len(got) == UNCERTAIN_K
+    assert all(r["median_e4"] == med for r in got)
+    assert sorted((r["margin"], r["doc_id"]) for r in got) == expect
