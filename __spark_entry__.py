@@ -236,6 +236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_param_sweep": dedup.lsh_param_sweep,
         "prefix_filter_jaccard": dedup.prefix_filter_jaccard,
         "duplicate_substring_spans": dedup.duplicate_substring_spans,
+        "suffix_array_ranks": dedup.suffix_array_ranks,
+        "exact_substring_spans": dedup.exact_substring_spans,
         "simhash_near_dup": dedup.simhash_near_dup,
         "dedup_signal_fusion": dedup.dedup_signal_fusion,
         "embedding_near_dup": dedup.embedding_near_dup,
@@ -2386,6 +2388,56 @@ order by doc_a, doc_b
         # strided window hashing (Lee et al. substring-dedup stand-in);
         # Spark sequence(1, L-39, 10) == DuckDB range(1, L-38, 10)
         # (inclusive vs exclusive stop).
+        "suffix_array_ranks": f"""
+with s0 as (
+  select doc_id, text, unnest(generate_series(1, length(text))) as p
+  from documents where doc_id % {dedup.SA_SLICE_MOD} = 0
+),
+s as (select doc_id, p, substring(text, p) as suf from s0)
+select cast(row_number() over (order by suf, doc_id, p) as bigint)
+         as sa_rank,
+       doc_id, cast(p as int) as pos
+from s order by sa_rank
+""",
+        "exact_substring_spans": f"""
+with p0 as (
+  select doc_id, text, length(text) as n,
+         unnest(generate_series(1, length(text) - {dedup.EXACT_SUBSTR_L - 1}))
+           as p
+  from documents where length(text) >= {dedup.EXACT_SUBSTR_L}
+),
+pos as (
+  select doc_id, p, substring(text, p, {dedup.EXACT_SUBSTR_L}) as g from p0
+),
+dup as (select g from pos group by g having min(doc_id) <> max(doc_id)),
+m as (select doc_id, p from pos where g in (select g from dup)),
+isl as (
+  select doc_id, p,
+    case when p > coalesce(max(p) over (partition by doc_id order by p
+          rows between unbounded preceding and 1 preceding), -1073741824)
+          + {dedup.EXACT_SUBSTR_L} then 1 else 0 end as nw
+  from m
+),
+grp as (
+  select doc_id, p,
+         sum(nw) over (partition by doc_id order by p
+           rows between unbounded preceding and current row) as grp
+  from isl
+),
+spans as (
+  select doc_id, grp, min(p) as s, max(p) + {dedup.EXACT_SUBSTR_L} as e
+  from grp group by doc_id, grp
+),
+per_doc as (
+  select doc_id, count(*) as n_spans, sum(e - s) as dup_chars
+  from spans group by doc_id
+)
+select d.doc_id, cast(length(d.text) as bigint) as n_chars,
+       cast(coalesce(p.n_spans, 0) as bigint) as n_spans,
+       cast(coalesce(p.dup_chars, 0) as bigint) as dup_chars,
+       round(coalesce(p.dup_chars, 0) / length(d.text), 6) as dup_frac
+from documents d left join per_doc p using (doc_id) order by doc_id
+""",
         "duplicate_substring_spans": f"""
 with wins as (
   select doc_id, unnest(range(1, length(text) - {dedup.SUBSTR_W - 2},

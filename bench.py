@@ -281,6 +281,9 @@ def main() -> int:
         "stratified_srm",
         "metric_sensitivity_ladder",
         "uncertainty_sample",
+        # round-5 additions
+        "suffix_array_ranks",
+        "exact_substring_spans",
     ]
     if only:
         headline = [q for q in headline if q in only]
@@ -289,6 +292,28 @@ def main() -> int:
     # swings (BASELINE.md), so the artifact carries the per-run list —
     # min is the headline (closest to true cost), the spread is the noise
     # evidence the judge needs to apply the 2x bar without re-measuring.
+    #
+    # Steal-phase auto-retime (VERDICT r4 #7): a VM stall can swallow ALL
+    # of a query's back-to-back runs (r4: lsh_near_dup 20.4 s in-suite vs
+    # 5.5 s solo), so min-of-N alone is not enough.  After the suite pass,
+    # any query whose min exceeds RETIME_FACTOR x its committed-history
+    # min is re-timed solo and the artifact records BOTH numbers — no
+    # more hand-curated steal footnotes in BASELINE.md.
+    RETIME_FACTOR = 3.0
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    history: dict[str, float] = {}
+    for hist_name in ("BENCH_RUNS.json", "BENCH_RUNS_r4_final.json"):
+        hp = os.path.join(repo_dir, hist_name)
+        if os.path.exists(hp):
+            try:
+                with open(hp) as fh:
+                    hq = json.load(fh).get("queries", {})
+            except (json.JSONDecodeError, OSError):
+                continue
+            for k, v in hq.items():
+                if isinstance(v, (int, float)):
+                    history[k] = min(history.get(k, float("inf")), float(v))
+
     timings: dict[str, float] = {}
     query_runs: dict[str, list[float]] = {}
     n_media_total = 0
@@ -305,6 +330,29 @@ def main() -> int:
             rts.append(round(time.time() - t0, 3))
         timings[name] = min(rts)
         query_runs[name] = rts
+
+    # Solo re-time pass for steal-phase outliers (history-relative; only
+    # meaningful for full-suite default-sf runs, where history applies).
+    retimed: dict[str, dict] = {}
+    if only is None and sf == 0.1:
+        for name in list(timings):
+            hist = history.get(name)
+            if hist is None or hist <= 0:
+                continue
+            if timings[name] <= RETIME_FACTOR * hist:
+                continue
+            solo: list[float] = []
+            for _ in range(2):
+                t0 = time.time()
+                _force(qs[name](spark, sf_dir))
+                solo.append(round(time.time() - t0, 3))
+            retimed[name] = {
+                "suite_min": timings[name],
+                "solo_runs": solo,
+                "history_min": hist,
+            }
+            query_runs[name] = query_runs[name] + solo
+            timings[name] = min([timings[name]] + solo)
 
     extra: dict = {}
     if "ocr_extract_exploded" in timings:
@@ -324,7 +372,9 @@ def main() -> int:
         )
         extra["corpus_media_spans"] = int(n_media_total)
 
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    if retimed:
+        # compact evidence on the machine line; full record in the side file
+        extra["retimed"] = sorted(retimed)
     scaling_path = os.path.join(repo_dir, "BENCH_SCALING.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as fh:
@@ -393,7 +443,9 @@ def main() -> int:
                 },
                 "policy": "headline per query = min of runs (VM timing swings"
                 " documented in BASELINE.md); spreads here are the noise"
-                " evidence",
+                " evidence; queries whose suite min exceeded 3x committed"
+                " history were auto-re-timed solo (see `retimed`)",
+                "retimed": retimed,
                 **result,
                 # the machine line may truncate `queries` to fit the
                 # driver tail — the side file always carries ALL of them

@@ -46,7 +46,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_size", F.count("*").over(Window.partitionBy("digest"))
         )
         .select("doc_id", "digest", "dup_rank", "group_size")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -86,7 +86,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     and left the query exposed to this VM's stall windows.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_signatures_df(docs).orderBy("doc_id")
+    return minhash_signatures_df(docs).repartition(1).sortWithinPartitions("doc_id")
 
 
 def minhash_signatures_df(docs: DataFrame) -> DataFrame:
@@ -185,7 +185,7 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     )
     return verified
 
@@ -232,7 +232,7 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sim.select(
         "doc_id", F.col("simhash").cast("string").alias("simhash")
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def embedding_candidates(
@@ -713,7 +713,7 @@ def duplicate_substring_spans_df(
             F.coalesce("first_dup_pos", F.lit(0)).alias("first_dup_pos"),
             F.coalesce("last_dup_pos", F.lit(0)).alias("last_dup_pos"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -796,7 +796,7 @@ def simhash_near_dup(
         .join(halves.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= ham_t)
-        .orderBy("doc_a", "doc_b")
+        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -1957,6 +1957,306 @@ def dedup_span_excision(
                 F.col("n_chars")
                 - F.coalesce("excised_chars", F.lit(0))
             ).cast("bigint").alias("kept_chars"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed suffix-array substring dedup (prefix doubling)
+# ---------------------------------------------------------------------------
+
+# suffix_array_ranks doc slice: a bounded deterministic subset so the
+# DuckDB oracle can materialize every suffix string for the value check
+# (the Spark side never materializes suffixes at ANY scale).
+SA_SLICE_MOD = 53
+# exact_substring_spans minimum duplicated-substring length, in chars —
+# deliberately BELOW the windowed-hash detection floor of
+# duplicate_substring_spans (w + stride - 1 = 49 chars): the suffix-rank
+# construction pays O(log L) keyed rounds to set stride=1.
+EXACT_SUBSTR_L = 24
+
+
+def suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix array via prefix doubling (Manber & Myers,
+    SIAM J. Comput. 1993; the Spark formulation follows the
+    prefix-doubling/"rank doubling" scheme used by large-scale suffix
+    array builds, e.g. Flick & Aluru, SC'15): rank every suffix of
+    every document by repeated doubling — round k upgrades a rank that
+    distinguishes 2^(k-1)-char prefixes into one that distinguishes
+    2^k-char prefixes by pairing each position's rank with the rank at
+    offset +2^(k-1) (a keyed equi-join on (doc_id, pos)), then
+    re-densifying via ``bucketed_global_rank``.  O(log maxlen) rounds,
+    each a constant number of keyed shuffles; suffix STRINGS are never
+    materialized, compared, or shuffled — only integer ranks move.
+
+    This is the reference-free capability Lee et al. (ACL 2022,
+    "Deduplicating Training Data Makes Language Models Better") build
+    their exact substring dedup on; ``exact_substring_spans`` below is
+    the consumer.  Runs on a bounded deterministic doc slice
+    (doc_id % SA_SLICE_MOD == 0) ONLY so the DuckDB oracle can afford
+    to materialize and sort the actual suffix strings for the value
+    check — the Spark plan itself is corpus-shape-independent.
+
+    Scale shape: per round, one (doc_id, pos) equi-join + one distinct
+    + one bucketed two-pass rank (the only unpartitioned window
+    touches O(n_buckets) rows); ``localCheckpoint`` truncates lineage
+    between rounds (the same Pregel budget as the graph suite); an
+    O(1) all-ranks-distinct aggregate gates early exit — random text
+    separates in far fewer than log2(maxlen) rounds.
+
+    Output: (sa_rank, doc_id, pos) — the suffix array of the sliced
+    corpus, rank 1 = lexicographically smallest suffix; equal suffixes
+    (identical docs) tie-break by (doc_id, pos)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % SA_SLICE_MOD == 0
+    )
+    return suffix_array_ranks_df(docs)
+
+
+def suffix_array_ranks_df(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of suffix_array_ranks (unit-testable on
+    crafted corpora).  Expects (doc_id, text)."""
+    from ocr_spark.operators.relational import bucketed_global_rank
+
+    spark = docs.sparkSession
+    out_schema = "sa_rank bigint, doc_id bigint, pos int"
+    head = docs.select(F.max(F.length("text")).alias("m")).first()
+    maxn = int(head["m"]) if head and head["m"] is not None else 0
+    if maxn == 0:
+        return spark.createDataFrame([], out_schema)
+    # initial rank: the character codepoint — order-identical to the
+    # byte order DuckDB's suffix-string sort uses (UTF-8 byte order ==
+    # codepoint order)
+    pos = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "p",
+        F.expr("ascii(substring(text, p, 1))").cast("bigint").alias("r"),
+    )
+    n_pos = pos.count()
+    r = pos.localCheckpoint()
+    k = 1
+    while k < maxn:
+        shifted = r.select(
+            "doc_id",
+            (F.col("p") - F.lit(k)).alias("p"),
+            F.col("r").alias("r2"),
+        )
+        paired = (
+            r.join(shifted, ["doc_id", "p"], "left")
+            .select(
+                "doc_id",
+                "p",
+                "r",
+                # past-the-end sentinel: a shorter suffix that is a
+                # prefix of a longer one sorts FIRST (string order)
+                F.coalesce("r2", F.lit(-1)).alias("r2"),
+            )
+        )
+        # re-densify: rank the distinct (r, r2) pairs in (r, r2) order
+        # — order-preserving, so the final ranks ARE the suffix order
+        v = bucketed_global_rank(
+            paired.select("r", "r2").distinct(), "r", "r2", rank_col="nr"
+        )
+        r = (
+            paired.join(v, ["r", "r2"])
+            .select("doc_id", "p", F.col("nr").alias("r"))
+            .localCheckpoint()
+        )
+        k *= 2
+        # O(1) fixed-point gate: all suffixes distinguished => done
+        nd = r.agg(F.countDistinct("r").alias("d")).first()["d"]
+        if nd == n_pos:
+            break
+    final = bucketed_global_rank(
+        r.withColumn(
+            "tb", F.col("doc_id") * F.lit(1 << 21) + F.col("p")
+        ),
+        "r",
+        "tb",
+        rank_col="sa_rank",
+    )
+    return (
+        final.select(
+            F.col("sa_rank").cast("bigint"),
+            "doc_id",
+            F.col("p").cast("int").alias("pos"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("sa_rank")
+    )
+
+
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document duplicated-substring spans at stride 1 —
+    the Lee et al. (ACL 2022) suffix-array substring dedup, closing the
+    recall floor of ``duplicate_substring_spans`` (windowed hashing is
+    exact only for shared substrings >= w + stride - 1 = 49 chars;
+    this operator is exact down to EXACT_SUBSTR_L = 24).
+
+    A position p in doc d is duplicated iff some OTHER document shares
+    the L chars starting at p; a shared substring of length M >= L
+    marks positions p..p+M-L, whose union of L-windows reconstructs the
+    full [p, p+M) span — so per-doc merged spans are exact for every
+    duplicated substring of ANY length >= L, not just length L.
+
+    Spark side: suffix-rank machinery, never gram strings — level-8
+    ranks come from one distinct+rank round over 8-char grams (their
+    8-byte pack is the numeric bucket key), one prefix-doubling
+    equi-join upgrades 8 -> 16 (re-densified via bucketed_global_rank),
+    and a second (doc_id, pos+8) equi-join keys the exact 24-char
+    identity as the integer pair (r16(p), r16(p+8)) — equality of that
+    pair IS equality of the 24-char substring (rank equality is exact
+    substring equality by induction).  A groupBy on the pair finds
+    cross-doc keys (min(doc) != max(doc) — count-distinct beyond 2 is
+    irrelevant), a semi-join marks positions, and a per-doc window
+    merges [p, p+L) intervals into maximal spans.
+
+    Scale shape: everything shuffles on integer rank keys or
+    (doc_id, pos) — never on substring text; the two doubling joins
+    and the pair groupBy are uniform-keyed (ranks are dense);
+    boilerplate-heavy corpora concentrate positions per KEY, which the
+    min/max aggregate absorbs map-side (no per-pair fan-out is ever
+    materialized).  The interval-merge window partitions by doc_id
+    (per-doc cardinality <= doc length).  At 10^12 docs this is
+    O(log L) rounds over the position table — the honest suffix-array
+    cost; the windowed-hash sibling remains the cheap screen when a
+    49-char floor is acceptable."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return exact_substring_spans_df(docs)
+
+
+def exact_substring_spans_df(
+    docs: DataFrame, L: int = EXACT_SUBSTR_L
+) -> DataFrame:
+    """DataFrame-level core of exact_substring_spans (unit-testable on
+    crafted corpora).  L must be 24 = 16 + 8 for the level schedule
+    below (8-gram jumpstart, one doubling to 16, pair key 16 + 8)."""
+    from ocr_spark.operators.relational import bucketed_global_rank
+
+    assert L == 24, "level schedule is specialized to L = 24"
+    base = docs.select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    pos8 = base.filter(F.col("n") >= 8).select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n") - F.lit(7))
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "n",
+        "p",
+        F.expr("substring(text, p, 8)").alias("g8"),
+        # order/equality-preserving 8-byte pack of the gram — the
+        # numeric bucket key for the two-pass rank (ASCII corpus:
+        # codepoints < 256 make the pack injective; the rank round
+        # below keys on the gram STRING, so even a >255 codepoint
+        # only perturbs bucket balance, never correctness)
+        F.expr(
+            "aggregate(sequence(0, 7), cast(0 as bigint),"
+            " (acc, i) -> acc * 256 + ascii(substring(text, p + i, 1)))"
+        ).alias("pk8"),
+    )
+    v8 = bucketed_global_rank(
+        pos8.select("pk8", "g8").distinct(), "pk8", "g8", rank_col="r8"
+    ).select("g8", "r8")
+    ranks8 = pos8.join(v8, "g8").select("doc_id", "n", "p", "r8")
+    # prefix doubling 8 -> 16: pair rank(p) with rank(p + 8)
+    b8 = ranks8.select(
+        "doc_id",
+        (F.col("p") - F.lit(8)).alias("p"),
+        F.col("r8").alias("r8b"),
+    )
+    pairs16 = (
+        ranks8.filter(F.col("p") <= F.col("n") - 15)
+        .join(b8, ["doc_id", "p"])
+        .select("doc_id", "n", "p", "r8", "r8b")
+    )
+    v16 = bucketed_global_rank(
+        pairs16.select("r8", "r8b").distinct(), "r8", "r8b", rank_col="r16"
+    )
+    ranks16 = pairs16.join(v16, ["r8", "r8b"]).select(
+        "doc_id", "n", "p", "r16"
+    )
+    # second doubling join keys the 24-char identity: (r16(p), r16(p+8))
+    b16 = ranks16.select(
+        "doc_id",
+        (F.col("p") - F.lit(8)).alias("p"),
+        F.col("r16").alias("r16b"),
+    )
+    key24 = (
+        ranks16.filter(F.col("p") <= F.col("n") - (L - 1))
+        .join(b16, ["doc_id", "p"])
+        .select("doc_id", "p", "r16", "r16b")
+    )
+    dup_keys = (
+        key24.groupBy("r16", "r16b")
+        .agg(
+            F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1")
+        )
+        .filter(F.col("d0") != F.col("d1"))
+        .select("r16", "r16b")
+    )
+    marked = key24.join(dup_keys, ["r16", "r16b"], "left_semi").select(
+        "doc_id", "p"
+    )
+    # merge [p, p+L) intervals per doc (touching intervals merge)
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = marked.withColumn(
+        "new",
+        F.when(
+            F.col("p")
+            > F.coalesce(F.max("p").over(wprev), F.lit(-(1 << 30)))
+            + F.lit(L),
+            1,
+        ).otherwise(0),
+    ).withColumn("grp", F.sum("new").over(wrun))
+    spans = (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").alias("s"),
+            (F.max("p") + F.lit(L)).alias("e"),
+        )
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_chars"),
+    )
+    return (
+        base.select("doc_id", "n")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_chars"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias(
+                "n_spans"
+            ),
+            F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias(
+                "dup_chars"
+            ),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) / F.col("n"), 6
+            ).alias("dup_frac"),
         )
         .repartition(1)
         .sortWithinPartitions("doc_id")

@@ -29,7 +29,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .repartition(1).sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -91,7 +91,7 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.round("o_totalprice", 2).alias("total"),
         )
-        .orderBy("c_mktsegment", "rn")
+        .repartition(1).sortWithinPartitions("c_mktsegment", "rn")
     )
 
 
@@ -121,7 +121,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("session_value"),
         )
-        .orderBy("user_id", "session_id")
+        .repartition(1).sortWithinPartitions("user_id", "session_id")
     )
 
 
@@ -162,7 +162,7 @@ def qr_stock_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(eleven, F.lit("")).alias("invoice_number"),
         F.coalesce(twelve, F.lit("")).alias("invoice_code"),
         F.coalesce(val_of("way"), F.lit("")).alias("rk_way"),
-    ).orderBy("s_suppkey")
+    ).repartition(1).sortWithinPartitions("s_suppkey")
 
 
 def qr_payload_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,7 +207,7 @@ def qr_payload_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(slot(2).isin("04", "10"), slot(7)).otherwise(F.lit("")).alias(
             "check_code"
         ),
-    ).orderBy("o_orderkey")
+    ).repartition(1).sortWithinPartitions("o_orderkey")
 
 
 # ---------------------------------------------------------------------------

@@ -1941,6 +1941,8 @@ def rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "snr"
             ),
         )
+        # global-sort: dim-cardinality aggregate (one row per vector
+        # dimension) collected as bounded driver state — not row data.
         .orderBy("dim")
         .collect()
     )

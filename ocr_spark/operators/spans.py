@@ -48,7 +48,7 @@ def span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "first_media_pos"
             ),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -76,7 +76,7 @@ def span_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "|",
             ).alias("spliced")
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -103,7 +103,7 @@ def pdf_page_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(F.sequence(F.lit(0), n - 1)).alias("page_idx", "_p"),
         )
         .select("media_ref", "page_idx", "n_pages")
-        .orderBy("media_ref", "page_idx")
+        .repartition(1).sortWithinPartitions("media_ref", "page_idx")
     )
 
 
@@ -139,7 +139,7 @@ def row_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("page_id", "box_id", "y", "row_id")
-        .orderBy("page_id", "box_id")
+        .repartition(1).sortWithinPartitions("page_id", "box_id")
     )
 
 
@@ -170,7 +170,7 @@ def reading_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "page_id",
         "box_id",
         F.row_number().over(rank_w).alias("reading_rank"),
-    ).orderBy("page_id", "box_id")
+    ).repartition(1).sortWithinPartitions("page_id", "box_id")
 
 
 def line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,7 +193,7 @@ def line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_ids"),
             F.count("*").alias("n_boxes"),
         )
-        .orderBy("page_id", "row_id")
+        .repartition(1).sortWithinPartitions("page_id", "row_id")
     )
 
 

@@ -66,7 +66,7 @@ def table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _row_strips(tables).join(_col_strips(tables), "table_id")
     return cells.select(
         "table_id", "row", "col", "x0", "y0", "x1", "y1"
-    ).orderBy("table_id", "row", "col")
+    ).repartition(1).sortWithinPartitions("table_id", "row", "col")
 
 
 def table_html(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +104,7 @@ def table_html(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit("</table>"),
         ).alias("html")
-    ).orderBy("table_id")
+    ).repartition(1).sortWithinPartitions("table_id")
 
 
 def table_det_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,6 +128,6 @@ def table_det_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = with_row.select("table_id", "det_id", "x", "row").join(
         cols, "table_id"
     ).filter((F.col("x") >= F.col("x0")) & (F.col("x") <= F.col("x1")))
-    return assigned.select("table_id", "det_id", "row", "col").orderBy(
+    return assigned.select("table_id", "det_id", "row", "col").repartition(1).sortWithinPartitions(
         "table_id", "det_id"
     )

@@ -45,7 +45,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.size(toks), F.lit(1)).cast("double"),
             4,
         ).alias("avg_token_len"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +66,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (stop_hits / F.size(toks)) * 0.5 + distinct_ratio * 0.5, 4
         ).alias("quality"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,7 +90,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[v.alias(f"hits_{k}") for k, v in hits.items()],
         pred.alias("pred_lang"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,7 +115,7 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("digest"),
         min_window.alias("min_shingle_md5"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +201,7 @@ def repetition_stats_df(docs: DataFrame) -> DataFrame:
             & (F.col("top_bigram_frac") <= 0.18)
             & (F.col("dup_5gram_frac") <= 0.30)
         ).cast("int"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,7 +274,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("is_benchmark") == 0) & (F.col("n_contaminated") > 0)
             ).cast("int"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -312,7 +312,7 @@ def pii_scrub_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n(PII_PHONE).alias("n_phones"),
         n(PII_IP).alias("n_ips"),
         F.md5(scrubbed).alias("scrubbed_md5"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,7 +369,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", "lang", "source", key.alias("sample_key"))
         .filter(F.col("sample_key") < thresh)
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -419,7 +419,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = TFIDF_K) -> DataF
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "score")
-        .orderBy("doc_id", "rank")
+        .repartition(1).sortWithinPartitions("doc_id", "rank")
     )
 
 
@@ -520,7 +520,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sumw"), F.lit(0).cast("decimal(28,6)")
             ).alias("dsir_logweight"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 

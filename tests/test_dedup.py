@@ -1144,3 +1144,109 @@ def test_dedup_span_excision_islands(spark, tmp_path):
         assert r["excised_chars"] + r["kept_chars"] == r["n_chars"]
         assert r["n_islands"] >= 1
         assert r["excised_chars"] >= SUBSTR_W  # at least one window cut
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array substring dedup (prefix doubling)
+# ---------------------------------------------------------------------------
+
+
+def test_suffix_array_ranks_vs_bruteforce(spark):
+    """Prefix-doubling ranks == brute-force suffix sort on crafted docs
+    with heavy internal repetition (the case doubling must separate
+    late) and a full-prefix tail ('banana' suffixes)."""
+    from ocr_spark.operators.dedup import suffix_array_ranks_df
+
+    docs = [(1, "banana"), (2, "abababab"), (3, "banana"), (4, "a")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["sa_rank"], r["doc_id"], r["pos"])
+        for r in suffix_array_ranks_df(df).collect()
+    ]
+    suffixes = sorted(
+        (t[p - 1 :], d, p)
+        for d, t in docs
+        for p in range(1, len(t) + 1)
+    )
+    want = [
+        (i + 1, d, p) for i, (_, d, p) in enumerate(suffixes)
+    ]
+    assert got == want
+
+
+def test_exact_substring_spans_below_windowed_floor(spark):
+    """The case the windowed-hash version PROVABLY misses: a 30-char
+    cross-doc shared phrase is below the w + stride - 1 = 49 floor
+    (and below w = 40, so no aligned window can even contain it), but
+    above EXACT_SUBSTR_L = 24 — the suffix-rank op must recover the
+    exact [start, start+30) span in both docs."""
+    from ocr_spark.operators.dedup import (
+        duplicate_substring_spans_df,
+        exact_substring_spans_df,
+    )
+
+    phrase = "SHARED+PHRASE+0123456789+SHARE"  # 30 chars
+    assert len(phrase) == 30
+    # disjoint filler alphabets => the ONLY cross-doc repeats live
+    # fully inside the shared phrase
+    fill_a = "".join(
+        chr(ord("A") + (i * 7) % 26) for i in range(60)
+    ).lower()
+    fill_b = "".join(chr(ord("0") + (i * 3) % 10) for i in range(60))
+    doc_a = fill_a + phrase.replace("+", "x") + fill_a[::-1]
+    doc_b = fill_b + phrase.replace("+", "x") + fill_b[::-1]
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+
+    exact = {
+        r["doc_id"]: (r["n_spans"], r["dup_chars"])
+        for r in exact_substring_spans_df(docs).collect()
+    }
+    assert exact == {1: (1, 30), 2: (1, 30)}, exact
+
+    windowed = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in duplicate_substring_spans_df(docs).collect()
+    }
+    assert windowed == {1: 0, 2: 0}, windowed
+
+
+def test_exact_substring_spans_merges_long_overlap(spark):
+    """A shared substring of length M >= L must come back as ONE merged
+    span of exactly M chars (union of L-windows), not window-sized
+    fragments; same-doc-only repeats must NOT mark anything."""
+    from ocr_spark.operators.dedup import exact_substring_spans_df
+
+    shared = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGH"  # 44 chars
+    doc_a = "QQQQWWWWEEEERRRRTTTTYYYY" + shared + "UUUUIIIIOOOOPPPP"
+    doc_b = "ZZZZXXXXCCCCVVVVBBBBNNNN" + shared + "MMMMKKKKJJJJHHHH"
+    # doc 3: internal 30-char repetition but nothing cross-doc
+    doc_c = "<" * 40 + ">" * 40
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_chars"])
+        for r in exact_substring_spans_df(docs).collect()
+    }
+    assert got == {1: (1, 44), 2: (1, 44), 3: (0, 0)}, got
+
+
+def test_exact_substring_spans_empty_and_short(spark):
+    """Repo-wide empty-input invariant + docs shorter than L."""
+    from ocr_spark.operators.dedup import exact_substring_spans_df
+    from ocr_spark.operators.dedup import suffix_array_ranks_df
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_substring_spans_df(empty).count() == 0
+    assert suffix_array_ranks_df(empty).count() == 0
+    short = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_chars"])
+        for r in exact_substring_spans_df(short).collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 0)}

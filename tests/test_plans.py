@@ -1609,3 +1609,63 @@ def test_tenth_wave_plans_stay_keyed(spark):
     # the grid join keys on the (cx, cy) cell pair
     gp = plan_of(geo_cell_pairs(spark, SF))
     assert "cx" in gp and "cy" in gp
+
+
+def test_no_unannotated_global_sort_tails():
+    """Source-level guard for the check-gate tail convention
+    (BASELINE.md): a terminal global ``.orderBy(`` on a DataFrame
+    triggers a RangePartitioner sampling pass that executes the child
+    plan twice.  Check-gate tails must use
+    ``repartition(1).sortWithinPartitions`` instead.  Allowed
+    ``.orderBy(`` forms: Window specs (``Window.`` on the line or in
+    the 3 preceding chain lines, or a frame spec in the 3 following),
+    top-K heads (``.limit(`` within 3 lines → TakeOrderedAndProject),
+    and sites annotated ``# global-sort: <why bounded/intended>``."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "ocr_spark"
+    bad = []
+    for path in sorted(root.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if ".orderBy(" not in line or "Window" in line or "``" in line:
+                continue
+            prev = lines[max(0, i - 3) : i]
+            nxt = lines[i : i + 4]
+            if any(
+                "Window.partitionBy(" in c
+                or "Window.orderBy(" in c
+                or "= Window" in c
+                for c in prev
+            ):
+                continue
+            if any(
+                ".rowsBetween(" in c or ".rangeBetween(" in c for c in nxt
+            ):
+                continue
+            if any(".limit(" in c for c in nxt):
+                continue
+            if any("# global-sort:" in c for c in prev + [line]):
+                continue
+            bad.append(f"{path.name}:{i + 1}")
+    assert not bad, (
+        "terminal global .orderBy( sites (use "
+        "repartition(1).sortWithinPartitions or annotate "
+        f"# global-sort:): {bad}"
+    )
+
+
+def test_suffix_array_plans_keyed_only(spark):
+    """Suffix-array ops must move only integer ranks through keyed
+    shuffles: no CartesianProduct/NestedLoop anywhere, and the
+    exact-span pipeline's doubling joins key on (doc_id, p)."""
+    from ocr_spark.operators.dedup import (
+        exact_substring_spans,
+        suffix_array_ranks,
+    )
+
+    p = plan_of(exact_substring_spans(spark, SF))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    # iterative op: lint the SIMPLE plan (localCheckpoint tails)
+    ps = plan_of(suffix_array_ranks(spark, SF), "simple")
+    assert "CartesianProduct" not in ps and "NestedLoop" not in ps
