@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doubly_robust_eval": relational.doubly_robust_eval,
         "quantile_treatment_effect": relational.quantile_treatment_effect,
         "stratified_srm": relational.stratified_srm,
+        "sequential_sign_test": relational.sequential_sign_test,
         "metric_sensitivity_ladder": relational.metric_sensitivity_ladder,
         "url_canonicalize": web_extract.url_canonicalize,
         "scd2_intervals": relational.scd2_intervals,
@@ -10620,6 +10621,50 @@ where (shared * 1000000) // ({2 * media.AUDIO_DUP_WINS} - shared)
       >= {media.AUDIO_DUP_MIN_PPM}
 order by ref_a, ref_b
 """
+    sql["sequential_sign_test"] = """
+with daily as (
+  select cast(ts as date) as day,
+         sum(case when user_id % 2 = 0 then 1 else 0 end) as n0,
+         sum(case when user_id % 2 = 0
+               then cast(round(value * 100) as bigint) else 0 end) as s0,
+         sum(case when user_id % 2 = 1 then 1 else 0 end) as n1,
+         sum(case when user_id % 2 = 1
+               then cast(round(value * 100) as bigint) else 0 end) as s1
+  from events group by 1
+),
+win as (
+  select day, case when s1 * n0 > s0 * n1 then 1 else 0 end as win
+  from daily
+),
+cum as (
+  select day,
+         count(*) over (order by day
+           rows between unbounded preceding and current row) as t,
+         sum(win) over (order by day
+           rows between unbounded preceding and current row) as wins
+  from win
+),
+staged as (
+  select day, t, wins, cast(power(3, wins) as bigint) as lr_num,
+    case
+      when cast(power(3, wins) as bigint)
+             >= 16 * cast(power(2, t) as bigint) then 'reject_h0'
+      when 19 * cast(power(3, wins) as bigint)
+             <= 4 * cast(power(2, t) as bigint) then 'accept_h0'
+      else 'continue' end as decision
+  from cum
+)
+select day, cast(t as bigint) as t, cast(wins as bigint) as wins,
+       lr_num, decision,
+       cast(case when decision <> 'continue'
+                  and coalesce(sum(case when decision <> 'continue'
+                        then 1 else 0 end) over (order by day
+                        rows between unbounded preceding and 1 preceding),
+                      0) = 0
+            then 1 else 0 end as int) as first_decision
+from staged order by day
+"""
+
     return sql
 
 

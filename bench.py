@@ -283,6 +283,7 @@ def main() -> int:
         "uncertainty_sample",
         # round-5 additions
         "suffix_array_ranks",
+        "sequential_sign_test",
         "exact_substring_spans",
     ]
     if only:

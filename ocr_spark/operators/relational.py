@@ -7537,3 +7537,139 @@ def metric_sensitivity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# Always-valid sequential testing (SPRT / e-process on daily signs)
+# ---------------------------------------------------------------------------
+
+# Wald SPRT design for the daily-sign Bernoulli test: H0 p=1/2 (no
+# effect => treatment beats control on any day by a fair coin) vs
+# H1 p=3/4, alpha=0.05, beta=0.2.  LR_t = 3^wins / 2^t, so both
+# boundary comparisons are EXACT bigint cross-multiplications:
+#   reject H0:  3^w         >= 16 * 2^t     (A = (1-beta)/alpha = 16)
+#   accept H0:  19 * 3^w    <=  4 * 2^t     (B = beta/(1-alpha) = 4/19)
+SPRT_REJECT_NUM = 16  # A as an integer
+SPRT_ACCEPT_NUM = 4  # B numerator
+SPRT_ACCEPT_DEN = 19  # B denominator
+
+
+def sequential_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring — the missing piece next
+    to the fixed-horizon readouts (srm/CUPED/DiD/QTE/DR): a Wald SPRT
+    (Wald, Ann. Math. Stat. 1945) on the daily SIGN of the treatment
+    -vs-control mean, which is simultaneously an e-process under H0
+    (the likelihood ratio is a nonnegative martingale with mean 1, so
+    by Ville's inequality P[sup LR >= 1/alpha] <= alpha — the
+    always-valid guarantee of Ramdas, Grünwald, Vovk & Shafer,
+    Stat. Sci. 2023; mSPRT mixtures tighten the same bound, the
+    boundary logic is identical): the experimenter may peek every day
+    and stop at the FIRST boundary crossing without inflating type-I
+    error.
+
+    Day d is a treatment win iff mean(value | arm 1) strictly exceeds
+    mean(value | arm 0) — compared exactly as the integer
+    cross-multiplication s1*n0 > s0*n1 on cent sums (ties and empty
+    arms count against treatment; no rounded intermediate at the
+    decision boundary).  With w wins in t days the likelihood ratio
+    for p=3/4 vs p=1/2 is (3/2)^w (1/2)^(t-w) = 3^w / 2^t, kept as
+    exact integers (3^31 < 2^53, so both engines' pow() is exact and
+    the bigint casts are lossless), and both Wald boundaries are
+    integer comparisons — bit-identical in Spark and DuckDB.
+
+    Scale shape: one scan -> per-(day, arm) conditional-sum groupBy
+    (map-side partials); everything after runs on the calendar-bounded
+    daily table (tiny-stats policy: the windows below rank <= the
+    number of experiment days, never user- or event-cardinality).
+
+    Output: one row per day — cumulative t, wins, the exact LR
+    numerator 3^w, the decision state, and first_decision = 1 on the
+    first day a boundary is crossed (the always-valid stopping day)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+            F.expr("cast(round(value * 100) as bigint)").alias("c"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(
+                F.when(F.col("arm") == 0, F.col("c")).otherwise(0)
+            ).alias("s0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(
+                F.when(F.col("arm") == 1, F.col("c")).otherwise(0)
+            ).alias("s1"),
+        )
+    )
+    return sequential_sign_test_df(daily)
+
+
+def sequential_sign_test_df(daily: DataFrame) -> DataFrame:
+    """Core over a per-day (day, n0, s0, n1, s1) frame (unit-testable
+    on crafted win/loss streams)."""
+    win = daily.withColumn(
+        "win",
+        (F.col("s1") * F.col("n0") > F.col("s0") * F.col("n1")).cast(
+            "int"
+        ),
+    )
+    # tiny-window: calendar-bounded (one row per experiment day)
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # tiny-window: calendar-bounded (one row per experiment day)
+    wprev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = win.select(
+        "day",
+        F.count("*").over(wcum).alias("t"),
+        F.sum("win").over(wcum).alias("wins"),
+    )
+    lr_num = F.pow(F.lit(3.0), F.col("wins")).cast("bigint")
+    pow2 = F.pow(F.lit(2.0), F.col("t")).cast("bigint")
+    reject = lr_num >= F.lit(SPRT_REJECT_NUM) * pow2
+    accept = (
+        F.lit(SPRT_ACCEPT_DEN) * lr_num
+        <= F.lit(SPRT_ACCEPT_NUM) * pow2
+    )
+    staged = cum.select(
+        "day",
+        "t",
+        "wins",
+        lr_num.alias("lr_num"),
+        F.when(reject, F.lit("reject_h0"))
+        .when(accept, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+    prev_decided = F.coalesce(
+        F.sum(
+            F.when(F.col("decision") != "continue", 1).otherwise(0)
+        ).over(wprev),
+        F.lit(0),
+    )
+    return (
+        staged.withColumn(
+            "first_decision",
+            F.when(
+                (F.col("decision") != "continue") & (prev_decided == 0),
+                1,
+            )
+            .otherwise(0)
+            .cast("int"),
+        )
+        .select(
+            "day",
+            F.col("t").cast("bigint").alias("t"),
+            F.col("wins").cast("bigint").alias("wins"),
+            "lr_num",
+            "decision",
+            "first_decision",
+        )
+        .repartition(1)
+        .sortWithinPartitions("day")
+    )

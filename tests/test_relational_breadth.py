@@ -4011,3 +4011,73 @@ def test_sensitivity_ladder_orders_methods(spark, tmp_path):
     assert got["1_raw"] == 1_000_000
     assert got["3_cuped"] <= 5  # perfect predictor -> ~0 (ppm rounding)
     assert 0 < got["2_winsorized"] < 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Always-valid sequential sign test (SPRT / e-process)
+# ---------------------------------------------------------------------------
+
+
+def _daily_stream(spark, wins):
+    """Crafted per-day arm sums: win=True => treatment mean 2.0 vs 1.0,
+    win=False => 1.0 vs 2.0 (10 users/arm)."""
+    import datetime
+
+    rows = [
+        (
+            datetime.date(2024, 3, 1) + datetime.timedelta(days=i),
+            10,
+            (100 if w else 200) * 10,
+            10,
+            (200 if w else 100) * 10,
+        )
+        for i, w in enumerate(wins)
+    ]
+    return spark.createDataFrame(
+        rows, "day date, n0 long, s0 long, n1 long, s1 long"
+    )
+
+
+def test_sprt_early_stopping_day(spark):
+    """All-wins stream: 3^w first beats 16*2^t at t=7 (2187 > 2048;
+    729 < 1024 at t=6) — the always-valid monitor must fire reject_h0
+    exactly there, once."""
+    from ocr_spark.operators.relational import sequential_sign_test_df
+
+    out = sequential_sign_test_df(_daily_stream(spark, [True] * 10)).collect()
+    by_t = {r["t"]: r for r in out}
+    assert by_t[6]["decision"] == "continue"
+    assert by_t[7]["decision"] == "reject_h0"
+    assert [r["t"] for r in out if r["first_decision"] == 1] == [7]
+    assert by_t[7]["lr_num"] == 3**7
+
+
+def test_sprt_null_stream_accepts(spark):
+    """Alternating wins/losses drift to the futility boundary:
+    19*3^6 = 13851 <= 4*2^12 = 16384 first holds at t=12."""
+    from ocr_spark.operators.relational import sequential_sign_test_df
+
+    wins = [i % 2 == 0 for i in range(14)]
+    out = sequential_sign_test_df(_daily_stream(spark, wins)).collect()
+    by_t = {r["t"]: r for r in out}
+    assert by_t[11]["decision"] == "continue"
+    assert by_t[12]["decision"] == "accept_h0"
+    assert [r["t"] for r in out if r["first_decision"] == 1] == [12]
+
+
+def test_sprt_tie_counts_against_treatment(spark):
+    """Exact-tie day (equal means) must count as a loss — the strict
+    integer cross-comparison, no float epsilon."""
+    from ocr_spark.operators.relational import sequential_sign_test_df
+    import datetime
+
+    rows = [
+        (datetime.date(2024, 3, 1), 10, 1000, 10, 1000),
+        # unbalanced arms, equal means: 3*200 vs 6*400 cents
+        (datetime.date(2024, 3, 2), 3, 600, 6, 1200),
+    ]
+    df = spark.createDataFrame(
+        rows, "day date, n0 long, s0 long, n1 long, s1 long"
+    )
+    out = sequential_sign_test_df(df).collect()
+    assert [r["wins"] for r in out] == [0, 0]
