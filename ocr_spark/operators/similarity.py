@@ -927,18 +927,25 @@ def _pq_codebook_cached(
 def _pq_code_expr(micro_col: str, m: int, cents) -> str:
     """SQL expr string: the PQ code (argmin centroid, ties -> lower k)
     of subspace ``m`` of an integer-micro embedding array.  One literal
-    array-of-structs per subspace => plan size O(1) in corpus."""
+    array-of-structs per subspace => plan size O(1) in corpus.
+
+    Argmin over h of ||x-h||^2 == argmin of (h.h - 2 x.h) exactly
+    (x.x is constant per row; all-integer, so the shift preserves ties
+    too) — the dot form halves the per-element arithmetic of the
+    encode stage, with h.h precomputed driver-side."""
     items = ",".join(
-        "named_struct('k',{k},'vec',array({vs}))".format(
-            k=k, vs=",".join(f"{v}L" for v in vec)
+        "named_struct('k',{k},'hh',{hh}L,'vec',array({vs}))".format(
+            k=k,
+            hh=sum(v * v for v in vec),
+            vs=",".join(f"{v}L" for v in vec),
         )
         for k, vec in enumerate(cents)
     )
     sub = f"slice({micro_col}, {m * PQ_SUB + 1}, {PQ_SUB})"
     return (
         f"array_min(transform(array({items}), c -> named_struct("
-        f"'d', aggregate(zip_with({sub}, c.vec,"
-        " (x, h) -> (x - h) * (x - h)), 0L, (acc, v) -> acc + v),"
+        f"'d', c.hh - 2L * aggregate(zip_with({sub}, c.vec,"
+        " (x, h) -> x * h), 0L, (acc, v) -> acc + v),"
         " 'k', c.k))).k"
     )
 
