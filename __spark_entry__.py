@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_substring_spans": dedup.duplicate_substring_spans,
         "suffix_array_ranks": dedup.suffix_array_ranks,
         "exact_substring_spans": dedup.exact_substring_spans,
+        "exact_substring_excision": dedup.exact_substring_excision,
         "simhash_near_dup": dedup.simhash_near_dup,
         "dedup_signal_fusion": dedup.dedup_signal_fusion,
         "embedding_near_dup": dedup.embedding_near_dup,
@@ -2438,6 +2439,59 @@ select d.doc_id, cast(length(d.text) as bigint) as n_chars,
        cast(coalesce(p.dup_chars, 0) as bigint) as dup_chars,
        round(coalesce(p.dup_chars, 0) / length(d.text), 6) as dup_frac
 from documents d left join per_doc p using (doc_id) order by doc_id
+""",
+        "exact_substring_excision": f"""
+with p0 as (
+  select doc_id, text, length(text) as n,
+         unnest(generate_series(1, length(text) - {dedup.EXACT_SUBSTR_L - 1}))
+           as p
+  from documents where length(text) >= {dedup.EXACT_SUBSTR_L}
+),
+pos as (
+  select doc_id, p, substring(text, p, {dedup.EXACT_SUBSTR_L}) as g from p0
+),
+dup as (select g from pos group by g having min(doc_id) <> max(doc_id)),
+m as (select doc_id, p from pos where g in (select g from dup)),
+isl as (
+  select doc_id, p,
+    case when p > coalesce(max(p) over (partition by doc_id order by p
+          rows between unbounded preceding and 1 preceding), -1073741824)
+          + {dedup.EXACT_SUBSTR_L} then 1 else 0 end as nw
+  from m
+),
+grp as (
+  select doc_id, p,
+         sum(nw) over (partition by doc_id order by p
+           rows between unbounded preceding and current row) as grp
+  from isl
+),
+cuts as (
+  select doc_id, grp, min(p) as s, max(p) + {dedup.EXACT_SUBSTR_L} as e
+  from grp group by doc_id, grp
+),
+gaps as (
+  select doc_id,
+         coalesce(lag(e) over (partition by doc_id order by s), 1) as gs,
+         s as ge
+  from cuts
+  union all
+  select doc_id, max(e) as gs, null as ge from cuts group by doc_id
+),
+built as (
+  select g.doc_id,
+         string_agg(substring(d.text, g.gs,
+             coalesce(g.ge, length(d.text) + 1) - g.gs),
+           '' order by g.gs) as cleaned,
+         count(*) - 1 as n_cuts
+  from gaps g join documents d using (doc_id) group by g.doc_id
+)
+select d.doc_id, cast(length(d.text) as bigint) as n_chars,
+       cast(coalesce(b.n_cuts, 0) as bigint) as n_cuts,
+       cast(length(coalesce(b.cleaned, d.text)) as bigint) as kept_chars,
+       cast(length(d.text) - length(coalesce(b.cleaned, d.text)) as bigint)
+         as cut_chars,
+       md5(coalesce(b.cleaned, d.text)) as cleaned_md5
+from documents d left join built b using (doc_id) order by d.doc_id
 """,
         "duplicate_substring_spans": f"""
 with wins as (

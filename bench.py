@@ -285,6 +285,7 @@ def main() -> int:
         "suffix_array_ranks",
         "sequential_sign_test",
         "exact_substring_spans",
+        "exact_substring_excision",
     ]
     if only:
         headline = [q for q in headline if q in only]

@@ -2134,12 +2134,58 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans_df(docs)
 
 
-def exact_substring_spans_df(
-    docs: DataFrame, L: int = EXACT_SUBSTR_L
-) -> DataFrame:
-    """DataFrame-level core of exact_substring_spans (unit-testable on
-    crafted corpora).  L must be 24 = 16 + 8 for the level schedule
-    below (8-gram jumpstart, one doubling to 16, pair key 16 + 8)."""
+def _dup_span_islands(key24: DataFrame, L: int) -> DataFrame:
+    """(doc_id, s, e) maximal merged cross-doc duplicated spans from the
+    keyed position table (doc_id, p, r16, r16b) — shared by
+    exact_substring_spans and exact_substring_excision."""
+    dup_keys = (
+        key24.groupBy("r16", "r16b")
+        .agg(
+            F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1")
+        )
+        .filter(F.col("d0") != F.col("d1"))
+        .select("r16", "r16b")
+    )
+    marked = key24.join(dup_keys, ["r16", "r16b"], "left_semi").select(
+        "doc_id", "p"
+    )
+    # merge [p, p+L) intervals per doc (touching intervals merge)
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = marked.withColumn(
+        "new",
+        F.when(
+            F.col("p")
+            > F.coalesce(F.max("p").over(wprev), F.lit(-(1 << 30)))
+            + F.lit(L),
+            1,
+        ).otherwise(0),
+    ).withColumn("grp", F.sum("new").over(wrun))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").alias("s"),
+            (F.max("p") + F.lit(L)).alias("e"),
+        )
+        .select("doc_id", "s", "e")
+    )
+
+
+def _substring_rank_keys(docs: DataFrame, L: int):
+    """(base, key24): base = (doc_id, text, n); key24 = the keyed
+    position table (doc_id, p, r16, r16b) whose integer pair equals the
+    exact L-char substring identity at p — the suffix-rank machinery
+    shared by exact_substring_spans / exact_substring_excision.
+    L must be 24 = 16 + 8 for the level schedule (8-gram jumpstart,
+    one doubling to 16, pair key 16 + 8)."""
     from ocr_spark.operators.relational import bucketed_global_rank
 
     assert L == 24, "level schedule is specialized to L = 24"
@@ -2200,44 +2246,16 @@ def exact_substring_spans_df(
         .join(b16, ["doc_id", "p"])
         .select("doc_id", "p", "r16", "r16b")
     )
-    dup_keys = (
-        key24.groupBy("r16", "r16b")
-        .agg(
-            F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1")
-        )
-        .filter(F.col("d0") != F.col("d1"))
-        .select("r16", "r16b")
-    )
-    marked = key24.join(dup_keys, ["r16", "r16b"], "left_semi").select(
-        "doc_id", "p"
-    )
-    # merge [p, p+L) intervals per doc (touching intervals merge)
-    wprev = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wrun = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    isl = marked.withColumn(
-        "new",
-        F.when(
-            F.col("p")
-            > F.coalesce(F.max("p").over(wprev), F.lit(-(1 << 30)))
-            + F.lit(L),
-            1,
-        ).otherwise(0),
-    ).withColumn("grp", F.sum("new").over(wrun))
-    spans = (
-        isl.groupBy("doc_id", "grp")
-        .agg(
-            F.min("p").alias("s"),
-            (F.max("p") + F.lit(L)).alias("e"),
-        )
-    )
+    return base, key24
+
+
+def exact_substring_spans_df(
+    docs: DataFrame, L: int = EXACT_SUBSTR_L
+) -> DataFrame:
+    """DataFrame-level core of exact_substring_spans (unit-testable on
+    crafted corpora)."""
+    base, key24 = _substring_rank_keys(docs, L)
+    spans = _dup_span_islands(key24, L)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("e") - F.col("s")).alias("dup_chars"),
@@ -2257,6 +2275,85 @@ def exact_substring_spans_df(
             F.round(
                 F.coalesce("dup_chars", F.lit(0)) / F.col("n"), 6
             ).alias("dup_frac"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def exact_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The excision half of Lee et al. (ACL'22) on the suffix-rank
+    spans: CUT every cross-doc duplicated span >= EXACT_SUBSTR_L chars
+    out of each document and emit the cleaned text's digest plus the
+    char budget — the action `dedup_span_excision` takes on the
+    windowed 49-char-floor detector, now at stride-1 exactness.
+
+    The rebuild is pure map-side string algebra over each doc's sorted
+    span list: the kept text is the concatenation of the gap segments
+    (prev span end -> next span start), folded with an aggregate HOF —
+    no per-row Python, no text shuffle (spans shuffle, text stays with
+    its doc via one doc_id join).
+
+    Scale shape: the span finder's keyed rank shuffles (see
+    _substring_rank_keys), one doc-partitioned interval merge, one
+    per-doc collect_list of its OWN spans (bounded by doc length), one
+    doc_id join back to the text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # the board query ships the digest, not the rebuilt text
+    return exact_substring_excision_df(docs).drop("cleaned_text")
+
+
+def exact_substring_excision_df(
+    docs: DataFrame, L: int = EXACT_SUBSTR_L
+) -> DataFrame:
+    """Core of exact_substring_excision; exposes the cleaned text so
+    crafted tests can assert the exact rebuilt string (the board query
+    ships its md5)."""
+    base, key24 = _substring_rank_keys(docs, L)
+    spans = _dup_span_islands(key24, L)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("s", "e"))
+        ).alias("cuts"),
+    )
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n",
+        "text",
+        F.coalesce(
+            "cuts",
+            F.expr("array()").cast("array<struct<s:int,e:int>>"),
+        ).alias("cuts"),
+    )
+    # fold the sorted cut list: accumulator = (next kept-segment start,
+    # kept text so far); finish by appending the tail segment
+    cleaned = F.expr(
+        "aggregate(cuts,"
+        " named_struct('pos', 1, 'acc', ''),"
+        " (a, c) -> named_struct("
+        "   'pos', c.e,"
+        "   'acc', concat(a.acc, substring(text, a.pos, c.s - a.pos))),"
+        " a -> concat(a.acc, substring(text, a.pos, n - a.pos + 1)))"
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_chars"),
+            F.size("cuts").cast("bigint").alias("n_cuts"),
+            cleaned.alias("cleaned_text"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_cuts",
+            F.length("cleaned_text").cast("bigint").alias("kept_chars"),
+            (F.col("n_chars") - F.length("cleaned_text"))
+            .cast("bigint")
+            .alias("cut_chars"),
+            F.md5("cleaned_text").alias("cleaned_md5"),
+            "cleaned_text",
         )
         .repartition(1)
         .sortWithinPartitions("doc_id")

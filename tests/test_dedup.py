@@ -1250,3 +1250,31 @@ def test_exact_substring_spans_empty_and_short(spark):
         for r in exact_substring_spans_df(short).collect()
     }
     assert got == {1: (0, 0), 2: (0, 0)}
+
+
+def test_exact_substring_excision_rebuild(spark):
+    """The rebuilt text must be the exact gap concatenation — including
+    span-at-start / span-at-end docs (empty head/tail segments) — and
+    untouched docs pass through verbatim."""
+    from ocr_spark.operators.dedup import exact_substring_excision_df
+
+    shared = "0123456789abcdefghijklmnopq"  # 27 chars >= L
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA" + shared + "BBBB"),
+            (2, shared + "DDDD"),       # span at doc start
+            (3, "EEEE" + shared),       # span at doc end
+            (4, "untouched-no-dups-here!!"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_cuts"], r["cut_chars"])
+        for r in exact_substring_excision_df(docs).collect()
+    }
+    assert got == {
+        1: ("AAAABBBB", 1, 27),
+        2: ("DDDD", 1, 27),
+        3: ("EEEE", 1, 27),
+        4: ("untouched-no-dups-here!!", 0, 0),
+    }, got
