@@ -2185,66 +2185,92 @@ def _substring_rank_keys(docs: DataFrame, L: int):
     exact L-char substring identity at p — the suffix-rank machinery
     shared by exact_substring_spans / exact_substring_excision.
     L must be 24 = 16 + 8 for the level schedule (8-gram jumpstart,
-    one doubling to 16, pair key 16 + 8)."""
+    one doubling to 16, pair key 16 + 8).
+
+    Scale-tuned shape (profiled at a 10x tiled corpus, tools/make_sf1.py):
+    * the explode emits the PRE-CUT gram array, never the full doc text
+      per position (carrying a ~400-char text column through a 20M-row
+      Generate was the single largest cost of the naive form);
+    * the gram -> dense-id map is a distinct-gram table (tiny: grams
+      repeat heavily in real corpora) that broadcast-joins back;
+    * the two "rank at p + 8" doubling reads are per-doc lead(8)
+      windows over the COMPLETE position range — one doc-keyed shuffle
+      each, replacing 20M-row self-joins (positions 1..n-7 are gapless,
+      so row offset == char offset);
+    * every level is lazily localCheckpoint'ed: each feeds 2+ consumer
+      branches and the chain re-executes per branch otherwise
+      (measured ~90x wall blowup at 10x corpus before these moves).
+    """
     from ocr_spark.operators.relational import bucketed_global_rank
 
     assert L == 24, "level schedule is specialized to L = 24"
     base = docs.select(
         "doc_id", "text", F.length("text").alias("n")
     )
-    pos8 = base.filter(F.col("n") >= 8).select(
+    grams = base.filter(F.col("n") >= 8).select(
         "doc_id",
         "n",
-        F.explode(
-            F.sequence(F.lit(1), F.col("n") - F.lit(7))
-        ).alias("p"),
-        "text",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, n - 7),"
+                " i -> substring(text, i, 8))"
+            )
+        ).alias("i0", "g8"),
     ).select(
-        "doc_id",
-        "n",
-        "p",
-        F.expr("substring(text, p, 8)").alias("g8"),
-        # order/equality-preserving 8-byte pack of the gram — the
-        # numeric bucket key for the two-pass rank (ASCII corpus:
-        # codepoints < 256 make the pack injective; the rank round
-        # below keys on the gram STRING, so even a >255 codepoint
-        # only perturbs bucket balance, never correctness)
-        F.expr(
-            "aggregate(sequence(0, 7), cast(0 as bigint),"
-            " (acc, i) -> acc * 256 + ascii(substring(text, p + i, 1)))"
-        ).alias("pk8"),
+        "doc_id", "n", (F.col("i0") + 1).alias("p"), "g8"
     )
+    # order/equality-preserving 8-byte pack of the gram — the numeric
+    # bucket key for the two-pass rank (ASCII corpus: codepoints < 256
+    # make the pack injective; the rank keys on the gram STRING, so a
+    # >255 codepoint only perturbs bucket balance, never correctness).
+    # Computed on the DISTINCT gram table only — the aggregate() lambda
+    # is interpreted, not codegen'd.
     v8 = bucketed_global_rank(
-        pos8.select("pk8", "g8").distinct(), "pk8", "g8", rank_col="r8"
+        grams.select("g8")
+        .distinct()
+        .withColumn(
+            "pk8",
+            F.expr(
+                "aggregate(sequence(0, 7), cast(0 as bigint),"
+                " (acc, i) -> acc * 256 + ascii(substring(g8, i + 1, 1)))"
+            ),
+        ),
+        "pk8",
+        "g8",
+        rank_col="r8",
     ).select("g8", "r8")
-    ranks8 = pos8.join(v8, "g8").select("doc_id", "n", "p", "r8")
-    # prefix doubling 8 -> 16: pair rank(p) with rank(p + 8)
-    b8 = ranks8.select(
-        "doc_id",
-        (F.col("p") - F.lit(8)).alias("p"),
-        F.col("r8").alias("r8b"),
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    # no broadcast HINT on the rank maps: tiny here (grams repeat),
+    # but at 10^12-doc scale distinct-gram tables outgrow the driver —
+    # AQE converts to broadcast at runtime exactly when actual size
+    # allows, which is the scale-correct policy
+    ranks8 = (
+        grams.join(v8, "g8")
+        .select("doc_id", "n", "p", "r8")
+        .localCheckpoint(eager=False)
     )
+    # prefix doubling 8 -> 16: rank(p) paired with rank(p + 8) via a
+    # per-doc lead — positions are the complete range 1..n-7
     pairs16 = (
-        ranks8.filter(F.col("p") <= F.col("n") - 15)
-        .join(b8, ["doc_id", "p"])
-        .select("doc_id", "n", "p", "r8", "r8b")
+        ranks8.withColumn("r8b", F.lead("r8", 8).over(wdoc))
+        .filter(F.col("p") <= F.col("n") - 15)
+        .localCheckpoint(eager=False)
     )
     v16 = bucketed_global_rank(
         pairs16.select("r8", "r8b").distinct(), "r8", "r8b", rank_col="r16"
     )
-    ranks16 = pairs16.join(v16, ["r8", "r8b"]).select(
-        "doc_id", "n", "p", "r16"
+    ranks16 = (
+        pairs16.join(v16, ["r8", "r8b"])
+        .select("doc_id", "n", "p", "r16")
+        .localCheckpoint(eager=False)
     )
-    # second doubling join keys the 24-char identity: (r16(p), r16(p+8))
-    b16 = ranks16.select(
-        "doc_id",
-        (F.col("p") - F.lit(8)).alias("p"),
-        F.col("r16").alias("r16b"),
-    )
+    # second doubling read keys the 24-char identity: (r16(p), r16(p+8))
+    # — again a lead over the complete range 1..n-15
     key24 = (
-        ranks16.filter(F.col("p") <= F.col("n") - (L - 1))
-        .join(b16, ["doc_id", "p"])
+        ranks16.withColumn("r16b", F.lead("r16", 8).over(wdoc))
+        .filter(F.col("p") <= F.col("n") - (L - 1))
         .select("doc_id", "p", "r16", "r16b")
+        .localCheckpoint(eager=False)
     )
     return base, key24
 
