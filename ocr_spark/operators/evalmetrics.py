@@ -618,42 +618,54 @@ def chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(cand_toks, "").alias("cand_chars"),
     )
 
-    def grams(col: str):
-        # all 1..CHRF_MAX_N char n-gram (n, gram) structs, array-side
-        arrs = []
-        for n in range(1, CHRF_MAX_N + 1):
-            arrs.append(
-                F.when(
-                    F.length(F.col(col)) >= n,
-                    F.expr(
-                        f"transform(sequence(1, length({col}) - {n} + 1),"
-                        f" i -> struct({n} as n,"
-                        f" substring({col}, i, {n}) as gram))"
-                    ),
-                ).otherwise(F.expr("array()").cast(
-                    "array<struct<n:int,gram:string>>"
-                ))
+    def gram_rows(col: str, c: int, r: int):
+        # all 1..CHRF_MAX_N char n-grams as a codegen'd double explode:
+        # positions first, then a LITERAL 6-element array of substring
+        # columns (posexplode index + 1 = n).  No lambda: transform()'s
+        # interpreted per-element evaluation was the dominant cost of
+        # the whole metric at the 10x corpus (same finding as the
+        # exact-substring rank pipeline, commit d0966a0); the literal
+        # array keeps every substring inside whole-stage codegen, and
+        # the chars column is projected away before the first exchange.
+        return (
+            both.select("doc_id", F.col(col).alias("chars"))
+            .select(
+                "doc_id",
+                "chars",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("chars"))
+                ).alias("p"),
             )
-        return F.flatten(F.array(*arrs))
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.array(*[
+                        F.expr(
+                            f"if(p + {n - 1} <= length(chars),"
+                            f" substring(chars, p, {n}), null)"
+                        )
+                        for n in range(1, CHRF_MAX_N + 1)
+                    ])
+                ).alias("n0", "gram"),
+            )
+            .filter(F.col("gram").isNotNull())
+            .select(
+                "doc_id",
+                (F.col("n0") + 1).alias("n"),
+                "gram",
+                F.lit(c).alias("c"),
+                F.lit(r).alias("r"),
+            )
+        )
 
     # one tagged union + one groupBy instead of two counts + a full
     # join on the high-cardinality (doc, n, gram) key — halves the
     # shuffles and cut the sf0.1 stage ~2x
-    tagged = both.select(
-        "doc_id",
-        F.explode(grams("cand_chars")).alias("g"),
-        F.lit(1).alias("c"),
-        F.lit(0).alias("r"),
-    ).unionByName(
-        both.select(
-            "doc_id",
-            F.explode(grams("ref_chars")).alias("g"),
-            F.lit(0).alias("c"),
-            F.lit(1).alias("r"),
-        )
+    tagged = gram_rows("cand_chars", 1, 0).unionByName(
+        gram_rows("ref_chars", 0, 1)
     )
     clipped = (
-        tagged.groupBy("doc_id", "g.n", "g.gram")
+        tagged.groupBy("doc_id", "n", "gram")
         .agg(F.sum("c").alias("c_cnt"), F.sum("r").alias("r_cnt"))
         .groupBy("n")
         .agg(
