@@ -1669,3 +1669,16 @@ def test_suffix_array_plans_keyed_only(spark):
     # iterative op: lint the SIMPLE plan (localCheckpoint tails)
     ps = plan_of(suffix_array_ranks(spark, SF), "simple")
     assert "CartesianProduct" not in ps and "NestedLoop" not in ps
+
+
+def test_excision_and_sprt_plans(spark):
+    """exact_substring_excision: keyed joins only, no text-side
+    cartesian; sequential_sign_test: one scan + calendar-bounded
+    windows, no CartesianProduct."""
+    from ocr_spark.operators.dedup import exact_substring_excision
+    from ocr_spark.operators.relational import sequential_sign_test
+
+    for q in (exact_substring_excision, sequential_sign_test):
+        p = plan_of(q(spark, SF))
+        assert "CartesianProduct" not in p, q.__name__
+        assert "NestedLoop" not in p, q.__name__
