@@ -1392,30 +1392,52 @@ def winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index shape as ngram_jaccard_all_pairs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     k, w = WINNOW_K, WINNOW_W
-    # hash array materialized ONCE per doc — windows below only index
-    # into it (md5 inside the window lambda would recompute every
-    # digest W times and ballooned the sf0.1 stage ~8x)
-    hashes = F.expr(
-        f"""
-        transform(sequence(1, length(s) - {k} + 1),
-          i -> cast(conv(substring(md5(substring(s, i, {k})), 1, 8),
-                         16, 10) as bigint))
-        """
-    )
-    fps = F.expr(
-        f"""
-        array_distinct(transform(
-          sequence(1, size(h) - least({w}, size(h)) + 1),
-          j -> array_min(slice(h, j, least({w}, size(h))))))
-        """
-    )
-    doc_fps = (
+    # Fingerprint selection as a codegen'd explode + per-doc sliding
+    # window instead of array HOFs: the transform() lambdas (md5 per
+    # gram, array_min per window) evaluate INTERPRETED per element —
+    # profiled as the dominant cost at the 10x corpus (same finding as
+    # the exact-substring pipeline, commit d0966a0).  One md5 per gram
+    # inside whole-stage codegen, then min over the w-row forward
+    # window per doc (positions are gapless, so row offset == char
+    # offset); docs with fewer than w grams keep the single
+    # whole-array window via the i == 1 arm — the selected fingerprint
+    # SET is identical to the HOF form.
+    gram_rows = (
         docs.select(
             "doc_id", F.replace(F.col("text"), F.lit(" ")).alias("s")
         )
         .where(F.length("s") >= k)
-        .select("doc_id", hashes.alias("h"))
-        .select("doc_id", F.explode(fps).alias("fp"))
+        .select(
+            "doc_id",
+            (F.length("s") - F.lit(k - 1)).alias("nh"),
+            F.explode(
+                F.sequence(F.lit(1), F.length("s") - F.lit(k - 1))
+            ).alias("i"),
+            "s",
+        )
+        .select(
+            "doc_id",
+            "nh",
+            "i",
+            F.expr(
+                f"cast(conv(substring(md5(substring(s, i, {k})), 1, 8),"
+                " 16, 10) as bigint)"
+            ).alias("h"),
+        )
+    )
+    wwin = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(0, w - 1)
+    )
+    doc_fps = (
+        gram_rows.withColumn("fp", F.min("h").over(wwin))
+        .where(
+            (F.col("i") <= F.col("nh") - F.lit(w - 1))
+            | (F.col("i") == 1)
+        )
+        .select("doc_id", "fp")
+        .distinct()
     )
     kept = (
         doc_fps.groupBy("fp")
