@@ -1385,20 +1385,22 @@ def test_rake_stoplist_is_take_ordered_not_window(spark):
 
 
 def test_winnowing_fingerprints_one_mapside_pass():
-    """Winnowing's hash array must be materialized ONCE per doc and the
-    window lambda must only index into it — md5 inside the nested
-    window lambda recomputed every digest W times (the 51 s -> 9.6 s
-    sf0.1 regression this pins).  Source-scan: exactly one md5 call
-    site in the operator, and it is NOT inside the window-min
-    transform."""
+    """Winnowing's gram digest must be computed ONCE per gram inside
+    whole-stage codegen, and the fingerprint stage must contain NO
+    interpreted array lambdas at all — r4 pinned md5-outside-the-
+    window-lambda (51 s -> 9.6 s sf0.1); r5 removed the transform()
+    HOFs entirely (205 s -> 52 s at the 10x corpus): selection is a
+    per-doc sliding-window min over exploded gram rows.  Source-scan:
+    exactly one md5 call site, zero transform( lambdas."""
     import inspect
 
     from ocr_spark.operators.dedup import winnowing_near_dup
 
     src = inspect.getsource(winnowing_near_dup)
     assert src.count("md5(") == 1
-    win_lambda = src[src.index("array_min") :]
-    assert "md5" not in win_lambda.split('"""')[0]
+    assert "transform(" not in src
+    assert "array_min" not in src
+    assert 'F.min("h").over' in src
 
 
 def test_market_share_plan_broadcasts_every_dim(spark):
