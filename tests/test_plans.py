@@ -1397,10 +1397,16 @@ def test_winnowing_fingerprints_one_mapside_pass():
     from ocr_spark.operators.dedup import winnowing_near_dup
 
     src = inspect.getsource(winnowing_near_dup)
-    assert src.count("md5(") == 1
-    assert "transform(" not in src
-    assert "array_min" not in src
-    assert 'F.min("h").over' in src
+    code = "\n".join(
+        ln for ln in src.splitlines()
+        if not ln.lstrip().startswith("#")
+    )
+    # strip the docstring before scanning for banned constructs
+    code = code.split('"""')[2]
+    assert code.count("md5(") == 1
+    assert "transform(" not in code
+    assert "array_min" not in code
+    assert 'F.min("h").over' in code
 
 
 def test_market_share_plan_broadcasts_every_dim(spark):
