@@ -971,17 +971,22 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fuzzy_pairs(part: DataFrame) -> DataFrame:
-    """Unsorted symmetric-delete match pairs — the core shared by
-    fuzzy_name_match and entity_resolution_clusters."""
-    noisy = part.select(
+def _fuzzy_noisy(part: DataFrame) -> DataFrame:
+    """(src_partkey, noisy_name): each record's single-char-deleted
+    corruption (deterministic delete position)."""
+    return part.select(
         F.col("p_partkey").alias("src_partkey"),
         F.concat(
             F.expr("substring(p_name, 1, pmod(p_partkey, length(p_name)))"),
             F.expr("substring(p_name, pmod(p_partkey, length(p_name)) + 2)"),
         ).alias("noisy_name"),
     )
-    variants = part.select(
+
+
+def _fuzzy_variants(part: DataFrame) -> DataFrame:
+    """(match_partkey, match_name, variant): the symmetric-delete
+    dictionary — every single-char deletion of every canonical name."""
+    return part.select(
         F.col("p_partkey").alias("match_partkey"),
         F.col("p_name").alias("match_name"),
         F.explode(
@@ -991,6 +996,15 @@ def _fuzzy_pairs(part: DataFrame) -> DataFrame:
             )
         ).alias("variant"),
     ).distinct()
+
+
+def _fuzzy_pairs(part: DataFrame) -> DataFrame:
+    """Unsorted symmetric-delete match pairs (fuzzy_name_match's output
+    contract — inherently |S(v)|x|M(v)| per shared key; the CC consumer
+    entity_resolution_clusters avoids materializing these via the key
+    star reduction)."""
+    noisy = _fuzzy_noisy(part)
+    variants = _fuzzy_variants(part)
     return (
         noisy.join(variants, noisy.noisy_name == variants.variant)
         .select("src_partkey", "noisy_name", "match_partkey", "match_name")
@@ -1013,11 +1027,33 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC is O(log n) keyed rounds, and the final size window shuffles on
     the entity key — uniform, cluster count ~ record count."""
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    pairs = _fuzzy_pairs(part).filter(
-        F.col("src_partkey") != F.col("match_partkey")
+    # Star reduction over the match KEY instead of materialized record
+    # pairs: a noisy name nn and a deletion variant v match on string
+    # equality, so the pair graph is a union of complete bipartite
+    # blocks S(v) x M(v) per key v — and with real-world name
+    # duplication those blocks are HOT (the 10x corpus has 3,470
+    # records per name: 627M pairs, OOM at 24g; measured via
+    # tools/make_sf1.py).  Connectivity of a block is preserved by
+    # starring every member to the block minimum, so CC sees
+    # O(incidence) edges instead of O(block^2) — components, and hence
+    # entity ids (component minima), are IDENTICAL.  Keys no noisy
+    # name touches contribute no edges (exactly the original pair
+    # semantics: variant-variant alone never connected records).
+    noisy_keys = _fuzzy_noisy(part).select(
+        F.col("noisy_name").alias("k"), F.col("src_partkey").alias("node")
     )
-    edges = pairs.select(
-        F.col("src_partkey").alias("u"), F.col("match_partkey").alias("v")
+    var_keys = _fuzzy_variants(part).select(
+        F.col("variant").alias("k"), F.col("match_partkey").alias("node")
+    )
+    inc = noisy_keys.unionByName(
+        var_keys.join(noisy_keys.select("k").distinct(), "k")
+    )
+    roots = inc.groupBy("k").agg(F.min("node").alias("root"))
+    edges = (
+        inc.join(roots, "k")
+        .filter(F.col("node") != F.col("root"))
+        .select(F.col("node").alias("u"), F.col("root").alias("v"))
+        .distinct()
     )
     labels = connected_components(edges).select(
         F.col("doc_id").alias("p_partkey"), F.col("cluster_id").alias("ent")
